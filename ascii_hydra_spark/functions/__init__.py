@@ -1,0 +1,141 @@
+"""Pure Column-expression helpers.
+
+Everything here returns a `pyspark.sql.Column` built only from built-in
+functions, so it stays JVM-side inside whole-stage codegen — no Python UDFs.
+These are the engine's scalar vocabulary for the LLM-data operators
+(SURVEY.md §2.3): vector math, tokenization, fingerprints, text heuristics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+# ---------------------------------------------------------------- vectors
+
+def to_double_array(col: Column | str) -> Column:
+    """Cast array<float> -> array<double> so dot products accumulate in f64
+    (matches DuckDB's list math, which the oracle computes in double)."""
+    return F.col(col).cast("array<double>") if isinstance(col, str) else col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Elementwise dot product via zip_with + aggregate (JVM-side, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Exact cosine similarity between two array<double> columns."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# ---------------------------------------------------------------- text
+
+def word_tokens(text: Column | str) -> Column:
+    """Whitespace tokenizer. `split` with a regex; empty tokens filtered so
+    leading/trailing/double spaces don't produce '' tokens (matches the
+    oracle's list_filter(string_split_regex(...)))."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(word_tokens(text))
+
+
+def bpe_ish_tokens(text: Column | str) -> Column:
+    """Sub-word-ish tokenizer: runs of letters, runs of digits, or single
+    non-space symbols — a deterministic, SQL-expressible stand-in for a BPE
+    pre-tokenizer (GPT-2 style split, minus byte-level merges)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0)
+
+
+def ngrams(tokens: Column, n: int) -> Column:
+    """Word n-grams from a token array, space-joined.
+
+    transform over the first size-n+1 positions; pure array ops, no UDF.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if n == 1:
+        return tokens
+    # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not []
+    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
+    return F.when(F.size(tokens) < n, F.array().cast("array<string>")).otherwise(grams)
+
+
+def char_shingles(text: Column | str, k: int = 5) -> Column:
+    """Character k-shingles (for MinHash): substrings of length k at every
+    offset; generated with sequence+transform, no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    idx = F.sequence(F.lit(1), F.length(c) - (k - 1))
+    shingled = F.transform(idx, lambda i: F.substring(c, i, k))
+    # guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not []
+    return F.when(F.length(c) < k, F.array().cast("array<string>")).otherwise(shingled)
+
+
+def md5_fingerprint(text: Column | str) -> Column:
+    """Deterministic full-document fingerprint: md5 hex (identical in DuckDB)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(c.cast("binary"))
+
+
+def rolling_fingerprint(text: Column | str, base: int = 257, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash over characters: fold(acc*B + code) % M.
+
+    Deterministic and cheap; stays in codegen via aggregate over the char
+    array. Used for content-defined chunk fingerprints.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    chars = F.split(c, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
+    )
+
+
+# language-ID marker stopwords: tiny deterministic per-language lexicons.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "und", "das", "ein"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "los", "que", "y"),
+    "zh": ("de", "shi", "le", "zai", "he"),
+}
+
+
+def lang_marker_score(tokens: Column, lang: str) -> Column:
+    """#tokens that are marker stopwords for `lang` (n-gram heuristic core)."""
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(markers, t)))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic document quality heuristic in [0,1]:
+    0.4 * length_score + 0.3 * alpha_ratio + 0.3 * (1 - repetition_ratio).
+
+    - length_score: min(1, n_chars/500)
+    - alpha_ratio: fraction of chars that are [a-z ] (lowercase fixtures)
+    - repetition_ratio: 1 - distinct_tokens/tokens
+    SQL-expressible, so the DuckDB oracle can replicate it verbatim.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c).cast("double")
+    length_score = F.least(F.lit(1.0), n / F.lit(500.0))
+    alpha = F.length(F.regexp_replace(c, r"[^a-z ]", "")).cast("double")
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    toks = word_tokens(c)
+    ntok = F.size(toks).cast("double")
+    distinct_ratio = F.when(ntok > 0, F.size(F.array_distinct(toks)).cast("double") / ntok).otherwise(F.lit(1.0))
+    return F.lit(0.4) * length_score + F.lit(0.3) * alpha_ratio + F.lit(0.3) * distinct_ratio

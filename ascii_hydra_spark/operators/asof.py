@@ -1,0 +1,98 @@
+"""As-of and range joins over timestamped data (SURVEY.md C19).
+
+Spark has no ASOF JOIN operator; the naive formulation (non-equi join +
+per-left-row max) explodes to |left| x |right-per-key| intermediate rows.
+The implementation here is the *union-sort trick*: tag both sides, union,
+and carry the last right-side value forward with a keyed window
+(`last(ignorenulls=True)`). Cost = one shuffle on the key + one sort within
+the key — linear in input, no row explosion, skew-safe under AQE. This is
+the formulation that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_value_cols: tuple[str, ...] = ("event_id",),
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """For each left row: the latest right row with right.ts <= left.ts,
+    per `key`. Inclusive on equal timestamps (right sorts before left).
+
+    Returns all left columns plus `asof_<c>` for each right value column
+    (NULL when no prior right row exists, or it is older than `tolerance`).
+    """
+    lcols = left.columns
+    l = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),  # left sorts after right at equal ts
+        F.struct(*lcols).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}") for c in right_value_cols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"),
+    )
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(left.select(F.struct(*lcols)).schema[0].dataType).alias("__lrow"),
+        *[F.col(c).alias(f"__rv_{c}") for c in right_value_cols],
+        F.col(right_ts).alias("__rts"),
+    )
+    # third order key makes multiple right rows at an identical ts resolve
+    # deterministically (the max value wins, mirroring SQL max_by semantics)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side", f"__rv_{right_value_cols[0]}")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l.unionByName(r).select(
+        "__k",
+        "__ts",
+        "__side",
+        "__lrow",
+        F.last("__rts", ignorenulls=True).over(w).alias("__last_rts"),
+        *[
+            F.last(f"__rv_{c}", ignorenulls=True).over(w).alias(f"__last_{c}")
+            for c in right_value_cols
+        ],
+    )
+    out = carried.filter(F.col("__side") == 1)
+    if tolerance_seconds is not None:
+        in_tol = F.col("__last_rts") >= F.col("__ts") - F.expr(f"INTERVAL {tolerance_seconds} SECONDS")
+        out = out.select(
+            "__lrow",
+            *[
+                F.when(in_tol, F.col(f"__last_{c}")).otherwise(F.lit(None)).alias(f"__last_{c}")
+                for c in right_value_cols
+            ],
+        )
+    return out.select(
+        *[F.col("__lrow")[c].alias(c) for c in lcols],
+        *[F.col(f"__last_{c}").alias(f"asof_{c}") for c in right_value_cols],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+) -> DataFrame:
+    """left.ts in [right.start, right.end) per key — plain theta join; AQE
+    plus the equality on `key` keeps it a hash join with a residual filter."""
+    cond = (
+        (left[key] == right[key])
+        & (left[left_ts] >= right[right_start])
+        & (left[left_ts] < right[right_end])
+    )
+    return left.join(right, cond)

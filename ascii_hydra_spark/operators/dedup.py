@@ -1,0 +1,296 @@
+"""Deduplication operators (SURVEY.md C1-C2 + driver mandate).
+
+Five dedup families, each designed so the shuffle structure survives 100 TB:
+
+- exact_dedup          — hash-shuffle on the dedup key only; winner chosen by
+                         a total-order tie-break so results are deterministic.
+- fingerprint_dedup    — md5 content fingerprint; groupBy(fingerprint).
+- jaccard_pairs        — exact n-gram Jaccard similarity self-join via an
+                         inverted index (token -> docs), never a cartesian.
+- minhash_lsh_pairs    — MinHash signatures + banded LSH bucketing: candidate
+                         generation is a groupBy on (band, bucket-hash); only
+                         candidates get exact verification.
+- simhash_pairs        — 64-bit SimHash; Hamming-distance candidates via
+                         chunk-equality banding (pigeonhole: dist<=3 -> one of
+                         4 16-bit chunks equal).
+- embedding_dup_pairs  — near-dup by embedding cosine (delegates to
+                         operators.similarity).
+
+Determinism: every similarity/candidate pipeline tie-breaks on ids and uses
+seeded hash functions (Spark murmur3 `hash(..., seed-ish lit)` / xxhash64),
+so reruns and the DuckDB oracle (for SQL-expressible variants) agree.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ascii_hydra_spark.functions import char_shingles, word_tokens
+
+
+def exact_dedup(
+    df: DataFrame,
+    keys: Sequence[str],
+    tiebreak: Sequence[Column] | None = None,
+) -> DataFrame:
+    """Keep exactly one row per key combination, deterministically.
+
+    Unlike `dropDuplicates` (keeps an arbitrary first-seen row), the winner
+    is the minimum under `tiebreak` (default: all non-key columns, by name).
+    One shuffle on `keys`; window+filter lets AQE handle skewed keys.
+    """
+    if tiebreak is None:
+        tiebreak = [F.col(c) for c in df.columns if c not in keys]
+        if not tiebreak:  # key == whole row: plain distinct
+            return df.distinct()
+    w = Window.partitionBy(*keys).orderBy(*tiebreak)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact content dedup by md5 fingerprint; keeps the min-id row per
+    fingerprint. Fingerprint-first grouping means the shuffle key is a fixed
+    32-char hex, not the (potentially megabyte) document text."""
+    fp = F.md5(F.col(text_col).cast("binary")).alias("__fp")
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col))
+    return (
+        df.select("*", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__fp")
+    )
+
+
+def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, token) distinct pairs — the inverted-index edge list."""
+    return (
+        df.select(F.col(id_col).alias("__id"), F.explode(word_tokens(text_col)).alias("__tok"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    max_token_docs: int | None = None,
+) -> DataFrame:
+    """Exact token-set Jaccard similarity pairs (id_a < id_b, sim >= threshold).
+
+    Inverted-index self-join: explode distinct tokens, join docs sharing a
+    token, count shared tokens, Jaccard = inter / (|A| + |B| - inter).
+
+    Scale controls: `max_token_docs` drops stop-tokens appearing in more than
+    that many docs (they generate quadratic candidate pairs and are useless
+    for similarity — standard posting-list pruning). The final Jaccard is
+    still exact *for the surviving candidate pairs*.
+    """
+    toks = _doc_tokens(df, id_col, text_col).cache()
+    sizes = toks.groupBy("__id").agg(F.count("*").alias("__sz"))
+    if max_token_docs is not None:
+        hot = toks.groupBy("__tok").count().filter(F.col("count") > max_token_docs).select("__tok")
+        toks = toks.join(F.broadcast(hot), "__tok", "left_anti")
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.__tok") == F.col("b.__tok")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count("*").alias("__inter"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__sz").alias("__sza"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__sz").alias("__szb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__inter") / (F.col("__sza") + F.col("__szb") - F.col("__inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, array<int> signature): min over shingles of seeded murmur3 hashes.
+
+    Pipeline: char-k-shingles -> explode distinct -> for hash i, h_i =
+    hash(shingle, i) -> groupBy(id) elementwise min. All built-ins; the only
+    shuffle is the final groupBy(id).
+    """
+    sh = (
+        df.select(F.col(id_col).alias("__id"), F.explode(char_shingles(text_col, shingle_k)).alias("__sh"))
+        .distinct()
+    )
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.hash(F.col("__sh"), i),
+    ).alias("__hs")
+    per_shingle = sh.select("__id", hashes)
+    # elementwise min across shingles: explode (pos, h) then pivot-free groupBy
+    pos = per_shingle.select("__id", F.posexplode("__hs").alias("__pos", "__h"))
+    return (
+        pos.groupBy("__id", "__pos")
+        .agg(F.min("__h").alias("__minh"))
+        .groupBy("__id")
+        .agg(F.array_sort(F.collect_list(F.struct("__pos", "__minh"))).alias("__s"))
+        .select("__id", F.transform("__s", lambda s: s["__minh"]).alias("signature"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH + exact verification.
+
+    bands x rows layout (rows = num_hashes/bands): docs agreeing on all rows
+    of any band become candidates (groupBy on (band, xxhash64(band-slice)) —
+    the quadratic step never materializes). Candidates are then verified
+    with *exact* shingle-set Jaccard, so output precision is 1.0 and only
+    recall depends on the LSH parameters.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sig.select(
+        "__id",
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.slice("signature", b * rows + 1, rows))).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    # exact verification on candidates only
+    shingle_sets = (
+        df.select(F.col(id_col).alias("__id"), F.array_distinct(char_shingles(text_col, shingle_k)).alias("__set"))
+    )
+    sa = shingle_sets.select(F.col("__id").alias("id_a"), F.col("__set").alias("__seta"))
+    sb = shingle_sets.select(F.col("__id").alias("id_b"), F.col("__set").alias("__setb"))
+    verified = (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("__inter", F.size(F.array_intersect("__seta", "__setb")))
+        .withColumn(
+            "jaccard",
+            F.col("__inter")
+            / (F.size("__seta") + F.size("__setb") - F.col("__inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over word tokens (xxhash64 per token, sign-sum per bit).
+
+    Vectorized formulation: explode tokens, emit the token's 64-bit hash,
+    aggregate per (id, bit) the sign of that bit across tokens, reassemble.
+    Two shuffles (both on id), no UDFs.
+    """
+    toks = df.select(F.col(id_col).alias("__id"), F.explode(word_tokens(text_col)).alias("__tok"))
+    hashed = toks.select("__id", F.xxhash64("__tok").alias("__h"))
+    # bits is a Python int, so unroll the bit extraction at plan-build time
+    # (shiftright's shift amount must be a literal int, not a Column)
+    bit_signs = F.array(
+        *[
+            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            for b in range(bits)
+        ]
+    )
+    bitrows = hashed.select("__id", F.posexplode(bit_signs).alias("__bit", "__sign"))
+    return (
+        bitrows.groupBy("__id", "__bit")
+        .agg(F.sum("__sign").alias("__s"))
+        .withColumn("__bitval", F.when(F.col("__s") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"))
+        .groupBy("__id")
+        .agg(
+            # SQL shiftleft accepts a column shift amount (the Python API doesn't)
+            F.sum(F.col("__bitval") * F.expr("shiftleft(1L, CAST(__bit AS INT))")).alias("simhash")
+        )
+        .select(F.col("__id").alias(id_col), "simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance <= max_hamming.
+
+    Candidate generation by the pigeonhole principle: split the 64-bit hash
+    into `chunks` 16-bit words; any pair within distance chunks-1 must agree
+    on at least one chunk, so an equality join per chunk finds all of them
+    without a cartesian product.
+    """
+    if max_hamming >= chunks * 2:
+        raise ValueError("raise `chunks` so pigeonhole banding stays sound")
+    sh = simhash(df, id_col, text_col)
+    width = 64 // chunks
+    chunk_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit((1 << width) - 1))
+            for c in range(chunks)
+        ]
+    )
+    banded = sh.select(
+        F.col(id_col).alias("__id"),
+        "simhash",
+        F.posexplode(chunk_vals).alias("__chunk", "__val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__chunk") == F.col("b.__chunk"))
+            & (F.col("a.__val") == F.col("b.__val"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.simhash").alias("__ha"),
+            F.col("b.simhash").alias("__hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,135 @@
+"""Multimodal (binary) column plumbing (driver mandate, SURVEY.md §2.3).
+
+Model: image/audio/video payloads are opaque `binary` columns travelling
+next to typed metadata (modality, codec, width/height/duration, ...).
+Spark-side everything is real — schemas, partition-friendly layout,
+Arrow-batched mapInPandas pipelines, metadata extraction via built-ins.
+Only the *codec* step (actual JPEG/PCM decode) is stubbed, because the
+image/audio libraries are not in this container: `decode_media` raises
+NotImplementedError for real codecs, and `fake_decode_features` provides a
+deterministic stand-in (byte histogram) so the full pipeline shape is
+testable end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("modality", StringType(), False),  # image | audio | video | text
+        StructField("codec", StringType(), True),      # jpeg | png | pcm16 | h264 | utf8
+        StructField("payload", BinaryType(), True),
+        StructField("meta_json", StringType(), True),  # sidecar metadata as JSON
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("features", ArrayType(DoubleType()), True),
+    ]
+)
+
+
+def documents_as_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Adapt the documents fixture into a media table (utf8 'payloads').
+
+    Real deployments read payloads from object storage; the binary column +
+    metadata shape is identical.
+    """
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("text").alias("modality"),
+        F.lit("utf8").alias("codec"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.to_json(F.struct(F.col("lang"), F.col("source"))).alias("meta_json"),
+    )
+
+
+def payload_stats(media: DataFrame) -> DataFrame:
+    """Metadata over binary payloads with built-ins only: byte length + md5.
+
+    This is the cheap scan-side pass that runs *before* any decode at 100 TB
+    (size filtering, exact-dup removal by checksum).
+    """
+    return media.select(
+        "media_id",
+        "modality",
+        F.octet_length("payload").alias("n_bytes"),
+        F.md5("payload").alias("checksum"),
+    )
+
+
+_REAL_CODECS = {"jpeg", "png", "pcm16", "h264"}
+
+
+def _decode_batch(batch: pd.DataFrame, n_features: int) -> pd.DataFrame:
+    out_rows = []
+    for _, row in batch.iterrows():
+        payload = row["payload"]
+        if row["codec"] in _REAL_CODECS:
+            # STUB: real decoding needs PIL/ffmpeg etc., not in this container.
+            raise NotImplementedError(
+                f"codec {row['codec']!r}: decode libraries not available; "
+                "plug a decoder into decode_media(decoder=...)"
+            )
+        b = bytes(payload) if payload is not None else b""
+        # deterministic fake 'features': normalized byte histogram buckets
+        hist = [0.0] * n_features
+        for byte in b:
+            hist[byte % n_features] += 1.0
+        total = float(len(b)) or 1.0
+        out_rows.append(
+            {
+                "media_id": row["media_id"],
+                "n_bytes": len(b),
+                "features": [round(h / total, 6) for h in hist],
+            }
+        )
+    return pd.DataFrame(out_rows, columns=["media_id", "n_bytes", "features"])
+
+
+def decode_media(media: DataFrame, n_features: int = 16) -> DataFrame:
+    """Arrow-batched decode/feature-extract pipeline over binary payloads.
+
+    mapInPandas keeps payloads off the driver and processes executor-local
+    Arrow batches — the correct shape for multi-GB media partitions. The
+    per-batch function is swappable; the default extracts deterministic
+    byte-histogram features (real codecs raise, see module docstring).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield _decode_batch(batch, n_features)
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled frame index.
+
+    Generates (media_id, frame_idx) rows with sequence+explode so the
+    expensive decode fans out across executors; the actual frame grab is the
+    decode_media stub.
+    """
+    n_frames = F.coalesce(
+        F.get_json_object("meta_json", "$.n_frames").cast("int"), F.lit(0)
+    )
+    idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
+    return media.select("media_id", F.explode(idx).alias("frame_idx"))

@@ -1,0 +1,94 @@
+"""Relational operator recipes (SURVEY.md §2.1-§2.2, Tier A+B).
+
+Catalyst already implements every relational operator the reference
+exercises; this module's value is *shape discipline at scale*:
+
+- dimension joins are explicitly broadcast (no sort-merge shuffle of the
+  fact table against a 5-row region table);
+- top-k never does a global sort (`orderBy().limit(k)` plans as
+  TakeOrderedAndProject — per-partition heaps + driver merge of k rows);
+- aggregations are expressed so partial (map-side) aggregation applies.
+
+Reference evidence for the surface: demo step_2.py:23-30 (scan, project,
+agg, distinct), paper.md:152-155 (join + group-by graph pipeline),
+resources/spark.py:38-42 (join strategy configuration).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def dim_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | list[str] | Column,
+    how: str = "inner",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Fact x dimension join; broadcasts the dim side by default.
+
+    At 100 TB the fact side must never shuffle for a small dim — the
+    broadcast hint makes that explicit instead of trusting size stats.
+    """
+    return fact.join(F.broadcast(dim) if broadcast else dim, on, how)
+
+
+def star_join(fact: DataFrame, dims: Sequence[tuple[DataFrame, str | Column]]) -> DataFrame:
+    """Chain broadcast joins fact -> dim1 -> dim2 -> ... (star schema).
+
+    Catalyst's CBO star-schema detection reorders when stats exist; the
+    explicit broadcast hints make the plan right even without stats.
+    """
+    out = fact
+    for dim, on in dims:
+        out = out.join(F.broadcast(dim), on)
+    return out
+
+
+def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
+    """Global top-k with full tie-break; plans as TakeOrderedAndProject
+    (heap per partition, merge of k rows at the driver — no global sort)."""
+    return df.orderBy(*order).limit(k)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | list[str] | Column) -> DataFrame:
+    """EXISTS: rows of `left` with at least one match (no row duplication)."""
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | list[str] | Column) -> DataFrame:
+    """NOT EXISTS: rows of `left` with no match."""
+    return left.join(right, on, "left_anti")
+
+
+def grouped_agg(
+    df: DataFrame, keys: Sequence[str], aggs: dict[str, Column]
+) -> DataFrame:
+    """groupBy().agg() with aliased outputs (hash agg, partial+final)."""
+    return df.groupBy(*keys).agg(*[c.alias(name) for name, c in aggs.items()])
+
+
+def set_union_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.unionByName(b)
+
+
+def set_intersect(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.intersect(b)
+
+
+def set_except(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.subtract(b)  # set semantics (DISTINCT), like SQL EXCEPT
+
+
+def rollup_agg(df: DataFrame, keys: Sequence[str], aggs: dict[str, Column]) -> DataFrame:
+    """ROLLUP with grouping markers (g_<key> = 1 when the level is rolled up)."""
+    marks = [F.grouping(k).cast("int").alias(f"g_{k}") for k in keys]
+    return df.rollup(*keys).agg(*marks, *[c.alias(n) for n, c in aggs.items()])
+
+
+def cube_agg(df: DataFrame, keys: Sequence[str], aggs: dict[str, Column]) -> DataFrame:
+    marks = [F.grouping(k).cast("int").alias(f"g_{k}") for k in keys]
+    return df.cube(*keys).agg(*marks, *[c.alias(n) for n, c in aggs.items()])

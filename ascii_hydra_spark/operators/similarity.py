@@ -1,0 +1,193 @@
+"""Similarity search over embedding columns (SURVEY.md C3-C4, C10).
+
+Two tiers behind one API:
+
+- *exact*: brute-force cosine with JVM-side vector math (zip_with +
+  aggregate in float64). Correctness baseline; also the oracle contract.
+- *scale*: LSH via random-hyperplane sign buckets (deterministic seeded
+  projections built from xxhash64 — no Python, no stored model), so a
+  1000-executor cluster only compares vectors sharing a bucket.
+
+Top-k never globally sorts: exact top-k is `orderBy().limit(k)`
+(TakeOrderedAndProject: per-partition heap + k-row driver merge).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from ascii_hydra_spark.functions import cosine_similarity, to_double_array
+
+
+def _as_query_array(query: Sequence[float]):
+    return F.array(*[F.lit(float(x)) for x in query]).cast("array<double>")
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k rows by cosine similarity to a constant query vector.
+
+    The query is a literal array, so it ships inside the serialized plan to
+    every executor (the degenerate broadcast). Ties break on ascending id.
+    Returns (id, sim ROUND 6).
+    """
+    q = _as_query_array(query)
+    sim = cosine_similarity(to_double_array(vec_col), q)
+    return (
+        emb.select(F.col(id_col), F.round(sim, 6).alias("sim"))
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_by_id(
+    emb: DataFrame, query_id: int, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Top-k most-similar rows to the row with `query_id` (excluded itself).
+
+    The 1-row query side is cross-broadcast-joined onto the corpus — the
+    plan Catalyst picks is BroadcastNestedLoopJoin with a 1-row build side,
+    i.e. effectively a map-side constant.
+    """
+    q = emb.filter(F.col(id_col) == query_id).select(
+        to_double_array(vec_col).alias("__q")
+    )
+    sim = cosine_similarity(to_double_array(vec_col), F.col("__q"))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != query_id)
+        .select(F.col(id_col), F.round(sim, 6).alias("sim"))
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold (id_a < id_b).
+
+    O(n^2) by construction — the correctness baseline for fixture scales and
+    the verifier behind the LSH path. Pre-normalizes once so the pair loop
+    is a plain dot product.
+    """
+    normed = emb.select(
+        F.col(id_col).alias("__id"),
+        _normalize(to_double_array(vec_col)).alias("__v"),
+    )
+    a, b = normed.alias("a"), normed.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.__v"), F.col("b.__v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.round(dot, 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def _normalize(v):
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.transform(v, lambda x: x / norm)
+
+
+def _hyperplane_sign_bits(vec, dim: int, n_planes: int, seed: int) -> "F.Column":
+    """Deterministic random-hyperplane LSH key, built entirely from built-ins.
+
+    Plane p's component j is a pseudo-random value in [-1,1] derived from
+    xxhash64(seed, p, j) — stable across executors and runs without shipping
+    a model. The LSH key is the n_planes-bit sign pattern of vec . plane_p.
+    """
+    planes = F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda p: F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda j: (
+                        F.xxhash64(F.lit(seed), p, j).cast("double") / F.lit(float(2**63))
+                    ),
+                ),
+                lambda x, r: x * r,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    bits = F.transform(planes, lambda d: F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat_ws("", bits)
+
+
+def cosine_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path for cosine_pairs: random-hyperplane LSH candidates + exact
+    verification. Similar vectors collide on a sign-pattern bucket in at
+    least one of `n_tables` tables with high probability; only colliding
+    pairs are scored. Output precision 1.0 (exact verify); recall grows with
+    n_tables and falls with n_planes.
+    """
+    normed = emb.select(
+        F.col(id_col).alias("__id"), _normalize(to_double_array(vec_col)).alias("__v")
+    )
+    tables = normed.select(
+        "__id",
+        "__v",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "#",
+                        F.lit(str(t)),
+                        _hyperplane_sign_bits(F.col("__v"), dim, n_planes, seed + 7919 * t),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("__bucket"),
+    )
+    a, b = tables.alias("a"), tables.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.__v"), F.col("b.__v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.__bucket") == F.col("b.__bucket")) & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"), dot.alias("__sim"))
+        .groupBy("id_a", "id_b")
+        .agg(F.round(F.first("__sim"), 6).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.99, **kw) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (dedup family facade)."""
+    return cosine_pairs(emb, threshold=threshold, **kw)

@@ -1,0 +1,76 @@
+"""Window-function recipes (SURVEY.md C11-C13).
+
+All windows here are keyed (`partitionBy`) — an unkeyed window over 100 TB
+is a single-task sort and is rejected loudly rather than silently planned.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec, functions as F
+
+
+def keyed_window(partition: Sequence[str | Column], order: Sequence[Column]) -> WindowSpec:
+    if not partition:
+        raise ValueError(
+            "unkeyed window: this sorts the entire dataset in one task; "
+            "partitionBy at least one key (or sample/limit first)"
+        )
+    return Window.partitionBy(*partition).orderBy(*order)
+
+
+def with_rank_columns(
+    df: DataFrame,
+    partition: Sequence[str | Column],
+    order: Sequence[Column],
+    ntile: int | None = None,
+) -> DataFrame:
+    """row_number / rank / dense_rank (+ optional ntile) in one window pass."""
+    w = keyed_window(partition, order)
+    out = (
+        df.withColumn("row_num", F.row_number().over(w))
+        .withColumn("rnk", F.rank().over(w))
+        .withColumn("dense_rnk", F.dense_rank().over(w))
+    )
+    if ntile:
+        out = out.withColumn("tile", F.ntile(ntile).over(w))
+    return out
+
+
+def with_lag_lead(
+    df: DataFrame,
+    partition: Sequence[str | Column],
+    order: Sequence[Column],
+    col: str,
+) -> DataFrame:
+    w = keyed_window(partition, order)
+    return (
+        df.withColumn("prev_" + col, F.lag(col).over(w))
+        .withColumn("next_" + col, F.lead(col).over(w))
+        .withColumn("first_" + col, F.first(col).over(w))
+    )
+
+
+def with_running_agg(
+    df: DataFrame,
+    partition: Sequence[str | Column],
+    order: Sequence[Column],
+    col: str,
+) -> DataFrame:
+    """Running sum/avg: rows between unbounded preceding and current row."""
+    w = keyed_window(partition, order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("running_sum", F.sum(col).over(w)).withColumn(
+        "running_avg", F.avg(col).over(w)
+    )
+
+
+def top_n_per_group(
+    df: DataFrame,
+    partition: Sequence[str | Column],
+    order: Sequence[Column],
+    n: int,
+) -> DataFrame:
+    """Classic top-N-per-key via row_number — one shuffle on the keys."""
+    w = keyed_window(partition, order)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= n).drop("__rn")

@@ -1,0 +1,78 @@
+"""Minimal asset/DAG layer with run reports (SURVEY.md A21, M7).
+
+The reference's pipeline value-add is an asset factory: named,
+dependency-tracked tables, each produced by one Spark job, with
+materialization metadata (row counts, timings) reported per asset
+(spark_pipes_factory.py:97-166; parquet_io_manager.py:37-62). This module
+provides that shape without the Dagster/cloud plumbing: an `Asset` is a
+named DataFrame-producing function with declared deps; a `Pipeline` runs
+them in topological order, materializes each to parquet, and returns a run
+report per asset. Cloud submission (EMR/Databricks clients in the
+reference) is infra, not query capability — out of scope per SURVEY §2.4.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from graphlib import TopologicalSorter
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ascii_hydra_spark.sources import write_parquet
+
+
+@dataclass
+class Asset:
+    """One named node: fn(spark, {dep_name: DataFrame}) -> DataFrame."""
+
+    name: str
+    fn: Callable[[SparkSession, dict[str, DataFrame]], DataFrame]
+    deps: tuple[str, ...] = ()
+    partition_by: tuple[str, ...] = ()
+
+
+@dataclass
+class Pipeline:
+    """A DAG of assets materialized under `base_path/<asset_name>`."""
+
+    base_path: str
+    assets: dict[str, Asset] = field(default_factory=dict)
+
+    def asset(
+        self,
+        name: str,
+        deps: tuple[str, ...] = (),
+        partition_by: tuple[str, ...] = (),
+    ):
+        """Decorator: register fn as an asset."""
+
+        def reg(fn):
+            self.assets[name] = Asset(name, fn, deps, partition_by)
+            return fn
+
+        return reg
+
+    def run(self, spark: SparkSession) -> dict[str, dict]:
+        """Materialize all assets in dependency order; returns run reports
+        (the Dagster-free equivalent of report_asset_materialization)."""
+        order = list(TopologicalSorter({n: a.deps for n, a in self.assets.items()}).static_order())
+        outputs: dict[str, DataFrame] = {}
+        reports: dict[str, dict] = {}
+        for name in order:
+            a = self.assets[name]
+            t0 = time.monotonic()
+            df = a.fn(spark, {d: outputs[d] for d in a.deps})
+            path = f"{self.base_path}/{name}"
+            write_parquet(df, path, partition_by=a.partition_by)
+            materialized = spark.read.parquet(path)
+            outputs[name] = materialized
+            reports[name] = {
+                "asset": name,
+                "path": path,
+                "row_count": materialized.count(),
+                "n_columns": len(materialized.columns),
+                "duration_sec": round(time.monotonic() - t0, 3),
+            }
+        return reports

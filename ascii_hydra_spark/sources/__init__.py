@@ -1,0 +1,94 @@
+"""Batch sources & sinks (SURVEY.md A1-A8, C32; Tier B capability surface).
+
+Covers the reference's I/O surface — parquet scan/sink with compression
+(parquet_io_manager.py:50-58), Hive-partitioned layouts with wildcard reads
+(orchestration/pipes/utils.py:56-62), text scan for record counting
+(utils.py:66) — upgraded to idiomatic Spark: partitioned datasets are
+written `partitionBy(...)` (the reference's own TODO at
+parquet_io_manager.py:86) and "wildcard" reads are filters that Catalyst
+turns into partition pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType | str, header: bool = True) -> DataFrame:
+    """CSV with an *explicit* schema — schema inference is a full extra scan
+    of the data (unacceptable at 100 TB) and type-unstable between runs."""
+    return spark.read.csv(path, schema=schema, header=header)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
+    """JSON-lines with explicit schema (same inference rationale as CSV)."""
+    return spark.read.json(path, schema=schema)
+
+
+def text_record_count(spark: SparkSession, path: str) -> int:
+    """Line count of a text dataset (reference counts via RDD textFile,
+    utils.py:66; DataFrame `read.text` keeps it in the optimized reader)."""
+    return spark.read.text(path).count()
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+    compression: str | None = None,
+) -> None:
+    """Parquet sink; Hive-style partition layout when partition_by is given.
+
+    With `spark.sql.sources.partitionOverwriteMode=dynamic` (session
+    default), overwrite replaces only the partitions present in `df` —
+    the reference's idempotent-rerun commitment (utils.py:87).
+    """
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if compression:
+        w = w.option("compression", compression)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def read_partitioned(
+    spark: SparkSession, root: str, **partition_filters: str | None
+) -> DataFrame:
+    """Read a Hive-partitioned dataset root with optional partition filters.
+
+    `read_partitioned(spark, root, main_language=None)` is the reference's
+    `main_language=*` wildcard (utils.py:58) — no filter, all partitions.
+    A non-None value becomes `.filter(col == value)`, which Catalyst prunes
+    to the matching directories (verify with explain: PartitionFilters).
+    """
+    df = spark.read.parquet(root)
+    for col, val in partition_filters.items():
+        if val is not None:
+            df = df.filter(df[col] == val)
+    return df
+
+
+def write_delta(df: DataFrame, path: str, mode: str = "overwrite") -> bool:
+    """Delta sink when delta-spark is on the classpath; returns False (no-op)
+    otherwise. The reference provisions Delta everywhere but never writes it
+    in-repo (SURVEY.md §1.3) — same posture: capability, import-gated."""
+    try:
+        import delta  # noqa: F401
+    except ImportError:
+        return False
+    df.write.format("delta").mode(mode).save(path)
+    return True

@@ -1,0 +1,146 @@
+"""Structured Streaming recipes (SURVEY.md C23-C28, C33).
+
+The reference is batch-only; this module adds the streaming surface the
+driver mandates, built so every streaming computation has a *batch-
+equivalent formulation* that hash-matches it (S ≡ Q pattern):
+
+- every pipeline runs under `trigger(availableNow=True)` in tests, so runs
+  are replayable and terminate;
+- tumbling windows ≡ date_trunc group-by; sliding ≡ slide-start explode;
+  session windows ≡ gaps-and-islands SQL;
+- watermarks bound state (required for any stateful op on an unbounded
+  stream — at 100 TB/day the state store, not the data, is what kills jobs).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StructType
+
+
+EVENTS_RAW_DDL = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """File-stream source over the events fixture.
+
+    Spark's file-stream source watches a *directory*; the fixture is a single
+    parquet file, so it is symlinked into a scratch dir (read-only on the
+    fixture, no copy). The ns-epoch `ts` (parquet TIMESTAMP(NANOS), read as
+    long under nanosAsLong) converts to microsecond timestamps here,
+    matching the batch catalog normalizer.
+    """
+    import os
+
+    watch_dir = events_path
+    if os.path.isfile(events_path):
+        watch_dir = tempfile.mkdtemp(prefix="ahs_stream_src_")
+        os.symlink(events_path, os.path.join(watch_dir, os.path.basename(events_path)))
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_DDL)
+        .format("parquet")
+        .load(watch_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-window event counts + value sum. Batch-equivalent: group by
+    date_trunc — see verification query `stream_tumbling_hourly`."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("value_sum"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "value_sum")
+    )
+
+
+def sliding_counts(
+    events: DataFrame, window: str = "1 hour", slide: str = "15 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Sliding-window counts; batch oracle: explode the (window/slide) slide
+    starts covering each event and group by start."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user session windows (gap-based); batch oracle: gaps-and-islands
+    (lag + cumulative new-session flag)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
+    """Streaming dropDuplicates bounded by watermark state."""
+    return events.withWatermark("ts", watermark).dropDuplicates(keys)
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    sink_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+    output_mode: str = "append",
+) -> str:
+    """Run a streaming DataFrame to completion (availableNow) into a parquet
+    sink; returns the sink path. Deterministic + replayable: the test/oracle
+    contract for every streaming recipe."""
+    sink = sink_dir or tempfile.mkdtemp(prefix="ahs_sink_")
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ahs_ckpt_")
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink
+
+
+def stateful_running_count(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful per-key processing: cumulative event count per user
+    via applyInPandasWithState (SURVEY.md C28). Emits one row per input
+    batch per user with the updated total."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    import pandas as pd
+
+    out_schema = StructType.fromDDL("user_id BIGINT, total BIGINT")
+    state_schema = StructType.fromDDL("total BIGINT")
+
+    def update(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "total": [total]})
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )

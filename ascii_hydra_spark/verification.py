@@ -1,0 +1,1155 @@
+"""Verification registry: every engine operator as (spark_fn, oracle_sql).
+
+Each entry runs the operator through the engine's API (spark_fn: takes
+(spark, sf_dir), returns a DataFrame) and, where SQL-expressible, carries a
+semantically equivalent ANSI-SQL string the DuckDB oracle runs on the same
+parquet fixtures. The driver compares row-count + schema + order-insensitive
+value-hash, so the contract is:
+
+- column NAMES identical on both sides (alias everything);
+- money sums go through DECIMAL(18,x) so accumulation order can't flip a
+  rounding boundary between engines;
+- float expressions are ROUND(x, 6) on both sides, computed with the same
+  written operation order;
+- timestamps compared in UTC at microsecond precision (events is ns at
+  rest: Spark truncates via the catalog normalizer, the oracle casts
+  TIMESTAMP_NS -> TIMESTAMP which also truncates);
+- every approximate/stateful op either has a deterministic exact
+  formulation here, or registers with sql=None (rows-only check) and gets
+  its statistical guarantees asserted in tests/ instead.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ascii_hydra_spark.catalog import Catalog
+from ascii_hydra_spark.functions import word_tokens
+from ascii_hydra_spark.operators import asof, dedup, multimodal, relational, similarity, text, windows
+from ascii_hydra_spark import sources, streaming
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None -> rows-only check
+    note: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def q(name: str, sql: str | None, note: str = ""):
+    def reg(fn):
+        REGISTRY[name] = QuerySpec(name, fn, sql, note)
+        return fn
+
+    return reg
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return Catalog.for_dir(sf_dir).load(spark, name)
+
+
+# decimal-cast sum: deterministic across engines regardless of partition order
+def dsum(col, scale: int = 2):
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+# ===================================================================
+# Tier A — reference-exercised surface (scans, projections, aggregates)
+# ===================================================================
+
+@q(
+    "inmemory_source",
+    "SELECT * FROM (VALUES (1,'a',10),(2,'b',20),(3,'c',30)) t(id, txt, val)",
+    "A2: spark.createDataFrame constant table",
+)
+def inmemory_source(spark, sf_dir):
+    return spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "id INT, txt STRING, val INT",
+    )
+
+
+@q(
+    "scan_minmax",
+    "SELECT COUNT(*) AS n, MIN(l_orderkey) AS lo, MAX(l_orderkey) AS hi FROM lineitem",
+    "A1/A15: parquet scan + count/min/max",
+)
+def scan_minmax(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n"),
+        F.min("l_orderkey").alias("lo"),
+        F.max("l_orderkey").alias("hi"),
+    )
+
+
+@q(
+    "part_textstats",
+    "SELECT ROUND(AVG(LENGTH(p_name)), 6) AS avg_len, "
+    "COUNT(DISTINCT p_brand) AS brands FROM part",
+    "A9-A16: the reference demo step_2.py query shape on fixtures",
+)
+def part_textstats(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").withColumn("text_length", F.length("p_name"))
+    return p.agg(
+        F.round(F.avg("text_length"), 6).alias("avg_len"),
+        F.countDistinct("p_brand").alias("brands"),
+    )
+
+
+@q(
+    "projection_filter",
+    "SELECT p_partkey, p_brand, p_size FROM part WHERE p_size >= 25 AND p_type LIKE '%AND%'",
+    "A9/A10 + predicate pushdown into the parquet scan",
+)
+def projection_filter(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.filter((F.col("p_size") >= 25) & F.col("p_type").like("%AND%")).select(
+        "p_partkey", "p_brand", "p_size"
+    )
+
+
+# ===================================================================
+# Tier B — joins & aggregation pipelines (the paper's graph workload shape)
+# ===================================================================
+
+@q(
+    "region_revenue",
+    "SELECT r_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev, "
+    "COUNT(*) AS n_orders "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name",
+    "B1/B2: fact x broadcast-dim star join + group-by",
+)
+def region_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    joined = relational.star_join(
+        o,
+        [
+            (_t(spark, sf_dir, "customer"), o.o_custkey == F.col("c_custkey")),
+            (_t(spark, sf_dir, "nation"), F.col("c_nationkey") == F.col("n_nationkey")),
+            (_t(spark, sf_dir, "region"), F.col("n_regionkey") == F.col("r_regionkey")),
+        ],
+    )
+    return relational.grouped_agg(
+        joined, ["r_name"], {"rev": dsum("o_totalprice"), "n_orders": F.count("*")}
+    )
+
+
+@q(
+    "star_revenue_by_nation",
+    "SELECT n_name, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue, "
+    "COUNT(*) AS n_items "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' "
+    "GROUP BY n_name",
+    "B4/B5: TPC-H-Q5-like multi-join with date filter (CBO/star-schema shape)",
+)
+def star_revenue_by_nation(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(_t(spark, sf_dir, "customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(_t(spark, sf_dir, "nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return j.groupBy("n_name").agg(
+        F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n_items")
+    )
+
+
+@q(
+    "pricing_summary",
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge, "
+    "ROUND(AVG(l_discount), 6) AS avg_disc, "
+    "COUNT(*) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01' "
+    "GROUP BY l_returnflag, l_linestatus",
+    "B5: TPC-H-Q1-like pricing summary (flagship aggregation)",
+)
+def pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-01")
+    # decimal-domain products: casting the 2dp-clean inputs to decimal FIRST
+    # keeps every per-row product exact, so Spark and the oracle agree
+    # bit-for-bit regardless of each engine's double->decimal rounding rule
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_price = ep * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax").cast("decimal(4,2)"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@q(
+    "topk_orders",
+    "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "C15: global top-k (TakeOrderedAndProject, no full sort)",
+)
+def topk_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return relational.top_k(
+        o.select("o_orderkey", "o_totalprice"),
+        [F.desc("o_totalprice"), F.col("o_orderkey")],
+        10,
+    )
+
+
+@q(
+    "semi_join_segments",
+    "SELECT c_mktsegment, COUNT(*) AS n FROM customer c "
+    "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) "
+    "GROUP BY c_mktsegment",
+    "C17: left-semi join (EXISTS)",
+)
+def semi_join_segments(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return relational.semi_join(c, o, "c_custkey").groupBy("c_mktsegment").agg(
+        F.count("*").alias("n")
+    )
+
+
+@q(
+    "anti_join_segments",
+    "SELECT c_mktsegment, COUNT(*) AS n FROM customer c "
+    "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+"AND o.o_orderdate >= TIMESTAMP '1997-01-01' AND o.o_orderdate < TIMESTAMP '1997-07-01') "
+    "GROUP BY c_mktsegment",
+    "C17: left-anti join (NOT EXISTS)",
+)
+def anti_join_segments(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return relational.anti_join(c, o, "c_custkey").groupBy("c_mktsegment").agg(
+        F.count("*").alias("n")
+    )
+
+
+@q(
+    "outer_join_histogram",
+    "SELECT n_orders, COUNT(*) AS n_customers FROM ("
+    "SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders FROM customer c "
+    "LEFT JOIN orders o ON o.o_custkey = c.c_custkey GROUP BY c.c_custkey"
+    ") GROUP BY n_orders",
+    "C18: left outer join with null-extension -> histogram",
+)
+def outer_join_histogram(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count("*").alias("n_customers"))
+
+
+@q(
+    "full_outer_nation",
+    "SELECT COALESCE(cu.nk, su.nk) AS nationkey, "
+    "COALESCE(cu.n_cust, 0) AS n_cust, COALESCE(su.n_supp, 0) AS n_supp FROM "
+    "(SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1) cu "
+    "FULL OUTER JOIN "
+    "(SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1) su "
+    "ON cu.nk = su.nk",
+    "C18: full outer join of two aggregates",
+)
+def full_outer_nation(spark, sf_dir):
+    cu = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    su = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    j = cu.join(su, "nk", "full")
+    return j.select(
+        F.col("nk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@q(
+    "union_all_keys",
+    "SELECT nk, COUNT(*) AS n FROM ("
+    "SELECT c_nationkey AS nk FROM customer UNION ALL SELECT s_nationkey AS nk FROM supplier"
+    ") GROUP BY nk",
+    "C16: UNION ALL",
+)
+def union_all_keys(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return relational.set_union_all(c, s).groupBy("nk").agg(F.count("*").alias("n"))
+
+
+@q(
+    "intersect_keys",
+    "SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey AS nk FROM supplier",
+    "C16: INTERSECT (set semantics)",
+)
+def intersect_keys(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return relational.set_intersect(c, s)
+
+
+@q(
+    "except_keys",
+    "SELECT n_nationkey AS nk FROM nation EXCEPT SELECT s_nationkey AS nk FROM supplier",
+    "C16: EXCEPT (set semantics)",
+)
+def except_keys(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return relational.set_except(n, s)
+
+
+@q(
+    "having_balance",
+    "SELECT s_nationkey, CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal "
+    "FROM supplier GROUP BY s_nationkey HAVING SUM(CAST(s_acctbal AS DECIMAL(18,2))) > 2000",
+    "B5: group-by + HAVING",
+)
+def having_balance(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        s.groupBy("s_nationkey")
+        .agg(F.sum(F.col("s_acctbal").cast("decimal(18,2)")).alias("__bal"))
+        .filter(F.col("__bal") > 2000)
+        .select("s_nationkey", F.col("__bal").cast("double").alias("bal"))
+    )
+
+
+# ===================================================================
+# Analytic layer — windows, rollup/cube/grouping sets, scalar functions
+# ===================================================================
+
+@q(
+    "window_rank",
+    "SELECT o_orderkey, "
+    "ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS row_num, "
+    "RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rnk, "
+    "DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS dense_rnk, "
+    "NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS tile "
+    "FROM orders",
+    "C11: ranking window functions",
+)
+def window_rank(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    ranked = windows.with_rank_columns(
+        o, ["o_custkey"], [F.col("o_orderdate"), F.col("o_orderkey")], ntile=4
+    )
+    return ranked.select("o_orderkey", "row_num", "rnk", "dense_rnk", "tile")
+
+
+@q(
+    "window_analytic",
+    "SELECT o_orderkey, "
+    "LAG(o_totalprice) OVER w AS prev_o_totalprice, "
+    "LEAD(o_totalprice) OVER w AS next_o_totalprice, "
+    "FIRST_VALUE(o_totalprice) OVER w AS first_o_totalprice "
+    "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+    "C12: lag/lead/first analytic windows",
+)
+def window_analytic(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    out = windows.with_lag_lead(
+        o, ["o_custkey"], [F.col("o_orderdate"), F.col("o_orderkey")], "o_totalprice"
+    )
+    return out.select(
+        "o_orderkey", "prev_o_totalprice", "next_o_totalprice", "first_o_totalprice"
+    )
+
+
+@q(
+    "window_running",
+    "SELECT o_orderkey, "
+    "ROUND(SUM(o_totalprice) OVER w, 6) AS running_sum, "
+    "ROUND(AVG(o_totalprice) OVER w, 6) AS running_avg "
+    "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+    "C13: running aggregates with explicit frames",
+)
+def window_running(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    out = windows.with_running_agg(
+        o, ["o_custkey"], [F.col("o_orderdate"), F.col("o_orderkey")], "o_totalprice"
+    )
+    return out.select(
+        "o_orderkey",
+        F.round("running_sum", 6).alias("running_sum"),
+        F.round("running_avg", 6).alias("running_avg"),
+    )
+
+
+@q(
+    "rollup_revenue",
+    "SELECT CASE WHEN r_name IS NULL THEN 1 ELSE 0 END AS g_r_name, "
+    "CASE WHEN n_name IS NULL THEN 1 ELSE 0 END AS g_n_name, "
+    "r_name, n_name, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev, COUNT(*) AS n "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "GROUP BY ROLLUP(r_name, n_name)",
+    "C14: ROLLUP with grouping markers (fixture names are never NULL, so "
+    "NULL-marker CASE == GROUPING())",
+)
+def rollup_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    j = relational.star_join(
+        o,
+        [
+            (_t(spark, sf_dir, "customer"), o.o_custkey == F.col("c_custkey")),
+            (_t(spark, sf_dir, "nation"), F.col("c_nationkey") == F.col("n_nationkey")),
+            (_t(spark, sf_dir, "region"), F.col("n_regionkey") == F.col("r_regionkey")),
+        ],
+    )
+    out = relational.rollup_agg(
+        j, ["r_name", "n_name"], {"rev": dsum("o_totalprice"), "n": F.count("*")}
+    )
+    return out.select("g_r_name", "g_n_name", "r_name", "n_name", "rev", "n")
+
+
+@q(
+    "cube_orders",
+    "SELECT CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END AS g_o_orderstatus, "
+    "CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END AS g_o_orderpriority, "
+    "o_orderstatus, o_orderpriority, COUNT(*) AS n "
+    "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)",
+    "C14: CUBE",
+)
+def cube_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    out = relational.cube_agg(o, ["o_orderstatus", "o_orderpriority"], {"n": F.count("*")})
+    return out.select("g_o_orderstatus", "g_o_orderpriority", "o_orderstatus", "o_orderpriority", "n")
+
+
+@q(
+    "grouping_sets_orders",
+    "SELECT CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END AS g_o_orderstatus, "
+    "CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END AS g_o_orderpriority, "
+    "o_orderstatus, o_orderpriority, COUNT(*) AS n "
+    "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())",
+    "C14: GROUPING SETS via spark.sql",
+)
+def grouping_sets_orders(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        "SELECT CAST(GROUPING(o_orderstatus) AS INT) AS g_o_orderstatus, "
+        "CAST(GROUPING(o_orderpriority) AS INT) AS g_o_orderpriority, "
+        "o_orderstatus, o_orderpriority, COUNT(*) AS n "
+        "FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"
+    )
+
+
+@q(
+    "case_math",
+    "SELECT l_returnflag, "
+    "CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS big_disc, "
+    "CAST(SUM(CAST(ABS(l_extendedprice) AS DECIMAL(18,2))) AS DOUBLE) AS sum_abs, "
+    "CAST(SUM(CAST(LEAST(l_quantity, 25.0) AS DECIMAL(18,2))) AS DOUBLE) AS sum_capped, "
+    "ROUND(MAX(GREATEST(l_tax, 0.04)), 6) AS max_tax, "
+    "ROUND(MIN(COALESCE(NULLIF(l_discount, 0.0), 1.0)), 6) AS min_nonzero_disc "
+    "FROM lineitem GROUP BY l_returnflag",
+    "C22: CASE WHEN / abs / least / greatest / coalesce / nullif",
+)
+def case_math(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias("big_disc"),
+        dsum(F.abs(F.col("l_extendedprice"))).alias("sum_abs"),
+        dsum(F.least(F.col("l_quantity"), F.lit(25.0))).alias("sum_capped"),
+        F.round(F.max(F.greatest(F.col("l_tax"), F.lit(0.04))), 6).alias("max_tax"),
+        F.round(
+            F.min(F.coalesce(F.nullif(F.col("l_discount"), F.lit(0.0)), F.lit(1.0))), 6
+        ).alias("min_nonzero_disc"),
+    )
+
+
+@q(
+    "datetime_extract",
+    "SELECT CAST(YEAR(o_orderdate) AS INT) AS y, CAST(MONTH(o_orderdate) AS INT) AS m, "
+    "COUNT(*) AS n, "
+    "MAX(DATE_TRUNC('month', o_orderdate)) AS month_start, "
+    "MAX(DATE_DIFF('day', o_orderdate, TIMESTAMP '1999-01-01')) AS max_days_to_99 "
+    "FROM orders GROUP BY 1, 2",
+    "C21: year/month/date_trunc/datediff",
+)
+def datetime_extract(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("m"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.max(F.date_trunc("month", "o_orderdate")).alias("month_start"),
+        F.max(F.datediff(F.lit("1999-01-01").cast("date"), F.col("o_orderdate").cast("date")))
+        .cast("bigint")
+        .alias("max_days_to_99"),
+    )
+
+
+@q(
+    "exact_distinct_median",
+    "SELECT COUNT(DISTINCT l_suppkey) AS n_supp, "
+    "ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) AS median_qty, "
+    "ROUND(STDDEV_SAMP(l_discount), 6) AS sd_disc FROM lineitem",
+    "C20 exact arm: count-distinct + interpolated median + stddev "
+    "(approx variants asserted ±ε in tests)",
+)
+def exact_distinct_median(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("sd_disc"),
+    )
+
+
+@q(
+    "json_extract",
+    "SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum, "
+    "COUNT(*) AS n FROM events GROUP BY event_type",
+    "C9: JSON scalar extraction from the props column",
+)
+def json_extract(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("k_sum"),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
+    "array_ops",
+    "SELECT label, COUNT(*) AS n, "
+    "MIN(LEN(embedding)) AS min_dim, MAX(LEN(embedding)) AS max_dim, "
+    "ROUND(SUM(CAST(embedding[1] AS DOUBLE)), 6) AS sum_first "
+    "FROM embeddings GROUP BY label",
+    "C10: array element access / length over the embedding column",
+)
+def array_ops(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.min(F.size("embedding")).cast("bigint").alias("min_dim"),
+        F.max(F.size("embedding")).cast("bigint").alias("max_dim"),
+        F.round(F.sum(F.element_at("embedding", 1).cast("double")), 6).alias("sum_first"),
+    )
+
+
+@q(
+    "explode_words",
+    "SELECT word, COUNT(*) AS n FROM ("
+    "SELECT UNNEST(STRING_SPLIT(p_name, ' ')) AS word FROM part"
+    ") GROUP BY word",
+    "C31: explode / UDTF-style row generation",
+)
+def explode_words(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split("p_name", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ===================================================================
+# Sources & sinks round-trips (CSV/JSON/partitioned parquet)
+# ===================================================================
+
+@q(
+    "csv_roundtrip",
+    "SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum "
+    "FROM orders GROUP BY o_orderstatus",
+    "C32: CSV sink + explicit-schema CSV source round-trip",
+)
+def csv_roundtrip(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    path = tempfile.mkdtemp(prefix="ahs_csv_")
+    sources.write_csv(o, path)
+    back = sources.read_csv(spark, path, "o_orderkey BIGINT, o_orderstatus STRING")
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.sum("o_orderkey").alias("key_sum")
+    )
+
+
+@q(
+    "json_roundtrip",
+    "SELECT o_orderpriority, COUNT(*) AS n, CAST(SUM(o_custkey) AS BIGINT) AS cust_sum "
+    "FROM orders GROUP BY o_orderpriority",
+    "C32: JSON-lines sink + explicit-schema source round-trip",
+)
+def json_roundtrip(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    path = tempfile.mkdtemp(prefix="ahs_json_")
+    sources.write_json(o, path)
+    back = sources.read_json(spark, path, "o_custkey BIGINT, o_orderpriority STRING")
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"), F.sum("o_custkey").alias("cust_sum")
+    )
+
+
+@q(
+    "partitioned_pruned_read",
+    "SELECT COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum "
+    "FROM events WHERE event_type = 'click'",
+    "A7/A8/B6: hive partitionBy write + partition-pruned read "
+    "(value_sum left as DECIMAL on both sides)",
+)
+def partitioned_pruned_read(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="ahs_part_")
+    sources.write_parquet(e, root, partition_by=("event_type",))
+    back = sources.read_partitioned(spark, root, event_type="click")
+    return back.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+    )
+
+
+# ===================================================================
+# Dedup family (C1-C2 + driver mandate)
+# ===================================================================
+
+@q(
+    "dedup_exact_events",
+    "SELECT user_id, event_type, MIN(event_id) AS first_event_id "
+    "FROM events GROUP BY user_id, event_type",
+    "C1: exact dedup on a key with deterministic min-id winner",
+)
+def dedup_exact_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    winners = dedup.exact_dedup(
+        e.select("user_id", "event_type", "event_id"),
+        ["user_id", "event_type"],
+        tiebreak=[F.col("event_id")],
+    )
+    return winners.select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
+
+
+@q(
+    "dedup_docs_distinct",
+    "SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct, "
+    "COUNT(*) - COUNT(DISTINCT text) AS n_dupes FROM documents",
+    "C1: full-content distinct counting",
+)
+def dedup_docs_distinct(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct"),
+        (F.count("*") - F.countDistinct("text")).alias("n_dupes"),
+    )
+
+
+@q(
+    "dedup_fingerprint",
+    "SELECT doc_id, fp FROM ("
+    "SELECT doc_id, MD5(text) AS fp, ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) AS rn "
+    "FROM documents) WHERE rn = 1",
+    "C1: md5-fingerprint dedup keeping min-id winner",
+)
+def dedup_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    kept = dedup.fingerprint_dedup(d, "text", "doc_id")
+    return kept.select("doc_id", F.md5(F.col("text").cast("binary")).alias("fp"))
+
+
+@q(
+    "near_dup_jaccard",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS id, UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ), sizes AS (
+      SELECT id, COUNT(*) AS sz FROM toks GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b, ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.95
+    """,
+    "C2 (exact arm): token-set Jaccard similarity pairs via inverted index",
+)
+def near_dup_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(d, "doc_id", "text", threshold=0.95)
+
+
+@q(
+    "near_dup_minhash",
+    None,
+    "C2 (scale arm): MinHash+LSH candidates with exact verification; "
+    "recall vs the exact arm asserted in tests/test_dedup.py",
+)
+def near_dup_minhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, "doc_id", "text", threshold=0.95)
+
+
+@q(
+    "simhash_pairs",
+    None,
+    "C2: SimHash near-dup pairs (Hamming <= 3) via pigeonhole chunk banding",
+)
+def simhash_pairs_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+# ===================================================================
+# Similarity search (C3-C4)
+# ===================================================================
+
+_COS = (
+    "LIST_COSINE_SIMILARITY(CAST(e.embedding AS DOUBLE[]), "
+    "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))"
+)
+
+
+@q(
+    "sim_topk",
+    f"SELECT e.vec_id, ROUND({_COS}, 6) AS sim FROM embeddings e "
+    "WHERE e.vec_id <> 0 ORDER BY sim DESC, e.vec_id LIMIT 10",
+    "C3: exact cosine top-k against the vec_id=0 query vector",
+)
+def sim_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_by_id(e, query_id=0, k=10)
+
+
+@q(
+    "sim_pairs",
+    """
+    WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 6) AS sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 6) >= 0.4
+    """,
+    "C4: exact all-pairs cosine similarity join (the LSH scale path is "
+    "verified against this in tests/test_similarity.py)",
+)
+def sim_pairs(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(e, threshold=0.4)
+
+
+@q(
+    "sim_pairs_lsh",
+    None,
+    "C4 scale arm: random-hyperplane LSH buckets + exact verify "
+    "(subset-of-exact and recall asserted in tests)",
+)
+def sim_pairs_lsh(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs_lsh(e, threshold=0.4)
+
+
+# ===================================================================
+# Text analysis (C5-C8)
+# ===================================================================
+
+_TOKS = "LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '')"
+
+
+@q(
+    "text_stats_by_lang",
+    f"SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(LENGTH(text)), 6) AS avg_chars, "
+    f"ROUND(AVG(LEN({_TOKS})), 6) AS avg_tokens FROM documents GROUP BY lang",
+    "C5: per-language doc/char/token statistics",
+)
+def text_stats_by_lang(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text.text_stats(d, by="lang")
+
+
+@q(
+    "term_freq_top",
+    f"SELECT term, COUNT(*) AS total_tf FROM ("
+    f"SELECT UNNEST({_TOKS}) AS term FROM documents"
+    f") GROUP BY term ORDER BY total_tf DESC, term LIMIT 20",
+    "C7: corpus term frequencies, top 20",
+)
+def term_freq_top(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tf = text.term_frequencies(d)
+    return (
+        tf.groupBy("term")
+        .agg(F.sum("tf").alias("total_tf"))
+        .orderBy(F.desc("total_tf"), F.col("term"))
+        .limit(20)
+    )
+
+
+@q(
+    "doc_freq",
+    f"SELECT tok AS term, COUNT(*) AS df FROM ("
+    f"SELECT DISTINCT doc_id, UNNEST({_TOKS}) AS tok FROM documents"
+    f") GROUP BY tok",
+    "C7: document frequency per term",
+)
+def doc_freq(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text.document_frequencies(d)
+
+
+@q(
+    "token_counts",
+    f"SELECT doc_id, CAST(LEN({_TOKS}) AS INT) AS ws_tokens, "
+    "CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS INT) AS bpe_tokens "
+    "FROM documents",
+    "C5: whitespace + BPE-ish regex token counting",
+)
+def token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text.token_counts(d)
+
+
+@q(
+    "regex_extract_filter",
+    "SELECT doc_id, REGEXP_EXTRACT(text, '([a-z]+)', 1) AS first_word FROM documents "
+    "WHERE REGEXP_MATCHES(text, 'data.*table')",
+    "C8: regexp_extract + rlike filtering",
+)
+def regex_extract_filter(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text.regex_filter(d, "data.*table").select(
+        "doc_id", F.regexp_extract("text", "([a-z]+)", 1).alias("first_word")
+    )
+
+
+@q(
+    "quality_scores",
+    f"""
+    SELECT doc_id, ROUND(
+      0.4 * LEAST(1.0, LENGTH(text) / 500.0)
+      + 0.3 * (CASE WHEN LENGTH(text) > 0
+               THEN CAST(LENGTH(REGEXP_REPLACE(text, '[^a-z ]', '', 'g')) AS DOUBLE) / LENGTH(text)
+               ELSE 0.0 END)
+      + 0.3 * (CASE WHEN LEN({_TOKS}) > 0
+               THEN CAST(LEN(LIST_DISTINCT({_TOKS})) AS DOUBLE) / LEN({_TOKS})
+               ELSE 1.0 END), 6) AS quality
+    FROM documents
+    """,
+    "C5: deterministic quality heuristic (length/alpha/repetition mix)",
+)
+def quality_scores(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text.quality_scores(d)
+
+
+@q(
+    "fingerprints_md5",
+    "SELECT doc_id, MD5(text) AS md5_fp FROM documents",
+    "C8: md5 content fingerprint (identical digest both engines)",
+)
+def fingerprints_md5(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text.fingerprints(d).select("doc_id", "md5_fp")
+
+
+@q(
+    "lang_id_counts",
+    None,  # filled in below: needs the marker lexicons inlined
+    "C5: stopword-marker language-ID heuristic, distribution by predicted lang",
+)
+def lang_id_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text.language_id(d).groupBy("pred_lang").agg(F.count("*").alias("n"))
+
+
+def _lang_id_oracle() -> str:
+    from ascii_hydra_spark.functions import LANG_MARKERS
+
+    score_cols = ", ".join(
+        f"LEN(LIST_FILTER({_TOKS}, t -> LIST_CONTAINS({list(LANG_MARKERS[lang])!r}, t))) AS s_{lang}"
+        for lang in sorted(LANG_MARKERS)
+    )
+    langs = sorted(LANG_MARKERS)
+    mx = "GREATEST(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + mx + " = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lang} = {mx} THEN '{lang}'" for lang in langs[:-1]
+    ) + f" ELSE '{langs[-1]}' END"
+    return (
+        f"WITH s AS (SELECT doc_id, {score_cols} FROM documents) "
+        f"SELECT {case} AS pred_lang, COUNT(*) AS n FROM s GROUP BY 1"
+    )
+
+
+REGISTRY["lang_id_counts"].sql = _lang_id_oracle()
+
+
+# ===================================================================
+# Events: as-of join, sessionization, time windows (C19, C23-C25)
+# ===================================================================
+
+@q(
+    "asof_join_events",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, 1 AS is_q FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, event_id, 0 AS is_q FROM events WHERE event_type = 'error'
+    ), carried AS (
+      SELECT user_id, ts, event_id, is_q,
+             LAST_VALUE(CASE WHEN is_q = 0 THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, is_q, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_event_id
+      FROM tagged
+    )
+    SELECT event_id, user_id, asof_event_id FROM carried WHERE is_q = 1
+    """,
+    "C19: as-of join — latest 'error' at-or-before each 'click', per user, "
+    "via the scalable union-sort formulation (no row explosion)",
+)
+def asof_join_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    out = asof.as_of_join(clicks, errors, key="user_id", right_value_cols=("event_id",))
+    return out.select("event_id", "user_id", F.col("asof_event_id"))
+
+
+@q(
+    "sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT user_id, SUM(CASE WHEN prev_ts IS NULL
+                             OR EPOCH_US(CAST(ts AS TIMESTAMP)) - EPOCH_US(CAST(prev_ts AS TIMESTAMP)) > 1800000000
+                             THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
+           COUNT(*) AS n_events
+    FROM o GROUP BY user_id
+    """,
+    "C25 batch arm: 30-min-gap sessionization via gaps-and-islands",
+)
+def sessionize(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    flagged = e.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.unix_micros("ts") - F.unix_micros("prev_ts") > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+@q(
+    "tumbling_hourly",
+    "SELECT CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start, "
+    "event_type, COUNT(*) AS n, "
+    "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum "
+    "FROM events GROUP BY 1, 2",
+    "C23 batch arm: hourly tumbling counts ≡ date_trunc group-by",
+)
+def tumbling_hourly(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+    )
+
+
+@q(
+    "sliding_15min",
+    """
+    SELECT ws AS window_start, COUNT(*) AS n FROM (
+      SELECT TIME_BUCKET(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+             - (k.k * INTERVAL '15 minutes') AS ws
+      FROM events, (SELECT UNNEST([0, 1, 2, 3]) AS k) k
+    ) GROUP BY ws
+    """,
+    "C24: 1h/15min sliding windows (batch F.window ≡ slide-start explode)",
+)
+def sliding_15min(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+# ===================================================================
+# Structured Streaming (availableNow ≡ batch) — C23/C27/C33
+# ===================================================================
+
+@q(
+    "stream_tumbling_hourly",
+    "SELECT window_start, event_type, n, value_sum FROM ("
+    "SELECT CAST(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start, "
+    "event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS value_sum "
+    "FROM events GROUP BY 1, 2) "
+    "WHERE window_start + INTERVAL '1 hour' <= "
+    "(SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events)",
+    "C23/C33 stream arm: file-stream -> watermark -> tumbling window -> "
+    "parquet sink under availableNow; append mode emits exactly the windows "
+    "closed by the final watermark (= max ts), hence the WHERE in the oracle",
+)
+def stream_tumbling_hourly(spark, sf_dir):
+    ev = streaming.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = streaming.tumbling_counts(ev, window="1 hour", watermark="0 seconds")
+    sink = streaming.run_available_now(agg)
+    return spark.read.parquet(sink)
+
+
+@q(
+    "stream_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    "C27: streaming dropDuplicates within watermark ≡ batch DISTINCT on keys",
+)
+def stream_dedup(spark, sf_dir):
+    ev = streaming.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    deduped = streaming.stream_dedup(ev, ["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    sink = streaming.run_available_now(deduped)
+    return spark.read.parquet(sink)
+
+
+# ===================================================================
+# UDF surface (C29-C30) — pandas UDFs verified against pure SQL
+# ===================================================================
+
+@q(
+    "pandas_udf_charge",
+    "SELECT l_returnflag, "
+    "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) "
+    "* (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) "
+    "* (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) AS BIGINT) "
+    "AS charge_mc FROM lineitem GROUP BY l_returnflag",
+    "C29: Arrow-batched scalar pandas UDF ≡ the same SQL expression "
+    "(integer milli-cents so the comparison is exact)",
+)
+def pandas_udf_charge(spark, sf_dir):
+    from ascii_hydra_spark.functions.udfs import charge_milli_cents
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(charge_milli_cents("l_extendedprice", "l_discount", "l_tax")).alias(
+            "charge_mc"
+        )
+    )
+
+
+@q(
+    "pandas_udaf_weighted",
+    "SELECT l_returnflag, "
+    "ROUND(SUM(l_discount * l_quantity) / SUM(l_quantity), 6) AS wavg_disc "
+    "FROM lineitem GROUP BY l_returnflag",
+    "C30: grouped-agg pandas UDF (weighted mean) ≡ SQL sum-ratio",
+)
+def pandas_udaf_weighted(spark, sf_dir):
+    from ascii_hydra_spark.functions.udfs import weighted_mean
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(weighted_mean("l_discount", "l_quantity"), 6).alias("wavg_disc")
+    )
+
+
+# ===================================================================
+# Multimodal plumbing (binary payload columns)
+# ===================================================================
+
+@q(
+    "multimodal_payload_stats",
+    "SELECT doc_id AS media_id, 'text' AS modality, "
+    "OCTET_LENGTH(ENCODE(text)) AS n_bytes, MD5(text) AS checksum FROM documents",
+    "Multimodal: binary payload metadata pass (size + checksum) — the cheap "
+    "pre-decode scan that gates 100 TB media pipelines",
+)
+def multimodal_payload_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(d)
+    out = multimodal.payload_stats(media)
+    return out.select(
+        "media_id", "modality", F.col("n_bytes").cast("bigint").alias("n_bytes"), "checksum"
+    )
+
+
+@q(
+    "multimodal_decode_features",
+    None,
+    "Multimodal: Arrow-batched mapInPandas decode/feature pipeline "
+    "(deterministic byte-histogram stand-in for codec decode)",
+)
+def multimodal_decode_features(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(d)
+    feats = multimodal.decode_media(media, n_features=16)
+    return feats.select(
+        "media_id", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
+    )
+
+
+# ===================================================================
+# Entry / export surface
+# ===================================================================
+
+def flagship(spark: SparkSession) -> DataFrame:
+    """Driver smoke entry: the star-join revenue query at sf0.001."""
+    return star_revenue_by_nation(spark, "/root/testdata/sf0.001")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.sql for name, spec in REGISTRY.items() if spec.sql is not None}
