@@ -123,7 +123,9 @@ def run_available_now(
 def stateful_running_count(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Custom stateful per-key processing: cumulative event count per user
     via applyInPandasWithState (SURVEY.md C28). Emits one row per input
-    batch per user with the updated total."""
+    batch per user with the updated total; operator mode is "append" so the
+    output composes with file sinks (update-mode sinks don't exist for
+    files — at scale this feeds a key-value store instead)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     import pandas as pd
 
@@ -141,6 +143,6 @@ def stateful_running_count(events: DataFrame, watermark: str = "1 hour") -> Data
         events.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
-            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+            update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
         )
     )

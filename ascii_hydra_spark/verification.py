@@ -628,6 +628,40 @@ def json_roundtrip(spark, sf_dir):
 
 
 @q(
+    "text_scan_count",
+    "SELECT COUNT(*) AS n_lines, COUNT(DISTINCT o_orderstatus) AS n_status FROM orders",
+    "A3: text sink + line-oriented text scan (the reference's "
+    "textFile().count() parallelism probe, DataFrame-native)",
+)
+def text_scan_count(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        F.concat_ws("|", F.col("o_orderkey"), F.col("o_orderstatus")).alias("value")
+    )
+    path = tempfile.mkdtemp(prefix="ahs_text_")
+    o.write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    parsed = back.select(F.split("value", r"\|").alias("p"))
+    return parsed.agg(
+        F.count("*").alias("n_lines"),
+        F.countDistinct(F.element_at("p", 2)).alias("n_status"),
+    )
+
+
+@q(
+    "approx_stats",
+    None,
+    "C20 approx arm: approx_count_distinct + percentile_approx "
+    "(±ε vs exact asserted in tests/test_approx.py; not hash-matchable)",
+)
+def approx_stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_suppkey").alias("approx_supp"),
+        F.percentile_approx("l_quantity", 0.5).alias("approx_median_qty"),
+    )
+
+
+@q(
     "partitioned_pruned_read",
     "SELECT COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum "
     "FROM events WHERE event_type = 'click'",
@@ -787,6 +821,37 @@ def sim_pairs_lsh(spark, sf_dir):
     return similarity.cosine_pairs_lsh(e, threshold=0.4)
 
 
+@q(
+    "sim_topk_ivf",
+    None,
+    "C3 scale arm: IVF cell-probe approximate top-k "
+    "(recall vs exact asserted in tests/test_similarity.py)",
+)
+def sim_topk_ivf(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_ivf(e, query_id=0, k=10)
+
+
+@q(
+    "embedding_dedup",
+    """
+    WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dups AS (
+      SELECT DISTINCT b.vec_id AS vec_id
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 6) >= 0.45
+    )
+    SELECT e.vec_id, e.label FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM dups)
+    """,
+    "C2/C3 hybrid: embedding-cosine near-dup removal — survivor = no "
+    "lower-id neighbor within the threshold (canonical-winner dedup)",
+)
+def embedding_dedup(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_dedup(e, threshold=0.45).select("vec_id", "label")
+
+
 # ===================================================================
 # Text analysis (C5-C8)
 # ===================================================================
@@ -845,6 +910,51 @@ def doc_freq(spark, sf_dir):
 def token_counts(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return text.token_counts(d)
+
+
+@q(
+    "ngram_bigrams",
+    f"""
+    SELECT ngram, COUNT(*) AS cnt FROM (
+      SELECT UNNEST(LIST_TRANSFORM(
+        LIST_FILTER(LIST_ZIP(tk, tk[2:]), p -> p[2] IS NOT NULL),
+        p -> p[1] || ' ' || p[2])) AS ngram
+      FROM (SELECT {_TOKS} AS tk FROM documents)
+    ) GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20
+    """,
+    "C6: corpus word-bigram counts, top 20 (array slice+zip, no UDF)",
+)
+def ngram_bigrams(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text.ngram_counts(d, n=2).orderBy(F.desc("cnt"), F.col("ngram")).limit(20)
+
+
+@q(
+    "udtf_tokenize",
+    f"""
+    SELECT doc_id, CAST(pos AS INT) AS pos, tok FROM (
+      SELECT doc_id, UNNEST(RANGE(1, LEN(tk) + 1)) AS pos, UNNEST(tk) AS tok
+      FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)
+    )
+    """,
+    "C31: Python UDTF (lateral one-row-to-many generator) ≡ positional unnest",
+)
+def udtf_tokenize(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos INT, tok STRING")
+    class Tokenize:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate((t for t in text.split() if t), 1):
+                yield (i, tok)
+
+    spark.udtf.register("ahs_tokenize_udtf", Tokenize)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, t.pos, t.tok FROM __udtf_docs, LATERAL ahs_tokenize_udtf(text) AS t"
+    )
 
 
 @q(
@@ -1044,6 +1154,74 @@ def sliding_15min(spark, sf_dir):
 def stream_tumbling_hourly(spark, sf_dir):
     ev = streaming.read_events_stream(spark, f"{sf_dir}/events.parquet")
     agg = streaming.tumbling_counts(ev, window="1 hour", watermark="0 seconds")
+    sink = streaming.run_available_now(agg)
+    return spark.read.parquet(sink)
+
+
+@q(
+    "stream_sliding",
+    """
+    SELECT window_start, n FROM (
+      SELECT ws AS window_start, COUNT(*) AS n FROM (
+        SELECT TIME_BUCKET(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+               - (k.k * INTERVAL '15 minutes') AS ws
+        FROM events, (SELECT UNNEST([0, 1, 2, 3]) AS k) k
+      ) GROUP BY ws
+    ) WHERE window_start + INTERVAL '1 hour' <= (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events)
+    """,
+    "C24/C33 stream arm: sliding windows under availableNow; append emits "
+    "only windows closed by the final watermark (= max ts)",
+)
+def stream_sliding(spark, sf_dir):
+    ev = streaming.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = streaming.sliding_counts(ev, window="1 hour", slide="15 minutes", watermark="0 seconds")
+    sink = streaming.run_available_now(agg)
+    return spark.read.parquet(sink)
+
+
+@q(
+    "stream_session",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT user_id, ts,
+             SUM(CASE WHEN prev_ts IS NULL
+                      OR EPOCH_US(ts) - EPOCH_US(prev_ts) > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM o
+    ), sess AS (
+      SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_ts, COUNT(*) AS n_events
+      FROM flagged GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, n_events FROM sess
+    WHERE last_ts + INTERVAL '30 minutes' <= (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events)
+    """,
+    "C25/C33 stream arm: session_window (30-min gap) ≡ gaps-and-islands; "
+    "Spark merges at diff == gap exactly, so the island break is diff > gap "
+    "(verified empirically); append emits sessions whose end (last_ts + gap) "
+    "has passed the final watermark",
+)
+def stream_session(spark, sf_dir):
+    ev = streaming.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = streaming.session_counts(ev, gap="30 minutes", watermark="0 seconds")
+    sink = streaming.run_available_now(agg)
+    return spark.read.parquet(sink)
+
+
+@q(
+    "stream_stateful_counts",
+    "SELECT user_id, COUNT(*) AS total FROM events GROUP BY user_id",
+    "C28: applyInPandasWithState per-key running totals; a single "
+    "availableNow batch makes the emitted totals ≡ batch group-by counts",
+)
+def stream_stateful_counts(spark, sf_dir):
+    ev = streaming.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    agg = streaming.stateful_running_count(ev, watermark="1 hour")
     sink = streaming.run_available_now(agg)
     return spark.read.parquet(sink)
 

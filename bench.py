@@ -1,0 +1,96 @@
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a checksum reduction (hash of every
+output column, summed) so Catalyst cannot prune the interesting work away —
+a bare count() would let column pruning skip e.g. window computations.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, functions as F
+
+from ascii_hydra_spark.session import SessionProfile, build_spark
+from ascii_hydra_spark.verification import REGISTRY
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline set: one per operator family, weighted toward shuffle/join/window
+# heavy shapes. Names must exist in the verification registry.
+HEADLINE = [
+    "pricing_summary",        # wide aggregation over the fact table
+    "star_revenue_by_nation", # multi-join star query
+    "region_revenue",         # broadcast-dim star join
+    "window_running",         # keyed window with running frames
+    "window_rank",            # ranking windows
+    "dedup_exact_events",     # keyed dedup
+    "sessionize",             # gaps-and-islands sessionization
+    "asof_join_events",       # union-sort as-of join
+    "tumbling_hourly",        # time-bucketed aggregation
+    "sliding_15min",          # sliding windows (4x row expansion)
+    "sim_topk",               # exact cosine top-k over embeddings
+    "term_freq_top",          # explode-heavy text TF
+    "token_counts",           # regex tokenization
+    "quality_scores",         # scalar-expression pipeline
+    "json_extract",           # JSON path extraction
+    "rollup_revenue",         # multi-level rollup
+]
+
+
+def checksum(df: DataFrame) -> int:
+    """Force full computation of every output column (no pruning)."""
+    row = df.select(
+        # bit_xor can't overflow (sum of hashes trips ANSI long-overflow)
+        F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("cs")
+    ).collect()[0]
+    return row["cs"] or 0
+
+
+def main() -> None:
+    profile = SessionProfile(
+        app_name="ahs-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    spark = build_spark(profile)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers outside the timed region
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = REGISTRY[name].fn
+        t0 = time.monotonic()
+        checksum(fn(spark, SF_DIR))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": {f"q_{k}": v for k, v in timings.items()},
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

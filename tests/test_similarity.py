@@ -1,0 +1,68 @@
+"""Recall/precision contracts for the approximate similarity arms (C3-C4).
+
+Exact arms (sim_topk, sim_pairs) are DuckDB-hash-matched; these tests pin
+the scale arms: LSH pair output is a subset of the exact pairs (precision
+1.0) with measured recall, and IVF top-k overlaps the exact top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ascii_hydra_spark.operators import similarity
+
+
+def test_lsh_pairs_subset_and_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    threshold = 0.4
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_pairs(emb, threshold=threshold).collect()
+    }
+    # low threshold -> use the low-selectivity tuning (see operator docstring)
+    approx = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_pairs_lsh(
+            emb, threshold=threshold, n_planes=4, n_tables=8
+        ).collect()
+    }
+    assert approx <= exact, f"LSH emitted non-exact pairs: {sorted(approx - exact)[:5]}"
+    assert exact, "fixture should contain pairs above threshold"
+    recall = len(approx) / len(exact)
+    assert recall >= 0.3, f"LSH recall {recall} < 0.3 ({len(approx)}/{len(exact)})"
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    k = 10
+    exact = [r.vec_id for r in similarity.cosine_topk_by_id(emb, 0, k=k).collect()]
+    ivf = [r.vec_id for r in similarity.cosine_topk_ivf(emb, 0, k=k).collect()]
+    assert len(ivf) == k
+    overlap = len(set(exact) & set(ivf)) / k
+    assert overlap >= 0.3, f"IVF recall@{k} {overlap} < 0.3"
+
+
+def test_cosine_topk_constant_query(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    q = [1.0] + [0.0] * (dim - 1)
+    out = similarity.cosine_topk(emb, q, k=5).collect()
+    assert len(out) == 5
+    sims = [r.sim for r in out]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_embedding_dedup_survivors(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    survivors = similarity.embedding_dedup(emb, threshold=0.45)
+    n_all = emb.count()
+    n_surv = survivors.count()
+    assert 0 < n_surv <= n_all
+    # no surviving pair may be >= threshold with a lower-id survivor
+    again = similarity.cosine_pairs(survivors, threshold=0.45)
+    # survivors can still be mutually similar only if the earlier of the
+    # pair was itself dropped — with the winner rule that cannot happen for
+    # pairs where BOTH endpoints survive... unless the dropper was dropped.
+    # The canonical rule keeps a row iff no lower-id row at all (kept or
+    # dropped) is near it, so surviving pairs must be empty.
+    assert again.count() == 0
