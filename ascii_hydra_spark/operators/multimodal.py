@@ -121,6 +121,50 @@ def decode_media(media: DataFrame, n_features: int = 16) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Image-resize pipeline shape: Arrow-batched mapInPandas, binary in /
+    binary out, target dims carried as metadata.
+
+    STUB decode: real codecs raise (no PIL in this container); the utf8
+    stand-in 'resizes' by deterministic byte truncation/padding to
+    width*height bytes, preserving the exact schema/batching a real resizer
+    would use.
+    """
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for _, row in batch.iterrows():
+                if row["codec"] in _REAL_CODECS:
+                    raise NotImplementedError(
+                        f"codec {row['codec']!r}: image libs not in container"
+                    )
+                b = bytes(row["payload"] or b"")
+                resized = b[:target].ljust(target, b"\0")
+                rows.append(
+                    {
+                        "media_id": row["media_id"],
+                        "width": width,
+                        "height": height,
+                        "payload": resized,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "payload"])
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled frame index.
 

@@ -591,6 +591,243 @@ def explode_words(spark, sf_dir):
     )
 
 
+@q(
+    "string_funcs",
+    "SELECT p_brand, "
+    "MAX(UPPER(p_name)) AS max_upper, "
+    "MIN(SUBSTRING(p_name, 1, 5)) AS min_prefix, "
+    "MAX(REPLACE(p_type, ' ', '_')) AS max_replaced, "
+    "MIN(LPAD(CAST(p_size AS VARCHAR), 4, '0')) AS min_padded, "
+    "MAX(REVERSE(p_brand)) AS rev_brand, "
+    "MAX(TRANSLATE(p_brand, '#', '-')) AS xlat_brand "
+    "FROM part GROUP BY p_brand",
+    "string surface: upper/substring/replace/lpad/reverse/translate",
+)
+def string_funcs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.max(F.upper("p_name")).alias("max_upper"),
+        F.min(F.substring("p_name", 1, 5)).alias("min_prefix"),
+        F.max(F.replace(F.col("p_type"), F.lit(" "), F.lit("_"))).alias("max_replaced"),
+        F.min(F.lpad(F.col("p_size").cast("string"), 4, "0")).alias("min_padded"),
+        F.max(F.reverse("p_brand")).alias("rev_brand"),
+        F.max(F.translate("p_brand", "#", "-")).alias("xlat_brand"),
+    )
+
+
+@q(
+    "pivot_status",
+    "SELECT o_orderpriority, "
+    "CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F, "
+    "CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O, "
+    "CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P "
+    "FROM orders GROUP BY o_orderpriority",
+    "pivot (conditional aggregation): status counts spread into columns",
+)
+def pivot_status(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    out = o.groupBy("o_orderpriority").pivot("o_orderstatus", ["F", "O", "P"]).count()
+    # pivot yields nulls for empty cells; the CASE-SUM oracle yields 0
+    return out.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("F", "O", "P")],
+    )
+
+
+@q(
+    "scalar_subquery",
+    "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+    "WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders) / 2 "
+    "GROUP BY o_orderstatus",
+    "uncorrelated scalar subquery in a predicate (exact MAX, no float-sum "
+    "boundary risk)",
+)
+def scalar_subquery(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+        "WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders) / 2 "
+        "GROUP BY o_orderstatus"
+    )
+
+
+@q(
+    "correlated_scalar_subquery",
+    "SELECT c_mktsegment, COUNT(*) AS n FROM customer c WHERE "
+    "(SELECT MAX(o_orderdate) FROM orders o WHERE o.o_custkey = c.c_custkey) "
+    ">= TIMESTAMP '2001-01-01' GROUP BY c_mktsegment",
+    "correlated scalar subquery (per-customer latest order date)",
+)
+def correlated_scalar_subquery(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        "SELECT c_mktsegment, COUNT(*) AS n FROM customer c WHERE "
+        "(SELECT MAX(o_orderdate) FROM orders o WHERE o.o_custkey = c.c_custkey) "
+        ">= TIMESTAMP '2001-01-01' GROUP BY c_mktsegment"
+    )
+
+
+@q(
+    "minmax_by",
+    """
+    SELECT g, MIN(best_max) AS best_order, MAX(best_min) AS worst_order FROM (
+      SELECT o.o_custkey % 10 AS g,
+        CASE WHEN o_totalprice = (SELECT MAX(o_totalprice) FROM orders o2 WHERE o2.o_custkey % 10 = o.o_custkey % 10)
+             THEN o_orderkey END AS best_max,
+        CASE WHEN o_totalprice = (SELECT MIN(o_totalprice) FROM orders o3 WHERE o3.o_custkey % 10 = o.o_custkey % 10)
+             THEN o_orderkey END AS best_min
+      FROM orders o
+    ) GROUP BY g
+    """,
+    "max_by/min_by with deterministic tie-breaks (Spark struct ordering key; "
+    "oracle = min/max orderkey among the arg-extreme rows)",
+)
+def minmax_by(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").withColumn("g", F.col("o_custkey") % 10)
+    return o.groupBy("g").agg(
+        # maximize (price, -orderkey) -> highest price, lowest key on ties
+        F.max_by("o_orderkey", F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")))).alias("best_order"),
+        # minimize (price, -orderkey) -> lowest price, highest key on ties
+        F.min_by("o_orderkey", F.struct(F.col("o_totalprice"), (-F.col("o_orderkey")))).alias("worst_order"),
+    )
+
+
+@q(
+    "collect_sorted",
+    "SELECT r_name, LIST(n_name ORDER BY n_name) AS nations FROM nation "
+    "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name",
+    "C10: array aggregation (collect_list) with deterministic sort",
+)
+def collect_sorted(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.array_sort(F.collect_list("n_name")).alias("nations"))
+    )
+
+
+@q(
+    "map_ops",
+    "SELECT n_name, CAST(LEN(n_name) AS INT) AS name_len_from_map FROM nation",
+    "map type plumbing: map_from_entries + element_at (output projected to "
+    "scalars so the oracle stays engine-neutral)",
+)
+def map_ops(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    m = n.select(
+        "n_name",
+        F.map_from_entries(
+            F.array(
+                F.struct(F.lit("len").alias("k"), F.length("n_name").alias("v")),
+                F.struct(F.lit("key").alias("k"), F.col("n_nationkey").alias("v")),
+            )
+        ).alias("props_map"),
+    )
+    return m.select("n_name", F.element_at("props_map", "len").alias("name_len_from_map"))
+
+
+@q(
+    "calendar_months",
+    """
+    SELECT m AS month_start, COUNT(o_orderkey) AS n_orders FROM (
+      SELECT UNNEST(GENERATE_SERIES(TIMESTAMP '1995-01-01', TIMESTAMP '2001-12-01', INTERVAL '1 month')) AS m
+    ) cal LEFT JOIN orders ON DATE_TRUNC('month', o_orderdate) = m
+    GROUP BY m
+    """,
+    "sequence generation + explode + outer join against a generated calendar "
+    "(zero-filled months preserved)",
+)
+def calendar_months(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    cal = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("timestamp"),
+                F.lit("2001-12-01").cast("timestamp"),
+                F.expr("INTERVAL '1' MONTH"),
+            )
+        ).alias("month_start")
+    )
+    return (
+        cal.join(o, F.date_trunc("month", o.o_orderdate) == cal.month_start, "left")
+        .groupBy("month_start")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@q(
+    "nested_min_join",
+    """
+    SELECT p.p_partkey, p.p_brand, l.l_suppkey, l.l_extendedprice AS min_price
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN (SELECT l_partkey, MIN(l_extendedprice) AS mn FROM lineitem GROUP BY l_partkey) m
+      ON m.l_partkey = l.l_partkey AND l.l_extendedprice = m.mn
+    WHERE p.p_size = 25
+    """,
+    "TPC-H-Q2-like nested-aggregate join: cheapest lineitem per part "
+    "(ties kept, so the result is deterministic without arbitrary choice)",
+)
+def nested_min_join(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 25)
+    li = _t(spark, sf_dir, "lineitem")
+    mins = li.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("l_extendedprice").alias("mn")
+    )
+    return (
+        li.join(mins, (li.l_partkey == mins.mk) & (li.l_extendedprice == mins.mn))
+        .join(p, li.l_partkey == p.p_partkey)
+        .select(
+            "p_partkey", "p_brand", "l_suppkey", F.col("l_extendedprice").alias("min_price")
+        )
+    )
+
+
+@q(
+    "corr_stats",
+    "SELECT l_returnflag, "
+    "ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr, "
+    "ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS qty_disc_covar, "
+    "ROUND(VAR_SAMP(l_quantity), 6) AS qty_var "
+    "FROM lineitem GROUP BY l_returnflag",
+    "C20: correlation / covariance / variance aggregates",
+)
+def corr_stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("qty_disc_covar"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+    )
+
+
+@q(
+    "datetime_arith",
+    "SELECT CAST(QUARTER(o_orderdate) AS INT) AS q, "
+    "CAST(ISODOW(o_orderdate) AS INT) AS dow, COUNT(*) AS n, "
+    "MAX(CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS TIMESTAMP)) AS max_month_end, "
+    "MAX(CAST(o_orderdate + INTERVAL '3 months' AS TIMESTAMP)) AS max_plus3m "
+    "FROM orders GROUP BY 1, 2",
+    "C21: quarter/weekday/last_day/add_months interval arithmetic "
+    "(ISO weekday: Spark weekday() is 0-based Monday, ISODOW is 1-based)",
+)
+def datetime_arith(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.quarter("o_orderdate").cast("int").alias("q"),
+        (F.weekday("o_orderdate") + 1).cast("int").alias("dow"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.max(F.last_day(F.col("o_orderdate").cast("date")).cast("timestamp")).alias(
+            "max_month_end"
+        ),
+        F.max(F.add_months(F.col("o_orderdate"), 3).cast("timestamp")).alias("max_plus3m"),
+    )
+
+
 # ===================================================================
 # Sources & sinks round-trips (CSV/JSON/partitioned parquet)
 # ===================================================================
@@ -1299,6 +1536,46 @@ def multimodal_payload_stats(spark, sf_dir):
     return out.select(
         "media_id", "modality", F.col("n_bytes").cast("bigint").alias("n_bytes"), "checksum"
     )
+
+
+@q(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS media_id, CAST(frame_idx AS INT) AS frame_idx FROM (
+      SELECT doc_id, UNNEST(RANGE(0, GREATEST(n_chars % 100 - 1, 0) + 1, 10)) AS frame_idx
+      FROM documents
+    )
+    """,
+    "Multimodal: video frame-sampling plan — one row per sampled frame index "
+    "from sidecar metadata, fanned out with sequence+explode so frame decode "
+    "parallelizes across executors",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(d).join(
+        d.select(
+            F.col("doc_id").alias("media_id"),
+            F.to_json(F.struct((F.col("n_chars") % 100).alias("n_frames"))).alias(
+                "__meta"
+            ),
+        ),
+        "media_id",
+    ).drop("meta_json").withColumnRenamed("__meta", "meta_json")
+    out = multimodal.frame_sample_plan(media, every_n=10)
+    return out.select("media_id", F.col("frame_idx").cast("int").alias("frame_idx"))
+
+
+@q(
+    "multimodal_resize",
+    None,
+    "Multimodal: mapInPandas binary resize plumbing (deterministic byte-pad "
+    "stand-in for the codec step; real codecs raise NotImplementedError)",
+)
+def multimodal_resize(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(d)
+    out = multimodal.resize_media(media, width=8, height=8)
+    return out.select("media_id", "width", "height", F.octet_length("payload").alias("n_bytes"))
 
 
 @q(

@@ -66,8 +66,27 @@ def main() -> None:
     spark = build_spark(profile)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers outside the timed region
-    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    # Warm the JVM outside the timed region: parquet footers plus one tiny
+    # query through each hot codegen path (decimal agg, window, broadcast
+    # join) so the timed numbers measure the engine, not first-call JIT.
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    li.count()
+    warm = li.limit(1000)
+    warm.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)")),
+        F.avg("l_discount"),
+    ).collect()
+    from pyspark.sql import Window
+
+    warm.select(
+        F.row_number().over(
+            Window.partitionBy("l_returnflag").orderBy("l_orderkey")
+        )
+    ).collect()
+    warm.join(
+        F.broadcast(spark.read.parquet(f"{SF_DIR}/nation.parquet")),
+        warm.l_suppkey % 25 == F.col("n_nationkey"),
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

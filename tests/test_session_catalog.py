@@ -1,0 +1,94 @@
+"""Unit tests for the pure config/catalog layer (SURVEY.md A18-A20, §5).
+
+Mirrors the reference's unit-test style (ascii_library_tests/test_utils.py:
+169-221 tests calculate_parallelism and configure_spark the same way) —
+pure functions asserted without a JVM where possible.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ascii_hydra_spark.catalog import Catalog, DIMENSION_TABLES, TABLES
+from ascii_hydra_spark.session import (
+    ExecutionMode,
+    OPTIMIZER_CONF,
+    SEMANTIC_CONF,
+    SessionProfile,
+    calculate_parallelism,
+    configure_runtime,
+)
+
+
+def test_calculate_parallelism_heuristic():
+    # reference contract (orchestration/pipes/utils.py:65-71):
+    # >= 90k records -> 90k partitions; else max(200, n/4)
+    assert calculate_parallelism(90_000) == 90_000
+    assert calculate_parallelism(10_000_000) == 90_000
+    assert calculate_parallelism(89_999) == max(200, 89_999 // 4)
+    assert calculate_parallelism(100) == 200
+    assert calculate_parallelism(0) == 200
+
+
+def test_semantic_conf_commitments():
+    # the oracle contract depends on these exact values
+    assert SEMANTIC_CONF["spark.sql.session.timeZone"] == "UTC"
+    assert SEMANTIC_CONF["spark.sql.sources.partitionOverwriteMode"] == "dynamic"
+    assert OPTIMIZER_CONF["spark.sql.adaptive.enabled"] == "true"
+    assert OPTIMIZER_CONF["spark.sql.cbo.enabled"] == "true"
+
+
+def test_profile_full_scales_up():
+    dev, full = SessionProfile.dev(), SessionProfile.full()
+    assert full.shuffle_partitions == 4096
+    assert dev.shuffle_partitions is None
+    assert full.parquet_compression == "zstd"
+
+
+def test_configure_runtime_full_vs_dev(spark):
+    applied_dev = configure_runtime(spark, ExecutionMode.DEV_SAMPLE_LOCAL, parallelism=500)
+    assert "spark.sql.shuffle.partitions" not in applied_dev  # dev keeps defaults
+    applied_full = configure_runtime(spark, ExecutionMode.FULL, parallelism=500)
+    assert applied_full["spark.sql.shuffle.partitions"] == "500"
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "dynamic"
+
+
+def test_catalog_mode_resolution_and_overrides():
+    cat = Catalog(
+        roots={
+            ExecutionMode.DEV_SAMPLE_LOCAL: "/data/dev",
+            ExecutionMode.FULL: "s3a://bucket/full",
+        },
+        mode=ExecutionMode.DEV_SAMPLE_LOCAL,
+    )
+    assert cat.path("orders") == "/data/dev/orders.parquet"
+    cat.mode = ExecutionMode.FULL
+    assert cat.path("orders") == "s3a://bucket/full/orders.parquet"
+    cat.overrides["orders"] = "/pinned/orders_v2.parquet"
+    assert cat.path("orders") == "/pinned/orders_v2.parquet"
+    assert cat.path("lineitem") == "s3a://bucket/full/lineitem.parquet"
+
+
+def test_catalog_tables_inventory():
+    assert set(DIMENSION_TABLES) <= set(TABLES)
+    assert "lineitem" in TABLES and "embeddings" in TABLES
+
+
+def test_catalog_normalizes_event_timestamps(spark, sf_dir):
+    df = Catalog.for_dir(sf_dir).load(spark, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+
+
+def test_delta_capability_gated(spark, tmp_path):
+    """B8: Delta is provisioned-not-required (reference never writes Delta
+    in-repo either, SURVEY §1.3). write_delta no-ops without delta-spark."""
+    from ascii_hydra_spark import sources
+
+    df = spark.range(3)
+    ok = sources.write_delta(df, str(tmp_path / "t"))
+    try:
+        import delta  # noqa: F401
+
+        assert ok and spark.read.format("delta").load(str(tmp_path / "t")).count() == 3
+    except ImportError:
+        assert ok is False
