@@ -83,6 +83,35 @@ def set_except(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.subtract(b)  # set semantics (DISTINCT), like SQL EXCEPT
 
 
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Equi-join that survives heavy key skew by salting.
+
+    The skewed side gets a random-but-deterministic salt (hash of the whole
+    row modulo `salt_buckets`); the other side is exploded `salt_buckets`
+    ways so every (key, salt) pair still meets its matches. One hot key
+    then lands on `salt_buckets` reducers instead of one.
+
+    AQE's skew-join split (on by default in the session profile) handles
+    moderate skew automatically; this is the explicit tool for the
+    pathological case — e.g. joining web-crawl edges where one domain is
+    10% of all rows. Correctness (≡ plain join) is asserted in
+    tests/test_relational_ops.py.
+    """
+    salt = (F.xxhash64(*[F.col(c) for c in skewed.columns]) % salt_buckets + salt_buckets) % salt_buckets
+    a = skewed.withColumn("__salt", salt.cast("int"))
+    b = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = a.join(b, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
 def rollup_agg(df: DataFrame, keys: Sequence[str], aggs: dict[str, Column]) -> DataFrame:
     """ROLLUP with grouping markers (g_<key> = 1 when the level is rolled up)."""
     marks = [F.grouping(k).cast("int").alias(f"g_{k}") for k in keys]

@@ -1518,6 +1518,172 @@ def pandas_udaf_weighted(spark, sf_dir):
     )
 
 
+@q(
+    "applyinpandas_demean",
+    "SELECT l_orderkey, l_linenumber, "
+    "CAST(CAST(ROUND(l_quantity * 100) AS BIGINT) * COUNT(*) OVER w "
+    "- SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) OVER w AS BIGINT) AS demeaned_c "
+    "FROM lineitem WINDOW w AS (PARTITION BY l_returnflag)",
+    "C29 grouped-map arm: applyInPandas per-group demeaning in exact integer "
+    "cents (qty_c * n - sum_c), ≡ the window formulation — no float-sum "
+    "order dependence on either side",
+)
+def applyinpandas_demean(spark, sf_dir):
+    import pandas as pd
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        qty_c = (pdf["l_quantity"] * 100).round().astype("int64")
+        return pd.DataFrame(
+            {
+                "l_orderkey": pdf["l_orderkey"],
+                "l_linenumber": pdf["l_linenumber"],
+                "demeaned_c": qty_c * len(pdf) - qty_c.sum(),
+            }
+        )
+
+    return li.groupBy("l_returnflag").applyInPandas(
+        demean, schema="l_orderkey BIGINT, l_linenumber INT, demeaned_c BIGINT"
+    )
+
+
+@q(
+    "tpch_q3_like",
+    "SELECT l_orderkey, "
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue, "
+    "MAX(o_orderdate) AS orderdate "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-06-01' "
+    "AND l_shipdate > TIMESTAMP '1997-06-01' "
+    "GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10",
+    "TPC-H Q3 shape: segment filter, date split, revenue top-10 with "
+    "deterministic tie-break",
+)
+def tpch_q3_like(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1997-06-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1997-06-01")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.max("o_orderdate").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "tpch_q4_like",
+    "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders o "
+    "WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01' "
+    "AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+    "AND l.l_shipdate > o.o_orderdate + INTERVAL '60 days') "
+    "GROUP BY o_orderpriority",
+    "TPC-H Q4 shape: correlated EXISTS with a non-equi condition "
+    "(ship lag > 60 days stands in for commit/receipt columns the fixture lacks)",
+)
+def tpch_q4_like(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders o "
+        "WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01' "
+        "AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+        "AND l.l_shipdate > o.o_orderdate + INTERVAL '60' DAY) "
+        "GROUP BY o_orderpriority"
+    )
+
+
+@q(
+    "tpch_q6_like",
+    "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue "
+    "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01' "
+    "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
+    "TPC-H Q6 shape: multi-predicate scan + single decimal aggregate "
+    "(every filter pushes into the parquet scan)",
+)
+def tpch_q6_like(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * F.col("l_discount").cast(
+        "decimal(4,2)"
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        ).agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@q(
+    "tpch_q14_like",
+    "SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'S%' "
+    "THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) "
+    "ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE) "
+    "/ CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS DOUBLE) AS promo_pct "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'",
+    "TPC-H Q14 shape: conditional revenue share (both sums exact decimal, "
+    "single double division at the end)",
+)
+def tpch_q14_like(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    promo = F.when(F.col("p_type").like("S%"), rev).otherwise(
+        F.lit(0).cast("decimal(14,4)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_pct")
+        )
+    )
+
+
+@q(
+    "salted_join_revenue",
+    "SELECT n_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev, "
+    "COUNT(*) AS n FROM orders JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
+    "B3: salted join (explicit skew mitigation) ≡ plain equi-join — the "
+    "salt explode/mod plumbing must not change semantics",
+)
+def salted_join_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation")
+    j = relational.salted_join(o, c, "o_custkey", salt_buckets=8)
+    return (
+        j.join(F.broadcast(n), j.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum("o_totalprice").alias("rev"), F.count("*").alias("n"))
+    )
+
+
 # ===================================================================
 # Multimodal plumbing (binary payload columns)
 # ===================================================================

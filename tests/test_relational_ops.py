@@ -1,0 +1,63 @@
+"""Unit tests for relational recipes with skew/scale behavior (SURVEY B1-B5).
+
+The oracle registry proves SQL equivalence; these tests pin the *mechanism*:
+salted joins redistribute hot keys, dim joins broadcast, set ops keep set
+semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ascii_hydra_spark.operators import relational
+
+
+def test_salted_join_matches_plain_join(spark):
+    # one pathologically hot key (90% of rows) + a long tail
+    skewed = spark.createDataFrame(
+        [(1, i) for i in range(900)] + [(k, k * 1000) for k in range(2, 102)],
+        "k INT, payload INT",
+    )
+    dim = spark.createDataFrame([(k, f"v{k}") for k in range(0, 102)], "k INT, val STRING")
+    plain = {(r.k, r.payload, r.val) for r in skewed.join(dim, "k").collect()}
+    salted = {
+        (r.k, r.payload, r.val)
+        for r in relational.salted_join(skewed, dim, "k", salt_buckets=8).collect()
+    }
+    assert salted == plain
+    assert len(salted) == 1000
+
+
+def test_salted_join_left_outer(spark):
+    skewed = spark.createDataFrame([(1, 10), (2, 20), (99, 990)], "k INT, payload INT")
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k INT, val STRING")
+    out = relational.salted_join(skewed, dim, "k", how="left", salt_buckets=4)
+    got = {(r.k, r.payload, r.val) for r in out.collect()}
+    assert got == {(1, 10, "a"), (2, 20, "b"), (99, 990, None)}
+
+
+def test_salted_join_spreads_hot_key(spark):
+    skewed = spark.createDataFrame([(1, i) for i in range(1000)], "k INT, payload INT")
+    salt = (
+        (F.xxhash64(*[F.col(c) for c in skewed.columns]) % 8 + 8) % 8
+    ).cast("int")
+    n_salts = skewed.select(salt.alias("s")).distinct().count()
+    assert n_salts >= 6, "salt should spread one hot key over most buckets"
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    j = relational.dim_join(o, c, o.o_custkey == c.c_custkey)
+    plan = j._sc._jvm.PythonSQLUtils.explainString(j._jdf.queryExecution(), "simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_set_ops_semantics(spark):
+    a = spark.createDataFrame([(1,), (1,), (2,), (3,)], "x INT")
+    b = spark.createDataFrame([(2,), (4,)], "x INT")
+    assert relational.set_union_all(a, b).count() == 6  # bag semantics
+    assert {r.x for r in relational.set_intersect(a, b).collect()} == {2}
+    assert {r.x for r in relational.set_except(a, b).collect()} == {1, 3}
+    # EXCEPT is set-semantics: duplicates collapse
+    assert relational.set_except(a, b).count() == 2
