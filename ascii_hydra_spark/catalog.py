@@ -100,10 +100,15 @@ class Catalog:
         """Compute table+column stats so CBO join reordering has cardinalities.
 
         The reference turns CBO on (resources/spark.py:39-41) but never runs
-        ANALYZE, so CBO is inert there; we make it real.
+        ANALYZE, so CBO is inert there; we make it real. ANALYZE only works
+        on catalog tables (not temp views), so each dataset is registered as
+        an external parquet table first; SQL that resolves these names gets
+        CBO cardinalities.
         """
         for n in names:
-            self.load(spark, n).createOrReplaceTempView(n)
+            spark.sql(f"DROP VIEW IF EXISTS {n}")
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+            spark.sql(f"CREATE TABLE {n} USING parquet LOCATION '{self.path(n)}'")
             spark.sql(f"ANALYZE TABLE {n} COMPUTE STATISTICS")
 
 

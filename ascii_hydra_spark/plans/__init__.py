@@ -54,9 +54,13 @@ class Pipeline:
 
         return reg
 
-    def run(self, spark: SparkSession) -> dict[str, dict]:
+    def run(self, spark: SparkSession, analyze: bool = False) -> dict[str, dict]:
         """Materialize all assets in dependency order; returns run reports
-        (the Dagster-free equivalent of report_asset_materialization)."""
+        (the Dagster-free equivalent of report_asset_materialization).
+
+        `analyze=True` runs ANALYZE TABLE after each materialization so
+        downstream CBO join reordering has real cardinalities — the
+        reference enables CBO but never feeds it stats (SURVEY §4)."""
         order = list(TopologicalSorter({n: a.deps for n, a in self.assets.items()}).static_order())
         outputs: dict[str, DataFrame] = {}
         reports: dict[str, dict] = {}
@@ -67,6 +71,14 @@ class Pipeline:
             path = f"{self.base_path}/{name}"
             write_parquet(df, path, partition_by=a.partition_by)
             materialized = spark.read.parquet(path)
+            if analyze:
+                # ANALYZE needs a catalog table (not a temp view): register
+                # the materialized parquet as an external table, then stat it
+                spark.sql(f"DROP TABLE IF EXISTS __asset_{name}")
+                spark.sql(
+                    f"CREATE TABLE __asset_{name} USING parquet LOCATION '{path}'"
+                )
+                spark.sql(f"ANALYZE TABLE __asset_{name} COMPUTE STATISTICS")
             outputs[name] = materialized
             reports[name] = {
                 "asset": name,

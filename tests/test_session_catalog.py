@@ -79,6 +79,20 @@ def test_catalog_normalizes_event_timestamps(spark, sf_dir):
     assert dict(df.dtypes)["ts"] == "timestamp"
 
 
+def test_catalog_analyze_feeds_cbo_stats(spark, sf_dir):
+    """B9/B4: ANALYZE must produce real table stats (the reference enables
+    CBO but never feeds it; and ANALYZE silently fails on temp views)."""
+    cat = Catalog.for_dir(sf_dir)
+    cat.analyze(spark, ("nation",))
+    stats = (
+        spark.sql("DESCRIBE EXTENDED nation")
+        .filter("col_name = 'Statistics'")
+        .collect()
+    )
+    assert stats and "rows" in stats[0].data_type
+    spark.sql("DROP TABLE IF EXISTS nation")
+
+
 def test_delta_capability_gated(spark, tmp_path):
     """B8: Delta is provisioned-not-required (reference never writes Delta
     in-repo either, SURVEY §1.3). write_delta no-ops without delta-spark."""
