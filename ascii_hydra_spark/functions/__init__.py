@@ -42,7 +42,12 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 def word_tokens(text: Column | str) -> Column:
     """Whitespace tokenizer. `split` with a regex; empty tokens filtered so
     leading/trailing/double spaces don't produce '' tokens (matches the
-    oracle's list_filter(string_split_regex(...)))."""
+    oracle's list_filter(string_split_regex(...))).
+
+    Contract note: Java and RE2 treat '\\s' as ASCII whitespace only, so
+    U+2000-style Unicode spaces are NOT separators — Spark and DuckDB agree
+    on this; Python's str.split() does not (pinned by
+    tests/test_properties.py)."""
     c = F.col(text) if isinstance(text, str) else text
     return F.filter(F.split(c, r"\s+"), lambda t: t != "")
 

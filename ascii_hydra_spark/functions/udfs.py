@@ -32,3 +32,19 @@ def charge_milli_cents(ep: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Ser
 def weighted_mean(values: pd.Series, weights: pd.Series) -> float:
     """Grouped-agg pandas UDF: sum(v*w)/sum(w) (custom UDAF surface)."""
     return float((values * weights).sum() / weights.sum())
+
+
+@pandas_udf("double")
+def dot_product(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized dot product over two array<double> columns.
+
+    The scoring hot path for LSH candidate pairs: numpy crunches an Arrow
+    batch of vectors at C speed, where the equivalent zip_with+aggregate
+    expression evaluates interpreted per element. Used only in approximate
+    arms — exact oracle-matched arms keep the deterministic left-fold.
+    """
+    import numpy as np
+
+    va = np.stack(a.to_numpy())
+    vb = np.stack(b.to_numpy())
+    return pd.Series(np.einsum("ij,ij->i", va, vb))

@@ -107,32 +107,41 @@ def _normalize(v):
     return F.transform(v, lambda x: x / norm)
 
 
-def _hyperplane_sign_bits(vec, dim: int, n_planes: int, seed: int) -> "F.Column":
-    """Deterministic random-hyperplane LSH key, built entirely from built-ins.
+def _plane_literals(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic random hyperplanes, generated once on the driver.
 
-    Plane p's component j is a pseudo-random value in [-1,1] derived from
-    xxhash64(seed, p, j) — stable across executors and runs without shipping
-    a model. The LSH key is the n_planes-bit sign pattern of vec . plane_p.
+    numpy's legacy RandomState stream is stability-guaranteed, so the same
+    seed yields the same planes on every run/engine. The planes ship as
+    plan literals (n_planes x dim doubles — bytes, not a broadcast), which
+    keeps the per-row work to plain multiplies instead of regenerating
+    pseudo-random components per row in interpreted expression eval.
     """
-    planes = F.transform(
-        F.sequence(F.lit(0), F.lit(n_planes - 1)),
-        lambda p: F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dim - 1)),
-                    lambda j: (
-                        F.xxhash64(F.lit(seed), p, j).cast("double") / F.lit(float(2**63))
-                    ),
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    return rs.uniform(-1.0, 1.0, size=(n_planes, dim)).tolist()
+
+
+def _hyperplane_sign_bits(vec, dim: int, n_planes: int, seed: int) -> "F.Column":
+    """LSH key: the n_planes-bit sign pattern of vec . plane_p."""
+    planes = _plane_literals(dim, n_planes, seed)
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(c) for c in plane]),
+                    lambda x, r: x * r,
                 ),
-                lambda x, r: x * r,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-    bits = F.transform(planes, lambda d: F.when(d >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat_ws("", bits)
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat_ws("", *bits)
 
 
 def cosine_pairs_lsh(
@@ -176,19 +185,28 @@ def cosine_pairs_lsh(
         ).alias("__bucket"),
     )
     a, b = tables.alias("a"), tables.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.__v"), F.col("b.__v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (
+    # dedupe candidate PAIRS before scoring: a pair colliding in k tables
+    # would otherwise pay the 64-dim dot product k times
+    candidates = (
         a.join(
             b,
             (F.col("a.__bucket") == F.col("b.__bucket")) & (F.col("a.__id") < F.col("b.__id")),
         )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"), dot.alias("__sim"))
-        .groupBy("id_a", "id_b")
-        .agg(F.round(F.first("__sim"), 6).alias("sim"))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    from ascii_hydra_spark.functions.udfs import dot_product
+
+    va = normed.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    vb = normed.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot_product("__va", "__vb"), 6).alias("sim"),
+        )
         .filter(F.col("sim") >= threshold)
     )
 

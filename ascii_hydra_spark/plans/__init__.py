@@ -13,6 +13,7 @@ reference) is infra, not query capability — out of scope per SURVEY §2.4.
 
 from __future__ import annotations
 
+import inspect
 import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -54,20 +55,36 @@ class Pipeline:
 
         return reg
 
-    def run(self, spark: SparkSession, analyze: bool = False) -> dict[str, dict]:
+    def run(
+        self,
+        spark: SparkSession,
+        analyze: bool = False,
+        partition_key: str | None = None,
+    ) -> dict[str, dict]:
         """Materialize all assets in dependency order; returns run reports
         (the Dagster-free equivalent of report_asset_materialization).
 
         `analyze=True` runs ANALYZE TABLE after each materialization so
         downstream CBO join reordering has real cardinalities — the
-        reference enables CBO but never feeds it stats (SURVEY §4)."""
+        reference enables CBO but never feeds it stats (SURVEY §4).
+
+        `partition_key` is handed to asset fns that declare a third
+        parameter (reference: partition_key extras flow into
+        execute_business_logic, spark_script_abc.py:76,116-118). Combined
+        with `partition_by` + the session's dynamic partition overwrite,
+        rerunning one partition replaces only that partition's files —
+        the idempotent-rerun contract (utils.py:87)."""
         order = list(TopologicalSorter({n: a.deps for n, a in self.assets.items()}).static_order())
         outputs: dict[str, DataFrame] = {}
         reports: dict[str, dict] = {}
         for name in order:
             a = self.assets[name]
             t0 = time.monotonic()
-            df = a.fn(spark, {d: outputs[d] for d in a.deps})
+            deps = {d: outputs[d] for d in a.deps}
+            if len(inspect.signature(a.fn).parameters) >= 3:
+                df = a.fn(spark, deps, partition_key)
+            else:
+                df = a.fn(spark, deps)
             path = f"{self.base_path}/{name}"
             write_parquet(df, path, partition_by=a.partition_by)
             materialized = spark.read.parquet(path)

@@ -45,6 +45,12 @@ HEADLINE = [
     "quality_scores",         # scalar-expression pipeline
     "json_extract",           # JSON path extraction
     "rollup_revenue",         # multi-level rollup
+    "tpch_q3_like",           # filtered 3-way join + top-k
+    "tpch_q6_like",           # multi-predicate pushdown scan
+    "near_dup_minhash",       # MinHash+LSH candidate pipeline
+    "sim_pairs_lsh",          # hyperplane LSH similarity join
+    "applyinpandas_demean",   # Arrow grouped-map UDF path
+    "salted_join_revenue",    # skew-salted join
 ]
 
 

@@ -1,0 +1,77 @@
+"""Property-based tests (hypothesis) for the pure Column-expression layer.
+
+The oracle tests pin fixed fixtures; these pin *invariants* on arbitrary
+inputs — the reference has no property testing at all (SURVEY §5), so this
+is part of the closed gap. Spark evaluation is batched per property (one
+createDataFrame per example set, not per example) to keep runtime sane.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from ascii_hydra_spark.functions import ngrams, word_tokens
+from ascii_hydra_spark.session import calculate_parallelism
+
+TEXT = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Nd", "Zs")), max_size=80
+)
+
+
+def _ascii_ws_split(t: str) -> list[str]:
+    """The engine's tokenization contract: Java/RE2 '\\s' is ASCII-only
+    (Spark and the DuckDB oracle agree on this; Python str.split() does NOT —
+    it also splits U+2000-style Unicode spaces, found by hypothesis)."""
+    return [tok for tok in re.split(r"[ \t\n\x0b\f\r]+", t) if tok]
+
+
+@given(st.integers(min_value=0, max_value=10**12))
+def test_parallelism_bounds(n):
+    p = calculate_parallelism(n)
+    assert 200 <= p <= 90_000
+    if n >= 90_000:
+        assert p == 90_000
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=8))
+def test_word_tokens_match_python_split(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t STRING")
+    got = [r.toks for r in df.select(word_tokens("t").alias("toks")).collect()]
+    expected = [_ascii_ws_split(t) for t in texts]
+    assert got == expected
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=6), st.integers(min_value=1, max_value=4))
+def test_ngrams_match_python_reference(spark, texts, n):
+    df = spark.createDataFrame([(t,) for t in texts], "t STRING")
+    got = [
+        r.g for r in df.select(ngrams(word_tokens("t"), n).alias("g")).collect()
+    ]
+    for t, grams in zip(texts, got):
+        toks = _ascii_ws_split(t)
+        expected = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        assert grams == expected, (t, n)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(-100, 100)), min_size=1, max_size=30
+    )
+)
+def test_exact_dedup_one_winner_per_key(spark, rows):
+    from ascii_hydra_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame(rows, "k INT, v INT")
+    out = exact_dedup(df, ["k"], tiebreak=[F.col("v")]).collect()
+    keys = {r.k for r in out}
+    assert len(out) == len(keys) == len({k for k, _ in rows})
+    # winner is the minimum v per key (deterministic canonical rule)
+    for r in out:
+        assert r.v == min(v for k, v in rows if k == r.k)
