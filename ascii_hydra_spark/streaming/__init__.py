@@ -120,6 +120,66 @@ def run_available_now(
     return sink
 
 
+def run_foreach_batch_upsert(
+    stream_df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    state_dir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> str:
+    """Maintain a latest-row-per-key parquet table via foreachBatch.
+
+    The standard shape for sinks that need MERGE semantics (file sinks are
+    append-only): each micro-batch unions with current state, keeps the max
+    `order_col` row per key (full-row tiebreak for determinism), and swaps
+    the dataset in via staging-dir rename. At scale the same foreachBatch
+    body targets Delta MERGE or a key-value store; the micro-batch
+    orchestration, checkpointing, and exactly-once-per-batch contract are
+    identical.
+    """
+    import os
+    import shutil
+
+    state = state_dir or tempfile.mkdtemp(prefix="ahs_upsert_")
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="ahs_upsert_ckpt_")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window, functions as F2
+
+        spark = batch_df.sparkSession
+        merged = batch_df
+        has_state = os.path.isdir(state) and any(
+            f.endswith(".parquet") for f in os.listdir(state)
+        )
+        if has_state:
+            merged = spark.read.parquet(state).unionByName(batch_df)
+        w = Window.partitionBy(*key_cols).orderBy(
+            F2.desc(order_col), *[F2.desc(c) for c in merged.columns]
+        )
+        latest = (
+            merged.withColumn("__rn", F2.row_number().over(w))
+            .filter(F2.col("__rn") == 1)
+            .drop("__rn")
+        )
+        staging = state + ".staging"
+        latest.write.mode("overwrite").parquet(staging)
+        old = state + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(state):
+            os.rename(state, old)
+        os.rename(staging, state)
+        shutil.rmtree(old, ignore_errors=True)
+
+    q = (
+        stream_df.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return state
+
+
 def stateful_running_count(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Custom stateful per-key processing: cumulative event count per user
     via applyInPandasWithState (SURVEY.md C28). Emits one row per input

@@ -62,6 +62,10 @@ def dsum(col, scale: int = 2):
     return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
 
 
+# DuckDB-side whitespace tokenizer matching functions.word_tokens
+_TOKS = "LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '')"
+
+
 # ===================================================================
 # Tier A — reference-exercised surface (scans, projections, aggregates)
 # ===================================================================
@@ -916,6 +920,152 @@ def partitioned_pruned_read(spark, sf_dir):
     )
 
 
+@q(
+    "hof_array_funcs",
+    f"""
+    SELECT doc_id,
+      CAST(LEN(LIST_FILTER(tk, t -> LENGTH(t) >= 6)) AS INT) AS n_long,
+      CAST(LIST_SUM(LIST_TRANSFORM(tk, t -> LENGTH(t))) AS BIGINT) AS total_chars,
+      CAST(LIST_CONTAINS(tk, 'the') AS INT) AS has_the,
+      CAST((LEN(LIST_FILTER(tk, t -> LENGTH(t) < 20)) = LEN(tk)) AS INT) AS all_short
+    FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)
+    """,
+    "higher-order array functions: transform/filter/exists/forall/aggregate "
+    "(C10) — scalar projections so the oracle comparison is engine-neutral",
+)
+def hof_array_funcs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tk = word_tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(F.filter(tk, lambda t: F.length(t) >= 6)).cast("int").alias("n_long"),
+        F.aggregate(
+            F.transform(tk, lambda t: F.length(t).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).alias("total_chars"),
+        F.exists(tk, lambda t: t == "the").cast("int").alias("has_the"),
+        F.forall(tk, lambda t: F.length(t) < 20).cast("int").alias("all_short"),
+    )
+
+
+@q(
+    "window_range_time",
+    """
+    SELECT event_id,
+      COUNT(*) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+                     RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW) AS n_last_hour
+    FROM events
+    """,
+    "C13 value-range frame: per-user trailing 1-hour event count (RANGE "
+    "frames include ts-peers identically on both engines)",
+)
+def window_range_time(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    hour_us = 3600 * 1_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-hour_us, 0)
+    )
+    return e.select("event_id", F.count("*").over(w).alias("n_last_hour"))
+
+
+@q(
+    "percent_rank_cume",
+    "SELECT o_orderkey, "
+    "ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank, "
+    "ROUND(CUME_DIST() OVER w, 6) AS cume "
+    "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)",
+    "C11: percent_rank / cume_dist with full tie-break",
+)
+def percent_rank_cume(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@q(
+    "listagg_nations",
+    "SELECT r_name, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations "
+    "FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY r_name",
+    "ordered string aggregation (LISTAGG WITHIN GROUP ≡ STRING_AGG ORDER BY)",
+)
+def listagg_nations(spark, sf_dir):
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    _t(spark, sf_dir, "region").createOrReplaceTempView("region")
+    return spark.sql(
+        "SELECT r_name, LISTAGG(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations "
+        "FROM nation JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+    )
+
+
+@q(
+    "unpivot_balances",
+    """
+    SELECT nk, metric, bal FROM (
+      SELECT n_nationkey AS nk,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS cust_bal,
+        COALESCE(CAST((SELECT SUM(CAST(s_acctbal AS DECIMAL(18,2))) FROM supplier s
+              WHERE s.s_nationkey = n.n_nationkey) AS DOUBLE), 0.0) AS supp_bal
+      FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+      GROUP BY n_nationkey
+    ) UNPIVOT (bal FOR metric IN (cust_bal, supp_bal))
+    """,
+    "unpivot/melt: wide aggregate -> long (metric, value) rows",
+)
+def unpivot_balances(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    cust = (
+        c.groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("cust_bal"))
+    )
+    supp = (
+        s.groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("supp_bal"))
+    )
+    wide = (
+        n.select(F.col("n_nationkey").alias("nk"))
+        .join(cust, "nk", "inner")
+        .join(supp, "nk", "left")
+        # DuckDB UNPIVOT excludes NULL cells by default; zero-fill so both
+        # engines emit a row per (nation, metric)
+        .withColumn("supp_bal", F.coalesce("supp_bal", F.lit(0.0)))
+    )
+    return wide.unpivot("nk", ["cust_bal", "supp_bal"], "metric", "bal")
+
+
+@q(
+    "explode_outer_rare_tokens",
+    f"""
+    SELECT doc_id, tok FROM (
+      SELECT doc_id, UNNEST(lt) AS tok
+      FROM (SELECT doc_id, LIST_FILTER({_TOKS}, t -> LENGTH(t) >= 9) AS lt FROM documents)
+      WHERE LEN(lt) > 0
+    )
+    UNION ALL
+    SELECT doc_id, NULL AS tok
+    FROM (SELECT doc_id, LIST_FILTER({_TOKS}, t -> LENGTH(t) >= 9) AS lt FROM documents)
+    WHERE LEN(lt) = 0
+    """,
+    "C31: explode_outer — null-preserving row generation for empty arrays",
+)
+def explode_outer_rare_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    rare = F.filter(word_tokens("text"), lambda t: F.length(t) >= 9)
+    return d.select("doc_id", F.explode_outer(rare).alias("tok"))
+
+
 # ===================================================================
 # Dedup family (C1-C2 + driver mandate)
 # ===================================================================
@@ -1092,9 +1242,6 @@ def embedding_dedup(spark, sf_dir):
 # ===================================================================
 # Text analysis (C5-C8)
 # ===================================================================
-
-_TOKS = "LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '')"
-
 
 @q(
     "text_stats_by_lang",

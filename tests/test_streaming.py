@@ -93,6 +93,41 @@ def test_watermark_drops_late_data(spark):
     assert ("2024-01-01T12:00:00", 1) in final
 
 
+def test_foreach_batch_upsert_keeps_latest_per_key(spark):
+    src = tempfile.mkdtemp(prefix="ahs_up_src_")
+    state = tempfile.mkdtemp(prefix="ahs_up_state_")
+    ckpt = tempfile.mkdtemp(prefix="ahs_up_ckpt_")
+    _write_batch(
+        spark,
+        src,
+        "b1",
+        [(1, 7, "2024-01-01 10:00:00"), (2, 8, "2024-01-01 10:05:00")],
+    )
+
+    def run_once():
+        ev = spark.readStream.schema(
+            "event_id BIGINT, user_id BIGINT, ts TIMESTAMP"
+        ).parquet(f"{src}/*")
+        streaming.run_foreach_batch_upsert(
+            ev, key_cols=["user_id"], order_col="ts", state_dir=state, checkpoint_dir=ckpt
+        )
+
+    run_once()
+    got = {(r.user_id, r.event_id) for r in spark.read.parquet(state).collect()}
+    assert got == {(7, 1), (8, 2)}
+
+    # batch 2: newer event for user 7, new user 9 — user 8 untouched
+    _write_batch(
+        spark,
+        src,
+        "b2",
+        [(3, 7, "2024-01-01 11:00:00"), (4, 9, "2024-01-01 11:01:00")],
+    )
+    run_once()
+    got = {(r.user_id, r.event_id) for r in spark.read.parquet(state).collect()}
+    assert got == {(7, 3), (8, 2), (9, 4)}
+
+
 def test_stream_dedup_emits_first_occurrence_only(spark):
     src = tempfile.mkdtemp(prefix="ahs_dd_src_")
     _write_batch(
