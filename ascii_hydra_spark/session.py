@@ -66,6 +66,7 @@ class SessionProfile:
     parquet_compression: str = "snappy"  # reference uses gzip (spark.py:62); snappy is the speed default
     driver_memory: str | None = None
     enable_ui: bool = False
+    cloud: bool = False  # True -> apply CLOUD_CONF (S3A committers etc.)
     extra_conf: dict[str, str] = field(default_factory=dict)
 
     @classmethod
@@ -111,6 +112,24 @@ INTERCHANGE_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 
+CLOUD_CONF: dict[str, str] = {
+    # S3A committer tuning for correct + fast cloud writes (reference
+    # spark.py:48-59): directory staging committer, parquet committer
+    # binding, disk-buffered fast upload. Applied only for cloud profiles —
+    # the cloud committer classes live in the hadoop-cloud module, absent
+    # from plain local builds.
+    "spark.hadoop.fs.s3a.committer.name": "directory",
+    "spark.sql.sources.commitProtocolClass": (
+        "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+    ),
+    "spark.sql.parquet.output.committer.class": (
+        "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+    ),
+    "spark.hadoop.fs.s3a.fast.upload": "true",
+    "spark.hadoop.fs.s3a.fast.upload.buffer": "disk",
+    "spark.hadoop.fs.s3a.connection.maximum": "100",
+}
+
 
 def build_spark(profile: SessionProfile | None = None) -> SparkSession:
     """Build (or get) a SparkSession honouring the engine's semantic contract."""
@@ -120,7 +139,10 @@ def build_spark(profile: SessionProfile | None = None) -> SparkSession:
     shuffle = p.shuffle_partitions or (cpus if master.startswith("local") else 4096)
 
     b = SparkSession.builder.appName(p.app_name).master(master)
-    for k, v in {**SEMANTIC_CONF, **OPTIMIZER_CONF, **INTERCHANGE_CONF}.items():
+    conf = {**SEMANTIC_CONF, **OPTIMIZER_CONF, **INTERCHANGE_CONF}
+    if p.cloud:
+        conf.update(CLOUD_CONF)
+    for k, v in conf.items():
         b = b.config(k, v)
     b = (
         b.config("spark.sql.shuffle.partitions", str(shuffle))

@@ -82,6 +82,18 @@ def read_partitioned(
     return df
 
 
+def time_window_path(base_path: str, asset_key: str, start=None, end=None) -> str:
+    """The reference IO manager's path scheme (parquet_io_manager.py:83-91):
+    `<base>/<asset>/<YYYYmmddHHMMSS>_<YYYYmmddHHMMSS>.parquet` for a
+    time-window partition, `<base>/<asset>.parquet` unpartitioned. Kept for
+    dataset-layout compatibility; new datasets should prefer Hive
+    `partitionBy` (the reference's own TODO at parquet_io_manager.py:86)."""
+    if start is None or end is None:
+        return f"{base_path}/{asset_key}.parquet"
+    fmt = "%Y%m%d%H%M%S"
+    return f"{base_path}/{asset_key}/{start.strftime(fmt)}_{end.strftime(fmt)}.parquet"
+
+
 def write_delta(df: DataFrame, path: str, mode: str = "overwrite") -> bool:
     """Delta sink when delta-spark is on the classpath; returns False (no-op)
     otherwise. The reference provisions Delta everywhere but never writes it

@@ -181,6 +181,79 @@ def star_revenue_by_nation(spark, sf_dir):
 
 
 @q(
+    "graph_domain_aggr",
+    "SELECT sn.n_name AS src_domain, cn.n_name AS dst_domain, "
+    "COUNT(*) AS n_links, "
+    "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty "
+    "FROM lineitem "
+    "JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+    "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+    "GROUP BY 1, 2",
+    "the paper's production workload shape (paper.md:150-155): construct an "
+    "interfirm edge list by joining entity tables, then aggregate the graph "
+    "to the 'domain' (nation) level — graph ops as relational ops",
+)
+def graph_domain_aggr(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("src_domain")
+    )
+    cn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("dst_domain")
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+    )
+    return edges.groupBy("src_domain", "dst_domain").agg(
+        F.count("*").alias("n_links"), dsum("l_quantity").alias("total_qty")
+    )
+
+
+@q(
+    "null_safe_compare",
+    "SELECT event_type, "
+    "CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NOT DISTINCT FROM "
+    "json_extract_string(props, '$.k2') THEN 1 ELSE 0 END) AS BIGINT) AS n_same, "
+    "CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null "
+    "FROM events GROUP BY event_type",
+    "null-safe equality (<=> / IS NOT DISTINCT FROM) over nullable JSON fields",
+)
+def null_safe_compare(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    a = F.get_json_object("props", "$.k")
+    b = F.get_json_object("props", "$.k2")
+    return e.groupBy("event_type").agg(
+        F.sum(a.eqNullSafe(b).cast("int")).cast("bigint").alias("n_same"),
+        F.sum(a.isNull().cast("int")).cast("bigint").alias("n_null"),
+    )
+
+
+@q(
+    "encoding_funcs",
+    "SELECT doc_id, BASE64(ENCODE(SUBSTRING(text, 1, 12))) AS b64, "
+    "LOWER(HEX(ENCODE(SUBSTRING(text, 1, 4)))) AS hx FROM documents",
+    "binary encodings: utf8 encode -> base64 / hex (identical digests both engines)",
+)
+def encoding_funcs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.base64(F.encode(F.substring("text", 1, 12), "UTF-8")).alias("b64"),
+        F.lower(F.hex(F.encode(F.substring("text", 1, 4), "UTF-8"))).alias("hx"),
+    )
+
+
+@q(
     "pricing_summary",
     "SELECT l_returnflag, l_linestatus, "
     "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, "

@@ -38,6 +38,18 @@ def test_semantic_conf_commitments():
     assert OPTIMIZER_CONF["spark.sql.cbo.enabled"] == "true"
 
 
+def test_cloud_conf_committers():
+    # S3A committer parity (reference spark.py:48-59); applied only when
+    # profile.cloud=True so local builds without hadoop-cloud still work
+    from ascii_hydra_spark.session import CLOUD_CONF
+
+    assert CLOUD_CONF["spark.hadoop.fs.s3a.committer.name"] == "directory"
+    assert "BindingParquetOutputCommitter" in CLOUD_CONF[
+        "spark.sql.parquet.output.committer.class"
+    ]
+    assert not SessionProfile.dev().cloud
+
+
 def test_profile_full_scales_up():
     dev, full = SessionProfile.dev(), SessionProfile.full()
     assert full.shuffle_partitions == 4096
