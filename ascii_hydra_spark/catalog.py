@@ -72,6 +72,11 @@ class Catalog:
     roots: dict[ExecutionMode, str] = field(default_factory=dict)
     mode: ExecutionMode = ExecutionMode.DEV_SAMPLE_LOCAL
     overrides: dict[str, str] = field(default_factory=dict)  # per-table path overrides
+    # Dev-mode row sampling (reference: "sampling function to avoid waiting
+    # until PBs of data are processed", orchestration/pipes/spark_pipes.py:21).
+    # Seeded so dev runs are reproducible; never applied in FULL mode.
+    sample_fraction: float | None = None
+    sample_seed: int = 42
 
     @classmethod
     def for_dir(cls, sf_dir: str | None = None) -> "Catalog":
@@ -89,7 +94,11 @@ class Catalog:
         """Load a logical table; fixture normalizers applied at the edge."""
         df = spark.read.parquet(self.path(name))
         norm = _NORMALIZERS.get(name)
-        return norm(df) if norm else df
+        if norm:
+            df = norm(df)
+        if self.sample_fraction is not None and self.mode is not ExecutionMode.FULL:
+            df = df.sample(fraction=self.sample_fraction, seed=self.sample_seed)
+        return df
 
     def register_views(self, spark: SparkSession, names: tuple[str, ...] = TABLES) -> None:
         """Register temp views so the same queries run through spark.sql."""

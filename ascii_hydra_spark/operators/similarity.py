@@ -238,6 +238,80 @@ def embedding_dedup(
     return emb.join(dups, id_col, "left_anti")
 
 
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: the corpus written as parquet PARTITIONED BY
+    its cell id, so a probe is a partition-pruned scan instead of a full
+    read. This is the at-scale form of cosine_topk_ivf's in-memory cell
+    assignment — build once at ingest, probe many times.
+
+    Layout: `<path>/__cell=<c>/...parquet` with the normalized vector
+    stored alongside the original row id.
+    """
+    normed = emb.select(
+        F.col(id_col).alias("__id"), _normalize(to_double_array(vec_col)).alias("__v")
+    )
+    cents = normed.filter(F.col("__id") < n_centroids).select(
+        F.col("__id").alias("__cid"), F.col("__v").alias("__cv")
+    )
+    assigned = (
+        normed.crossJoin(F.broadcast(cents))
+        .groupBy("__id")
+        .agg(
+            F.max_by("__cid", _dot_col(F.col("__v"), F.col("__cv"))).alias("__cell"),
+            F.first("__v").alias("__v"),
+        )
+    )
+    assigned.write.mode("overwrite").partitionBy("__cell").parquet(path)
+    cents.write.mode("overwrite").parquet(f"{path}__centroids")
+
+
+def ivf_search(
+    spark,
+    path: str,
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k over a persisted IVF index: rank centroids against the query,
+    then scan ONLY the top-nprobe cell partitions (partition pruning via the
+    `__cell IN (...)` filter — verify with explain: PartitionFilters)."""
+    q = F.array(*[F.lit(float(x)) for x in query]).cast("array<double>")
+    qn = F.transform(
+        q,
+        lambda x: x
+        / F.sqrt(F.aggregate(q, F.lit(0.0), lambda a, y: a + y * y)),
+    )
+    cents = spark.read.parquet(f"{path}__centroids")
+    probe_rows = (
+        cents.select("__cid", _dot_col(F.col("__cv"), qn).alias("__cd"))
+        .orderBy(F.desc("__cd"), F.col("__cid"))
+        .limit(nprobe)
+        .collect()  # bounded: nprobe rows
+    )
+    cells = [r["__cid"] for r in probe_rows]
+    idx = spark.read.parquet(path).filter(F.col("__cell").isin(cells))
+    return (
+        idx.select(
+            F.col("__id").alias(id_col), F.round(_dot_col(F.col("__v"), qn), 6).alias("sim")
+        )
+        .orderBy(F.desc("sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _dot_col(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
 def cosine_topk_ivf(
     emb: DataFrame,
     query_id: int,

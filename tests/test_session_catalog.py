@@ -86,6 +86,18 @@ def test_catalog_tables_inventory():
     assert "lineitem" in TABLES and "embeddings" in TABLES
 
 
+def test_catalog_dev_sampling_is_seeded_and_full_mode_exempt(spark, sf_dir):
+    full = Catalog.for_dir(sf_dir).load(spark, "orders").count()
+    cat = Catalog.for_dir(sf_dir)
+    cat.sample_fraction = 0.1
+    a = cat.load(spark, "orders").count()
+    b = cat.load(spark, "orders").count()
+    assert a == b  # seeded -> reproducible dev sample
+    assert 0 < a < full
+    cat.mode = ExecutionMode.FULL
+    assert cat.load(spark, "orders").count() == full  # FULL never samples
+
+
 def test_catalog_normalizes_event_timestamps(spark, sf_dir):
     df = Catalog.for_dir(sf_dir).load(spark, "events")
     assert dict(df.dtypes)["ts"] == "timestamp"

@@ -42,6 +42,28 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert overlap >= 0.3, f"IVF recall@{k} {overlap} < 0.3"
 
 
+def test_persisted_ivf_index_prunes_partitions(spark, sf_dir):
+    """The at-scale IVF form: cell id as partition column, probe = pruned scan."""
+    import tempfile
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = tempfile.mkdtemp(prefix="ahs_ivf_") + "/idx"
+    similarity.build_ivf_index(emb, path, n_centroids=8)
+
+    dim = len(emb.select("embedding").first()[0])
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    hits = similarity.ivf_search(spark, path, q, k=10, nprobe=3)
+    rows = hits.collect()
+    assert len(rows) == 10
+    # the query vector itself lives in a probed cell and matches itself
+    assert rows[0].vec_id == 0 and abs(rows[0].sim - 1.0) < 1e-6
+    # probe must be a partition-pruned scan, not a full index read
+    plan = hits._sc._jvm.PythonSQLUtils.explainString(
+        hits._jdf.queryExecution(), "simple"
+    )
+    assert "PartitionFilters" in plan and "__cell" in plan.split("PartitionFilters")[1][:200]
+
+
 def test_cosine_topk_constant_query(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dim = len(emb.select("embedding").first()[0])
