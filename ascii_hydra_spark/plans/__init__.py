@@ -24,6 +24,29 @@ from pyspark.sql import DataFrame, SparkSession
 from ascii_hydra_spark.sources import write_parquet
 
 
+def plan_report(df: DataFrame) -> dict:
+    """Structured summary of a DataFrame's physical plan — the engine's
+    self-inspection hook for the 100 TB discipline checks (shuffle count,
+    broadcast usage, scan pushdown). Used by tests and ad-hoc tuning; cheap
+    (no execution).
+    """
+    qe = df._jdf.queryExecution()
+    formatted = df._sc._jvm.PythonSQLUtils.explainString(qe, "formatted")
+    simple = df._sc._jvm.PythonSQLUtils.explainString(qe, "simple")
+    return {
+        "shuffles": simple.count("Exchange") - simple.count("BroadcastExchange"),
+        "broadcasts": simple.count("BroadcastExchange"),
+        "broadcast_hash_joins": simple.count("BroadcastHashJoin"),
+        "sort_merge_joins": simple.count("SortMergeJoin"),
+        "has_pushed_filters": "PushedFilters: [" in formatted
+        and "PushedFilters: []" not in formatted,
+        "has_partition_filters": "PartitionFilters: [" in formatted
+        and "PartitionFilters: []" not in formatted,
+        "take_ordered": "TakeOrderedAndProject" in simple,
+        "scans": simple.count("Scan parquet"),
+    }
+
+
 @dataclass
 class Asset:
     """One named node: fn(spark, {dep_name: DataFrame}) -> DataFrame."""

@@ -1520,6 +1520,64 @@ def asof_join_events(spark, sf_dir):
 
 
 @q(
+    "funnel_view_click_purchase",
+    """
+    WITH m AS (
+      SELECT user_id,
+        MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+        MIN(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+        MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purch
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+      CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      CAST(SUM(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_then_click,
+      CAST(SUM(CASE WHEN t_view < t_click AND t_click < t_purch THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM m
+    """,
+    "event-sequence funnel (view -> click -> purchase ordering per user) — "
+    "one shuffle on user_id, conditional-min pivot instead of self-joins",
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    m = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purch"),
+    )
+    return m.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.col("t_view").isNotNull().cast("int")).cast("bigint").alias("n_view"),
+        F.sum((F.col("t_view") < F.col("t_click")).cast("int")).cast("bigint").alias(
+            "n_view_then_click"
+        ),
+        F.sum(
+            ((F.col("t_view") < F.col("t_click")) & (F.col("t_click") < F.col("t_purch"))).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_full_funnel"),
+    )
+
+
+@q(
+    "regr_stats",
+    "SELECT l_returnflag, "
+    "ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS slope, "
+    "ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 6) AS intercept, "
+    "CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n "
+    "FROM lineitem GROUP BY l_returnflag",
+    "C20: linear-regression aggregates (slope/intercept/count)",
+)
+def regr_stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 6).alias("intercept"),
+        F.regr_count("l_extendedprice", "l_quantity").cast("bigint").alias("n"),
+    )
+
+
+@q(
     "sessionize",
     """
     WITH o AS (

@@ -69,6 +69,16 @@ def test_aggregate_is_partial_then_final(spark, sf_dir):
     assert "codegen id" in executed, "hot path fell out of whole-stage codegen"
 
 
+def test_plan_report_structure(spark, sf_dir):
+    rep = plans.plan_report(REGISTRY["region_revenue"].fn(spark, sf_dir))
+    assert rep["broadcast_hash_joins"] >= 1 and rep["sort_merge_joins"] == 0
+    assert rep["shuffles"] >= 1  # the final group-by
+    rep2 = plans.plan_report(REGISTRY["topk_orders"].fn(spark, sf_dir))
+    assert rep2["take_ordered"] and rep2["shuffles"] == 0
+    rep3 = plans.plan_report(REGISTRY["projection_filter"].fn(spark, sf_dir))
+    assert rep3["has_pushed_filters"]
+
+
 def test_pipeline_dag_runs_in_dependency_order(spark, sf_dir):
     base = tempfile.mkdtemp(prefix="ahs_pipe_")
     pipe = plans.Pipeline(base_path=base)
