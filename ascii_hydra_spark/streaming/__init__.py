@@ -120,6 +120,52 @@ def run_available_now(
     return sink
 
 
+def stateful_max_value(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Per-key running max via transformWithStateInPandas (Spark 4's
+    arbitrary-state API, the successor to applyInPandasWithState): typed
+    ValueState, explicit processor lifecycle, RocksDB state store.
+
+    Requires `spark.sql.streaming.stateStore.providerClass` =
+    RocksDBStateStoreProvider (the transformWithState backend) AND the
+    `google.protobuf` package (the TWS driver-worker protocol) — absent
+    from this container, so the operator is exercised by a skip-gated test
+    (tests/test_streaming.py) rather than the oracle registry;
+    `stateful_running_count` (applyInPandasWithState) is the always-on
+    C28 arm.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class MaxProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._mx = handle.getValueState("mx", "mx DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            mx = self._mx.get()[0] if self._mx.exists() else None
+            for pdf in rows:
+                batch_max = float(pdf["value"].max())
+                mx = batch_max if mx is None else max(mx, batch_max)
+            self._mx.update((mx,))
+            yield pd.DataFrame({"user_id": [key[0]], "max_value": [mx]})
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=MaxProcessor(),
+            outputStructType="user_id BIGINT, max_value DOUBLE",
+            outputMode="Append",
+            timeMode="None",
+        )
+    )
+
+
 def run_foreach_batch_upsert(
     stream_df: DataFrame,
     key_cols: list[str],

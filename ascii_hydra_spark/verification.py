@@ -1742,6 +1742,32 @@ def stream_stateful_counts(spark, sf_dir):
 
 
 @q(
+    "mapinarrow_charlen",
+    "SELECT doc_id, CAST(LENGTH(text) AS INT) AS n_chars_arrow FROM documents",
+    "C29 (Arrow-native): DataFrame.mapInArrow over raw RecordBatches "
+    "(pyarrow.compute, no pandas materialization) ≡ LENGTH(text)",
+)
+def mapinarrow_charlen(spark, sf_dir):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def char_lens(batches):
+        for batch in batches:
+            t = pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "n_chars_arrow": pc.cast(
+                        pc.utf8_length(batch.column("text")), pa.int32()
+                    ),
+                }
+            )
+            yield from t.to_batches()
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(char_lens, schema="doc_id BIGINT, n_chars_arrow INT")
+
+
+@q(
     "stream_dedup",
     "SELECT DISTINCT user_id, event_type FROM events",
     "C27: streaming dropDuplicates within watermark ≡ batch DISTINCT on keys",

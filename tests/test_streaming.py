@@ -93,6 +93,40 @@ def test_watermark_drops_late_data(spark):
     assert ("2024-01-01T12:00:00", 1) in final
 
 
+def test_transform_with_state_max(spark):
+    """Spark 4 transformWithStateInPandas arm of C28 — requires
+    google.protobuf (TWS worker protocol), absent from this container."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf not usable (TWS driver-worker dependency)")
+    src = tempfile.mkdtemp(prefix="ahs_tws_src_")
+    _write_batch(
+        spark,
+        src,
+        "b1",
+        [(1, 7, "2024-01-01 10:00:00"), (2, 7, "2024-01-01 10:05:00"), (3, 8, "2024-01-01 10:06:00")],
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = (
+            spark.readStream.schema("event_id BIGINT, user_id BIGINT, ts TIMESTAMP")
+            .parquet(f"{src}/*")
+            .withColumn("value", F.col("event_id").cast("double"))
+        )
+        agg = streaming.stateful_max_value(ev)
+        sink = streaming.run_available_now(agg)
+        got = {(r.user_id, r.max_value) for r in spark.read.parquet(sink).collect()}
+        assert got == {(7, 2.0), (8, 3.0)}
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_foreach_batch_upsert_keeps_latest_per_key(spark):
     src = tempfile.mkdtemp(prefix="ahs_up_src_")
     state = tempfile.mkdtemp(prefix="ahs_up_state_")
