@@ -905,6 +905,75 @@ def datetime_arith(spark, sf_dir):
     )
 
 
+@q(
+    "try_arith",
+    "SELECT l_linestatus, "
+    "CAST(SUM(CASE WHEN CAST(l_quantity AS DECIMAL(18,6)) / NULLIF(l_discount, 0.0) IS NULL "
+    "THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null, "
+    "CAST(COUNT(TRY_CAST(l_returnflag AS INT)) AS BIGINT) AS n_numeric_flags "
+    "FROM lineitem GROUP BY l_linestatus",
+    "error-safe arithmetic: try_divide ≡ x / NULLIF(y,0); try_cast of "
+    "non-numeric strings yields NULL on both engines",
+)
+def try_arith(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.sum(
+            F.try_divide(
+                F.col("l_quantity").cast("decimal(18,6)"), F.col("l_discount")
+            )
+            .isNull()
+            .cast("int")
+        )
+        .cast("bigint")
+        .alias("n_div_null"),
+        F.count(F.try_to_number("l_returnflag", F.lit("9"))).cast("bigint").alias(
+            "n_numeric_flags"
+        ),
+    )
+
+
+@q(
+    "bitwise_aggs",
+    "SELECT o_orderstatus, "
+    "BIT_AND(o_orderkey) AS all_and, BIT_OR(o_orderkey) AS any_or, "
+    "BIT_XOR(o_orderkey) AS parity "
+    "FROM orders GROUP BY o_orderstatus",
+    "bitwise aggregates (and/or/xor) — order-independent, exact",
+)
+def bitwise_aggs(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bit_and("o_orderkey").alias("all_and"),
+        F.bit_or("o_orderkey").alias("any_or"),
+        F.bit_xor("o_orderkey").alias("parity"),
+    )
+
+
+@q(
+    "make_datetime",
+    "SELECT y, CAST(MAKE_DATE(y, 7, 1) AS TIMESTAMP) AS mid_year, "
+    "MAKE_TIMESTAMP(y, 12, 31, 23, 59, 59.0) AS year_end, COUNT(*) AS n "
+    "FROM (SELECT CAST(YEAR(o_orderdate) AS INT) AS y FROM orders) GROUP BY y",
+    "C21: date/timestamp construction from parts",
+)
+def make_datetime(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(F.year("o_orderdate").cast("int").alias("y"))
+        .groupBy("y")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "y",
+            F.make_date("y", F.lit(7), F.lit(1)).cast("timestamp").alias("mid_year"),
+            F.make_timestamp(
+                "y", F.lit(12), F.lit(31), F.lit(23), F.lit(59), F.lit(59.0)
+            ).alias("year_end"),
+            "n",
+        )
+    )
+
+
 # ===================================================================
 # Sources & sinks round-trips (CSV/JSON/partitioned parquet)
 # ===================================================================
