@@ -1,0 +1,75 @@
+"""Source/sink robustness (SURVEY §1.2-1.3, A5-A8, C32).
+
+The reference commits to schema evolution (Delta autoMerge /
+parquet mergeSchema — resources/spark.py:61,68-69) and compressed parquet
+at rest; these tests pin the equivalent behaviors on this engine's plain
+parquet + explicit-schema sources.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+
+def test_parquet_schema_evolution_merge(spark):
+    """Old files lack a column added later; mergeSchema unifies the read
+    (missing values NULL) — the reference's schema-evolution commitment."""
+    root = tempfile.mkdtemp(prefix="ahs_evo_")
+    spark.createDataFrame([(1, "a")], "id INT, s STRING").write.parquet(f"{root}/p1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id INT, s STRING, score DOUBLE"
+    ).write.parquet(f"{root}/p2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{root}/p1", f"{root}/p2"
+    )
+    assert set(merged.columns) == {"id", "s", "score"}
+    rows = {(r.id, r.s, r.score) for r in merged.collect()}
+    assert rows == {(1, "a", None), (2, "b", 9.5)}
+
+
+def test_parquet_compression_codecs_roundtrip(spark):
+    """gzip (reference default) and zstd (our full-profile default) both
+    round-trip; codec is visible in the file names."""
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    for codec in ("gzip", "zstd", "snappy"):
+        path = tempfile.mkdtemp(prefix=f"ahs_{codec}_")
+        df.write.mode("overwrite").option("compression", codec).parquet(path)
+        files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        assert files and all(codec.replace("gzip", "gz") in f for f in files)
+        assert spark.read.parquet(path).count() == 100
+
+
+def test_csv_malformed_rows_are_quarantined(spark):
+    """PERMISSIVE mode with a corrupt-record column: bad rows land in the
+    quarantine column instead of failing the 100 TB job at row 3 billion."""
+    path = tempfile.mkdtemp(prefix="ahs_badcsv_")
+    with open(f"{path}/data.csv", "w") as f:
+        f.write("1,alpha,10\n2,beta,notanumber\n3,gamma,30\n")
+    df = spark.read.csv(
+        path,
+        schema="id INT, name STRING, val INT, _corrupt STRING",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt",
+    )
+    rows = df.collect()
+    good = [r for r in rows if r._corrupt is None]
+    bad = [r for r in rows if r._corrupt is not None]
+    assert len(good) == 2 and len(bad) == 1
+    assert bad[0]._corrupt == "2,beta,notanumber"
+
+
+def test_json_lines_preserves_specials(spark):
+    """Explicit-schema JSON keeps nulls and unicode intact round-trip."""
+    path = tempfile.mkdtemp(prefix="ahs_jsonl_")
+    df = spark.createDataFrame(
+        [(1, None), (2, "café — ok")], "id INT, note STRING"
+    )
+    df.write.mode("overwrite").json(path)
+    back = spark.read.json(path, schema="id INT, note STRING")
+    assert {(r.id, r.note) for r in back.collect()} == {
+        (1, None),
+        (2, "café — ok"),
+    }
