@@ -621,6 +621,39 @@ def exact_distinct_median(spark, sf_dir):
 
 
 @q(
+    "group_quantiles",
+    "SELECT l_returnflag, "
+    "ROUND(QUANTILE_CONT(l_quantity, 0.25), 6) AS q25, "
+    "ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) AS q50, "
+    "ROUND(QUANTILE_CONT(l_quantity, 0.75), 6) AS q75 "
+    "FROM lineitem GROUP BY l_returnflag",
+    "C20 exact arm: per-group interpolated quantiles",
+)
+def group_quantiles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q25"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("q50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("q75"),
+    )
+
+
+@q(
+    "stratified_sample",
+    None,
+    "stratified sampling (sampleBy): per-stratum Bernoulli fractions, "
+    "seeded — engine-specific RNG stream, so fractions are asserted in "
+    "tests/test_relational_ops.py instead of hash-matched",
+)
+def stratified_sample(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    sampled = o.sampleBy(
+        "o_orderstatus", fractions={"F": 0.1, "O": 0.5, "P": 1.0}, seed=42
+    )
+    return sampled.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+
+
+@q(
     "json_extract",
     "SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum, "
     "COUNT(*) AS n FROM events GROUP BY event_type",

@@ -53,6 +53,47 @@ def test_dim_join_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_stratified_sample_fractions(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    totals = {r.o_orderstatus: r.n for r in o.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()}
+    sampled = o.sampleBy("o_orderstatus", {"F": 0.1, "O": 0.5, "P": 1.0}, seed=42)
+    got = {r.o_orderstatus: r.n for r in sampled.groupBy("o_orderstatus").agg(F.count("*").alias("n")).collect()}
+    # P stratum: fraction 1.0 keeps every row
+    assert got.get("P", 0) == totals.get("P", 0)
+    # O stratum: Bernoulli(0.5) within a loose 3-sigma band
+    n_o, k_o = totals["O"], got["O"]
+    assert abs(k_o - 0.5 * n_o) < 3 * (0.25 * n_o) ** 0.5 + 1
+    # seeded -> reproducible
+    again = o.sampleBy("o_orderstatus", {"F": 0.1, "O": 0.5, "P": 1.0}, seed=42).count()
+    assert again == sampled.count()
+
+
+def test_skew_join_aqe_handles_hot_key(spark):
+    """B3: AQE skew handling on a sort-merge join with one hot key — the
+    join completes and returns exact results (the skew-split itself is an
+    AQE runtime decision; correctness under skew is what we pin)."""
+    hot = spark.range(0, 20000).select(
+        (F.when(F.col("id") % 10 == 0, 1).otherwise(F.col("id"))).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(0, 20000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    # force SMJ so the skewed shuffle actually exists
+    joined = hot.join(dim.hint("merge"), "k")
+    assert joined.count() == 20000
+
+
+def test_multifile_scan_parallelism(spark, sf_dir):
+    """A 100 TB dataset arrives as many files; the scan must fan out."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="ahs_manyfiles_")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(8).write.mode(
+        "overwrite"
+    ).parquet(path)
+    df = spark.read.parquet(path)
+    assert df.rdd.getNumPartitions() >= 8
+
+
 def test_set_ops_semantics(spark):
     a = spark.createDataFrame([(1,), (1,), (2,), (3,)], "x INT")
     b = spark.createDataFrame([(2,), (4,)], "x INT")
