@@ -96,3 +96,46 @@ def range_join(
         & (left[left_ts] < right[right_end])
     )
     return left.join(right, cond)
+
+
+def banded_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance_seconds: int,
+) -> DataFrame:
+    """All (left, right) pairs with |left.ts - right.ts| <= tolerance, per key.
+
+    The scale formulation for interval joins: both sides get a time-band id
+    (epoch // tolerance); the left is replicated into its band and both
+    neighbors, the join is a plain EQUALITY join on (key, band) — shuffle
+    hash/sort-merge, never a broadcast-nested-loop theta join — and the
+    exact |Δt| <= tol predicate filters residuals. Replication factor is a
+    constant 3 regardless of data volume, and any pair within tolerance
+    shares at least one band by construction.
+
+    Returns left columns (as l_<c>) + right columns (as r_<c>).
+    """
+    band = lambda c: (F.unix_micros(F.col(c)) / F.lit(tolerance_seconds * 1_000_000)).cast("long")  # noqa: E731
+    l = left.select(
+        *[F.col(c).alias(f"l_{c}") for c in left.columns],
+        F.col(key).alias("__k"),
+        F.explode(
+            F.array(band(left_ts) - 1, band(left_ts), band(left_ts) + 1)
+        ).alias("__band"),
+    )
+    r = right.select(
+        *[F.col(c).alias(f"r_{c}") for c in right.columns],
+        F.col(key).alias("__k2"),
+        band(right_ts).alias("__band2"),
+    )
+    dt_us = F.abs(
+        F.unix_micros(F.col(f"l_{left_ts}")) - F.unix_micros(F.col(f"r_{right_ts}"))
+    )
+    return (
+        l.join(r, (F.col("__k") == F.col("__k2")) & (F.col("__band") == F.col("__band2")))
+        .filter(dt_us <= tolerance_seconds * 1_000_000)
+        .drop("__k", "__k2", "__band", "__band2")
+    )

@@ -82,6 +82,44 @@ def read_partitioned(
     return df
 
 
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """JDBC source (B13 — the reference ships org.postgresql in
+    spark.jars.packages, resources/spark.py:67; this container has no JDBC
+    driver jar, so the passthrough is exercised only by plan construction).
+
+    Always partition a JDBC read at scale: without partition_column, a
+    table arrives through ONE connection on ONE task.
+    """
+    r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        r = (
+            r.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound if lower_bound is not None else 0))
+            .option("upperBound", str(upper_bound if upper_bound is not None else 1_000_000))
+        )
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append", **options: str) -> None:
+    """JDBC sink passthrough (see read_jdbc note on driver jars)."""
+    w = df.write.format("jdbc").option("url", url).option("dbtable", table).mode(mode)
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.save()
+
+
 def time_window_path(base_path: str, asset_key: str, start=None, end=None) -> str:
     """The reference IO manager's path scheme (parquet_io_manager.py:83-91):
     `<base>/<asset>/<YYYYmmddHHMMSS>_<YYYYmmddHHMMSS>.parquet` for a

@@ -1622,6 +1622,93 @@ def asof_join_events(spark, sf_dir):
 
 
 @q(
+    "range_join_banded",
+    """
+    SELECT e.event_id AS error_id, c.event_id AS click_id
+    FROM events e JOIN events c
+      ON e.user_id = c.user_id
+     AND e.event_type = 'error' AND c.event_type = 'click'
+     AND ABS(EPOCH_US(CAST(e.ts AS TIMESTAMP)) - EPOCH_US(CAST(c.ts AS TIMESTAMP))) <= 300000000
+    """,
+    "C19 interval join: clicks within ±5 min of each error, per user — "
+    "banded equality-join formulation (constant x3 replication, no "
+    "broadcast-nested-loop theta join) vs the oracle's direct theta join",
+)
+def range_join_banded(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    out = asof.banded_interval_join(
+        errors, clicks, key="user_id", left_ts="ts", right_ts="ts", tolerance_seconds=300
+    )
+    return out.select(
+        F.col("l_event_id").alias("error_id"), F.col("r_event_id").alias("click_id")
+    )
+
+
+@q(
+    "tfidf_top_terms",
+    f"""
+    WITH tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM (
+        SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents
+      ) GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tf) GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term, ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    ORDER BY tfidf DESC, doc_id, term LIMIT 50
+    """,
+    "C7 composed: TF-IDF scoring (tf * ln(N/df)), corpus top-50",
+)
+def tfidf_top_terms(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tf = text.term_frequencies(d)
+    df_ = text.document_frequencies(d)
+    n_docs = d.count()  # bounded scalar
+    out = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    return out.orderBy(F.desc("tfidf"), "doc_id", "term").limit(50)
+
+
+@q(
+    "tpch_q18_like",
+    """
+    SELECT c_custkey, o_orderkey, CAST(total_qty AS DOUBLE) AS total_qty
+    FROM (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    ) big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+    "TPC-H Q18 shape: HAVING on an aggregate subquery joined back to the "
+    "dimension chain (large-volume-customer detection)",
+)
+def tpch_q18_like(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "o_orderkey", F.col("total_qty").cast("double").alias("total_qty"))
+    )
+
+
+@q(
     "funnel_view_click_purchase",
     """
     WITH m AS (
