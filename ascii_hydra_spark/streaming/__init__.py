@@ -120,6 +120,40 @@ def run_available_now(
     return sink
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    interval: str = "5 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join with a time-interval condition.
+
+    Both sides carry watermarks (mandatory: they bound the join state the
+    engine must retain — without them state grows with the stream). The
+    join matches right rows in [left.ts - interval, left.ts]. Inner joins
+    emit matches as both sides arrive; under availableNow the sink equals
+    the batch theta join on the same inputs.
+    """
+    l = left.select(
+        F.col(key).alias("l_key"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("ts").alias("l_ts"),
+    ).withWatermark("l_ts", watermark)
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+    ).withWatermark("r_ts", watermark)
+    return l.join(
+        r,
+        F.expr(
+            f"l_key = r_key AND r_ts BETWEEN l_ts - INTERVAL {interval} AND l_ts"
+        ),
+        "inner",
+    )
+
+
 def stateful_max_value(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Per-key running max via transformWithStateInPandas (Spark 4's
     arbitrary-state API, the successor to applyInPandasWithState): typed

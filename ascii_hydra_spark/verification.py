@@ -1918,6 +1918,37 @@ def stream_session(spark, sf_dir):
 
 
 @q(
+    "stream_stream_join",
+    """
+    SELECT c.event_id AS click_id, e.event_id AS error_id, c.user_id
+    FROM events c JOIN events e
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click' AND e.event_type = 'error'
+     AND CAST(e.ts AS TIMESTAMP) BETWEEN CAST(c.ts AS TIMESTAMP) - INTERVAL '5 minutes'
+                                     AND CAST(c.ts AS TIMESTAMP)
+    """,
+    "stream-stream inner interval join (errors within 5 min before each "
+    "click, per user) under availableNow ≡ the batch theta join; watermarks "
+    "on both sides bound the retained join state",
+)
+def stream_stream_join(spark, sf_dir):
+    ev1 = streaming.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    ev2 = streaming.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    clicks = ev1.filter(F.col("event_type") == "click")
+    errors = ev2.filter(F.col("event_type") == "error")
+    joined = streaming.stream_stream_interval_join(
+        clicks, errors, key="user_id", interval="5 minutes"
+    )
+    out = joined.select(
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("error_id"),
+        F.col("l_key").alias("user_id"),
+    )
+    sink = streaming.run_available_now(out)
+    return spark.read.parquet(sink)
+
+
+@q(
     "stream_stateful_counts",
     "SELECT user_id, COUNT(*) AS total FROM events GROUP BY user_id",
     "C28: applyInPandasWithState per-key running totals; a single "
