@@ -61,6 +61,38 @@ def test_demo_pipeline_replay(spark):
     assert out.unique_text_count == 100
 
 
+def test_spark_script_pattern(spark, sf_dir):
+    """The reference's script-authoring contract: subclass + implement
+    execute_business_logic, mode and partition_key flow through, metadata
+    reports collect on the context."""
+    from ascii_hydra_spark.script import ScriptContext, SparkScript
+    from ascii_hydra_spark.session import ExecutionMode
+
+    class Step2Like(SparkScript):
+        def execute_business_logic(self, context, execution_mode, partition_key, spark_):
+            df = spark_.read.parquet(f"{sf_dir}/part.parquet").withColumn(
+                "text_length", F.length("p_name")
+            )
+            avg_len = df.agg(F.avg("text_length")).first()[0]
+            context.report_asset_materialization(
+                metadata={
+                    "mode": execution_mode.value,
+                    "partition": partition_key,
+                    "avg_text_length": avg_len,
+                    "row_count": df.count(),
+                }
+            )
+
+    ctx = Step2Like(
+        execution_mode=ExecutionMode.DEV_SAMPLE_LOCAL, partition_key="p1"
+    ).run_local(spark)
+    assert isinstance(ctx, ScriptContext)
+    report = ctx.reports[0]
+    assert report["mode"] == "dev_sample_local" and report["partition"] == "p1"
+    assert report["row_count"] > 0 and report["avg_text_length"] > 0
+    assert ctx.reports[-1]["__run__"] and ctx.reports[-1]["duration_sec"] >= 0
+
+
 def test_three_level_hive_layout_wildcard_and_prune(spark, sf_dir):
     """The reference's .../seed_nodes=X/crawl_id=Y/main_language=* layout:
     wildcard == no filter; single-language read prunes to one directory."""
