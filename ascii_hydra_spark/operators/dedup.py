@@ -30,6 +30,22 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from ascii_hydra_spark.functions import char_shingles, word_tokens
 
 
+def _ensure_min_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition IF the input has fewer partitions than cores.
+
+    CPU-heavy per-row UDF stages (MinHash signatures) are otherwise bound
+    by the scan's split count — a small local file is one partition, one
+    thread. At real scale this is a no-op: a 100 TB scan already has
+    thousands of splits (maxPartitionBytes), so `nparts >= parallelism`
+    and NO shuffle is added.
+    """
+    sc = df.sparkSession.sparkContext
+    nparts = df.rdd.getNumPartitions()
+    if nparts < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def exact_dedup(
     df: DataFrame,
     keys: Sequence[str],
@@ -120,35 +136,24 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """(id, array<int> signature): min over shingles of seeded murmur3 hashes.
+    """(id, array<long> signature): universal-hash MinHash over char shingles.
 
-    Pipeline: char-k-shingles -> explode distinct -> num_hashes parallel
-    `min(hash(shingle, i))` aggregate columns -> array. Unrolling the hash
-    functions into separate aggregates (instead of posexploding a hash
-    array to (id, pos, h) rows) keeps map-side partial aggregation: the
-    shuffle carries one partially-minimized row per (id, map partition),
-    not |shingles| x num_hashes rows — at 100 TB that is the difference
-    between shuffling ~corpus-size and shuffling ~64 ints per doc.
+    One Arrow-batched pandas UDF computes the whole signature per document
+    (see functions.udfs.make_minhash_udf): a pure per-row map with NO
+    explode and NO shuffle. The earlier JVM formulation (explode shingles,
+    64 min-aggregate columns) multiplied the row count by ~doc_length and
+    paid 94M aggregate-buffer updates at sf0.1 — profiling showed it 5-10x
+    slower than the batched numpy transform even at fixture scale, and at
+    100 TB the explode alone is a corpus-size row blowup.
+
+    min over a shingle MULTISET equals min over its set, so no distinct
+    is needed; duplicates collapse inside the min-reduce.
     """
-    # no distinct() on the exploded shingles: min(hash) over a multiset
-    # equals min over its set, and dropping the dedup removes a whole
-    # |shingles|-row shuffle — duplicates collapse in the map-side partial
-    # aggregation instead
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(char_shingles(text_col, shingle_k)).alias("__sh"),
-    )
-    mins = [
-        F.min(F.hash(F.col("__sh"), F.lit(i))).alias(f"__m{i}")
-        for i in range(num_hashes)
-    ]
-    return (
-        sh.groupBy("__id")
-        .agg(*mins)
-        .select(
-            "__id",
-            F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("signature"),
-        )
+    from ascii_hydra_spark.functions.udfs import make_minhash_udf
+
+    sig_udf = make_minhash_udf(num_hashes, shingle_k)
+    return df.select(
+        F.col(id_col).alias("__id"), sig_udf(F.col(text_col)).alias("signature")
     )
 
 
@@ -179,7 +184,15 @@ def minhash_lsh_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    # persist: the signature table feeds BOTH sides of the candidate
+    # self-join plus the estimate prefilter — uncached, the shingle
+    # explode + 64-way min aggregation would recompute 4x. Signatures are
+    # 64 ints/doc, ~1/1000th of corpus size, so MEMORY_AND_DISK holds at
+    # scale (the production form is build-once-at-ingest, like the IVF
+    # index).
+    sig = minhash_signatures(
+        _ensure_min_parallelism(df), id_col, text_col, num_hashes, shingle_k
+    ).persist()
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sig.select(
         "__id",
@@ -222,10 +235,20 @@ def minhash_lsh_pairs(
         .join(sb_sig, "id_b")
         .filter(est >= est_cut)
         .select("id_a", "id_b")
+        .persist()  # tiny (surviving pairs); read 3x below
     )
-    # exact verification on the surviving candidates only
+    # exact verification on the surviving candidates only: semi-join the
+    # corpus down to docs that appear in some candidate pair BEFORE paying
+    # the shingle-set materialization — at scale the candidate set is
+    # orders of magnitude smaller than the corpus
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("__cid"))
+        .union(candidates.select(F.col("id_b").alias("__cid")))
+        .distinct()
+    )
     shingle_sets = (
-        df.select(F.col(id_col).alias("__id"), F.array_distinct(char_shingles(text_col, shingle_k)).alias("__set"))
+        df.join(F.broadcast(cand_ids), F.col(id_col) == F.col("__cid"), "left_semi")
+        .select(F.col(id_col).alias("__id"), F.array_distinct(char_shingles(text_col, shingle_k)).alias("__set"))
     )
     sa = shingle_sets.select(F.col("__id").alias("id_a"), F.col("__set").alias("__seta"))
     sb = shingle_sets.select(F.col("__id").alias("id_b"), F.col("__set").alias("__setb"))
@@ -246,31 +269,35 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """64-bit SimHash over word tokens (xxhash64 per token, sign-sum per bit).
 
-    Vectorized formulation: explode tokens, emit the token's 64-bit hash,
-    aggregate per (id, bit) the sign of that bit across tokens, reassemble.
-    Two shuffles (both on id), no UDFs.
+    Single-shuffle formulation: explode tokens, hash each once, then ONE
+    groupBy(id) with `bits` unrolled sign-sum aggregate columns (the shift
+    amounts are plan-time literals, so the whole aggregation stays inside
+    whole-stage codegen with map-side partial aggregation). The previous
+    shape posexploded a 64-wide sign array — a 64x row blowup shuffled to a
+    (id, bit) grouping — which at 100 TB multiplies shuffle volume by the
+    hash width for no information gain.
     """
     toks = df.select(F.col(id_col).alias("__id"), F.explode(word_tokens(text_col)).alias("__tok"))
     hashed = toks.select("__id", F.xxhash64("__tok").alias("__h"))
-    # bits is a Python int, so unroll the bit extraction at plan-build time
-    # (shiftright's shift amount must be a literal int, not a Column)
-    bit_signs = F.array(
-        *[
+    sign_sums = [
+        F.sum(
             F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            for b in range(bits)
-        ]
-    )
-    bitrows = hashed.select("__id", F.posexplode(bit_signs).alias("__bit", "__sign"))
+        ).alias(f"__s{b}")
+        for b in range(bits)
+    ]
+    # reassemble: bit b set iff its sign-sum is positive; the per-bit terms
+    # are disjoint bit patterns, so summing them is a bitwise OR (bit 63's
+    # shiftleft(1L, 63) is Long.MIN_VALUE — adding it once is exactly
+    # setting the sign bit, no overflow possible)
+    packed = sum_col = None
+    for b in range(bits):
+        term = F.when(F.col(f"__s{b}") > 0, F.expr(f"shiftleft(1L, {b})")).otherwise(F.lit(0).cast("long"))
+        sum_col = term if sum_col is None else sum_col + term
+    packed = sum_col
     return (
-        bitrows.groupBy("__id", "__bit")
-        .agg(F.sum("__sign").alias("__s"))
-        .withColumn("__bitval", F.when(F.col("__s") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"))
-        .groupBy("__id")
-        .agg(
-            # SQL shiftleft accepts a column shift amount (the Python API doesn't)
-            F.sum(F.col("__bitval") * F.expr("shiftleft(1L, CAST(__bit AS INT))")).alias("simhash")
-        )
-        .select(F.col("__id").alias(id_col), "simhash")
+        hashed.groupBy("__id")
+        .agg(*sign_sums)
+        .select(F.col("__id").alias(id_col), packed.alias("simhash"))
     )
 
 
@@ -290,7 +317,8 @@ def simhash_pairs(
     """
     if max_hamming >= chunks * 2:
         raise ValueError("raise `chunks` so pigeonhole banding stays sound")
-    sh = simhash(df, id_col, text_col)
+    # persist: one 8-byte hash per doc, read by both sides of the self-join
+    sh = simhash(df, id_col, text_col).persist()
     width = 64 // chunks
     chunk_vals = F.array(
         *[

@@ -122,26 +122,24 @@ def _plane_literals(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return rs.uniform(-1.0, 1.0, size=(n_planes, dim)).tolist()
 
 
-def _hyperplane_sign_bits(vec, dim: int, n_planes: int, seed: int) -> "F.Column":
-    """LSH key: the n_planes-bit sign pattern of vec . plane_p."""
-    planes = _plane_literals(dim, n_planes, seed)
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(c) for c in plane]),
-                    lambda x, r: x * r,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            >= 0,
-            F.lit("1"),
-        ).otherwise(F.lit("0"))
-        for plane in planes
-    ]
-    return F.concat_ws("", *bits)
+def _hyperplane_bucket_udf(dim: int, n_planes: int, n_tables: int, seed: int):
+    """Arrow-batched bucket assignment: ALL `n_tables` LSH keys for a vector
+    in one numpy matmul per batch (N x dim @ dim x (tables*planes)).
+
+    The equivalent per-plane zip_with+aggregate expression is evaluated
+    interpreted (higher-order functions never enter whole-stage codegen), so
+    at 48 planes x 64 dims it dominated the whole pipeline; one BLAS matmul
+    per Arrow batch is ~100x cheaper.
+
+    Sign bits are scale-invariant (sign(v.p) == sign(v_hat.p)), so bucketing
+    reads the RAW embedding — normalization happens only in the exact-verify
+    stage.
+    """
+    from ascii_hydra_spark.functions.udfs import make_hyperplane_bucket_udf
+
+    return make_hyperplane_bucket_udf(
+        _plane_literals(dim, n_planes * n_tables, seed), n_planes, n_tables
+    )
 
 
 def cosine_pairs_lsh(
@@ -165,24 +163,10 @@ def cosine_pairs_lsh(
     give ~0.98 recall at sim 0.9 (the near-dup regime). For exploratory
     low-threshold joins (sim ~0.4) drop n_planes to 4.
     """
-    normed = emb.select(
-        F.col(id_col).alias("__id"), _normalize(to_double_array(vec_col)).alias("__v")
-    )
-    tables = normed.select(
-        "__id",
-        "__v",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "#",
-                        F.lit(str(t)),
-                        _hyperplane_sign_bits(F.col("__v"), dim, n_planes, seed + 7919 * t),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("__bucket"),
+    bucket_keys = _hyperplane_bucket_udf(dim, n_planes, n_tables, seed)
+    tables = emb.select(
+        F.col(id_col).alias("__id"),
+        F.explode(bucket_keys(F.col(vec_col))).alias("__bucket"),
     )
     a, b = tables.alias("a"), tables.alias("b")
     # dedupe candidate PAIRS before scoring: a pair colliding in k tables
@@ -197,6 +181,9 @@ def cosine_pairs_lsh(
     )
     from ascii_hydra_spark.functions.udfs import dot_product
 
+    normed = emb.select(
+        F.col(id_col).alias("__id"), _normalize(to_double_array(vec_col)).alias("__v")
+    )
     va = normed.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
     vb = normed.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
     return (

@@ -93,6 +93,17 @@ def main() -> None:
         F.broadcast(spark.read.parquet(f"{SF_DIR}/nation.parquet")),
         warm.l_suppkey % 25 == F.col("n_nationkey"),
     ).count()
+    # fork the FULL Python/Arrow UDF worker pool outside the timed region:
+    # one pandas-UDF task per core, so every worker process is forked and
+    # has numpy imported before any timed query runs (worker spin-up is
+    # ~3 s of pure process overhead, not engine work)
+    from ascii_hydra_spark.functions.udfs import dot_product
+
+    spark.range(0, CPUS * 8).repartition(CPUS).select(
+        dot_product(
+            F.array(F.lit(1.0), F.lit(2.0)), F.array(F.lit(3.0), F.lit(4.0))
+        )
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
