@@ -30,6 +30,17 @@ def read_json(spark: SparkSession, path: str, schema: StructType | str) -> DataF
     return spark.read.json(path, schema=schema)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — columnar alternative to parquet, built into Spark (no
+    extra jar). Schema from file footers, vectorized reader, predicate
+    pushdown — same scan discipline as parquet."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
 def text_record_count(spark: SparkSession, path: str) -> int:
     """Line count of a text dataset (reference counts via RDD textFile,
     utils.py:66; DataFrame `read.text` keeps it in the optimized reader)."""

@@ -2284,6 +2284,341 @@ def multimodal_decode_features(spark, sf_dir):
 
 
 # ===================================================================
+# TPC-H shapes II — subquery/anti-join/disjunction optimizer surface
+# ===================================================================
+
+@q(
+    "tpch_q2_like",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS minp
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT l_partkey, l_suppkey, minp,
+             MIN(minp) OVER (PARTITION BY l_partkey) AS part_min
+      FROM ps
+    )
+    SELECT p_partkey, s_name, minp AS min_price
+    FROM best JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_size <= 5 AND minp = part_min
+    """,
+    "TPC-H Q2 shape: min-cost supplier per part (correlated-min via window; "
+    "lineitem stands in for partsupp, MIN is exact so no float-sum risk)",
+)
+def tpch_q2_like(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    s = _t(spark, sf_dir, "supplier")
+    from pyspark.sql import Window
+
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(F.min("l_extendedprice").alias("minp"))
+    best = ps.withColumn("part_min", F.min("minp").over(Window.partitionBy("l_partkey")))
+    return (
+        best.filter(F.col("minp") == F.col("part_min"))
+        .join(p, best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .select("p_partkey", "s_name", F.col("minp").alias("min_price"))
+    )
+
+
+@q(
+    "tpch_q7_like",
+    """
+    SELECT supp_nation, cust_nation, yr,
+           CAST(SUM(vol) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(YEAR FROM l_shipdate) AS yr,
+             CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS vol
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, yr
+    """,
+    "TPC-H Q7 shape: bi-directional nation-pair volume by ship year "
+    "(6-way join, disjunctive nation filter, dual dimension aliases)",
+)
+def tpch_q7_like(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    pair = (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7") | (
+        F.col("supp_nation") == "NATION_7"
+    ) & (F.col("cust_nation") == "NATION_3")
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .select("supp_nation", "cust_nation", F.year("l_shipdate").alias("yr"), vol.alias("vol"))
+        .groupBy("supp_nation", "cust_nation", "yr")
+        .agg(F.sum("vol").cast("double").alias("revenue"))
+    )
+
+
+@q(
+    "tpch_q10_like",
+    """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    "TPC-H Q10 shape: returned-item revenue per customer, top 20 "
+    "(fact-dim join chain + deterministic top-k)",
+)
+def tpch_q10_like(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@q(
+    "tpch_q12_like",
+    """
+    SELECT l_linestatus,
+      CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+    "TPC-H Q12 shape: conditional CASE-sum counts by line status "
+    "(priority buckets stand in for shipmode)",
+)
+def tpch_q12_like(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@q(
+    "tpch_q15_like",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total = (SELECT MAX(total) FROM rev)
+    """,
+    "TPC-H Q15 shape: top revenue supplier via scalar-MAX subquery over an "
+    "aggregate CTE (decimal-exact equality, no float boundary)",
+)
+def tpch_q15_like(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    totals = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total"))
+    from pyspark.sql import Window
+
+    best = totals.withColumn("mx", F.max("total").over(Window.partitionBy()))
+    return (
+        best.filter(F.col("total") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("total").cast("double").alias("total_revenue"))
+    )
+
+
+@q(
+    "tpch_q16_like",
+    """
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#3' AND p_size IN (5, 10, 15, 20, 25, 30)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 100)
+    GROUP BY p_brand, p_size
+    """,
+    "TPC-H Q16 shape: distinct-supplier counts with a NOT IN anti-subquery "
+    "(non-null key set, so NOT IN == anti-join)",
+)
+def tpch_q16_like(spark, sf_dir):
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part JOIN lineitem ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#3' AND p_size IN (5, 10, 15, 20, 25, 30)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 100)
+        GROUP BY p_brand, p_size
+        """
+    )
+
+
+@q(
+    "tpch_q19_like",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25 AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40 AND l_quantity BETWEEN 20 AND 50)
+    """,
+    "TPC-H Q19 shape: disjunction of conjunctive band predicates across "
+    "both join sides (tests predicate normalization + partial pushdown)",
+)
+def tpch_q19_like(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    clause = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1, 20)
+        | (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 25)
+        & F.col("l_quantity").between(10, 35)
+        | (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 40)
+        & F.col("l_quantity").between(20, 50)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(clause)
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n"))
+    )
+
+
+@q(
+    "tpch_q22_like",
+    """
+    WITH stats AS (
+      SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s, COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer, stats
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_nationkey
+    """,
+    "TPC-H Q22 shape: above-average balance + no-recent-orders anti-join. The "
+    "average test is cross-multiplied (bal * n > sum) so it stays in exact "
+    "decimal arithmetic on both engines — no float-division boundary",
+)
+def tpch_q22_like(spark, sf_dir):
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH stats AS (
+          SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s, COUNT(*) AS n
+          FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c_nationkey, COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        FROM customer, stats
+        WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c_nationkey
+        """
+    )
+
+
+@q(
+    "lateral_topn",
+    """
+    SELECT n_name, t.c_custkey, t.c_acctbal
+    FROM nation JOIN LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) t ON TRUE
+    """,
+    "LATERAL correlated subquery: top-2 customers by balance per nation "
+    "(the per-group top-k idiom SQL-side; same rows as a rank()<=2 window)",
+)
+def lateral_topn(spark, sf_dir):
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n_name, t.c_custkey, t.c_acctbal
+        FROM nation JOIN LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) t
+        """
+    )
+
+
+@q(
+    "orc_roundtrip",
+    "SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS key_sum "
+    "FROM lineitem GROUP BY l_returnflag",
+    "C32/B-surface: ORC sink + source round-trip must be lossless "
+    "(oracle reads the same rows from parquet)",
+)
+def orc_roundtrip(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    path = tempfile.mkdtemp(prefix="ahs_orc_")
+    sources.write_orc(li, path)
+    back = sources.read_orc(spark, path)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), F.sum("l_orderkey").cast("bigint").alias("key_sum")
+    )
+
+
+# ===================================================================
 # Entry / export surface
 # ===================================================================
 
