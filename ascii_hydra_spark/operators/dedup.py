@@ -266,6 +266,82 @@ def minhash_lsh_pairs(
     return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    Returns (id, component) where component = the minimum node id reachable
+    from `id` — the deterministic canonical representative. Used to turn
+    near-duplicate PAIRS into duplicate CLUSTERS (a pair list is not a
+    dedup decision: A~B and B~C must collapse to one cluster even when A~C
+    was never scored).
+
+    Scale design: each iteration is one shuffle (symmetrized edges joined
+    to current labels, groupBy node, min). Convergence is checked with a
+    bounded aggregate (count of changed labels — a scalar, not a collect),
+    and labels are localCheckpoint()ed every iteration to truncate the
+    lineage that iterative plans otherwise grow without bound. Iterations
+    needed = graph diameter; near-dup clusters are shallow (pairs all share
+    shingles), so convergence is typically 2-4 rounds. For adversarial
+    long-chain graphs swap in alternating large-star/small-star (same
+    shuffle structure, O(log n) rounds).
+    """
+    sym = edges.select(
+        F.col(src_col).alias("__u"), F.col(dst_col).alias("__v")
+    ).union(edges.select(F.col(dst_col).alias("__u"), F.col(src_col).alias("__v")))
+    labels = nodes.select(F.col(id_col).alias("__id"), F.col(id_col).alias("__label"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["__v"] == labels["__id"])
+            .groupBy("__u")
+            .agg(F.min("__label").alias("__nlabel"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["__id"] == neighbor_min["__u"], "left")
+            .select(
+                "__id",
+                F.least(
+                    F.col("__label"), F.coalesce(F.col("__nlabel"), F.col("__label"))
+                ).alias("__label"),
+                (F.col("__nlabel") < F.col("__label")).alias("__changed"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.agg(
+            F.sum(F.col("__changed").cast("int")).alias("n")
+        ).first()["n"]
+        labels = updated.drop("__changed")
+        if not changed:
+            break
+    return labels.select(F.col("__id").alias(id_col), F.col("__label").alias("component"))
+
+
+def cluster_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Full near-dup dedup decision: duplicate PAIRS -> connected CLUSTERS
+    -> keep the minimum-id row per cluster (deterministic canonical winner,
+    transitively closed). Rows in no pair are their own cluster and always
+    survive."""
+    comps = connected_components(
+        df.select(F.col(id_col)), pairs, id_col=id_col, src_col=pair_a, dst_col=pair_b
+    )
+    return df.join(
+        comps.filter(F.col(id_col) == F.col("component")).select(id_col), id_col, "left_semi"
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """64-bit SimHash over word tokens (xxhash64 per token, sign-sum per bit).
 

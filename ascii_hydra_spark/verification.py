@@ -1313,6 +1313,64 @@ def near_dup_jaccard(spark, sf_dir):
     return dedup.jaccard_pairs(d, "doc_id", "text", threshold=0.95)
 
 
+_JACCARD_PAIRS_CTE = """
+    toks AS (
+      SELECT DISTINCT doc_id AS id, UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ), sizes AS (
+      SELECT id, COUNT(*) AS sz FROM toks GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY a.id, b.id
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.95
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT doc_id AS node, doc_id AS r FROM documents
+      UNION
+      SELECT e.dst AS node, r.r FROM reach r JOIN edges e ON e.src = r.node
+    )
+"""
+
+
+@q(
+    "dedup_clusters",
+    "WITH RECURSIVE " + _JACCARD_PAIRS_CTE + """
+    SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    """,
+    "C1/C2 composition: near-dup pairs -> connected components (iterative "
+    "min-label propagation on Spark; recursive-CTE reachability in the "
+    "oracle) — transitively-closed duplicate clusters",
+)
+def dedup_clusters(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, "doc_id", "text", threshold=0.95)
+    comps = dedup.connected_components(
+        d.select("doc_id"), pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
+    )
+    return comps.select("doc_id", F.col("component").alias("cluster_id"))
+
+
+@q(
+    "cluster_dedup_survivors",
+    "WITH RECURSIVE " + _JACCARD_PAIRS_CTE + """
+    , comp AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
+    SELECT doc_id FROM comp WHERE doc_id = cluster_id
+    """,
+    "C1/C2: full cluster-dedup decision — keep the min-id row per duplicate "
+    "cluster; singletons survive",
+)
+def cluster_dedup_survivors(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(d, "doc_id", "text", threshold=0.95)
+    return dedup.cluster_dedup(d, pairs, "doc_id").select("doc_id")
+
+
 @q(
     "near_dup_minhash",
     None,

@@ -98,3 +98,28 @@ def test_exact_dedup_deterministic_winner(spark):
     out = dedup.exact_dedup(df, ["key"], tiebreak=[F.col("v")])
     got = {(r.key, r.id, r.v) for r in out.collect()}
     assert got == {("k", 2, 10), ("other", 4, 5)}
+
+
+def test_connected_components_transitive(spark):
+    """A~B and B~C must land in one cluster even though A~C was never
+    scored; isolated nodes are their own singleton cluster."""
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "id BIGINT")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "src BIGINT, dst BIGINT"
+    )
+    comps = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(nodes, edges).collect()
+    }
+    assert comps == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+
+def test_cluster_dedup_keeps_min_per_cluster(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc{i}") for i in range(6)], "doc_id BIGINT, text STRING"
+    )
+    pairs = spark.createDataFrame([(0, 4), (4, 5), (2, 3)], "id_a BIGINT, id_b BIGINT")
+    kept = sorted(
+        r["doc_id"] for r in dedup.cluster_dedup(df, pairs, "doc_id").collect()
+    )
+    assert kept == [0, 1, 2]
