@@ -76,6 +76,34 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...] | list[str],
+    num_buckets: int = 16,
+    sort_cols: tuple[str, ...] | list[str] = (),
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Bucketed (hash-clustered) table sink — the co-located-join primitive.
+
+    Both sides of a recurring large-large join written `bucketBy` the join
+    key with the SAME bucket count join WITHOUT a shuffle exchange (verify:
+    no Exchange above either scan in the join plan — asserted in
+    tests/test_plans.py). At 100 TB this converts every repeated fact-fact
+    join from a full-corpus shuffle into a zipped per-bucket merge; with
+    `sort_cols` the merge needs no sort either. Bucketing requires a
+    catalog table (saveAsTable), not a bare path — pass `path` to make it
+    external.
+    """
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
 def read_partitioned(
     spark: SparkSession, root: str, **partition_filters: str | None
 ) -> DataFrame:

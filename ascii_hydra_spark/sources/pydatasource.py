@@ -1,0 +1,73 @@
+"""Custom Python Data Source (Spark 4 `pyspark.sql.datasource` API).
+
+The reference reads only storage formats Spark ships readers for; a
+100 TB training-data pipeline also ingests bespoke feeds (crawl frontier
+APIs, proprietary record formats). The Python Data Source API is the
+idiomatic Spark 4 extension point for that: the source declares its
+schema and a PARTITION PLAN on the driver, and each partition is read
+independently on executors — so a custom feed scales exactly like a file
+scan (no driver-side collect, no single-connection bottleneck like an
+unpartitioned JDBC read).
+
+`SyntheticDocsDataSource` is the in-repo demonstration: a deterministic
+document generator (id-derived text, no RNG) whose output is exactly
+reproducible in SQL — which is what lets the DuckDB oracle hash-match a
+*custom source* end-to-end (`pyds_docs` in the verification registry).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class _DocsPartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class SyntheticDocsReader(DataSourceReader):
+    def __init__(self, n_rows: int, n_partitions: int):
+        self.n_rows = n_rows
+        self.n_partitions = n_partitions
+
+    def partitions(self) -> list[InputPartition]:
+        """Driver-side partition plan: contiguous id ranges, one task each."""
+        per = max(1, -(-self.n_rows // self.n_partitions))
+        return [
+            _DocsPartition(lo, min(lo + per, self.n_rows))
+            for lo in range(0, self.n_rows, per)
+        ]
+
+    def read(self, partition: _DocsPartition) -> Iterator[tuple]:
+        """Executor-side: generate ONLY this partition's id range.
+
+        Deterministic id-derived text (matches the oracle SQL in the
+        verification registry exactly — any change must update both).
+        """
+        for i in range(partition.start, partition.end):
+            yield (i, f"w{i % 5} w{i % 3} doc{i}", i % 7)
+
+
+class SyntheticDocsDataSource(DataSource):
+    """`spark.read.format("synthetic_docs").option("n", ...).load()`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs"
+
+    def schema(self) -> str:
+        return "doc_id BIGINT, text STRING, bucket INT"
+
+    def reader(self, schema) -> SyntheticDocsReader:
+        return SyntheticDocsReader(
+            n_rows=int(self.options.get("n", 1000)),
+            n_partitions=int(self.options.get("partitions", 8)),
+        )
+
+
+def register_synthetic_docs(spark) -> None:
+    """Idempotent registration of the custom source on a session."""
+    spark.dataSource.register(SyntheticDocsDataSource)

@@ -2660,6 +2660,31 @@ def lateral_topn(spark, sf_dir):
 
 
 @q(
+    "pyds_docs",
+    """
+    SELECT bucket, COUNT(*) AS n, CAST(SUM(LENGTH(txt)) AS BIGINT) AS len_sum
+    FROM (
+      SELECT CAST(i % 7 AS INTEGER) AS bucket,
+             'w' || CAST(i % 5 AS VARCHAR) || ' w' || CAST(i % 3 AS VARCHAR) || ' doc' || CAST(i AS VARCHAR) AS txt
+      FROM range(1000) t(i)
+    )
+    GROUP BY bucket
+    """,
+    "Python Data Source API (Spark 4): custom partition-planned source; "
+    "deterministic generator hash-matched against a SQL reconstruction",
+)
+def pyds_docs(spark, sf_dir):
+    from ascii_hydra_spark.sources.pydatasource import register_synthetic_docs
+
+    register_synthetic_docs(spark)
+    docs = spark.read.format("synthetic_docs").option("n", "1000").option("partitions", "8").load()
+    return docs.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("text")).cast("bigint").alias("len_sum"),
+    )
+
+
+@q(
     "orc_roundtrip",
     "SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS key_sum "
     "FROM lineitem GROUP BY l_returnflag",
