@@ -19,7 +19,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class _DocsPartition(InputPartition):
@@ -68,6 +73,55 @@ class SyntheticDocsDataSource(DataSource):
         )
 
 
+class FeedStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked reader over a monotonically growing feed.
+
+    `read(start)` returns everything available now — rows [pos, until) —
+    and advances the offset to `until`; under trigger(availableNow=True)
+    one run drains exactly the rows that exist at launch. A later run
+    with a larger `until` and the SAME checkpoint resumes from the stored
+    offset: each row is ingested exactly once across runs (asserted in
+    the `pyds_stream_feed` verification query). `readBetweenOffsets` is
+    the deterministic replay path Spark uses on recovery.
+    """
+
+    def __init__(self, until: int):
+        self.until = until
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        lo = start["pos"]
+        hi = max(lo, self.until)
+        return self._rows(lo, hi), {"pos": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["pos"], end["pos"])
+
+    @staticmethod
+    def _rows(lo: int, hi: int):
+        # list-backed iterator, not a generator: Spark's prefetch cache
+        # copy.copy()s the iterator, and generators are not copyable
+        return iter([(i, i % 5, float(i) / 2) for i in range(lo, hi)])
+
+
+class FeedStreamDataSource(DataSource):
+    """`spark.readStream.format("synthetic_feed").option("until", N)` —
+    custom Python STREAMING source (Spark 4 API)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_feed"
+
+    def schema(self) -> str:
+        return "seq BIGINT, bucket INT, score DOUBLE"
+
+    def simpleStreamReader(self, schema) -> FeedStreamReader:
+        return FeedStreamReader(until=int(self.options.get("until", 100)))
+
+
 def register_synthetic_docs(spark) -> None:
-    """Idempotent registration of the custom source on a session."""
+    """Idempotent registration of the custom sources on a session."""
     spark.dataSource.register(SyntheticDocsDataSource)
+    spark.dataSource.register(FeedStreamDataSource)

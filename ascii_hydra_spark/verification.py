@@ -2660,6 +2660,32 @@ def lateral_topn(spark, sf_dir):
 
 
 @q(
+    "variant_ops",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    "C9+ (Spark 4 VARIANT): parse_json -> open-schema variant column -> "
+    "typed try_variant_get extraction; the at-scale shape for "
+    "semi-structured props (parse once at ingest, bind types per query)",
+)
+def variant_ops(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    # parse once into a VariantType column (at scale this happens at ingest
+    # and the variant is stored in parquet), then typed-path extraction
+    v = e.select("event_type", F.parse_json("props").alias("pv"))
+    k = F.try_variant_get(F.col("pv"), "$.k", "bigint")
+    return v.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("k_sum"),
+        F.min(k).cast("bigint").alias("k_min"),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
     "pyds_docs",
     """
     SELECT bucket, COUNT(*) AS n, CAST(SUM(LENGTH(txt)) AS BIGINT) AS len_sum
@@ -2681,6 +2707,44 @@ def pyds_docs(spark, sf_dir):
     return docs.groupBy("bucket").agg(
         F.count("*").alias("n"),
         F.sum(F.length("text")).cast("bigint").alias("len_sum"),
+    )
+
+
+@q(
+    "pyds_stream_feed",
+    """
+    SELECT CAST(i % 5 AS INTEGER) AS bucket, COUNT(*) AS n,
+           ROUND(SUM(i / 2.0), 6) AS score_sum
+    FROM range(137) t(i)
+    GROUP BY bucket
+    """,
+    "Custom Python STREAMING source (Spark 4 SimpleDataSourceStreamReader): "
+    "two availableNow runs over a growing feed share one checkpoint — "
+    "exactly-once incremental ingestion, hash-matched vs a SQL "
+    "reconstruction of the full feed",
+)
+def pyds_stream_feed(spark, sf_dir):
+    from ascii_hydra_spark.sources.pydatasource import register_synthetic_docs
+
+    register_synthetic_docs(spark)
+    sink = tempfile.mkdtemp(prefix="ahs_feed_sink_")
+    ckpt = tempfile.mkdtemp(prefix="ahs_feed_ckpt_")
+    for until in (60, 137):  # feed grows between runs; offset resumes
+        q_ = (
+            spark.readStream.format("synthetic_feed")
+            .option("until", str(until))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+    out = spark.read.parquet(sink)
+    return out.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("score"), 6).alias("score_sum"),
     )
 
 

@@ -123,3 +123,19 @@ def test_cluster_dedup_keeps_min_per_cluster(spark):
         r["doc_id"] for r in dedup.cluster_dedup(df, pairs, "doc_id").collect()
     )
     assert kept == [0, 1, 2]
+
+
+def test_minhash_signature_partition_invariant(spark, sf_dir):
+    """Signatures are pure per-row functions: repartitioning (different
+    Arrow batch boundaries, different chunk flushes) must not change a
+    single component."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    a = {
+        r["__id"]: tuple(r["signature"])
+        for r in dedup.minhash_signatures(d.repartition(1), "doc_id", "text").collect()
+    }
+    b = {
+        r["__id"]: tuple(r["signature"])
+        for r in dedup.minhash_signatures(d.repartition(7), "doc_id", "text").collect()
+    }
+    assert a == b
