@@ -120,6 +120,21 @@ def run_available_now(
     return sink
 
 
+def stream_static_join(
+    stream: DataFrame,
+    dim: DataFrame,
+    on_left: str,
+    on_right: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream enriched by a STATIC dimension (no watermark needed: static
+    side is bounded, Spark re-broadcasts it per micro-batch). The standard
+    at-scale enrichment pattern — decode user/partner/geo attributes onto
+    an event stream without any state store. The dim is broadcast-hinted:
+    a shuffled stream-static join would re-shuffle every micro-batch."""
+    return stream.join(F.broadcast(dim), stream[on_left] == dim[on_right], how)
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

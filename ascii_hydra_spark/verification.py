@@ -1371,6 +1371,81 @@ def cluster_dedup_survivors(spark, sf_dir):
     return dedup.cluster_dedup(d, pairs, "doc_id").select("doc_id")
 
 
+def _corpus_pipeline_oracle() -> str:
+    """The full training-corpus preparation pipeline in one DuckDB query:
+    quality filter -> language filter -> exact (fingerprint) dedup ->
+    near-dup CLUSTER dedup (recursive-CTE components) -> corpus stats."""
+    score_cols, case = _lang_sql_parts()
+    return f"""
+    WITH RECURSIVE scored AS (
+      SELECT doc_id, text, {_QUALITY_EXPR} AS q, {score_cols} FROM documents
+    ), kept0 AS (
+      SELECT doc_id, text, q FROM scored WHERE q >= 0.7 AND ({case}) = 'en'
+    ), fp AS (
+      SELECT doc_id, text, q, MD5(text) AS f FROM kept0
+    ), fpwin AS (
+      SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f
+    ), kept1 AS (
+      SELECT fp.doc_id, fp.text, fp.q FROM fp JOIN fpwin ON fp.doc_id = fpwin.doc_id
+    ), toks AS (
+      SELECT DISTINCT doc_id AS id, UNNEST({_TOKS}) AS tok FROM kept1
+    ), sizes AS (
+      SELECT id, COUNT(*) AS sz FROM toks GROUP BY id
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY a.id, b.id
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.95
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), reach AS (
+      SELECT doc_id AS node, doc_id AS r FROM kept1
+      UNION
+      SELECT e.dst AS node, r.r FROM reach r JOIN edges e ON e.src = r.node
+    ), comp AS (
+      SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(LEN({_TOKS})) AS BIGINT) AS total_tokens,
+           ROUND(AVG(q), 6) AS avg_quality
+    FROM kept1 JOIN comp USING (doc_id)
+    WHERE comp.cluster_id = kept1.doc_id
+    """
+
+
+@q(
+    "corpus_pipeline",
+    None,  # filled in after _lang_sql_parts/_QUALITY_EXPR are defined below
+    "Flagship composite: the end-to-end training-corpus preparation "
+    "pipeline — quality filter, language-ID filter, fingerprint exact "
+    "dedup, near-dup cluster dedup (connected components), corpus stats — "
+    "every stage an engine operator, the whole chain one DuckDB oracle",
+)
+def corpus_pipeline(spark, sf_dir):
+    from ascii_hydra_spark.functions import quality_score, token_count
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select("doc_id", "text", quality_score("text").alias("q"))
+    langs = text.language_id(d)
+    kept0 = (
+        scored.join(langs, "doc_id")
+        .filter((F.col("q") >= 0.7) & (F.col("pred_lang") == "en"))
+        .select("doc_id", "text", "q")
+    )
+    kept1 = dedup.fingerprint_dedup(kept0, "text", "doc_id")
+    pairs = dedup.jaccard_pairs(kept1, "doc_id", "text", threshold=0.95)
+    final = dedup.cluster_dedup(kept1, pairs, "doc_id")
+    return final.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).cast("bigint").alias("total_tokens"),
+        F.round(F.avg("q"), 6).alias("avg_quality"),
+    )
+
+
 @q(
     "near_dup_minhash",
     None,
@@ -1587,19 +1662,21 @@ def regex_extract_filter(spark, sf_dir):
     )
 
 
-@q(
-    "quality_scores",
-    f"""
-    SELECT doc_id, ROUND(
+# the quality_score formula (functions.quality_score) as a DuckDB
+# expression — shared by quality_scores and the corpus-pipeline composite
+_QUALITY_EXPR = f"""(
       0.4 * LEAST(1.0, LENGTH(text) / 500.0)
       + 0.3 * (CASE WHEN LENGTH(text) > 0
                THEN CAST(LENGTH(REGEXP_REPLACE(text, '[^a-z ]', '', 'g')) AS DOUBLE) / LENGTH(text)
                ELSE 0.0 END)
       + 0.3 * (CASE WHEN LEN({_TOKS}) > 0
                THEN CAST(LEN(LIST_DISTINCT({_TOKS})) AS DOUBLE) / LEN({_TOKS})
-               ELSE 1.0 END), 6) AS quality
-    FROM documents
-    """,
+               ELSE 1.0 END))"""
+
+
+@q(
+    "quality_scores",
+    f"SELECT doc_id, ROUND({_QUALITY_EXPR}, 6) AS quality FROM documents",
     "C5: deterministic quality heuristic (length/alpha/repetition mix)",
 )
 def quality_scores(spark, sf_dir):
@@ -1627,7 +1704,9 @@ def lang_id_counts(spark, sf_dir):
     return text.language_id(d).groupBy("pred_lang").agg(F.count("*").alias("n"))
 
 
-def _lang_id_oracle() -> str:
+def _lang_sql_parts() -> tuple[str, str]:
+    """(score_cols, argmax-case expr) for the marker language-ID heuristic —
+    shared by lang_id_counts and the corpus-pipeline composite."""
     from ascii_hydra_spark.functions import LANG_MARKERS
 
     score_cols = ", ".join(
@@ -1639,6 +1718,11 @@ def _lang_id_oracle() -> str:
     case = "CASE WHEN " + mx + " = 0 THEN 'und' " + " ".join(
         f"WHEN s_{lang} = {mx} THEN '{lang}'" for lang in langs[:-1]
     ) + f" ELSE '{langs[-1]}' END"
+    return score_cols, case
+
+
+def _lang_id_oracle() -> str:
+    score_cols, case = _lang_sql_parts()
     return (
         f"WITH s AS (SELECT doc_id, {score_cols} FROM documents) "
         f"SELECT {case} AS pred_lang, COUNT(*) AS n FROM s GROUP BY 1"
@@ -1646,6 +1730,7 @@ def _lang_id_oracle() -> str:
 
 
 REGISTRY["lang_id_counts"].sql = _lang_id_oracle()
+REGISTRY["corpus_pipeline"].sql = _corpus_pipeline_oracle()
 
 
 # ===================================================================
@@ -2656,6 +2741,27 @@ def lateral_topn(spark, sf_dir):
           ORDER BY c_acctbal DESC, c_custkey LIMIT 2
         ) t
         """
+    )
+
+
+@q(
+    "stream_static_join",
+    "SELECT c_mktsegment, COUNT(*) AS n, CAST(SUM(user_id) AS BIGINT) AS uid_sum "
+    "FROM events JOIN customer ON user_id = c_custkey GROUP BY c_mktsegment",
+    "C33+: stream-static dimension enrichment — event stream joined to a "
+    "broadcast static dim per micro-batch (no state store), sink ≡ batch join",
+)
+def stream_static_join_q(spark, sf_dir):
+    ev = streaming.read_events_stream(spark, f"{sf_dir}/events.parquet")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = streaming.stream_static_join(ev, cust, "user_id", "c_custkey").select(
+        "user_id", "c_mktsegment"
+    )
+    sink = streaming.run_available_now(joined)
+    return (
+        spark.read.parquet(sink)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), F.sum("user_id").cast("bigint").alias("uid_sum"))
     )
 
 
