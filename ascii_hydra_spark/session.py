@@ -64,7 +64,12 @@ class SessionProfile:
     broadcast_threshold: str = "64MB"
     max_partition_bytes: str = "128MB"
     parquet_compression: str = "snappy"  # reference uses gzip (spark.py:62); snappy is the speed default
-    driver_memory: str | None = None
+    # local[N] runs the WHOLE engine (driver + executors) in one JVM whose
+    # heap is spark.driver.memory — the 1g Spark default GC-thrashes a
+    # 32-thread local run (observed: GCLocker retry storms, 2x query-time
+    # variance). 16g mirrors the reference dev profile (spark.py:33).
+    # Ignored off-local (executors size separately via spark.executor.memory).
+    driver_memory: str | None = "16g"
     enable_ui: bool = False
     cloud: bool = False  # True -> apply CLOUD_CONF (S3A committers etc.)
     extra_conf: dict[str, str] = field(default_factory=dict)
