@@ -22,13 +22,23 @@ def as_of_join(
     right_ts: str = "ts",
     right_value_cols: tuple[str, ...] = ("event_id",),
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row: the latest right row with right.ts <= left.ts,
-    per `key`. Inclusive on equal timestamps (right sorts before left).
+    """Per `key`, for each left row: the nearest right row at-or-before
+    (`direction="backward"`, the default — latest right.ts <= left.ts) or
+    at-or-after (`direction="forward"` — earliest right.ts >= left.ts)
+    its timestamp. Inclusive on equal timestamps in both directions.
 
     Returns all left columns plus `asof_<c>` for each right value column
-    (NULL when no prior right row exists, or it is older than `tolerance`).
+    (NULL when no matching right row exists, or it is outside
+    `tolerance_seconds`). Boundary determinism with multiple right rows at
+    the matched timestamp: backward keeps the MAX value, forward the MIN
+    (both mirror a total order, so reruns and the oracle agree). Forward is
+    the same union-sort plan with the window order reversed — still one
+    shuffle, no row explosion.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     lcols = left.columns
     l = left.select(
         F.col(key).alias("__k"),
@@ -47,12 +57,25 @@ def as_of_join(
         F.col(right_ts).alias("__rts"),
     )
     # third order key makes multiple right rows at an identical ts resolve
-    # deterministically (the max value wins, mirroring SQL max_by semantics)
-    w = (
-        Window.partitionBy("__k")
-        .orderBy("__ts", "__side", f"__rv_{right_value_cols[0]}")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    # deterministically (backward: max value wins; forward: min value wins)
+    if direction == "backward":
+        order = ["__ts", "__side", f"__rv_{right_value_cols[0]}"]
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        # descending ts: the "last right seen" above a left row is the
+        # earliest right at-or-after it; __side asc keeps equal-ts rights
+        # in frame, rv desc makes the nearest one the minimum value
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(
+                F.desc("__ts"), F.asc("__side"), F.desc(f"__rv_{right_value_cols[0]}")
+            )
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
     carried = l.unionByName(r).select(
         "__k",
         "__ts",
@@ -66,7 +89,10 @@ def as_of_join(
     )
     out = carried.filter(F.col("__side") == 1)
     if tolerance_seconds is not None:
-        in_tol = F.col("__last_rts") >= F.col("__ts") - F.expr(f"INTERVAL {tolerance_seconds} SECONDS")
+        if direction == "backward":
+            in_tol = F.col("__last_rts") >= F.col("__ts") - F.expr(f"INTERVAL {tolerance_seconds} SECONDS")
+        else:
+            in_tol = F.col("__last_rts") <= F.col("__ts") + F.expr(f"INTERVAL {tolerance_seconds} SECONDS")
         out = out.select(
             "__lrow",
             *[

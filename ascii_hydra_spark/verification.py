@@ -1765,6 +1765,36 @@ def asof_join_events(spark, sf_dir):
 
 
 @q(
+    "asof_join_forward",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, 1 AS is_q FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, event_id, 0 AS is_q FROM events WHERE event_type = 'error'
+    ), carried AS (
+      SELECT user_id, ts, event_id, is_q,
+             FIRST_VALUE(CASE WHEN is_q = 0 THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, is_q DESC, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS asof_event_id
+      FROM tagged
+    )
+    SELECT event_id, user_id, asof_event_id FROM carried WHERE is_q = 1
+    """,
+    "C19: FORWARD as-of join — earliest 'error' at-or-after each 'click' "
+    "(pandas merge_asof direction='forward' parity), same union-sort plan "
+    "with the window order reversed",
+)
+def asof_join_forward(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    out = asof.as_of_join(
+        clicks, errors, key="user_id", right_value_cols=("event_id",), direction="forward"
+    )
+    return out.select("event_id", "user_id", "asof_event_id")
+
+
+@q(
     "range_join_banded",
     """
     SELECT e.event_id AS error_id, c.event_id AS click_id

@@ -82,3 +82,37 @@ def test_jdbc_passthrough_raises_without_driver(spark):
         sources.read_jdbc(
             spark, "jdbc:postgresql://localhost:5/db", "t", driver="org.postgresql.Driver"
         ).count()
+
+
+def test_asof_forward_boundaries(spark):
+    """Forward as-of: equal timestamps match (inclusive); with several
+    right rows at the matched ts the MIN value wins; tolerance bounds how
+    far ahead a match may be."""
+    from ascii_hydra_spark.operators import asof
+
+    left = spark.createDataFrame(
+        [(1, 100, 10), (2, 100, 20), (3, 200, 35)],
+        "event_id BIGINT, user_id BIGINT, t BIGINT",
+    ).select("event_id", "user_id", F.timestamp_seconds("t").alias("ts"))
+    right = spark.createDataFrame(
+        [(901, 100, 10), (902, 100, 10), (905, 100, 25), (907, 200, 99)],
+        "event_id BIGINT, user_id BIGINT, t BIGINT",
+    ).select("event_id", "user_id", F.timestamp_seconds("t").alias("ts"))
+
+    out = {
+        r["event_id"]: r["asof_event_id"]
+        for r in asof.as_of_join(
+            left, right, key="user_id", direction="forward"
+        ).collect()
+    }
+    # equal ts inclusive, min event_id at the boundary; next-ahead otherwise
+    assert out == {1: 901, 2: 905, 3: 907}
+
+    out_tol = {
+        r["event_id"]: r["asof_event_id"]
+        for r in asof.as_of_join(
+            left, right, key="user_id", direction="forward", tolerance_seconds=10
+        ).collect()
+    }
+    # 3 -> 907 is 64s ahead: outside tolerance; 2 -> 905 is 5s ahead: inside
+    assert out_tol == {1: 901, 2: 905, 3: None}
