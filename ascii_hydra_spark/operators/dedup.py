@@ -342,6 +342,27 @@ def cluster_dedup(
     )
 
 
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.9,
+    **lsh_kwargs,
+) -> DataFrame:
+    """The 100 TB near-dup dedup decision in one call: MinHash+LSH pairs ->
+    connected components -> keep the min-id row per cluster.
+
+    Because LSH pair precision is 1.0 against its verify metric
+    (shingle-set Jaccard), every detected edge is a true near-dup edge —
+    so this keeps a SUPERSET of the exact shingle-Jaccard survivors
+    (missed edges can only split clusters, and the global minimum of a
+    cluster is also the minimum of its sub-cluster). Property asserted in
+    tests/test_dedup.py.
+    """
+    pairs = minhash_lsh_pairs(df, id_col, text_col, threshold=threshold, **lsh_kwargs)
+    return cluster_dedup(df, pairs, id_col)
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
     """64-bit SimHash over word tokens (xxhash64 per token, sign-sum per bit).
 

@@ -1458,6 +1458,18 @@ def near_dup_minhash(spark, sf_dir):
 
 
 @q(
+    "minhash_dedup_survivors",
+    None,
+    "C2 scale-arm composition: MinHash+LSH pairs -> connected components "
+    "-> min-id survivor per cluster (superset-of-exact property in "
+    "tests/test_dedup.py)",
+)
+def minhash_dedup_survivors(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup(d, "doc_id", "text", threshold=0.95).select("doc_id")
+
+
+@q(
     "simhash_pairs",
     None,
     "C2: SimHash near-dup pairs (Hamming <= 3) via pigeonhole chunk banding",

@@ -139,3 +139,43 @@ def test_minhash_signature_partition_invariant(spark, sf_dir):
         for r in dedup.minhash_signatures(d.repartition(7), "doc_id", "text").collect()
     }
     assert a == b
+
+
+def test_minhash_dedup_supersets_exact_survivors(spark, sf_dir):
+    """LSH pair precision is 1.0 against SHINGLE-set Jaccard (its verify
+    metric), so its edge set is a subset of the exact shingle-Jaccard edge
+    set; missing edges only SPLIT clusters, and a cluster's global min-id
+    survivor is also its sub-cluster's min — hence minhash_dedup survivors
+    must be a superset of the exact shingle-truth survivors."""
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    shingles = {
+        r["doc_id"]: {r["text"][i : i + 5] for i in range(len(r["text"]) - 4)}
+        for r in rows
+    }
+    ids = sorted(shingles)
+    truth_edges = [
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if shingles[a] and shingles[b]
+        and len(shingles[a] & shingles[b]) / len(shingles[a] | shingles[b]) >= 0.95
+    ]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edges_df = spark.createDataFrame(
+        truth_edges or [(-1, -2)], "id_a BIGINT, id_b BIGINT"
+    )
+    exact_survivors = {
+        r["doc_id"]
+        for r in dedup.cluster_dedup(docs, edges_df, "doc_id").select("doc_id").collect()
+    }
+    lsh_survivors = {
+        r["doc_id"]
+        for r in dedup.minhash_dedup(docs, "doc_id", "text", threshold=0.95)
+        .select("doc_id")
+        .collect()
+    }
+    assert exact_survivors <= lsh_survivors
