@@ -2787,6 +2787,62 @@ def lateral_topn(spark, sf_dir):
 
 
 @q(
+    "hypertable_rollup",
+    """
+    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS value_sum,
+           ROUND(MIN(value), 6) AS value_min, ROUND(MAX(value), 6) AS value_max
+    FROM events GROUP BY 1, 2
+    """,
+    "Hypertable/continuous-aggregate rollup: the DAILY grain is computed "
+    "from a materialized HOURLY aggregate (sum-of-sums, count-of-counts, "
+    "min-of-mins) — never re-scanning raw events for coarser grains; the "
+    "oracle aggregates raw directly, proving the algebraic composition",
+)
+def hypertable_rollup(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("vsum"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    # at scale `hourly` is a stored table updated incrementally; coarser
+    # grains re-aggregate the ALGEBRAIC partials, not the raw corpus
+    return hourly.groupBy(
+        F.date_trunc("day", "hour").alias("day"), "event_type"
+    ).agg(
+        F.sum("n").alias("n"),
+        F.round(F.sum("vsum"), 6).alias("value_sum"),
+        F.round(F.min("vmin"), 6).alias("value_min"),
+        F.round(F.max("vmax"), 6).alias("value_max"),
+    )
+
+
+@q(
+    "hll_sketch_distinct",
+    None,
+    "C20 scale arm: mergeable HLL sketches — per-partition sketch partials "
+    "merged with hll_union_agg (the 100 TB distinct-count pattern: partials "
+    "merge associatively across executors/days); accuracy vs exact asserted "
+    "in tests/test_approx.py",
+)
+def hll_sketch_distinct(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    # per-group sketches built independently (as per-day partials would be),
+    # then merged — estimate comes from the UNION of sketches
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
+    )
+
+
+@q(
     "stream_static_join",
     "SELECT c_mktsegment, COUNT(*) AS n, CAST(SUM(user_id) AS BIGINT) AS uid_sum "
     "FROM events JOIN customer ON user_id = c_custkey GROUP BY c_mktsegment",

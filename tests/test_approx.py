@@ -27,3 +27,27 @@ def test_percentile_approx_within_rank_error(spark, sf_dir):
     # rank-error bound: the approx median's rank must be within n/100 of n/2
     rank = li.filter(F.col("l_quantity") <= approx).count()
     assert abs(rank - n / 2) <= n / 100 + 1, f"rank {rank} vs n/2 {n/2}"
+
+
+def test_hll_sketch_merge_accuracy(spark, sf_dir):
+    """Merged per-day HLL sketches must estimate per-type distinct users
+    within HLL error bounds of the exact count — the associative-partial
+    pattern that replaces exact COUNT(DISTINCT) at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from ascii_hydra_spark.verification import REGISTRY
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in REGISTRY["hll_sketch_distinct"].fn(spark, sf_dir).collect()
+    }
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
