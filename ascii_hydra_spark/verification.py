@@ -1662,6 +1662,50 @@ def udtf_tokenize(spark, sf_dir):
 
 
 @q(
+    "udtf_polymorphic",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    "C31 (Spark 4): POLYMORPHIC Python UDTF — analyze() derives the output "
+    "schema from a constant argument at plan time (one column per requested "
+    "JSON key), so the same UDTF serves any key list",
+)
+def udtf_polymorphic(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class JsonFields:
+        @staticmethod
+        def analyze(props: AnalyzeArgument, keys: AnalyzeArgument) -> AnalyzeResult:
+            names = [k.strip() for k in keys.value.split(",")]
+            return AnalyzeResult(
+                StructType([StructField(f"v_{n}", StringType()) for n in names])
+            )
+
+        def eval(self, props, keys):
+            import json
+
+            d = json.loads(props) if props else {}
+            yield tuple(
+                None if d.get(k.strip()) is None else str(d.get(k.strip()))
+                for k in keys.split(",")
+            )
+
+    spark.udtf.register("ahs_json_fields", udtf(JsonFields))
+    _t(spark, sf_dir, "events").createOrReplaceTempView("__udtf_events")
+    return spark.sql(
+        "SELECT event_type, CAST(SUM(CAST(jf.v_k AS BIGINT)) AS BIGINT) AS k_sum, "
+        "COUNT(*) AS n "
+        "FROM __udtf_events e, LATERAL ahs_json_fields(e.props, 'k') jf "
+        "GROUP BY event_type"
+    )
+
+
+@q(
     "regex_extract_filter",
     "SELECT doc_id, REGEXP_EXTRACT(text, '([a-z]+)', 1) AS first_word FROM documents "
     "WHERE REGEXP_MATCHES(text, 'data.*table')",
