@@ -113,6 +113,51 @@ def make_minhash_udf(num_hashes: int, shingle_k: int, seed: int = 42):
     return minhash_sig
 
 
+def make_cdc_chunk_udf(window: int = 8, target_chunk: int = 64, seed: int = 42):
+    """Factory for the content-defined-chunking UDF: text -> array<long> of
+    chunk fingerprints.
+
+    Boundaries are where a rolling hash of the last `window` bytes hits
+    `h % target_chunk == 0` — so they are defined by CONTENT, not offsets:
+    inserting text into a document shifts every byte offset but leaves the
+    chunk fingerprints outside the edit untouched. That is what makes
+    chunk-overlap a partial-duplicate (containment/quotation) signal that
+    whole-document fingerprints cannot provide. Expected chunk length ~=
+    target_chunk bytes. Fully vectorized per Arrow batch: sliding-window
+    polynomial hashes (as in MinHash), boundary mask, add.reduceat per
+    chunk; fingerprint = (chunk-hash-sum * 131 + chunk_len) % p, exact in
+    int64 and independent of batch/partition boundaries.
+    """
+    import numpy as np
+
+    p = 2147483647  # 2^31 - 1
+
+    @pandas_udf(ArrayType(LongType()))
+    def cdc_chunks(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for t in texts:
+            data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            if len(data) < window:
+                out.append(np.array([int(len(data))], dtype=np.int64))
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(data, window).astype(np.int64)
+            h = np.zeros(win.shape[0], dtype=np.int64)
+            for col in range(window):
+                h = (h * 257 + win[:, col]) % p
+            # chunk starts: position 0 plus every boundary hit
+            boundary = np.flatnonzero(h % target_chunk == 0) + 1
+            starts = np.concatenate(([0], boundary[boundary < len(h)]))
+            starts = np.unique(starts)
+            sums = np.add.reduceat(h, starts) % p
+            lens = np.diff(np.concatenate((starts, [len(h)])))
+            out.append((sums * 131 + lens) % p)
+        return pd.Series(out)
+
+    return cdc_chunks
+
+
 def make_hyperplane_bucket_udf(planes, n_planes: int, n_tables: int):
     """Factory for the LSH bucket-assignment UDF (see operators.similarity).
 

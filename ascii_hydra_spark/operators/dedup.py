@@ -266,6 +266,62 @@ def minhash_lsh_pairs(
     return verified.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def cdc_chunk_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    target_chunk: int = 64,
+) -> DataFrame:
+    """(id, array<long>) content-defined chunk fingerprints per document
+    (see functions.udfs.make_cdc_chunk_udf). Per-row map, no shuffle."""
+    from ascii_hydra_spark.functions.udfs import make_cdc_chunk_udf
+
+    chunk_udf = make_cdc_chunk_udf(window, target_chunk)
+    return df.select(
+        F.col(id_col).alias("__id"), chunk_udf(F.col(text_col)).alias("chunks")
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    window: int = 8,
+    target_chunk: int = 64,
+) -> DataFrame:
+    """Partial-duplicate detection: ordered pairs (id_a, id_b) where at
+    least `threshold` of a's DISTINCT content-defined chunks also appear
+    in b — the containment/quotation signal (doc b contains most of doc a)
+    that whole-document fingerprints and symmetric Jaccard both miss when
+    b is much longer than a.
+
+    Shuffle structure is the inverted-index join (chunk -> docs), exactly
+    like token Jaccard: candidate generation never goes quadratic in docs,
+    only in docs SHARING a chunk. Asymmetric score:
+    containment(a in b) = |chunks(a) ∩ chunks(b)| / |chunks(a)|.
+    """
+    chunks = cdc_chunk_fingerprints(df, id_col, text_col, window, target_chunk)
+    posting = chunks.select(
+        "__id", F.explode(F.array_distinct("chunks")).alias("__ch")
+    )
+    sizes = posting.groupBy("__id").agg(F.count("*").alias("__n"))
+    a, b = posting.alias("a"), posting.alias("b")
+    inter = (
+        a.join(b, (F.col("a.__ch") == F.col("b.__ch")) & (F.col("a.__id") != F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count("*").alias("__shared"))
+    )
+    na = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    return (
+        inter.join(na, "id_a")
+        .withColumn("containment", F.col("__shared") / F.col("__na"))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,

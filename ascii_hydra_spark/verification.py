@@ -1470,6 +1470,19 @@ def minhash_dedup_survivors(spark, sf_dir):
 
 
 @q(
+    "containment_pairs",
+    None,
+    "Partial-duplicate detection: content-defined chunking (rolling-hash "
+    "boundaries) -> inverted-index chunk join -> asymmetric containment "
+    "score (doc b quotes most of doc a); quotation property asserted in "
+    "tests/test_dedup.py",
+)
+def containment_pairs_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.containment_pairs(d, "doc_id", "text", threshold=0.5)
+
+
+@q(
     "simhash_pairs",
     None,
     "C2: SimHash near-dup pairs (Hamming <= 3) via pigeonhole chunk banding",

@@ -179,3 +179,27 @@ def test_minhash_dedup_supersets_exact_survivors(spark, sf_dir):
         .collect()
     }
     assert exact_survivors <= lsh_survivors
+
+
+def test_cdc_containment_detects_quotation(spark):
+    """Doc 1 embeds all of doc 0's text inside extra content: containment
+    (0 in 1) must be high even though symmetric whole-doc measures fail;
+    an unrelated doc stays below threshold. Chunk fingerprints must also
+    be edit-position independent (same chunks found after a prefix shift).
+    """
+    # varied content -> many distinct chunks, so the two unavoidable edge
+    # chunks (quote start/end) stay a small fraction of the denominator
+    base = " ".join(f"word{i}token{i * 7 % 97}piece{i * 13 % 89}" for i in range(120))
+    quoting = "unrelated preface text here. " * 6 + base + " trailing commentary. " * 6
+    other = " ".join(f"other{i}thing{i * 11 % 83}" for i in range(150))
+    docs = spark.createDataFrame(
+        [(0, base), (1, quoting), (2, other)], "doc_id BIGINT, text STRING"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.containment_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 0.8, pairs
+    assert not any(2 in p for p in pairs), pairs
