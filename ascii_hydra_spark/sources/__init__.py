@@ -53,13 +53,22 @@ def write_parquet(
     mode: str = "overwrite",
     partition_by: tuple[str, ...] = (),
     compression: str | None = None,
+    sort_within: tuple[str, ...] = (),
 ) -> None:
     """Parquet sink; Hive-style partition layout when partition_by is given.
 
     With `spark.sql.sources.partitionOverwriteMode=dynamic` (session
     default), overwrite replaces only the partitions present in `df` —
     the reference's idempotent-rerun commitment (utils.py:87).
+
+    `sort_within` sorts rows WITHIN each task partition before writing
+    (no shuffle — `sortWithinPartitions`, not a global sort). At scale
+    this is the cheap layout lever: sorted columns RLE/dictionary-compress
+    far better, and parquet row-group min/max statistics become selective
+    so later scans skip whole row groups on range predicates.
     """
+    if sort_within:
+        df = df.sortWithinPartitions(*sort_within)
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)

@@ -13,6 +13,8 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from ascii_hydra_spark import sources
+
 
 def test_parquet_schema_evolution_merge(spark):
     """Old files lack a column added later; mergeSchema unifies the read
@@ -73,3 +75,24 @@ def test_json_lines_preserves_specials(spark):
         (1, None),
         (2, "café — ok"),
     }
+
+
+def test_write_parquet_sort_within_partitions(spark, sf_dir, tmp_path):
+    """sort_within must leave every output FILE internally sorted (the
+    row-group min/max pruning prerequisite) without any global shuffle."""
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(4)
+    out = str(tmp_path / "li_sorted")
+    sources.write_parquet(li, out, sort_within=("l_shipdate",))
+    back = spark.read.parquet(out).select(
+        F.input_file_name().alias("f"), F.col("l_shipdate")
+    )
+    w = Window.partitionBy("f").orderBy(F.monotonically_increasing_id())
+    disorder = (
+        back.withColumn("prev", F.lag("l_shipdate").over(w))
+        .filter(F.col("prev") > F.col("l_shipdate"))
+        .count()
+    )
+    assert disorder == 0
+    assert spark.read.parquet(out).count() == li.count()
