@@ -110,6 +110,26 @@ def rolling_fingerprint(text: Column | str, base: int = 257, mod: int = 1_000_00
     )
 
 
+def zorder_key(x: Column | str, y: Column | str, bits: int = 16) -> Column:
+    """Morton (Z-order) key: interleave the low `bits` of two non-negative
+    int columns into one sort key. Sorting/clustering files by this key
+    gives row-group min/max locality in BOTH dimensions at once — the
+    open-format stand-in for Delta OPTIMIZE ZORDER. Plan-time unrolled
+    shifts/masks, pure codegen arithmetic, identical formula in ANSI SQL
+    (oracle-checkable).
+    """
+    cx = (F.col(x) if isinstance(x, str) else x).cast("long")
+    cy = (F.col(y) if isinstance(y, str) else y).cast("long")
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        key = (
+            key
+            + F.shiftleft(F.shiftright(cx, b).bitwiseAND(F.lit(1)), 2 * b)
+            + F.shiftleft(F.shiftright(cy, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        )
+    return key
+
+
 # language-ID marker stopwords: tiny deterministic per-language lexicons.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of", "to", "a"),

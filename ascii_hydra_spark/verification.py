@@ -2946,6 +2946,46 @@ def variant_ops(spark, sf_dir):
     )
 
 
+def _zorder_sql(xcol: str, ycol: str, bits: int = 16) -> str:
+    # every term fully parenthesized: SQL gives + higher precedence than <<
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({xcol} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({ycol} >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+@q(
+    "zorder_clustering",
+    f"""
+    SELECT bucket, COUNT(*) AS n,
+           CAST(MIN(zkey) AS BIGINT) AS zmin, CAST(MAX(zkey) AS BIGINT) AS zmax
+    FROM (
+      SELECT CAST({_zorder_sql('p_size', 'p_partkey % 1024')} AS BIGINT) AS zkey,
+             CAST(p_partkey % 8 AS INTEGER) AS bucket
+      FROM part
+    )
+    GROUP BY bucket
+    """,
+    "Z-order (Morton) clustering key: bit-interleaved two-dimensional sort "
+    "key — the open-format stand-in for Delta OPTIMIZE ZORDER; pair with "
+    "write_parquet(sort_within=...) for two-dimensional row-group pruning",
+)
+def zorder_clustering(spark, sf_dir):
+    from ascii_hydra_spark.functions import zorder_key
+
+    p = _t(spark, sf_dir, "part")
+    keyed = p.select(
+        zorder_key(F.col("p_size"), F.col("p_partkey") % 1024).alias("zkey"),
+        (F.col("p_partkey") % 8).cast("int").alias("bucket"),
+    )
+    return keyed.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.min("zkey").cast("bigint").alias("zmin"),
+        F.max("zkey").cast("bigint").alias("zmax"),
+    )
+
+
 @q(
     "pyds_docs",
     """
