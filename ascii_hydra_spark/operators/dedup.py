@@ -338,15 +338,17 @@ def connected_components(
     dedup decision: A~B and B~C must collapse to one cluster even when A~C
     was never scored).
 
-    Scale design: each iteration is one shuffle (symmetrized edges joined
-    to current labels, groupBy node, min). Convergence is checked with a
-    bounded aggregate (count of changed labels — a scalar, not a collect),
-    and labels are localCheckpoint()ed every iteration to truncate the
-    lineage that iterative plans otherwise grow without bound. Iterations
-    needed = graph diameter; near-dup clusters are shallow (pairs all share
-    shingles), so convergence is typically 2-4 rounds. For adversarial
-    long-chain graphs swap in alternating large-star/small-star (same
-    shuffle structure, O(log n) rounds).
+    Scale design: each iteration is one neighbor-min shuffle (symmetrized
+    edges joined to current labels, groupBy node, min) followed by one
+    POINTER-JUMPING round (label <- label of my label), which halves the
+    remaining propagation depth — so convergence is O(log diameter)
+    rounds, not O(diameter): a million-node chain converges in ~20 rounds
+    where plain propagation needs a million. Convergence is checked with
+    a bounded aggregate (count of changed labels — a scalar, not a
+    collect), and labels are localCheckpoint()ed every iteration to
+    truncate the lineage that iterative plans otherwise grow without
+    bound. Raises if max_iter rounds pass without convergence rather than
+    returning partial labels silently.
     """
     sym = edges.select(
         F.col(src_col).alias("__u"), F.col(dst_col).alias("__v")
@@ -359,23 +361,45 @@ def connected_components(
             .groupBy("__u")
             .agg(F.min("__label").alias("__nlabel"))
         )
-        updated = (
+        stepped = (
             labels.join(neighbor_min, labels["__id"] == neighbor_min["__u"], "left")
             .select(
                 "__id",
                 F.least(
                     F.col("__label"), F.coalesce(F.col("__nlabel"), F.col("__label"))
                 ).alias("__label"),
-                (F.col("__nlabel") < F.col("__label")).alias("__changed"),
             )
         )
-        updated = updated.localCheckpoint(eager=True)
-        changed = updated.agg(
-            F.sum(F.col("__changed").cast("int")).alias("n")
-        ).first()["n"]
-        labels = updated.drop("__changed")
+        # pointer jumping: adopt my label's label (labels form a min-forest,
+        # so composing the mapping with itself halves remaining depth)
+        l2 = stepped.select(
+            F.col("__id").alias("__pid"), F.col("__label").alias("__plabel")
+        )
+        jumped = (
+            stepped.join(l2, stepped["__label"] == l2["__pid"], "left")
+            .select(
+                "__id",
+                F.least(
+                    F.col("__label"), F.coalesce(F.col("__plabel"), F.col("__label"))
+                ).alias("__label"),
+            )
+        )
+        jumped = jumped.localCheckpoint(eager=True)
+        changed = (
+            jumped.join(
+                labels.select(F.col("__id").alias("__oid"), F.col("__label").alias("__old")),
+                jumped["__id"] == F.col("__oid"),
+            )
+            .filter(F.col("__label") != F.col("__old"))
+            .count()
+        )
+        labels = jumped
         if not changed:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
     return labels.select(F.col("__id").alias(id_col), F.col("__label").alias("component"))
 
 

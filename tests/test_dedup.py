@@ -203,3 +203,15 @@ def test_cdc_containment_detects_quotation(spark):
     }
     assert (0, 1) in pairs and pairs[(0, 1)] >= 0.8, pairs
     assert not any(2 in p for p in pairs), pairs
+
+
+def test_connected_components_long_chain(spark):
+    """A 200-node path graph has diameter 199: plain min-label propagation
+    cannot converge in 25 rounds, pointer jumping must (O(log n))."""
+    n = 200
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id BIGINT")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src BIGINT, dst BIGINT"
+    )
+    comps = dedup.connected_components(nodes, edges, max_iter=25)
+    assert comps.filter(F.col("component") != 0).count() == 0
