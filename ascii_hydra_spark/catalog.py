@@ -45,15 +45,23 @@ _DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def normalize_events(df: DataFrame) -> DataFrame:
-    """Convert the fixture's ns-epoch `ts` (read as long via
-    spark.sql.legacy.parquet.nanosAsLong) to a microsecond timestamp.
+    """Normalize the events fixture's `ts` column to session-TZ TIMESTAMP.
 
-    Spark has no nanosecond timestamp type; truncation toward zero matches
-    DuckDB's ns->us cast for the non-negative fixture timestamps.
+    Two fixture generations exist:
+    - parquet `timestamp[us]` with isAdjustedToUTC=false — Spark reads
+      TIMESTAMP_NTZ; cast to TIMESTAMP (session TZ is pinned to UTC in
+      SEMANTIC_CONF, so wall-clock values are preserved and match DuckDB's
+      naive-timestamp read of the same file);
+    - legacy parquet TIMESTAMP(NANOS) read as ns-epoch long under
+      spark.sql.legacy.parquet.nanosAsLong — truncate to micros (matches
+      DuckDB's ns->us cast for non-negative timestamps).
     """
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-    if isinstance(df.schema["ts"].dataType, LongType):
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    elif isinstance(dt, LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 

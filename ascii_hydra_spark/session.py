@@ -96,8 +96,11 @@ SEMANTIC_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Idempotent partition reruns — reference utils.py:87.
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
-    # The driver fixtures carry parquet TIMESTAMP(NANOS); Spark has no ns type,
-    # so read them as long and convert in the catalog layer (catalog.py).
+    # Current driver fixtures store events.ts as parquet timestamp[us]
+    # (isAdjustedToUTC=false -> TIMESTAMP_NTZ; the catalog normalizer casts
+    # to session-TZ TIMESTAMP). nanosAsLong stays on for legacy
+    # TIMESTAMP(NANOS) fixtures — it is a no-op for us-precision files —
+    # and the catalog handles both generations (catalog.normalize_events).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 

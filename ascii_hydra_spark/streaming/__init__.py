@@ -21,7 +21,7 @@ from pyspark.sql.types import StructType
 
 
 EVENTS_RAW_DDL = (
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, "
+    "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, "
     "value DOUBLE, props STRING"
 )
 
@@ -31,9 +31,10 @@ def read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
 
     Spark's file-stream source watches a *directory*; the fixture is a single
     parquet file, so it is symlinked into a scratch dir (read-only on the
-    fixture, no copy). The ns-epoch `ts` (parquet TIMESTAMP(NANOS), read as
-    long under nanosAsLong) converts to microsecond timestamps here,
-    matching the batch catalog normalizer.
+    fixture, no copy). The fixture's `ts` is parquet `timestamp[us]` with
+    isAdjustedToUTC=false (TIMESTAMP_NTZ to Spark); cast to session-TZ
+    TIMESTAMP (UTC) here, matching the batch catalog normalizer — watermarks
+    and window operators require TIMESTAMP.
     """
     import os
 
@@ -46,7 +47,7 @@ def read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
         .format("parquet")
         .load(watch_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(

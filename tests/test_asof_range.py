@@ -36,9 +36,11 @@ def test_banded_interval_join_boundaries(spark):
 
 def test_banded_matches_theta_join(spark, sf_dir):
     """The banding must find exactly the pairs the direct theta join finds."""
+    from ascii_hydra_spark.catalog import Catalog
+
     e = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        Catalog.for_dir(sf_dir)
+        .load(spark, "events")
         .limit(400)
         .select("event_id", "user_id", "ts")
     )
