@@ -38,8 +38,10 @@ TABLES: tuple[str, ...] = (
     "embeddings",
 )
 
-# Small dimension tables: always broadcast-join candidates.
-DIMENSION_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier"})
+# Fixed-cardinality dimension tables: always broadcast-join candidates.
+# supplier/customer are NOT here — they scale linearly with the corpus, so
+# a forced broadcast would OOM executors at 100x; AQE/CBO decides for them.
+DIMENSION_TABLES: frozenset[str] = frozenset({"region", "nation"})
 
 _DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 

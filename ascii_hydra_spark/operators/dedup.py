@@ -87,34 +87,78 @@ def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def prefix_index(toks: DataFrame, sizes: DataFrame, threshold: float) -> DataFrame:
+    """Prefix-filtered posting list (PPJoin/AllPairs family, exact).
+
+    Order each doc's tokens by global document frequency (rarest first; ties
+    broken by token for a total order) and index only the first
+    `sz - ceil(threshold*sz) + 1` of them. Any pair with Jaccard >= threshold
+    must share >= ceil(threshold*sz) tokens, so by pigeonhole it shares at
+    least one *prefix* token — candidate generation over this index is
+    lossless, but a corpus-wide stop-token ("the", ranked last by frequency)
+    never enters a prefix, so it can no longer emit O(n^2) candidates.
+    """
+    from pyspark.sql import Window
+
+    gdf = toks.groupBy("__tok").agg(F.count("*").alias("__df"))
+    return (
+        toks.join(gdf, "__tok")
+        .join(sizes, "__id")
+        .withColumn(
+            "__rk",
+            F.row_number().over(Window.partitionBy("__id").orderBy("__df", "__tok")),
+        )
+        .filter(F.col("__rk") <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1)
+        .select("__id", "__tok")
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     threshold: float = 0.6,
-    max_token_docs: int | None = None,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """Exact token-set Jaccard similarity pairs (id_a < id_b, sim >= threshold).
 
     Inverted-index self-join: explode distinct tokens, join docs sharing a
     token, count shared tokens, Jaccard = inter / (|A| + |B| - inter).
 
-    Scale controls: `max_token_docs` drops stop-tokens appearing in more than
-    that many docs (they generate quadratic candidate pairs and are useless
-    for similarity — standard posting-list pruning). The final Jaccard is
-    still exact *for the surviving candidate pairs*.
+    Scale shape (default): candidates come from the *prefix-filtered* index
+    (see :func:`prefix_index` — exact, no candidate with sim >= threshold is
+    lost), then the true intersection is computed only for candidate pairs
+    against the full token table. Results are IDENTICAL to the brute-force
+    inverted-index join, but hot stop-tokens no longer drive quadratic
+    candidate blowup — the property that keeps this runnable on a 100 TB
+    corpus. `prefix_filter=False` (or threshold == 0, where the prefix is
+    the whole document) falls back to the direct self-join.
     """
     toks = _doc_tokens(df, id_col, text_col).cache()
     sizes = toks.groupBy("__id").agg(F.count("*").alias("__sz"))
-    if max_token_docs is not None:
-        hot = toks.groupBy("__tok").count().filter(F.col("count") > max_token_docs).select("__tok")
-        toks = toks.join(F.broadcast(hot), "__tok", "left_anti")
-    a, b = toks.alias("a"), toks.alias("b")
-    inter = (
-        a.join(b, (F.col("a.__tok") == F.col("b.__tok")) & (F.col("a.__id") < F.col("b.__id")))
-        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .agg(F.count("*").alias("__inter"))
-    )
+    if prefix_filter and threshold > 0:
+        idx = prefix_index(toks, sizes, threshold)
+        a, b = idx.alias("a"), idx.alias("b")
+        cand = (
+            a.join(b, (F.col("a.__tok") == F.col("b.__tok")) & (F.col("a.__id") < F.col("b.__id")))
+            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+            .distinct()
+        )
+        ta = toks.select(F.col("__id").alias("id_a"), "__tok")
+        tb = toks.select(F.col("__id").alias("id_b"), "__tok")
+        inter = (
+            cand.join(ta, "id_a")
+            .join(tb, ["id_b", "__tok"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("__inter"))
+        )
+    else:
+        a, b = toks.alias("a"), toks.alias("b")
+        inter = (
+            a.join(b, (F.col("a.__tok") == F.col("b.__tok")) & (F.col("a.__id") < F.col("b.__id")))
+            .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+            .agg(F.count("*").alias("__inter"))
+        )
     sa = sizes.select(F.col("__id").alias("id_a"), F.col("__sz").alias("__sza"))
     sb = sizes.select(F.col("__id").alias("id_b"), F.col("__sz").alias("__szb"))
     return (

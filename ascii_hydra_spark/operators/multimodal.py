@@ -79,30 +79,46 @@ def payload_stats(media: DataFrame) -> DataFrame:
 _REAL_CODECS = {"jpeg", "png", "pcm16", "h264"}
 
 
-def _decode_batch(batch: pd.DataFrame, n_features: int) -> pd.DataFrame:
-    out_rows = []
-    for _, row in batch.iterrows():
-        payload = row["payload"]
-        if row["codec"] in _REAL_CODECS:
-            # STUB: real decoding needs PIL/ffmpeg etc., not in this container.
-            raise NotImplementedError(
-                f"codec {row['codec']!r}: decode libraries not available; "
-                "plug a decoder into decode_media(decoder=...)"
-            )
-        b = bytes(payload) if payload is not None else b""
-        # deterministic fake 'features': normalized byte histogram buckets
-        hist = [0.0] * n_features
-        for byte in b:
-            hist[byte % n_features] += 1.0
-        total = float(len(b)) or 1.0
-        out_rows.append(
-            {
-                "media_id": row["media_id"],
-                "n_bytes": len(b),
-                "features": [round(h / total, 6) for h in hist],
-            }
+def _check_codecs(codecs: pd.Series) -> None:
+    real = codecs[codecs.isin(_REAL_CODECS)]
+    if not real.empty:
+        # STUB: real decoding needs PIL/ffmpeg etc., not in this container.
+        raise NotImplementedError(
+            f"codec {real.iloc[0]!r}: decode libraries not available; "
+            "plug a decoder into decode_media(decoder=...)"
         )
-    return pd.DataFrame(out_rows, columns=["media_id", "n_bytes", "features"])
+
+
+def _decode_batch(batch: pd.DataFrame, n_features: int) -> pd.DataFrame:
+    """Vectorized deterministic stand-in features: per-row normalized byte
+    histograms, computed as ONE bincount over the whole Arrow batch
+    (payloads concatenated; bucket = row_index * n_features + byte % n) —
+    no per-row or per-byte Python in the hot path."""
+    import numpy as np
+
+    _check_codecs(batch["codec"])
+    payloads = [bytes(p) if p is not None else b"" for p in batch["payload"]]
+    n = len(payloads)
+    lens = np.fromiter((len(b) for b in payloads), dtype=np.int64, count=n)
+    if n and lens.sum():
+        allbytes = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        hist = np.bincount(
+            row_idx * n_features + (allbytes % n_features).astype(np.int64),
+            minlength=n * n_features,
+        ).reshape(n, n_features)
+    else:
+        hist = np.zeros((n, n_features), dtype=np.int64)
+    totals = np.maximum(lens, 1).astype(np.float64)
+    feats = np.round(hist / totals[:, None], 6)
+    return pd.DataFrame(
+        {
+            "media_id": batch["media_id"].to_numpy(),
+            "n_bytes": lens,
+            "features": list(feats),
+        },
+        columns=["media_id", "n_bytes", "features"],
+    )
 
 
 def decode_media(media: DataFrame, n_features: int = 16) -> DataFrame:
@@ -144,23 +160,22 @@ def resize_media(media: DataFrame, width: int = 32, height: int = 32) -> DataFra
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            rows = []
-            for _, row in batch.iterrows():
-                if row["codec"] in _REAL_CODECS:
-                    raise NotImplementedError(
-                        f"codec {row['codec']!r}: image libs not in container"
-                    )
-                b = bytes(row["payload"] or b"")
-                resized = b[:target].ljust(target, b"\0")
-                rows.append(
-                    {
-                        "media_id": row["media_id"],
-                        "width": width,
-                        "height": height,
-                        "payload": resized,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "payload"])
+            _check_codecs(batch["codec"])
+            # bytes slice/ljust are C-level; the column comprehension is the
+            # only Python-level loop (one step per row, not per byte)
+            resized = [
+                bytes(p or b"")[:target].ljust(target, b"\0")
+                for p in batch["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"].to_numpy(),
+                    "width": width,
+                    "height": height,
+                    "payload": resized,
+                },
+                columns=["media_id", "width", "height", "payload"],
+            )
 
     return media.mapInPandas(run, schema=RESIZED_SCHEMA)
 

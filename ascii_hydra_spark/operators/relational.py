@@ -112,6 +112,38 @@ def salted_join(
     return out.drop("__salt")
 
 
+def hash_stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff a multiplicative
+    hash of its key lands under the stratum's per-mille threshold.
+
+    Unlike `sampleBy` (engine-specific RNG stream — unverifiable across
+    engines), this is pure integer arithmetic (Knuth's multiplicative hash,
+    mod 2^32, bucketed to 1000), so any SQL engine reproduces the exact
+    sample. Sampling is also stable under repartitioning and reruns — the
+    property that matters for resumable 100 TB pipelines: the sample is a
+    function of the data, not of the task schedule. Strata absent from
+    `fractions` are dropped.
+    """
+    bucket = (F.col(key_col).cast("bigint") * F.lit(2654435761)) % F.lit(
+        4294967296
+    ) % F.lit(1000)
+    thresh = None
+    for stratum, frac in fractions.items():
+        permille = int(round(frac * 1000))
+        cond = F.col(stratum_col) == stratum
+        thresh = (
+            F.when(cond, F.lit(permille))
+            if thresh is None
+            else thresh.when(cond, F.lit(permille))
+        )
+    return df.filter(bucket < thresh.otherwise(F.lit(0)))
+
+
 def rollup_agg(df: DataFrame, keys: Sequence[str], aggs: dict[str, Column]) -> DataFrame:
     """ROLLUP with grouping markers (g_<key> = 1 when the level is rolled up)."""
     marks = [F.grouping(k).cast("int").alias(f"g_{k}") for k in keys]

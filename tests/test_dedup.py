@@ -215,3 +215,38 @@ def test_connected_components_long_chain(spark):
     )
     comps = dedup.connected_components(nodes, edges, max_iter=25)
     assert comps.filter(F.col("component") != 0).count() == 0
+
+
+def test_prefix_filter_exact_vs_bruteforce(spark, sf_dir):
+    """Prefix filtering must be lossless: identical pairs + jaccard values
+    as the direct inverted-index self-join, on a corpus WITH stop-tokens."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = 0.5
+    filtered = dedup.jaccard_pairs(docs, "doc_id", "text", threshold=t)
+    brute = dedup.jaccard_pairs(docs, "doc_id", "text", threshold=t, prefix_filter=False)
+    got = {(r.id_a, r.id_b): r.jaccard for r in filtered.collect()}
+    want = {(r.id_a, r.id_b): r.jaccard for r in brute.collect()}
+    assert got == want
+
+
+def test_prefix_filter_stop_token_subquadratic(spark):
+    """A corpus-wide stop-token must not generate candidate pairs: with
+    threshold .9 and 3-token docs the prefix is 1 token (the globally
+    rarest), so the shared token never enters the index."""
+    n = 300
+    docs = spark.createDataFrame(
+        [(i, f"the uniq{i}a uniq{i}b") for i in range(n)], "doc_id LONG, text STRING"
+    )
+    toks = dedup._doc_tokens(docs, "doc_id", "text")
+    sizes = toks.groupBy("__id").agg(F.count("*").alias("__sz"))
+    idx = dedup.prefix_index(toks, sizes, threshold=0.9)
+    # one indexed token per doc, and never the stop-token
+    assert idx.count() == n
+    assert idx.filter(F.col("__tok") == "the").count() == 0
+    # so candidate generation is 0 pairs, not n*(n-1)/2
+    a, b = idx.alias("a"), idx.alias("b")
+    cand = a.join(
+        b, (F.col("a.__tok") == F.col("b.__tok")) & (F.col("a.__id") < F.col("b.__id"))
+    )
+    assert cand.count() == 0
+    assert dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.9).count() == 0

@@ -177,3 +177,23 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_no_forced_broadcast_of_scaling_tables(spark, sf_dir):
+    """customer/supplier grow linearly with the corpus: a broadcast HINT on
+    them OOMs executors at 100x. The logical plans of the star/graph queries
+    must carry hints only for fixed-cardinality dims (nation/region); any
+    broadcast of customer/supplier may come only from AQE/size stats."""
+    for name in ("star_revenue_by_nation", "graph_domain_aggr"):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        logical = df._jdf.queryExecution().analyzed().toString()
+        for line in logical.split("\n"):
+            if "UnresolvedHint" in line or "ResolvedHint" in line:
+                nxt = logical.split(line, 1)[1][:300]
+                assert "customer" not in nxt and "supplier" not in nxt, (
+                    f"{name}: broadcast hint on a scaling table:\n{line}\n{nxt}"
+                )
+    from ascii_hydra_spark.catalog import DIMENSION_TABLES
+
+    assert "supplier" not in DIMENSION_TABLES
+    assert "customer" not in DIMENSION_TABLES
