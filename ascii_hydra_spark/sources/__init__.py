@@ -180,13 +180,56 @@ def time_window_path(base_path: str, asset_key: str, start=None, end=None) -> st
     return f"{base_path}/{asset_key}/{start.strftime(fmt)}_{end.strftime(fmt)}.parquet"
 
 
-def write_delta(df: DataFrame, path: str, mode: str = "overwrite") -> bool:
-    """Delta sink when delta-spark is on the classpath; returns False (no-op)
-    otherwise. The reference provisions Delta everywhere but never writes it
-    in-repo (SURVEY.md §1.3) — same posture: capability, import-gated."""
+def delta_available() -> bool:
+    """True when delta-spark (python package + JVM jars) is usable.
+
+    Capability record (round 2): this container has neither the `delta`
+    python package nor any delta-*.jar on the pyspark classpath, Maven is
+    unreachable (no network for spark.jars.packages), and the environment
+    contract forbids pip/apt installs — so the Delta surface below is
+    import-gated capability, exercised fully only where delta-spark is
+    provisioned (the reference installs it on every engine:
+    orchestration/resources/spark.py:65-69, emr.py:114-117)."""
     try:
         import delta  # noqa: F401
     except ImportError:
         return False
-    df.write.format("delta").mode(mode).save(path)
+    return True
+
+
+def write_delta(
+    df: DataFrame, path: str, mode: str = "overwrite", merge_schema: bool = False
+) -> bool:
+    """Delta sink when delta-spark is on the classpath; returns False (no-op)
+    otherwise. `merge_schema=True` mirrors the reference's
+    spark.databricks.delta.schema.autoMerge.enabled posture
+    (orchestration/pipes/utils.py:87-89) for schema-evolving appends."""
+    if not delta_available():
+        return False
+    w = df.write.format("delta").mode(mode)
+    if merge_schema:
+        w = w.option("mergeSchema", "true")
+    w.save(path)
+    return True
+
+
+def read_delta(spark: SparkSession, path: str, version: int | None = None) -> DataFrame | None:
+    """Delta source (optionally time-traveling to `version`); None when
+    delta-spark is absent."""
+    if not delta_available():
+        return None
+    r = spark.read.format("delta")
+    if version is not None:
+        r = r.option("versionAsOf", str(version))
+    return r.load(path)
+
+
+def vacuum_delta(spark: SparkSession, path: str, retention_hours: float = 168.0) -> bool:
+    """Delta VACUUM (reference: pipes/utils.py:85-89 vacuums with parallel
+    delete on EMR). False (no-op) when delta-spark is absent."""
+    if not delta_available():
+        return False
+    from delta.tables import DeltaTable
+
+    DeltaTable.forPath(spark, path).vacuum(retention_hours)
     return True

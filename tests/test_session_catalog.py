@@ -119,14 +119,27 @@ def test_catalog_analyze_feeds_cbo_stats(spark, sf_dir):
 
 def test_delta_capability_gated(spark, tmp_path):
     """B8: Delta is provisioned-not-required (reference never writes Delta
-    in-repo either, SURVEY §1.3). write_delta no-ops without delta-spark."""
+    in-repo either, SURVEY §1.3). When delta-spark is importable the full
+    write/read/schema-merge/vacuum surface must work; in this container it
+    is absent (no python package, no jars, installs forbidden by the
+    environment contract — recorded in sources.delta_available) and every
+    entry point must be a clean no-op."""
     from ascii_hydra_spark import sources
 
     df = spark.range(3)
-    ok = sources.write_delta(df, str(tmp_path / "t"))
-    try:
-        import delta  # noqa: F401
-
-        assert ok and spark.read.format("delta").load(str(tmp_path / "t")).count() == 3
-    except ImportError:
+    path = str(tmp_path / "t")
+    ok = sources.write_delta(df, path)
+    if sources.delta_available():
+        assert ok
+        assert sources.read_delta(spark, path).count() == 3
+        # schema evolution: append a frame with an extra column
+        df2 = spark.range(2).withColumn("extra", df.id * 2)
+        assert sources.write_delta(df2, path, mode="append", merge_schema=True)
+        assert "extra" in sources.read_delta(spark, path).columns
+        # time travel back to the pre-append version
+        assert sources.read_delta(spark, path, version=0).count() == 3
+        assert sources.vacuum_delta(spark, path)
+    else:
         assert ok is False
+        assert sources.read_delta(spark, path) is None
+        assert sources.vacuum_delta(spark, path) is False
