@@ -1,0 +1,176 @@
+"""Training-corpus curation operators (driver mandate §2.3 extension).
+
+The operators a large-scale LLM training-data pipeline runs between raw
+crawl and tokenizer — split assignment, benchmark-contamination checks,
+token-budget mixing, repetition-based quality gating. All four are
+deterministic and pure-relational (no RNG, no Python UDFs), so:
+
+- the DuckDB oracle can arbitrate them bit-for-bit, and
+- results are stable under repartitioning/reruns — a sample or split is a
+  function of the DATA, never of the task schedule. At 100 TB that is the
+  difference between a resumable pipeline and one that reshuffles its
+  train/test split on every retry (and leaks eval data into train).
+
+Reference parity note: the reference has no corpus-curation surface (its
+pipeline stops at graph aggregation, paper.md:150-155); these extend the
+same fixtures the driver mandates for dedup/similarity (documents).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ascii_hydra_spark.functions import ngrams, word_tokens
+
+# Knuth multiplicative hash constants shared with relational.hash_stratified_sample:
+# bucket(key) = ((key * 2654435761) mod 2^32) mod 1000 — reproducible in any
+# SQL engine with 64-bit integer arithmetic.
+_KNUTH = 2654435761
+_MOD32 = 4294967296
+
+
+def _hash_bucket(key_col: str, buckets: int = 1000):
+    return (F.col(key_col).cast("bigint") * F.lit(_KNUTH)) % F.lit(_MOD32) % F.lit(buckets)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    val_permille: int = 50,
+    test_permille: int = 50,
+) -> DataFrame:
+    """Assign every row a deterministic split label by key hash.
+
+    bucket < test_permille -> 'test'; next val_permille -> 'val'; rest ->
+    'train'. Hash-based (not RNG) so the assignment is identical across
+    engines, reruns, partitionings, and *appends* — a new crawl snapshot
+    never flips an old document's split, which is what prevents silent
+    eval-set leakage over a corpus's lifetime.
+    """
+    b = _hash_bucket(key_col)
+    split = (
+        F.when(b < test_permille, F.lit("test"))
+        .when(b < test_permille + val_permille, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)
+
+
+def contamination_pairs(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination detection: (train_doc, eval_doc) pairs that
+    share >= `min_shared` distinct word n-grams.
+
+    Shape: distinct n-gram inverted index on both sides, inner join on the
+    n-gram, count per pair — the shuffle key is the n-gram, never a doc
+    cross product. Long n (default 8, the common contamination window)
+    keeps postings short: an 8-gram shared across many training docs is
+    itself near-dup text that dedup should have removed. At PB scale, join
+    on xxhash64(ngram) instead of the string to shrink shuffle width —
+    kept as the raw string here so the oracle SQL is engine-neutral.
+    """
+    def grams(d: DataFrame, out_id: str) -> DataFrame:
+        return d.select(
+            F.col(id_col).alias(out_id), F.explode(ngrams(word_tokens(text_col), n)).alias("__g")
+        ).distinct()
+
+    t = grams(docs, "train_id")
+    e = grams(eval_docs, "eval_id")
+    return (
+        t.join(e, "__g")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= min_shared)
+    )
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    budget_tokens: int,
+    by: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    order_col=None,
+) -> DataFrame:
+    """Select the best documents per group under a per-group token budget.
+
+    Orders each group by `order_col` (default: quality proxy = distinct-token
+    ratio) descending with `id_col` as the total-order tie-break, takes the
+    running token sum, and keeps rows while the cumulative count stays
+    within budget. This is the standard "mix N tokens per source, best
+    first" corpus-assembly step. One shuffle on the group key; the running
+    sum is a window frame (no self-join). Groups are processed
+    independently, so a skewed source parallelizes across its window
+    partitions at the cost of one sort per group — at 100 TB pre-bucket by
+    `by` to make the sort partial.
+    """
+    from pyspark.sql import Window
+
+    toks = F.size(word_tokens(text_col))
+    if order_col is None:
+        order_col = (
+            F.size(F.array_distinct(word_tokens(text_col))) / F.greatest(toks, F.lit(1))
+        )
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.desc("__order"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.withColumn("__order", F.round(order_col, 9))
+        .withColumn("__toks", toks)
+        .withColumn("__cum", F.sum("__toks").over(w))
+        .filter(F.col("__cum") <= budget_tokens)
+        .drop("__order", "__toks", "__cum")
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document, from one token pass:
+
+    - distinct_ratio: |distinct tokens| / |tokens| (low -> repetitive)
+    - top_token_frac: occurrences of the most frequent token / |tokens|
+    - dup_bigram_frac: 1 - |distinct bigrams| / |bigrams|
+
+    All computed with array expressions (JVM-side, codegen) — no explode
+    shuffle, no UDF: the signals stay a narrow projection over the scan,
+    which is what you want for a first-pass filter over 100 TB.
+    """
+    toks = word_tokens(text_col)
+    n = F.size(toks)
+    n_safe = F.greatest(n, F.lit(1))
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_safe
+    # mode count without a shuffle OR a quadratic nested scan: sort the
+    # array, then one linear pass tracking the longest equal-token run
+    # (word_tokens never emits '', so the '' seed matches nothing)
+    top_cnt = F.aggregate(
+        F.sort_array(toks),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    bigrams = ngrams(toks, 2)
+    dup_bigram_frac = F.when(F.size(bigrams) == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(bigrams)) / F.size(bigrams)
+    )
+    return docs.select(
+        F.col(id_col),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(F.coalesce(top_cnt, F.lit(0)) / n_safe, 6).alias("top_token_frac"),
+        F.round(dup_bigram_frac, 6).alias("dup_bigram_frac"),
+    )

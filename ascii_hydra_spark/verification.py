@@ -29,7 +29,16 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ascii_hydra_spark.catalog import Catalog
 from ascii_hydra_spark.functions import word_tokens
-from ascii_hydra_spark.operators import asof, dedup, multimodal, relational, similarity, text, windows
+from ascii_hydra_spark.operators import (
+    asof,
+    corpus,
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+    text,
+    windows,
+)
 from ascii_hydra_spark import sources, streaming
 
 
@@ -3095,6 +3104,130 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {name: spec.sql for name, spec in REGISTRY.items() if spec.sql is not None}
+
+
+# ===================================================================
+# Corpus-curation operators (operators/corpus.py)
+# ===================================================================
+
+@q(
+    "corpus_split_counts",
+    "SELECT CASE WHEN b < 50 THEN 'test' WHEN b < 100 THEN 'val' ELSE 'train' END AS split, "
+    "lang, COUNT(*) AS n FROM "
+    "(SELECT lang, ((doc_id * 2654435761) % 4294967296) % 1000 AS b FROM documents) "
+    "GROUP BY 1, 2",
+    "corpus curation: deterministic hash-based train/val/test split — "
+    "engine-independent, append-stable (no eval leakage on re-crawls)",
+)
+def corpus_split_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        corpus.train_val_test_split(d, "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "contamination_check",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    g AS (SELECT doc_id, UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+          i -> ARRAY_TO_STRING(w[i:i+2], ' '))) AS gram FROM t),
+    gd AS (SELECT DISTINCT doc_id, gram FROM g),
+    p AS (SELECT a.doc_id AS train_id, b.doc_id AS eval_id, COUNT(*) AS shared
+          FROM gd a JOIN gd b ON a.gram = b.gram
+          WHERE a.doc_id % 97 <> 0 AND b.doc_id % 97 = 0 GROUP BY 1, 2)
+    SELECT COUNT(*) AS n_pairs, COUNT(DISTINCT train_id) AS n_train_contaminated,
+           COUNT(DISTINCT eval_id) AS n_eval_hit,
+           CAST(COALESCE(SUM(shared), 0) AS BIGINT) AS shared_total FROM p
+    """,
+    "corpus curation: benchmark-contamination scan — n-gram inverted-index "
+    "join between train and eval docs (n=3 here so fixtures produce hits; "
+    "production default n=8)",
+)
+def contamination_check(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    tr = d.filter(F.col("doc_id") % 97 != 0)
+    pairs = corpus.contamination_pairs(tr, ev, n=3)
+    return pairs.agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("train_id").alias("n_train_contaminated"),
+        F.countDistinct("eval_id").alias("n_eval_hit"),
+        F.coalesce(F.sum("shared_ngrams"), F.lit(0)).cast("bigint").alias("shared_total"),
+    )
+
+
+@q(
+    "token_budget_by_source",
+    f"""
+    WITH d AS (SELECT doc_id, source, {_TOKS} AS w FROM documents),
+    e AS (SELECT doc_id, source, LEN(w) AS ntoks,
+          (LEN(LIST_DISTINCT(w)) * 1000000) // GREATEST(LEN(w), 1) AS ord FROM d),
+    c AS (SELECT source, ntoks, SUM(ntoks) OVER (PARTITION BY source
+          ORDER BY ord DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM e)
+    SELECT source, COUNT(*) AS n_docs, CAST(SUM(ntoks) AS BIGINT) AS tokens
+    FROM c WHERE cum <= 5000 GROUP BY source
+    """,
+    "corpus curation: per-source token-budget mixing — quality-ordered "
+    "running token sum, cut at budget (integer order key so the sort is "
+    "bit-identical across engines)",
+)
+def token_budget_by_source(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = word_tokens("text")
+    order = F.floor(
+        F.size(F.array_distinct(toks)) * F.lit(1_000_000) / F.greatest(F.size(toks), F.lit(1))
+    ).cast("long")
+    kept = corpus.token_budget_mix(d, 5000, by="source", order_col=order)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(word_tokens("text"))).cast("bigint").alias("tokens"),
+    )
+
+
+@q(
+    "repetition_quality_gate",
+    f"""
+    WITH d AS (SELECT doc_id, lang, {_TOKS} AS w FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM
+           (SELECT doc_id, UNNEST(w) AS tok FROM d) GROUP BY 1, 2),
+    mx AS (SELECT doc_id, MAX(c) AS topc FROM tf GROUP BY 1),
+    s AS (SELECT d.doc_id, lang,
+          ROUND(LEN(LIST_DISTINCT(w)) / GREATEST(LEN(w), 1), 6) AS distinct_ratio,
+          ROUND(COALESCE(topc, 0) / GREATEST(LEN(w), 1), 6) AS top_token_frac,
+          ROUND(CASE WHEN LEN(w) < 2 THEN 0
+                ELSE 1 - LEN(LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w)),
+                     i -> ARRAY_TO_STRING(w[i:i+1], ' ')))) / (LEN(w) - 1) END, 6)
+            AS dup_bigram_frac
+          FROM d LEFT JOIN mx ON mx.doc_id = d.doc_id)
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(AVG(distinct_ratio), 6) AS avg_distinct_ratio,
+           ROUND(AVG(top_token_frac), 6) AS avg_top_token_frac,
+           ROUND(AVG(dup_bigram_frac), 6) AS avg_dup_bigram_frac,
+           CAST(SUM(CASE WHEN distinct_ratio >= 0.3 AND dup_bigram_frac <= 0.5
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+    FROM s GROUP BY lang
+    """,
+    "corpus curation: Gopher-style repetition signals (distinct-token ratio, "
+    "mode-token fraction, duplicate-bigram fraction) as narrow array "
+    "expressions over the scan — no explode shuffle — aggregated per lang "
+    "with a keep-gate count",
+)
+def repetition_quality_gate(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    stats = corpus.repetition_stats(d)
+    joined = stats.join(d.select("doc_id", "lang"), "doc_id")
+    keep = (F.col("distinct_ratio") >= 0.3) & (F.col("dup_bigram_frac") <= 0.5)
+    return joined.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("distinct_ratio"), 6).alias("avg_distinct_ratio"),
+        F.round(F.avg("top_token_frac"), 6).alias("avg_top_token_frac"),
+        F.round(F.avg("dup_bigram_frac"), 6).alias("avg_dup_bigram_frac"),
+        F.sum(keep.cast("int")).cast("bigint").alias("n_keep"),
+    )
 
 
 # ===================================================================

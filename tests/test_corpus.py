@@ -1,0 +1,76 @@
+"""Corpus-curation operator properties (operators/corpus.py).
+
+The oracle suite hash-matches the registry queries; these tests pin the
+semantic properties that matter at scale: split stability under appends,
+contamination exactness on crafted overlaps, and budget monotonicity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ascii_hydra_spark.operators import corpus
+
+
+def test_split_stable_under_append(spark):
+    """A document's split must not change when the corpus grows — the
+    anti-leakage property RNG-based splitting cannot give."""
+    small = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    s_small = {r.doc_id: r.split for r in corpus.train_val_test_split(small, "doc_id").collect()}
+    s_big = {r.doc_id: r.split for r in corpus.train_val_test_split(big, "doc_id").collect()}
+    assert all(s_big[k] == v for k, v in s_small.items())
+    # rough proportions at n=1000 (hash-uniformity sanity, wide tolerance)
+    from collections import Counter
+
+    c = Counter(s_big.values())
+    assert c["train"] > 800 and 20 <= c["val"] <= 90 and 20 <= c["test"] <= 90
+
+
+def test_contamination_exact_on_crafted_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),  # shares a 3-gram with eval 10
+            (2, "zeta eta theta iota kappa"),       # no overlap
+        ],
+        "doc_id LONG, text STRING",
+    )
+    ev = spark.createDataFrame(
+        [(10, "x alpha beta gamma y")], "doc_id LONG, text STRING"
+    )
+    out = corpus.contamination_pairs(docs, ev, n=3).collect()
+    assert len(out) == 1
+    assert (out[0].train_id, out[0].eval_id, out[0].shared_ngrams) == (1, 10, 1)
+
+
+def test_token_budget_monotone_and_within_budget(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ntoks = F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+    for budget in (500, 2000):
+        kept = corpus.token_budget_mix(d, budget)
+        per_src = {
+            r.source: r.tok
+            for r in kept.groupBy("source").agg(F.sum(ntoks).alias("tok")).collect()
+        }
+        assert all(v <= budget for v in per_src.values()), per_src
+    small = corpus.token_budget_mix(d, 500).count()
+    large = corpus.token_budget_mix(d, 2000).count()
+    assert small <= large
+
+
+def test_repetition_stats_values(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # fully repetitive
+            (2, "a b c d"),          # fully distinct
+            (3, "a b a b a"),        # alternating: bigrams 'a b','b a','a b','b a'
+            (4, "solo"),             # 1 token, no bigrams
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: r for r in corpus.repetition_stats(docs).collect()}
+    assert got[1].distinct_ratio == 0.25 and got[1].top_token_frac == 1.0
+    assert got[1].dup_bigram_frac == round(1 - 1 / 3, 6)
+    assert got[2].distinct_ratio == 1.0 and got[2].dup_bigram_frac == 0.0
+    assert got[3].top_token_frac == 0.6 and got[3].dup_bigram_frac == 0.5
+    assert got[4].distinct_ratio == 1.0 and got[4].dup_bigram_frac == 0.0
