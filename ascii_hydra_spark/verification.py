@@ -2014,6 +2014,112 @@ def funnel_view_click_purchase(spark, sf_dir):
 
 
 @q(
+    "retention_cohorts",
+    """
+    WITH cohort AS (
+      SELECT user_id, MIN(DATE_TRUNC('week', CAST(ts AS TIMESTAMP))) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, DATE_TRUNC('week', CAST(ts AS TIMESTAMP)) AS active_week
+      FROM events
+    )
+    SELECT cohort_week, active_week, COUNT(*) AS n_users
+    FROM cohort JOIN activity USING (user_id)
+    GROUP BY cohort_week, active_week
+    """,
+    "cohort retention: users bucketed by first-seen week x active week — "
+    "two aggregations + one equi-join on user_id, the standard shape that "
+    "replaces per-cohort scans; at 100 TB both sides shuffle once on "
+    "user_id and the join co-partitions for free",
+)
+def retention_cohorts(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    cohort = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        cohort.join(activity, "user_id")
+        .groupBy("cohort_week", "active_week")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@q(
+    "rfm_segmentation",
+    """
+    WITH rfm AS (
+      SELECT o_custkey, MAX(o_orderdate) AS recency, COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT NTILE(4) OVER (ORDER BY recency, o_custkey) AS r,
+             NTILE(4) OVER (ORDER BY frequency, o_custkey) AS f,
+             NTILE(4) OVER (ORDER BY monetary, o_custkey) AS m
+      FROM rfm
+    )
+    SELECT r, f, m, COUNT(*) AS n_customers
+    FROM scored GROUP BY r, f, m
+    """,
+    "RFM customer segmentation: per-customer recency/frequency/monetary "
+    "quartiles via NTILE with full tie-break (metric, custkey) so both "
+    "engines assign identical quartiles. NOTE: global NTILE is a "
+    "single-partition sort — at 100 TB replace with approx percentile "
+    "boundaries broadcast as a join (the fixture-scale formulation keeps "
+    "the oracle exact)",
+)
+def rfm_segmentation(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("recency"),
+        F.count("*").alias("frequency"),
+        dsum("o_totalprice").alias("monetary"),
+    )
+    scored = rfm.select(
+        F.ntile(4).over(Window.orderBy("recency", "o_custkey")).alias("r"),
+        F.ntile(4).over(Window.orderBy("frequency", "o_custkey")).alias("f"),
+        F.ntile(4).over(Window.orderBy("monetary", "o_custkey")).alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(F.count("*").alias("n_customers"))
+
+
+@q(
+    "basket_pairs",
+    """
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b LIMIT 20
+    """,
+    "market-basket co-occurrence: parts ordered together, top 20 pairs. "
+    "Self-join keyed on l_orderkey: fan-out is bounded by basket size "
+    "(<= 7 lines/order in TPC-H-shaped data), so the join output is "
+    "O(rows x basket), never corpus-quadratic; TakeOrdered caps the result",
+)
+def basket_pairs(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@q(
     "regr_stats",
     "SELECT l_returnflag, "
     "ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS slope, "
