@@ -2027,21 +2027,20 @@ def funnel_view_click_purchase(spark, sf_dir):
     FROM cohort JOIN activity USING (user_id)
     GROUP BY cohort_week, active_week
     """,
-    "cohort retention: users bucketed by first-seen week x active week — "
-    "two aggregations + one equi-join on user_id, the standard shape that "
-    "replaces per-cohort scans; at 100 TB both sides shuffle once on "
-    "user_id and the join co-partitions for free",
+    "cohort retention: users bucketed by first-seen week x active week. "
+    "Single shuffle on user_id: ONE aggregation computes both the cohort "
+    "(min week) and the active-week set (collect_set, bounded by the "
+    "calendar, not the event count), then explode + final count — vs the "
+    "textbook two-aggregations-plus-join shape which shuffles three times",
 )
 def retention_cohorts(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
-    cohort = e.groupBy("user_id").agg(
-        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week"),
+        F.collect_set(F.date_trunc("week", F.col("ts"))).alias("weeks"),
     )
-    activity = e.select(
-        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
-    ).distinct()
     return (
-        cohort.join(activity, "user_id")
+        per_user.select("cohort_week", F.explode("weeks").alias("active_week"))
         .groupBy("cohort_week", "active_week")
         .agg(F.count("*").alias("n_users"))
     )
@@ -2370,6 +2369,54 @@ def stream_dedup(spark, sf_dir):
     )
     sink = streaming.run_available_now(deduped)
     return spark.read.parquet(sink)
+
+
+@q(
+    "stream_upsert_latest",
+    """
+    SELECT user_id, event_id, value FROM (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC, value DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    "streaming MERGE shape: foreachBatch latest-row-per-key upsert sink "
+    "(the file-sink stand-in for Delta MERGE / kv-store upsert) ≡ batch "
+    "window max per key. Exactly-once-per-batch + full-row tiebreak make "
+    "the sink contents deterministic",
+)
+def stream_upsert_latest(spark, sf_dir):
+    ev = streaming.read_events_stream(spark, f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    state = streaming.run_foreach_batch_upsert(ev, key_cols=["user_id"], order_col="ts")
+    return spark.read.parquet(state).select("user_id", "event_id", "value")
+
+
+@q(
+    "graph_degree_hist",
+    """
+    WITH deg AS (
+      SELECT l_suppkey AS node, COUNT(DISTINCT o_custkey) AS degree
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_suppkey
+    )
+    SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
+    """,
+    "graph parity (paper.md:152-155 treats graphs as relational ops): "
+    "supplier->customer edge list degree distribution — distinct-count per "
+    "node then histogram; two shuffles, both on high-cardinality keys",
+)
+def graph_degree_hist(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    deg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_suppkey").alias("node"))
+        .agg(F.countDistinct("o_custkey").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
 
 
 # ===================================================================
