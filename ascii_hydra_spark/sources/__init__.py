@@ -141,8 +141,9 @@ def read_jdbc(
     **options: str,
 ) -> DataFrame:
     """JDBC source (B13 — the reference ships org.postgresql in
-    spark.jars.packages, resources/spark.py:67; this container has no JDBC
-    driver jar, so the passthrough is exercised only by plan construction).
+    spark.jars.packages, resources/spark.py:67; here the surface is
+    exercised end-to-end against embedded Derby, the JDBC driver pyspark
+    itself ships — see the `jdbc_roundtrip` registry entry).
 
     Always partition a JDBC read at scale: without partition_column, a
     table arrives through ONE connection on ONE task.

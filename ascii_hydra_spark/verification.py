@@ -3226,6 +3226,41 @@ def pyds_stream_feed(spark, sf_dir):
 
 
 @q(
+    "jdbc_roundtrip",
+    "SELECT o_orderstatus, COUNT(*) AS n, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
+    "FROM orders WHERE o_orderkey <= 1000 GROUP BY o_orderstatus",
+    "B13: JDBC sink + partitioned source round-trip against embedded Derby "
+    "(the JDBC driver pyspark actually ships). The read is partitioned on "
+    "o_orderkey — at scale an unpartitioned JDBC read is ONE connection on "
+    "ONE task, the bottleneck the partitioning options exist to avoid",
+)
+def jdbc_roundtrip(spark, sf_dir):
+    import tempfile
+
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 1000)
+        .select("o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("double"))
+    )
+    url = f"jdbc:derby:{tempfile.mkdtemp(prefix='ahs_derby_')}/db;create=true"
+    sources.write_jdbc(
+        o.coalesce(1), url, "orders_rt", mode="overwrite",
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    back = sources.read_jdbc(
+        spark, url, "orders_rt",
+        partition_column="o_orderkey", num_partitions=4,
+        lower_bound=0, upper_bound=1001,
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+@q(
     "orc_roundtrip",
     "SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS key_sum "
     "FROM lineitem GROUP BY l_returnflag",

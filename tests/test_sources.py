@@ -96,3 +96,23 @@ def test_write_parquet_sort_within_partitions(spark, sf_dir, tmp_path):
     )
     assert disorder == 0
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_jdbc_derby_roundtrip(spark, tmp_path):
+    """B13 end-to-end: write/read against embedded Derby (the JDBC driver
+    pyspark ships), including the partitioned-read path (4 concurrent
+    range-bounded connections — the at-scale shape; an unpartitioned JDBC
+    read is one connection on one task)."""
+    from ascii_hydra_spark import sources
+
+    df = spark.range(0, 100).selectExpr("id", "CAST(id % 7 AS INT) AS grp")
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    sources.write_jdbc(df.coalesce(1), url, "t_rt", mode="overwrite", driver=drv)
+    back = sources.read_jdbc(
+        spark, url, "t_rt", partition_column="id", num_partitions=4,
+        lower_bound=0, upper_bound=100, driver=drv,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == 100
+    assert back.agg({"id": "sum"}).collect()[0][0] == 4950
