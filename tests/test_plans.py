@@ -197,3 +197,33 @@ def test_no_forced_broadcast_of_scaling_tables(spark, sf_dir):
 
     assert "supplier" not in DIMENSION_TABLES
     assert "customer" not in DIMENSION_TABLES
+
+
+def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
+    """Sweep every lazily-plannable registry query: no CartesianProduct
+    anywhere; BroadcastNestedLoopJoin only where it is the RIGHT plan —
+    1-row query-vector/scalar-subquery broadcasts, or the documented exact
+    all-pairs oracle arms (whose scale counterparts are LSH-bucketed)."""
+    from ascii_hydra_spark.verification import REGISTRY
+
+    BNLJ_OK = {
+        "sim_topk",        # single query vector broadcast
+        "sim_topk_ivf",    # single query vector broadcast onto pruned cells
+        "tpch_q22_like",   # 1-row scalar-subquery broadcast
+        "sim_pairs",       # exact all-pairs oracle arm (scale arm: sim_pairs_lsh)
+        "embedding_dedup", # exact cosine arm (scale arm: LSH/IVF)
+    }
+    EAGER_PREFIXES = (
+        "stream_", "pyds_", "jdbc_", "csv_", "json_round", "orc_",
+        "zorder", "partitioned", "hypertable", "text_scan",
+    )
+    offenders = []
+    for name, spec in REGISTRY.items():
+        if name.startswith(EAGER_PREFIXES):
+            continue  # executes writes eagerly; plan inspected elsewhere
+        plan = _plan(spec.fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append((name, "cartesian"))
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            offenders.append((name, "BNLJ"))
+    assert not offenders, offenders
