@@ -144,6 +144,36 @@ def hash_stratified_sample(
     return df.filter(bucket < thresh.otherwise(F.lit(0)))
 
 
+def quantile_buckets(
+    df: DataFrame,
+    value_col: str,
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Value-boundary quantile bucketing: bucket i = rows with
+    boundary[i-1] < value <= boundary[i] (exact interpolated percentiles).
+
+    This is the SCALE formulation of NTILE-style scoring: the boundaries
+    are one aggregate row (computed with exact `percentile` here; swap in
+    `percentile_approx` at PB scale), broadcast-joined onto the data, and
+    the assignment is a CASE comparison — no global single-partition sort,
+    which is what a plain NTILE window costs. Ties-at-boundary rows land
+    in the lower bucket on both engines (<=), so results are deterministic
+    without a row order.
+    """
+    bounds = df.agg(
+        *[
+            F.expr(f"percentile({value_col}, {p})").alias(f"__b{i}")
+            for i, p in enumerate(probs)
+        ]
+    )
+    out = df.join(F.broadcast(bounds))
+    bucket = F.lit(len(probs) + 1)
+    for i in range(len(probs) - 1, -1, -1):
+        bucket = F.when(F.col(value_col) <= F.col(f"__b{i}"), F.lit(i + 1)).otherwise(bucket)
+    return out.withColumn(out_col, bucket).drop(*[f"__b{i}" for i in range(len(probs))])
+
+
 def rollup_agg(df: DataFrame, keys: Sequence[str], aggs: dict[str, Column]) -> DataFrame:
     """ROLLUP with grouping markers (g_<key> = 1 when the level is rolled up)."""
     marks = [F.grouping(k).cast("int").alias(f"g_{k}") for k in keys]

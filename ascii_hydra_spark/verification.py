@@ -2087,6 +2087,38 @@ def rfm_segmentation(spark, sf_dir):
 
 
 @q(
+    "value_quartiles",
+    """
+    WITH rfm AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    ), b AS (
+      SELECT QUANTILE_CONT(monetary, 0.25) AS b0, QUANTILE_CONT(monetary, 0.5) AS b1,
+             QUANTILE_CONT(monetary, 0.75) AS b2 FROM rfm
+    )
+    SELECT CASE WHEN monetary <= b0 THEN 1 WHEN monetary <= b1 THEN 2
+                WHEN monetary <= b2 THEN 3 ELSE 4 END AS bucket,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM rfm, b GROUP BY 1
+    """,
+    "value-boundary quartile bucketing (relational.quantile_buckets): the "
+    "scale formulation of NTILE scoring — exact interpolated percentile "
+    "boundaries as ONE broadcast row + CASE assignment, no global "
+    "single-partition sort; Spark percentile and DuckDB QUANTILE_CONT use "
+    "the same linear interpolation so buckets match exactly",
+)
+def value_quartiles(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("monetary"))
+    bucketed = relational.quantile_buckets(rfm, "monetary")
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n_customers"), dsum("monetary").alias("total")
+    )
+
+
+@q(
     "basket_pairs",
     """
     SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders

@@ -210,6 +210,7 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "sim_topk",        # single query vector broadcast
         "sim_topk_ivf",    # single query vector broadcast onto pruned cells
         "tpch_q22_like",   # 1-row scalar-subquery broadcast
+        "value_quartiles", # 1-row percentile-bounds broadcast
         "sim_pairs",       # exact all-pairs oracle arm (scale arm: sim_pairs_lsh)
         "embedding_dedup", # exact cosine arm (scale arm: LSH/IVF)
     }
