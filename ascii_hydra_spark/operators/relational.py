@@ -174,6 +174,68 @@ def quantile_buckets(
     return out.withColumn(out_col, bucket).drop(*[f"__b{i}" for i in range(len(probs))])
 
 
+def scd2_history(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from a change log.
+
+    Each (key, change) row becomes a versioned row with `valid_from` =
+    its timestamp, `valid_to` = the next change's timestamp for that key
+    (NULL for the current version) and `is_current`. One shuffle on the
+    key + a LEAD window — the standard dimension-versioning shape; at
+    scale the output partitions by is_current so point-in-time joins
+    prune to the history they need. `order_tiebreak` breaks equal-ts
+    changes deterministically.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    nxt = F.lead(ts_col).over(w)
+    return (
+        df.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", nxt)
+        .withColumn("is_current", nxt.isNull())
+    )
+
+
+def audit_constraints(
+    df: DataFrame, rules: dict[str, Column], unique_keys: Sequence[str] = ()
+) -> DataFrame:
+    """Data-quality audit: one output row per rule with its violation count.
+
+    `rules` maps rule name -> boolean Column that is True when the row
+    VIOLATES the rule. All row-level rules are counted in a single scan
+    (one aggregate of conditional sums — not one job per rule, which at
+    100 TB multiplies the scan cost by the rule count). Uniqueness, which
+    needs a shuffle, is computed separately per key and unioned in.
+    """
+    row_counts = df.agg(
+        *[F.sum(c.cast("long")).alias(name) for name, c in rules.items()]
+    )
+    melted = row_counts.selectExpr(
+        "stack({n}, {pairs}) AS (rule, violations)".format(
+            n=len(rules),
+            pairs=", ".join(f"'{name}', {name}" for name in rules),
+        )
+    )
+    for k in unique_keys:
+        dup = (
+            df.groupBy(k)
+            .agg(F.count("*").alias("__c"))
+            .filter(F.col("__c") > 1)
+            .agg(
+                F.lit(f"unique_{k}").alias("rule"),
+                F.coalesce(F.sum(F.col("__c") - 1), F.lit(0)).alias("violations"),
+            )
+        )
+        melted = melted.unionByName(dup)
+    return melted
+
+
 def rollup_agg(df: DataFrame, keys: Sequence[str], aggs: dict[str, Column]) -> DataFrame:
     """ROLLUP with grouping markers (g_<key> = 1 when the level is rolled up)."""
     marks = [F.grouping(k).cast("int").alias(f"g_{k}") for k in keys]

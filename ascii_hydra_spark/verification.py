@@ -2087,6 +2087,67 @@ def rfm_segmentation(spark, sf_dir):
 
 
 @q(
+    "scd2_user_values",
+    """
+    WITH h AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS valid_from,
+             LEAD(CAST(ts AS TIMESTAMP)) OVER
+               (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS valid_to
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_versions,
+           CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+           CAST(MAX(event_id) FILTER (WHERE valid_to IS NULL) AS BIGINT) AS current_event
+    FROM h GROUP BY user_id
+    """,
+    "SCD2 dimension versioning (relational.scd2_history): change log -> "
+    "valid_from/valid_to/is_current via LEAD, one shuffle on the key; "
+    "aggregated per key (version count, exactly one current row)",
+)
+def scd2_user_values(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    h = relational.scd2_history(e, key="user_id", ts_col="ts", order_tiebreak="event_id")
+    return h.groupBy("user_id").agg(
+        F.count("*").alias("n_versions"),
+        F.sum(F.col("is_current").cast("int")).cast("bigint").alias("n_current"),
+        F.max(F.when(F.col("is_current"), F.col("event_id"))).cast("bigint").alias("current_event"),
+    )
+
+
+@q(
+    "dq_audit_orders",
+    """
+    SELECT 'null_custkey' AS rule,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'nonpositive_price',
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'bad_status',
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique_o_orderkey',
+           CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) FROM
+           (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+    """,
+    "data-quality audit (relational.audit_constraints): all row-level rules "
+    "counted in ONE scan (conditional sums + stack unpivot), uniqueness as "
+    "a separate keyed aggregation — not one job per rule",
+)
+def dq_audit_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    rules = {
+        "null_custkey": F.col("o_custkey").isNull(),
+        "nonpositive_price": F.col("o_totalprice") <= 0,
+        "bad_status": ~F.col("o_orderstatus").isin("F", "O", "P"),
+    }
+    return relational.audit_constraints(o, rules, unique_keys=("o_orderkey",))
+
+
+@q(
     "value_quartiles",
     """
     WITH rfm AS (

@@ -102,3 +102,41 @@ def test_set_ops_semantics(spark):
     assert {r.x for r in relational.set_except(a, b).collect()} == {1, 3}
     # EXCEPT is set-semantics: duplicates collapse
     assert relational.set_except(a, b).count() == 2
+
+
+def test_scd2_history_versions(spark):
+    from ascii_hydra_spark.operators import relational
+
+    log = spark.createDataFrame(
+        [(1, 10, 100), (1, 11, 200), (1, 12, 200), (2, 20, 50)],
+        "user_id LONG, event_id LONG, t LONG",
+    ).selectExpr("user_id", "event_id", "timestamp_seconds(t) AS ts")
+    h = relational.scd2_history(log, key="user_id", ts_col="ts", order_tiebreak="event_id")
+    rows = {r.event_id: r for r in h.collect()}
+    # chain: each version's valid_to is the next version's valid_from
+    assert rows[10].valid_to == rows[11].valid_from
+    # equal-ts changes ordered by the tiebreak: 11 precedes 12
+    assert rows[11].valid_to == rows[12].valid_from
+    assert rows[12].is_current and rows[12].valid_to is None
+    assert rows[20].is_current
+    # exactly one current row per key
+    assert h.filter("is_current").count() == 2
+
+
+def test_audit_constraints_counts(spark):
+    from pyspark.sql import functions as F
+
+    from ascii_hydra_spark.operators import relational
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (2, 3.0), (None, 0.0), (4, None)],
+        "k INT, v DOUBLE",
+    )
+    out = relational.audit_constraints(
+        df,
+        {"null_k": F.col("k").isNull(), "nonpos_v": F.col("v") <= 0},
+        unique_keys=("k",),
+    )
+    got = {r.rule: r.violations for r in out.collect()}
+    # v <= 0 is null-rejecting: the (4, NULL) row doesn't count
+    assert got == {"null_k": 1, "nonpos_v": 2, "unique_k": 1}
