@@ -3331,6 +3331,8 @@ def pyds_stream_feed(spark, sf_dir):
 def jdbc_roundtrip(spark, sf_dir):
     import tempfile
 
+    # embedded Derby writes derby.log to user.dir unless told otherwise
+    spark._jvm.System.setProperty("derby.stream.error.file", "/tmp/ahs_derby.log")
     o = (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") <= 1000)

@@ -105,6 +105,7 @@ def test_jdbc_derby_roundtrip(spark, tmp_path):
     read is one connection on one task)."""
     from ascii_hydra_spark import sources
 
+    spark._jvm.System.setProperty("derby.stream.error.file", "/tmp/ahs_derby.log")
     df = spark.range(0, 100).selectExpr("id", "CAST(id % 7 AS INT) AS grp")
     url = f"jdbc:derby:{tmp_path}/db;create=true"
     drv = "org.apache.derby.jdbc.EmbeddedDriver"
