@@ -75,3 +75,31 @@ def test_exact_dedup_one_winner_per_key(spark, rows):
     # winner is the minimum v per key (deterministic canonical rule)
     for r in out:
         assert r.v == min(v for k, v in rows if k == r.k)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.lists(st.sampled_from("abcde"), max_size=12), min_size=1, max_size=10))
+def test_repetition_stats_match_python_reference(spark, token_lists):
+    """repetition_stats' array-expression formulation (sorted-run mode count,
+    no explode) must agree with a direct Python computation on arbitrary
+    token multisets."""
+    from collections import Counter
+
+    from ascii_hydra_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(token_lists)],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: r for r in corpus.repetition_stats(docs).collect()}
+    for i, toks in enumerate(token_lists):
+        toks = [t for t in toks if t]
+        n = max(len(toks), 1)
+        distinct_ratio = round(len(set(toks)) / n, 6)
+        top = round((max(Counter(toks).values()) if toks else 0) / n, 6)
+        bi = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        dup_bi = round(1 - len(set(bi)) / len(bi), 6) if bi else 0.0
+        r = got[i]
+        assert r.distinct_ratio == distinct_ratio, (i, toks)
+        assert r.top_token_frac == top, (i, toks)
+        assert r.dup_bigram_frac == dup_bi, (i, toks)
