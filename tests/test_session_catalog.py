@@ -143,3 +143,18 @@ def test_delta_capability_gated(spark, tmp_path):
         assert ok is False
         assert sources.read_delta(spark, path) is None
         assert sources.vacuum_delta(spark, path) is False
+
+
+def test_no_catalog_leakage_across_sf_dirs(spark):
+    """One session, two scale factors: every query takes (spark, sf_dir),
+    so nothing may cache/leak a dataset across sf_dirs (temp views, cached
+    plans, memoized catalogs would all break this)."""
+    from ascii_hydra_spark.verification import REGISTRY
+
+    for name in ("scan_minmax", "region_revenue", "dedup_exact_events"):
+        fn = REGISTRY[name].fn
+        small_1 = fn(spark, "/root/testdata/sf0.001").collect()
+        big = fn(spark, "/root/testdata/sf0.01").collect()
+        small_2 = fn(spark, "/root/testdata/sf0.001").collect()
+        assert sorted(map(str, small_1)) == sorted(map(str, small_2))
+        assert sorted(map(str, small_1)) != sorted(map(str, big)), name
