@@ -20,34 +20,32 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
 
-EVENTS_RAW_DDL = (
-    "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, "
-    "value DOUBLE, props STRING"
-)
-
-
 def read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
     """File-stream source over the events fixture.
 
     Spark's file-stream source watches a *directory*; the fixture is a single
     parquet file, so it is symlinked into a scratch dir (read-only on the
-    fixture, no copy). The fixture's `ts` is parquet `timestamp[us]` with
-    isAdjustedToUTC=false (TIMESTAMP_NTZ to Spark); cast to session-TZ
-    TIMESTAMP (UTC) here, matching the batch catalog normalizer — watermarks
-    and window operators require TIMESTAMP.
+    fixture, no copy). Streams require an explicit schema; rather than
+    hard-coding one (fixture `ts` encodings have changed across driver
+    generations: ns-as-long, then timestamp[us]/NTZ), the schema is taken
+    from a batch read of the same file, and `ts` is then normalized to
+    session-TZ TIMESTAMP exactly like the batch catalog normalizer —
+    watermarks and window operators require TIMESTAMP.
     """
     import os
+
+    from ascii_hydra_spark.catalog import normalize_events
 
     watch_dir = events_path
     if os.path.isfile(events_path):
         watch_dir = tempfile.mkdtemp(prefix="ahs_stream_src_")
         os.symlink(events_path, os.path.join(watch_dir, os.path.basename(events_path)))
     raw = (
-        spark.readStream.schema(EVENTS_RAW_DDL)
+        spark.readStream.schema(spark.read.parquet(events_path).schema)
         .format("parquet")
         .load(watch_dir)
     )
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return normalize_events(raw)
 
 
 def tumbling_counts(
