@@ -53,6 +53,22 @@ HEADLINE = [
     "salted_join_revenue",    # skew-salted join
 ]
 
+# Round-2 additions: timed and reported separately (extra_queries), NOT in
+# the headline total — the headline set is frozen for cross-round
+# comparability.
+EXTRA = [
+    "corpus_split_counts",    # hash split assignment
+    "contamination_check",    # n-gram inverted-index train/eval join
+    "token_budget_by_source", # windowed budget cut
+    "repetition_quality_gate",# no-shuffle array-expression signals
+    "retention_cohorts",      # single-shuffle cohort grid
+    "value_quartiles",        # broadcast percentile bucketing
+    "basket_pairs",           # bounded self-join co-occurrence
+    "graph_degree_hist",      # two-level distinct aggregation
+    "scd2_user_values",       # LEAD-window dimension versioning
+    "dq_audit_orders",        # one-scan rule audit
+]
+
 
 def checksum(df: DataFrame) -> int:
     """Force full computation of every output column (no pruning)."""
@@ -113,18 +129,26 @@ def main() -> None:
     # calls additionally pay one-time whole-stage-codegen compilation,
     # which amortizes away in any real workload). Methodology is recorded
     # in BASELINE.md — compare like-for-like.
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = REGISTRY[name].fn
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.monotonic()
-            checksum(fn(spark, SF_DIR))
-            best = min(best, time.monotonic() - t0)
-            # drop operator-internal persists so the second pass recomputes
-            # everything — only JIT/codegen stays warm, data caches do not
-            spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+    def time_set(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            fn = REGISTRY[name].fn
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.monotonic()
+                checksum(fn(spark, SF_DIR))
+                best = min(best, time.monotonic() - t0)
+                # drop operator-internal persists so the second pass recomputes
+                # everything — only JIT/codegen stays warm, data caches do not
+                spark.catalog.clearCache()
+            out[name] = round(best, 3)
+        return out
+
+    timings = time_set(HEADLINE)
+    # Round-2 operators, timed but NOT in the headline total: the headline
+    # set is frozen so BENCH_r{N} totals compare like-for-like across
+    # rounds; these report coverage-perf visibility only.
+    extra = time_set(EXTRA)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -135,6 +159,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": {f"q_{k}": v for k, v in timings.items()},
+                "extra_queries": {f"q_{k}": v for k, v in extra.items()},
+                "extra_total": round(sum(extra.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
