@@ -147,8 +147,13 @@ def main() -> None:
     timings = time_set(HEADLINE)
     # Round-2 operators, timed but NOT in the headline total: the headline
     # set is frozen so BENCH_r{N} totals compare like-for-like across
-    # rounds; these report coverage-perf visibility only.
-    extra = time_set(EXTRA)
+    # rounds; these report coverage-perf visibility only. Never allowed to
+    # take down the headline output.
+    try:
+        extra = time_set(EXTRA)
+    except Exception as e:  # pragma: no cover - defensive
+        print(f"extra-section bench failed: {e!r}", file=sys.stderr)
+        extra = {}
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
