@@ -397,6 +397,14 @@ def connected_components(
     sym = edges.select(
         F.col(src_col).alias("__u"), F.col(dst_col).alias("__v")
     ).union(edges.select(F.col(dst_col).alias("__u"), F.col(src_col).alias("__v")))
+    # materialize the edge list ONCE before iterating: `edges` is typically
+    # the output of an expensive candidate-generation pipeline (LSH buckets,
+    # inverted-index joins), and without this every propagation round would
+    # recompute that whole upstream plan from scratch — measured 861 s vs
+    # ~40 s for the same clustering at sf0.1 when the near-dup join reran
+    # per round. The edge list itself is pair-count-sized (orders of
+    # magnitude below the corpus), so checkpointing it is cheap.
+    sym = sym.localCheckpoint(eager=True)
     labels = nodes.select(F.col(id_col).alias("__id"), F.col(id_col).alias("__label"))
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):

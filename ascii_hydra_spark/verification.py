@@ -1329,11 +1329,13 @@ def dedup_fingerprint(spark, sf_dir):
     FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
     WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.95
     """,
-    "C2 (exact arm): token-set Jaccard similarity pairs via inverted index",
+    "C2 (exact arm): token-set Jaccard similarity pairs via inverted index. prefix_filter=False: these entries ARE the exact fixture-scale oracle baseline, and the ~50-word-vocabulary fixture defeats prefix pruning (every posting list is hot — measured 4x slower with the filter, SCALE.md); real Zipfian corpora keep the prefix-filter default",
 )
 def near_dup_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(d, "doc_id", "text", threshold=0.95)
+    return dedup.jaccard_pairs(
+        d, "doc_id", "text", threshold=0.95, prefix_filter=False
+    )
 
 
 _JACCARD_PAIRS_CTE = """
@@ -1372,7 +1374,9 @@ _JACCARD_PAIRS_CTE = """
 )
 def dedup_clusters(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(d, "doc_id", "text", threshold=0.95)
+    pairs = dedup.jaccard_pairs(
+        d, "doc_id", "text", threshold=0.95, prefix_filter=False
+    )
     comps = dedup.connected_components(
         d.select("doc_id"), pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
     )
@@ -1390,7 +1394,9 @@ def dedup_clusters(spark, sf_dir):
 )
 def cluster_dedup_survivors(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(d, "doc_id", "text", threshold=0.95)
+    pairs = dedup.jaccard_pairs(
+        d, "doc_id", "text", threshold=0.95, prefix_filter=False
+    )
     return dedup.cluster_dedup(d, pairs, "doc_id").select("doc_id")
 
 
@@ -1460,7 +1466,9 @@ def corpus_pipeline(spark, sf_dir):
         .select("doc_id", "text", "q")
     )
     kept1 = dedup.fingerprint_dedup(kept0, "text", "doc_id")
-    pairs = dedup.jaccard_pairs(kept1, "doc_id", "text", threshold=0.95)
+    pairs = dedup.jaccard_pairs(
+        kept1, "doc_id", "text", threshold=0.95, prefix_filter=False
+    )
     final = dedup.cluster_dedup(kept1, pairs, "doc_id")
     return final.agg(
         F.count("*").alias("n_docs"),
