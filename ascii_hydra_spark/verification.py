@@ -1553,12 +1553,11 @@ def sim_topk(spark, sf_dir):
     FROM n a JOIN n b ON a.vec_id < b.vec_id
     WHERE ROUND(LIST_COSINE_SIMILARITY(a.v, b.v), 6) >= 0.4
     """,
-    "C4: exact all-pairs cosine similarity join (the LSH scale path is "
-    "verified against this in tests/test_similarity.py)",
+    "C4: exact all-pairs cosine similarity join via blocked GEMM (identical results to the expression form — equality test in tests/test_similarity.py; the LSH scale path is verified against it)",
 )
 def sim_pairs(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    return similarity.cosine_pairs(e, threshold=0.4)
+    return similarity.cosine_pairs_blocked(e, threshold=0.4)
 
 
 @q(

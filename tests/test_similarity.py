@@ -88,3 +88,18 @@ def test_embedding_dedup_survivors(spark, sf_dir):
     # The canonical rule keeps a row iff no lower-id row at all (kept or
     # dropped) is near it, so surviving pairs must be empty.
     assert again.count() == 0
+
+
+def test_blocked_pairs_identical_to_expression_form(spark, sf_dir):
+    """cosine_pairs_blocked (GEMM formulation) must produce the exact same
+    (id_a, id_b, sim) set as the zip_with/aggregate expression form,
+    including ROUND(,6) values — it backs the oracle-checked entries."""
+    from ascii_hydra_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = {(r.id_a, r.id_b): r.sim for r in similarity.cosine_pairs(emb, threshold=0.3).collect()}
+    new = {
+        (r.id_a, r.id_b): r.sim
+        for r in similarity.cosine_pairs_blocked(emb, threshold=0.3, block_size=100).collect()
+    }
+    assert old == new and len(old) > 0
