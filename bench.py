@@ -67,6 +67,8 @@ EXTRA = [
     "graph_degree_hist",      # two-level distinct aggregation
     "scd2_user_values",       # LEAD-window dimension versioning
     "dq_audit_orders",        # one-scan rule audit
+    "sim_pairs",              # exact all-pairs cosine via blocked GEMM
+    "embedding_dedup",        # GEMM pairs -> anti-join survivors
 ]
 
 
