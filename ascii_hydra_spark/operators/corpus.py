@@ -131,6 +131,46 @@ def token_budget_mix(
     )
 
 
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int,
+    by: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign each document to a
+    fixed-token-budget training sequence within its group.
+
+    Documents are laid out per group in `id_col` order; each doc's start
+    offset is the running token sum before it, and its sequence id is
+    `start_offset // max_tokens` (the sequence containing its first token
+    — the standard concat-then-chunk packing, where a document may span a
+    chunk boundary). Deterministic and engine-neutral: one window cumsum,
+    integer arithmetic only.
+
+    Scale shape: ONE shuffle on the group key; the cumsum is a window
+    frame. A global packing order would serialize into one partition, so
+    packing is always per-shard (`by` = source / split / hash bucket) —
+    exactly how production packers run, one packing stream per input
+    shard.
+    """
+    from pyspark.sql import Window
+
+    toks = F.size(word_tokens(text_col))
+    w = (
+        Window.partitionBy(by)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.withColumn("__toks", toks)
+        .withColumn("start_offset", (F.sum("__toks").over(w) - F.col("__toks")).cast("bigint"))
+        .withColumn("seq_id", (F.col("start_offset") / max_tokens).cast("bigint"))
+        .withColumn("doc_tokens", F.col("__toks").cast("bigint"))
+        .drop("__toks")
+    )
+
+
 def repetition_stats(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -79,6 +79,102 @@ def fingerprint_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def incremental_exact_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup an incoming batch against an existing corpus by content
+    fingerprint — the steady-state shape of a crawl pipeline, where each
+    snapshot dedups against everything already ingested rather than
+    re-deduping the whole corpus.
+
+    Two stages, both on the 32-char md5 key: (1) within-batch winner =
+    min id per fingerprint; (2) left_anti against the corpus fingerprint
+    set. At scale the corpus side is a *fingerprint index table* (32 bytes
+    + id per doc, persisted once, appended per batch) — the corpus text is
+    never rescanned; pre-bucket both sides on the fingerprint and even the
+    anti-join shuffle disappears.
+    """
+    fp = F.md5(F.col(text_col).cast("binary")).alias("__fp")
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col))
+    batch_winners = (
+        batch.select("*", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    corpus_fps = corpus.select(F.md5(F.col(text_col).cast("binary")).alias("__fp")).distinct()
+    return batch_winners.join(corpus_fps, "__fp", "left_anti").drop("__fp")
+
+
+def incremental_minhash_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-dup arm of incremental ingestion: drop batch docs whose MinHash
+    LSH buckets collide with the corpus AND whose exact shingle Jaccard
+    against a collided corpus doc clears `threshold`.
+
+    Candidate generation joins batch band-buckets against corpus
+    band-buckets — shuffle key is (band, bucket), never a doc product, and
+    at scale the corpus side is the persisted signature/bucket index, not
+    the corpus text. Exact verification touches only collided pairs.
+    """
+    b_sig = minhash_signatures(batch, id_col, text_col, num_hashes).persist()
+    c_sig = minhash_signatures(corpus, id_col, text_col, num_hashes)
+    rows = num_hashes // bands
+
+    def buckets(sig: DataFrame, out: str) -> DataFrame:
+        return sig.select(
+            F.col("__id").alias(out),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.xxhash64(F.slice("signature", b * rows + 1, rows)),
+                )
+            ).alias("__band", "__bucket"),
+        )
+
+    cand = (
+        buckets(b_sig, "__bid")
+        .join(buckets(c_sig, "__cid"), ["__band", "__bucket"])
+        .select("__bid", "__cid")
+        .distinct()
+    )
+    # exact verify on candidates only: shingle Jaccard batch-doc vs corpus-doc
+    def shingle_sets(df: DataFrame, out: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out),
+            F.array_distinct(char_shingles(text_col, 5)).alias(f"__sh_{out}"),
+        )
+
+    verified = (
+        cand.join(shingle_sets(batch, "__bid"), "__bid")
+        .join(shingle_sets(corpus, "__cid"), "__cid")
+        .withColumn(
+            "__inter", F.size(F.array_intersect("__sh___bid", "__sh___cid"))
+        )
+        .withColumn(
+            "__jac",
+            F.col("__inter")
+            / (F.size("__sh___bid") + F.size("__sh___cid") - F.col("__inter")),
+        )
+        .filter(F.col("__jac") >= threshold)
+        .select(F.col("__bid").alias("__dup_id"))
+        .distinct()
+    )
+    out = batch.join(verified, batch[id_col] == verified["__dup_id"], "left_anti")
+    b_sig.unpersist()
+    return out
+
+
 def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, token) distinct pairs — the inverted-index edge list."""
     return (

@@ -131,3 +131,156 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 def regex_filter(docs: DataFrame, pattern: str, text_col: str = "text") -> DataFrame:
     """rlike predicate filter (pushed into the scan where possible)."""
     return docs.filter(F.col(text_col).rlike(pattern))
+
+
+# ---------------------------------------------------------------- PII redaction
+
+# Patterns restricted to the regex subset Java (Spark) and RE2 (DuckDB)
+# interpret identically: character classes, bounded repetition, \b — no
+# lookaround, no backreferences. Order matters: ipv4 before phone so a
+# dotted quad is never half-eaten as a digit run.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]\d{4}"),
+)
+
+
+def redact_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    patterns: tuple[tuple[str, str], ...] = PII_PATTERNS,
+) -> DataFrame:
+    """Scrub PII-shaped spans and count them per document.
+
+    Adds `text_redacted` (every match replaced by `<TYPE>`) and one
+    `n_<type>` count column per pattern. Pure `regexp_replace` /
+    `regexp_count` column expressions — a narrow projection over the scan
+    with zero shuffles, which is the only shape that works as a
+    pre-tokenizer pass over 100 TB. Counts are computed on the ORIGINAL
+    text, replacement is sequential in declaration order (each pattern
+    sees the previous pattern's output, so overlapping families like
+    ipv4/phone resolve deterministically).
+    """
+    out = docs
+    red = F.col(text_col)
+    for name, pat in patterns:
+        out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return out.withColumn("text_redacted", red)
+
+
+# ---------------------------------------------------------------- boilerplate
+
+def token_window_segments(text: Column | str, k: int = 4) -> Column:
+    """Non-overlapping k-token windows, space-joined — the fixture-visible
+    segmentation (the synthetic docs are single-line; on real corpora pass
+    `line_segments` to segment on newlines instead)."""
+    toks = word_tokens(text)
+    n_seg = F.ceil(F.size(toks) / F.lit(k)).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_seg - 1, F.lit(0)))
+    segs = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)))
+    return F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(segs)
+
+
+def line_segments(text: Column | str) -> Column:
+    """Newline-delimited segments (CCNet-style paragraph units)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, r"\n+"), lambda s: s != "")
+
+
+def remove_boilerplate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    segments=token_window_segments,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Corpus-wide boilerplate removal (CCNet-style paragraph dedup).
+
+    A segment occurring in >= `min_docs` DISTINCT documents is boilerplate
+    (headers, footers, cookie banners at crawl scale); every occurrence is
+    dropped and each document is reassembled from its surviving segments
+    in original order.
+
+    Scale shape: posexplode -> distinct (doc, segment) -> count per segment
+    gives the blacklist, which is TINY relative to the corpus (only
+    segments repeated across >= min_docs docs survive the HAVING) — so the
+    scrub join is `left_anti` against a small table AQE broadcasts. The
+    expensive shuffle is the segment-keyed count, whose shuffled bytes are
+    (segment, doc) pairs after map-side partial distinct, never document
+    text. Reassembly is one groupBy on the doc key with an order-preserving
+    sort inside the aggregated array (no extra sort shuffle).
+    """
+    seg = docs.select(
+        F.col(id_col), F.posexplode(segments(text_col)).alias("pos", "seg")
+    )
+    blacklist = (
+        seg.select(id_col, "seg")
+        .distinct()
+        .groupBy("seg")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("seg")
+    )
+    kept = seg.join(blacklist, "seg", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))), lambda s: s["seg"]
+            ),
+        ).alias("text_clean"),
+        F.count("*").alias("n_segments_kept"),
+    )
+    # left join back so fully-boilerplate docs survive with empty text
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_segments_kept", F.lit(0)).cast("bigint").alias("n_segments_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- chunking
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 32,
+    stride: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window token chunking (RAG / embedding prep).
+
+    One row per (doc, chunk): chunk start offset, token count, and the
+    chunk text. Overlap = chunk_size - stride. Chunk starts are generated
+    with `sequence` + `transform` and exploded, so chunking is a per-row
+    map + explode — parallelism is per-chunk downstream (embedding UDFs see
+    chunk-sized rows, not documents), and nothing shuffles here at all.
+    Empty documents yield zero chunks.
+    """
+    if stride < 1 or chunk_size < 1:
+        raise ValueError("chunk_size and stride must be >= 1")
+    toks = word_tokens(text_col)
+    starts = F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start"),
+            F.concat_ws(" ", F.slice(toks, s + 1, chunk_size)).alias("chunk_text"),
+            F.least(F.size(toks) - s, F.lit(chunk_size)).alias("chunk_tokens"),
+        ),
+    )
+    guarded = F.when(F.size(toks) == 0, F.array().cast(
+        "array<struct<start:int,chunk_text:string,chunk_tokens:int>>"
+    )).otherwise(chunks)
+    return docs.select(F.col(id_col), F.explode(guarded).alias("c")).select(
+        id_col,
+        F.col("c.start").alias("start"),
+        F.col("c.chunk_tokens").alias("chunk_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )

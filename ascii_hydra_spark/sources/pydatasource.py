@@ -122,6 +122,22 @@ class FeedStreamDataSource(DataSource):
 
 
 def register_synthetic_docs(spark) -> None:
-    """Idempotent registration of the custom sources on a session."""
+    """Idempotent registration of the custom sources on a session.
+
+    The classes are force-pickled BY VALUE: the streaming data source's
+    plan/read runners are separate Python processes that ignore
+    addPyFile includes, so by-reference pickling would require
+    `ascii_hydra_spark` on their import path (it isn't when the harness
+    imports the repo via a sys.path insert from another cwd). This module
+    is deliberately self-contained (pyspark imports only) so by-value
+    serialization is closed.
+    """
+    # NB: must be pyspark's BUNDLED cloudpickle — that's what
+    # spark.dataSource.register serializes with, not the standalone package.
+    from pyspark import cloudpickle
+
+    import ascii_hydra_spark.sources.pydatasource as _self
+
+    cloudpickle.register_pickle_by_value(_self)
     spark.dataSource.register(SyntheticDocsDataSource)
     spark.dataSource.register(FeedStreamDataSource)

@@ -52,10 +52,49 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+_SHIPPED_APPS: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make `ascii_hydra_spark` importable on executor Python workers.
+
+    The external driver imports `__spark_entry__` from an arbitrary cwd via
+    a sys.path insert; cloudpickle serializes module-level functions (pandas
+    UDFs, UDTFs, custom data sources) by REFERENCE, so workers must be able
+    to import the package themselves — zip it once per session and
+    `addPyFile` it. This is the local-mode form of shipping the library
+    wheel to the cluster (the reference builds+uploads a wheel per job,
+    orchestration/pipes/utils.py:28-53); on a real 1000-executor cluster
+    the same call distributes the zip with the application.
+    """
+    app = spark.sparkContext.applicationId
+    if app in _SHIPPED_APPS:
+        return
+    import os
+    import shutil
+
+    import ascii_hydra_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(ascii_hydra_spark.__file__))
+    base = os.path.join(
+        tempfile.gettempdir(), f"ascii_hydra_spark_pkg_{os.getpid()}"
+    )
+    zip_path = shutil.make_archive(
+        base, "zip", root_dir=os.path.dirname(pkg_dir), base_dir="ascii_hydra_spark"
+    )
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_APPS.add(app)
+
 
 def q(name: str, sql: str | None, note: str = ""):
     def reg(fn):
-        REGISTRY[name] = QuerySpec(name, fn, sql, note)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ship_package(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[name] = QuerySpec(name, wrapped, sql, note)
         return fn
 
     return reg
@@ -3385,6 +3424,7 @@ def orc_roundtrip(spark, sf_dir):
 
 def flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: the star-join revenue query at sf0.001."""
+    ship_package(spark)
     return star_revenue_by_nation(spark, "/root/testdata/sf0.001")
 
 
@@ -3517,6 +3557,251 @@ def repetition_quality_gate(spark, sf_dir):
         F.round(F.avg("top_token_frac"), 6).alias("avg_top_token_frac"),
         F.round(F.avg("dup_bigram_frac"), 6).alias("avg_dup_bigram_frac"),
         F.sum(keep.cast("int")).cast("bigint").alias("n_keep"),
+    )
+
+
+# ===================================================================
+# PII redaction / boilerplate removal / chunking / packing / incremental
+# dedup (operators/text.py, corpus.py, dedup.py round-2 additions)
+# ===================================================================
+
+# Deterministic PII injection shared by both engines: the synthetic docs
+# contain no PII, so the query plants one email + one ipv4 per document
+# from doc_id arithmetic, then asserts the scrubber found and removed them.
+_PII_INJECT_SQL = (
+    "text || ' user' || CAST(doc_id AS VARCHAR) || '@ex.com at 10.0.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR)"
+)
+
+
+@q(
+    "pii_redaction",
+    f"""
+    WITH d AS (SELECT doc_id, lang, {_PII_INJECT_SQL} AS text FROM documents),
+    r AS (SELECT lang,
+          LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+          LEN(REGEXP_EXTRACT_ALL(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS n_ipv4,
+          LEN(REGEXP_EXTRACT_ALL(text, '\\+\\d{{1,3}}[- ]\\d{{3}}[- ]\\d{{3,4}}[- ]\\d{{4}}')) AS n_phone,
+          REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+              '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IPV4>', 'g'),
+              '\\+\\d{{1,3}}[- ]\\d{{3}}[- ]\\d{{3,4}}[- ]\\d{{4}}', '<PHONE>', 'g') AS red
+          FROM d)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_email) AS BIGINT) AS emails,
+           CAST(SUM(n_ipv4) AS BIGINT) AS ips,
+           CAST(SUM(n_phone) AS BIGINT) AS phones,
+           CAST(SUM(LENGTH(red)) AS BIGINT) AS red_chars
+    FROM r GROUP BY lang
+    """,
+    "PII scrubbing: regexp_count + sequential regexp_replace, a zero-shuffle "
+    "narrow projection; counts and redacted-text length hash-matched",
+)
+def pii_redaction(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat_ws(
+            "",
+            F.col("text"),
+            F.lit(" user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex.com at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 100).cast("string"),
+        ),
+    )
+    red = text.redact_pii(d)
+    return red.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_email").cast("bigint").alias("emails"),
+        F.sum("n_ipv4").cast("bigint").alias("ips"),
+        F.sum("n_phone").cast("bigint").alias("phones"),
+        F.sum(F.length("text_redacted")).cast("bigint").alias("red_chars"),
+    )
+
+
+@q(
+    "boilerplate_removal",
+    f"""
+    WITH d AS (SELECT doc_id, lang, {_TOKS} AS w FROM documents),
+    sg AS (SELECT doc_id,
+           UNNEST(RANGE(0, CAST(CEIL(LEN(w) / 4.0) AS INT))) AS pos,
+           UNNEST(LIST_TRANSFORM(RANGE(0, CAST(CEIL(LEN(w) / 4.0) AS INT)),
+                  i -> ARRAY_TO_STRING(w[i*4+1:i*4+4], ' '))) AS seg
+           FROM d),
+    bl AS (SELECT seg FROM (SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM sg GROUP BY 1)
+           WHERE nd >= 3),
+    kept AS (SELECT doc_id, pos, seg FROM sg WHERE seg NOT IN (SELECT seg FROM bl)),
+    reb AS (SELECT doc_id, STRING_AGG(seg, ' ' ORDER BY pos) AS text_clean,
+            COUNT(*) AS n_kept FROM kept GROUP BY 1)
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(COALESCE(n_kept, 0)) AS BIGINT) AS segments_kept,
+           CAST(SUM(LENGTH(COALESCE(text_clean, ''))) AS BIGINT) AS clean_chars,
+           CAST(SUM(CASE WHEN COALESCE(text_clean, '') <> ARRAY_TO_STRING(w, ' ')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+    FROM d LEFT JOIN reb USING (doc_id) GROUP BY lang
+    """,
+    "corpus-wide boilerplate removal (CCNet-style): segments repeated across "
+    ">= 3 distinct docs are dropped, docs reassembled in order; blacklist is "
+    "tiny so the scrub join broadcasts",
+)
+def boilerplate_removal(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    clean = text.remove_boilerplate(d, min_docs=3)
+    joined = d.join(clean, "doc_id")
+    changed = (
+        F.col("text_clean") != F.concat_ws(" ", word_tokens("text"))
+    ).cast("int")
+    return joined.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_segments_kept").cast("bigint").alias("segments_kept"),
+        F.sum(F.length("text_clean")).cast("bigint").alias("clean_chars"),
+        F.sum(changed).cast("bigint").alias("n_changed"),
+    )
+
+
+@q(
+    "sequence_packing",
+    f"""
+    WITH d AS (SELECT doc_id, source, LEN({_TOKS}) AS t FROM documents),
+    c AS (SELECT source, t,
+          SUM(t) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t AS off
+          FROM d)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(MAX(off // 512) + 1 AS BIGINT) AS n_seqs,
+           CAST(SUM(t) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN t > 0 AND (off + t - 1) // 512 <> off // 512
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
+    FROM c GROUP BY source
+    """,
+    "concat-and-chunk sequence packing at 512 tokens per shard (source): "
+    "one shuffle on the shard key, window cumsum, integer-only arithmetic",
+)
+def sequence_packing(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    packed = corpus.pack_sequences(d, 512, by="source")
+    spanning = (
+        (F.col("doc_tokens") > 0)
+        & (
+            F.floor((F.col("start_offset") + F.col("doc_tokens") - 1) / 512)
+            != F.col("seq_id")
+        )
+    ).cast("int")
+    return packed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        (F.max("seq_id") + 1).cast("bigint").alias("n_seqs"),
+        F.sum("doc_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(spanning).cast("bigint").alias("n_spanning"),
+    )
+
+
+@q(
+    "doc_chunking",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+    x AS (SELECT doc_id, LEN(w) AS n,
+          UNNEST(RANGE(0, GREATEST(LEN(w), 1), 16)) AS start,
+          UNNEST(LIST_TRANSFORM(RANGE(0, GREATEST(LEN(w), 1), 16),
+                 s -> ARRAY_TO_STRING(w[s+1:s+32], ' '))) AS chunk_text
+          FROM d WHERE LEN(w) > 0)
+    SELECT doc_id, CAST(start AS BIGINT) AS start,
+           CAST(LEAST(n - start, 32) AS BIGINT) AS chunk_tokens,
+           MD5(chunk_text) AS chunk_md5
+    FROM x
+    """,
+    "sliding-window token chunking (32-token chunks, stride 16): per-row "
+    "map + explode, zero shuffles; every chunk value-hashed",
+)
+def doc_chunking(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    chunks = text.chunk_documents(d, chunk_size=32, stride=16)
+    return chunks.select(
+        "doc_id",
+        F.col("start").cast("bigint").alias("start"),
+        F.col("chunk_tokens").cast("bigint").alias("chunk_tokens"),
+        F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"),
+    )
+
+
+@q(
+    "incremental_dedup",
+    """
+    WITH b AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+    cfp AS (SELECT DISTINCT MD5(text) AS fp FROM documents WHERE doc_id % 3 <> 0),
+    w AS (SELECT *, MD5(text) AS fp,
+          ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) AS rn FROM b)
+    SELECT lang, COUNT(*) AS n_new,
+           CAST(SUM(n_chars) AS BIGINT) AS new_chars
+    FROM w WHERE rn = 1 AND fp NOT IN (SELECT fp FROM cfp)
+    GROUP BY lang
+    """,
+    "incremental ingestion dedup: batch (doc_id%3=0) deduped within itself "
+    "then anti-joined against the existing corpus fingerprint index — the "
+    "corpus text is never rescanned",
+)
+def incremental_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 3 == 0)
+    existing = d.filter(F.col("doc_id") % 3 != 0)
+    fresh = dedup.incremental_exact_dedup(batch, existing)
+    return fresh.groupBy("lang").agg(
+        F.count("*").alias("n_new"),
+        F.sum("n_chars").cast("bigint").alias("new_chars"),
+    )
+
+
+@q(
+    "incremental_minhash_survivors",
+    None,
+    "near-dup arm of incremental ingestion: MinHash-LSH bucket join batch "
+    "vs corpus + exact shingle-Jaccard verify; precision/recall guarantees "
+    "in tests/test_dedup.py",
+)
+def incremental_minhash_survivors(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 3 == 0)
+    existing = d.filter(F.col("doc_id") % 3 != 0)
+    fresh = dedup.incremental_minhash_dedup(batch, existing, threshold=0.9)
+    return fresh.agg(
+        F.count("*").alias("n_new"), F.sum("n_chars").cast("bigint").alias("new_chars")
+    )
+
+
+@q(
+    "url_parsing",
+    """
+    SELECT source || '.example.com' AS host,
+           lang AS ref, COUNT(*) AS n,
+           CAST(SUM(LENGTH('/p/' || CAST(doc_id AS VARCHAR))) AS BIGINT) AS path_chars
+    FROM documents GROUP BY 1, 2
+    """,
+    "URL parsing (crawl curation): parse_url HOST/PATH/QUERY extraction "
+    "verified against the compositional ground truth the URLs were built "
+    "from (DuckDB lacks parse_url)",
+)
+def url_parsing(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat_ws(
+            "",
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?ref="),
+            F.col("lang"),
+        ),
+    )
+    parsed = d.select(
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("ref")).alias("ref"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+    )
+    return parsed.groupBy("host", "ref").agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("path")).cast("bigint").alias("path_chars"),
     )
 
 

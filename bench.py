@@ -69,6 +69,11 @@ EXTRA = [
     "dq_audit_orders",        # one-scan rule audit
     "sim_pairs",              # exact all-pairs cosine via blocked GEMM
     "embedding_dedup",        # GEMM pairs -> anti-join survivors
+    "pii_redaction",          # zero-shuffle regexp scrub
+    "boilerplate_removal",    # segment blacklist + ordered reassembly
+    "sequence_packing",       # per-shard window cumsum packing
+    "doc_chunking",           # sliding-window chunk explode
+    "incremental_dedup",      # batch-vs-corpus fingerprint anti-join
 ]
 
 

@@ -74,3 +74,27 @@ def test_repetition_stats_values(spark):
     assert got[2].distinct_ratio == 1.0 and got[2].dup_bigram_frac == 0.0
     assert got[3].top_token_frac == 0.6 and got[3].dup_bigram_frac == 0.5
     assert got[4].distinct_ratio == 1.0 and got[4].dup_bigram_frac == 0.0
+
+
+def test_pack_sequences_layout(spark):
+    """Offsets are the per-source running token sum in doc_id order; a doc's
+    sequence is the chunk containing its first token; sources pack
+    independently."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "s1"),        # 3 toks, off 0, seq 0
+            (2, "d e f g", "s1"),      # 4 toks, off 3, seq 0
+            (3, "h i j k l m", "s1"),  # 6 toks, off 7, seq 0 (spans into seq 1)
+            (4, "n o", "s1"),          # off 13, seq 1
+            (10, "x y z", "s2"),       # other source restarts at 0
+        ],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    out = {r.doc_id: r for r in corpus.pack_sequences(docs, 10, by="source").collect()}
+    assert [(out[i].start_offset, out[i].seq_id) for i in (1, 2, 3, 4)] == [
+        (0, 0), (3, 0), (7, 0), (13, 1)
+    ]
+    assert (out[10].start_offset, out[10].seq_id) == (0, 0)
+    # doc 3 spans the seq boundary (tokens 7..12 cross offset 10)
+    spans = (out[3].start_offset + out[3].doc_tokens - 1) // 10 != out[3].seq_id
+    assert spans

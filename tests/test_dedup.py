@@ -250,3 +250,40 @@ def test_prefix_filter_stop_token_subquadratic(spark):
     )
     assert cand.count() == 0
     assert dedup.jaccard_pairs(docs, "doc_id", "text", threshold=0.9).count() == 0
+
+
+def test_incremental_exact_dedup_crafted(spark):
+    corpus_df = spark.createDataFrame(
+        [(1, "existing document one"), (2, "existing document two")],
+        "doc_id LONG, text STRING",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "existing document one"),   # exact dup of corpus -> dropped
+            (11, "brand new document"),      # unique -> kept
+            (12, "brand new document"),      # within-batch dup -> loses to 11
+            (13, "another fresh one"),       # unique -> kept
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = sorted(
+        r.doc_id for r in dedup.incremental_exact_dedup(batch, corpus_df).collect()
+    )
+    assert got == [11, 13]
+
+
+def test_incremental_minhash_dedup_drops_near_dups(spark):
+    base = " ".join(f"word{i}" for i in range(60))
+    near = base.replace("word30", "word30x")  # one-token edit: Jaccard ~ .97
+    other = " ".join(f"zz{i}" for i in range(60))
+    corpus_df = spark.createDataFrame([(1, base)], "doc_id LONG, text STRING")
+    batch = spark.createDataFrame(
+        [(10, near), (11, other)], "doc_id LONG, text STRING"
+    )
+    got = sorted(
+        r.doc_id
+        for r in dedup.incremental_minhash_dedup(
+            batch, corpus_df, threshold=0.8
+        ).collect()
+    )
+    assert got == [11]

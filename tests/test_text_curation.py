@@ -1,0 +1,91 @@
+"""PII redaction / boilerplate removal / chunking semantics (operators/text.py).
+
+The oracle suite hash-matches the registry aggregates; these tests pin the
+row-level semantics on crafted inputs where the expected output is known
+by hand.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ascii_hydra_spark.operators import text
+
+
+def test_redact_pii_crafted(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@corp.example.org now"),
+            (2, "server at 192.168.0.17 rebooted"),
+            (3, "call +1 555 867-5309 or +44-20-7946-0958 today"),
+            (4, "nothing sensitive here"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in text.redact_pii(docs).collect()}
+    assert out[1].n_email == 1 and out[1].text_redacted == "contact <EMAIL> now"
+    assert out[2].n_ipv4 == 1 and out[2].text_redacted == "server at <IPV4> rebooted"
+    assert out[3].n_phone == 1  # the second number uses '-' after country code
+    assert "<PHONE>" in out[3].text_redacted
+    assert out[4].n_email == out[4].n_ipv4 == out[4].n_phone == 0
+    assert out[4].text_redacted == "nothing sensitive here"
+
+
+def test_remove_boilerplate_crafted(spark):
+    # 4-token boilerplate prefix shared by 3 docs; unique tails survive.
+    bp = "accept all cookies now"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{bp} alpha beta gamma delta"),
+            (2, f"{bp} epsilon zeta eta theta"),
+            (3, f"{bp} iota kappa lam mu"),
+            (4, "totally unique document body here"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in text.remove_boilerplate(docs, min_docs=3).collect()}
+    assert out[1].text_clean == "alpha beta gamma delta"
+    assert out[2].text_clean == "epsilon zeta eta theta"
+    assert out[3].text_clean == "iota kappa lam mu"
+    assert out[4].text_clean == "totally unique document body here"
+    # doc 1: boilerplate window dropped, one 4-token tail window kept;
+    # doc 4: 5 tokens -> two windows (4+1), both kept
+    assert out[1].n_segments_kept == 1 and out[4].n_segments_kept == 2
+
+
+def test_remove_boilerplate_fully_boilerplate_doc_survives_empty(spark):
+    docs = spark.createDataFrame(
+        [(i, "same four token text") for i in range(1, 5)],
+        "doc_id LONG, text STRING",
+    )
+    out = text.remove_boilerplate(docs, min_docs=3).collect()
+    assert len(out) == 4
+    assert all(r.text_clean == "" and r.n_segments_kept == 0 for r in out)
+
+
+def test_chunk_documents_exact_layout(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))], "doc_id LONG, text STRING"
+    )
+    rows = sorted(
+        text.chunk_documents(docs, chunk_size=4, stride=3).collect(),
+        key=lambda r: r.start,
+    )
+    assert [r.start for r in rows] == [0, 3, 6, 9]
+    assert [r.chunk_tokens for r in rows] == [4, 4, 4, 1]
+    assert rows[0].chunk_text == "t0 t1 t2 t3"
+    assert rows[1].chunk_text == "t3 t4 t5 t6"  # overlap of 1 token
+    assert rows[3].chunk_text == "t9"
+
+
+def test_chunk_documents_no_overlap_reconstructs(spark):
+    docs = spark.createDataFrame(
+        [(7, "a b c d e f g")], "doc_id LONG, text STRING"
+    )
+    rows = sorted(
+        text.chunk_documents(docs, chunk_size=3, stride=3).collect(),
+        key=lambda r: r.start,
+    )
+    assert " ".join(r.chunk_text for r in rows) == "a b c d e f g"
+    empty = spark.createDataFrame([(8, "")], "doc_id LONG, text STRING")
+    assert text.chunk_documents(empty, 3, 3).count() == 0
