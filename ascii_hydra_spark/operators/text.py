@@ -133,6 +133,69 @@ def regex_filter(docs: DataFrame, pattern: str, text_col: str = "text") -> DataF
     return docs.filter(F.col(text_col).rlike(pattern))
 
 
+def build_vocab(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_vocab: int | None = None,
+) -> DataFrame:
+    """Frequency-ranked vocabulary table: (token, vocab_id, count, df).
+
+    vocab_id is the dense frequency rank (count desc, token asc — total
+    order, so ids are deterministic across engines and reruns). The
+    count/df aggregation shuffles on the token; the id assignment is a
+    single global window sort, which is fine because it runs on the
+    POST-min_df vocabulary (≈1e5-1e6 rows at web scale), not the corpus.
+    """
+    tf = (
+        docs.select(F.col(id_col), F.explode(word_tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("count"),
+            F.countDistinct(id_col).alias("df"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("count"), F.col("token"))
+    vocab = tf.withColumn("vocab_id", F.row_number().over(w).cast("bigint"))
+    if max_vocab is not None:
+        vocab = vocab.filter(F.col("vocab_id") <= max_vocab)
+    return vocab.select("token", "vocab_id", "count", "df")
+
+
+def top_terms_per_group(
+    docs: DataFrame,
+    by: str = "lang",
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group heavy hitters: the k most frequent tokens per group with
+    deterministic tie-break (count desc, token asc).
+
+    Two-level aggregation — partial counts combine map-side before the
+    (group, token) shuffle — then a per-group window top-k: state per
+    group is k rows, never a global sort. The scan shuffles counted
+    (group, token) partials, not the token stream.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.col(by), F.explode(word_tokens(text_col)).alias("token"))
+        .groupBy(by, "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy(by).orderBy(F.desc("cnt"), F.col("token"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select(by, "rk", "token", "cnt")
+    )
+
+
 # ---------------------------------------------------------------- PII redaction
 
 # Patterns restricted to the regex subset Java (Spark) and RE2 (DuckDB)

@@ -2653,7 +2653,7 @@ def tpch_q3_like(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey")
         .agg(
             F.sum(rev).cast("double").alias("revenue"),
@@ -2732,7 +2732,7 @@ def tpch_q14_like(spark, sf_dir):
         F.lit(0).cast("decimal(14,4)")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             (
                 F.lit(100.0)
@@ -2874,7 +2874,7 @@ def tpch_q2_like(spark, sf_dir):
     return (
         best.filter(F.col("minp") == F.col("part_min"))
         .join(p, best.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .join(s, best.l_suppkey == s.s_suppkey)
         .select("p_partkey", "s_name", F.col("minp").alias("min_price"))
     )
 
@@ -3024,7 +3024,7 @@ def tpch_q15_like(spark, sf_dir):
     best = totals.withColumn("mx", F.max("total").over(Window.partitionBy()))
     return (
         best.filter(F.col("total") == F.col("mx"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", F.col("total").cast("double").alias("total_revenue"))
     )
 
@@ -3087,7 +3087,7 @@ def tpch_q19_like(spark, sf_dir):
         & F.col("l_quantity").between(20, 50)
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(clause)
         .agg(F.sum(rev).cast("double").alias("revenue"), F.count("*").alias("n"))
     )
@@ -3770,6 +3770,46 @@ def incremental_minhash_survivors(spark, sf_dir):
 
 
 @q(
+    "vocab_build",
+    f"""
+    WITH tf AS (SELECT tok, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS df
+                FROM (SELECT doc_id, UNNEST({_TOKS}) AS tok FROM documents)
+                GROUP BY 1)
+    SELECT tok AS token,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS vocab_id,
+           cnt AS count, df
+    FROM tf WHERE df >= 2
+    """,
+    "frequency-ranked vocabulary: deterministic dense ids (count desc, "
+    "token asc); global sort only over the post-min_df vocab",
+)
+def vocab_build(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text.build_vocab(d, min_df=2).select(
+        "token", "vocab_id", F.col("count"), "df"
+    )
+
+
+@q(
+    "top_terms_per_lang",
+    f"""
+    WITH c AS (SELECT lang, tok AS token, COUNT(*) AS cnt
+               FROM (SELECT lang, UNNEST({_TOKS}) AS tok FROM documents)
+               GROUP BY 1, 2),
+    r AS (SELECT lang, token, cnt,
+          ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rk
+          FROM c)
+    SELECT lang, rk, token, cnt FROM r WHERE rk <= 5
+    """,
+    "per-group heavy hitters: two-level agg (map-side partials) + "
+    "per-group window top-k, no global sort",
+)
+def top_terms_per_lang(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text.top_terms_per_group(d, by="lang", k=5)
+
+
+@q(
     "url_parsing",
     """
     SELECT source || '.example.com' AS host,
@@ -3803,6 +3843,221 @@ def url_parsing(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum(F.length("path")).cast("bigint").alias("path_chars"),
     )
+
+
+# ===================================================================
+# TPC-H fill-ins: Q8/Q9/Q13/Q17/Q21 shapes (decorrelation + grouped-on-
+# aggregate + double self-join EXISTS surface)
+# ===================================================================
+
+_DECREV = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "(1 - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+@q(
+    "tpch_q8_like",
+    f"""
+    WITH j AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             {_DECREV} AS rev, s_nationkey
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31')
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN s_nationkey = 7 THEN rev END) AS DOUBLE)
+                 / CAST(SUM(rev) AS DOUBLE), 6) AS mkt_share
+    FROM j GROUP BY o_year
+    """,
+    "TPC-H Q8 shape: national market share — 6-way join, per-year "
+    "conditional revenue ratio (decimal sums, double division at the end)",
+)
+def tpch_q8_like(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            rev.alias("rev"),
+            "s_nationkey",
+        )
+    )
+    nat = F.sum(F.when(F.col("s_nationkey") == 7, F.col("rev")))
+    return j.groupBy("o_year").agg(
+        F.round(nat.cast("double") / F.sum("rev").cast("double"), 6).alias("mkt_share")
+    )
+
+
+@q(
+    "tpch_q9_like",
+    f"""
+    WITH j AS (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             {_DECREV}
+               - CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(p_retailprice AS DECIMAL(12,2))
+                 * CAST(0.5 AS DECIMAL(2,1)) AS amount
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_type = 'STANDARD')
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM j GROUP BY nation, o_year
+    """,
+    "TPC-H Q9 shape: profit by supplier nation and year (retailprice*0.5 "
+    "stands in for ps_supplycost — fixtures have no partsupp table); exact "
+    "decimal arithmetic end-to-end",
+)
+def tpch_q9_like(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    cost = (
+        F.col("l_quantity").cast("decimal(12,2)")
+        * F.col("p_retailprice").cast("decimal(12,2)")
+        * F.lit(0.5).cast("decimal(2,1)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            (rev - cost).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+    )
+
+
+@q(
+    "tpch_q13_like",
+    """
+    WITH cc AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    SELECT c_count, COUNT(*) AS custdist FROM cc GROUP BY c_count
+    """,
+    "TPC-H Q13 shape: customer order-count distribution — join-side "
+    "predicate on a LEFT join (kept out of WHERE), then group-on-aggregate",
+)
+def tpch_q13_like(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+@q(
+    "tpch_q17_like",
+    """
+    WITH pl AS (SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#5' AND p_size < 15),
+    a AS (SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+          COUNT(*) AS cnt FROM pl GROUP BY 1)
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / 7.0, 6) AS avg_yearly,
+           COUNT(*) AS n
+    FROM pl JOIN a USING (l_partkey)
+    WHERE CAST(l_quantity AS DECIMAL(12,2)) * 5 * cnt < sq
+    """,
+    "TPC-H Q17 shape: below-20%-of-part-average quantity filter. The "
+    "avg comparison is integer-ized (5*qty*cnt < sum) so the boundary is "
+    "exact decimal arithmetic, not an FP-accumulation-order coin flip",
+)
+def tpch_q17_like(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#5") & (F.col("p_size") < 15)
+    )
+    pl = li.join(p, li.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    a = pl.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sq"),
+        F.count("*").alias("cnt"),
+    )
+    return (
+        pl.join(a, "l_partkey")
+        .filter(F.col("l_quantity").cast("decimal(12,2)") * 5 * F.col("cnt") < F.col("sq"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double")
+                / 7.0,
+                6,
+            ).alias("avg_yearly"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+_Q21_SQL = """
+SELECT s_suppkey, COUNT(*) AS numwait
+FROM lineitem l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_suppkey
+ORDER BY numwait DESC, s_suppkey
+LIMIT 20
+"""
+
+
+@q(
+    "tpch_q21_like",
+    _Q21_SQL,
+    "TPC-H Q21 shape: EXISTS + NOT EXISTS double self-join on the fact "
+    "table (sole-blamed-supplier semantics via returnflag, standing in for "
+    "the receipt/commit columns the fixture lacks); exercises Catalyst's "
+    "semi/anti decorrelation on correlated self-joins",
+)
+def tpch_q21_like(spark, sf_dir):
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(_Q21_SQL)
 
 
 # ===================================================================

@@ -184,15 +184,36 @@ def test_no_forced_broadcast_of_scaling_tables(spark, sf_dir):
     them OOMs executors at 100x. The logical plans of the star/graph queries
     must carry hints only for fixed-cardinality dims (nation/region); any
     broadcast of customer/supplier may come only from AQE/size stats."""
-    for name in ("star_revenue_by_nation", "graph_domain_aggr"):
-        df = REGISTRY[name].fn(spark, sf_dir)
-        logical = df._jdf.queryExecution().analyzed().toString()
-        for line in logical.split("\n"):
-            if "UnresolvedHint" in line or "ResolvedHint" in line:
-                nxt = logical.split(line, 1)[1][:300]
-                assert "customer" not in nxt and "supplier" not in nxt, (
-                    f"{name}: broadcast hint on a scaling table:\n{line}\n{nxt}"
-                )
+    EAGER_PREFIXES = (
+        "stream_", "pyds_", "jdbc_", "csv_", "json_round", "orc_",
+        "zorder", "partitioned", "hypertable", "text_scan",
+    )
+    # Scaling tables: anything that grows with the corpus. Hints are only
+    # legitimate on region/nation (fixed cardinality).
+    SCALING = ("customer", "supplier", "part.parquet", "orders", "lineitem",
+               "documents", "embeddings", "events")
+    for name, spec in REGISTRY.items():
+        if name.startswith(EAGER_PREFIXES):
+            continue
+        df = spec.fn(spark, sf_dir)
+        lines = df._jdf.queryExecution().analyzed().toString().split("\n")
+        for i, line in enumerate(lines):
+            if "UnresolvedHint" not in line and "ResolvedHint" not in line:
+                continue
+            # Inspect the hinted subtree: offense = the hint sits on a raw
+            # scan of a scaling table. A hint on a DERIVED relation (e.g. a
+            # 1-row aggregate computed from lineitem) is fine — so stop at
+            # the first Aggregate, and otherwise flag the first Relation
+            # whose path names a scaling table.
+            for sub in lines[i + 1 : i + 12]:
+                if "Aggregate" in sub or "GlobalLimit" in sub:
+                    break
+                if "Relation" in sub:
+                    bad = [t for t in SCALING if t in sub]
+                    assert not bad, (
+                        f"{name}: broadcast hint on scaling table {bad}:\n{line}\n{sub}"
+                    )
+                    break
     from ascii_hydra_spark.catalog import DIMENSION_TABLES
 
     assert "supplier" not in DIMENSION_TABLES

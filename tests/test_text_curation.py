@@ -89,3 +89,42 @@ def test_chunk_documents_no_overlap_reconstructs(spark):
     assert " ".join(r.chunk_text for r in rows) == "a b c d e f g"
     empty = spark.createDataFrame([(8, "")], "doc_id LONG, text STRING")
     assert text.chunk_documents(empty, 3, 3).count() == 0
+
+
+def test_line_segments_split(spark):
+    docs = spark.createDataFrame(
+        [(1, "header line\nbody text here\n\nfooter line")],
+        "doc_id LONG, text STRING",
+    )
+    segs = docs.select(text.line_segments("text").alias("s")).collect()[0].s
+    assert segs == ["header line", "body text here", "footer line"]
+
+
+def test_build_vocab_rank_and_min_df(spark):
+    docs = spark.createDataFrame(
+        [(1, "b a a"), (2, "a b c"), (3, "a d")],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r.token: r for r in text.build_vocab(docs).collect()}
+    # a: count 4 df 3; b: count 2 df 2; c: 1/1; d: 1/1 (c before d on tie)
+    # NB: r["count"] not r.count — Row.count is the tuple method
+    assert (rows["a"].vocab_id, rows["a"]["count"], rows["a"].df) == (1, 4, 3)
+    assert rows["b"].vocab_id == 2
+    assert (rows["c"].vocab_id, rows["d"].vocab_id) == (3, 4)
+    top2 = text.build_vocab(docs, max_vocab=2).collect()
+    assert sorted(r.token for r in top2) == ["a", "b"]
+    df2 = text.build_vocab(docs, min_df=2).collect()
+    assert sorted(r.token for r in df2) == ["a", "b"]
+
+
+def test_top_terms_per_group_tiebreak(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y y z", "en"), (2, "x z", "en"), (3, "q q r", "de")],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    rows = text.top_terms_per_group(docs, by="lang", k=2).collect()
+    en = sorted([(r.rk, r.token, r.cnt) for r in rows if r.lang == "en"])
+    de = sorted([(r.rk, r.token, r.cnt) for r in rows if r.lang == "de"])
+    # en: x=2, y=2, z=2 -> tie broken lexicographically: x then y
+    assert en == [(1, "x", 2), (2, "y", 2)]
+    assert de == [(1, "q", 2), (2, "r", 1)]
