@@ -171,6 +171,39 @@ def pack_sequences(
     )
 
 
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: one row per doc id with
+    status 'added' / 'removed' / 'modified' / 'unchanged'.
+
+    The full-outer join runs on (id, fingerprint) projections — 40 bytes
+    per doc — never on document text, so diffing two 100 TB snapshots
+    shuffles gigabytes, not the corpora. This is the audit step between
+    crawl ingests: what the incremental pipeline is about to add, what
+    disappeared upstream, what changed in place.
+    """
+    def fps(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.md5(F.col(text_col).cast("binary")).alias(f"__fp_{side}"),
+        )
+
+    o, n = fps(old, "old"), fps(new, "new")
+    status = (
+        F.when(F.col("__fp_old").isNull(), F.lit("added"))
+        .when(F.col("__fp_new").isNull(), F.lit("removed"))
+        .when(F.col("__fp_old") != F.col("__fp_new"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return o.join(n, id_col, "full_outer").select(
+        F.col(id_col), status.alias("status")
+    )
+
+
 def repetition_stats(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -113,6 +113,16 @@ OPTIMIZER_CONF: dict[str, str] = {
     "spark.sql.cbo.joinReorder.enabled": "true",
     "spark.sql.cbo.starSchemaDetection": "true",
     "spark.sql.statistics.histogram.enabled": "true",
+    # Runtime row-level filtering for large-large joins the planner can't
+    # broadcast: inject a bloom filter built from the selective side into
+    # the big side's scan (Spark 3.3+, default-on since 3.4 — pinned here
+    # as a semantic commitment). At 100 TB this is what turns a "join 1%
+    # of orders against all of lineitem" into a pre-filtered scan instead
+    # of a full-corpus shuffle. NB: runtimeFilter.semiJoinReduction stays
+    # OFF — measured on this suite it re-executes expensive build-side
+    # subplans (window/aggregate dims) as per-join filters, turning
+    # sub-second queries into minutes at fixture scale.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
 }
 
 INTERCHANGE_CONF: dict[str, str] = {

@@ -134,6 +134,30 @@ def stream_static_join(
     return stream.join(F.broadcast(dim), stream[on_left] == dim[on_right], how)
 
 
+def stream_incremental_dedup(
+    docs_stream: DataFrame,
+    corpus_fingerprints: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming arm of incremental corpus ingestion: drop stream documents
+    whose content fingerprint already exists in the static corpus index,
+    then dedup within the stream itself.
+
+    The corpus side is the persisted fingerprint INDEX (32-char md5 in
+    column `__fp`), never corpus text — a stream-static left_anti join,
+    re-broadcast per micro-batch with no state store. The within-stream
+    dedup is `dropDuplicates` keyed on the fingerprint: state is one
+    32-char key per distinct new doc. At 100 TB/day bound that state with
+    `dropDuplicatesWithinWatermark` on the ingest timestamp instead —
+    exact-once-ever dedup across unbounded time belongs to the batch
+    compaction (incremental_exact_dedup), not the stream.
+    """
+    fp = F.md5(F.col(text_col).cast("binary")).alias("__fp")
+    s = docs_stream.select("*", fp)
+    fresh = s.join(F.broadcast(corpus_fingerprints), "__fp", "left_anti")
+    return fresh.dropDuplicates(["__fp"]).drop("__fp")
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

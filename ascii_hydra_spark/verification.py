@@ -3845,6 +3845,199 @@ def url_parsing(spark, sf_dir):
     )
 
 
+@q(
+    "corpus_diff_counts",
+    """
+    WITH o AS (SELECT doc_id, MD5(text) AS fo FROM documents WHERE doc_id % 5 <> 0),
+    n AS (SELECT doc_id,
+          MD5(CASE WHEN doc_id % 11 = 0 THEN text || ' updated' ELSE text END) AS fn
+          FROM documents WHERE doc_id % 13 <> 0)
+    SELECT status, COUNT(*) AS n FROM (
+      SELECT CASE WHEN fo IS NULL THEN 'added'
+                  WHEN fn IS NULL THEN 'removed'
+                  WHEN fo <> fn THEN 'modified'
+                  ELSE 'unchanged' END AS status
+      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+    GROUP BY status
+    """,
+    "crawl-snapshot diff: added/removed/modified/unchanged per doc id — "
+    "full-outer join on (id, fingerprint) projections (40 B/doc), never "
+    "on document text",
+)
+def corpus_diff_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    new = d.filter(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" updated"))
+        ).otherwise(F.col("text")),
+    )
+    diff = corpus.corpus_diff(old, new)
+    return diff.groupBy("status").agg(F.count("*").alias("n"))
+
+
+@q(
+    "embedding_quantize",
+    """
+    WITH q AS (SELECT vec_id, embedding,
+          CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0
+            AS scale
+          FROM embeddings)
+    SELECT vec_id, ROUND(scale, 6) AS scale_r,
+           CAST(list_sum(list_transform(embedding,
+                x -> CASE WHEN scale = 0 THEN 0
+                          ELSE CAST(FLOOR(x / scale + 0.5) AS INT) END)) AS BIGINT)
+             AS q_sum,
+           CAST(list_min(list_transform(embedding,
+                x -> CASE WHEN scale = 0 THEN 0
+                          ELSE CAST(FLOOR(x / scale + 0.5) AS INT) END)) AS INT)
+             AS q_min,
+           CAST(list_max(list_transform(embedding,
+                x -> CASE WHEN scale = 0 THEN 0
+                          ELSE CAST(FLOOR(x / scale + 0.5) AS INT) END)) AS INT)
+             AS q_max
+    FROM q
+    """,
+    "symmetric int8 embedding quantization (4x storage/shuffle cut): "
+    "per-vector scale + floor(x/scale + .5) — exact IEEE arithmetic, "
+    "bit-identical across engines; per-vector checksums hash-matched",
+)
+def embedding_quantize(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    qd = similarity.quantize_embeddings(e)
+    return qd.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale_r"),
+        F.aggregate("q_embedding", F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "q_sum"
+        ),
+        F.array_min("q_embedding").alias("q_min"),
+        F.array_max("q_embedding").alias("q_max"),
+    )
+
+
+@q(
+    "scd2_temporal_lookup",
+    """
+    WITH h AS (
+      SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS valid_from,
+             LEAD(CAST(ts AS TIMESTAMP)) OVER
+               (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS valid_to
+      FROM events WHERE event_type = 'signup'
+    ),
+    f AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS fts
+          FROM events WHERE event_type = 'purchase')
+    SELECT h.user_id, COUNT(*) AS n_facts,
+           CAST(SUM(h.event_id) AS BIGINT) AS version_ids,
+           ROUND(CAST(SUM(CAST(h.value AS DECIMAL(12,4))) AS DOUBLE), 6) AS value_sum
+    FROM f JOIN h
+      ON f.user_id = h.user_id
+     AND f.fts >= h.valid_from
+     AND (h.valid_to IS NULL OR f.fts < h.valid_to)
+    GROUP BY h.user_id
+    """,
+    "point-in-time (temporal) dimension lookup: each purchase event joined "
+    "to the signup-profile SCD2 version valid at its timestamp — equi hash "
+    "join on the key with the validity range as a post-join filter (never "
+    "a BNLJ); at scale the dimension partitions by is_current so "
+    "current-only lookups prune",
+)
+def scd2_temporal_lookup(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    dim = e.filter(F.col("event_type") == "signup").select(
+        "user_id", "event_id", "value", "ts"
+    )
+    h = relational.scd2_history(dim, key="user_id", ts_col="ts", order_tiebreak="event_id")
+    f = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("f_user"), F.col("ts").alias("fts")
+    )
+    j = f.join(
+        h,
+        (f.f_user == h.user_id)
+        & (f.fts >= h.valid_from)
+        & (h.valid_to.isNull() | (f.fts < h.valid_to)),
+    )
+    return j.groupBy("user_id").agg(
+        F.count("*").alias("n_facts"),
+        F.sum("event_id").cast("bigint").alias("version_ids"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(12,4)")).cast("double"), 6
+        ).alias("value_sum"),
+    )
+
+
+@q(
+    "revenue_share_by_nation",
+    """
+    WITH r AS (
+      SELECT n_name, SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev_d
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name)
+    SELECT n_name, CAST(rev_d AS DOUBLE) AS revenue,
+           ROUND(CAST(rev_d AS DOUBLE) / CAST(SUM(rev_d) OVER () AS DOUBLE), 6)
+             AS share
+    FROM r
+    """,
+    "share-of-total (window over aggregate): the global window runs over "
+    "the 25-row AGGREGATE, not the fact table; ratio computed from exact "
+    "decimal sums so engine accumulation order can't flip a rounding",
+)
+def revenue_share_by_nation(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("rev_d"))
+    )
+    total = F.sum("rev_d").over(Window.partitionBy())
+    return r.select(
+        "n_name",
+        F.col("rev_d").cast("double").alias("revenue"),
+        F.round(F.col("rev_d").cast("double") / total.cast("double"), 6).alias("share"),
+    )
+
+
+@q(
+    "stream_incremental_dedup",
+    """
+    WITH b AS (SELECT DISTINCT MD5(text) AS fp, LENGTH(text) AS len
+               FROM documents WHERE doc_id % 3 = 0),
+    cfp AS (SELECT DISTINCT MD5(text) AS fp FROM documents WHERE doc_id % 3 <> 0)
+    SELECT COUNT(*) AS n_new, CAST(SUM(len) AS BIGINT) AS new_chars
+    FROM b WHERE fp NOT IN (SELECT fp FROM cfp)
+    """,
+    "streaming arm of incremental ingestion: file-stream batch anti-joined "
+    "against the static corpus fingerprint index + within-stream "
+    "fingerprint dedup; sink aggregated on winner-invariant measures "
+    "(duplicate groups share text, so count/chars are deterministic even "
+    "though dropDuplicates keeps an arbitrary first-seen row)",
+)
+def stream_incremental_dedup_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 3 == 0)
+    tmp = tempfile.mkdtemp(prefix="ahs_docs_batch_")
+    batch.write.mode("overwrite").parquet(tmp)
+    stream = spark.readStream.schema(batch.schema).parquet(tmp)
+    cfps = (
+        d.filter(F.col("doc_id") % 3 != 0)
+        .select(F.md5(F.col("text").cast("binary")).alias("__fp"))
+        .distinct()
+    )
+    fresh = streaming.stream_incremental_dedup(stream, cfps)
+    sink = streaming.run_available_now(fresh)
+    return spark.read.parquet(sink).agg(
+        F.count("*").alias("n_new"),
+        F.sum(F.length("text")).cast("bigint").alias("new_chars"),
+    )
+
+
 # ===================================================================
 # TPC-H fill-ins: Q8/Q9/Q13/Q17/Q21 shapes (decorrelation + grouped-on-
 # aggregate + double self-join EXISTS surface)

@@ -98,3 +98,16 @@ def test_pack_sequences_layout(spark):
     # doc 3 spans the seq boundary (tokens 7..12 cross offset 10)
     spans = (out[3].start_offset + out[3].doc_tokens - 1) // 10 != out[3].seq_id
     assert spans
+
+
+def test_corpus_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")],
+        "doc_id LONG, text STRING",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed"), (4, "brand new")],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: r.status for r in corpus.corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "modified", 3: "removed", 4: "added"}

@@ -103,3 +103,23 @@ def test_blocked_pairs_identical_to_expression_form(spark, sf_dir):
         for r in similarity.cosine_pairs_blocked(emb, threshold=0.3, block_size=100).collect()
     }
     assert old == new and len(old) > 0
+
+
+def test_quantize_embeddings_reconstruction(spark, sf_dir):
+    """int8 quantization must keep vectors geometrically faithful:
+    max elementwise error <= scale/2 and reconstruction cosine ~ 1."""
+    import math
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    q = similarity.quantize_embeddings(emb)
+    joined = emb.join(q, "vec_id").collect()
+    for r in joined:
+        recon = [qi * r.scale for qi in r.q_embedding]
+        orig = [float(x) for x in r.embedding]
+        assert all(abs(o - rc) <= r.scale / 2 + 1e-12 for o, rc in zip(orig, recon))
+        dot = sum(o * rc for o, rc in zip(orig, recon))
+        no = math.sqrt(sum(o * o for o in orig))
+        nr = math.sqrt(sum(rc * rc for rc in recon))
+        if no > 0 and nr > 0:
+            assert dot / (no * nr) > 0.995
+        assert all(-127 <= qi <= 127 for qi in r.q_embedding)
