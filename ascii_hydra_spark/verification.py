@@ -4276,37 +4276,43 @@ _PRIORITY: tuple[str, ...] = (
     "region_revenue", "star_revenue_by_nation", "graph_domain_aggr",
     "salted_join_revenue", "pricing_summary", "topk_orders",
     "semi_join_segments",
-    # windows
-    "window_rank", "window_analytic", "window_running", "window_range_time",
+    # windows (rank + frames/time-range represent the family)
+    "window_rank", "window_range_time",
     # multi-dim aggregation / reshaping
-    "rollup_revenue", "grouping_sets_orders", "pivot_status",
-    "unpivot_balances",
+    "rollup_revenue", "pivot_status",
     # sampling + approx
     "stratified_sample", "exact_distinct_median",
     # semi-structured + arrays
-    "json_extract", "variant_ops", "array_ops", "collect_sorted",
+    "json_extract", "array_ops",
     # UDTF / UDF surface
-    "explode_words", "udtf_tokenize", "pandas_udf_charge",
-    "applyinpandas_demean",
+    "explode_words", "pandas_udf_charge",
     # datetime
     "datetime_extract",
     # dedup family
     "dedup_exact_events", "dedup_fingerprint", "near_dup_jaccard",
-    "dedup_clusters",
+    "dedup_clusters", "incremental_dedup",
     # similarity family
-    "sim_topk", "sim_pairs",
+    "sim_topk", "sim_pairs", "embedding_quantize",
     # custom python datasource
     "pyds_docs",
     # text family
-    "text_stats_by_lang", "term_freq_top", "quality_scores",
-    "lang_id_counts",
+    "text_stats_by_lang", "lang_id_counts", "vocab_build",
+    # corpus-curation family (driver-mandate core)
+    "corpus_split_counts", "contamination_check",
+    "repetition_quality_gate", "pii_redaction", "boilerplate_removal",
+    "sequence_packing", "doc_chunking", "corpus_diff_counts",
     # event-time family
     "asof_join_events", "range_join_banded", "sessionize",
-    "tumbling_hourly", "sliding_15min",
+    "tumbling_hourly",
     # streaming / multimodal / layout
     "stream_tumbling_hourly", "multimodal_payload_stats",
     "zorder_clustering",
-    # ---- position 51+: remaining streaming + scale variants ----
+    # ---- position 51+: remaining variants (full family coverage stays in
+    # the repo-local differential suite either way) ----
+    "window_analytic", "window_running", "grouping_sets_orders",
+    "unpivot_balances", "variant_ops", "collect_sorted", "udtf_tokenize",
+    "applyinpandas_demean", "term_freq_top", "quality_scores",
+    "sliding_15min",
     "stream_sliding", "stream_session", "stream_stream_join",
     "stream_stateful_counts", "stream_dedup", "stream_static_join",
     "pyds_stream_feed", "multimodal_frame_sample", "multimodal_resize",
