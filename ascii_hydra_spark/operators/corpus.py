@@ -171,6 +171,32 @@ def pack_sequences(
     )
 
 
+def balanced_resample(
+    df: DataFrame,
+    keep_permille: dict[str, int],
+    by: str = "lang",
+    key_col: str = "doc_id",
+    default_permille: int = 1000,
+) -> DataFrame:
+    """Rebalance group proportions by deterministic per-group downsampling:
+    keep a row iff its hash bucket < keep_permille[group].
+
+    The corpus-mixing step that caps over-represented languages/sources at
+    a target share. Same multiplicative-hash bucket as
+    `train_val_test_split`, so the decision is a pure function of
+    (key, group quota): append-stable, rerun-stable, engine-neutral, and a
+    document kept at quota q stays kept at any quota >= q (nested samples
+    — raising a language's share never churns the previously kept set).
+    Zero shuffles: the quota lookup is a literal CASE over the group
+    column, not a join.
+    """
+    b = _hash_bucket(key_col)
+    quota = F.lit(default_permille)
+    for grp, pm in sorted(keep_permille.items()):
+        quota = F.when(F.col(by) == grp, F.lit(pm)).otherwise(quota)
+    return df.filter(b < quota)
+
+
 def corpus_diff(
     old: DataFrame,
     new: DataFrame,

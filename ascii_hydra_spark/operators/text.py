@@ -275,9 +275,16 @@ def remove_boilerplate(
     text. Reassembly is one groupBy on the doc key with an order-preserving
     sort inside the aggregated array (no extra sort shuffle).
     """
+    # The segment table feeds BOTH the blacklist aggregation and the scrub
+    # join; persist it so tokenize+explode runs once, not twice (measured
+    # ~30% of op time at sf0.1). MEMORY_AND_DISK: at 100 TB the segment
+    # table spills rather than OOMs, and the cache lives only until the
+    # caller's clearCache/session end.
+    from pyspark import StorageLevel
+
     seg = docs.select(
         F.col(id_col), F.posexplode(segments(text_col)).alias("pos", "seg")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     blacklist = (
         seg.select(id_col, "seg")
         .distinct()

@@ -3918,6 +3918,43 @@ def embedding_quantize(spark, sf_dir):
 
 
 @q(
+    "balanced_resample_counts",
+    """
+    SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM (SELECT lang, n_chars,
+          ((doc_id * 2654435761) % 4294967296) % 1000 AS b FROM documents)
+    WHERE b < CASE lang WHEN 'en' THEN 400 WHEN 'zh' THEN 250 ELSE 1000 END
+    GROUP BY lang
+    """,
+    "language-balanced resampling: per-group quota on the shared "
+    "multiplicative-hash bucket — nested (raising a quota never churns "
+    "kept docs), append-stable, zero shuffles",
+)
+def balanced_resample_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    kept = corpus.balanced_resample(d, {"en": 400, "zh": 250}, by="lang")
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+
+
+@q(
+    "sim_topk_quantized",
+    None,
+    "int8-quantized cosine top-k (scale cancels out of cosine, so scoring "
+    "is pure integer dot products over the 4x-narrower column); recall vs "
+    "the exact arm pinned in tests/test_similarity.py",
+)
+def sim_topk_quantized(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return similarity.cosine_topk_quantized(
+        e.filter(F.col("vec_id") != 0), [float(x) for x in qvec], k=10
+    )
+
+
+@q(
     "scd2_temporal_lookup",
     """
     WITH h AS (

@@ -74,6 +74,13 @@ EXTRA = [
     "sequence_packing",       # per-shard window cumsum packing
     "doc_chunking",           # sliding-window chunk explode
     "incremental_dedup",      # batch-vs-corpus fingerprint anti-join
+    "vocab_build",            # token agg + post-min_df rank window
+    "corpus_diff_counts",     # snapshot diff on fingerprint projections
+    "embedding_quantize",     # int8 quantization transform
+    "sim_topk_quantized",     # integer-dot-product top-k
+    "scd2_temporal_lookup",   # point-in-time dimension join
+    "revenue_share_by_nation",# window-over-aggregate share
+    "tpch_q21_like",          # EXISTS + NOT EXISTS double self-join
 ]
 
 

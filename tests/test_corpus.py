@@ -111,3 +111,19 @@ def test_corpus_diff_statuses(spark):
     )
     got = {r.doc_id: r.status for r in corpus.corpus_diff(old, new).collect()}
     assert got == {1: "unchanged", 2: "modified", 3: "removed", 4: "added"}
+
+
+def test_balanced_resample_nested_and_stable(spark):
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id").withColumn(
+        "lang", F.when(F.col("doc_id") % 2 == 0, "en").otherwise("de")
+    )
+    low = {r.doc_id for r in corpus.balanced_resample(docs, {"en": 200}).collect()}
+    high = {r.doc_id for r in corpus.balanced_resample(docs, {"en": 500}).collect()}
+    # nested: raising the en quota only ADDS docs
+    assert low <= high
+    # de untouched (default 1000 keeps everything)
+    n_de = docs.filter(F.col("lang") == "de").count()
+    assert len([i for i in low if i % 2 == 1]) == n_de
+    # rough proportion for en at 200 permille
+    n_en_low = len([i for i in low if i % 2 == 0])
+    assert 120 <= n_en_low <= 280

@@ -123,3 +123,16 @@ def test_quantize_embeddings_reconstruction(spark, sf_dir):
         if no > 0 and nr > 0:
             assert dot / (no * nr) > 0.995
         assert all(-127 <= qi <= 127 for qi in r.q_embedding)
+
+
+def test_quantized_topk_recall_vs_exact(spark, sf_dir):
+    """Quantized scoring must agree with exact cosine on the neighborhood:
+    >= 8/10 overlap of the top-10 sets for the fixture query."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    rest = emb.filter(F.col("vec_id") != 0)
+    exact = {r.vec_id for r in similarity.cosine_topk(rest, qvec, k=10).collect()}
+    quant = {
+        r.vec_id for r in similarity.cosine_topk_quantized(rest, qvec, k=10).collect()
+    }
+    assert len(exact & quant) >= 8, (sorted(exact), sorted(quant))
