@@ -1,0 +1,98 @@
+"""Graph operators over relational edge lists.
+
+The reference's production pipeline builds a domain-level hyperlink graph
+and "aggregates" it with joins/group-bys (paper.md:150-155) — no traversal
+engine. This module keeps that relational framing and adds the two
+iterative algorithms a web-graph corpus pipeline actually runs:
+connected components lives in :mod:`ascii_hydra_spark.operators.dedup`
+(duplicate clustering); PageRank lives here (domain authority scoring for
+crawl prioritization / quality weighting).
+
+Iterative-algorithm discipline at 100 TB (same rules as
+dedup.connected_components):
+
+- the edge list is computed ONCE, persisted, and reused every iteration —
+  the shuffle that builds it is paid once, and each iteration's only
+  shuffle is the rank aggregation on dst;
+- lineage is truncated with localCheckpoint every iteration, otherwise the
+  plan doubles per round and the job dies on planning long before it dies
+  on data;
+- iteration count is FIXED (not convergence-polled per row), so the run is
+  deterministic and schedulable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    Returns (node, rank) with ranks summing to ~1.0 (probability
+    normalization). Dangling nodes (no out-edges) redistribute their mass
+    uniformly each iteration, so total mass is conserved — the property
+    tests pin both conservation and hand-computed small-graph values.
+
+    Shuffle budget per iteration: ONE exchange (contributions grouped on
+    dst). The rank-to-edge join co-partitions on src because `edges` is
+    persisted already hash-partitioned from the previous join, and the
+    dangling-mass term is a scalar aggregate (driver-bounded: one row).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # edge list + out-degree: the loop invariant, paid once
+    ew = e.join(out_deg, "src").persist()
+    ew.count()
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            ew.join(ranks, ew.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        # dangling mass: rank held by nodes with no out-edges (scalar)
+        dangling = (
+            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint()
+        )
+    ew.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
+def top_ranked(ranks: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k nodes by rank, deterministic tie-break on node id; plans as
+    TakeOrderedAndProject (per-partition heaps, k rows to the driver)."""
+    return (
+        ranks.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.col("node"))
+        .limit(k)
+    )

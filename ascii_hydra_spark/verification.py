@@ -33,6 +33,7 @@ from ascii_hydra_spark.operators import (
     asof,
     corpus,
     dedup,
+    graph,
     multimodal,
     relational,
     similarity,
@@ -3915,6 +3916,26 @@ def embedding_quantize(spark, sf_dir):
         F.array_min("q_embedding").alias("q_min"),
         F.array_max("q_embedding").alias("q_max"),
     )
+
+
+@q(
+    "graph_pagerank_top",
+    None,
+    "fixed-iteration PageRank over the customer->supplier purchase graph "
+    "(paper-parity: the reference's graph assets are relational ops; this "
+    "adds the canonical iterative one). Edge list persisted once, one "
+    "shuffle per iteration, localCheckpoint lineage truncation; "
+    "conservation + hand-computed-value tests in tests/test_graph.py",
+)
+def graph_pagerank_top(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+    )
+    ranks = graph.pagerank(edges, iterations=5)
+    return graph.top_ranked(ranks, 10)
 
 
 @q(

@@ -1,0 +1,66 @@
+"""PageRank properties (operators/graph.py).
+
+No SQL oracle (iterative; DuckDB recursive CTEs can't interleave per-round
+aggregation), so correctness is pinned by conservation, symmetry, and a
+hand-computed reference implementation.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ascii_hydra_spark.operators import graph
+
+
+def _ranks(spark, edge_rows, iterations=20, damping=0.85):
+    e = spark.createDataFrame(edge_rows, "src LONG, dst LONG")
+    return {
+        r.node: r.rank
+        for r in graph.pagerank(e, iterations=iterations, damping=damping).collect()
+    }
+
+
+def _reference_pagerank(edge_rows, iterations, damping=0.85):
+    """Plain-Python reference: same fixed-iteration, dangling-uniform model."""
+    nodes = sorted({s for s, _ in edge_rows} | {d for _, d in edge_rows})
+    out = {}
+    for s, d in set(edge_rows):
+        out.setdefault(s, []).append(d)
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        contrib = {v: 0.0 for v in nodes}
+        for s, ds in out.items():
+            for d in ds:
+                contrib[d] += rank[s] / len(ds)
+        dangling = sum(rank[v] for v in nodes if v not in out)
+        base = (1 - damping) / n + damping * dangling / n
+        rank = {v: base + damping * contrib[v] for v in nodes}
+    return rank
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    got = _ranks(spark, [(1, 2), (2, 3), (3, 1)])
+    assert got[1] == pytest.approx(1 / 3, abs=1e-9)
+    assert got[2] == pytest.approx(1 / 3, abs=1e-9)
+    assert got[3] == pytest.approx(1 / 3, abs=1e-9)
+
+
+def test_pagerank_matches_reference_with_dangling(spark):
+    edges = [(1, 2), (1, 3), (2, 3), (3, 4)]  # 4 is dangling
+    got = _ranks(spark, edges, iterations=15)
+    want = _reference_pagerank(edges, iterations=15)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+    # mass conservation
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # the sink-fed node outranks the sources
+    assert got[3] > got[1] and got[4] > got[1]
+
+
+def test_pagerank_star_hub_dominates(spark):
+    edges = [(i, 99) for i in range(1, 6)]
+    got = _ranks(spark, edges, iterations=10)
+    assert got[99] == max(got.values())
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
