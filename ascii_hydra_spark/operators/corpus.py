@@ -197,6 +197,56 @@ def balanced_resample(
     return df.filter(b < quota)
 
 
+def token_distribution_drift(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Jensen-Shannon divergence between the token unigram distributions of
+    two corpus snapshots — the drift monitor between crawl ingests (a new
+    snapshot whose language/topic mix shifted shows up here long before it
+    shows up in downstream evals). Returns one row:
+    (js_divergence in [0,1] bits, vocab_old, vocab_new, vocab_shared).
+
+    Shape: one token-keyed count aggregation per side, a full-outer join
+    of the two COUNT tables (vocab-sized, not corpus-sized), a broadcast
+    of the 1-row totals, and a scalar aggregate. Add-k smoothing over the
+    union vocabulary keeps the divergence finite on disjoint vocab.
+    """
+
+    def counts(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.select(F.explode(word_tokens(text_col)).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").alias(side))
+        )
+
+    j = (
+        counts(old, "c_old")
+        .join(counts(new, "c_new"), "tok", "full_outer")
+        .fillna(0, ["c_old", "c_new"])
+    )
+    tot = j.agg(
+        F.sum("c_old").alias("t_old"),
+        F.sum("c_new").alias("t_new"),
+        F.count("*").alias("v"),
+    )
+    jj = j.crossJoin(F.broadcast(tot))
+    p = (F.col("c_old") + smoothing) / (F.col("t_old") + smoothing * F.col("v"))
+    q = (F.col("c_new") + smoothing) / (F.col("t_new") + smoothing * F.col("v"))
+    m = (p + q) / 2
+    term = (p * F.log2(p / m) + q * F.log2(q / m)) / 2
+    return jj.agg(
+        F.round(F.sum(term), 6).alias("js_divergence"),
+        F.sum((F.col("c_old") > 0).cast("int")).cast("bigint").alias("vocab_old"),
+        F.sum((F.col("c_new") > 0).cast("int")).cast("bigint").alias("vocab_new"),
+        F.sum(((F.col("c_old") > 0) & (F.col("c_new") > 0)).cast("int"))
+        .cast("bigint")
+        .alias("vocab_shared"),
+    )
+
+
 def corpus_diff(
     old: DataFrame,
     new: DataFrame,

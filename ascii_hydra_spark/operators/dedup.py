@@ -127,7 +127,10 @@ def incremental_minhash_dedup(
     at scale the corpus side is the persisted signature/bucket index, not
     the corpus text. Exact verification touches only collided pairs.
     """
-    b_sig = minhash_signatures(batch, id_col, text_col, num_hashes).persist()
+    # each signature table feeds exactly one bucket explosion — nothing to
+    # persist (contrast minhash_lsh_pairs, whose self-join reads its
+    # signatures twice)
+    b_sig = minhash_signatures(batch, id_col, text_col, num_hashes)
     c_sig = minhash_signatures(corpus, id_col, text_col, num_hashes)
     rows = num_hashes // bands
 
@@ -170,9 +173,7 @@ def incremental_minhash_dedup(
         .select(F.col("__bid").alias("__dup_id"))
         .distinct()
     )
-    out = batch.join(verified, batch[id_col] == verified["__dup_id"], "left_anti")
-    b_sig.unpersist()
-    return out
+    return batch.join(verified, batch[id_col] == verified["__dup_id"], "left_anti")
 
 
 def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -3919,6 +3919,20 @@ def embedding_quantize(spark, sf_dir):
 
 
 @q(
+    "token_drift_snapshots",
+    None,
+    "Jensen-Shannon drift between two snapshot halves of the corpus — "
+    "token-keyed count join (vocab-sized), broadcast totals, scalar "
+    "aggregate; identity/disjoint bounds pinned in tests/test_corpus.py",
+)
+def token_drift_snapshots(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return corpus.token_distribution_drift(
+        d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 != 0)
+    )
+
+
+@q(
     "graph_pagerank_top",
     None,
     "fixed-iteration PageRank over the customer->supplier purchase graph "

@@ -127,3 +127,28 @@ def test_balanced_resample_nested_and_stable(spark):
     # rough proportion for en at 200 permille
     n_en_low = len([i for i in low if i % 2 == 0])
     assert 120 <= n_en_low <= 280
+
+
+def test_token_drift_bounds(spark):
+    same = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta gamma delta")],
+        "doc_id LONG, text STRING",
+    )
+    zero = corpus.token_distribution_drift(same, same).collect()[0]
+    assert zero.js_divergence == 0.0
+    assert zero.vocab_old == zero.vocab_new == zero.vocab_shared == 4
+    other = spark.createDataFrame(
+        [(3, "epsilon zeta eta"), (4, "theta iota kappa")],
+        "doc_id LONG, text STRING",
+    )
+    # low smoothing so the 6-token toy corpora aren't flattened by add-k
+    far = corpus.token_distribution_drift(same, other, smoothing=0.01).collect()[0]
+    # JS divergence is bounded by 1 bit; disjoint vocab should be near it
+    assert 0.9 <= far.js_divergence <= 1.0
+    assert far.vocab_shared == 0
+    # mild overlap sits strictly between
+    mixed = spark.createDataFrame(
+        [(5, "alpha beta epsilon zeta")], "doc_id LONG, text STRING"
+    )
+    mid = corpus.token_distribution_drift(same, mixed, smoothing=0.01).collect()[0]
+    assert 0.0 < mid.js_divergence < far.js_divergence

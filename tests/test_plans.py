@@ -232,6 +232,7 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "sim_topk_ivf",    # single query vector broadcast onto pruned cells
         "tpch_q22_like",   # 1-row scalar-subquery broadcast
         "value_quartiles", # 1-row percentile-bounds broadcast
+        "token_drift_snapshots",  # 1-row vocab-totals broadcast
         "sim_pairs",       # exact all-pairs oracle arm (scale arm: sim_pairs_lsh)
         "embedding_dedup", # exact cosine arm (scale arm: LSH/IVF)
     }

@@ -117,3 +117,22 @@ def test_jdbc_derby_roundtrip(spark, tmp_path):
     assert back.rdd.getNumPartitions() == 4
     assert back.count() == 100
     assert back.agg({"id": "sum"}).collect()[0][0] == 4950
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema-evolution commitment (SURVEY §1.2): appended files may add
+    columns; a mergeSchema read unions the schemas, with NULLs where the
+    old files lack the new column. This is the parquet-level form of the
+    reference's Delta schema.autoMerge posture (resources/spark.py:68-69)."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id LONG, v STRING").write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id LONG, v STRING, score DOUBLE"
+    ).write.mode("append").parquet(p)
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
+    # without mergeSchema Spark picks one footer's schema — the commitment
+    # is that the EXPLICIT option governs, so evolving tables always read
+    # with it (or land in Delta where autoMerge owns this)
