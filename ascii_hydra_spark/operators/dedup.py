@@ -127,6 +127,8 @@ def incremental_minhash_dedup(
     at scale the corpus side is the persisted signature/bucket index, not
     the corpus text. Exact verification touches only collided pairs.
     """
+    if num_hashes % bands != 0:
+        raise ValueError("num_hashes must be divisible by bands")
     # each signature table feeds exactly one bucket explosion — nothing to
     # persist (contrast minhash_lsh_pairs, whose self-join reads its
     # signatures twice)

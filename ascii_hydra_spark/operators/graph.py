@@ -53,6 +53,9 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
+    if n == 0:  # empty graph: empty ranks, not a driver-side ZeroDivisionError
+        nodes.unpersist()
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     # edge list + out-degree: the loop invariant, paid once
     ew = e.join(out_deg, "src").persist()

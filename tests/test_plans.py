@@ -204,8 +204,12 @@ def test_no_forced_broadcast_of_scaling_tables(spark, sf_dir):
             # scan of a scaling table. A hint on a DERIVED relation (e.g. a
             # 1-row aggregate computed from lineitem) is fine — so stop at
             # the first Aggregate, and otherwise flag the first Relation
-            # whose path names a scaling table.
-            for sub in lines[i + 1 : i + 12]:
+            # whose path names a scaling table. Heuristic by design (text
+            # scan, 30-line window, first-Relation attribution): it catches
+            # the hint-on-raw-scan pattern this repo actually uses; a hint
+            # wrapping a deeply nested join subtree would need a real tree
+            # walk via the py4j plan API.
+            for sub in lines[i + 1 : i + 31]:
                 if "Aggregate" in sub or "GlobalLimit" in sub:
                     break
                 if "Relation" in sub:
@@ -229,6 +233,7 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
 
     BNLJ_OK = {
         "sim_topk",        # single query vector broadcast
+        "sim_topk_quantized",  # single quantized query row broadcast
         "sim_topk_ivf",    # single query vector broadcast onto pruned cells
         "tpch_q22_like",   # 1-row scalar-subquery broadcast
         "value_quartiles", # 1-row percentile-bounds broadcast

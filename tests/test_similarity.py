@@ -136,3 +136,13 @@ def test_quantized_topk_recall_vs_exact(spark, sf_dir):
         r.vec_id for r in similarity.cosine_topk_quantized(rest, qvec, k=10).collect()
     }
     assert len(exact & quant) >= 8, (sorted(exact), sorted(quant))
+
+
+def test_quantized_topk_by_id_matches_literal_form(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first().embedding]
+    lit_form = similarity.cosine_topk_quantized(
+        emb.filter(F.col("vec_id") != 0), qvec, k=10
+    ).collect()
+    by_id = similarity.cosine_topk_quantized_by_id(emb, query_id=0, k=10).collect()
+    assert [r.vec_id for r in by_id] == [r.vec_id for r in lit_form]
