@@ -4033,10 +4033,34 @@ def cogroup_user_activity(spark, sf_dir):
 
 @q(
     "token_drift_snapshots",
-    None,
+    f"""
+    WITH o AS (SELECT tok, COUNT(*) AS c_old FROM
+        (SELECT UNNEST({_TOKS}) AS tok FROM documents WHERE doc_id % 2 = 0)
+        GROUP BY 1),
+    nn AS (SELECT tok, COUNT(*) AS c_new FROM
+        (SELECT UNNEST({_TOKS}) AS tok FROM documents WHERE doc_id % 2 <> 0)
+        GROUP BY 1),
+    j AS (SELECT COALESCE(o.tok, nn.tok) AS tok,
+          COALESCE(c_old, 0) AS c_old, COALESCE(c_new, 0) AS c_new
+          FROM o FULL OUTER JOIN nn ON o.tok = nn.tok),
+    t AS (SELECT SUM(c_old) AS t_old, SUM(c_new) AS t_new, COUNT(*) AS v FROM j),
+    pq AS (SELECT c_old, c_new,
+           (c_old + 0.5) / (t_old + 0.5 * v) AS p,
+           (c_new + 0.5) / (t_new + 0.5 * v) AS q
+           FROM j CROSS JOIN t)
+    SELECT ROUND(SUM((p * LOG2(p / ((p + q) / 2))
+                      + q * LOG2(q / ((p + q) / 2))) / 2), 6) AS js_divergence,
+           CAST(SUM(CASE WHEN c_old > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_old,
+           CAST(SUM(CASE WHEN c_new > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_new,
+           CAST(SUM(CASE WHEN c_old > 0 AND c_new > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS vocab_shared
+    FROM pq
+    """,
     "Jensen-Shannon drift between two snapshot halves of the corpus — "
     "token-keyed count join (vocab-sized), broadcast totals, scalar "
-    "aggregate; identity/disjoint bounds pinned in tests/test_corpus.py",
+    "aggregate; identity/disjoint bounds pinned in tests/test_corpus.py. "
+    "Hash-matched: the per-token terms are identical IEEE expressions and "
+    "the final sum is ROUND(6)-insensitive to accumulation order",
 )
 def token_drift_snapshots(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -4045,14 +4069,48 @@ def token_drift_snapshots(spark, sf_dir):
     )
 
 
+def _pagerank_unrolled_sql(iters: int = 5) -> str:
+    """DuckDB oracle for graph.pagerank: the fixed iteration count lets the
+    loop UNROLL into chained CTEs (one contribution-agg + one dangling
+    scalar + one rank rebuild per round), mirroring the engine's exact
+    IEEE operation order: ((1-d)/n + (d*dang)/n) + d*coalesce(contrib,0).
+    Per-node sums may differ across engines by accumulation order only
+    (~1e-16 relative); the final ROUND(rank, 6) absorbs that."""
+    sql = """
+    WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    meta AS (SELECT COUNT(*) AS n FROM nodes),
+    od AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+    r0 AS (SELECT node, 1.0 / m.n AS rank FROM nodes CROSS JOIN meta m)"""
+    for i in range(1, iters + 1):
+        p = i - 1
+        sql += f""",
+    c{i} AS (SELECT e.dst AS node, SUM(r.rank / od.d) AS contrib
+             FROM e JOIN r{p} r ON e.src = r.node JOIN od ON od.src = e.src
+             GROUP BY 1),
+    g{i} AS (SELECT COALESCE(SUM(rank), 0.0) AS dang FROM r{p}
+             WHERE node NOT IN (SELECT src FROM od)),
+    r{i} AS (SELECT nd.node,
+             ((1 - 0.85) / m.n + (0.85 * g.dang) / m.n)
+               + 0.85 * COALESCE(c{i}.contrib, 0.0) AS rank
+             FROM nodes nd CROSS JOIN meta m CROSS JOIN g{i} g
+             LEFT JOIN c{i} ON c{i}.node = nd.node)"""
+    sql += f"""
+    SELECT node, ROUND(rank, 6) AS rank FROM r{iters}
+    ORDER BY rank DESC, node LIMIT 10"""
+    return sql
+
+
 @q(
     "graph_pagerank_top",
-    None,
+    _pagerank_unrolled_sql(5),
     "fixed-iteration PageRank over the customer->supplier purchase graph "
     "(paper-parity: the reference's graph assets are relational ops; this "
     "adds the canonical iterative one). Edge list persisted once, one "
     "shuffle per iteration, localCheckpoint lineage truncation; "
-    "conservation + hand-computed-value tests in tests/test_graph.py",
+    "conservation + hand-computed-value tests in tests/test_graph.py. "
+    "Hash-matched against the UNROLLED 5-iteration SQL in DuckDB",
 )
 def graph_pagerank_top(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -4089,10 +4147,28 @@ def balanced_resample_counts(spark, sf_dir):
 
 @q(
     "sim_topk_quantized",
-    None,
+    """
+    WITH q AS (SELECT vec_id,
+          list_transform(embedding, x -> CASE WHEN s = 0 THEN 0
+              ELSE CAST(FLOOR(x / s + 0.5) AS INT) END) AS qe
+          FROM (SELECT vec_id, embedding,
+                CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+                  / 127.0 AS s
+                FROM embeddings)),
+    qv AS (SELECT qe FROM q WHERE vec_id = 0)
+    SELECT a.vec_id,
+           ROUND(list_dot_product(a.qe, qv.qe)
+                 / (SQRT(list_dot_product(a.qe, a.qe))
+                    * SQRT(list_dot_product(qv.qe, qv.qe))), 6) AS sim_q
+    FROM q a CROSS JOIN qv WHERE a.vec_id <> 0
+    ORDER BY sim_q DESC, a.vec_id LIMIT 10
+    """,
     "int8-quantized cosine top-k (scale cancels out of cosine, so scoring "
-    "is pure integer dot products over the 4x-narrower column); recall vs "
-    "the exact arm pinned in tests/test_similarity.py",
+    "is pure integer dot products over the 4x-narrower column) — "
+    "hash-matched: quantized values are bit-identical across engines "
+    "(proved by embedding_quantize) and all similarity arithmetic is "
+    "integer-exact until the final sqrt/divide on identical inputs; "
+    "recall vs the exact float arm pinned in tests/test_similarity.py",
 )
 def sim_topk_quantized(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
