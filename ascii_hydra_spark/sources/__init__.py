@@ -234,3 +234,39 @@ def vacuum_delta(spark: SparkSession, path: str, retention_hours: float = 168.0)
 
     DeltaTable.forPath(spark, path).vacuum(retention_hours)
     return True
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True when the spark-avro SQL connector is on the classpath.
+
+    Capability record: this container ships core avro jars
+    (avro-1.12.1) but NOT the `spark-avro` SQL connector module, and
+    Maven is unreachable for spark.jars.packages — so the Avro surface
+    below is import-gated capability, exercised where the connector is
+    provisioned (it ships in the official Spark binary distribution's
+    external/ modules)."""
+    try:
+        # the authoritative check: Catalyst's own provider lookup (a bare
+        # Class.forName can resolve a stale class without the ServiceLoader
+        # registration that format("avro") actually needs)
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+    except Exception:
+        return False
+    return True
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> bool:
+    """Avro sink when the connector is present; False (no-op) otherwise."""
+    if not avro_available(df.sparkSession):
+        return False
+    df.write.mode(mode).format("avro").save(path)
+    return True
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame | None:
+    """Avro source; None when the connector is absent."""
+    if not avro_available(spark):
+        return None
+    return spark.read.format("avro").load(path)

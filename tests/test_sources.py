@@ -136,3 +136,19 @@ def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
     # without mergeSchema Spark picks one footer's schema — the commitment
     # is that the EXPLICIT option governs, so evolving tables always read
     # with it (or land in Delta where autoMerge owns this)
+
+
+def test_avro_capability_gated(spark, tmp_path):
+    """Avro mirrors the Delta posture: a real code path where the connector
+    exists, an honest no-op where the container lacks it."""
+    from ascii_hydra_spark import sources
+
+    df = spark.range(0, 10).selectExpr("id", "CAST(id * 2 AS INT) AS v")
+    p = str(tmp_path / "avro_out")
+    wrote = sources.write_avro(df, p)
+    if wrote:
+        back = sources.read_avro(spark, p)
+        assert back is not None and back.count() == 10
+    else:
+        assert not sources.avro_available(spark)
+        assert sources.read_avro(spark, p) is None
