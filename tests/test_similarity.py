@@ -146,3 +146,25 @@ def test_quantized_topk_by_id_matches_literal_form(spark, sf_dir):
     ).collect()
     by_id = similarity.cosine_topk_quantized_by_id(emb, query_id=0, k=10).collect()
     assert [r.vec_id for r in by_id] == [r.vec_id for r in lit_form]
+
+
+def test_quantized_ivf_index_composes(spark, sf_dir):
+    """quantize=True index: 4x narrower storage, identical probe pruning,
+    and near-identical neighborhoods vs the float index."""
+    import tempfile
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = tempfile.mkdtemp(prefix="ahs_ivfq_")
+    fpath, qpath = base + "/fidx", base + "/qidx"
+    similarity.build_ivf_index(emb, fpath, n_centroids=8)
+    similarity.build_ivf_index(emb, qpath, n_centroids=8, quantize=True)
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    f_hits = similarity.ivf_search(spark, fpath, q, k=10, nprobe=3)
+    q_hits = similarity.ivf_search(spark, qpath, q, k=10, nprobe=3)
+    f_ids = [r.vec_id for r in f_hits.collect()]
+    q_ids = [r.vec_id for r in q_hits.collect()]
+    assert len(q_ids) == 10
+    assert len(set(f_ids) & set(q_ids)) >= 8, (f_ids, q_ids)
+    # probe of the quantized index still prunes partitions
+    plan = q_hits._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "__cell" in plan
