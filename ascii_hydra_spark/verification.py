@@ -4489,6 +4489,114 @@ def tpch_q17_like(spark, sf_dir):
     )
 
 
+@q(
+    "tpch_q11_like",
+    """
+    WITH pv AS (SELECT l_partkey,
+          SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(p_retailprice AS DECIMAL(12,2)))
+            AS val
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          WHERE s_nationkey = 3 GROUP BY 1)
+    SELECT l_partkey, CAST(val AS DOUBLE) AS value
+    FROM (SELECT l_partkey, val, SUM(val) OVER () AS total FROM pv)
+    WHERE CAST(val AS DOUBLE) > CAST(total AS DOUBLE) * 0.0015
+    """,
+    "TPC-H Q11 shape: per-part inventory value vs a global-total threshold "
+    "(window over the aggregate, not a correlated rescan; retailprice*qty "
+    "stands in for the absent partsupp supplycost*availqty)",
+)
+def tpch_q11_like(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
+    val = F.sum(
+        F.col("l_quantity").cast("decimal(12,2)")
+        * F.col("p_retailprice").cast("decimal(12,2)")
+    )
+    pv = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(val.alias("val"))
+    )
+    total = F.sum("val").over(Window.partitionBy())
+    return (
+        pv.withColumn("total", total)
+        .filter(F.col("val").cast("double") > F.col("total").cast("double") * 0.0015)
+        .select("l_partkey", F.col("val").cast("double").alias("value"))
+    )
+
+
+_Q20_SQL = """
+WITH sq AS (SELECT l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_type = 'PROMO'
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1)
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_nationkey < 10
+  AND s_suppkey IN (SELECT l_suppkey FROM sq
+                    WHERE qty * 2 > (SELECT MAX(qty) FROM sq))
+"""
+
+
+@q(
+    "tpch_q20_like",
+    _Q20_SQL,
+    "TPC-H Q20 shape: IN-subquery semi-join chain gated by a nested scalar "
+    "MAX subquery (decimal-exact qty*2 > max comparison); exercises "
+    "Catalyst's subquery-to-semi-join rewrite over an aggregated subquery",
+)
+def tpch_q20_like(spark, sf_dir):
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(_Q20_SQL)
+
+
+@q(
+    "applyinarrow_demean",
+    """
+    SELECT doc_id, lang,
+           ROUND(n_chars - AVG(n_chars) OVER (PARTITION BY lang), 6) AS centered
+    FROM documents
+    """,
+    "C29+: groupBy().applyInArrow — grouped-map over raw Arrow tables "
+    "(zero pandas conversion overhead); result ≡ the window-demean SQL",
+)
+def applyinarrow_demean(spark, sf_dir):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def demean(table: pa.Table) -> pa.Table:
+        n = table.column("n_chars")
+        mean = pc.sum(n).as_py() / table.num_rows
+        # half_towards_infinity = SQL ROUND's half-away-from-zero; pyarrow
+        # defaults to banker's rounding, which would diverge on .5e-6 ties
+        centered = pc.round(
+            pc.subtract(pc.cast(n, pa.float64()), mean),
+            ndigits=6,
+            round_mode="half_towards_infinity",
+        )
+        return pa.table(
+            {
+                "doc_id": table.column("doc_id"),
+                "lang": table.column("lang"),
+                "centered": centered,
+            }
+        )
+
+    return d.groupBy("lang").applyInArrow(
+        demean, "doc_id BIGINT, lang STRING, centered DOUBLE"
+    )
+
+
 _Q21_SQL = """
 SELECT s_suppkey, COUNT(*) AS numwait
 FROM lineitem l1 JOIN supplier ON s_suppkey = l1.l_suppkey
