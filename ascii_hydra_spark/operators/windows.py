@@ -74,3 +74,53 @@ def top_n_per_group(
     """Classic top-N-per-key via row_number — one shuffle on the keys."""
     w = keyed_window(partition, order)
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= n).drop("__rn")
+
+
+def forward_fill(
+    df: DataFrame,
+    partition: Sequence[str | Column],
+    order: Sequence[Column],
+    cols: Sequence[str],
+) -> DataFrame:
+    """Per-key forward fill: each NULL takes the most recent non-NULL value
+    in `order` within its partition (the standard sensor/time-series gap
+    repair). `F.last(ignorenulls)` over a running frame — one shuffle on
+    the key, bounded state per row. Leading NULLs (no prior value) stay
+    NULL; compose with a backward pass (reverse order) if those must fill
+    too.
+    """
+    w = keyed_window(partition, order).rowsBetween(Window.unboundedPreceding, 0)
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str],
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-group z-score outlier flag: |x - mean| > threshold * stddev.
+
+    Group moments come from ONE aggregation joined back (map-side partial
+    sums; the join side is group-cardinality, so AQE broadcasts it) —
+    not a per-row window, which would re-sort the fact table. Degenerate
+    groups (stddev 0 or a single row) flag nothing.
+    """
+    stats = df.groupBy(*by).agg(
+        F.avg(value_col).alias("__mu"),
+        F.stddev_samp(value_col).alias("__sd"),
+    )
+    # degenerate groups (single row / zero variance) get NULL z, not an
+    # ANSI divide-by-zero: guard INSIDE the expression, not just the flag
+    z = F.when(
+        F.col("__sd").isNull() | (F.col("__sd") == 0), F.lit(None)
+    ).otherwise((F.col(value_col) - F.col("__mu")) / F.col("__sd"))
+    return (
+        df.join(stats, list(by))
+        .withColumn("is_outlier", F.coalesce(F.abs(z) > threshold, F.lit(False)))
+        .withColumn("zscore", F.round(z, 6))
+        .drop("__mu", "__sd")
+    )

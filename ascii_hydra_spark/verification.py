@@ -3918,6 +3918,65 @@ def embedding_quantize(spark, sf_dir):
     )
 
 
+@q(
+    "forward_fill_values",
+    """
+    WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+               FROM events),
+    f AS (SELECT event_type,
+          LAST_VALUE(value IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+          FROM e)
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN fv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS still_null,
+           CAST(SUM(CAST(fv AS DECIMAL(12,4))) AS DOUBLE) AS fv_sum
+    FROM f GROUP BY event_type
+    """,
+    "time-series gap repair: per-key forward fill via last(ignorenulls) "
+    "over a running frame (one shuffle, bounded state; leading NULLs "
+    "survive — counted as still_null)",
+)
+def forward_fill_values(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").withColumn(
+        "value",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value")),
+    )
+    filled = windows.forward_fill(
+        e, ["user_id"], [F.col("ts"), F.col("event_id")], ["value"]
+    )
+    return filled.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").isNull().cast("int")).cast("bigint").alias("still_null"),
+        F.sum(F.col("value").cast("decimal(12,4)")).cast("double").alias("fv_sum"),
+    )
+
+
+@q(
+    "zscore_outlier_counts",
+    """
+    WITH s AS (SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+               FROM events GROUP BY 1)
+    SELECT e.event_type, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN sd IS NOT NULL AND sd <> 0
+                         AND ABS((value - mu) / sd) > 3.0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN s ON e.event_type = s.event_type GROUP BY 1
+    """,
+    "per-group z-score outlier gate: group moments from ONE aggregation "
+    "joined back (AQE broadcasts the group-cardinality side), not a "
+    "per-row window re-sort of the fact table",
+)
+def zscore_outlier_counts(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    flagged = windows.zscore_outliers(e, "value", ["event_type"], threshold=3.0)
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("is_outlier").cast("int")).cast("bigint").alias("n_outliers"),
+    )
+
+
 _RECURSIVE_WALK_SQL = """
 WITH RECURSIVE walk(node, root) AS (
   SELECT doc_id, doc_id FROM documents WHERE doc_id % 50 = 0

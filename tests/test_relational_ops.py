@@ -140,3 +140,34 @@ def test_audit_constraints_counts(spark):
     got = {r.rule: r.violations for r in out.collect()}
     # v <= 0 is null-rejecting: the (4, NULL) row doesn't count
     assert got == {"null_k": 1, "nonpos_v": 2, "unique_k": 1}
+
+
+def test_forward_fill_per_key(spark):
+    from ascii_hydra_spark.operators import windows as W
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, None), (1, 2, 10.0), (1, 3, None), (1, 4, None), (1, 5, 20.0),
+            (2, 1, None), (2, 2, None),  # key 2: nothing to fill from
+        ],
+        "k LONG, t LONG, v DOUBLE",
+    )
+    out = {(r.k, r.t): r.v for r in W.forward_fill(df, ["k"], [F.col("t")], ["v"]).collect()}
+    assert out[(1, 1)] is None          # leading NULL survives
+    assert out[(1, 3)] == 10.0 and out[(1, 4)] == 10.0
+    assert out[(1, 5)] == 20.0
+    assert out[(2, 1)] is None and out[(2, 2)] is None
+
+
+def test_zscore_outliers_flags_only_extremes(spark):
+    from ascii_hydra_spark.operators import windows as W
+
+    rows = [(1, "a", float(v)) for v in [10, 11, 9, 10, 12, 10, 9, 11, 10, 500]]
+    rows += [(2, "b", 5.0), (3, "b", 5.0)]  # zero-variance group: no flags
+    df = spark.createDataFrame(rows, "id LONG, g STRING, v DOUBLE")
+    out = W.zscore_outliers(df, "v", ["g"], threshold=2.0).collect()
+    flagged = {r.id for r in out if r.is_outlier}
+    assert flagged == {1} or all(
+        r.v == 500.0 for r in out if r.is_outlier
+    )  # only the 500 row
+    assert all(not r.is_outlier for r in out if r.g == "b")
