@@ -103,3 +103,58 @@ def test_repetition_stats_match_python_reference(spark, token_lists):
         assert r.distinct_ratio == distinct_ratio, (i, toks)
         assert r.top_token_frac == top, (i, toks)
         assert r.dup_bigram_frac == dup_bi, (i, toks)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=6), st.integers(2, 6))
+def test_chunking_no_overlap_reconstructs(spark, texts, size):
+    """stride == chunk_size: concatenating a doc's chunks in start order
+    reproduces its token stream exactly, for arbitrary text."""
+    from ascii_hydra_spark.operators import text as T
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id LONG, text STRING")
+    rows = T.chunk_documents(df, chunk_size=size, stride=size).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.start, r.chunk_text))
+    for i, t in enumerate(texts):
+        toks = _ascii_ws_split(t)
+        got = " ".join(c for _, c in sorted(by_doc.get(i, [])))
+        assert got == " ".join(toks), (t, got)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=8), st.integers(1, 50))
+def test_pack_sequences_offsets_contiguous(spark, texts, max_tokens):
+    """Offsets are a gapless prefix-sum of token counts in id order, and
+    every seq_id equals start_offset // max_tokens — for arbitrary input."""
+    from ascii_hydra_spark.operators import corpus as C
+
+    df = spark.createDataFrame(
+        [(i, t, "s") for i, t in enumerate(texts)], "doc_id LONG, text STRING, source STRING"
+    )
+    rows = sorted(C.pack_sequences(df, max_tokens).collect(), key=lambda r: r.doc_id)
+    cum = 0
+    for r in rows:
+        assert r.start_offset == cum
+        assert r.seq_id == r.start_offset // max_tokens
+        cum += r.doc_tokens
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=6))
+def test_redact_pii_idempotent(spark, texts):
+    """Redacting already-redacted text changes nothing: the replacement
+    tokens (<EMAIL> etc.) must never re-match any PII pattern."""
+    from ascii_hydra_spark.operators import text as T
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id LONG, text STRING")
+    once = T.redact_pii(df).select(
+        "doc_id", F.col("text_redacted").alias("text")
+    )
+    twice = T.redact_pii(once)
+    bad = twice.filter(
+        (F.col("text_redacted") != F.col("text"))
+        | (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone") > 0)
+    ).count()
+    assert bad == 0
