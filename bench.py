@@ -81,6 +81,8 @@ EXTRA = [
     "scd2_temporal_lookup",   # point-in-time dimension join
     "revenue_share_by_nation",# window-over-aggregate share
     "tpch_q21_like",          # EXISTS + NOT EXISTS double self-join
+    "forward_fill_values",    # per-key gap repair window
+    "zscore_outlier_counts",  # moment-join outlier gate
 ]
 
 
