@@ -17,7 +17,7 @@ from __future__ import annotations
 import math
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from ascii_hydra_spark.functions import cosine_similarity, to_double_array
 
@@ -26,13 +26,41 @@ def _as_query_array(query: Sequence[float]):
     return F.array(*[F.lit(float(x)) for x in query]).cast("array<double>")
 
 
+def _quantize_parts(vec_col):
+    """(scale, q_array) expressions for symmetric int8 quantization —
+    the ONE definition shared by quantize_embeddings and the quantized
+    IVF index builder, so the persisted index can never drift from the
+    documented quantization."""
+    v = to_double_array(vec_col)
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = mx / F.lit(127.0)
+    q = F.when(mx == 0.0, F.transform(v, lambda x: F.lit(0).cast("tinyint"))).otherwise(
+        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("tinyint"))
+    )
+    return scale, q
+
+
+def _int_dot(a, b) -> Column:
+    """Exact integer dot product of two int8 arrays; operands widen to
+    int BEFORE multiplying (byte*byte would overflow under ANSI)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("int") * y.cast("int")).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _int_norm(col) -> Column:
+    return F.sqrt(_int_dot(col, col).cast("double"))
+
+
 def quantize_embeddings(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Symmetric int8 quantization: per-vector scale = max|x| / 127,
-    q_i = floor(x_i / scale + 0.5) in [-127, 127].
+    q_i = floor(x_i / scale + 0.5) in [-127, 127], stored as TINYINT.
 
     Cuts embedding storage and shuffle width 4x (float32 -> int8 + one
     float scale per vector) — at 100 TB the embedding table is usually
@@ -42,12 +70,7 @@ def quantize_embeddings(
     and reruns; zero vectors quantize to zeros with scale 0. JVM-side
     `transform` only — no UDF, no shuffle.
     """
-    v = to_double_array(vec_col)
-    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = mx / F.lit(127.0)
-    q = F.when(mx == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
-        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
-    )
+    scale, q = _quantize_parts(vec_col)
     return emb.select(
         F.col(id_col),
         q.alias("q_embedding"),
@@ -117,27 +140,26 @@ def cosine_topk_quantized(
     (recall vs the exact arm pinned in tests). Ties break ascending id.
     """
     qd = quantize_embeddings(emb, id_col=id_col, vec_col=vec_col)
-    mx = max(abs(float(x)) for x in query) or 1.0
-    qq = F.array(
-        *[F.lit(int(math.floor(float(x) / (mx / 127.0) + 0.5))) for x in query]
+    qq = _quantize_query_literal(query)
+    sim = _int_dot(F.col("q_embedding"), qq).cast("double") / (
+        _int_norm(F.col("q_embedding")) * _int_norm(qq)
     )
-    dot_q = F.aggregate(
-        F.zip_with("q_embedding", qq, lambda a, b: (a * b).cast("bigint")),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda col: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(col, lambda x: (x * x).cast("bigint")),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        ).cast("double")
-    )
-    sim = dot_q.cast("double") / (norm(F.col("q_embedding")) * norm(qq))
     return (
         qd.select(F.col(id_col), F.round(sim, 6).alias("sim_q"))
         .orderBy(F.desc("sim_q"), F.col(id_col))
         .limit(k)
+    )
+
+
+def _quantize_query_literal(query: Sequence[float]) -> Column:
+    """Driver-side quantization of a literal query vector (same formula as
+    _quantize_parts, computed in Python)."""
+    mx = max(abs(float(x)) for x in query) or 1.0
+    return F.array(
+        *[
+            F.lit(int(math.floor(float(x) / (mx / 127.0) + 0.5))).cast("tinyint")
+            for x in query
+        ]
     )
 
 
@@ -156,19 +178,9 @@ def cosine_topk_quantized_by_id(
     q_row = qd.filter(F.col(id_col) == query_id).select(
         F.col("q_embedding").alias("__qq")
     )
-    dot_q = F.aggregate(
-        F.zip_with("q_embedding", F.col("__qq"), lambda a, b: (a * b).cast("bigint")),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    sim = _int_dot(F.col("q_embedding"), F.col("__qq")).cast("double") / (
+        _int_norm(F.col("q_embedding")) * _int_norm(F.col("__qq"))
     )
-    norm = lambda col: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(col, lambda x: (x * x).cast("bigint")),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        ).cast("double")
-    )
-    sim = dot_q.cast("double") / (norm(F.col("q_embedding")) * norm(F.col("__qq")))
     return (
         qd.crossJoin(F.broadcast(q_row))
         .filter(F.col(id_col) != query_id)
@@ -449,13 +461,8 @@ def build_ivf_index(
         )
     )
     if quantize:
-        v = F.col("__v")
-        mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
-        scale = mx / F.lit(127.0)
-        qe = F.when(mx == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
-            F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
-        )
         # per-vector scale not stored: cosine scoring is scale-invariant
+        _, qe = _quantize_parts("__v")
         assigned = assigned.select("__id", "__cell", qe.alias("q_embedding"))
     assigned.write.mode("overwrite").partitionBy("__cell").parquet(path)
     cents.write.mode("overwrite").parquet(f"{path}__centroids")
@@ -489,25 +496,11 @@ def ivf_search(
     idx = spark.read.parquet(path).filter(F.col("__cell").isin(cells))
     if "q_embedding" in idx.columns:
         # quantized index: integer dot products against the quantized query
-        # (scales cancel out of cosine); 4x fewer bytes per probed cell
-        qd = [float(x) for x in query]
-        mxq = max(abs(x) for x in qd) or 1.0
-        qq = F.array(
-            *[F.lit(int(math.floor(x / (mxq / 127.0) + 0.5))) for x in qd]
+        # (scales cancel out of cosine); int8 cells = 4x fewer bytes probed
+        qq = _quantize_query_literal(query)
+        sim = _int_dot(F.col("q_embedding"), qq).cast("double") / (
+            _int_norm(F.col("q_embedding")) * _int_norm(qq)
         )
-        dot_q = F.aggregate(
-            F.zip_with("q_embedding", qq, lambda a, b: (a * b).cast("bigint")),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-        inorm = lambda col: F.sqrt(  # noqa: E731
-            F.aggregate(
-                F.transform(col, lambda x: (x * x).cast("bigint")),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            ).cast("double")
-        )
-        sim = dot_q.cast("double") / (inorm(F.col("q_embedding")) * inorm(qq))
         return (
             idx.select(F.col("__id").alias(id_col), F.round(sim, 6).alias("sim"))
             .orderBy(F.desc("sim"), F.col(id_col))

@@ -109,9 +109,19 @@ def zscore_outliers(
     not a per-row window, which would re-sort the fact table. Degenerate
     groups (stddev 0 or a single row) flag nothing.
     """
+    from functools import reduce
+
     stats = df.groupBy(*by).agg(
         F.avg(value_col).alias("__mu"),
         F.stddev_samp(value_col).alias("__sd"),
+    )
+    # null-SAFE join: a flag-annotation operator must preserve its input
+    # row count, and NULL group keys form a real group in groupBy but
+    # never match an equi-join — eqNullSafe keeps them
+    d, s = df.alias("__d"), stats.alias("__s")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"__d.{c}").eqNullSafe(F.col(f"__s.{c}")) for c in by],
     )
     # degenerate groups (single row / zero variance) get NULL z, not an
     # ANSI divide-by-zero: guard INSIDE the expression, not just the flag
@@ -119,7 +129,8 @@ def zscore_outliers(
         F.col("__sd").isNull() | (F.col("__sd") == 0), F.lit(None)
     ).otherwise((F.col(value_col) - F.col("__mu")) / F.col("__sd"))
     return (
-        df.join(stats, list(by))
+        d.join(s, cond, "left")
+        .select("__d.*", "__mu", "__sd")
         .withColumn("is_outlier", F.coalesce(F.abs(z) > threshold, F.lit(False)))
         .withColumn("zscore", F.round(z, 6))
         .drop("__mu", "__sd")

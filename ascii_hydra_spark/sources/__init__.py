@@ -245,14 +245,22 @@ def avro_available(spark: SparkSession) -> bool:
     below is import-gated capability, exercised where the connector is
     provisioned (it ships in the official Spark binary distribution's
     external/ modules)."""
+    from py4j.protocol import Py4JJavaError
+
+    from pyspark.errors import AnalysisException
+
     try:
         # the authoritative check: Catalyst's own provider lookup (a bare
         # Class.forName can resolve a stale class without the ServiceLoader
-        # registration that format("avro") actually needs)
+        # registration that format("avro") actually needs). Only the
+        # lookup's FAILED_TO_FIND_DATA_SOURCE (surfaced as
+        # AnalysisException through pyspark's gateway, Py4JJavaError on a
+        # raw gateway) means "absent" — a broken reflection path (moved
+        # class, py4j mismatch) must raise, not silently no-op the surface.
         spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
             "avro", spark._jsparkSession.sessionState().conf()
         )
-    except Exception:
+    except (AnalysisException, Py4JJavaError):
         return False
     return True
 

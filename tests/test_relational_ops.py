@@ -162,12 +162,15 @@ def test_forward_fill_per_key(spark):
 def test_zscore_outliers_flags_only_extremes(spark):
     from ascii_hydra_spark.operators import windows as W
 
-    rows = [(1, "a", float(v)) for v in [10, 11, 9, 10, 12, 10, 9, 11, 10, 500]]
-    rows += [(2, "b", 5.0), (3, "b", 5.0)]  # zero-variance group: no flags
+    vals = [10, 11, 9, 10, 12, 10, 9, 11, 10, 500]
+    rows = [(i, "a", float(v)) for i, v in enumerate(vals)]  # 500 is id 9
+    rows += [(100, "b", 5.0), (101, "b", 5.0)]  # zero-variance group: no flags
+    rows += [(200, None, 7.0)]                  # NULL group key must survive
     df = spark.createDataFrame(rows, "id LONG, g STRING, v DOUBLE")
     out = W.zscore_outliers(df, "v", ["g"], threshold=2.0).collect()
+    assert len(out) == len(rows)  # flag annotation preserves row count
     flagged = {r.id for r in out if r.is_outlier}
-    assert flagged == {1} or all(
-        r.v == 500.0 for r in out if r.is_outlier
-    )  # only the 500 row
+    assert flagged == {9}  # ONLY the 500 row; an inverted threshold fails
     assert all(not r.is_outlier for r in out if r.g == "b")
+    null_row = [r for r in out if r.id == 200][0]
+    assert null_row.is_outlier is False and null_row.zscore is None
