@@ -278,3 +278,57 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame | None:
     if not avro_available(spark):
         return None
     return spark.read.format("avro").load(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    sort_within: str | None = None,
+) -> tuple[int, int]:
+    """Small-files compaction: rewrite a parquet dataset into ~target-sized
+    files. Returns (files_before, files_after).
+
+    Streaming ingests accumulate thousands of tiny files per partition;
+    at 100 TB that is scheduler pressure (one task per file), footer
+    overhead, and dead scan throughput — compaction is the standing
+    maintenance job behind every file-based lake (Delta's OPTIMIZE is
+    this plus a transaction log). The target file count comes from the
+    dataset's actual on-disk size; `coalesce` (not repartition) avoids a
+    shuffle, and an optional `sort_within` re-sorts rows inside each
+    output file so range-scan row-group pruning survives compaction.
+
+    Atomicity: the rewrite lands in a staging dir that replaces `path`
+    with two renames — on a local/HDFS filesystem readers see old or new,
+    never half. On object stores without atomic rename, compact into a
+    table format (Delta/Iceberg) where the swap is a metadata commit.
+    """
+    import glob
+    import os
+    import shutil
+
+    files = [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*"), recursive=True)
+        if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+    ]
+    n_before = len(files)
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_target = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path).coalesce(n_target)
+    if sort_within:
+        df = df.sortWithinPartitions(sort_within)
+    staging = path.rstrip("/") + "__compacting"
+    df.write.mode("overwrite").parquet(staging)
+    old = path.rstrip("/") + "__precompact"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    n_after = len(
+        [
+            f
+            for f in glob.glob(os.path.join(path, "**", "*"), recursive=True)
+            if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+        ]
+    )
+    return n_before, n_after

@@ -152,3 +152,22 @@ def test_avro_capability_gated(spark, tmp_path):
     else:
         assert not sources.avro_available(spark)
         assert sources.read_avro(spark, p) is None
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from ascii_hydra_spark import sources
+
+    p = str(tmp_path / "tiny_files")
+    df = spark.range(0, 10_000).selectExpr("id", "id % 7 AS g")
+    df.repartition(40).write.parquet(p)
+    before_sum = spark.read.parquet(p).agg({"id": "sum"}).collect()[0][0]
+    n_before, n_after = sources.compact_parquet(spark, p, target_file_mb=128)
+    assert n_before >= 40 and n_after < n_before and n_after <= 2
+    after = spark.read.parquet(p)
+    assert after.count() == 10_000
+    assert after.agg({"id": "sum"}).collect()[0][0] == before_sum
+    # no staging/backup residue
+    import os
+
+    assert not os.path.exists(p + "__compacting")
+    assert not os.path.exists(p + "__precompact")
