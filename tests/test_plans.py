@@ -255,3 +255,26 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
             offenders.append((name, "BNLJ"))
     assert not offenders, offenders
+
+
+def test_sql_checked_outputs_are_canonicalizer_safe(spark, sf_dir):
+    """The external driver's order-insensitive hash sorts result columns in
+    pandas; array/map/struct/binary cells are unhashable there (round 1's
+    collect_sorted failed exactly this way until it was array_join-ed).
+    Every SQL-checked entry must emit only scalar columns."""
+    from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
+
+    from ascii_hydra_spark.verification import REGISTRY
+
+    EAGER_PREFIXES = (
+        "stream_", "pyds_", "jdbc_", "csv_", "json_round", "orc_",
+        "zorder", "partitioned", "hypertable", "text_scan",
+    )
+    offenders = []
+    for name, spec in REGISTRY.items():
+        if spec.sql is None or name.startswith(EAGER_PREFIXES):
+            continue
+        for f in spec.fn(spark, sf_dir).schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType, BinaryType)):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, offenders
