@@ -197,6 +197,36 @@ def balanced_resample(
     return df.filter(b < quota)
 
 
+def top_merge_pairs(
+    docs: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    tokens=None,
+) -> DataFrame:
+    """One BPE training step as a corpus aggregation: the k most frequent
+    ADJACENT token pairs (count desc, pair asc — deterministic).
+
+    Tokenizer training is iterate(count adjacent pairs -> merge the top
+    pair); the counting step is the distributed 99% of the work and is
+    exactly this query — pair explode, map-side partial counts, one
+    shuffle on the pair, TakeOrdered k. The merge/retokenize step is a
+    driver-side vocabulary update between rounds (k pairs, bounded).
+    Defaults to the engine's BPE-ish pre-tokenizer; pass `tokens` to run
+    over an already-merged token column in later rounds.
+    """
+    from ascii_hydra_spark.functions import bpe_ish_tokens
+    from ascii_hydra_spark.functions import ngrams as _ngrams
+
+    toks = tokens if tokens is not None else bpe_ish_tokens(text_col)
+    return (
+        docs.select(F.explode(_ngrams(toks, 2)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.col("pair"))
+        .limit(k)
+    )
+
+
 def token_distribution_drift(
     old: DataFrame,
     new: DataFrame,

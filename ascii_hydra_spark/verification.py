@@ -3919,6 +3919,27 @@ def embedding_quantize(spark, sf_dir):
 
 
 @q(
+    "bpe_merge_pairs",
+    r"""
+    WITH t AS (SELECT LIST_FILTER(
+          REGEXP_EXTRACT_ALL(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'),
+          x -> x <> '') AS w FROM documents),
+    p AS (SELECT UNNEST(LIST_TRANSFORM(RANGE(1, LEN(w)),
+          i -> ARRAY_TO_STRING(w[i:i+1], ' '))) AS pair FROM t)
+    SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT 20
+    """,
+    "one BPE training step as a corpus aggregation: top-k adjacent token "
+    "pairs over the BPE-ish pre-tokenizer — pair explode, map-side "
+    "partials, one shuffle on the pair, TakeOrdered; the merge between "
+    "rounds is a bounded driver-side vocab update",
+)
+def bpe_merge_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return corpus.top_merge_pairs(d, k=20)
+
+
+@q(
     "forward_fill_values",
     """
     WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,

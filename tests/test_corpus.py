@@ -152,3 +152,15 @@ def test_token_drift_bounds(spark):
     )
     mid = corpus.token_distribution_drift(same, mixed, smoothing=0.01).collect()[0]
     assert 0.0 < mid.js_divergence < far.js_divergence
+
+
+def test_top_merge_pairs_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "low lower"), (2, "low lowest")], "doc_id LONG, text STRING"
+    )
+    # BPE-ish pre-tokens: ['low','lower'] / ['low','lowest'] -> pairs
+    rows = corpus.top_merge_pairs(docs, k=3).collect()
+    got = {r.pair: r.cnt for r in rows}
+    assert got == {"low lower": 1, "low lowest": 1}
+    # deterministic order: count desc then pair asc
+    assert [r.pair for r in rows] == ["low lower", "low lowest"]
