@@ -286,49 +286,75 @@ def compact_parquet(
     target_file_mb: int = 128,
     sort_within: str | None = None,
 ) -> tuple[int, int]:
-    """Small-files compaction: rewrite a parquet dataset into ~target-sized
-    files. Returns (files_before, files_after).
+    """Small-files compaction: rewrite an UNPARTITIONED local parquet
+    dataset into ~target-sized files. Returns (files_before, files_after).
 
-    Streaming ingests accumulate thousands of tiny files per partition;
-    at 100 TB that is scheduler pressure (one task per file), footer
-    overhead, and dead scan throughput — compaction is the standing
-    maintenance job behind every file-based lake (Delta's OPTIMIZE is
-    this plus a transaction log). The target file count comes from the
-    dataset's actual on-disk size; `coalesce` (not repartition) avoids a
-    shuffle, and an optional `sort_within` re-sorts rows inside each
-    output file so range-scan row-group pruning survives compaction.
+    Streaming ingests accumulate thousands of tiny files; at 100 TB that
+    is scheduler pressure (one task per file), footer overhead, and dead
+    scan throughput — compaction is the standing maintenance job behind
+    every file-based lake (Delta's OPTIMIZE is this plus a transaction
+    log). The target file count comes from the dataset's actual on-disk
+    size; `coalesce` (not repartition) avoids a shuffle, and an optional
+    `sort_within` re-sorts rows inside each output file so range-scan
+    row-group pruning survives compaction.
 
-    Atomicity: the rewrite lands in a staging dir that replaces `path`
-    with two renames — on a local/HDFS filesystem readers see old or new,
-    never half. On object stores without atomic rename, compact into a
-    table format (Delta/Iceberg) where the swap is a metadata commit.
+    Scope, honestly: LOCAL filesystem paths only (the listing and the
+    directory swap are os-level; non-local URIs are rejected), and
+    UNPARTITIONED datasets only (a flat rewrite of a Hive layout would
+    demote the partition column and break pruned readers — rejected).
+    The swap is two directory renames: readers see old or new data,
+    never a half-written mix, but there is a sub-millisecond window where
+    the path is absent; leftovers from a crashed run are cleaned up at
+    the start of the next. For concurrent readers, object stores, or
+    partitioned tables, compact inside a table format (Delta/Iceberg)
+    where the swap is a metadata commit — that is the production answer;
+    this is the plain-parquet maintenance tool.
     """
     import glob
     import os
     import shutil
 
-    files = [
-        f
-        for f in glob.glob(os.path.join(path, "**", "*"), recursive=True)
-        if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
-    ]
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"compact_parquet is os-level and local-only; got {path!r}. "
+            "On HDFS/object stores compact inside a table format."
+        )
+    path = path.removeprefix("file://").rstrip("/")
+    staging = path + "__compacting"
+    old = path + "__precompact"
+    # recover from a previous crashed run FIRST (the dataset may currently
+    # live at the backup path): a stranded backup means the swap never
+    # completed — restore it; stale staging is always safe to drop
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
+    if any(
+        "=" in e.name and e.is_dir() for e in os.scandir(path) if not e.name.startswith("_")
+    ):
+        raise ValueError(
+            f"{path!r} is Hive-partitioned; a flat rewrite would demote the "
+            "partition column and break pruned readers. Compact per "
+            "partition directory, or use a table format's OPTIMIZE."
+        )
+
+    def data_files(root: str) -> list[str]:
+        return [
+            f
+            for f in glob.glob(os.path.join(root, "**", "*"), recursive=True)
+            if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+        ]
+
+    files = data_files(path)
     n_before = len(files)
     total_bytes = sum(os.path.getsize(f) for f in files)
     n_target = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path).coalesce(n_target)
     if sort_within:
         df = df.sortWithinPartitions(sort_within)
-    staging = path.rstrip("/") + "__compacting"
     df.write.mode("overwrite").parquet(staging)
-    old = path.rstrip("/") + "__precompact"
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old)
-    n_after = len(
-        [
-            f
-            for f in glob.glob(os.path.join(path, "**", "*"), recursive=True)
-            if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
-        ]
-    )
-    return n_before, n_after
+    return n_before, len(data_files(path))

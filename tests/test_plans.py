@@ -179,15 +179,20 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_customer")
 
 
+# Queries that execute eagerly (write files / run streams) when their fn is
+# called — plan/schema sweeps skip them; their plans are inspected in their
+# own tests. ONE definition shared by every sweep below.
+EAGER_PREFIXES = (
+    "stream_", "pyds_", "jdbc_", "csv_", "json_round", "orc_",
+    "zorder", "partitioned", "hypertable", "text_scan",
+)
+
+
 def test_no_forced_broadcast_of_scaling_tables(spark, sf_dir):
     """customer/supplier grow linearly with the corpus: a broadcast HINT on
     them OOMs executors at 100x. The logical plans of the star/graph queries
     must carry hints only for fixed-cardinality dims (nation/region); any
     broadcast of customer/supplier may come only from AQE/size stats."""
-    EAGER_PREFIXES = (
-        "stream_", "pyds_", "jdbc_", "csv_", "json_round", "orc_",
-        "zorder", "partitioned", "hypertable", "text_scan",
-    )
     # Scaling tables: anything that grows with the corpus. Hints are only
     # legitimate on region/nation (fixed cardinality).
     SCALING = ("customer", "supplier", "part.parquet", "orders", "lineitem",
@@ -241,40 +246,27 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "sim_pairs",       # exact all-pairs oracle arm (scale arm: sim_pairs_lsh)
         "embedding_dedup", # exact cosine arm (scale arm: LSH/IVF)
     }
-    EAGER_PREFIXES = (
-        "stream_", "pyds_", "jdbc_", "csv_", "json_round", "orc_",
-        "zorder", "partitioned", "hypertable", "text_scan",
-    )
     offenders = []
     for name, spec in REGISTRY.items():
         if name.startswith(EAGER_PREFIXES):
             continue  # executes writes eagerly; plan inspected elsewhere
-        plan = _plan(spec.fn(spark, sf_dir))
+        df = spec.fn(spark, sf_dir)
+        if spec.sql is not None:
+            # canonicalizer safety, piggybacked on this sweep's DataFrame:
+            # the driver hash sorts columns in pandas, where array/map/
+            # struct/binary cells are unhashable (round 1's collect_sorted
+            # failure class) — SQL-checked entries must emit scalars only
+            from pyspark.sql.types import (
+                ArrayType, BinaryType, MapType, StructType,
+            )
+
+            for fld in df.schema.fields:
+                if isinstance(fld.dataType, (ArrayType, MapType, StructType, BinaryType)):
+                    offenders.append((name, "unhashable:" + fld.name))
+        plan = _plan(df)
         if "CartesianProduct" in plan:
             offenders.append((name, "cartesian"))
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
             offenders.append((name, "BNLJ"))
     assert not offenders, offenders
 
-
-def test_sql_checked_outputs_are_canonicalizer_safe(spark, sf_dir):
-    """The external driver's order-insensitive hash sorts result columns in
-    pandas; array/map/struct/binary cells are unhashable there (round 1's
-    collect_sorted failed exactly this way until it was array_join-ed).
-    Every SQL-checked entry must emit only scalar columns."""
-    from pyspark.sql.types import ArrayType, BinaryType, MapType, StructType
-
-    from ascii_hydra_spark.verification import REGISTRY
-
-    EAGER_PREFIXES = (
-        "stream_", "pyds_", "jdbc_", "csv_", "json_round", "orc_",
-        "zorder", "partitioned", "hypertable", "text_scan",
-    )
-    offenders = []
-    for name, spec in REGISTRY.items():
-        if spec.sql is None or name.startswith(EAGER_PREFIXES):
-            continue
-        for f in spec.fn(spark, sf_dir).schema.fields:
-            if isinstance(f.dataType, (ArrayType, MapType, StructType, BinaryType)):
-                offenders.append((name, f.name, f.dataType.simpleString()))
-    assert not offenders, offenders

@@ -171,3 +171,17 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
 
     assert not os.path.exists(p + "__compacting")
     assert not os.path.exists(p + "__precompact")
+    # partitioned datasets are rejected, not silently flattened
+    import pytest
+
+    part = str(tmp_path / "partitioned")
+    df.write.partitionBy("g").parquet(part)
+    with pytest.raises(ValueError, match="Hive-partitioned"):
+        sources.compact_parquet(spark, part)
+    # non-local URIs are rejected (os-level tool)
+    with pytest.raises(ValueError, match="local-only"):
+        sources.compact_parquet(spark, "hdfs://nn/warehouse/t")
+    # crash recovery: a stranded backup (swap never completed) is restored
+    os.rename(p, p + "__precompact")
+    n_b, n_a = sources.compact_parquet(spark, p)
+    assert spark.read.parquet(p).count() == 10_000
