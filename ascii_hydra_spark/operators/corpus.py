@@ -253,16 +253,16 @@ def token_distribution_drift(
         )
 
     # the joined count table feeds both the totals row and the divergence
-    # aggregate — persist it so each snapshot is tokenized and counted
-    # ONCE (without this, the crossJoin's plan embeds a second full copy
-    # of the explode+count subtree for both snapshots)
-    from pyspark import StorageLevel
-
+    # aggregate — eager localCheckpoint so each snapshot is tokenized and
+    # counted ONCE (without it, the crossJoin's plan embeds a second full
+    # copy of the explode+count subtree for both snapshots). Checkpoint
+    # rather than persist: the vocab-sized blocks are GC-reclaimed with
+    # the returned plan instead of living until session end.
     j = (
         counts(old, "c_old")
         .join(counts(new, "c_new"), "tok", "full_outer")
         .fillna(0, ["c_old", "c_new"])
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     tot = j.agg(
         F.sum("c_old").alias("t_old"),

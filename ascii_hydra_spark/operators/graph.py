@@ -43,7 +43,9 @@ def pagerank(
     Shuffle budget per iteration: ONE exchange (contributions grouped on
     dst). The rank-to-edge join co-partitions on src because `edges` is
     persisted already hash-partitioned from the previous join, and the
-    dangling-mass term is a scalar aggregate (driver-bounded: one row).
+    dangling-mass term is a 1-row aggregate DataFrame cross-broadcast into
+    the rank update — no `.collect()` in the loop body; the only per-round
+    driver action is the lineage-truncating localCheckpoint.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     nodes = (
@@ -69,20 +71,22 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
         )
-        # dangling mass: rank held by nodes with no out-edges (scalar)
-        dangling = (
-            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+        # dangling mass: rank held by nodes with no out-edges. Kept IN-PLAN
+        # as a 1-row aggregate cross-broadcast into the rank update — an
+        # iteration issues no driver action besides the checkpoint itself.
+        dangling = ranks.join(out_deg, ranks.node == out_deg.src, "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling")
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias(
-                    "rank"
-                ),
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("__dangling") / F.lit(float(n))
+                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
             )
             .localCheckpoint()
         )

@@ -54,6 +54,20 @@ def _int_norm(col) -> Column:
     return F.sqrt(_int_dot(col, col).cast("double"))
 
 
+def _quantized_cosine(a, b) -> Column:
+    """Cosine over two int8-quantized arrays, NULL-guarded for zero norms.
+
+    An all-zero vector (or zero query) has norm 0; a bare divide would
+    yield NaN, and Spark orders NaN ABOVE every double, so zero embeddings
+    would rank FIRST under `desc(sim)`. NULL sorts last instead, which is
+    the semantics every caller wants (degenerate vectors are never
+    similar to anything)."""
+    norm_product = _int_norm(a) * _int_norm(b)
+    return F.when(norm_product == 0, F.lit(None).cast("double")).otherwise(
+        _int_dot(a, b).cast("double") / norm_product
+    )
+
+
 def quantize_embeddings(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -141,9 +155,7 @@ def cosine_topk_quantized(
     """
     qd = quantize_embeddings(emb, id_col=id_col, vec_col=vec_col)
     qq = _quantize_query_literal(query)
-    sim = _int_dot(F.col("q_embedding"), qq).cast("double") / (
-        _int_norm(F.col("q_embedding")) * _int_norm(qq)
-    )
+    sim = _quantized_cosine(F.col("q_embedding"), qq)
     return (
         qd.select(F.col(id_col), F.round(sim, 6).alias("sim_q"))
         .orderBy(F.desc("sim_q"), F.col(id_col))
@@ -178,9 +190,7 @@ def cosine_topk_quantized_by_id(
     q_row = qd.filter(F.col(id_col) == query_id).select(
         F.col("q_embedding").alias("__qq")
     )
-    sim = _int_dot(F.col("q_embedding"), F.col("__qq")).cast("double") / (
-        _int_norm(F.col("q_embedding")) * _int_norm(F.col("__qq"))
-    )
+    sim = _quantized_cosine(F.col("q_embedding"), F.col("__qq"))
     return (
         qd.crossJoin(F.broadcast(q_row))
         .filter(F.col(id_col) != query_id)
@@ -247,15 +257,26 @@ def cosine_pairs_blocked(
     BLAS-rate, and no single task sees more than block_size^2 candidate
     pairs. The quadratic total cost is inherent to exactness — the escape
     hatch is the LSH arm, not a better exact algorithm.
+
+    NOTE: `emb.count()` makes this operator EAGER at plan-construction time
+    (one scan to size the block grid) — acceptable for a terminal batch op.
+    The O(n_blocks^2) block-pair table is generated DISTRIBUTIVELY
+    (`spark.range` self-join), never as a driver-side Python list: at ~10M
+    vectors / block 1024 that grid is ~50M pairs, which would bottleneck
+    the driver long before the executors.
     """
     import pandas as pd
 
     n = emb.count()
     n_blocks = max(1, -(-n // block_size))
     spark = emb.sparkSession
-    block_pairs = spark.createDataFrame(
-        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
-        "bi INT, bj INT",
+    block_pairs = (
+        spark.range(n_blocks)
+        .select(F.col("id").cast("int").alias("bi"))
+        .join(
+            spark.range(n_blocks).select(F.col("id").cast("int").alias("bj")),
+            F.col("bi") <= F.col("bj"),
+        )
     )
     vecs = emb.select(
         F.col(id_col).alias("__id"),
@@ -498,9 +519,7 @@ def ivf_search(
         # quantized index: integer dot products against the quantized query
         # (scales cancel out of cosine); int8 cells = 4x fewer bytes probed
         qq = _quantize_query_literal(query)
-        sim = _int_dot(F.col("q_embedding"), qq).cast("double") / (
-            _int_norm(F.col("q_embedding")) * _int_norm(qq)
-        )
+        sim = _quantized_cosine(F.col("q_embedding"), qq)
         return (
             idx.select(F.col("__id").alias(id_col), F.round(sim, 6).alias("sim"))
             .orderBy(F.desc("sim"), F.col(id_col))

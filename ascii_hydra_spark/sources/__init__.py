@@ -260,8 +260,22 @@ def avro_available(spark: SparkSession) -> bool:
         spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
             "avro", spark._jsparkSession.sessionState().conf()
         )
-    except (AnalysisException, Py4JJavaError):
-        return False
+    except (AnalysisException, Py4JJavaError) as e:
+        msg = str(e)
+        if any(
+            marker in msg
+            for marker in (
+                "FAILED_TO_FIND_DATA_SOURCE",
+                "Failed to find data source",
+                "ClassNotFoundException",
+                "NoClassDefFoundError",
+            )
+        ):
+            return False
+        # anything else (gateway failure, moved internal API, unrelated
+        # Java error) is a real fault, not "connector absent" — re-raise
+        # rather than silently no-op'ing write_avro/read_avro.
+        raise
     return True
 
 
@@ -304,8 +318,11 @@ def compact_parquet(
     demote the partition column and break pruned readers — rejected).
     The swap is two directory renames: readers see old or new data,
     never a half-written mix, but there is a sub-millisecond window where
-    the path is absent; leftovers from a crashed run are cleaned up at
-    the start of the next. For concurrent readers, object stores, or
+    the path is absent — and a crash BETWEEN the two renames leaves the
+    dataset parked at `<path>__precompact` until recovery runs. Recovery
+    is automatic at the start of the next compact_parquet call, or on
+    demand via :func:`repair_compacted_parquet` — run it from a reader
+    that finds the path missing. For concurrent readers, object stores, or
     partitioned tables, compact inside a table format (Delta/Iceberg)
     where the swap is a metadata commit — that is the production answer;
     this is the plain-parquet maintenance tool.
@@ -358,3 +375,21 @@ def compact_parquet(
     os.rename(staging, path)
     shutil.rmtree(old)
     return n_before, len(data_files(path))
+
+
+def repair_compacted_parquet(path: str) -> bool:
+    """Standalone recovery for a compact_parquet run that crashed between
+    its two renames (dataset parked at `<path>__precompact`, `path`
+    missing). Returns True when a restore happened, False when there was
+    nothing to repair. Callers hitting a read failure on a compacted path
+    run this instead of waiting for the next compaction cycle."""
+    import os
+
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(f"repair_compacted_parquet is local-only; got {path!r}")
+    path = path.removeprefix("file://").rstrip("/")
+    old = path + "__precompact"
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)
+        return True
+    return False

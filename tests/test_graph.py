@@ -64,3 +64,17 @@ def test_pagerank_star_hub_dominates(spark):
     got = _ranks(spark, edges, iterations=10)
     assert got[99] == max(got.values())
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_loop_body_has_no_collect(spark):
+    """The dangling-mass term stays in-plan (1-row aggregate cross-broadcast
+    into the rank update); an iteration must not issue a driver .collect().
+    Pinned at the source level: the loop body of pagerank contains no
+    .collect call (localCheckpoint is the only per-round action)."""
+    import inspect
+
+    from ascii_hydra_spark.operators import graph
+
+    src = inspect.getsource(graph.pagerank)
+    loop = src.split("for _ in range(iterations):", 1)[1].split("ew.unpersist()", 1)[0]
+    assert ".collect()" not in loop

@@ -168,3 +168,24 @@ def test_quantized_ivf_index_composes(spark, sf_dir):
     # probe of the quantized index still prunes partitions
     plan = q_hits._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "__cell" in plan
+
+
+def test_quantized_cosine_zero_vectors_rank_last(spark):
+    """All-zero embeddings (norm 0) must NOT rank first: a bare divide
+    yields NaN, and Spark sorts NaN above every double under desc. The
+    guard maps them to NULL, which sorts last."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 0.0, 0.0]),  # degenerate
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    hits = similarity.cosine_topk_quantized(emb, [1.0, 0.0, 0.0], k=4).collect()
+    ids = [r.vec_id for r in hits]
+    assert ids[0] == 0 and ids[-1] == 2, ids
+    assert hits[-1].sim_q is None  # NULL, not NaN
+    # by-id form: querying FROM a zero vector must not return NaN rows first
+    hits2 = similarity.cosine_topk_quantized_by_id(emb, 0, k=3).collect()
+    assert [r.vec_id for r in hits2][-1] == 2
+    assert hits2[-1].sim_q is None

@@ -185,3 +185,23 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     os.rename(p, p + "__precompact")
     n_b, n_a = sources.compact_parquet(spark, p)
     assert spark.read.parquet(p).count() == 10_000
+
+
+def test_repair_compacted_parquet_restores_stranded_backup(spark, tmp_path):
+    """A crash between compact_parquet's two renames parks the dataset at
+    __precompact; the standalone repair helper restores it on demand."""
+    import os
+
+    from ascii_hydra_spark import sources
+
+    p = str(tmp_path / "crashable")
+    spark.range(0, 100).write.parquet(p)
+    assert sources.repair_compacted_parquet(p) is False  # nothing to do
+    os.rename(p, p + "__precompact")  # simulate mid-swap crash
+    assert sources.repair_compacted_parquet(p) is True
+    assert spark.read.parquet(p).count() == 100
+    assert not os.path.exists(p + "__precompact")
+    import pytest
+
+    with pytest.raises(ValueError, match="local-only"):
+        sources.repair_compacted_parquet("s3://bucket/t")
