@@ -83,6 +83,7 @@ EXTRA = [
     "tpch_q21_like",          # EXISTS + NOT EXISTS double self-join
     "forward_fill_values",    # per-key gap repair window
     "zscore_outlier_counts",  # moment-join outlier gate
+    "skew_join_hot_key",      # pathological hot-key join under AQE
 ]
 
 
