@@ -2817,6 +2817,74 @@ def multimodal_payload_stats(spark, sf_dir):
 
 
 @q(
+    "multimodal_bmp_decode",
+    "SELECT d.doc_id AS media_id, CAST(150 AS BIGINT) AS n_bytes, "
+    "CAST(8 AS DOUBLE) AS width, CAST(4 AS DOUBLE) AS height, "
+    "CAST((d.doc_id*7) % 256 AS DOUBLE) AS tl_r, "
+    "CAST((d.doc_id*7 + 1) % 256 AS DOUBLE) AS tl_g, "
+    "CAST((d.doc_id*7 + 2) % 256 AS DOUBLE) AS tl_b, "
+    "CAST((d.doc_id*7 + 93) % 256 AS DOUBLE) AS br_r, "
+    "CAST((d.doc_id*7 + 94) % 256 AS DOUBLE) AS br_g, "
+    "CAST((d.doc_id*7 + 95) % 256 AS DOUBLE) AS br_b, "
+    "ROUND(AVG(CAST((d.doc_id*7 + g.i) % 256 AS DOUBLE)), 6) AS mean_px "
+    "FROM documents d CROSS JOIN generate_series(0, 95) AS g(i) "
+    "GROUP BY d.doc_id",
+    "Multimodal: REAL 24bpp BMP decode (pure numpy, no codec library) — "
+    "payloads are synthesized per doc id with encode_bmp and decoded back "
+    "through the actual BMP byte layout (bottom-up rows, BGR order, row "
+    "padding); corner pixels + mean are oracle-checked in closed form "
+    "because pixel i of doc d is (d*7+i)%256 by construction",
+)
+def multimodal_bmp_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    feats = multimodal.decode_media(multimodal.synthetic_media(d, kind="bmp"))
+    f = F.col("features")
+    return feats.select(
+        "media_id",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        f[0].alias("width"),
+        f[1].alias("height"),
+        f[2].alias("tl_r"),
+        f[3].alias("tl_g"),
+        f[4].alias("tl_b"),
+        f[5].alias("br_r"),
+        f[6].alias("br_g"),
+        f[7].alias("br_b"),
+        f[8].alias("mean_px"),
+    )
+
+
+@q(
+    "multimodal_wav_decode",
+    "SELECT d.doc_id AS media_id, CAST(172 AS BIGINT) AS n_bytes, "
+    "CAST(8000 AS DOUBLE) AS sample_rate, CAST(64 AS DOUBLE) AS n_samples, "
+    "CAST((d.doc_id*13) % 65536 - 32768 AS DOUBLE) AS first_sample, "
+    "CAST((d.doc_id*13 + 63*31) % 65536 - 32768 AS DOUBLE) AS last_sample, "
+    "ROUND(AVG(CAST((d.doc_id*13 + g.i*31) % 65536 - 32768 AS DOUBLE)), 6) "
+    "AS mean_sample "
+    "FROM documents d CROSS JOIN generate_series(0, 63) AS g(i) "
+    "GROUP BY d.doc_id",
+    "Multimodal: REAL 16-bit PCM WAV decode (pure numpy RIFF chunk walk) — "
+    "per-doc mono clips synthesized with encode_wav and decoded back; "
+    "rate/first/last/mean oracle-checked in closed form because sample i "
+    "of doc d is (d*13+i*31)%65536-32768 by construction",
+)
+def multimodal_wav_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    feats = multimodal.decode_media(multimodal.synthetic_media(d, kind="wav"))
+    f = F.col("features")
+    return feats.select(
+        "media_id",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        f[0].alias("sample_rate"),
+        f[1].alias("n_samples"),
+        f[2].alias("first_sample"),
+        f[3].alias("last_sample"),
+        f[4].alias("mean_sample"),
+    )
+
+
+@q(
     "multimodal_frame_sample",
     """
     SELECT doc_id AS media_id, CAST(frame_idx AS INT) AS frame_idx FROM (
@@ -4779,7 +4847,7 @@ _PRIORITY: tuple[str, ...] = (
     "udtf_polymorphic", "pandas_udaf_weighted", "applyinpandas_demean",
     "mapinarrow_charlen",
     # text / tokenization
-    "tfidf_top_terms", "token_counts", "regex_extract_filter",
+    "tfidf_top_terms", "token_counts", "multimodal_bmp_decode",
     "top_terms_per_lang", "url_parsing",
     # sliding-window batch + full streaming family
     "sliding_15min", "stream_sliding", "stream_session",
@@ -4813,6 +4881,7 @@ _PRIORITY: tuple[str, ...] = (
     "window_analytic", "window_running", "grouping_sets_orders",
     "collect_sorted", "udtf_tokenize", "term_freq_top", "quality_scores",
     "stream_stream_join", "stream_static_join",
+    "regex_extract_filter", "multimodal_wav_decode",
     "multimodal_frame_sample", "multimodal_resize",
     "multimodal_decode_features", "near_dup_minhash",
     "minhash_dedup_survivors", "containment_pairs", "simhash_pairs",

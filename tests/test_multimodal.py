@@ -1,0 +1,101 @@
+"""Pure-numpy media codecs (BMP 24bpp / PCM16 WAV): bit-exact round
+trips, layout correctness (bottom-up + BGR + stride padding), and honest
+rejection of variants the decoders cannot handle. The Spark-side decode
+pipeline is oracle-checked via the multimodal_bmp_decode /
+multimodal_wav_decode registry entries; these pin the codec layer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ascii_hydra_spark.operators import multimodal as M
+
+
+@pytest.mark.parametrize("shape", [(4, 8), (3, 5), (1, 1), (16, 16)])
+def test_bmp_round_trip_bit_exact(shape):
+    h, w = shape
+    arr = np.random.RandomState(h * 100 + w).randint(0, 256, (h, w, 3)).astype(np.uint8)
+    back = M.decode_bmp(M.encode_bmp(arr))
+    assert np.array_equal(back, arr)
+
+
+def test_bmp_layout_is_real_bottom_up_bgr():
+    """The encoded bytes must be the actual Windows V3 layout: a viewer
+    reading row 0 from the END of the pixel data, channels as BGR."""
+    arr = np.zeros((2, 1, 3), np.uint8)
+    arr[0, 0] = [255, 0, 0]  # top pixel pure RED
+    arr[1, 0] = [0, 0, 255]  # bottom pixel pure BLUE
+    payload = M.encode_bmp(arr)
+    # pixel data starts at offset 54; FIRST stored row is the BOTTOM row,
+    # stored BGR -> blue pixel stores as (255, 0, 0)
+    assert payload[54:57] == bytes([255, 0, 0])
+    # stride pads 3 -> 4; second stored row is the top (red) pixel
+    assert payload[58:61] == bytes([0, 0, 255])
+
+
+def test_bmp_rejects_unsupported_variants():
+    arr = np.zeros((2, 2, 3), np.uint8)
+    good = bytearray(M.encode_bmp(arr))
+    with pytest.raises(ValueError, match="not a BMP"):
+        M.decode_bmp(b"JUNK" + bytes(good)[4:])
+    bad_bpp = bytearray(good)
+    bad_bpp[28] = 8  # 8bpp
+    with pytest.raises(ValueError, match="unsupported"):
+        M.decode_bmp(bytes(bad_bpp))
+    compressed = bytearray(good)
+    compressed[30] = 1  # BI_RLE8
+    with pytest.raises(ValueError, match="unsupported"):
+        M.decode_bmp(bytes(compressed))
+
+
+def test_wav_round_trip_and_chunk_walk():
+    s = (np.arange(500) * 977 % 65536 - 32768).astype("<i2")
+    rate, back = M.decode_wav(M.encode_wav(s, 44100))
+    assert rate == 44100 and np.array_equal(back, s)
+    # decoder walks chunks: a LIST chunk before data must be skipped
+    import struct
+
+    payload = M.encode_wav(s[:4], 8000)
+    fmt_chunk = payload[12:36]  # 'fmt ' + size + 16-byte body
+    data_chunk = payload[36:]
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    body = fmt_chunk + extra + data_chunk
+    rigged = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    rate2, back2 = M.decode_wav(rigged)
+    assert rate2 == 8000 and np.array_equal(back2, s[:4])
+
+
+def test_wav_rejects_unsupported_variants():
+    s = np.zeros(8, "<i2")
+    good = M.encode_wav(s, 8000)
+    with pytest.raises(ValueError, match="not a WAV"):
+        M.decode_wav(b"OGGS" + good[4:])
+    stereo = bytearray(good)
+    stereo[22] = 2  # channels
+    with pytest.raises(ValueError, match="unsupported"):
+        M.decode_wav(bytes(stereo))
+
+
+def test_decode_media_dispatches_real_and_stub(spark):
+    """One DataFrame mixing a real-decodable bmp row and a utf8 stub row:
+    the bmp row gets true decoded features, the utf8 row the histogram."""
+    arr = ((np.arange(96) * 3) % 256).astype(np.uint8).reshape(4, 8, 3)
+    rows = [
+        (1, "image", "bmp", bytearray(M.encode_bmp(arr)), None),
+        (2, "text", "utf8", bytearray(b"hello"), None),
+    ]
+    media = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in M.decode_media(media).collect()}
+    assert out[1].features[0] == 8.0 and out[1].features[1] == 4.0
+    assert out[1].n_bytes == 150
+    assert len(out[2].features) == 16  # histogram stand-in
+    # jpeg still gates honestly
+    bad = spark.createDataFrame(
+        [(3, "image", "jpeg", bytearray(b"\xff\xd8"), None)], M.MEDIA_SCHEMA
+    )
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises((Py4JJavaError, Exception)):
+        M.decode_media(bad).collect()
