@@ -311,3 +311,42 @@ def test_aqe_skew_join_split_fires(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_cbo_stats_change_join_order(spark, tmp_path):
+    """B4 evidence: ANALYZE'd statistics actually CHANGE the join order.
+    Written order is fact JOIN mid JOIN small; without rowCount stats
+    CostBasedJoinReorder cannot run, so the left-deep as-written order
+    survives (mid before small). With table+column stats the estimated
+    (fact JOIN small) intermediate is ~1k rows vs ~100k for (fact JOIN
+    mid), so CBO must join small first."""
+    fact = spark.range(0, 100_000).selectExpr(
+        "id % 1000 AS k1", "id % 10000 AS k2", "id AS payload"
+    )
+    mid = spark.range(0, 10_000).selectExpr("id AS k2", "id AS attr_mid")
+    small = spark.range(0, 10).selectExpr("id AS k1", "id AS attr_small")
+    names = ["cbo_fact", "cbo_mid", "cbo_small"]
+    for df, n in zip([fact, mid, small], names):
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+        df.write.saveAsTable(n)
+    sql = (
+        "SELECT COUNT(*) AS n FROM cbo_fact f "
+        "JOIN cbo_mid m ON f.k2 = m.k2 "
+        "JOIN cbo_small s ON f.k1 = s.k1"
+    )
+
+    def join_order(q):
+        plan = q._jdf.queryExecution().optimizedPlan().toString()
+        return plan.index("cbo_mid"), plan.index("cbo_small")
+
+    try:
+        m_pos, s_pos = join_order(spark.sql(sql))
+        assert m_pos < s_pos, "without stats, the as-written order must survive"
+        for n in names:
+            spark.sql(f"ANALYZE TABLE {n} COMPUTE STATISTICS FOR ALL COLUMNS")
+        m_pos2, s_pos2 = join_order(spark.sql(sql))
+        assert s_pos2 < m_pos2, "with stats, CBO must join the selective table first"
+        assert spark.sql(sql).collect()[0]["n"] == 1_000  # semantics unchanged
+    finally:
+        for n in names:
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
