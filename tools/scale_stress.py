@@ -1,0 +1,279 @@
+"""sf1 scale-stress harness for the iterative / candidate-generation arms.
+
+The driver fixtures stop at sf0.1 (5k documents / 2k embeddings). The
+operators most likely to hide an at-scale anti-pattern are the ITERATIVE
+and CANDIDATE-GENERATION ones — connected-components clustering, the
+MinHash/SimHash/hyperplane LSH arms, the persisted IVF probe, and
+corpus-wide boilerplate removal — because their cost is driven by edge
+counts and iteration depth, not input bytes. This harness generates an
+sf1-sized synthetic fixture (10x the driver's sf0.1: 50k documents, 20k
+embeddings) entirely Spark-side (spark.range + deterministic hash
+expressions — no driver loop, no RNG) with PLANTED structure:
+
+  - 10% exact-duplicate documents (text of a base id repeated),
+  - 10% near-duplicate documents (base text + one extra token),
+  - a fixed 8-token footer on every 3rd document (boilerplate),
+  - 10% exact-duplicate embeddings (vector of a base id repeated),
+
+so every stage has real work AND a checkable answer: LSH recall on the
+planted duplicate pairs, cluster survivor bounds, IVF top-1 = the planted
+twin, footer eradication after boilerplate removal. A stage that merely
+finishes fast but returns garbage fails the run.
+
+Usage:  python tools/scale_stress.py [--docs 50000] [--emb 20000]
+Output: one JSON line per stage + a summary line; exits non-zero if any
+stage exceeds --budget seconds (default 300) or fails its sanity check.
+Results are recorded in SCALE.md ("sf1 robustness run").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from ascii_hydra_spark.session import SessionProfile, build_spark
+
+
+def gen_text(seed_col, n_tokens: int = 40, vocab: int = 800):
+    """Deterministic ~250-char document body derived from a seed column."""
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_tokens - 1)),
+            lambda j: F.concat(
+                F.lit("w"),
+                F.pmod(
+                    F.xxhash64(
+                        F.concat(seed_col.cast("string"), F.lit("_"), j.cast("string"))
+                    ),
+                    F.lit(vocab),
+                ).cast("string"),
+            ),
+        ),
+        " ",
+    )
+
+
+FOOTER = "footerxq alpha beta gamma delta epsilon zeta eta"
+
+
+def build_docs(spark, n: int):
+    """50k docs: ids [0, .8n) unique, [.8n, .9n) near-dups of id-.3n,
+    [.9n, n) exact dups of id-.9n; every 3rd doc carries the footer."""
+    n8, n9, n3 = int(n * 0.8), int(n * 0.9), int(n * 0.3)
+    df = spark.range(n).select(F.col("id").alias("doc_id"))
+    base = (
+        F.when(F.col("doc_id") >= n9, F.col("doc_id") - n9)
+        .when(F.col("doc_id") >= n8, F.col("doc_id") - n3)
+        .otherwise(F.col("doc_id"))
+    )
+    body = gen_text(base)
+    body = F.when(
+        (F.col("doc_id") >= n8) & (F.col("doc_id") < n9),
+        F.concat(body, F.lit(" zz"), F.pmod(F.col("doc_id"), F.lit(5)).cast("string")),
+    ).otherwise(body)
+    text = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(body, F.lit(" " + FOOTER))
+    ).otherwise(body)
+    return df.select(
+        "doc_id",
+        text.alias("text"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("es"), F.lit("zh")),
+            (F.pmod(F.col("doc_id"), F.lit(5)) + 1).cast("int"),
+        ).alias("lang"),
+    )
+
+
+def build_emb(spark, n: int, dim: int = 64):
+    """20k x 64 float vectors; last 10% repeat the vector of id - .9n."""
+    n9 = int(n * 0.9)
+    base = F.when(F.col("id") >= n9, F.col("id") - n9).otherwise(F.col("id"))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            (
+                F.pmod(
+                    F.xxhash64(
+                        F.concat(base.cast("string"), F.lit("_e"), j.cast("string"))
+                    ),
+                    F.lit(2001),
+                )
+                - 1000
+            ).cast("double")
+            / 1000.0
+        ).cast("float"),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=50_000)
+    ap.add_argument("--emb", type=int, default=20_000)
+    ap.add_argument("--budget", type=float, default=300.0)
+    ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "..", ".stress"))
+    args = ap.parse_args()
+    out = os.path.abspath(args.out)
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    spark = build_spark(SessionProfile.dev())
+    spark.sparkContext.setCheckpointDir(os.path.join(out, "__ckpt"))
+    results: dict[str, dict] = {}
+    failures: list[str] = []
+
+    def stage(name: str, fn):
+        t0 = time.monotonic()
+        try:
+            info = fn()
+            ok, detail = True, info
+        except AssertionError as e:  # sanity-check failure, not a crash
+            ok, detail = False, {"assert": str(e)}
+        sec = round(time.monotonic() - t0, 2)
+        rec = {"sec": sec, "ok": ok and sec <= args.budget, **detail}
+        results[name] = rec
+        if not rec["ok"]:
+            failures.append(name)
+        print(json.dumps({"stage": name, **rec}), flush=True)
+
+    # ---- fixture generation (written as parquet so later stages re-read
+    # from disk like real corpus passes, not from a cached lineage) ----
+    def gen():
+        build_docs(spark, args.docs).repartition(32).write.mode("overwrite").parquet(
+            f"{out}/documents.parquet"
+        )
+        build_emb(spark, args.emb).repartition(16).write.mode("overwrite").parquet(
+            f"{out}/embeddings.parquet"
+        )
+        nd = spark.read.parquet(f"{out}/documents.parquet").count()
+        ne = spark.read.parquet(f"{out}/embeddings.parquet").count()
+        assert nd == args.docs and ne == args.emb, (nd, ne)
+        return {"docs": nd, "embeddings": ne}
+
+    stage("generate_fixture", gen)
+    docs = spark.read.parquet(f"{out}/documents.parquet")
+    emb = spark.read.parquet(f"{out}/embeddings.parquet")
+    n, n8, n9 = args.docs, int(args.docs * 0.8), int(args.docs * 0.9)
+
+    # ---- MinHash + LSH near-dup pairs: recall on planted duplicates ----
+    from ascii_hydra_spark.operators import dedup as D
+
+    pairs_path = f"{out}/pairs.parquet"
+
+    def lsh():
+        pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.8)
+        pairs.write.mode("overwrite").parquet(pairs_path)
+        got = spark.read.parquet(pairs_path)
+        n_pairs = got.count()
+        # every exact-dup doc (id >= n9) pairs with its base at jaccard 1.0;
+        # banded LSH cannot miss identical signatures -> recall 1.0 there
+        exact_hits = got.filter(
+            (F.col("id_b") >= n9) & (F.col("id_a") == F.col("id_b") - n9)
+        ).count()
+        near_hits = got.filter(
+            (F.col("id_b") >= n8) & (F.col("id_b") < n9)
+        ).count()
+        assert exact_hits == n - n9, f"exact dup recall {exact_hits}/{n - n9}"
+        assert near_hits >= 0.8 * (n9 - n8), f"near dup recall {near_hits}/{n9 - n8}"
+        return {"pairs": n_pairs, "exact_hits": exact_hits, "near_hits": near_hits}
+
+    stage("minhash_lsh_pairs", lsh)
+
+    # ---- connected-components clustering + dedup decision ----
+    def cluster():
+        pairs = spark.read.parquet(pairs_path)
+        kept = D.cluster_dedup(docs, pairs, "doc_id")
+        k = kept.count()
+        # survivors: <= .8n uniques + footer-variant splits; every planted
+        # exact dup must be gone (its base id always survives as cluster min)
+        dup_survivors = kept.filter(F.col("doc_id") >= n9).count()
+        assert dup_survivors == 0, f"{dup_survivors} exact dups survived"
+        assert n8 * 0.5 <= k <= n8, f"survivor count {k} outside [{n8 * 0.5}, {n8}]"
+        return {"survivors": k}
+
+    stage("cluster_dedup", cluster)
+
+    # ---- SimHash near-dup arm ----
+    def simhash():
+        sp = D.simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+        n_pairs = sp.count()
+        exact_hits = sp.filter(
+            (F.col("id_b") >= n9) & (F.col("id_a") == F.col("id_b") - n9)
+        ).count()
+        assert exact_hits == n - n9, f"simhash exact recall {exact_hits}/{n - n9}"
+        return {"pairs": n_pairs, "exact_hits": exact_hits}
+
+    stage("simhash_pairs", simhash)
+
+    # ---- hyperplane-LSH cosine pairs over 20k vectors ----
+    from ascii_hydra_spark.operators import similarity as S
+
+    ne, ne9 = args.emb, int(args.emb * 0.9)
+
+    def coslsh():
+        cp = S.cosine_pairs_lsh(emb, threshold=0.99)
+        n_pairs = cp.count()
+        twin_hits = cp.filter(
+            (F.col("id_b") >= ne9) & (F.col("id_a") == F.col("id_b") - ne9)
+        ).count()
+        # identical vectors share every bucket -> recall 1.0 on the twins
+        assert twin_hits == ne - ne9, f"twin recall {twin_hits}/{ne - ne9}"
+        return {"pairs": n_pairs, "twin_hits": twin_hits}
+
+    stage("cosine_pairs_lsh", coslsh)
+
+    # ---- persisted IVF index build + partition-pruned probe ----
+    def ivf():
+        idx = f"{out}/ivf_index"
+        S.build_ivf_index(emb, idx, n_centroids=32, quantize=True)
+        # query with vector of id 123; its planted twin is ne9 + 123
+        qrow = emb.filter(F.col("vec_id") == 123).select("embedding").first()
+        hits = S.ivf_search(
+            spark, idx, [float(x) for x in qrow[0]], k=5, nprobe=4
+        ).collect()
+        top_ids = {r["vec_id"] for r in hits[:2]}
+        assert {123, ne9 + 123} <= top_ids, f"IVF top-2 {top_ids} missed the twin"
+        return {"top_ids": sorted(top_ids)}
+
+    stage("ivf_build_probe", ivf)
+
+    # ---- corpus-wide boilerplate removal ----
+    from ascii_hydra_spark.operators.text import remove_boilerplate
+
+    def boiler():
+        cleaned = remove_boilerplate(docs)
+        leftover = cleaned.filter(F.col("text").contains("footerxq")).count()
+        total = cleaned.count()
+        assert leftover == 0, f"{leftover} docs still carry the footer"
+        assert total == n, f"doc count changed: {total} != {n}"
+        return {"docs": total, "footer_leftover": leftover}
+
+    stage("remove_boilerplate", boiler)
+
+    summary = {
+        "metric": "scale_stress_sf1",
+        "docs": args.docs,
+        "embeddings": args.emb,
+        "total_sec": round(sum(r["sec"] for r in results.values()), 2),
+        "budget_sec": args.budget,
+        "failures": failures,
+        "stages": {k: {"sec": v["sec"], "ok": v["ok"]} for k, v in results.items()},
+    }
+    print(json.dumps(summary), flush=True)
+    with open(os.path.join(out, "last_run.json"), "w") as f:
+        json.dump({"summary": summary, "stages": results}, f, indent=2)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
