@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ascii_hydra_spark.functions import ngrams, word_tokens
+from ascii_hydra_spark.operators.lineage import truncate_lineage
 
 # Knuth multiplicative hash constants shared with relational.hash_stratified_sample:
 # bucket(key) = ((key * 2654435761) mod 2^32) mod 1000 — reproducible in any
@@ -232,6 +233,7 @@ def token_distribution_drift(
     new: DataFrame,
     text_col: str = "text",
     smoothing: float = 0.5,
+    reliable: bool = False,
 ) -> DataFrame:
     """Jensen-Shannon divergence between the token unigram distributions of
     two corpus snapshots — the drift monitor between crawl ingests (a new
@@ -253,16 +255,17 @@ def token_distribution_drift(
         )
 
     # the joined count table feeds both the totals row and the divergence
-    # aggregate — eager localCheckpoint so each snapshot is tokenized and
+    # aggregate — eager checkpoint so each snapshot is tokenized and
     # counted ONCE (without it, the crossJoin's plan embeds a second full
     # copy of the explode+count subtree for both snapshots). Checkpoint
     # rather than persist: the vocab-sized blocks are GC-reclaimed with
-    # the returned plan instead of living until session end.
-    j = (
+    # the returned plan instead of living until session end. reliable=True
+    # survives executor loss via the session checkpoint dir (lineage.py).
+    j = truncate_lineage(
         counts(old, "c_old")
         .join(counts(new, "c_new"), "tok", "full_outer")
-        .fillna(0, ["c_old", "c_new"])
-        .localCheckpoint(eager=True)
+        .fillna(0, ["c_old", "c_new"]),
+        reliable=reliable,
     )
     tot = j.agg(
         F.sum("c_old").alias("t_old"),

@@ -28,6 +28,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ascii_hydra_spark.functions import char_shingles, word_tokens
+from ascii_hydra_spark.operators.lineage import truncate_lineage
 
 
 def _ensure_min_parallelism(df: DataFrame) -> DataFrame:
@@ -472,6 +473,7 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 25,
+    reliable: bool = False,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation.
 
@@ -503,9 +505,9 @@ def connected_components(
     # ~40 s for the same clustering at sf0.1 when the near-dup join reran
     # per round. The edge list itself is pair-count-sized (orders of
     # magnitude below the corpus), so checkpointing it is cheap.
-    sym = sym.localCheckpoint(eager=True)
+    sym = truncate_lineage(sym, reliable=reliable)
     labels = nodes.select(F.col(id_col).alias("__id"), F.col(id_col).alias("__label"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = truncate_lineage(labels, reliable=reliable)
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["__v"] == labels["__id"])
@@ -535,7 +537,7 @@ def connected_components(
                 ).alias("__label"),
             )
         )
-        jumped = jumped.localCheckpoint(eager=True)
+        jumped = truncate_lineage(jumped, reliable=reliable)
         changed = (
             jumped.join(
                 labels.select(F.col("__id").alias("__oid"), F.col("__label").alias("__old")),
@@ -560,13 +562,17 @@ def cluster_dedup(
     id_col: str,
     pair_a: str = "id_a",
     pair_b: str = "id_b",
+    reliable: bool = False,
 ) -> DataFrame:
     """Full near-dup dedup decision: duplicate PAIRS -> connected CLUSTERS
     -> keep the minimum-id row per cluster (deterministic canonical winner,
     transitively closed). Rows in no pair are their own cluster and always
-    survive."""
+    survive. reliable=True checkpoints each propagation round through the
+    session checkpoint dir so executor loss doesn't kill an hours-long run
+    (operators/lineage.py)."""
     comps = connected_components(
-        df.select(F.col(id_col)), pairs, id_col=id_col, src_col=pair_a, dst_col=pair_b
+        df.select(F.col(id_col)), pairs, id_col=id_col, src_col=pair_a,
+        dst_col=pair_b, reliable=reliable,
     )
     return df.join(
         comps.filter(F.col(id_col) == F.col("component")).select(id_col), id_col, "left_semi"

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ascii_hydra_spark.operators.lineage import truncate_lineage
+
 
 def pagerank(
     edges: DataFrame,
@@ -32,6 +34,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    reliable: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -45,7 +48,9 @@ def pagerank(
     persisted already hash-partitioned from the previous join, and the
     dangling-mass term is a 1-row aggregate DataFrame cross-broadcast into
     the rank update — no `.collect()` in the loop body; the only per-round
-    driver action is the lineage-truncating localCheckpoint.
+    driver action is the lineage truncation (localCheckpoint by default;
+    `reliable=True` checkpoints through the session checkpoint dir so an
+    executor loss mid-run recomputes nothing fatal — see lineage.py).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     nodes = (
@@ -77,7 +82,7 @@ def pagerank(
         dangling = ranks.join(out_deg, ranks.node == out_deg.src, "left_anti").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling")
         )
-        ranks = (
+        ranks = truncate_lineage(
             nodes.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
@@ -87,8 +92,8 @@ def pagerank(
                     + F.lit(damping) * F.col("__dangling") / F.lit(float(n))
                     + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
                 ).alias("rank"),
-            )
-            .localCheckpoint()
+            ),
+            reliable=reliable,
         )
     ew.unpersist()
     nodes.unpersist()

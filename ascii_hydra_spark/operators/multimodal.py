@@ -5,11 +5,15 @@ next to typed metadata (modality, codec, width/height/duration, ...).
 Spark-side everything is real — schemas, partition-friendly layout,
 Arrow-batched mapInPandas pipelines, metadata extraction via built-ins.
 
-Codec status (round 3): uncompressed 24bpp BMP and 16-bit PCM WAV have
-REAL pure-numpy decoders in-repo (both are header+raw-array formats —
-:func:`decode_bmp` / :func:`decode_wav`, with matching encoders for
-payload synthesis). Compressed codecs (jpeg/png-deflate/h264) stay
-stubbed because the decode libraries are not in this container:
+Codec status (round 4): uncompressed 24bpp BMP, 16-bit PCM WAV, AND
+8-bit RGB PNG have REAL in-repo decoders (:func:`decode_bmp` /
+:func:`decode_wav` / :func:`decode_png`, with matching encoders for
+payload synthesis). PNG is a genuinely COMPRESSED codec — stdlib
+``zlib`` inflates the IDAT stream and numpy reverses the per-scanline
+filters (None/Sub/Up/Average/Paeth); the in-repo encoder rotates
+through all five filter types so the round trip exercises every
+reversal path. Only jpeg/h264 stay stubbed (entropy coding / video
+codecs genuinely need external libraries not in this container):
 `decode_media` raises NotImplementedError for those, and the
 deterministic byte-histogram stand-in keeps the full pipeline shape
 testable end-to-end.
@@ -80,11 +84,11 @@ def payload_stats(media: DataFrame) -> DataFrame:
     )
 
 
-_REAL_CODECS = {"jpeg", "png", "pcm16", "h264"}
+_REAL_CODECS = {"jpeg", "pcm16", "h264"}
 
-# Codecs with a REAL in-repo decoder (pure numpy — both formats are
-# header + raw array, no compression, so no external library is needed).
-DECODABLE_CODECS = {"bmp", "wav"}
+# Codecs with a REAL in-repo decoder: bmp/wav are header + raw array;
+# png is zlib-compressed scanlines (stdlib zlib + numpy filter reversal).
+DECODABLE_CODECS = {"bmp", "wav", "png"}
 
 
 def _check_codecs(codecs: pd.Series) -> None:
@@ -203,6 +207,182 @@ def decode_wav(payload: bytes):
     return rate, data
 
 
+def _paeth(a, b, c):
+    """Paeth predictor (PNG spec §9, filter type 4), vectorized over numpy
+    int16 arrays: pick whichever of left/up/up-left is closest to
+    p = left + up - upleft, with the spec's tie-break order (a, then b)."""
+    import numpy as np
+
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(pixels, level: int = 6) -> bytes:
+    """(h, w, 3) uint8 RGB array -> 8-bit truecolor PNG bytes.
+
+    Real DEFLATE compression via stdlib zlib. The scanline filter rotates
+    through all five spec filter types (row r uses filter r % 5), so a
+    decoder must implement every reversal path to round-trip the output —
+    that is deliberate: it makes the in-repo decode_png round-trip test an
+    actual test of the filter logic, not just of zlib.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(np.asarray(pixels, dtype=np.uint8))
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB array, got shape {arr.shape}")
+    h, w = arr.shape[:2]
+    rows = arr.reshape(h, w * 3).astype(np.int16)  # int16: filter math needs signed
+    prev = np.zeros(w * 3, dtype=np.int16)
+    out = bytearray()
+    for r in range(h):
+        cur = rows[r]
+        left = np.concatenate([np.zeros(3, np.int16), cur[:-3]])
+        upleft = np.concatenate([np.zeros(3, np.int16), prev[:-3]])
+        ftype = r % 5
+        if ftype == 0:
+            filt = cur
+        elif ftype == 1:
+            filt = cur - left
+        elif ftype == 2:
+            filt = cur - prev
+        elif ftype == 3:
+            filt = cur - ((left + prev) >> 1)
+        else:
+            filt = cur - _paeth(left, prev, upleft)
+        out.append(ftype)
+        out += (filt % 256).astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, RGB, no interlace
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out), level))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes):
+    """8-bit truecolor (color type 2) non-interlaced PNG -> (h, w, 3) uint8
+    RGB array. Stdlib zlib inflates the concatenated IDAT stream; numpy
+    reverses the per-scanline filters. Chunk CRCs are verified. Rejects
+    anything it cannot decode exactly (palette/gray/alpha, 16-bit,
+    interlaced) rather than guessing.
+
+    Filter reversal strategy: None and Up are fully vectorized; Sub is a
+    per-channel-lane cumulative sum (recon[x] = raw[x] + recon[x-3] mod 256
+    is exactly cumsum mod 256 per lane); Average and Paeth are inherently
+    sequential in x (the 'left' operand is the already-reconstructed byte),
+    so those rows walk pixels left-to-right operating on 3-byte lanes.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + size)
+        if zlib.crc32(tag + body) != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    f"unsupported PNG variant (depth={depth}, color={ctype}, "
+                    f"interlace={interlace})"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + size
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    stride = w * 3
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError(f"PNG data size {raw.size} != {h * (stride + 1)}")
+    raw = raw.reshape(h, stride + 1)
+    ftypes, data = raw[:, 0], raw[:, 1:].astype(np.int16)
+    recon = np.zeros((h, stride), dtype=np.int16)
+    prev = np.zeros(stride, dtype=np.int16)
+    for r in range(h):
+        cur, ft = data[r], int(ftypes[r])
+        if ft == 0:
+            rec = cur
+        elif ft == 1:  # Sub: cumsum mod 256 per 3-byte channel lane
+            rec = cur.reshape(w, 3).cumsum(axis=0).reshape(stride) % 256
+        elif ft == 2:  # Up
+            rec = (cur + prev) % 256
+        elif ft == 3:  # Average: sequential (left is reconstructed)
+            rec = np.empty(stride, dtype=np.int16)
+            left = np.zeros(3, dtype=np.int16)
+            px = cur.reshape(w, 3)
+            up = prev.reshape(w, 3)
+            for x in range(w):
+                left = (px[x] + ((left + up[x]) >> 1)) % 256
+                rec[x * 3 : x * 3 + 3] = left
+        elif ft == 4:  # Paeth: sequential
+            rec = np.empty(stride, dtype=np.int16)
+            left = np.zeros(3, dtype=np.int16)
+            upleft = np.zeros(3, dtype=np.int16)
+            px = cur.reshape(w, 3)
+            up = prev.reshape(w, 3)
+            for x in range(w):
+                left = (px[x] + _paeth(left, up[x], upleft)) % 256
+                upleft = up[x]
+                rec[x * 3 : x * 3 + 3] = left
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        recon[r] = rec
+        prev = rec
+    return recon.astype(np.uint8).reshape(h, w, 3)
+
+
+def _png_features(payload: bytes) -> list[float]:
+    """REAL decode features for a PNG payload — same 9-element layout as
+    :func:`_bmp_features` ([w, h, top-left RGB, bottom-right RGB, mean])
+    so the same closed-form SQL oracle applies. The corners pin the filter
+    reversals: a decoder that botched Sub/Up/Average/Paeth would corrupt
+    later rows and miss the bottom-right pixel."""
+    import numpy as np
+
+    arr = decode_png(payload)
+    h, w = arr.shape[:2]
+    tl, br = arr[0, 0], arr[h - 1, w - 1]
+    return [
+        float(w),
+        float(h),
+        float(tl[0]),
+        float(tl[1]),
+        float(tl[2]),
+        float(br[0]),
+        float(br[1]),
+        float(br[2]),
+        round(float(np.mean(arr.astype(np.float64))), 6),
+    ]
+
+
 def _bmp_features(payload: bytes) -> list[float]:
     """REAL decode features for a BMP payload: [width, height, top-left
     R/G/B, bottom-right R/G/B, round(mean over all pixel bytes, 6)].
@@ -257,9 +437,9 @@ def _decode_batch(batch: pd.DataFrame, n_features: int) -> pd.DataFrame:
     decodable = batch["codec"].isin(DECODABLE_CODECS)
     if decodable.any():
         real = batch[decodable]
+        decoders = {"bmp": _bmp_features, "wav": _wav_features, "png": _png_features}
         feats = [
-            _bmp_features(bytes(p)) if c == "bmp" else _wav_features(bytes(p))
-            for c, p in zip(real["codec"], real["payload"])
+            decoders[c](bytes(p)) for c, p in zip(real["codec"], real["payload"])
         ]
         out_real = pd.DataFrame(
             {
@@ -329,7 +509,10 @@ def synthetic_media(
     RGB); WAV sample i is ((d*13 + i*31) % 65536) - 32768. Because the
     content is a closed-form function of the id, the decoded features are
     oracle-checkable in plain SQL — the encode->decode round trip through
-    the actual BMP/WAV byte layout is what the check exercises."""
+    the actual BMP/WAV/PNG byte layout is what the check exercises. For
+    kind="png" the same pixel rule goes through DEFLATE + all five
+    scanline filters, so the identical oracle also proves the compressed
+    round trip."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -338,10 +521,11 @@ def synthetic_media(
             ids = batch[id_col].to_numpy()
             payloads = []
             for d in ids:
-                if kind == "bmp":
+                if kind in ("bmp", "png"):
                     px = (int(d) * 7 + np.arange(width * height * 3)) % 256
+                    arr = px.astype(np.uint8).reshape(height, width, 3)
                     payloads.append(
-                        encode_bmp(px.astype(np.uint8).reshape(height, width, 3))
+                        encode_bmp(arr) if kind == "bmp" else encode_png(arr)
                     )
                 else:
                     s = (int(d) * 13 + np.arange(n_samples) * 31) % 65536 - 32768
@@ -349,7 +533,7 @@ def synthetic_media(
             yield pd.DataFrame(
                 {
                     "media_id": ids,
-                    "modality": "image" if kind == "bmp" else "audio",
+                    "modality": "audio" if kind == "wav" else "image",
                     "codec": kind,
                     "payload": payloads,
                     "meta_json": None,

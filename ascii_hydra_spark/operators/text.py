@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ascii_hydra_spark.operators.lineage import truncate_lineage
 from ascii_hydra_spark.functions import (
     LANG_MARKERS,
     bpe_ish_tokens,
@@ -258,6 +259,7 @@ def remove_boilerplate(
     text_col: str = "text",
     segments=token_window_segments,
     min_docs: int = 3,
+    reliable: bool = False,
 ) -> DataFrame:
     """Corpus-wide boilerplate removal (CCNet-style paragraph dedup).
 
@@ -276,15 +278,20 @@ def remove_boilerplate(
     sort inside the aggregated array (no extra sort shuffle).
     """
     # The segment table feeds BOTH the blacklist aggregation and the scrub
-    # join; materialize it ONCE via an eager localCheckpoint (measured ~30%
-    # of op time at sf0.1 when computed twice). localCheckpoint rather than
-    # persist: blocks are disk-backed (spill not OOM at 100 TB) and are
-    # reclaimed by the ContextCleaner when the returned plan is dropped —
-    # a bare persist() here accumulated MEMORY_AND_DISK blocks for the
-    # session lifetime on every call. Cost: the operator is EAGER.
-    seg = docs.select(
-        F.col(id_col), F.posexplode(segments(text_col)).alias("pos", "seg")
-    ).localCheckpoint(eager=True)
+    # join; materialize it ONCE (measured ~30% of op time at sf0.1 when
+    # computed twice). Checkpoint rather than persist: blocks are
+    # disk-backed (spill not OOM at 100 TB) and are reclaimed by the
+    # ContextCleaner when the returned plan is dropped — a bare persist()
+    # here accumulated MEMORY_AND_DISK blocks for the session lifetime on
+    # every call. Cost: the operator is EAGER. `reliable=True` routes
+    # through the session checkpoint dir so a lost executor recomputes
+    # nothing fatal (see operators/lineage.py for the tradeoff).
+    seg = truncate_lineage(
+        docs.select(
+            F.col(id_col), F.posexplode(segments(text_col)).alias("pos", "seg")
+        ),
+        reliable=reliable,
+    )
     blacklist = (
         seg.select(id_col, "seg")
         .distinct()

@@ -184,7 +184,7 @@ def time_window_path(base_path: str, asset_key: str, start=None, end=None) -> st
 def delta_available() -> bool:
     """True when delta-spark (python package + JVM jars) is usable.
 
-    Capability record (re-probed round 3, unchanged since round 2): this
+    Capability record (re-probed round 4, unchanged since round 2): this
     container has neither the `delta` python package nor any delta-*.jar
     on the pyspark classpath (286 jars checked), Maven is unreachable (no
     network for spark.jars.packages; a pip download probe returns
@@ -240,7 +240,7 @@ def vacuum_delta(spark: SparkSession, path: str, retention_hours: float = 168.0)
 def avro_available(spark: SparkSession) -> bool:
     """True when the spark-avro SQL connector is on the classpath.
 
-    Capability record (re-probed round 3, unchanged): this container
+    Capability record (re-probed round 4, unchanged): this container
     ships core avro jars (avro-1.12.1/-ipc/-mapred) but NOT the
     `spark-avro` SQL connector module (no spark-avro*.jar anywhere on
     disk), and Maven is unreachable for spark.jars.packages — so the Avro surface

@@ -78,6 +78,75 @@ def test_wav_rejects_unsupported_variants():
         M.decode_wav(bytes(stereo))
 
 
+@pytest.mark.parametrize("shape", [(4, 8), (1, 1), (7, 3), (16, 16), (5, 1)])
+def test_png_round_trip_bit_exact(shape):
+    """Heights >= 5 force every filter type (encoder uses r % 5) through
+    the decoder's reversal paths — None, Sub, Up, Average, Paeth."""
+    h, w = shape
+    arr = np.random.RandomState(h * 31 + w).randint(0, 256, (h, w, 3)).astype(np.uint8)
+    payload = M.encode_png(arr)
+    back = M.decode_png(payload)
+    assert np.array_equal(back, arr)
+
+
+def test_png_is_genuinely_compressed_deflate():
+    """A constant image must compress far below raw size, and the payload
+    must carry the PNG signature + zlib-inflatable IDAT (i.e., this is a
+    real compressed codec, not a renamed raw dump)."""
+    arr = np.full((64, 64, 3), 7, np.uint8)
+    payload = M.encode_png(arr)
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    assert len(payload) < 64 * 64 * 3 // 10
+    assert np.array_equal(M.decode_png(payload), arr)
+
+
+def test_png_all_filter_types_present_and_reversed():
+    """With h=10 the encoder emits filter types 0-4 twice; verify by
+    inflating the IDAT ourselves and reading each scanline's filter byte."""
+    import struct
+    import zlib
+
+    arr = np.random.RandomState(42).randint(0, 256, (10, 6, 3)).astype(np.uint8)
+    payload = M.encode_png(arr)
+    pos, idat = 8, bytearray()
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, pos)
+        if payload[pos + 4 : pos + 8] == b"IDAT":
+            idat += payload[pos + 8 : pos + 8 + size]
+        pos += 12 + size
+    raw = zlib.decompress(bytes(idat))
+    stride = 6 * 3 + 1
+    ftypes = [raw[r * stride] for r in range(10)]
+    assert ftypes == [0, 1, 2, 3, 4, 0, 1, 2, 3, 4]
+    assert np.array_equal(M.decode_png(payload), arr)
+
+
+def test_png_rejects_unsupported_variants_and_corruption():
+    arr = np.zeros((3, 3, 3), np.uint8)
+    good = M.encode_png(arr)
+    with pytest.raises(ValueError, match="not a PNG"):
+        M.decode_png(b"JUNK" + good[4:])
+    # flip a byte inside IHDR body -> CRC check must catch it
+    corrupted = bytearray(good)
+    corrupted[18] ^= 0xFF  # width byte
+    with pytest.raises(ValueError, match="CRC"):
+        M.decode_png(bytes(corrupted))
+    # grayscale color type (rebuild IHDR with correct CRC): honest reject
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 3, 3, 8, 0, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr))
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    gray = good[:8] + chunk + good[8 + len(chunk):]
+    with pytest.raises(ValueError, match="unsupported"):
+        M.decode_png(gray)
+
+
 def test_decode_media_dispatches_real_and_stub(spark):
     """One DataFrame mixing a real-decodable bmp row and a utf8 stub row:
     the bmp row gets true decoded features, the utf8 row the histogram."""

@@ -66,7 +66,10 @@ FOOTER = "footerxq alpha beta gamma delta epsilon zeta eta"
 
 def build_docs(spark, n: int):
     """50k docs: ids [0, .8n) unique, [.8n, .9n) near-dups of id-.3n,
-    [.9n, n) exact dups of id-.9n; every 3rd doc carries the footer."""
+    [.9n, n) exact dups of id-.9n; every 3rd BASE id carries the footer
+    (derived from the base, not doc_id, so a duplicate's text is always
+    byte-identical to its base's regardless of whether --docs makes the
+    offsets multiples of 3)."""
     n8, n9, n3 = int(n * 0.8), int(n * 0.9), int(n * 0.3)
     df = spark.range(n).select(F.col("id").alias("doc_id"))
     base = (
@@ -80,7 +83,7 @@ def build_docs(spark, n: int):
         F.concat(body, F.lit(" zz"), F.pmod(F.col("doc_id"), F.lit(5)).cast("string")),
     ).otherwise(body)
     text = F.when(
-        F.col("doc_id") % 3 == 0, F.concat(body, F.lit(" " + FOOTER))
+        base % 3 == 0, F.concat(body, F.lit(" " + FOOTER))
     ).otherwise(body)
     return df.select(
         "doc_id",
@@ -137,8 +140,12 @@ def main() -> int:
         try:
             info = fn()
             ok, detail = True, info
-        except AssertionError as e:  # sanity-check failure, not a crash
+        except AssertionError as e:  # sanity-check failure
             ok, detail = False, {"assert": str(e)}
+        except Exception as e:  # noqa: BLE001 — a crashing operator is exactly
+            # what a stress harness exists to surface; record it as a failed
+            # stage and keep going so one crash can't erase the other results
+            ok, detail = False, {"error": f"{type(e).__name__}: {e}"[:500]}
         sec = round(time.monotonic() - t0, 2)
         rec = {"sec": sec, "ok": ok and sec <= args.budget, **detail}
         results[name] = rec
@@ -198,7 +205,10 @@ def main() -> int:
         # exact dup must be gone (its base id always survives as cluster min)
         dup_survivors = kept.filter(F.col("doc_id") >= n9).count()
         assert dup_survivors == 0, f"{dup_survivors} exact dups survived"
-        assert n8 * 0.5 <= k <= n8, f"survivor count {k} outside [{n8 * 0.5}, {n8}]"
+        # upper bound tolerates the <=20% near-dup misses the lsh stage
+        # permits: every missed near-dup edge leaves one [n8, n9) survivor
+        hi = n8 + int((n9 - n8) * 0.2)
+        assert n8 * 0.5 <= k <= hi, f"survivor count {k} outside [{n8 * 0.5}, {hi}]"
         return {"survivors": k}
 
     stage("cluster_dedup", cluster)
@@ -251,8 +261,8 @@ def main() -> int:
     from ascii_hydra_spark.operators.text import remove_boilerplate
 
     def boiler():
-        cleaned = remove_boilerplate(docs)
-        leftover = cleaned.filter(F.col("text").contains("footerxq")).count()
+        cleaned = remove_boilerplate(docs)  # -> (doc_id, text_clean, n_segments_kept)
+        leftover = cleaned.filter(F.col("text_clean").contains("footerxq")).count()
         total = cleaned.count()
         assert leftover == 0, f"{leftover} docs still carry the footer"
         assert total == n, f"doc count changed: {total} != {n}"
