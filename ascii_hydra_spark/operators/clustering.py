@@ -1,0 +1,200 @@
+"""Embedding clustering for corpus organization (SemDeDup-style).
+
+Large-scale training pipelines cluster document embeddings to (a) build
+semantic shards for data mixing, and (b) run semantic deduplication —
+near-duplicate *meaning*, not near-duplicate *bytes* — by comparing
+vectors only WITHIN a cluster (Abbas et al., "SemDeDup", 2023: k-means
+then intra-cluster cosine pruning), which turns the O(n²) all-pairs
+problem into k independent O((n/k)²) ones.
+
+Everything here is deterministic: centroid init is the k lowest-id
+vectors (no RNG), iteration count is fixed (no data-dependent stopping),
+and every arg-min tie breaks on cluster id — so results are stable
+across reruns/partitionings and a DuckDB oracle can replicate the whole
+computation.
+
+Scale notes:
+- Assignment is a broadcast cross join against the k-row centroid table
+  (k is tens-to-thousands — always broadcast-able) followed by a
+  min-struct aggregate per vector: one shuffle on the vector id.
+- The centroid update is ONE groupBy(cluster) with `dim` unrolled
+  per-component AVG aggregate columns — whole-stage-codegen-friendly,
+  and crucially NOT a posexplode (which would multiply shuffle volume
+  by the dimension for no information gain).
+- Per-iteration lineage is truncated through operators/lineage.py
+  (`reliable=True` for executor-loss resilience on long runs); the
+  centroid table is k rows, so the checkpoint cost is nil.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ascii_hydra_spark.operators.lineage import truncate_lineage
+
+
+def _dist2(vec_col, cent_col):
+    """Squared L2 distance, left-fold in index order over doubles — the
+    exact accumulation order the DuckDB oracle replicates."""
+    return F.aggregate(
+        F.zip_with(vec_col, cent_col, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    reliable: bool = False,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means: returns (id, cluster_id, dist2).
+
+    Init: centroids are the vectors of the k smallest ids, numbered
+    0..k-1 in id order. Each iteration assigns every vector to the
+    nearest centroid (squared L2, ties -> lowest cluster id) and
+    recomputes centroids as per-cluster component means; a cluster that
+    loses every member keeps its previous centroid. `dist2` is the
+    squared distance to the FINAL assigned centroid, rounded to 6.
+    """
+    dim = emb.select(F.size(vec_col)).first()[0]
+    v = F.col(vec_col).cast("array<double>")
+    vecs = emb.select(F.col(id_col).alias("__id"), v.alias("__v"))
+
+    # init: k lowest-id vectors; the k-row window sort is trivially bounded
+    w = Window.orderBy("__id")
+    centroids = (
+        vecs.orderBy("__id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - 1).alias("cluster_id"),
+            F.col("__v").alias("__c"),
+        )
+    )
+    centroids = truncate_lineage(centroids, reliable=reliable)
+
+    assigned = None
+    for _ in range(iterations):
+        scored = vecs.crossJoin(F.broadcast(centroids)).select(
+            "__id", "__v", "cluster_id", _dist2(F.col("__v"), F.col("__c")).alias("__d2")
+        )
+        assigned = scored.groupBy("__id").agg(
+            F.min(F.struct("__d2", "cluster_id")).alias("__m")
+        ).select(
+            "__id",
+            F.col("__m.cluster_id").alias("cluster_id"),
+            F.col("__m.__d2").alias("__d2"),
+        )
+        new_c = (
+            assigned.join(vecs, "__id")
+            .groupBy("cluster_id")
+            .agg(*[F.avg(F.col("__v")[i]).alias(f"__a{i}") for i in range(dim)])
+            .select(
+                "cluster_id",
+                F.array(*[F.col(f"__a{i}") for i in range(dim)]).alias("__c"),
+            )
+        )
+        # empty clusters keep their previous centroid (deterministic)
+        centroids = truncate_lineage(
+            centroids.alias("old")
+            .join(new_c.alias("new"), "cluster_id", "left")
+            .select(
+                "cluster_id",
+                F.coalesce(F.col("new.__c"), F.col("old.__c")).alias("__c"),
+            ),
+            reliable=reliable,
+        )
+
+    return assigned.select(
+        F.col("__id").alias(id_col),
+        "cluster_id",
+        F.round("__d2", 6).alias("dist2"),
+    )
+
+
+def cluster_sizes(
+    emb: DataFrame, k: int = 8, iterations: int = 2, **kw
+) -> DataFrame:
+    """(cluster_id, n_vectors, avg_dist2): the shard-balance summary a
+    mixing pipeline reads before sampling per semantic shard."""
+    a = kmeans_assign(emb, k=k, iterations=iterations, **kw)
+    return a.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.round(F.avg("dist2"), 6).alias("avg_dist2"),
+    )
+
+
+def semantic_dup_pairs(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    reliable: bool = False,
+) -> DataFrame:
+    """SemDeDup candidate pairs: cosine >= threshold, compared only
+    WITHIN a k-means cluster. Returns (id_a, id_b, sim) with id_a < id_b.
+
+    The cluster key blocks the self-join: the shuffle is on cluster_id
+    and each task's pair space is (cluster size)², not (corpus size)².
+    Recall caveat (inherent to SemDeDup, documented not hidden): a
+    near-dup pair split across two clusters is missed; raising k trades
+    recall for speed. The exact arm (similarity.cosine_pairs_blocked)
+    is the recall-1.0 reference it is tested against.
+    """
+    assigned = kmeans_assign(
+        emb, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col,
+        reliable=reliable,
+    )
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    # unit-normalize; an (unexpected) all-zero vector maps to zeros rather
+    # than NaNs so it can never spuriously clear the threshold
+    unit = F.transform(
+        v, lambda x: F.when(F.lit(0.0) == norm, F.lit(0.0)).otherwise(x / norm)
+    )
+    side = emb.join(assigned.select(id_col, "cluster_id"), id_col).select(
+        F.col(id_col).alias("__id"), "cluster_id", unit.alias("__u")
+    )
+    a, b = side.alias("a"), side.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.__u"), F.col("b.__u"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.round(dot, 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    **kw,
+) -> DataFrame:
+    """Full SemDeDup decision: intra-cluster cosine pairs -> connected
+    components -> keep the minimum-id vector per duplicate group."""
+    from ascii_hydra_spark.operators.dedup import cluster_dedup
+
+    pairs = semantic_dup_pairs(
+        emb, k=k, iterations=iterations, threshold=threshold, id_col=id_col, **kw
+    )
+    return cluster_dedup(emb, pairs, id_col)

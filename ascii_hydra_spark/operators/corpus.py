@@ -198,6 +198,148 @@ def balanced_resample(
     return df.filter(b < quota)
 
 
+def bigram_lm_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+    model_docs: DataFrame | None = None,
+    reliable: bool = False,
+) -> DataFrame:
+    """Per-document fluency scores from an add-k-smoothed bigram language
+    model — the CCNet/Wikipedia-LM perplexity-filter stage of a training
+    pipeline, with a counting LM instead of an external model so the score
+    is deterministic and oracle-checkable.
+
+    The model is trained on `model_docs` (default: the scored corpus
+    itself) as C(u,w) bigram counts, C(u) context counts, and vocabulary
+    size V; each document's score is the average over its bigrams of
+    -log2((C(u,w)+k)/(C(u)+k*V)) — i.e. log2(perplexity) under the
+    bigram model. High = unusual token transitions (gibberish, boilerplate
+    soup, wrong-language spillover); low = fluent under the corpus
+    distribution. Documents with fewer than 2 tokens have no bigrams and
+    are absent from the output (no score is honest; 0.0 would rank them
+    maximally fluent).
+
+    Scale shape: ONE bigram extraction of the scoring corpus feeds the
+    score join; the model tables are bigram-distinct-sized (vocab-bounded,
+    orders of magnitude below the corpus), so AQE broadcasts them when
+    small and shuffles on the (u,w) key otherwise. V is a 1-row aggregate
+    cross-broadcast, never collected. The extraction is materialized once
+    via truncate_lineage (reliable=True -> checkpoint-dir resilience).
+    """
+    def bigrams(df: DataFrame) -> DataFrame:
+        t = word_tokens(text_col)
+        pair = F.arrays_zip(
+            F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))).alias("u"),
+            F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))).alias("w"),
+        )
+        return df.select(
+            F.col(id_col), F.explode(pair).alias("p")
+        ).select(id_col, F.col("p.u").alias("u"), F.col("p.w").alias("w"))
+
+    scored_bg = truncate_lineage(bigrams(docs), reliable=reliable)
+    model_bg = scored_bg if model_docs is None else bigrams(model_docs)
+    model_src = docs if model_docs is None else model_docs
+
+    c_uw = model_bg.groupBy("u", "w").agg(F.count("*").alias("c_uw"))
+    c_u = model_bg.groupBy("u").agg(F.count("*").alias("c_u"))
+    vsz = model_src.select(
+        F.explode(word_tokens(text_col)).alias("tok")
+    ).agg(F.countDistinct("tok").alias("vsz"))
+
+    nl = -F.log2(
+        (F.col("c_uw") + F.lit(k)) / (F.col("c_u") + F.lit(k) * F.col("vsz"))
+    )
+    return (
+        scored_bg.join(c_uw, ["u", "w"])
+        .join(c_u, "u")
+        .crossJoin(F.broadcast(vsz))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(nl), 6).alias("avg_neg_log2"),
+        )
+    )
+
+
+def perplexity_gate(
+    docs: DataFrame,
+    max_avg_neg_log2: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **lm_kwargs,
+) -> DataFrame:
+    """Keep documents whose bigram-LM score (see bigram_lm_scores) is at
+    most `max_avg_neg_log2` — the filter form of perplexity scoring.
+    Documents with no bigrams are dropped (unscoreable != fluent)."""
+    scores = bigram_lm_scores(docs, id_col=id_col, text_col=text_col, **lm_kwargs)
+    kept = scores.filter(F.col("avg_neg_log2") <= max_avg_neg_log2).select(id_col)
+    return docs.join(kept, id_col, "left_semi")
+
+
+def tokenize_to_ids(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unk_id: int = 0,
+) -> DataFrame:
+    """Apply a built vocabulary (see text.build_vocab: token -> vocab_id,
+    ids start at 1) to the corpus: (doc_id, token_ids array in document
+    order, n_tokens, n_oov). Out-of-vocabulary tokens map to `unk_id`
+    (0 by default — below every real id). This is the tokenizer-encode
+    step between curation and sequence packing.
+
+    Scale shape: posexplode -> broadcast join against the vocab (even a
+    1M-entry vocab is tens of MB — always broadcast-able) -> one groupBy
+    per doc with order-preserving in-array reassembly (array_sort on
+    (pos, id) structs; no extra sort shuffle). The corpus is shuffled
+    once, on the doc key.
+    """
+    toks = docs.select(
+        F.col(id_col), F.posexplode(word_tokens(text_col)).alias("pos", "token")
+    )
+    joined = toks.join(F.broadcast(vocab.select("token", "vocab_id")), "token", "left")
+    return joined.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos"),
+                        F.coalesce(F.col("vocab_id"), F.lit(unk_id)).alias("vid"),
+                    )
+                )
+            ),
+            lambda s: s["vid"],
+        ).alias("token_ids"),
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("vocab_id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame, key_col: str, seed: int = 0
+) -> DataFrame:
+    """Seeded global shuffle for training-order randomization: order rows
+    by md5(key || '_' || seed). A pure function of (key, seed): identical
+    across engines, reruns, partitionings, and cluster sizes — rerunning a
+    failed epoch-shuffle job reproduces the same order, and changing the
+    seed gives an independent order. Returns the input columns plus
+    `shuffle_key` (the hex hash the order is defined by).
+
+    Scale shape: one range-partitioned global sort (Spark samples the hash
+    space to build balanced ranges — no single-partition choke point, and
+    md5 output is uniform so ranges stay balanced regardless of key skew).
+    """
+    sk = F.md5(
+        F.concat_ws("_", F.col(key_col).cast("string"), F.lit(str(seed)))
+    ).alias("shuffle_key")
+    return df.select("*", sk).orderBy("shuffle_key")
+
+
 def top_merge_pairs(
     docs: DataFrame,
     k: int = 20,

@@ -31,6 +31,7 @@ from ascii_hydra_spark.catalog import Catalog
 from ascii_hydra_spark.functions import word_tokens
 from ascii_hydra_spark.operators import (
     asof,
+    clustering,
     corpus,
     dedup,
     graph,
@@ -4852,6 +4853,234 @@ def tpch_q21_like(spark, sf_dir):
 
 
 # ===================================================================
+# LM scoring / tokenizer-encode / training shuffle / semantic clustering
+# (round 4: the remaining stages between curation and the tokenizer)
+# ===================================================================
+
+_BIGRAM_LM_SQL = f"""
+    WITH pairs AS (
+      SELECT doc_id, p[1] AS u, p[2] AS w FROM (
+        SELECT doc_id,
+               UNNEST(LIST_FILTER(LIST_ZIP(tk, tk[2:]), q -> q[2] IS NOT NULL)) AS p
+        FROM (SELECT doc_id, {_TOKS} AS tk FROM documents))
+    ), bc AS (SELECT u, w, COUNT(*) AS c_uw FROM pairs GROUP BY u, w),
+    cc AS (SELECT u, COUNT(*) AS c_u FROM pairs GROUP BY u),
+    vz AS (SELECT COUNT(DISTINCT tok) AS vsz
+           FROM (SELECT UNNEST({_TOKS}) AS tok FROM documents))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-LOG2((c_uw + 0.5)/(c_u + 0.5*vsz))), 6) AS avg_neg_log2
+    FROM pairs JOIN bc USING (u, w) JOIN cc USING (u) CROSS JOIN vz
+    GROUP BY doc_id
+"""
+
+
+@q(
+    "lm_perplexity_scores",
+    _BIGRAM_LM_SQL,
+    "CCNet-style perplexity filter stage with a deterministic counting LM: "
+    "per-doc average -log2 P(w|u) under an add-0.5-smoothed bigram model "
+    "trained on the corpus itself — high = gibberish/boilerplate-soup, "
+    "low = fluent; fully SQL-expressible so the oracle arbitrates the "
+    "whole model, not just the plumbing",
+)
+def lm_perplexity_scores(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return corpus.bigram_lm_scores(d, k=0.5)
+
+
+@q(
+    "perplexity_gate_counts",
+    f"""
+    WITH scored AS ({_BIGRAM_LM_SQL})
+    SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+    WHERE s.avg_neg_log2 <= 4.9
+    GROUP BY d.lang
+    """,
+    "perplexity gate: documents surviving the bigram-LM fluency threshold, "
+    "counted per language (threshold 4.9 ~ the fixture median, so the gate "
+    "provably separates rather than passing everything)",
+)
+def perplexity_gate_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    kept = corpus.perplexity_gate(d, max_avg_neg_log2=4.9, k=0.5)
+    return kept.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_kept"))
+
+
+@q(
+    "tokenize_ids",
+    f"""
+    WITH tf AS (SELECT tok, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS df
+                FROM (SELECT doc_id, UNNEST({_TOKS}) AS tok FROM documents)
+                GROUP BY 1),
+    vocab AS (SELECT tok AS token,
+                     ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS vocab_id
+              FROM tf WHERE df >= 2),
+    tokpos AS (SELECT doc_id, UNNEST(RANGE(1, LEN(tk) + 1)) AS pos, UNNEST(tk) AS tok
+               FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)),
+    j AS (SELECT t.doc_id, t.pos, COALESCE(v.vocab_id, 0) AS vid,
+                 v.vocab_id IS NULL AS oov
+          FROM tokpos t LEFT JOIN vocab v ON t.tok = v.token)
+    SELECT doc_id,
+           STRING_AGG(CAST(vid AS VARCHAR), ',' ORDER BY pos) AS token_ids_csv,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+    FROM j GROUP BY doc_id
+    """,
+    "tokenizer-encode step: apply the built vocabulary (min_df=2, unk=0) to "
+    "every document, producing ordered id sequences (stringified so the "
+    "driver canonicalizer can hash them) + OOV counts; broadcast vocab "
+    "join, one doc-key shuffle, in-array order-preserving reassembly",
+)
+def tokenize_ids(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    vocab = text.build_vocab(d, min_df=2)
+    out = corpus.tokenize_to_ids(d, vocab)
+    return out.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("token_ids"), lambda x: x.cast("string")), ","
+        ).alias("token_ids_csv"),
+        "n_tokens",
+        "n_oov",
+    )
+
+
+@q(
+    "shuffle_order_head",
+    "SELECT doc_id, MD5(CAST(doc_id AS VARCHAR) || '_7') AS shuffle_key "
+    "FROM documents ORDER BY shuffle_key LIMIT 20",
+    "seeded deterministic training-order shuffle: order defined by "
+    "md5(key || seed) — engine-neutral, rerun-stable, cluster-size-stable; "
+    "the head-20 of the order is hash-checked (the full order is implied "
+    "by the key mapping)",
+)
+def shuffle_order_head(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    return corpus.deterministic_shuffle(d, "doc_id", seed=7).limit(20)
+
+
+def _kmeans_cte(k: int = 4, iterations: int = 2, dim: int = 64) -> tuple[str, str]:
+    """DuckDB replica of clustering.kmeans_assign: the same deterministic
+    init (k lowest-id vectors), the same fixed Lloyd iterations, the same
+    (d2, cluster_id) arg-min tie-break. Returns (cte_sql, final_table)
+    where final_table has (vec_id, cluster_id, d2)."""
+    parts = [
+        "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings)",
+        f"c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) "
+        f"AS cluster_id, vv AS c FROM v ORDER BY vec_id LIMIT {k})",
+    ]
+    prev = "c0"
+    for it in range(1, iterations + 1):
+        parts.append(
+            f"s{it} AS (SELECT v.vec_id, {prev}.cluster_id, "
+            f"LIST_SUM(LIST_TRANSFORM(LIST_ZIP(v.vv, {prev}.c), "
+            f"p -> (p[1]-p[2])*(p[1]-p[2]))) AS d2 FROM v CROSS JOIN {prev})"
+        )
+        parts.append(
+            f"a{it} AS (SELECT vec_id, cluster_id, d2 FROM ("
+            f"SELECT vec_id, cluster_id, d2, ROW_NUMBER() OVER "
+            f"(PARTITION BY vec_id ORDER BY d2, cluster_id) AS rn FROM s{it}"
+            f") WHERE rn = 1)"
+        )
+        if it < iterations:
+            parts.append(
+                f"u{it} AS (SELECT a{it}.cluster_id, g.i, AVG(v.vv[g.i]) AS m "
+                f"FROM a{it} JOIN v USING (vec_id) "
+                f"CROSS JOIN GENERATE_SERIES(1, {dim}) AS g(i) "
+                f"GROUP BY a{it}.cluster_id, g.i)"
+            )
+            parts.append(
+                f"n{it} AS (SELECT cluster_id, LIST(m ORDER BY i) AS c "
+                f"FROM u{it} GROUP BY cluster_id)"
+            )
+            parts.append(
+                f"c{it} AS (SELECT {prev}.cluster_id, "
+                f"COALESCE(n{it}.c, {prev}.c) AS c "
+                f"FROM {prev} LEFT JOIN n{it} USING (cluster_id))"
+            )
+            prev = f"c{it}"
+    return ",\n".join(parts), f"a{iterations}"
+
+
+_KM_CTE, _KM_FINAL = _kmeans_cte(k=4, iterations=2, dim=64)
+
+
+@q(
+    "kmeans_clusters",
+    f"""
+    WITH {_KM_CTE}
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(AVG(ROUND(d2, 6)), 6) AS avg_dist2
+    FROM {_KM_FINAL} GROUP BY cluster_id
+    """,
+    "deterministic Lloyd's k-means over the embedding table (k=4, 2 fixed "
+    "iterations, init = lowest-id vectors, arg-min ties -> lowest cluster): "
+    "the semantic-sharding step of a mixing pipeline. The ENTIRE iterative "
+    "computation — assignment, per-component centroid means, empty-cluster "
+    "carry-over — is replayed in unrolled SQL, so the hash check arbitrates "
+    "the algorithm, not just row counts",
+)
+def kmeans_clusters(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return clustering.cluster_sizes(e, k=4, iterations=2)
+
+
+@q(
+    "semantic_dup_pairs",
+    f"""
+    WITH {_KM_CTE}
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           ROUND(LIST_COSINE_SIMILARITY(xv.vv, yv.vv), 6) AS sim
+    FROM {_KM_FINAL} x JOIN {_KM_FINAL} y
+      ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+    JOIN v xv ON xv.vec_id = x.vec_id
+    JOIN v yv ON yv.vec_id = y.vec_id
+    WHERE ROUND(LIST_COSINE_SIMILARITY(xv.vv, yv.vv), 6) >= 0.99
+    """,
+    "SemDeDup candidate pairs: cosine >= 0.99 compared only WITHIN a "
+    "k-means cluster — the cluster key blocks the self-join so each task's "
+    "pair space is (cluster size)^2, not (corpus)^2; recall vs the exact "
+    "arm is asserted in tests/test_clustering.py",
+)
+def semantic_dup_pairs(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return clustering.semantic_dup_pairs(e, k=4, iterations=2, threshold=0.99)
+
+
+@q(
+    "semantic_dedup_survivors",
+    f"""
+    WITH RECURSIVE {_KM_CTE},
+    p AS (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM {_KM_FINAL} x JOIN {_KM_FINAL} y
+        ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+      JOIN v xv ON xv.vec_id = x.vec_id
+      JOIN v yv ON yv.vec_id = y.vec_id
+      WHERE ROUND(LIST_COSINE_SIMILARITY(xv.vv, yv.vv), 6) >= 0.99
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION ALL SELECT id_b, id_a FROM p
+    ), reach AS (
+      SELECT vec_id AS node, vec_id AS r FROM embeddings
+      UNION
+      SELECT e.dst AS node, r.r FROM reach r JOIN edges e ON e.src = r.node
+    ), comp AS (SELECT node AS vec_id, MIN(r) AS rep FROM reach GROUP BY node)
+    SELECT vec_id FROM comp WHERE vec_id = rep
+    """,
+    "full SemDeDup decision: intra-cluster cosine pairs -> connected "
+    "components -> keep the min-id vector per duplicate group (recursive-"
+    "CTE reachability arbitrates the Spark pointer-jumping components)",
+)
+def semantic_dedup_survivors(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return clustering.semantic_dedup(e, k=4, iterations=2, threshold=0.99).select(
+        "vec_id"
+    )
+
+
+# ===================================================================
 # Registry ordering
 # ===================================================================
 # The external driver evaluates only the first _DRIVER_HEAD entries of the
@@ -4916,6 +5145,11 @@ _ROUND5_QUEUE: tuple[str, ...] = (
     "quality_scores", "fingerprints_md5", "asof_join_forward",
     "graph_degree_hist", "incremental_minhash_survivors",
     "applyinarrow_demean",
+    # round-4 additions (LM scoring / tokenizer-encode / training shuffle /
+    # semantic clustering) — never driver-checked yet by construction
+    "lm_perplexity_scores", "perplexity_gate_counts", "tokenize_ids",
+    "shuffle_order_head", "kmeans_clusters", "semantic_dup_pairs",
+    "semantic_dedup_survivors",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema, no

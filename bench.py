@@ -84,6 +84,10 @@ EXTRA = [
     "forward_fill_values",    # per-key gap repair window
     "zscore_outlier_counts",  # moment-join outlier gate
     "skew_join_hot_key",      # pathological hot-key join under AQE
+    "lm_perplexity_scores",   # bigram-LM fluency scoring (counting LM)
+    "tokenize_ids",           # vocab-apply tokenizer encode
+    "kmeans_clusters",        # deterministic Lloyd's semantic sharding
+    "semantic_dedup_survivors",  # SemDeDup: kmeans-blocked cosine dedup
 ]
 
 

@@ -164,3 +164,68 @@ def test_top_merge_pairs_counts(spark):
     assert got == {"low lower": 1, "low lowest": 1}
     # deterministic order: count desc then pair asc
     assert [r.pair for r in rows] == ["low lower", "low lowest"]
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    """Tiny corpus scored against a pure-python replica of the same
+    add-k bigram model (left as explicit arithmetic, not a second copy of
+    the operator's code path)."""
+    import math
+    from collections import Counter
+
+    texts = {1: "a b a b", 2: "a b", 3: "z q"}
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id LONG, text STRING"
+    )
+    out = {r.doc_id: r for r in corpus.bigram_lm_scores(docs, k=0.5).collect()}
+
+    toks = {i: t.split() for i, t in texts.items()}
+    bigrams = {i: list(zip(ts, ts[1:])) for i, ts in toks.items()}
+    c_uw = Counter(p for ps in bigrams.values() for p in ps)
+    c_u = Counter(p[0] for ps in bigrams.values() for p in ps)
+    V = len({w for ts in toks.values() for w in ts})
+    for i, ps in bigrams.items():
+        exp = sum(
+            -math.log2((c_uw[p] + 0.5) / (c_u[p[0]] + 0.5 * V)) for p in ps
+        ) / len(ps)
+        assert out[i].n_bigrams == len(ps)
+        assert abs(out[i].avg_neg_log2 - round(exp, 6)) < 1e-9
+    # doc with a single token has no bigrams and must be absent
+    single = spark.createDataFrame([(9, "only")], "doc_id LONG, text STRING")
+    assert corpus.bigram_lm_scores(docs.union(single)).filter(
+        F.col("doc_id") == 9
+    ).count() == 0
+
+
+def test_perplexity_gate_monotone(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    loose = {r.doc_id for r in corpus.perplexity_gate(docs, 5.5).select("doc_id").collect()}
+    tight = {r.doc_id for r in corpus.perplexity_gate(docs, 4.9).select("doc_id").collect()}
+    assert tight <= loose
+    assert 0 < len(tight) < docs.count()  # the 4.9 threshold separates
+
+
+def test_tokenize_to_ids_order_and_oov(spark):
+    docs = spark.createDataFrame(
+        [(1, "b a b c"), (2, "c c")], "doc_id LONG, text STRING"
+    )
+    vocab = spark.createDataFrame(
+        [("b", 1), ("a", 2)], "token STRING, vocab_id LONG"
+    )
+    out = {r.doc_id: r for r in corpus.tokenize_to_ids(docs, vocab).collect()}
+    assert list(out[1].token_ids) == [1, 2, 1, 0]  # document order, c -> unk 0
+    assert out[1].n_tokens == 4 and out[1].n_oov == 1
+    assert list(out[2].token_ids) == [0, 0] and out[2].n_oov == 2
+
+
+def test_deterministic_shuffle_order_and_seed(spark):
+    import hashlib
+
+    docs = spark.createDataFrame([(i,) for i in range(50)], "doc_id LONG")
+    got = [r.doc_id for r in corpus.deterministic_shuffle(docs, "doc_id", seed=7).collect()]
+    exp = sorted(range(50), key=lambda i: hashlib.md5(f"{i}_7".encode()).hexdigest())
+    assert got == exp
+    # rerun-stable; a different seed gives a different order
+    again = [r.doc_id for r in corpus.deterministic_shuffle(docs, "doc_id", seed=7).collect()]
+    other = [r.doc_id for r in corpus.deterministic_shuffle(docs, "doc_id", seed=8).collect()]
+    assert again == got and other != got and sorted(other) == list(range(50))
