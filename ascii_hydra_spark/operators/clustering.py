@@ -161,8 +161,13 @@ def semantic_dup_pairs(
     unit = F.transform(
         v, lambda x: F.when(F.lit(0.0) == norm, F.lit(0.0)).otherwise(x / norm)
     )
-    side = emb.join(assigned.select(id_col, "cluster_id"), id_col).select(
-        F.col(id_col).alias("__id"), "cluster_id", unit.alias("__u")
+    # both halves of the cluster-keyed self-join read this table — without
+    # truncation the whole kmeans assignment upstream executes twice
+    side = truncate_lineage(
+        emb.join(assigned.select(id_col, "cluster_id"), id_col).select(
+            F.col(id_col).alias("__id"), "cluster_id", unit.alias("__u")
+        ),
+        reliable=reliable,
     )
     a, b = side.alias("a"), side.alias("b")
     dot = F.aggregate(

@@ -100,6 +100,71 @@ def pagerank(
     return ranks
 
 
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst", reliable: bool = False
+) -> DataFrame:
+    """Global triangle count over an undirected graph (1 row: n_triangles).
+
+    Degree-oriented enumeration — the standard distributed formulation
+    (each edge is oriented from its lower-(degree, id) endpoint to the
+    higher one, so every triangle is generated exactly once, from its
+    lowest-ranked vertex). The orientation is THE scale lever: a hub of
+    degree d contributes wedges only among its higher-ranked neighbors,
+    bounding per-vertex wedge fan-out by O(sqrt(m)) instead of O(d²) —
+    an id-ordered orientation would put celebrity-node wedge explosion
+    on single tasks. Shuffles: dedup + two degree joins + the wedge
+    self-join + the closing semi-join, all on edge keys.
+    """
+    u, v = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.select(u.alias("u"), v.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .union(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    with_deg = (
+        e.join(deg.withColumnRenamed("n", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("deg", "dv"), "v")
+    )
+    # orient toward the higher (degree, id) endpoint
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    # the oriented edge list feeds BOTH wedge sides and the closing
+    # semi-join — materialize once or the whole dedup+degree pipeline
+    # executes three times (measured 11 s -> ~4 s at sf0.1)
+    oriented = truncate_lineage(
+        with_deg.select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(fwd, F.col("du")).otherwise(F.col("dv")).alias("da"),
+            F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
+        ),
+        reliable=reliable,
+    )
+    o1 = oriented.select(
+        F.col("a"), F.col("b").alias("x"), F.col("db").alias("dx")
+    )
+    o2 = oriented.select(
+        F.col("a"), F.col("b").alias("y"), F.col("db").alias("dy")
+    )
+    wedges = o1.join(o2, "a").filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closed = wedges.join(
+        oriented.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+        "left_semi",
+    )
+    return closed.agg(F.count("*").cast("bigint").alias("n_triangles"))
+
+
 def top_ranked(ranks: DataFrame, k: int = 10) -> DataFrame:
     """Top-k nodes by rank, deterministic tie-break on node id; plans as
     TakeOrderedAndProject (per-partition heaps, k rows to the driver)."""

@@ -135,3 +135,49 @@ def zscore_outliers(
         .withColumn("zscore", F.round(z, 6))
         .drop("__mu", "__sd")
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Per-key exponentially-weighted moving average of a time series:
+    y_1 = x_1; y_t = alpha*x_t + (1-alpha)*y_{t-1}. Returns one row per
+    key with the series collapsed to (n_points, last value, final EWMA
+    rounded to 6) — the smoothing monitors run per entity, not per row.
+
+    An EWMA is an ORDERED left fold, which no frame-based window
+    aggregate expresses (the weight of x_i depends on its distance from
+    the end). The closed-form sum(x_i * a * (1-a)^(t-i)) is numerically
+    explosive for long series, so the fold is computed literally:
+    collect the per-key series into an array (sorted in-array — no extra
+    sort shuffle) and fold with F.aggregate. State is one key's series;
+    keys are independent and parallel. For series too long for one
+    array, chunk by time range and fold chunk results — the fold is
+    associative over (value, weight) pairs — not implemented here.
+    """
+    a, b = float(alpha), 1.0 - float(alpha)
+    series = df.groupBy(*key_cols).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(order_col).alias("o"), F.col(value_col).alias("x"))
+                )
+            ),
+            lambda s: s["x"].cast("double"),
+        ).alias("__xs")
+    )
+    folded = F.aggregate(
+        F.slice(F.col("__xs"), 2, F.greatest(F.size("__xs") - 1, F.lit(0))),
+        F.element_at(F.col("__xs"), 1),
+        lambda acc, x: x * F.lit(a) + acc * F.lit(b),
+    )
+    return series.select(
+        *key_cols,
+        F.size("__xs").cast("bigint").alias("n_points"),
+        F.round(F.element_at("__xs", -1), 6).alias("last_value"),
+        F.round(folded, 6).alias("ewma"),
+    )

@@ -5080,6 +5080,93 @@ def semantic_dedup_survivors(spark, sf_dir):
     )
 
 
+@q(
+    "triangle_count_users",
+    """
+    WITH k_seq AS (
+      SELECT CAST(json_extract(props, 'k') AS INT) AS k, user_id,
+             LEAD(user_id, 1) OVER w AS u1, LEAD(user_id, 2) OVER w AS u2
+      FROM events
+      WINDOW w AS (PARTITION BY CAST(json_extract(props, 'k') AS INT)
+                   ORDER BY event_id)
+    ), raw AS (
+      SELECT user_id AS s, u1 AS d FROM k_seq WHERE u1 IS NOT NULL
+      UNION ALL SELECT user_id, u2 FROM k_seq WHERE u2 IS NOT NULL
+    ), e AS (
+      SELECT DISTINCT LEAST(s, d) AS u, GREATEST(s, d) AS v FROM raw WHERE s <> d
+    ), deg AS (
+      SELECT n, COUNT(*) AS deg FROM (
+        SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n
+    ), wd AS (
+      SELECT e.u, e.v, du.deg AS du, dv.deg AS dv
+      FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+    ), oriented AS (
+      SELECT CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS a,
+             CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS b,
+             CASE WHEN (du, u) < (dv, v) THEN dv ELSE du END AS db
+      FROM wd
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM oriented o1
+    JOIN oriented o2 ON o1.a = o2.a
+      AND ((o1.db, o1.b) < (o2.db, o2.b))
+    WHERE EXISTS (SELECT 1 FROM oriented o3 WHERE o3.a = o1.b AND o3.b = o2.b)
+    """,
+    "global triangle count by degree-oriented enumeration (each triangle "
+    "generated once from its lowest-(degree,id) vertex — the orientation "
+    "bounds per-vertex wedge fan-out by O(sqrt(m)), which is what keeps a "
+    "celebrity hub off a single task at 100 TB). The graph: users linked "
+    "when their events are within 2 positions in the same props.k stream "
+    "(sparse by construction — ~2 edges/event — and triangle-rich)",
+)
+def triangle_count_users(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        "user_id",
+        "event_id",
+    )
+    w = Window.partitionBy("k").orderBy("event_id")
+    seq = ev.select(
+        "user_id",
+        F.lead("user_id", 1).over(w).alias("u1"),
+        F.lead("user_id", 2).over(w).alias("u2"),
+    )
+    edges = (
+        seq.filter(F.col("u1").isNotNull()).select(
+            F.col("user_id").alias("src"), F.col("u1").alias("dst")
+        )
+    ).union(
+        seq.filter(F.col("u2").isNotNull()).select(
+            F.col("user_id").alias("src"), F.col("u2").alias("dst")
+        )
+    )
+    return graph.triangle_count(edges)
+
+
+@q(
+    "ewma_user_values",
+    """
+    WITH s AS (
+      SELECT user_id, LIST(value ORDER BY event_id) AS xs FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(LEN(xs) AS BIGINT) AS n_points,
+           ROUND(xs[-1], 6) AS last_value,
+           ROUND(LIST_REDUCE(xs, (acc, x) -> x * 0.3 + acc * 0.7), 6) AS ewma
+    FROM s
+    """,
+    "per-key EWMA (y_t = 0.3*x_t + 0.7*y_{t-1}): an ORDERED left fold no "
+    "frame-based window aggregate expresses — the per-key series is "
+    "collected and folded in-array (both engines run the literal "
+    "recurrence: F.aggregate ≡ LIST_REDUCE, same element order, same "
+    "operation order)",
+)
+def ewma_user_values(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return windows.ewma(ev, ["user_id"], "event_id", "value", alpha=0.3)
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -5149,7 +5236,7 @@ _ROUND5_QUEUE: tuple[str, ...] = (
     # semantic clustering) — never driver-checked yet by construction
     "lm_perplexity_scores", "perplexity_gate_counts", "tokenize_ids",
     "shuffle_order_head", "kmeans_clusters", "semantic_dup_pairs",
-    "semantic_dedup_survivors",
+    "semantic_dedup_survivors", "triangle_count_users", "ewma_user_values",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema, no

@@ -78,3 +78,29 @@ def test_pagerank_loop_body_has_no_collect(spark):
     src = inspect.getsource(graph.pagerank)
     loop = src.split("for _ in range(iterations):", 1)[1].split("ew.unpersist()", 1)[0]
     assert ".collect()" not in loop
+
+
+def test_triangle_count_hand_crafted(spark):
+    """K4 on {1,2,3,4} has 4 triangles; adding a pendant node and a
+    disconnected edge adds none. Duplicate/reversed/self edges must not
+    change the count (canonicalization + distinct)."""
+    from ascii_hydra_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    noise = [(2, 1), (3, 3), (4, 5), (6, 7), (1, 2)]  # dup, self, pendant, island
+    edges = spark.createDataFrame(k4 + noise, ["src", "dst"])
+    assert triangle_count(edges).collect()[0]["n_triangles"] == 4
+
+
+def test_triangle_count_hub_graph(spark):
+    """A star (hub + 6 leaves) has no triangles regardless of orientation
+    handling; closing one leaf pair adds exactly one."""
+    from ascii_hydra_spark.operators.graph import triangle_count
+
+    star = [(0, i) for i in range(1, 7)]
+    assert triangle_count(
+        spark.createDataFrame(star, ["src", "dst"])
+    ).collect()[0]["n_triangles"] == 0
+    assert triangle_count(
+        spark.createDataFrame(star + [(1, 2)], ["src", "dst"])
+    ).collect()[0]["n_triangles"] == 1

@@ -174,3 +174,16 @@ def test_zscore_outliers_flags_only_extremes(spark):
     assert all(not r.is_outlier for r in out if r.g == "b")
     null_row = [r for r in out if r.id == 200][0]
     assert null_row.is_outlier is False and null_row.zscore is None
+
+
+def test_ewma_hand_computed(spark):
+    from ascii_hydra_spark.operators.windows import ewma
+
+    rows = [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0), ("b", 1, 5.0)]
+    df = spark.createDataFrame(rows, ["k", "t", "x"])
+    out = {r["k"]: r for r in ewma(df, ["k"], "t", "x", alpha=0.5).collect()}
+    # a: y1=10, y2=0.5*20+0.5*10=15, y3=0.5*30+0.5*15=22.5
+    assert out["a"]["ewma"] == 22.5 and out["a"]["n_points"] == 3
+    assert out["a"]["last_value"] == 30.0
+    # single-point series: ewma == the point
+    assert out["b"]["ewma"] == 5.0 and out["b"]["n_points"] == 1
