@@ -2894,6 +2894,28 @@ def multimodal_png_decode(spark, sf_dir):
 
 
 @q(
+    "multimodal_jpeg_decode",
+    None,
+    "Multimodal: REAL baseline JPEG decode (full in-repo T.81 pipeline — "
+    "DCT, quantization, zigzag, DPCM, canonical Huffman, JFIF markers; "
+    "tables read from the stream's own DQT/DHT). Rows-only by necessity: "
+    "lossy output is deterministic but has no closed form — the accuracy "
+    "bound (per-feature error vs the known source pixels, PSNR) is "
+    "asserted in tests/test_multimodal.py",
+)
+def multimodal_jpeg_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    feats = multimodal.decode_media(multimodal.synthetic_media(d, kind="jpeg"))
+    f = F.col("features")
+    return feats.select(
+        "media_id",
+        f[0].alias("width"),
+        f[1].alias("height"),
+        f[8].alias("mean_px"),
+    )
+
+
+@q(
     "multimodal_wav_decode",
     "SELECT d.doc_id AS media_id, CAST(172 AS BIGINT) AS n_bytes, "
     "CAST(8000 AS DOUBLE) AS sample_rate, CAST(64 AS DOUBLE) AS n_samples, "
@@ -5237,6 +5259,7 @@ _ROUND5_QUEUE: tuple[str, ...] = (
     "lm_perplexity_scores", "perplexity_gate_counts", "tokenize_ids",
     "shuffle_order_head", "kmeans_clusters", "semantic_dup_pairs",
     "semantic_dedup_survivors", "triangle_count_users", "ewma_user_values",
+    "multimodal_jpeg_decode",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema, no

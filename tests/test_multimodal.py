@@ -147,6 +147,65 @@ def test_png_rejects_unsupported_variants_and_corruption():
         M.decode_png(gray)
 
 
+@pytest.mark.parametrize("shape", [(8, 8), (17, 13), (1, 1), (9, 40)])
+def test_jpeg_round_trip_accuracy(shape):
+    """Random noise is the DCT worst case; even there quality-90 must hold
+    ~35 dB PSNR and exact dimensions. Smooth content must round-trip far
+    tighter AND compress (it is a real lossy compressed codec)."""
+    h, w = shape
+    arr = np.random.RandomState(h * 13 + w).randint(0, 256, (h, w, 3)).astype(np.uint8)
+    back = M.decode_jpeg(M.encode_jpeg(arr, quality=90))
+    assert back.shape == arr.shape
+    mse = np.mean((back.astype(float) - arr.astype(float)) ** 2)
+    assert 10 * np.log10(255**2 / max(mse, 1e-12)) > 30.0
+
+
+def test_jpeg_smooth_content_compresses_and_is_tight():
+    g = np.tile(np.arange(64, dtype=np.uint8), (32, 1))
+    arr = np.stack([g, g // 2, np.minimum(g * 2, 255)], axis=-1).astype(np.uint8)
+    payload = M.encode_jpeg(arr, quality=95)
+    assert len(payload) < arr.size // 4  # genuinely compressed
+    back = M.decode_jpeg(payload)
+    mse = np.mean((back.astype(float) - arr.astype(float)) ** 2)
+    assert 10 * np.log10(255**2 / max(mse, 1e-12)) > 50.0
+
+
+def test_jpeg_deterministic_and_marker_structure():
+    arr = np.random.RandomState(0).randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    p1, p2 = M.encode_jpeg(arr), M.encode_jpeg(arr)
+    assert p1 == p2
+    assert p1[:2] == b"\xff\xd8" and p1[-2:] == b"\xff\xd9"
+    # carries its tables: 2 DQT + 4 DHT segments present
+    assert p1.count(b"\xff\xdb") >= 2 and p1.count(b"\xff\xc4") >= 4
+
+
+def test_jpeg_rejects_unsupported_variants():
+    arr = np.zeros((8, 8, 3), np.uint8)
+    good = M.encode_jpeg(arr)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        M.decode_jpeg(b"RIFF" + good[4:])
+    # rewrite SOF0 -> SOF2 (progressive): honest reject
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="baseline"):
+        M.decode_jpeg(prog)
+    # truncated entropy stream
+    with pytest.raises(ValueError):
+        M.decode_jpeg(good[: len(good) // 2])
+
+
+def test_jpeg_decoder_reads_tables_from_stream():
+    """The decoder must honor the DQT carried in the file, not assume the
+    encoder's: re-encode with a different quality (different tables) and
+    confirm both decode consistently with their own tables (coarse tables
+    -> larger error, but both within their expected regime)."""
+    arr = np.random.RandomState(3).randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    hi = M.decode_jpeg(M.encode_jpeg(arr, quality=95))
+    lo = M.decode_jpeg(M.encode_jpeg(arr, quality=30))
+    err_hi = np.mean((hi.astype(float) - arr.astype(float)) ** 2)
+    err_lo = np.mean((lo.astype(float) - arr.astype(float)) ** 2)
+    assert err_hi < err_lo  # quality knob flows through DQT to the decoder
+
+
 def test_decode_media_dispatches_real_and_stub(spark):
     """One DataFrame mixing a real-decodable bmp row and a utf8 stub row:
     the bmp row gets true decoded features, the utf8 row the histogram."""
