@@ -150,40 +150,53 @@ def semantic_dup_pairs(
         emb, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col,
         reliable=reliable,
     )
-    v = F.col(vec_col).cast("array<double>")
-    norm = F.sqrt(
-        F.aggregate(
-            F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    side = emb.join(assigned.select(id_col, "cluster_id"), id_col).select(
+        F.col(id_col).alias("__id"), "cluster_id", F.col(vec_col).alias("__v")
+    )
+
+    # Per-cluster GEMM via applyInPandas: one numpy matmul per cluster
+    # instead of 12M+ expression-evaluated dot products (measured 75 s ->
+    # ~8 s on 20k x 64 at k=16 in the sf1 stress harness). The block loop
+    # bounds peak memory to block_rows * cluster_size similarities even if
+    # a cluster degenerates to the whole corpus.
+    import pandas as pd  # noqa: PLC0415 — executor-side import by design
+
+    thr = float(threshold)
+
+    def per_cluster(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        ids = pdf["__id"].to_numpy()
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1.0  # zero vectors -> zero rows, never a match
+        U = M / norms[:, None]
+        order = np.argsort(ids)
+        ids, U = ids[order], U[order]
+        out_a, out_b, out_s = [], [], []
+        block = 2048
+        n = len(ids)
+        for s in range(0, n, block):
+            S = U[s : s + block] @ U.T
+            S = np.round(S, 6)
+            rows, cols = np.nonzero(S >= thr)
+            keep = (rows + s) < cols  # upper triangle: id_a < id_b
+            out_a.append(ids[rows[keep] + s])
+            out_b.append(ids[cols[keep]])
+            out_s.append(S[rows[keep], cols[keep]])
+        a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+        b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+        s_ = np.concatenate(out_s) if out_s else np.array([], dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "id_a": a.astype(np.int64),
+                "id_b": b.astype(np.int64),
+                "sim": s_.astype(np.float64),
+            }
         )
-    )
-    # unit-normalize; an (unexpected) all-zero vector maps to zeros rather
-    # than NaNs so it can never spuriously clear the threshold
-    unit = F.transform(
-        v, lambda x: F.when(F.lit(0.0) == norm, F.lit(0.0)).otherwise(x / norm)
-    )
-    # both halves of the cluster-keyed self-join read this table — without
-    # truncation the whole kmeans assignment upstream executes twice
-    side = truncate_lineage(
-        emb.join(assigned.select(id_col, "cluster_id"), id_col).select(
-            F.col(id_col).alias("__id"), "cluster_id", unit.alias("__u")
-        ),
-        reliable=reliable,
-    )
-    a, b = side.alias("a"), side.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.__u"), F.col("b.__u"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        a.join(b, "cluster_id")
-        .filter(F.col("a.__id") < F.col("b.__id"))
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.round(dot, 6).alias("sim"),
-        )
-        .filter(F.col("sim") >= threshold)
+
+    return side.groupBy("cluster_id").applyInPandas(
+        per_cluster, schema="id_a long, id_b long, sim double"
     )
 
 

@@ -350,3 +350,42 @@ def test_cbo_stats_change_join_order(spark, tmp_path):
     finally:
         for n in names:
             spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+
+def test_runtime_bloom_filter_join_pruning_fires(spark, tmp_path):
+    """Scale evidence for runtime row-level filtering (session.py enables
+    spark.sql.optimizer.runtime.bloomFilter.enabled): a selective filter
+    on the dim side of a shuffle join must inject a bloom_filter_agg /
+    might_contain pre-filter on the FACT side — at 100 TB that prunes
+    fact rows before the shuffle instead of after it. Asserted on the
+    optimized AND executed plan, with correct join results."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        d = str(tmp_path)
+        spark.range(0, 200_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ).write.mode("overwrite").parquet(f"{d}/fact")
+        spark.range(0, 10_000).select(
+            F.col("id").alias("k"), F.col("id").cast("string").alias("lbl")
+        ).write.mode("overwrite").parquet(f"{d}/dim")
+        fact = spark.read.parquet(f"{d}/fact")
+        dim = spark.read.parquet(f"{d}/dim").filter(F.col("lbl").like("1%"))
+        j = fact.join(dim, "k")
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in optimized, "bloom pre-filter not injected"
+        n = j.count()
+        # ids 1, 10-19, 100-199, 1000-1999 -> 1 + 10 + 100 + 1000
+        assert n == 1111
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

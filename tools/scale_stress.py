@@ -257,6 +257,34 @@ def main() -> int:
 
     stage("ivf_build_probe", ivf)
 
+    # ---- k-means semantic sharding + SemDeDup over 20k vectors ----
+    from ascii_hydra_spark.operators import clustering as C
+
+    def semdedup():
+        assigned = C.kmeans_assign(emb, k=16, iterations=2, id_col="vec_id")
+        n_assigned = assigned.count()
+        assert n_assigned == ne, f"assignment lost rows: {n_assigned}/{ne}"
+        # exact twins (id >= ne9 duplicates id - ne9) have identical
+        # distance rows -> identical argmin -> always co-cluster
+        a2 = assigned.select(
+            F.col("vec_id").alias("vid2"), F.col("cluster_id").alias("c2")
+        )
+        split = (
+            assigned.filter(F.col("vec_id") >= ne9)
+            .join(a2, assigned.vec_id - ne9 == a2.vid2)
+            .filter(F.col("cluster_id") != F.col("c2"))
+            .count()
+        )
+        assert split == 0, f"{split} planted twins split across clusters"
+        kept = C.semantic_dedup(emb, k=16, iterations=2, threshold=0.99)
+        k_n = kept.count()
+        twin_survivors = kept.filter(F.col("vec_id") >= ne9).count()
+        assert twin_survivors == 0, f"{twin_survivors} planted twins survived"
+        assert k_n <= ne - (ne - ne9), f"survivors {k_n} > {ne9}"
+        return {"assigned": n_assigned, "survivors": k_n, "twin_split": split}
+
+    stage("semantic_dedup", semdedup)
+
     # ---- corpus-wide boilerplate removal ----
     from ascii_hydra_spark.operators.text import remove_boilerplate
 
