@@ -92,8 +92,9 @@ _REAL_CODECS = {"pcm16", "h264"}
 
 # Codecs with a REAL in-repo decoder: bmp/wav are header + raw array;
 # png is zlib-compressed scanlines (stdlib zlib + numpy filter reversal);
-# jpeg is a full baseline T.81 implementation (DCT + quant + Huffman).
-DECODABLE_CODECS = {"bmp", "wav", "png", "jpeg"}
+# jpeg is a full baseline T.81 implementation (DCT + quant + Huffman);
+# gif is GIF89a with real variable-width LZW dictionary coding.
+DECODABLE_CODECS = {"bmp", "wav", "png", "jpeg", "gif"}
 
 
 def _check_codecs(codecs: pd.Series) -> None:
@@ -210,6 +211,186 @@ def decode_wav(payload: bytes):
     if rate is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
     return rate, data
+
+
+# ------------------------------------------------------------------
+# GIF89a with real LZW compression (pure python/numpy).
+#
+# The third compression family in-repo (raw -> BMP/WAV, DEFLATE -> PNG,
+# DCT+Huffman -> JPEG, dictionary coding -> GIF/LZW). Grayscale profile:
+# a 256-entry (i,i,i) global color table so every 8-bit pixel value is
+# its own palette index — which keeps the codec LOSSLESS and therefore
+# closed-form oracle-able like PNG. The LZW stream is the real GIF
+# variant: variable code width, clear/EOI codes, 4095-entry dictionary
+# with reset, LSB-first bit packing, 255-byte sub-blocks.
+# ------------------------------------------------------------------
+
+
+def encode_gif(pixels) -> bytes:
+    """(h, w) uint8 grayscale array -> GIF89a bytes (real LZW)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(np.asarray(pixels, dtype=np.uint8))
+    if arr.ndim != 2:
+        raise ValueError(f"expected (h, w) grayscale array, got shape {arr.shape}")
+    h, w = arr.shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT present, 256 entries
+    for i in range(256):  # grayscale palette
+        out += bytes((i, i, i))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
+    mcs = 8  # min LZW code size for a 256-color image
+    out.append(mcs)
+
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    data = arr.reshape(-1)
+    acc = 0
+    nbits = 0
+    packed = bytearray()
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits  # GIF packs LSB-first
+        nbits += width
+        while nbits >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, width = eoi + 1, mcs + 1
+    emit(clear, width)
+    prev = bytes([data[0]]) if data.size else b""
+    for px in data[1:]:
+        cur = prev + bytes([int(px)])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        table[cur] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = eoi + 1, mcs + 1
+        prev = cur[-1:]
+    if prev:
+        emit(table[prev], width)
+    emit(eoi, width)
+    if nbits:
+        packed.append(acc & 0xFF)
+    for i in range(0, len(packed), 255):  # 255-byte sub-blocks
+        chunk = packed[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes):
+    """GIF89a bytes -> (h, w) uint8 grayscale array. Requires the
+    grayscale-palette profile this module writes (256-entry (i,i,i) GCT,
+    single image, no interlace); anything else is rejected."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF payload")
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    if not flags & 0x80 or (flags & 0x07) != 7:
+        raise ValueError("GIF without a 256-entry global color table unsupported")
+    pos = 13
+    palette = np.frombuffer(payload, np.uint8, 768, pos).reshape(256, 3)
+    if not (palette[:, 0] == palette[:, 1]).all() or not (
+        palette[:, 1] == palette[:, 2]
+    ).all():
+        raise ValueError("non-grayscale GIF palette unsupported")
+    gray_map = palette[:, 0]
+    pos += 768
+    while pos < len(payload) and payload[pos] == 0x21:  # skip extensions
+        pos += 2
+        while payload[pos]:
+            pos += 1 + payload[pos]
+        pos += 1
+    if pos >= len(payload) or payload[pos] != 0x2C:
+        raise ValueError("GIF image descriptor not found")
+    ix, iy, iw, ih, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+    if (ix, iy, iw, ih) != (0, 0, w, h) or iflags & 0xC0:
+        raise ValueError("offset/interlaced/local-palette GIF unsupported")
+    pos += 10
+    mcs = payload[pos]
+    pos += 1
+    stream = bytearray()
+    while payload[pos]:
+        n = payload[pos]
+        stream += payload[pos + 1 : pos + 1 + n]
+        pos += 1 + n
+
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    acc, nbits, spos = 0, 0, 0
+    width = mcs + 1
+
+    def read_code() -> int:
+        nonlocal acc, nbits, spos
+        while nbits < width:
+            if spos >= len(stream):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= stream[spos] << nbits
+            spos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    table: list[bytes] = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    while True:
+        code = read_code()
+        if code == clear:
+            table = table[: (1 << mcs) + 2]
+            width, prev = mcs + 1, None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("invalid LZW code in GIF stream")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    idx = np.frombuffer(bytes(out), np.uint8, h * w).reshape(h, w)
+    return gray_map[idx]
+
+
+def _gif_features(payload: bytes) -> list[float]:
+    """[w, h, top-left, bottom-right, mean] over the grayscale image —
+    closed-form oracle-able because the codec is lossless."""
+    import numpy as np
+
+    arr = decode_gif(payload)
+    h, w = arr.shape
+    return [
+        float(w),
+        float(h),
+        float(arr[0, 0]),
+        float(arr[h - 1, w - 1]),
+        round(float(np.mean(arr.astype(np.float64))), 6),
+    ]
 
 
 # ------------------------------------------------------------------
@@ -824,6 +1005,7 @@ def _decode_batch(batch: pd.DataFrame, n_features: int) -> pd.DataFrame:
             "wav": _wav_features,
             "png": _png_features,
             "jpeg": _jpeg_features,
+            "gif": _gif_features,
         }
         feats = [
             decoders[c](bytes(p)) for c, p in zip(real["codec"], real["payload"])
@@ -913,6 +1095,11 @@ def synthetic_media(
                     arr = px.astype(np.uint8).reshape(height, width, 3)
                     enc = {"bmp": encode_bmp, "png": encode_png, "jpeg": encode_jpeg}
                     payloads.append(enc[kind](arr))
+                elif kind == "gif":
+                    px = (int(d) * 7 + np.arange(width * height)) % 256
+                    payloads.append(
+                        encode_gif(px.astype(np.uint8).reshape(height, width))
+                    )
                 else:
                     s = (int(d) * 13 + np.arange(n_samples) * 31) % 65536 - 32768
                     payloads.append(encode_wav(s.astype("<i2"), sample_rate))

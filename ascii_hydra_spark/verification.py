@@ -2894,6 +2894,36 @@ def multimodal_png_decode(spark, sf_dir):
 
 
 @q(
+    "multimodal_gif_decode",
+    "SELECT d.doc_id AS media_id, "
+    "CAST(8 AS DOUBLE) AS width, CAST(4 AS DOUBLE) AS height, "
+    "CAST((d.doc_id*7) % 256 AS DOUBLE) AS tl, "
+    "CAST((d.doc_id*7 + 31) % 256 AS DOUBLE) AS br, "
+    "ROUND(AVG(CAST((d.doc_id*7 + g.i) % 256 AS DOUBLE)), 6) AS mean_px "
+    "FROM documents d CROSS JOIN generate_series(0, 31) AS g(i) "
+    "GROUP BY d.doc_id",
+    "Multimodal: REAL GIF89a decode with variable-width LZW dictionary "
+    "coding (clear/EOI codes, 4095-entry dict with reset, LSB-first "
+    "packing, sub-blocks) — lossless grayscale profile, so the same "
+    "closed-form pixel oracle as BMP/PNG proves the dictionary round "
+    "trip byte-exact. Third compression family in-repo after DEFLATE "
+    "(png) and DCT+Huffman (jpeg)",
+)
+def multimodal_gif_decode(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    feats = multimodal.decode_media(multimodal.synthetic_media(d, kind="gif"))
+    f = F.col("features")
+    return feats.select(
+        "media_id",
+        f[0].alias("width"),
+        f[1].alias("height"),
+        f[2].alias("tl"),
+        f[3].alias("br"),
+        f[4].alias("mean_px"),
+    )
+
+
+@q(
     "multimodal_jpeg_decode",
     None,
     "Multimodal: REAL baseline JPEG decode (full in-repo T.81 pipeline — "
@@ -5259,7 +5289,7 @@ _ROUND5_QUEUE: tuple[str, ...] = (
     "lm_perplexity_scores", "perplexity_gate_counts", "tokenize_ids",
     "shuffle_order_head", "kmeans_clusters", "semantic_dup_pairs",
     "semantic_dedup_survivors", "triangle_count_users", "ewma_user_values",
-    "multimodal_jpeg_decode",
+    "multimodal_jpeg_decode", "multimodal_gif_decode",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema, no

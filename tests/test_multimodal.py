@@ -147,6 +147,38 @@ def test_png_rejects_unsupported_variants_and_corruption():
         M.decode_png(gray)
 
 
+@pytest.mark.parametrize("shape", [(4, 8), (1, 1), (32, 64), (64, 4096)])
+def test_gif_round_trip_bit_exact(shape):
+    """Random noise round-trips bit-exact; the (64, 4096) case pushes the
+    LZW dictionary through multiple 4095-entry resets."""
+    h, w = shape
+    arr = np.random.RandomState(h + w).randint(0, 256, (h, w)).astype(np.uint8)
+    assert np.array_equal(M.decode_gif(M.encode_gif(arr)), arr)
+
+
+def test_gif_is_genuinely_compressed_lzw():
+    const = np.full((128, 128), 7, np.uint8)
+    p = M.encode_gif(const)
+    assert p[:6] == b"GIF89a" and p[-1] == 0x3B
+    assert len(p) < const.size // 8  # dictionary coding actually compresses
+    assert np.array_equal(M.decode_gif(p), const)
+
+
+def test_gif_rejects_unsupported_variants():
+    arr = np.zeros((4, 4), np.uint8)
+    good = bytearray(M.encode_gif(arr))
+    with pytest.raises(ValueError, match="not a GIF"):
+        M.decode_gif(b"PNG8" + bytes(good)[4:])
+    interlaced = bytearray(good)
+    interlaced[13 + 768 + 9] |= 0x40  # image-descriptor interlace flag
+    with pytest.raises(ValueError, match="interlaced"):
+        M.decode_gif(bytes(interlaced))
+    colored = bytearray(good)
+    colored[13 + 3 * 10 + 1] ^= 0xFF  # break palette grayness at entry 10
+    with pytest.raises(ValueError, match="grayscale"):
+        M.decode_gif(bytes(colored))
+
+
 @pytest.mark.parametrize("shape", [(8, 8), (17, 13), (1, 1), (9, 40)])
 def test_jpeg_round_trip_accuracy(shape):
     """Random noise is the DCT worst case; even there quality-90 must hold
