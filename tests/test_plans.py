@@ -245,6 +245,10 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "token_drift_snapshots",  # 1-row vocab-totals broadcast
         "sim_pairs",       # exact all-pairs oracle arm (scale arm: sim_pairs_lsh)
         "embedding_dedup", # exact cosine arm (scale arm: LSH/IVF)
+        "lm_perplexity_scores",   # 1-row vocab-size (V) broadcast
+        "perplexity_gate_counts", # same V broadcast through the gate
+        "kmeans_clusters",        # k-row centroid-table broadcast per iteration
+        "semantic_dup_pairs",     # k-row centroid broadcast (kmeans upstream)
     }
     offenders = []
     for name, spec in REGISTRY.items():
