@@ -365,9 +365,11 @@ def cosine_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 6,
-    n_tables: int = 8,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
     seed: int = 42,
+    target_occupancy: int = 64,
+    recall_target: float = 0.98,
 ) -> DataFrame:
     """Scale path for cosine_pairs: random-hyperplane LSH candidates + exact
     verification. Similar vectors collide on a sign-pattern bucket in at
@@ -376,10 +378,37 @@ def cosine_pairs_lsh(
     n_tables and falls with n_planes.
 
     Tuning math: P[plane agrees] = 1 - acos(sim)/pi, P[bucket collision] =
-    p^n_planes, recall = 1 - (1 - p^n_planes)^n_tables. The 6/8 defaults
-    give ~0.98 recall at sim 0.9 (the near-dup regime). For exploratory
-    low-threshold joins (sim ~0.4) drop n_planes to 4.
+    p^n_planes, recall = 1 - (1 - p^n_planes)^n_tables.
+
+    AUTO-SIZING (the defaults): with a fixed plane count, in-bucket pair
+    work grows QUADRATICALLY with data size (2x vectors -> 2x bucket
+    occupancy -> 4x pairs; measured 24 s -> 102 s on the 20k -> 40k
+    stress fixtures). So when n_planes is None it is sized to the data —
+    ceil(log2(n / target_occupancy)), floor 6, cap 14 — keeping expected
+    bucket occupancy constant (work returns to ~linear), and n_tables is
+    then derived from the recall target at the given threshold:
+    T = ceil(ln(1-recall) / ln(1 - p^planes)). Higher thresholds need
+    FEWER tables (near-identical vectors agree on almost every plane), so
+    the dedup regime (0.99) gets cheaper as planes grow, not dearer.
+    Pass explicit n_planes/n_tables to pin a configuration; identical
+    vectors share every bucket in every configuration, so exact-duplicate
+    recall is always 1.0.
     """
+    import math
+
+    if n_planes is None:
+        n = emb.count()  # one cheap scan; sizing must see the data scale
+        n_planes = max(6, min(14, math.ceil(math.log2(max(n, 1) / target_occupancy))))
+    if n_tables is None:
+        p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+        collide = p**n_planes
+        if collide >= 1.0:
+            n_tables = 1
+        else:
+            n_tables = max(2, min(24, math.ceil(
+                math.log(max(1.0 - recall_target, 1e-9))
+                / math.log(max(1.0 - collide, 1e-12))
+            )))
     bucket_keys = _hyperplane_bucket_udf(dim, n_planes, n_tables, seed)
     tables = emb.select(
         F.col(id_col).alias("__id"),
