@@ -43,9 +43,17 @@ def _dist2(vec_col, cent_col):
     )
 
 
+def auto_k(n: int, target_cluster_size: int = 1024) -> int:
+    """Cluster count that keeps expected cluster size constant as data
+    grows — the SemDeDup pair space per task is (n/k)², so k must scale
+    with n or the per-cluster GEMM grows quadratically (same lesson as
+    the LSH bucket-occupancy auto-sizing in similarity.py)."""
+    return max(8, min(4096, n // target_cluster_size))
+
+
 def kmeans_assign(
     emb: DataFrame,
-    k: int = 8,
+    k: int | None = 8,
     iterations: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -59,7 +67,10 @@ def kmeans_assign(
     recomputes centroids as per-cluster component means; a cluster that
     loses every member keeps its previous centroid. `dist2` is the
     squared distance to the FINAL assigned centroid, rounded to 6.
+    k=None sizes the cluster count to the data via :func:`auto_k`.
     """
+    if k is None:
+        k = auto_k(emb.count())
     dim = emb.select(F.size(vec_col)).first()[0]
     v = F.col(vec_col).cast("array<double>")
     vecs = emb.select(F.col(id_col).alias("__id"), v.alias("__v"))
@@ -129,7 +140,7 @@ def cluster_sizes(
 
 def semantic_dup_pairs(
     emb: DataFrame,
-    k: int = 8,
+    k: int | None = None,
     iterations: int = 2,
     threshold: float = 0.99,
     id_col: str = "vec_id",
@@ -202,7 +213,7 @@ def semantic_dup_pairs(
 
 def semantic_dedup(
     emb: DataFrame,
-    k: int = 8,
+    k: int | None = None,
     iterations: int = 2,
     threshold: float = 0.99,
     id_col: str = "vec_id",
