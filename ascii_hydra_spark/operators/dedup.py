@@ -686,3 +686,65 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def fuzzy_name_pairs(
+    df: DataFrame,
+    name_col: str,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Entity-resolution candidate pairs: distinct names within Levenshtein
+    `max_distance` of each other. Returns (name_a, name_b, dist) with
+    name_a < name_b and 0 < dist <= max_distance.
+
+    Scale shape: names within edit distance d differ in length by at most
+    d, so the self-join is BLOCKED on length buckets of width d+1 — each
+    name lands in its own bucket and probes at most one neighbor (explode
+    into <= 2 bucket keys on one side, equi-join on the key), turning the
+    O(n^2) name cross join into per-bucket work. The Levenshtein itself is
+    Spark's built-in JVM expression (no Python). For web-scale name sets
+    add a q-gram prefix filter in front; length banding alone is the
+    correct first cut and is exact (never drops a true pair).
+    """
+    w = max_distance + 1
+    names = (
+        df.select(F.col(name_col).alias("name"))
+        .filter(F.col("name").isNotNull())
+        .distinct()
+        .withColumn("__len", F.length("name"))
+    )
+    # side A probes every bucket a within-distance length could live in:
+    # [len-d, len+d] spans at most 3 width-(d+1) buckets
+    a = names.select(
+        "name",
+        "__len",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((F.col("__len") - max_distance) / w),
+                    F.floor(F.col("__len") / w),
+                    F.floor((F.col("__len") + max_distance) / w),
+                )
+            )
+        ).alias("__bucket"),
+    )
+    b = names.select(
+        F.col("name").alias("name_b"),
+        F.col("__len").alias("__len_b"),
+        F.floor(F.col("__len") / w).alias("__bucket"),
+    )
+    dist = F.levenshtein(F.col("name"), F.col("name_b"))
+    return (
+        a.join(b, "__bucket")
+        .filter(
+            (F.col("name") < F.col("name_b"))
+            & (F.abs(F.col("__len") - F.col("__len_b")) <= max_distance)
+        )
+        .select(
+            F.col("name").alias("name_a"),
+            "name_b",
+            dist.cast("bigint").alias("dist"),
+        )
+        .filter((F.col("dist") > 0) & (F.col("dist") <= max_distance))
+        .distinct()
+    )

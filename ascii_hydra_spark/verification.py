@@ -5136,6 +5136,27 @@ def semantic_dedup_survivors(spark, sf_dir):
 
 
 @q(
+    "fuzzy_name_pairs",
+    """
+    WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(LEVENSHTEIN(a.name, b.name) AS BIGINT) AS dist
+    FROM n a JOIN n b ON a.name < b.name
+    WHERE ABS(LEN(a.name) - LEN(b.name)) <= 2
+      AND LEVENSHTEIN(a.name, b.name) BETWEEN 1 AND 2
+    """,
+    "entity-resolution fuzzy match: distinct names within Levenshtein 2, "
+    "self-join BLOCKED on width-3 length buckets (names within distance d "
+    "differ by <= d in length, so each name probes <= 3 buckets — exact "
+    "blocking, never drops a true pair, kills the O(n^2) cross join). "
+    "JVM levenshtein expression, no Python",
+)
+def fuzzy_name_pairs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return dedup.fuzzy_name_pairs(p, "p_name", max_distance=2)
+
+
+@q(
     "triangle_count_users",
     """
     WITH k_seq AS (
@@ -5292,7 +5313,7 @@ _ROUND5_QUEUE: tuple[str, ...] = (
     "lm_perplexity_scores", "perplexity_gate_counts", "tokenize_ids",
     "shuffle_order_head", "kmeans_clusters", "semantic_dup_pairs",
     "semantic_dedup_survivors", "triangle_count_users", "ewma_user_values",
-    "multimodal_jpeg_decode", "multimodal_gif_decode",
+    "multimodal_jpeg_decode", "multimodal_gif_decode", "fuzzy_name_pairs",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema, no

@@ -287,3 +287,37 @@ def test_incremental_minhash_dedup_drops_near_dups(spark):
         ).collect()
     )
     assert got == [11]
+
+
+def test_fuzzy_name_pairs_blocking_is_exact(spark):
+    """Length-band blocking must find every pair a brute-force cross join
+    finds — including pairs whose lengths straddle a bucket boundary in
+    either direction — and nothing else."""
+    from itertools import combinations
+
+    names = [
+        "red bolt", "red bolts", "ted bolt",       # dist 1 pairs
+        "blue widget", "blue midget", "blue gadget",
+        "x", "xy", "xyz", "wxyz",                  # boundary-straddling lengths
+        "completely different thing",
+    ]
+    df = spark.createDataFrame([(n,) for n in names], ["p_name"])
+    got = {
+        (r.name_a, r.name_b, r.dist)
+        for r in dedup.fuzzy_name_pairs(df, "p_name", max_distance=2).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    want = {
+        (min(a, b), max(a, b), lev(a, b))
+        for a, b in combinations(names, 2)
+        if 1 <= lev(a, b) <= 2
+    }
+    assert got == want and len(want) >= 5
