@@ -5136,6 +5136,70 @@ def semantic_dedup_survivors(spark, sf_dir):
 
 
 @q(
+    "tokenizer_prep_pipeline",
+    f"""
+    WITH scored AS ({_BIGRAM_LM_SQL}),
+    gated AS (
+      SELECT d.doc_id, d.lang, d.text FROM documents d
+      JOIN scored s ON d.doc_id = s.doc_id WHERE s.avg_neg_log2 <= 4.9
+    ), fpwin AS (
+      SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY MD5(text)
+    ), kept AS (
+      SELECT g.doc_id, g.lang, g.text FROM gated g JOIN fpwin USING (doc_id)
+    ), tf AS (
+      SELECT tok, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS df
+      FROM (SELECT doc_id, UNNEST({_TOKS}) AS tok FROM kept) GROUP BY 1
+    ), vocab AS (
+      SELECT tok AS token, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS vocab_id
+      FROM tf WHERE df >= 2
+    ), tokpos AS (
+      SELECT doc_id, UNNEST(tk) AS tok FROM (SELECT doc_id, {_TOKS} AS tk FROM kept)
+    ), enc AS (
+      SELECT t.doc_id, COUNT(*) AS n_tokens,
+             SUM(CASE WHEN v.vocab_id IS NULL THEN 1 ELSE 0 END) AS n_oov
+      FROM tokpos t LEFT JOIN vocab v ON t.tok = v.token GROUP BY t.doc_id
+    ), packed AS (
+      SELECT k.lang, e.doc_id, e.n_tokens, e.n_oov,
+             SUM(e.n_tokens) OVER (PARTITION BY k.lang ORDER BY e.doc_id
+                 ROWS UNBOUNDED PRECEDING) - e.n_tokens AS start_offset
+      FROM kept k JOIN enc e USING (doc_id)
+    )
+    SELECT lang, CAST(FLOOR(start_offset / 256) AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           CAST(SUM(n_oov) AS BIGINT) AS seq_oov
+    FROM packed GROUP BY lang, CAST(FLOOR(start_offset / 256) AS BIGINT)
+    """,
+    "the ENTIRE pre-tokenizer data path as one hash-checked composition: "
+    "bigram-LM perplexity gate -> exact fingerprint dedup -> vocabulary "
+    "build on the surviving corpus -> tokenizer encode with OOV counting "
+    "-> per-language concat-and-chunk sequence packing -> per-sequence "
+    "stats. Every stage is the engine operator (perplexity_gate, "
+    "fingerprint_dedup, build_vocab, tokenize_to_ids, pack_sequences); "
+    "the oracle replays the whole chain in one DuckDB query",
+)
+def tokenizer_prep_pipeline(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    gated = corpus.perplexity_gate(d, max_avg_neg_log2=4.9, k=0.5)
+    kept = dedup.fingerprint_dedup(gated, "text", "doc_id")
+    vocab = text.build_vocab(kept, min_df=2)
+    enc = corpus.tokenize_to_ids(kept, vocab).select(
+        "doc_id", "n_tokens", "n_oov"
+    )
+    packed = corpus.pack_sequences(kept, max_tokens=256, by="lang")
+    return (
+        packed.select("doc_id", "lang", "seq_id")
+        .join(enc, "doc_id")
+        .groupBy("lang", "seq_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+            F.sum("n_oov").cast("bigint").alias("seq_oov"),
+        )
+    )
+
+
+@q(
     "fuzzy_name_pairs",
     """
     WITH n AS (SELECT DISTINCT p_name AS name FROM part)
@@ -5314,6 +5378,7 @@ _ROUND5_QUEUE: tuple[str, ...] = (
     "shuffle_order_head", "kmeans_clusters", "semantic_dup_pairs",
     "semantic_dedup_survivors", "triangle_count_users", "ewma_user_values",
     "multimodal_jpeg_decode", "multimodal_gif_decode", "fuzzy_name_pairs",
+    "tokenizer_prep_pipeline",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema, no
