@@ -361,3 +361,113 @@ def chunk_documents(
         F.col("c.chunk_tokens").alias("chunk_tokens"),
         F.col("c.chunk_text").alias("chunk_text"),
     )
+
+
+# ----------------------------------------------------- substring dedup
+# Exact substring deduplication (the Lee et al. 2022 "Deduplicating
+# Training Data Makes Language Models Better" operation): any W-token
+# window occurring more than once in the corpus is duplicated text; every
+# occurrence except one canonical copy is removed. The reference method
+# builds a corpus-wide suffix array; the relational formulation here gets
+# the same answer for fixed W via window fingerprints — each doc emits
+# (pos, md5(window)) pairs, duplicated fingerprints mark spans, spans are
+# merged per doc (gaps-and-islands), and surviving tokens reassemble.
+# Every step is a shuffle on bounded keys (fingerprint / doc id), no
+# suffix array and no driver state — the 100 TB shape.
+
+
+def duplicate_window_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+) -> DataFrame:
+    """Merged token spans [span_start, span_end) per doc that are covered
+    by NON-CANONICAL occurrences of duplicated W-token windows. The
+    canonical occurrence of each window is the (doc_id, pos)-minimum, so
+    exactly one copy of every duplicated passage survives corpus-wide.
+    """
+    toks = word_tokens(text_col)
+    n = F.size(toks)
+    win = F.when(
+        n >= window,
+        F.transform(
+            F.sequence(F.lit(0), n - window),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window))).alias("wh"),
+            ),
+        ),
+    ).otherwise(F.array())
+    occ = docs.select(F.col(id_col), F.explode(win).alias("o")).select(
+        id_col, F.col("o.pos").alias("pos"), F.col("o.wh").alias("wh")
+    )
+    from pyspark.sql import Window as W
+
+    rk = W.partitionBy("wh").orderBy(id_col, "pos")
+    marked = occ.select(
+        id_col, "pos",
+        F.row_number().over(rk).alias("__rk"),
+        F.count("*").over(W.partitionBy("wh")).alias("__n"),
+    )
+    removals = marked.filter((F.col("__n") > 1) & (F.col("__rk") > 1)).select(
+        id_col, "pos", (F.col("pos") + window).alias("end")
+    )
+    # merge overlapping/adjacent spans per doc: gaps-and-islands on the
+    # running max end; span count per doc is bounded by n_tokens/1, tiny
+    # relative to the corpus
+    wd = W.partitionBy(id_col).orderBy("pos")
+    prev_max = F.max("end").over(wd.rowsBetween(W.unboundedPreceding, -1))
+    islands = removals.withColumn(
+        "__new", F.when(prev_max.isNull() | (F.col("pos") > prev_max), 1).otherwise(0)
+    ).withColumn("__island", F.sum("__new").over(wd))
+    return (
+        islands.groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            F.max("end").cast("bigint").alias("span_end"),
+        )
+        .drop("__island")
+    )
+
+
+def remove_duplicate_substrings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+) -> DataFrame:
+    """Corpus-wide exact substring dedup: returns (doc_id, text_clean,
+    n_tokens_kept, n_tokens_removed) with every duplicated W-token passage
+    reduced to its single canonical occurrence. Docs without duplicated
+    spans pass through with their token-joined text unchanged.
+
+    Shape: spans per doc are collected into a (small) array and the token
+    stream filters against it positionally in one expression — no
+    token-vs-span range join, one doc-key shuffle for reassembly.
+    """
+    spans = duplicate_window_spans(docs, id_col, text_col, window)
+    span_arr = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = word_tokens(text_col)
+    joined = docs.select(F.col(id_col), toks.alias("__toks")).join(
+        span_arr, id_col, "left"
+    )
+    covered = lambda i: F.exists(  # noqa: E731
+        F.coalesce(F.col("__spans"), F.array()),
+        lambda sp: (i >= sp["span_start"]) & (i < sp["span_end"]),
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("__toks"),
+            lambda t, i: F.when(~covered(i.cast("bigint")), t),
+        ),
+        lambda t: t.isNotNull(),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept).alias("text_clean"),
+        F.size(kept).cast("bigint").alias("n_tokens_kept"),
+        (F.size("__toks") - F.size(kept)).cast("bigint").alias("n_tokens_removed"),
+    )

@@ -5136,6 +5136,68 @@ def semantic_dedup_survivors(spark, sf_dir):
 
 
 @q(
+    "substring_dedup_clean",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    occ AS (
+      SELECT doc_id,
+             UNNEST(RANGE(0, GREATEST(LEN(tk) - 20 + 1, 0))) AS pos,
+             UNNEST(LIST_TRANSFORM(RANGE(0, GREATEST(LEN(tk) - 20 + 1, 0)),
+                    i -> MD5(ARRAY_TO_STRING(tk[i+1:i+20], ' ')))) AS wh
+      FROM t
+    ), marked AS (
+      SELECT doc_id, pos,
+             ROW_NUMBER() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rk,
+             COUNT(*) OVER (PARTITION BY wh) AS n
+      FROM occ
+    ), rem AS (
+      SELECT doc_id, pos, pos + 20 AS e FROM marked WHERE n > 1 AND rk > 1
+    ), isl AS (
+      SELECT doc_id, pos, e,
+             CASE WHEN MAX(e) OVER w IS NULL OR pos > MAX(e) OVER w
+                  THEN 1 ELSE 0 END AS nw
+      FROM rem
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), isl2 AS (
+      SELECT doc_id, pos, e,
+             SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, island, MIN(pos) AS s, MAX(e) AS e
+      FROM isl2 GROUP BY doc_id, island
+    ), tokpos AS (
+      SELECT doc_id, UNNEST(RANGE(0, LEN(tk))) AS pos, UNNEST(tk) AS tok FROM t
+    ), keep AS (
+      SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = tp.doc_id
+                          AND tp.pos >= s.s AND tp.pos < s.e)
+    ), agg AS (
+      SELECT doc_id, STRING_AGG(tok, ' ' ORDER BY pos) AS text_clean,
+             COUNT(*) AS n_kept
+      FROM keep GROUP BY doc_id
+    )
+    SELECT t.doc_id, COALESCE(a.text_clean, '') AS text_clean,
+           CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+           CAST(LEN(t.tk) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_tokens_removed
+    FROM t LEFT JOIN agg a USING (doc_id)
+    """,
+    "exact substring deduplication (Lee et al. 2022 semantics for fixed "
+    "window W=20): every duplicated 20-token window keeps its single "
+    "(doc,pos)-minimum canonical occurrence corpus-wide; non-canonical "
+    "spans merge (gaps-and-islands) and their tokens are removed. "
+    "Relational formulation — window fingerprints + bounded-key shuffles "
+    "— instead of the paper's suffix array; the cleaned TEXT itself is "
+    "hash-matched, not just counts",
+)
+def substring_dedup_clean(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return text.remove_duplicate_substrings(d, window=20)
+
+
+@q(
     "tokenizer_prep_pipeline",
     f"""
     WITH scored AS ({_BIGRAM_LM_SQL}),
@@ -5378,7 +5440,7 @@ _ROUND5_QUEUE: tuple[str, ...] = (
     "shuffle_order_head", "kmeans_clusters", "semantic_dup_pairs",
     "semantic_dedup_survivors", "triangle_count_users", "ewma_user_values",
     "multimodal_jpeg_decode", "multimodal_gif_decode", "fuzzy_name_pairs",
-    "tokenizer_prep_pipeline",
+    "tokenizer_prep_pipeline", "substring_dedup_clean",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema, no

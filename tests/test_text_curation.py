@@ -128,3 +128,45 @@ def test_top_terms_per_group_tiebreak(spark):
     # en: x=2, y=2, z=2 -> tie broken lexicographically: x then y
     assert en == [(1, "x", 2), (2, "y", 2)]
     assert de == [(1, "q", 2), (2, "r", 1)]
+
+
+def test_substring_dedup_canonical_survives(spark):
+    """Lee-et-al semantics for fixed W: exactly one canonical copy of a
+    duplicated passage survives corpus-wide; internal repetition within a
+    later doc is removed entirely; untouched docs pass through."""
+    from ascii_hydra_spark.operators.text import (
+        duplicate_window_spans,
+        remove_duplicate_substrings,
+    )
+
+    shared = "one two three four five six seven"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"x y {shared} z w"),
+            (3, "totally unrelated text with enough words here"),
+            (4, f"{shared} {shared} tail"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_window_spans(docs, window=5).collect()
+    }
+    assert spans == {(2, 2, 9), (4, 0, 14)}  # doc 1 is canonical, untouched
+    out = {r.doc_id: r for r in remove_duplicate_substrings(docs, window=5).collect()}
+    assert out[1].text_clean == f"alpha beta {shared} gamma delta"
+    assert out[2].text_clean == "x y z w" and out[2].n_tokens_removed == 7
+    assert out[3].n_tokens_removed == 0
+    assert out[4].text_clean == "tail" and out[4].n_tokens_removed == 14
+
+
+def test_substring_dedup_short_docs_no_windows(spark):
+    """Docs shorter than W emit no windows and can never be clipped."""
+    from ascii_hydra_spark.operators.text import remove_duplicate_substrings
+
+    docs = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in remove_duplicate_substrings(docs, window=5).collect()}
+    assert out[1].n_tokens_removed == 0 and out[2].n_tokens_removed == 0
