@@ -285,6 +285,25 @@ def main() -> int:
 
     stage("semantic_dedup", semdedup)
 
+    # ---- corpus-wide exact substring dedup (Lee et al. fixed-window) ----
+    from ascii_hydra_spark.operators.text import remove_duplicate_substrings
+
+    def substr():
+        cleaned = remove_duplicate_substrings(docs, window=20)
+        total = cleaned.count()
+        assert total == n, f"doc count changed: {total} != {n}"
+        # every exact-dup doc (id >= n9) is a byte-copy of its base: its
+        # entire 40-token body is duplicated windows, so after removal it
+        # must keep (far) fewer than `window` tokens
+        clipped = cleaned.filter(
+            (F.col("doc_id") >= n9) & (F.col("n_tokens_kept") < 20)
+        ).count()
+        removed = cleaned.agg(F.sum("n_tokens_removed")).collect()[0][0]
+        assert clipped == n - n9, f"only {clipped}/{n - n9} exact dups clipped"
+        return {"docs": total, "dups_clipped": clipped, "tokens_removed": int(removed)}
+
+    stage("substring_dedup", substr)
+
     # ---- corpus-wide boilerplate removal ----
     from ascii_hydra_spark.operators.text import remove_boilerplate
 
