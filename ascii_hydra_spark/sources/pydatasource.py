@@ -22,8 +22,10 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -141,3 +143,85 @@ def register_synthetic_docs(spark) -> None:
     cloudpickle.register_pickle_by_value(_self)
     spark.dataSource.register(SyntheticDocsDataSource)
     spark.dataSource.register(FeedStreamDataSource)
+    spark.dataSource.register(JsonlSinkDataSource)
+
+
+# ------------------------------------------------------------- write arm
+# Batch DataSourceWriter: the third leg of the custom-source story
+# (batch read + streaming read + now WRITE). A JSONL sink with the real
+# two-phase commit shape: executors write task-private part files and
+# return commit messages; the driver's commit() publishes a manifest +
+# _SUCCESS marker only when every task succeeded, abort() removes the
+# orphans — the same job-commit discipline a 1000-executor object-store
+# sink needs (no torn output visible to readers).
+
+
+class _JsonlCommit(WriterCommitMessage):
+    """Picklable per-task commit message: which file, how many rows."""
+
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    def __init__(self, path: str, overwrite: bool):
+        self.path = path
+        self.overwrite = overwrite
+
+    def write(self, rows):
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        part = ctx.partitionId() if ctx is not None else 0
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
+        os.makedirs(self.path, exist_ok=True)
+        # task-attempt-unique name: a retried task never clobbers another
+        # attempt's file; only committed files enter the manifest
+        fname = os.path.join(self.path, f"part-{part:05d}-{attempt}.jsonl")
+        n = 0
+        with open(fname, "w") as f:
+            for row in rows:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(fname, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        manifest = {
+            "files": sorted(os.path.basename(m.path) for m in messages if m),
+            "rows": sum(m.rows for m in messages if m),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f)
+        open(os.path.join(self.path, "_SUCCESS"), "w").close()
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonlSinkDataSource(DataSource):
+    """`df.write.format("ahs_jsonl").mode(...).save(path)`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ahs_jsonl"
+
+    def writer(self, schema, overwrite: bool):
+        import shutil
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("ahs_jsonl sink needs a path option")
+        if overwrite:
+            shutil.rmtree(path, ignore_errors=True)
+        return JsonlSinkWriter(path, overwrite)

@@ -3520,6 +3520,31 @@ def pyds_docs(spark, sf_dir):
 
 
 @q(
+    "pyds_jsonl_sink",
+    "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM documents GROUP BY lang",
+    "Python Data Source WRITE arm (Spark 4 DataSourceWriter): custom JSONL "
+    "sink with the real two-phase commit shape — executors write "
+    "task-attempt-unique part files and return commit messages, the "
+    "driver's commit() publishes a manifest + _SUCCESS only when every "
+    "task succeeded. Round trip: documents -> custom sink -> spark.read."
+    "json -> aggregate, hash-matched against the source table",
+)
+def pyds_jsonl_sink(spark, sf_dir):
+    from ascii_hydra_spark.sources.pydatasource import register_synthetic_docs
+
+    register_synthetic_docs(spark)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    path = tempfile.mkdtemp(prefix="ahs_jsonl_") + "/out"
+    d.write.format("ahs_jsonl").mode("overwrite").option("path", path).save()
+    back = spark.read.json(f"{path}/part-*.jsonl")
+    return back.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+
+
+@q(
     "pyds_stream_feed",
     """
     SELECT CAST(i % 5 AS INTEGER) AS bucket, COUNT(*) AS n,
@@ -5440,7 +5465,7 @@ _ROUND5_QUEUE: tuple[str, ...] = (
     "shuffle_order_head", "kmeans_clusters", "semantic_dup_pairs",
     "semantic_dedup_survivors", "triangle_count_users", "ewma_user_values",
     "multimodal_jpeg_decode", "multimodal_gif_decode", "fuzzy_name_pairs",
-    "tokenizer_prep_pipeline", "substring_dedup_clean",
+    "tokenizer_prep_pipeline", "substring_dedup_clean", "pyds_jsonl_sink",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema, no

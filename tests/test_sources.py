@@ -205,3 +205,34 @@ def test_repair_compacted_parquet_restores_stranded_backup(spark, tmp_path):
 
     with pytest.raises(ValueError, match="local-only"):
         sources.repair_compacted_parquet("s3://bucket/t")
+
+
+def test_pyds_jsonl_sink_commit_protocol(spark, tmp_path):
+    """The custom writer's two-phase commit: part files are task-attempt-
+    unique, the manifest + _SUCCESS appear only after commit, the manifest
+    row count equals the data, and overwrite clears prior output."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ascii_hydra_spark.sources.pydatasource import register_synthetic_docs
+
+    register_synthetic_docs(spark)
+    path = str(tmp_path / "out")
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("lang")
+    )
+    df.write.format("ahs_jsonl").mode("overwrite").option("path", path).save()
+    files = sorted(os.listdir(path))
+    assert "_SUCCESS" in files and "_MANIFEST.json" in files
+    manifest = json.load(open(os.path.join(path, "_MANIFEST.json")))
+    assert manifest["rows"] == 50
+    assert set(manifest["files"]) == {f for f in files if f.startswith("part-")}
+    back = spark.read.json(os.path.join(path, "part-*.jsonl"))
+    assert back.count() == 50
+    # overwrite replaces, never appends
+    df.limit(10).write.format("ahs_jsonl").mode("overwrite").option("path", path).save()
+    manifest2 = json.load(open(os.path.join(path, "_MANIFEST.json")))
+    assert manifest2["rows"] == 10
+    assert spark.read.json(os.path.join(path, "part-*.jsonl")).count() == 10
