@@ -5161,6 +5161,35 @@ def semantic_dedup_survivors(spark, sf_dir):
 
 
 @q(
+    "ohlc_bars",
+    """
+    SELECT user_id, DATE_TRUNC('hour', ts) AS bar,
+           FIRST(value ORDER BY ts, event_id) AS open,
+           CAST(MAX(value) AS DOUBLE) AS high,
+           CAST(MIN(value) AS DOUBLE) AS low,
+           LAST(value ORDER BY ts, event_id) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id, DATE_TRUNC('hour', ts)
+    """,
+    "OHLC downsampling bars: first/last by (ts, event_id) via min_by/"
+    "max_by struct ordering, one shuffle on (key, bar) — the time-series "
+    "resampling shape (open/high/low/close per entity-hour)",
+)
+def ohlc_bars(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bar")
+    ).agg(
+        F.min_by("value", key).alias("open"),
+        F.max("value").cast("double").alias("high"),
+        F.min("value").cast("double").alias("low"),
+        F.max_by("value", key).alias("close"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+
+
+@q(
     "substring_dedup_clean",
     f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
@@ -5466,6 +5495,7 @@ _ROUND5_QUEUE: tuple[str, ...] = (
     "semantic_dedup_survivors", "triangle_count_users", "ewma_user_values",
     "multimodal_jpeg_decode", "multimodal_gif_decode", "fuzzy_name_pairs",
     "tokenizer_prep_pipeline", "substring_dedup_clean", "pyds_jsonl_sink",
+    "ohlc_bars",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema, no
