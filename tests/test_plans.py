@@ -247,6 +247,7 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "embedding_dedup", # exact cosine arm (scale arm: LSH/IVF)
         "lm_perplexity_scores",   # 1-row vocab-size (V) broadcast
         "perplexity_gate_counts", # same V broadcast through the gate
+        "tokenizer_prep_pipeline",  # composes the perplexity gate (same V)
         "kmeans_clusters",        # k-row centroid-table broadcast per iteration
         "semantic_dup_pairs",     # k-row centroid broadcast (kmeans upstream)
     }
