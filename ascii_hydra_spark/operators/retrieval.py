@@ -1,0 +1,164 @@
+"""Retrieval ranking: Okapi BM25, dense cosine ranking, and
+reciprocal-rank-fusion (RRF) hybrid search.
+
+Part of the beyond-reference LLM-pipeline surface (like
+``operators/dedup.py`` / ``operators/similarity.py``): the reference's own
+workload is relational star joins + group-bys (paper.md:150-155), but a
+training-data / RAG pipeline at 100 TB needs first-class sparse + dense
+retrieval. Everything here is native Spark SQL (whole-stage codegen, no
+UDFs) and DuckDB-oracle-able.
+
+Scale shape:
+
+* BM25 explodes tokens once and filters to the |Q| query terms BEFORE the
+  (doc, term) count, so the posting shuffle carries only matching rows —
+  an inverted-index probe, not a corpus-wide TF materialization. The
+  document-frequency table (|Q| rows) and the (N, avgdl) corpus stats
+  (1 row) are broadcast back over the postings; the only corpus-sized
+  operations are the token scan and the per-doc-length aggregate, and the
+  runtime bloom filter prunes the doc-length side of the final join down
+  to the docs that matched a query term.
+* RRF fusion ranks with a single-partition ``row_number`` window, which is
+  only safe because each input list is already BOUNDED (top-R from a
+  ``TakeOrdered``-shaped ranker). The unbounded global sort lives in the
+  upstream ranker, never in the fusion step.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ascii_hydra_spark.functions import word_tokens
+
+# Okapi defaults, shared with the verification oracle so both engines
+# compute with bit-identical constants (0.25 / 0.75 / 2.2 are interpolated
+# from THESE floats into the DuckDB SQL).
+K1 = 1.2
+B = 0.75
+RRF_K = 60
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """(id, bm25): Okapi BM25 score of every document that contains at
+    least one query term (docs with no match are absent, as in a posting-
+    list engine).
+
+    idf is the Lucene non-negative variant ``ln(1 + (N - df + .5)/(df + .5))``;
+    N and avgdl are computed over documents with >= 1 token (the only docs
+    a posting list can ever surface).
+    """
+    toks = docs.select(F.col(id_col), F.explode(word_tokens(text_col)).alias("term"))
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        toks.filter(F.col("term").isin(list(query_terms)))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").join(dl, id_col).crossJoin(F.broadcast(stats))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    return scored.groupBy(id_col).agg(F.sum(contrib).alias("bm25"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 25,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Top-k BM25 hits, deterministically tie-broken by id. Scores are
+    rounded to 6 dp BEFORE the sort so the cut line is stable across
+    engines (a last-ulp summation difference must not reorder the list)."""
+    s = bm25_scores(docs, query_terms, id_col=id_col, text_col=text_col, k1=k1, b=b)
+    return (
+        s.select(F.col(id_col), F.round("bm25", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def rrf_fuse(
+    ranked: Sequence[tuple[DataFrame, str]],
+    *,
+    id_col: str = "doc_id",
+    k_rrf: int = RRF_K,
+) -> DataFrame:
+    """(id, rrf, n_rankers): reciprocal-rank fusion over bounded ranked
+    lists — ``rrf = sum over rankers of 1 / (k_rrf + rank)``.
+
+    Each element of ``ranked`` is ``(df, score_col)`` where ``df`` holds
+    (id, score) and is ALREADY bounded to its top-R (see module docstring:
+    the single-partition ranking window here is safe only on small R).
+    Ranks tie-break on id, so fusion is deterministic; each contribution
+    ``1/(k_rrf + rank)`` is an exact float ratio of small integers, so the
+    fused sum is engine-independent.
+    """
+    contribs = []
+    for df, score_col in ranked:
+        w = Window.orderBy(F.desc(score_col), F.col(id_col))
+        contribs.append(
+            df.select(
+                F.col(id_col),
+                (F.lit(1.0) / (F.lit(k_rrf) + F.row_number().over(w))).alias("__c"),
+            )
+        )
+    u = reduce(lambda a, b: a.unionByName(b), contribs)
+    return u.groupBy(id_col).agg(
+        F.sum("__c").alias("rrf"), F.count("*").alias("n_rankers")
+    )
+
+
+def hybrid_search(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_terms: Sequence[str],
+    query_vec_id: int,
+    *,
+    candidates_per_ranker: int = 50,
+    k: int = 20,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Hybrid sparse+dense retrieval: BM25 over ``docs`` fused (RRF) with
+    exact cosine ranking over ``emb`` against the ``query_vec_id`` row.
+
+    The dense arm reuses :func:`similarity.cosine_topk_by_id` (1-row query
+    broadcast, TakeOrdered top-R); at scale it swaps for the IVF arm with
+    no change to the fusion step. Returns (id, rrf, n_rankers) top-k.
+    """
+    from ascii_hydra_spark.operators import similarity
+
+    sparse = bm25_topk(
+        docs, query_terms, k=candidates_per_ranker, id_col=id_col
+    )
+    dense = similarity.cosine_topk_by_id(
+        emb, query_id=query_vec_id, k=candidates_per_ranker, id_col=vec_id_col
+    ).select(F.col(vec_id_col).alias(id_col), "sim")
+    fused = rrf_fuse([(sparse, "bm25"), (dense, "sim")], id_col=id_col)
+    return (
+        fused.select(id_col, F.round("rrf", 6).alias("rrf"), "n_rankers")
+        .orderBy(F.desc("rrf"), F.col(id_col))
+        .limit(k)
+    )

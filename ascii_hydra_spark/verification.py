@@ -37,6 +37,7 @@ from ascii_hydra_spark.operators import (
     graph,
     multimodal,
     relational,
+    retrieval,
     similarity,
     text,
     windows,
@@ -1991,6 +1992,85 @@ def tfidf_top_terms(spark, sf_dir):
         ).alias("tfidf"),
     )
     return out.orderBy(F.desc("tfidf"), "doc_id", "term").limit(50)
+
+
+_BM25_Q = ("spark", "hash", "window")  # terms from the fixture vocabulary
+# Shared CTE prefix: inverted-index probe + corpus stats + per-doc BM25.
+# All float constants are interpolated from retrieval.K1/B so both engines
+# compute with bit-identical doubles.
+_BM25_CTES = f"""
+    WITH toks AS (SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN {_BM25_Q!r} GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    s AS (
+      SELECT tf.doc_id,
+             SUM(LN(1 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf * {retrieval.K1 + 1.0}
+                 / (tf + {retrieval.K1} * ({1.0 - retrieval.B}
+                    + {retrieval.B} * dl / avgdl))) AS bm25
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+"""
+
+
+@q(
+    "bm25_topk",
+    _BM25_CTES
+    + """
+    SELECT doc_id, ROUND(bm25, 6) AS bm25 FROM s
+    ORDER BY bm25 DESC, doc_id LIMIT 25
+    """,
+    "Retrieval: Okapi BM25 top-25 for a 3-term query — inverted-index "
+    "probe (postings filtered before the count), |Q|-row df + 1-row "
+    "(N, avgdl) broadcasts; Lucene non-negative idf",
+)
+def bm25_topk(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return retrieval.bm25_topk(d, _BM25_Q, k=25)
+
+
+@q(
+    "hybrid_rrf_topk",
+    _BM25_CTES
+    + f"""
+    , bm AS (
+      SELECT doc_id, ROUND(bm25, 6) AS score FROM s
+      ORDER BY score DESC, doc_id LIMIT 50
+    ),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    cs AS (
+      SELECT vec_id AS doc_id,
+             ROUND(LIST_COSINE_SIMILARITY(CAST(embedding AS DOUBLE[]), qv), 6) AS score
+      FROM embeddings CROSS JOIN qv WHERE vec_id <> 0
+      ORDER BY score DESC, doc_id LIMIT 50
+    ),
+    u AS (
+      SELECT doc_id, 1.0 / ({retrieval.RRF_K} + ROW_NUMBER() OVER
+             (ORDER BY score DESC, doc_id)) AS c FROM bm
+      UNION ALL
+      SELECT doc_id, 1.0 / ({retrieval.RRF_K} + ROW_NUMBER() OVER
+             (ORDER BY score DESC, doc_id)) AS c FROM cs
+    )
+    SELECT doc_id, ROUND(SUM(c), 6) AS rrf, COUNT(*) AS n_rankers
+    FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+    "Retrieval: hybrid sparse+dense search — BM25 top-50 fused with exact "
+    "cosine top-50 (vs the vec_id=0 query vector) by reciprocal-rank "
+    "fusion (k=60); ranks tie-broken by id on 6-dp-rounded scores so the "
+    "fusion is engine-deterministic",
+)
+def hybrid_rrf_topk(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    return retrieval.hybrid_search(
+        d, e, _BM25_Q, query_vec_id=0, candidates_per_ranker=50, k=20
+    )
 
 
 @q(
@@ -5495,7 +5575,7 @@ _ROUND5_QUEUE: tuple[str, ...] = (
     "semantic_dedup_survivors", "triangle_count_users", "ewma_user_values",
     "multimodal_jpeg_decode", "multimodal_gif_decode", "fuzzy_name_pairs",
     "tokenizer_prep_pipeline", "substring_dedup_clean", "pyds_jsonl_sink",
-    "ohlc_bars",
+    "ohlc_bars", "bm25_topk", "hybrid_rrf_topk",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema, no

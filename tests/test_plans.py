@@ -250,6 +250,8 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "tokenizer_prep_pipeline",  # composes the perplexity gate (same V)
         "kmeans_clusters",        # k-row centroid-table broadcast per iteration
         "semantic_dup_pairs",     # k-row centroid broadcast (kmeans upstream)
+        "bm25_topk",          # 1-row (N, avgdl) corpus-stats broadcast
+        "hybrid_rrf_topk",    # same stats broadcast + 1-row query vector
     }
     offenders = []
     for name, spec in REGISTRY.items():

@@ -1,0 +1,103 @@
+"""BM25 / RRF hybrid retrieval: hand-computed oracles on tiny corpora."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ascii_hydra_spark.operators import retrieval
+
+
+def _bm25_ref(corpus: dict[int, str], query: list[str], k1=1.2, b=0.75):
+    """Literal-transcription reference: Lucene idf, Okapi tf saturation."""
+    toks = {d: t.split() for d, t in corpus.items()}
+    dls = {d: len(t) for d, t in toks.items() if t}
+    n, avgdl = len(dls), sum(dls.values()) / len(dls)
+    out = {}
+    for d, t in toks.items():
+        s = 0.0
+        for term in set(t) & set(query):
+            tf = t.count(term)
+            df = sum(1 for tt in toks.values() if term in tt)
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dls[d] / avgdl))
+        if s:
+            out[d] = round(s, 6)
+    return out
+
+
+def test_bm25_matches_hand_computation(spark):
+    corpus = {
+        1: "spark hash spark table",
+        2: "hash join",
+        3: "window sort merge",
+        4: "the quick brown fox",   # no query term -> absent from output
+        5: "spark",                 # short doc: length norm boosts it
+    }
+    docs = spark.createDataFrame(
+        [(d, t) for d, t in corpus.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in retrieval.bm25_topk(docs, ["spark", "hash"], k=10).collect()
+    }
+    assert got == _bm25_ref(corpus, ["spark", "hash"])
+    # tf saturation + length norm: doc 5 (all-query, length 1) outranks
+    # doc 1 (two hits of 'spark' but diluted over 4 tokens)? Both contain
+    # 'spark'; verify ordering agrees with the reference scores.
+    ref = _bm25_ref(corpus, ["spark", "hash"])
+    assert sorted(got, key=lambda d: (-got[d], d)) == sorted(
+        ref, key=lambda d: (-ref[d], d)
+    )
+
+
+def test_bm25_monotonic_in_tf(spark):
+    docs = spark.createDataFrame(
+        [(1, "x a b c"), (2, "x x a b"), (3, "x x x a")],
+        "doc_id long, text string",
+    )
+    rows = retrieval.bm25_topk(docs, ["x"], k=3).collect()
+    assert [r["doc_id"] for r in rows] == [3, 2, 1]  # same dl, higher tf wins
+
+
+def test_rrf_fusion_hand_computed(spark):
+    a = spark.createDataFrame(
+        [(10, 0.9), (20, 0.8), (30, 0.7)], "doc_id long, s double"
+    )
+    b = spark.createDataFrame(
+        [(20, 0.99), (40, 0.5)], "doc_id long, s double"
+    )
+    got = {
+        r["doc_id"]: (r["rrf"], r["n_rankers"])
+        for r in retrieval.rrf_fuse([(a, "s"), (b, "s")], k_rrf=60).collect()
+    }
+    assert got == {
+        10: (1 / 61, 1),
+        20: (1 / 62 + 1 / 61, 2),
+        30: (1 / 63, 1),
+        40: (1 / 62, 1),
+    }
+
+
+def test_rrf_rank_ties_break_on_id(spark):
+    a = spark.createDataFrame([(2, 0.5), (1, 0.5)], "doc_id long, s double")
+    got = {r["doc_id"]: r["rrf"] for r in retrieval.rrf_fuse([(a, "s")]).collect()}
+    assert got == {1: 1 / 61, 2: 1 / 62}  # equal scores -> lower id ranks first
+
+
+def test_hybrid_search_end_to_end(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = retrieval.hybrid_search(
+        docs, emb, ["spark", "hash", "window"], query_vec_id=0, k=20
+    )
+    rows = out.collect()
+    assert 0 < len(rows) <= 20
+    assert rows == sorted(rows, key=lambda r: (-r["rrf"], r["doc_id"]))
+    assert all(1 <= r["n_rankers"] <= 2 for r in rows)
+    # a doc surfaced by both rankers must outrank the floor of either list
+    both = [r for r in rows if r["n_rankers"] == 2]
+    if both:
+        assert both[0]["rrf"] > 1 / 61
