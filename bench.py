@@ -88,6 +88,8 @@ EXTRA = [
     "tokenize_ids",           # vocab-apply tokenizer encode
     "kmeans_clusters",        # deterministic Lloyd's semantic sharding
     "semantic_dedup_survivors",  # SemDeDup: kmeans-blocked cosine dedup
+    "bm25_topk",              # Okapi BM25 inverted-index probe
+    "hybrid_rrf_topk",        # sparse+dense RRF hybrid retrieval
 ]
 
 
