@@ -304,6 +304,45 @@ def main() -> int:
 
     stage("substring_dedup", substr)
 
+    # ---- BM25 + hybrid RRF retrieval ----
+    from ascii_hydra_spark.operators import retrieval
+
+    def bm25():
+        top = retrieval.bm25_topk(docs, ["w1", "w2", "w3"], k=500)
+        rows = top.collect()  # bounded: k rows
+        assert len(rows) == 500, len(rows)
+        score = {r["doc_id"]: r["bm25"] for r in rows}
+        assert all(s > 0 for s in score.values())
+        # planted invariant: an exact-dup doc (id >= n9, byte-identical
+        # text => same tf/dl against the same df/N/avgdl) must score
+        # EXACTLY its base's score; equal scores tie-break base-first, so
+        # a surfaced dup implies its base is surfaced too
+        pairs = [(d, d - n9) for d in score if d >= n9]
+        assert pairs, "no exact-dup doc surfaced in top-500"
+        bad = [p for p in pairs if score.get(p[1]) != score[p[0]]]
+        assert not bad, f"dup/base score mismatch: {bad[:5]}"
+        return {"returned": len(rows), "dup_pairs_checked": len(pairs)}
+
+    stage("bm25_topk", bm25)
+
+    def hybrid():
+        fused = retrieval.hybrid_search(
+            docs, emb, ["w1", "w2", "w3"], query_vec_id=0,
+            candidates_per_ranker=100, k=20,
+        )
+        rows = fused.collect()
+        assert len(rows) == 20, len(rows)
+        rrfs = [r["rrf"] for r in rows]
+        assert rrfs == sorted(rrfs, reverse=True), "not rank-ordered"
+        assert all(1 <= r["n_rankers"] <= 2 for r in rows)
+        assert all(0 < r["rrf"] <= 2 / 61 + 1e-9 for r in rows)
+        return {
+            "returned": len(rows),
+            "fused_from_both": sum(1 for r in rows if r["n_rankers"] == 2),
+        }
+
+    stage("hybrid_rrf", hybrid)
+
     # ---- corpus-wide boilerplate removal ----
     from ascii_hydra_spark.operators.text import remove_boilerplate
 
