@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def dim_join(
@@ -142,6 +142,54 @@ def hash_stratified_sample(
             else thresh.when(cond, F.lit(permille))
         )
     return df.filter(bucket < thresh.otherwise(F.lit(0)))
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    *,
+    key_col: str,
+    by: str | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (top-k per group), via the
+    Efraimidis-Spirakis exponential race: each row draws
+    ``score = -ln(u) / w`` and the k SMALLEST scores win, which selects
+    each row with probability proportional to its weight among the
+    remaining rows — the one-pass, shuffle-once formulation of weighted
+    reservoir sampling.
+
+    Like :func:`hash_stratified_sample`, u comes from integer hashing of
+    the row key (Knuth multiplicative, seed-mixed, mod 2^32) rather than
+    an engine RNG stream, so the sample is a pure function of the data:
+    any SQL engine reproduces it exactly, and it is stable under
+    repartitioning and reruns. Scores are rounded to 9 dp before ranking
+    (ties broken by key) so the cut line cannot flip on a last-ulp ``ln``
+    difference between engines. Rows with weight <= 0 are excluded.
+
+    Scale shape: one hash + ln per row, then a per-group top-k window
+    (partitioned by `by` — parallel across groups; a global sample uses
+    by=None and is TakeOrdered-shaped via the single empty partition key
+    only at bounded k).
+    """
+    h = (
+        (F.col(key_col).cast("bigint") * F.lit(2654435761) + F.lit(seed) * F.lit(40503))
+        % F.lit(4294967296)
+        + F.lit(4294967296)
+    ) % F.lit(4294967296)
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    score = F.round(-F.log(u) / F.col(weight_col).cast("double"), 9)
+    w = Window.partitionBy(*( [by] if by else [] )).orderBy(
+        F.asc("es_score"), F.col(key_col)
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("es_score", score)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
 
 
 def quantile_buckets(

@@ -2074,6 +2074,36 @@ def hybrid_rrf_topk(spark, sf_dir):
 
 
 @q(
+    "weighted_sample_by_lang",
+    """
+    WITH w AS (
+      SELECT lang, doc_id,
+             ROUND(-LN((((doc_id * 2654435761 + 7 * 40503) % 4294967296
+                         + 4294967296) % 4294967296 + 0.5) / 4294967296.0)
+                   / n_chars, 9) AS es_score
+      FROM documents WHERE n_chars > 0
+    ), r AS (
+      SELECT lang, doc_id, es_score,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY es_score ASC, doc_id) AS rn
+      FROM w
+    )
+    SELECT lang, doc_id, es_score FROM r WHERE rn <= 15
+    """,
+    "Weighted sampling without replacement (Efraimidis-Spirakis "
+    "exponential race, integer-hash u, seed 7): 15 docs per language "
+    "weighted by n_chars — deterministic, repartition/rerun-stable, "
+    "reproducible by any SQL engine",
+)
+def weighted_sample_by_lang(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = relational.weighted_sample(
+        d, "n_chars", 15, key_col="doc_id", by="lang", seed=7
+    )
+    return out.select("lang", "doc_id", "es_score")
+
+
+@q(
     "tpch_q18_like",
     """
     SELECT c_custkey, o_orderkey, CAST(total_qty AS DOUBLE) AS total_qty
@@ -5575,7 +5605,7 @@ _ROUND5_QUEUE: tuple[str, ...] = (
     "semantic_dedup_survivors", "triangle_count_users", "ewma_user_values",
     "multimodal_jpeg_decode", "multimodal_gif_decode", "fuzzy_name_pairs",
     "tokenizer_prep_pipeline", "substring_dedup_clean", "pyds_jsonl_sink",
-    "ohlc_bars", "bm25_topk", "hybrid_rrf_topk",
+    "ohlc_bars", "bm25_topk", "hybrid_rrf_topk", "weighted_sample_by_lang",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema, no

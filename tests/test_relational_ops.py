@@ -187,3 +187,52 @@ def test_ewma_hand_computed(spark):
     assert out["a"]["last_value"] == 30.0
     # single-point series: ewma == the point
     assert out["b"]["ewma"] == 5.0 and out["b"]["n_points"] == 1
+
+
+def test_weighted_sample_matches_literal_reference(spark):
+    """Efraimidis-Spirakis sample must equal a pure-Python transcription
+    of the same hash -> u -> -ln(u)/w race (determinism + formula)."""
+    import math
+
+    rows = [(i, "g" + str(i % 2), float(1 + (i * 7) % 50)) for i in range(200)]
+    df = spark.createDataFrame(rows, "key long, grp string, w double")
+    got = {
+        (r["grp"], r["key"]): r["es_score"]
+        for r in relational.weighted_sample(
+            df, "w", 5, key_col="key", by="grp", seed=3
+        ).collect()
+    }
+
+    def score(key, w):
+        h = ((key * 2654435761 + 3 * 40503) % 4294967296 + 4294967296) % 4294967296
+        return round(-math.log((h + 0.5) / 4294967296.0) / w, 9)
+
+    ref = {}
+    for grp in ("g0", "g1"):
+        scored = sorted(
+            (score(k, w), k) for k, g, w in rows if g == grp
+        )[:5]
+        for s, k in scored:
+            ref[(grp, k)] = s
+    assert got == ref
+
+
+def test_weighted_sample_bounds_and_weight_gate(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 0.0), (3, -1.0), (4, 2.0)], "key long, w double"
+    )
+    out = relational.weighted_sample(df, "w", 10, key_col="key").collect()
+    # k > eligible rows -> all positive-weight rows, never the w<=0 ones
+    assert sorted(r["key"] for r in out) == [1, 4]
+
+
+def test_weighted_sample_heavy_weight_dominates(spark):
+    """P(select) ∝ w: across 40 seeds, a 1000x-weight row must win a
+    1-row sample nearly always (binomial tail makes <30 wins ~impossible)."""
+    rows = [(i, 1000.0 if i == 7 else 1.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "key long, w double")
+    wins = 0
+    for seed in range(40):
+        got = relational.weighted_sample(df, "w", 1, key_col="key", seed=seed).collect()
+        wins += got[0]["key"] == 7
+    assert wins >= 30, wins
