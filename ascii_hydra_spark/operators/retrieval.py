@@ -32,6 +32,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ascii_hydra_spark.functions import word_tokens
+from ascii_hydra_spark.operators.lineage import truncate_lineage
 
 # Okapi defaults, shared with the verification oracle so both engines
 # compute with bit-identical constants (0.25 / 0.75 / 2.2 are interpolated
@@ -162,3 +163,72 @@ def hybrid_search(
         .orderBy(F.desc("rrf"), F.col(id_col))
         .limit(k)
     )
+
+
+def tfidf_doc_neighbors(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    *,
+    max_df_ratio: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_neighbors, best_cos): for every document, how many other
+    documents have TF-IDF cosine similarity >= `threshold`, and the best
+    such similarity — all-pairs sparse document similarity via an
+    inverted-index self-join (the posting-list formulation of a
+    similarity join; cf. DIMSUM, Zadeh & Goel 2013).
+
+    Weights: w = tf * ln(N / df) over documents with >= 1 token; terms
+    with df > max_df_ratio * N are dropped BEFORE the self-join — stop
+    terms contribute near-zero weight but quadratic join fanout, so
+    pruning them is what bounds the posting-list length at corpus scale
+    (at 100 TB you would also magnitude-prune low weights, DIMSUM-style).
+    Cosines are rounded to 6 dp before the threshold cut so a last-ulp
+    summation difference between engines can't flip a pair across the
+    line.
+
+    Shape: tf/df/norm are the BM25 aggregates; the only quadratic step is
+    the per-term postings self-join, keyed by term (shuffle on term), and
+    the pair aggregate is keyed by (doc_a, doc_b). Output is corpus-sized
+    (one row per doc with any neighbor).
+    """
+    toks = docs.select(F.col(id_col).alias("doc"), F.explode(word_tokens(text_col)).alias("term"))
+    tf = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    stats = tf.agg(F.count_distinct("doc").alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    kept = dfreq.crossJoin(F.broadcast(stats)).filter(
+        F.col("df") <= F.lit(float(max_df_ratio)) * F.col("n_docs")
+    )
+    weighted = tf.join(F.broadcast(kept), "term").withColumn(
+        "w",
+        F.col("tf").cast("double")
+        * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+    )
+    weighted = truncate_lineage(weighted)  # fans out to norms + both join sides
+    norms = weighted.groupBy("doc").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+    a = weighted.select(F.col("term"), F.col("doc").alias("doc_a"), F.col("w").alias("wa"))
+    b = weighted.select(F.col("term"), F.col("doc").alias("doc_b"), F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    cos = (
+        dots.join(norms.select(F.col("doc").alias("doc_a"), F.col("norm").alias("na")), "doc_a")
+        .join(norms.select(F.col("doc").alias("doc_b"), F.col("norm").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(float(threshold)))
+    )
+    sym = cos.select(F.col("doc_a").alias("doc"), "cos").unionAll(
+        cos.select(F.col("doc_b").alias("doc"), "cos")
+    )
+    return sym.groupBy("doc").agg(
+        F.count("*").cast("bigint").alias("n_neighbors"),
+        F.max("cos").alias("best_cos"),
+    ).select(F.col("doc").alias(id_col), "n_neighbors", "best_cos")

@@ -471,3 +471,98 @@ def remove_duplicate_substrings(
         F.size(kept).cast("bigint").alias("n_tokens_kept"),
         (F.size("__toks") - F.size(kept)).cast("bigint").alias("n_tokens_removed"),
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """(term_a, term_b, pair_n, pmi): pointwise mutual information of
+    adjacent token pairs — the classic collocation detector (Church &
+    Hanks 1990), used in training-data pipelines to mine multi-word
+    expressions worth protecting from tokenizer splits.
+
+    PMI is computed entirely from the bigram table so both probability
+    marginals live in one distribution: with N = total bigrams, c_ab the
+    pair count, c_a* the count of bigrams starting with a and c_*b the
+    count ending with b,  pmi = ln(c_ab * N / (c_a* * c_*b)).  All four
+    counts are exact integers, so the double division and single `ln`
+    are bit-identical across engines.
+
+    Scale: two corpus-sized shuffles (bigram count, then two broadcast-
+    joined marginal tables keyed by single terms). The marginal tables
+    are vocabulary-sized — broadcastable far beyond 100 TB of text.
+    """
+    pairs = (
+        docs.select(F.explode(ngrams(word_tokens(text_col), 2)).alias("bg"))
+        .select(
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("term_a"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("term_b"),
+        )
+        .groupBy("term_a", "term_b")
+        .agg(F.count("*").alias("pair_n"))
+    )
+    pairs = truncate_lineage(pairs)  # reused by 3 branches below
+    total = pairs.agg(F.sum("pair_n").alias("n_total"))
+    left = pairs.groupBy("term_a").agg(F.sum("pair_n").alias("left_n"))
+    right = pairs.groupBy("term_b").agg(F.sum("pair_n").alias("right_n"))
+    scored = (
+        pairs.filter(F.col("pair_n") >= min_count)
+        .join(F.broadcast(left), "term_a")
+        .join(F.broadcast(right), "term_b")
+        .crossJoin(F.broadcast(total))
+    )
+    pmi = F.log(
+        (F.col("pair_n") * F.col("n_total")).cast("double")
+        / (F.col("left_n") * F.col("right_n")).cast("double")
+    )
+    return scored.select(
+        "term_a", "term_b", "pair_n", F.round(pmi, 6).alias("pmi")
+    )
+
+
+def token_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_tokens, entropy): Shannon entropy (nats) of each document's
+    unigram distribution — a quality signal: pathologically repetitive
+    docs score near 0, diverse text near ln(vocab).
+
+    Uses the algebraic form H = ln(n) - (sum over distinct tokens of
+    c*ln(c)) / n so the only cross-engine float accumulation is one
+    per-doc sum of c*ln(c) terms (rounded to 6 dp at the end).
+
+    Scale: explode + two-level groupBy, partial-aggregated map-side;
+    no windows, no driver state.
+    """
+    tf = term_frequencies(docs, id_col=id_col, text_col=text_col)
+    per_doc = tf.groupBy(id_col).agg(
+        F.sum("tf").alias("__n"),
+        F.sum(F.col("tf").cast("double") * F.log(F.col("tf").cast("double"))).alias("__clogc"),
+    )
+    ent = F.log(F.col("__n").cast("double")) - F.col("__clogc") / F.col("__n")
+    return per_doc.select(
+        F.col(id_col),
+        F.col("__n").cast("bigint").alias("n_tokens"),
+        F.round(ent, 6).alias("entropy"),
+    )
+
+
+def normalize_text(
+    docs: DataFrame, text_col: str = "text", out_col: str = "text_norm"
+) -> DataFrame:
+    """Append a canonicalized text column: lowercase, strip everything but
+    [a-z0-9] and whitespace, collapse whitespace runs, trim.
+
+    This is the standard pre-dedup normalization pass (exact dedup after
+    normalization catches case/punctuation-only duplicates that byte-exact
+    hashing misses). Pure string expressions — whole-stage codegen, no
+    UDFs, and each regex is anchored to ASCII classes so Spark (Java
+    regex) and the DuckDB oracle (RE2) agree byte-for-byte.
+    """
+    c = F.lower(F.col(text_col))
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", "")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return docs.withColumn(out_col, c)

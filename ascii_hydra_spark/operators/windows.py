@@ -181,3 +181,72 @@ def ewma(
         F.round(F.element_at("__xs", -1), 6).alias("last_value"),
         F.round(folded, 6).alias("ewma"),
     )
+
+
+def event_runs(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[Column],
+    state_col: str,
+) -> DataFrame:
+    """Gaps-and-islands: tag each row with the id of its maximal run of
+    consecutive equal `state_col` values within `keys` (ordered by
+    `order`). Island id = row_number over the key minus row_number over
+    (key, state) — constant exactly while the state repeats, so
+    (state, island_id) identifies one run.
+
+    Two window passes over the SAME partitioning key (one shuffle; the
+    second window reuses the sort), then no further shuffle. Keyed only —
+    `keyed_window` rejects the unkeyed global-sort form.
+    """
+    w_all = keyed_window(list(keys), order)
+    w_state = keyed_window([*keys, state_col], order)
+    return df.withColumn(
+        "island",
+        (F.row_number().over(w_all) - F.row_number().over(w_state)).cast("bigint"),
+    )
+
+
+def run_length_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[Column],
+    state_col: str,
+) -> DataFrame:
+    """Per-key run statistics over `event_runs` islands: number of runs
+    and the longest run length. The island aggregate is a two-level
+    groupBy (runs, then keys) — both partial-aggregated."""
+    runs = (
+        event_runs(df, keys, order, state_col)
+        .groupBy(*keys, state_col, "island")
+        .agg(F.count("*").alias("run_len"))
+    )
+    return runs.groupBy(*keys).agg(
+        F.count("*").cast("bigint").alias("n_runs"),
+        F.max("run_len").cast("bigint").alias("longest_run"),
+    )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Per-key inter-event gap statistics: event count, mean and max gap
+    in seconds. Gaps are computed in integer microseconds (exact in both
+    engines) and divided down only at the end, so the lone float op is
+    one avg + one division per key.
+
+    One shuffle (the lag window), then the aggregate reuses the same
+    partitioning — Spark plans no second exchange.
+    """
+    w = keyed_window(list(keys), [F.col(ts_col), F.col(tiebreak)])
+    us = F.unix_micros(F.col(ts_col))
+    gap = us - F.lag(us).over(w)
+    gapped = df.withColumn("__gap_us", gap)
+    return gapped.groupBy(*keys).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.avg("__gap_us") / F.lit(1_000_000.0), 6).alias("avg_gap_s"),
+        F.round(F.max("__gap_us") / F.lit(1_000_000.0), 6).alias("max_gap_s"),
+    )

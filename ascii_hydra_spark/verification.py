@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ascii_hydra_spark.catalog import Catalog
 from ascii_hydra_spark.functions import word_tokens
 from ascii_hydra_spark.operators import (
+    analytics,
     asof,
     clustering,
     corpus,
@@ -5534,6 +5535,316 @@ def ewma_user_values(spark, sf_dir):
 
 
 # ===================================================================
+# Distribution analytics / collocations / runs (round-4 additions)
+# ===================================================================
+
+
+@q(
+    "pmi_collocations",
+    f"""
+    WITH toks AS (SELECT {_TOKS} AS xs FROM documents),
+    big AS (
+        SELECT xs[i] AS term_a, xs[i + 1] AS term_b
+        FROM toks, UNNEST(RANGE(1, LEN(xs))) AS t(i)
+    ),
+    pc AS (
+        SELECT term_a, term_b, COUNT(*)::BIGINT AS pair_n
+        FROM big GROUP BY term_a, term_b
+    ),
+    tot AS (SELECT SUM(pair_n) AS n_total FROM pc),
+    l AS (SELECT term_a, SUM(pair_n) AS left_n FROM pc GROUP BY term_a),
+    r AS (SELECT term_b, SUM(pair_n) AS right_n FROM pc GROUP BY term_b)
+    SELECT pc.term_a, pc.term_b, pc.pair_n,
+           ROUND(LN(CAST(pc.pair_n * tot.n_total AS DOUBLE)
+                    / CAST(l.left_n * r.right_n AS DOUBLE)), 6) AS pmi
+    FROM pc
+    JOIN l USING (term_a)
+    JOIN r USING (term_b)
+    CROSS JOIN tot
+    WHERE pc.pair_n >= 5
+    """,
+    "PMI collocation mining (Church & Hanks): bigram counts and both "
+    "marginals from ONE bigram distribution, so pmi = ln(c_ab*N/(c_a*c_b)) "
+    "is a single ln of an exact-integer ratio on both engines",
+)
+def pmi_collocations(spark, sf_dir):
+    return text.pmi_collocations(_t(spark, sf_dir, "documents"), min_count=5)
+
+
+@q(
+    "token_entropy",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS c FROM toks GROUP BY doc_id, term),
+    agg AS (
+        SELECT doc_id, SUM(c)::BIGINT AS n,
+               SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) AS clogc
+        FROM tf GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_tokens,
+           ROUND(LN(CAST(n AS DOUBLE)) - clogc / n, 6) AS entropy
+    FROM agg
+    """,
+    "per-doc unigram Shannon entropy (nats) via H = ln(n) - sum(c*ln c)/n "
+    "— repetition quality signal; the only float accumulation is the "
+    "per-doc sum of c*ln(c), rounded to 6 dp",
+)
+def token_entropy(spark, sf_dir):
+    return text.token_entropy(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "normalized_text_dedup",
+    r"""
+    SELECT lang, COUNT(*)::BIGINT AS n_docs,
+           COUNT(DISTINCT text)::BIGINT AS n_raw,
+           COUNT(DISTINCT TRIM(REGEXP_REPLACE(REGEXP_REPLACE(
+               LOWER(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')))::BIGINT AS n_norm
+    FROM documents GROUP BY lang
+    """,
+    "normalize-then-dedup: lowercase, strip non-alnum, collapse "
+    "whitespace, trim — distinct counts before/after show the "
+    "case/punctuation-only duplicates byte-exact hashing misses; ASCII "
+    "regex classes keep Java regex and RE2 byte-identical",
+)
+def normalized_text_dedup(spark, sf_dir):
+    norm = text.normalize_text(_t(spark, sf_dir, "documents"))
+    return norm.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count_distinct("text").cast("bigint").alias("n_raw"),
+        F.count_distinct("text_norm").cast("bigint").alias("n_norm"),
+    )
+
+
+@q(
+    "event_runs_stats",
+    """
+    WITH r AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS island
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id, event_type, island, COUNT(*) AS run_len
+        FROM r GROUP BY user_id, event_type, island
+    )
+    SELECT user_id, COUNT(*)::BIGINT AS n_runs, MAX(run_len)::BIGINT AS longest_run
+    FROM runs GROUP BY user_id
+    """,
+    "gaps-and-islands: maximal runs of consecutive equal event_type per "
+    "user via the row_number-difference trick (two windows over ONE "
+    "shuffle), then per-user run count + longest run",
+)
+def event_runs_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return windows.run_length_stats(
+        ev, ["user_id"], [F.col("ts"), F.col("event_id")], "event_type"
+    )
+
+
+@q(
+    "interarrival_user_stats",
+    """
+    WITH g AS (
+        SELECT user_id,
+               EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+    )
+    SELECT user_id, COUNT(*)::BIGINT AS n_events,
+           ROUND(AVG(gap_us) / 1000000.0, 6) AS avg_gap_s,
+           ROUND(MAX(gap_us) / 1000000.0, 6) AS max_gap_s
+    FROM g GROUP BY user_id
+    """,
+    "per-user inter-event gap stats: gaps computed in exact integer "
+    "microseconds (unix_micros ≡ EPOCH_US), divided to seconds only at "
+    "the end; first event's NULL gap excluded from avg/max by both "
+    "engines' NULL-skipping aggregates",
+)
+def interarrival_user_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return windows.interarrival_stats(ev, ["user_id"], "ts", "event_id")
+
+
+@q(
+    "gini_revenue",
+    """
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY o_custkey
+    ),
+    rk AS (
+        SELECT CAST(revenue AS DECIMAL(18,2)) AS x,
+               ROW_NUMBER() OVER (ORDER BY revenue ASC, o_custkey ASC) AS i
+        FROM rev
+    ),
+    a AS (
+        SELECT COUNT(*)::BIGINT AS n, SUM(x) AS sx,
+               SUM(CAST(i AS DECIMAL(18,0)) * x) AS six
+        FROM rk
+    )
+    SELECT n,
+           ROUND(2.0 * CAST(six AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+    FROM a
+    """,
+    "Gini concentration of per-customer revenue via the rank formulation "
+    "G = 2*sum(i*x_i)/(n*sum x) - (n+1)/n; both sums accumulate in "
+    "DECIMAL (exact), so the one double division matches bit-for-bit",
+)
+def gini_revenue(spark, sf_dir):
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    return analytics.gini_coefficient(rev, "revenue", "o_custkey")
+
+
+@q(
+    "benford_order_totals",
+    """
+    WITH c AS (
+        SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders WHERE o_totalprice > 0
+    ),
+    g AS (SELECT digit, COUNT(*)::BIGINT AS n_obs FROM c GROUP BY digit),
+    t AS (SELECT CAST(SUM(n_obs) AS DOUBLE) AS total FROM g)
+    SELECT digit, n_obs,
+           ROUND(CAST(n_obs AS DOUBLE) / total, 6) AS share,
+           ROUND(LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_p,
+           ROUND((CAST(n_obs AS DOUBLE) - total * LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                 * (CAST(n_obs AS DOUBLE) - total * LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                 / (total * LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 6) AS chi2_term
+    FROM g CROSS JOIN t
+    """,
+    "Benford first-digit audit of order totals: digit extracted in "
+    "integer space (cents -> leading decimal character), expected "
+    "p = log10(1+1/d), chi-square contribution (n-np)^2/np written as "
+    "d*d/e on both engines (no pow)",
+)
+def benford_order_totals(spark, sf_dir):
+    return analytics.benford_digits(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+@q(
+    "histogram_order_totals",
+    """
+    WITH b AS (
+        SELECT CAST(o_totalprice AS DOUBLE) AS x,
+               CAST(LEAST(GREATEST(FLOOR((CAST(o_totalprice AS DOUBLE) - 0.0)
+                                         / 25000.0), 0), 19) AS INT) AS bucket
+        FROM orders
+    )
+    SELECT bucket, ROUND(0.0 + bucket * 25000.0, 6) AS bucket_lo,
+           COUNT(*)::BIGINT AS n_obs,
+           ROUND(MIN(x), 6) AS min_v, ROUND(MAX(x), 6) AS max_v
+    FROM b GROUP BY bucket
+    """,
+    "equi-width histogram of order totals, 20 buckets over [0, 500000): "
+    "bucket = clamp(floor((x-lo)/width)) with width a driver-side literal "
+    "(25000.0) so both engines floor the identical double expression; "
+    "out-of-range rows clamp into edge buckets",
+)
+def histogram_order_totals(spark, sf_dir):
+    return analytics.equi_width_histogram(
+        _t(spark, sf_dir, "orders"), "o_totalprice", 0.0, 500000.0, 20
+    )
+
+
+@q(
+    "decile_revenue_lift",
+    """
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY o_custkey
+    ),
+    td AS (
+        SELECT revenue AS x,
+               CAST(NTILE(10) OVER (ORDER BY revenue DESC, o_custkey ASC) AS BIGINT) AS tile
+        FROM rev
+    ),
+    per AS (
+        SELECT tile, COUNT(*)::BIGINT AS n,
+               CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM td GROUP BY tile
+    ),
+    t AS (SELECT CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) AS tt FROM per)
+    SELECT tile, n, revenue,
+           ROUND(revenue / tt, 6) AS share,
+           ROUND(CAST(SUM(CAST(revenue AS DECIMAL(18,2))) OVER (
+                     ORDER BY tile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / tt, 6) AS cum_share
+    FROM per CROSS JOIN t
+    """,
+    "decile lift table: customers NTILE'd by revenue desc (custkey "
+    "tiebreak), per-decile revenue share and cumulative share; every sum "
+    "accumulates in DECIMAL, the cumulative window runs over 10 rows",
+)
+def decile_revenue_lift(spark, sf_dir):
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    return analytics.decile_shares(rev, "revenue", "o_custkey", tiles=10)
+
+
+@q(
+    "tfidf_doc_neighbors",
+    f"""
+    WITH toks AS (
+        SELECT doc_id AS doc, UNNEST({_TOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc, term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY doc, term),
+    nd AS (SELECT COUNT(DISTINCT doc) AS n_docs FROM tf),
+    dfq AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term),
+    w AS (
+        SELECT doc, tf.term,
+               CAST(tf AS DOUBLE) * LN(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS w
+        FROM tf JOIN dfq USING (term) CROSS JOIN nd
+        WHERE df <= 1.0 * n_docs
+    ),
+    norms AS (SELECT doc, SQRT(SUM(w * w)) AS norm FROM w GROUP BY doc),
+    dots AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, SUM(a.w * b.w) AS dot
+        FROM w a JOIN w b ON a.term = b.term AND a.doc < b.doc
+        GROUP BY a.doc, b.doc
+    ),
+    cos AS (
+        SELECT doc_a, doc_b, ROUND(dot / (na.norm * nb.norm), 6) AS cos
+        FROM dots
+        JOIN norms na ON na.doc = dots.doc_a
+        JOIN norms nb ON nb.doc = dots.doc_b
+    ),
+    hits AS (SELECT * FROM cos WHERE cos >= 0.8),
+    sym AS (
+        SELECT doc_a AS doc, cos FROM hits
+        UNION ALL
+        SELECT doc_b AS doc, cos FROM hits
+    )
+    SELECT doc AS doc_id, COUNT(*)::BIGINT AS n_neighbors, MAX(cos) AS best_cos
+    FROM sym GROUP BY doc
+    """,
+    "sparse all-pairs TF-IDF cosine via inverted-index self-join "
+    "(DIMSUM-shaped): w = tf*ln(N/df), per-term postings join keyed by "
+    "term, cosine rounded to 6 dp BEFORE the 0.8 threshold so a last-ulp "
+    "sum difference can't flip a pair across the cut",
+)
+def tfidf_doc_neighbors(spark, sf_dir):
+    return retrieval.tfidf_doc_neighbors(
+        _t(spark, sf_dir, "documents"), threshold=0.8, max_df_ratio=1.0
+    )
+
+
+# ===================================================================
 # Registry ordering
 # ===================================================================
 # The external driver evaluates only the first _DRIVER_HEAD entries of the
@@ -5606,6 +5917,14 @@ _ROUND5_QUEUE: tuple[str, ...] = (
     "multimodal_jpeg_decode", "multimodal_gif_decode", "fuzzy_name_pairs",
     "tokenizer_prep_pipeline", "substring_dedup_clean", "pyds_jsonl_sink",
     "ohlc_bars", "bm25_topk", "hybrid_rrf_topk", "weighted_sample_by_lang",
+    # round-4 continuation additions (distribution analytics /
+    # collocations / runs / sparse similarity) — never driver-checked by
+    # construction; with these the queue holds exactly the 45 rotation
+    # slots round 5 needs
+    "pmi_collocations", "token_entropy", "normalized_text_dedup",
+    "event_runs_stats", "interarrival_user_stats", "gini_revenue",
+    "benford_order_totals", "histogram_order_totals", "decile_revenue_lift",
+    "tfidf_doc_neighbors",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema, no

@@ -1,0 +1,165 @@
+"""Known-answer tests for operators/analytics.py and the round-4
+collocation / entropy / runs / interarrival / sparse-similarity additions.
+
+The full-registry differential suite (test_oracle_queries.py) already
+compares every entry against DuckDB on the fixtures; these tests pin the
+SEMANTICS with hand-computable inputs (closed-form Gini, exact PMI,
+degenerate entropy, crafted runs) so an oracle bug can't hide an engine
+bug that happens to match it.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ascii_hydra_spark.operators import analytics, retrieval, text, windows
+
+
+def test_gini_uniform_is_closed_form(spark):
+    # equal values: rank formula gives exactly 0 for any n
+    df = spark.createDataFrame([(i, 10.0) for i in range(1, 9)], "k long, v double")
+    row = analytics.gini_coefficient(df, "v", "k").collect()[0]
+    assert row["n"] == 8
+    assert row["gini"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_gini_single_holder(spark):
+    # one entity holds everything: G = (n-1)/n
+    n = 10
+    rows = [(i, 0.0) for i in range(1, n)] + [(n, 1000.0)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    row = analytics.gini_coefficient(df, "v", "k").collect()[0]
+    assert row["gini"] == pytest.approx((n - 1) / n, abs=1e-9)
+
+
+def test_benford_digit_extraction_edges(spark):
+    # 100.00 must land in digit 1 (the log10/pow formulation can misfile
+    # exact powers of ten); sub-1 values take their first significant digit
+    df = spark.createDataFrame(
+        [(100.00,), (999.99,), (0.05,), (1.00,), (-5.0,), (0.0,)],
+        "v double",
+    )
+    out = {r["digit"]: r["n_obs"] for r in analytics.benford_digits(df, "v").collect()}
+    assert out == {1: 2, 9: 1, 5: 1}  # negatives and zeros excluded
+
+
+def test_benford_probabilities_sum_to_one(spark):
+    df = spark.createDataFrame([(float(x),) for x in range(1, 100)], "v double")
+    rows = analytics.benford_digits(df, "v").collect()
+    assert sum(r["benford_p"] for r in rows) == pytest.approx(1.0, abs=1e-5)
+    assert sum(r["share"] for r in rows) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_histogram_clamps_out_of_range(spark):
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (9.99,), (10.0,), (25.0,), (99.0,), (1000.0,)],
+        "v double",
+    )
+    out = {r["bucket"]: r for r in
+           analytics.equi_width_histogram(df, "v", 0.0, 100.0, 10).collect()}
+    assert out[0]["n_obs"] == 3            # -5 clamps down, 0 and 9.99 in-range
+    assert out[0]["min_v"] == -5.0         # clamped rows keep their true value
+    assert out[1]["n_obs"] == 1            # 10.0 on the boundary goes up
+    assert out[9]["n_obs"] == 2            # 99 in-range, 1000 clamps up
+    assert out[2]["bucket_lo"] == 20.0
+
+
+def test_decile_shares_partition_and_order(spark):
+    # 20 customers, revenue 1..20 -> tiles of 2; top tile = {20,19}
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 21)], "k long, v double")
+    rows = {r["tile"]: r for r in analytics.decile_shares(df, "v", "k").collect()}
+    assert all(rows[t]["n"] == 2 for t in range(1, 11))
+    assert rows[1]["revenue"] == 39.0
+    assert rows[1]["share"] == pytest.approx(39.0 / 210.0, abs=1e-6)
+    assert rows[10]["cum_share"] == pytest.approx(1.0, abs=1e-6)
+    cums = [rows[t]["cum_share"] for t in range(1, 11)]
+    assert cums == sorted(cums)
+
+
+def test_event_runs_crafted_sequence(spark):
+    # user 1: A A B A -> runs A(2), B(1), A(1) = 3 runs, longest 2
+    rows = [(1, i, s) for i, s in enumerate(["A", "A", "B", "A"])]
+    rows += [(2, i, "X") for i in range(5)]  # user 2: one run of 5
+    df = spark.createDataFrame(rows, "user_id long, seq long, state string")
+    out = {r["user_id"]: r for r in
+           windows.run_length_stats(df, ["user_id"], [F.col("seq")], "state").collect()}
+    assert (out[1]["n_runs"], out[1]["longest_run"]) == (3, 2)
+    assert (out[2]["n_runs"], out[2]["longest_run"]) == (1, 5)
+
+
+def test_interarrival_exact_gaps(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1),
+         (1, "2024-01-01 00:00:10", 2),
+         (1, "2024-01-01 00:01:10", 3)],
+        "user_id long, ts string, event_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    row = windows.interarrival_stats(df, ["user_id"], "ts", "event_id").collect()[0]
+    assert row["n_events"] == 3
+    assert row["avg_gap_s"] == pytest.approx(35.0, abs=1e-6)  # (10+60)/2
+    assert row["max_gap_s"] == pytest.approx(60.0, abs=1e-6)
+
+
+def test_pmi_exact_value(spark):
+    # corpus of one doc "a b a b a b": bigrams ab,ba,ab,ba,ab -> N=5,
+    # c_ab=3, c_a*=3, c_*b=3  => pmi(a,b) = ln(3*5/(3*3)) = ln(5/3)
+    df = spark.createDataFrame([(1, "a b a b a b")], "doc_id long, text string")
+    rows = {(r["term_a"], r["term_b"]): r
+            for r in text.pmi_collocations(df, min_count=1).collect()}
+    assert rows[("a", "b")]["pair_n"] == 3
+    assert rows[("a", "b")]["pmi"] == pytest.approx(math.log(5 / 3), abs=1e-6)
+    assert rows[("b", "a")]["pair_n"] == 2
+    assert rows[("b", "a")]["pmi"] == pytest.approx(math.log(2 * 5 / (2 * 2)), abs=1e-6)
+
+
+def test_token_entropy_degenerate_and_uniform(spark):
+    df = spark.createDataFrame(
+        [(1, "x x x x"), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.token_entropy(df).collect()}
+    assert out[1]["entropy"] == pytest.approx(0.0, abs=1e-9)
+    assert out[2]["entropy"] == pytest.approx(math.log(2), abs=1e-6)
+    assert 3 not in out  # zero-token docs have no distribution
+
+
+def test_normalize_text_canonicalizes(spark):
+    df = spark.createDataFrame(
+        [(1, "  Hello,   WORLD!! "), (2, "hello world"), (3, "Héllo wörld")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text_norm"] for r in text.normalize_text(df).collect()}
+    assert out[1] == "hello world"
+    assert out[2] == "hello world"
+    assert out[3] == "hllo wrld"  # non-ASCII stripped, not transliterated
+
+
+def test_tfidf_neighbors_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "apple banana cherry"), (2, "apple banana cherry"),
+         (3, "dog elephant fox"), (4, "apple dog zebra yak")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           retrieval.tfidf_doc_neighbors(df, threshold=0.99).collect()}
+    assert out[1]["best_cos"] == pytest.approx(1.0, abs=1e-6)
+    assert out[2]["best_cos"] == pytest.approx(1.0, abs=1e-6)
+    assert out[1]["n_neighbors"] == 1
+    assert 3 not in out and 4 not in out
+
+
+def test_tfidf_max_df_prunes_stop_terms(spark):
+    # "the" appears in every doc -> df = N -> pruned at max_df_ratio<1;
+    # remaining vocabularies are disjoint, so no pair survives
+    df = spark.createDataFrame(
+        [(1, "the apple"), (2, "the banana"), (3, "the cherry")],
+        "doc_id long, text string",
+    )
+    assert retrieval.tfidf_doc_neighbors(df, threshold=0.1, max_df_ratio=0.9).count() == 0
+    # with the stop term kept, every pair matches on it
+    assert retrieval.tfidf_doc_neighbors(df, threshold=0.1, max_df_ratio=1.0).count() == 0
+    # (df == N gives idf = ln(1) = 0 weight — the term is kept but carries
+    # nothing, so cosine is 0/0-guarded by the dot being exactly 0.0)
