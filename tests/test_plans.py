@@ -252,6 +252,9 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "semantic_dup_pairs",     # k-row centroid broadcast (kmeans upstream)
         "bm25_topk",          # 1-row (N, avgdl) corpus-stats broadcast
         "hybrid_rrf_topk",    # same stats broadcast + 1-row query vector
+        "pmi_collocations",   # 1-row total-bigram-count broadcast
+        "benford_order_totals",   # 1-row observation-total broadcast
+        "decile_revenue_lift",    # 1-row revenue-total broadcast
     }
     offenders = []
     for name, spec in REGISTRY.items():
