@@ -192,6 +192,13 @@ def tfidf_doc_neighbors(
     the per-term postings self-join, keyed by term (shuffle on term), and
     the pair aggregate is keyed by (doc_a, doc_b). Output is corpus-sized
     (one row per doc with any neighbor).
+
+    This is the EXACT arm (measured quadratic: 2.3 s at sf0.01, ~115 s at
+    sf0.1 on the synthetic 31-term vocabulary, where every posting list is
+    corpus-length). Its oracle-checked results baseline the approximate
+    scale paths — `dedup.minhash_lsh_*` for near-dup text and
+    `clustering.semantic_dedup` / `similarity.*_lsh` for embeddings —
+    exactly as `sim_pairs` (exact GEMM) baselines `sim_pairs_lsh`.
     """
     toks = docs.select(F.col(id_col).alias("doc"), F.explode(word_tokens(text_col)).alias("term"))
     tf = toks.groupBy("doc", "term").agg(F.count("*").alias("tf"))

@@ -245,8 +245,23 @@ def interarrival_stats(
     us = F.unix_micros(F.col(ts_col))
     gap = us - F.lag(us).over(w)
     gapped = df.withColumn("__gap_us", gap)
-    return gapped.groupBy(*keys).agg(
+    # The mean is rounded to whole microseconds ENTIRELY in integer
+    # arithmetic — round_half_up(s/c) = (2s + c) div (2c) for s,c > 0 —
+    # then converted to seconds with one exact double division. Float
+    # rounding is a landmine here: sf0.1 has a user whose exact mean is
+    # ...0.0610425, a perfect half at 6 dp, where Spark's HALF_UP (on the
+    # shortest decimal repr) and DuckDB's correctly-rounded ROUND(double)
+    # legitimately disagree. Integer rounding has no such boundary.
+    agged = gapped.groupBy(*keys).agg(
         F.count("*").cast("bigint").alias("n_events"),
-        F.round(F.avg("__gap_us") / F.lit(1_000_000.0), 6).alias("avg_gap_s"),
-        F.round(F.max("__gap_us") / F.lit(1_000_000.0), 6).alias("max_gap_s"),
+        F.sum("__gap_us").alias("__s"),
+        F.count("__gap_us").alias("__c"),
+        F.max("__gap_us").alias("__mx"),
+    )
+    avg_us = F.expr("(2 * __s + __c) div (2 * __c)")
+    return agged.select(
+        *keys,
+        "n_events",
+        (avg_us.cast("double") / F.lit(1_000_000.0)).alias("avg_gap_s"),
+        (F.col("__mx").cast("double") / F.lit(1_000_000.0)).alias("max_gap_s"),
     )

@@ -5656,14 +5656,17 @@ def event_runs_stats(spark, sf_dir):
         FROM events
     )
     SELECT user_id, COUNT(*)::BIGINT AS n_events,
-           ROUND(AVG(gap_us) / 1000000.0, 6) AS avg_gap_s,
-           ROUND(MAX(gap_us) / 1000000.0, 6) AS max_gap_s
+           CAST((2 * SUM(gap_us) + COUNT(gap_us)) // (2 * COUNT(gap_us))
+                AS DOUBLE) / 1000000.0 AS avg_gap_s,
+           CAST(MAX(gap_us) AS DOUBLE) / 1000000.0 AS max_gap_s
     FROM g GROUP BY user_id
     """,
-    "per-user inter-event gap stats: gaps computed in exact integer "
-    "microseconds (unix_micros ≡ EPOCH_US), divided to seconds only at "
-    "the end; first event's NULL gap excluded from avg/max by both "
-    "engines' NULL-skipping aggregates",
+    "per-user inter-event gap stats: gaps in exact integer microseconds "
+    "(unix_micros ≡ EPOCH_US); the mean is rounded to whole microseconds "
+    "in INTEGER arithmetic (round_half_up(s/c) = (2s+c) div 2c) because "
+    "sf0.1 contains an exact .5-at-6dp mean where Spark's HALF_UP and "
+    "DuckDB's round-nearest-double disagree; the only float op left is "
+    "one exact /1e6; first event's NULL gap excluded by both engines",
 )
 def interarrival_user_stats(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
