@@ -90,6 +90,14 @@ EXTRA = [
     "semantic_dedup_survivors",  # SemDeDup: kmeans-blocked cosine dedup
     "bm25_topk",              # Okapi BM25 inverted-index probe
     "hybrid_rrf_topk",        # sparse+dense RRF hybrid retrieval
+    "pmi_collocations",       # bigram PMI via one-distribution marginals
+    "token_entropy",          # per-doc unigram entropy quality signal
+    "event_runs_stats",       # gaps-and-islands single-shuffle runs
+    "interarrival_user_stats",# integer-microsecond gap statistics
+    "gini_revenue",           # decimal-exact rank-formula concentration
+    "decile_revenue_lift",    # NTILE lift table over entity aggregates
+    "benford_order_totals",   # first-digit DQ audit
+    "histogram_order_totals", # clamped equi-width histogram
 ]
 
 
