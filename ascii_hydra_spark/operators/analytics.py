@@ -58,8 +58,11 @@ def gini_coefficient(
         F.sum(F.col("__i").cast("decimal(18,0)") * F.col("__x")).alias("__six"),
     )
     n = F.col("n").cast("double")
+    # nullif guards ANSI divide-by-zero: Gini is undefined on an all-zero
+    # population (hypothesis-found edge), surfaced as NULL not an error
+    sx = F.nullif(F.col("__sx").cast("double"), F.lit(0.0))
     gini = (
-        F.lit(2.0) * F.col("__six").cast("double") / (n * F.col("__sx").cast("double"))
+        F.lit(2.0) * F.col("__six").cast("double") / (n * sx)
         - (n + F.lit(1.0)) / n
     )
     return agg.select("n", F.round(gini, 6).alias("gini"))

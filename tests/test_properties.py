@@ -274,3 +274,104 @@ def test_substring_dedup_invariants(spark, texts, window):
         orig_tokens = len([t for t in texts[r.doc_id].split() if t])
         assert r.n_tokens_kept + r.n_tokens_removed == orig_tokens
         assert r.n_tokens_kept == len([t for t in r.text_clean.split() if t])
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=6))
+def test_normalize_text_idempotent_and_closed(spark, texts):
+    """normalize(normalize(x)) == normalize(x), and the output alphabet is
+    exactly [a-z0-9 ] with no leading/trailing/double spaces."""
+    from ascii_hydra_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    once = normalize_text(df).select("doc_id", F.col("text_norm").alias("text"))
+    twice = normalize_text(once).collect()
+    for r in twice:
+        assert r["text_norm"] == r["text"]
+        assert re.fullmatch(r"[a-z0-9]+( [a-z0-9]+)*", r["text"]) or r["text"] == ""
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.text(alphabet="ab ", min_size=1, max_size=30), min_size=1, max_size=6))
+def test_token_entropy_bounds(spark, texts):
+    """0 <= H <= ln(n_distinct_tokens); equality at 0 iff one distinct token."""
+    import math
+
+    from ascii_hydra_spark.operators.text import token_entropy
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    rows = token_entropy(df).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    for i, t in enumerate(texts):
+        toks = _ascii_ws_split(t)
+        if not toks:
+            assert i not in by_id
+            continue
+        r = by_id[i]
+        distinct = len(set(toks))
+        assert -1e-9 <= r["entropy"] <= math.log(distinct) + 1e-9
+        if distinct == 1:
+            assert r["entropy"] == 0.0
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.just(0.0),
+            st.floats(min_value=1.0, max_value=1e6, allow_nan=False),
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_gini_bounds_and_scale_invariance(spark, values):
+    """Gini is within [0, (n-1)/n] and invariant under scaling all values
+    (values are either 0 or >= 1 so the 2-dp decimal quantization is
+    negligible relative to the statistic)."""
+    from ascii_hydra_spark.operators.analytics import gini_coefficient
+
+    n = len(values)
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "k long, v double")
+    g1 = gini_coefficient(df, "v", "k").collect()[0]
+    assert g1["n"] == n
+    # the operator quantizes to 2-dp DECIMAL; a population that rounds to
+    # all-zero is undefined and must surface as NULL (not a divide error)
+    if g1["gini"] is None:
+        assert all(v == 0.0 for v in values)  # undefined iff all-zero
+        return
+    assert -1e-6 <= g1["gini"] <= (n - 1) / n + 1e-6
+    df2 = spark.createDataFrame(
+        [(i, v * 3.0) for i, v in enumerate(values)], "k long, v double"
+    )
+    g2 = gini_coefficient(df2, "v", "k").collect()[0]
+    # 2-dp decimal quantization bounds the scale-invariance error
+    assert abs(g1["gini"] - g2["gini"]) < 1e-3
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.floats(min_value=-1e5, max_value=1e5, allow_nan=False), min_size=1, max_size=40))
+def test_histogram_preserves_count_and_bucket_range(spark, values):
+    from ascii_hydra_spark.operators.analytics import equi_width_histogram
+
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    rows = equi_width_histogram(df, "v", 0.0, 100.0, 10).collect()
+    assert sum(r["n_obs"] for r in rows) == len(values)
+    assert all(0 <= r["bucket"] <= 9 for r in rows)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.sampled_from("AB"), min_size=1, max_size=25))
+def test_event_runs_match_python_rle(spark, states):
+    """n_runs / longest_run must equal a plain Python run-length encoding."""
+    from itertools import groupby
+
+    from ascii_hydra_spark.operators.windows import run_length_stats
+
+    df = spark.createDataFrame(
+        [(1, i, s) for i, s in enumerate(states)], "u long, seq long, state string"
+    )
+    row = run_length_stats(df, ["u"], [F.col("seq")], "state").collect()[0]
+    runs = [len(list(g)) for _, g in groupby(states)]
+    assert row["n_runs"] == len(runs)
+    assert row["longest_run"] == max(runs)
