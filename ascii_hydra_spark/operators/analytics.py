@@ -173,3 +173,127 @@ def decile_shares(
             F.round(cum / F.col("__t"), 6).alias("cum_share"),
         )
     )
+
+
+def profile_columns(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    *,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """(col_name, n_rows, n_null, n_distinct, min_d, max_d): one-pass
+    data-quality profile — the "what is in this table" scan every
+    ingestion pipeline runs first.
+
+    ONE aggregate pass computes every column's non-null count, distinct
+    count, and (numerics only) min/max; the single result row is then
+    unpivoted to long form with `stack` — so profiling N columns costs
+    one table scan, not N. With ``exact_distinct=False`` the distinct
+    counts switch to HLL `approx_count_distinct` — the 100 TB setting,
+    where an exact per-column distinct would shuffle the full table per
+    column (the exact form is partial-aggregated too, but its hash sets
+    grow with cardinality; HLL state is constant).
+    """
+    cols = list(columns or df.columns)
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName()
+        in ("byte", "short", "integer", "long", "float", "double", "decimal")
+    }
+    cnt = F.count_distinct if exact_distinct else F.approx_count_distinct
+    aggs = [F.count("*").alias("__rows")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        aggs.append(cnt(F.col(c)).alias(f"__nd_{c}"))
+        if c in numeric:
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"__mn_{c}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"__mx_{c}"))
+    one = df.agg(*aggs)
+    parts = []
+    for c in cols:
+        mn = f"`__mn_{c}`" if c in numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"`__mx_{c}`" if c in numeric else "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"'{c}', __rows - `__nn_{c}`, CAST(`__nd_{c}` AS BIGINT), {mn}, {mx}"
+        )
+    stacked = one.select(
+        F.col("__rows").cast("bigint").alias("n_rows"),
+        F.expr(
+            f"stack({len(cols)}, {', '.join(parts)}) AS "
+            "(col_name, n_null, n_distinct, min_d, max_d)"
+        ),
+    )
+    return stacked.select(
+        "col_name",
+        "n_rows",
+        F.col("n_null").cast("bigint").alias("n_null"),
+        "n_distinct",
+        "min_d",
+        "max_d",
+    )
+
+
+def time_to_convert(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+    from_type: str = "view",
+    to_type: str = "purchase",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """One row (n_from, n_converted, conv_rate, p50_s, p90_s): funnel
+    LATENCY — for each user, the gap between their first `from_type`
+    event and the first `to_type` event at-or-after it, summarized as a
+    conversion rate plus exact interpolated latency percentiles.
+
+    Join-free single-shuffle shape: a running min-of-from-event window
+    keyed by user tags every later row with the user's first `from_type`
+    time; the per-user aggregate (same partitioning, no second exchange)
+    takes the minimum gap over qualifying `to_type` rows. No broadcast of
+    anything user-sized — per-user state stays on its shuffle partition.
+    Gaps are exact integer microseconds converted once; the percentile is
+    Spark's exact `percentile` ≡ DuckDB `QUANTILE_CONT` (swap
+    `percentile_approx` at PB scale, same shape).
+    """
+    from ascii_hydra_spark.operators.windows import keyed_window
+
+    us = F.unix_micros(F.col(ts_col))
+    # the tiebreak makes the ROWS frame deterministic under equal
+    # timestamps — without it two engines may order a tied view/purchase
+    # differently and disagree on "at-or-after"
+    w = keyed_window([user_col], [F.col(ts_col), F.col(tiebreak)]).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    v_run = F.min(F.when(F.col(type_col) == from_type, us)).over(w)
+    tagged = events.select(
+        F.col(user_col),
+        F.col(type_col),
+        us.alias("__us"),
+        v_run.alias("__v"),
+    )
+    per_user = tagged.groupBy(user_col).agg(
+        F.max(F.col(type_col) == from_type).alias("__has_from"),
+        F.min(
+            F.when(
+                (F.col(type_col) == to_type) & F.col("__v").isNotNull(),
+                F.col("__us") - F.col("__v"),
+            )
+        ).alias("__gap_us"),
+    )
+    gaps = per_user.filter("__has_from").select(
+        (F.col("__gap_us").cast("double") / F.lit(1_000_000.0)).alias("gap_s")
+    )
+    return gaps.agg(
+        F.count("*").cast("bigint").alias("n_from"),
+        F.count("gap_s").cast("bigint").alias("n_converted"),
+        F.round(
+            F.count("gap_s").cast("double")
+            / F.nullif(F.count("*").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("conv_rate"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(gap_s, 0.9)"), 6).alias("p90_s"),
+    )

@@ -5847,6 +5847,75 @@ def tfidf_doc_neighbors(spark, sf_dir):
     )
 
 
+def _profile_stanza(col: str, numeric: bool) -> str:
+    mn = f"CAST(MIN({col}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+    mx = f"CAST(MAX({col}) AS DOUBLE)" if numeric else "CAST(NULL AS DOUBLE)"
+    return (
+        f"SELECT '{col}' AS col_name, COUNT(*)::BIGINT AS n_rows, "
+        f"(COUNT(*) - COUNT({col}))::BIGINT AS n_null, "
+        f"COUNT(DISTINCT {col})::BIGINT AS n_distinct, "
+        f"{mn} AS min_d, {mx} AS max_d FROM orders"
+    )
+
+
+_ORDERS_PROFILE_COLS = [
+    ("o_orderkey", True), ("o_custkey", True), ("o_orderstatus", False),
+    ("o_totalprice", True), ("o_orderdate", False), ("o_orderpriority", False),
+]
+
+
+@q(
+    "profile_orders_columns",
+    "\nUNION ALL\n".join(_profile_stanza(c, num) for c, num in _ORDERS_PROFILE_COLS),
+    "one-pass per-column DQ profile (null count, exact distinct, numeric "
+    "min/max): a single aggregate computes every column's stats, then one "
+    "stack() unpivots the row to long form — profiling N columns costs "
+    "one scan; the approx_count_distinct knob is the 100 TB form",
+)
+def profile_orders_columns(spark, sf_dir):
+    return analytics.profile_columns(
+        _t(spark, sf_dir, "orders"), [c for c, _ in _ORDERS_PROFILE_COLS]
+    )
+
+
+@q(
+    "time_to_convert_funnel",
+    """
+    WITH tagged AS (
+        SELECT user_id, event_type, EPOCH_US(ts) AS us,
+               MIN(CASE WHEN event_type = 'view' THEN EPOCH_US(ts) END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               BOOL_OR(event_type = 'view') AS has_from,
+               MIN(CASE WHEN event_type = 'purchase' AND v IS NOT NULL
+                        THEN us - v END) AS gap_us
+        FROM tagged GROUP BY user_id
+    ),
+    g AS (
+        SELECT CAST(gap_us AS DOUBLE) / 1000000.0 AS gap_s
+        FROM per_user WHERE has_from
+    )
+    SELECT COUNT(*)::BIGINT AS n_from, COUNT(gap_s)::BIGINT AS n_converted,
+           ROUND(CAST(COUNT(gap_s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS conv_rate,
+           ROUND(QUANTILE_CONT(gap_s, 0.5), 6) AS p50_s,
+           ROUND(QUANTILE_CONT(gap_s, 0.9), 6) AS p90_s
+    FROM g
+    """,
+    "funnel latency: per-user first view -> first purchase at-or-after it "
+    "via a running-min window (tiebroken by event_id so the ROWS frame is "
+    "engine-deterministic under tied timestamps), join-free single-shuffle "
+    "shape; gaps in exact integer microseconds, exact interpolated "
+    "percentile ≡ QUANTILE_CONT",
+)
+def time_to_convert_funnel(spark, sf_dir):
+    return analytics.time_to_convert(_t(spark, sf_dir, "events"))
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================

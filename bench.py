@@ -98,6 +98,8 @@ EXTRA = [
     "decile_revenue_lift",    # NTILE lift table over entity aggregates
     "benford_order_totals",   # first-digit DQ audit
     "histogram_order_totals", # clamped equi-width histogram
+    "profile_orders_columns", # one-pass per-column DQ profile
+    "time_to_convert_funnel", # join-free funnel latency percentiles
 ]
 
 

@@ -163,3 +163,49 @@ def test_tfidf_max_df_prunes_stop_terms(spark):
     assert retrieval.tfidf_doc_neighbors(df, threshold=0.1, max_df_ratio=1.0).count() == 0
     # (df == N gives idf = ln(1) = 0 weight — the term is kept but carries
     # nothing, so cosine is 0/0-guarded by the dot being exactly 0.0)
+
+
+def test_profile_columns_crafted(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "a", None), (3, None, 2.5), (3, "b", 4.0)],
+        "k long, s string, v double",
+    )
+    out = {r["col_name"]: r for r in analytics.profile_columns(df).collect()}
+    assert out["k"]["n_rows"] == 4 and out["k"]["n_null"] == 0
+    assert out["k"]["n_distinct"] == 3
+    assert (out["k"]["min_d"], out["k"]["max_d"]) == (1.0, 3.0)
+    assert out["s"]["n_null"] == 1 and out["s"]["n_distinct"] == 2
+    assert out["s"]["min_d"] is None and out["s"]["max_d"] is None
+    assert out["v"]["n_null"] == 1 and out["v"]["min_d"] == 1.5 and out["v"]["max_d"] == 4.0
+
+
+def test_profile_columns_approx_knob(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    row = analytics.profile_columns(df, exact_distinct=False).collect()[0]
+    assert abs(row["n_distinct"] - 500) <= 25  # HLL default rsd ~= 5%
+
+
+def test_time_to_convert_crafted(spark):
+    rows = [
+        # user 1: purchase BEFORE first view must be ignored; converts in 30 s
+        (1, "2024-01-01 00:00:00", 1, "purchase"),
+        (1, "2024-01-01 00:01:00", 2, "view"),
+        (1, "2024-01-01 00:01:30", 3, "purchase"),
+        (1, "2024-01-01 00:09:00", 4, "purchase"),  # later one ignored (min gap)
+        # user 2: views, never converts
+        (2, "2024-01-01 00:00:00", 5, "view"),
+        # user 3: purchases only -> not in the funnel population
+        (3, "2024-01-01 00:00:00", 6, "purchase"),
+        # user 4: converts in 90 s
+        (4, "2024-01-01 00:00:00", 7, "view"),
+        (4, "2024-01-01 00:01:30", 8, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    row = analytics.time_to_convert(df).collect()[0]
+    assert row["n_from"] == 3          # users 1, 2, 4
+    assert row["n_converted"] == 2     # users 1 (30 s) and 4 (90 s)
+    assert row["conv_rate"] == pytest.approx(2 / 3, abs=1e-6)
+    assert row["p50_s"] == pytest.approx(60.0, abs=1e-6)   # interpolated mid
+    assert row["p90_s"] == pytest.approx(84.0, abs=1e-6)   # 30 + 0.9*60
