@@ -8,7 +8,7 @@ which both scales better than per-row NLP UDFs and stays DuckDB-oracle-able.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ascii_hydra_spark.operators.lineage import truncate_lineage
 from ascii_hydra_spark.functions import (
@@ -566,3 +566,61 @@ def normalize_text(
     c = F.regexp_replace(c, r"[^a-z0-9\s]", "")
     c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return docs.withColumn(out_col, c)
+
+
+def distinctive_terms(
+    docs: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 5,
+    min_count: int = 10,
+) -> DataFrame:
+    """(group, term, n, lift, rank): the top-k most DISTINCTIVE terms per
+    group by log-lift ln(p(term|group) / p(term)) — keyness analysis:
+    "what vocabulary marks this language/source apart", the standard
+    corpus-comparison diagnostic (cf. Dunning 1993's signed root being
+    the significance-weighted variant).
+
+    lift = ln((c_gt * C) / (C_g * c_t)) with all four counts exact
+    integers, so both engines take one ln of the same double ratio. Terms
+    under `min_count` in-group are excluded (rare-term lift is noise).
+    Ranking is per-group over a vocabulary-bounded table — the window
+    partitions by group, never globally.
+
+    Scale: one corpus-sized (group, term) count; marginals are group- and
+    vocabulary-bounded broadcasts.
+    """
+    gt = (
+        docs.select(F.col(group_col).alias("grp"), F.explode(word_tokens(text_col)).alias("term"))
+        .groupBy("grp", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    gt = truncate_lineage(gt)  # three marginals below reuse it
+    g_tot = gt.groupBy("grp").agg(F.sum("n").alias("__cg"))
+    t_tot = gt.groupBy("term").agg(F.sum("n").alias("__ct"))
+    c_tot = gt.agg(F.sum("n").alias("__c"))
+    scored = (
+        gt.filter(F.col("n") >= min_count)
+        .join(F.broadcast(g_tot), "grp")
+        .join(F.broadcast(t_tot), "term")
+        .crossJoin(F.broadcast(c_tot))
+        .select(
+            "grp",
+            "term",
+            "n",
+            F.round(
+                F.log(
+                    (F.col("n") * F.col("__c")).cast("double")
+                    / (F.col("__cg") * F.col("__ct")).cast("double")
+                ),
+                6,
+            ).alias("lift"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("lift"), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= top_k)
+        .withColumnRenamed("grp", group_col)
+    )

@@ -265,3 +265,38 @@ def interarrival_stats(
         (avg_us.cast("double") / F.lit(1_000_000.0)).alias("avg_gap_s"),
         (F.col("__mx").cast("double") / F.lit(1_000_000.0)).alias("max_gap_s"),
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    keys: Sequence[str],
+    order: Sequence[Column],
+    state_col: str,
+) -> DataFrame:
+    """(from_state, to_state, n_trans, prob): first-order Markov
+    transition counts and row-normalized probabilities over consecutive
+    `state_col` values within `keys` — the behavioral "what happens after
+    X" matrix (session-path mining).
+
+    One lag window (keyed shuffle) + a state-pair groupBy; the per-from
+    totals are a states²-bounded aggregate broadcast back, so the
+    normalization adds no corpus-sized shuffle. The probability is an
+    exact-integer ratio divided once, rounded to 6 dp.
+    """
+    w = keyed_window(list(keys), order)
+    prev = F.lag(F.col(state_col)).over(w)
+    pairs = (
+        df.select(prev.alias("from_state"), F.col(state_col).alias("to_state"))
+        .filter(F.col("from_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count("*").alias("n_trans"))
+    )
+    totals = pairs.groupBy("from_state").agg(F.sum("n_trans").alias("__row_n"))
+    return pairs.join(F.broadcast(totals), "from_state").select(
+        "from_state",
+        "to_state",
+        "n_trans",
+        F.round(
+            F.col("n_trans").cast("double") / F.col("__row_n").cast("double"), 6
+        ).alias("prob"),
+    )

@@ -5916,6 +5916,69 @@ def time_to_convert_funnel(spark, sf_dir):
     return analytics.time_to_convert(_t(spark, sf_dir, "events"))
 
 
+@q(
+    "event_transitions",
+    """
+    WITH p AS (
+        SELECT LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS from_state,
+               event_type AS to_state
+        FROM events
+    ),
+    c AS (
+        SELECT from_state, to_state, COUNT(*)::BIGINT AS n_trans
+        FROM p WHERE from_state IS NOT NULL GROUP BY from_state, to_state
+    ),
+    t AS (SELECT from_state, SUM(n_trans) AS row_n FROM c GROUP BY from_state)
+    SELECT c.from_state, c.to_state, c.n_trans,
+           ROUND(CAST(c.n_trans AS DOUBLE) / CAST(t.row_n AS DOUBLE), 6) AS prob
+    FROM c JOIN t USING (from_state)
+    """,
+    "first-order Markov transition matrix over per-user event sequences "
+    "(lag window + pair count); probabilities row-normalized by a "
+    "states²-bounded broadcast — exact-integer ratio, one division",
+)
+def event_transitions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return windows.transition_matrix(
+        ev, ["user_id"], [F.col("ts"), F.col("event_id")], "event_type"
+    )
+
+
+@q(
+    "distinctive_terms_by_lang",
+    f"""
+    WITH toks AS (SELECT lang AS grp, UNNEST({_TOKS}) AS term FROM documents),
+    gt AS (SELECT grp, term, COUNT(*)::BIGINT AS n FROM toks GROUP BY grp, term),
+    g AS (SELECT grp, SUM(n) AS cg FROM gt GROUP BY grp),
+    t AS (SELECT term, SUM(n) AS ct FROM gt GROUP BY term),
+    c AS (SELECT SUM(n) AS ctot FROM gt),
+    s AS (
+        SELECT gt.grp, gt.term, gt.n,
+               ROUND(LN(CAST(gt.n * c.ctot AS DOUBLE)
+                        / CAST(g.cg * t.ct AS DOUBLE)), 6) AS lift
+        FROM gt JOIN g USING (grp) JOIN t USING (term) CROSS JOIN c
+        WHERE gt.n >= 10
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY grp ORDER BY lift DESC, term) AS rnk
+        FROM s
+    )
+    SELECT grp AS lang, term, n, lift, CAST(rnk AS BIGINT) AS rank
+    FROM r WHERE rnk <= 5
+    """,
+    "keyness: top-5 most distinctive terms per language by log-lift "
+    "ln(p(term|lang)/p(term)) = ln(c_gt*C / (C_g*c_t)) — exact-integer "
+    "ratio, one ln; ranked on the 6-dp-ROUNDED lift with a term tiebreak "
+    "so the per-group cut is engine-stable",
+)
+def distinctive_terms_by_lang(spark, sf_dir):
+    return text.distinctive_terms(
+        _t(spark, sf_dir, "documents"), "lang", top_k=5, min_count=10
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================

@@ -100,6 +100,8 @@ EXTRA = [
     "histogram_order_totals", # clamped equi-width histogram
     "profile_orders_columns", # one-pass per-column DQ profile
     "time_to_convert_funnel", # join-free funnel latency percentiles
+    "event_transitions",      # Markov transition matrix (lag + pair count)
+    "distinctive_terms_by_lang",  # log-lift keyness per group
 ]
 
 

@@ -209,3 +209,31 @@ def test_time_to_convert_crafted(spark):
     assert row["conv_rate"] == pytest.approx(2 / 3, abs=1e-6)
     assert row["p50_s"] == pytest.approx(60.0, abs=1e-6)   # interpolated mid
     assert row["p90_s"] == pytest.approx(84.0, abs=1e-6)   # 30 + 0.9*60
+
+
+def test_transition_matrix_crafted(spark):
+    rows = [(1, i, s) for i, s in enumerate(["A", "B", "B", "C"])]
+    rows += [(2, 0, "A"), (2, 1, "C")]
+    df = spark.createDataFrame(rows, "u long, seq long, state string")
+    out = {(r["from_state"], r["to_state"]): r
+           for r in windows.transition_matrix(df, ["u"], [F.col("seq")], "state").collect()}
+    assert out[("A", "B")]["n_trans"] == 1
+    assert out[("A", "B")]["prob"] == pytest.approx(0.5)   # A -> {B, C}
+    assert out[("A", "C")]["prob"] == pytest.approx(0.5)
+    assert out[("B", "B")]["prob"] == pytest.approx(0.5)   # B -> {B, C}
+    assert out[("B", "C")]["prob"] == pytest.approx(0.5)
+    assert ("C", "A") not in out  # last states emit nothing
+
+
+def test_distinctive_terms_exact_lift(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b", "X"), (2, "b b c", "Y")],
+        "doc_id long, text string, lang string",
+    )
+    rows = text.distinctive_terms(df, "lang", top_k=5, min_count=1).collect()
+    out = {(r["lang"], r["term"]): r for r in rows}
+    # C=6, C_X=C_Y=3; lift(X,a) = ln(2*6/(3*2)) = ln 2
+    assert out[("X", "a")]["lift"] == pytest.approx(math.log(2), abs=1e-6)
+    assert out[("Y", "c")]["lift"] == pytest.approx(math.log(2), abs=1e-6)
+    assert out[("X", "b")]["lift"] == pytest.approx(math.log(2 / 3), abs=1e-6)
+    assert out[("X", "a")]["rank"] == 1 and out[("X", "b")]["rank"] == 2
