@@ -297,3 +297,51 @@ def time_to_convert(
         F.round(F.expr("percentile(gap_s, 0.5)"), 6).alias("p50_s"),
         F.round(F.expr("percentile(gap_s, 0.9)"), 6).alias("p90_s"),
     )
+
+
+def seasonal_rate_anomalies(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    threshold: float = 2.0,
+) -> DataFrame:
+    """(day, hour, n_events, z): (day, hour-of-day) event-rate buckets
+    whose count deviates from that hour's cross-day baseline by
+    |z| >= threshold — seasonal anomaly detection for ingestion
+    monitoring (a quiet 3 am bucket is normal; a quiet 3 PM one is an
+    outage).
+
+    The baseline moments are computed EXACTLY: per hour-of-day,
+    n_days / sum(count) / sum(count²) are integers, so mean and sample
+    variance derive from identical integer inputs on any engine and
+    z = (x - mu) / sd is reproducible without a rounding hazard (one
+    division chain, 6-dp round at the end). Shapes: one corpus-sized
+    groupBy to (day, hour) buckets, then a 24-row baseline broadcast.
+    Degenerate hours (one day, or zero variance) emit no anomaly.
+    """
+    buckets = events.groupBy(
+        F.to_date(F.col(ts_col)).alias("day"),
+        F.hour(F.col(ts_col)).alias("hour"),
+    ).agg(F.count("*").cast("bigint").alias("n_events"))
+    base = buckets.groupBy("hour").agg(
+        F.count("*").alias("__days"),
+        F.sum("n_events").alias("__sx"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("__sxx"),
+    )
+    joined = buckets.join(F.broadcast(base), "hour")
+    days = F.col("__days").cast("double")
+    mu = F.col("__sx").cast("double") / days
+    # sample variance from exact integer moments:
+    # var = (n*sxx - sx^2) / (n*(n-1))
+    var_num = (F.col("__days") * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(
+        "double"
+    )
+    var = var_num / (days * (days - F.lit(1.0)))
+    sd = F.nullif(F.sqrt(var), F.lit(0.0))  # degenerate hours -> NULL z
+    z = F.round((F.col("n_events").cast("double") - mu) / sd, 6)
+    return (
+        joined.withColumn("z", z)
+        .filter(F.col("__days") >= 2)
+        .filter(F.abs(F.col("z")) >= F.lit(float(threshold)))
+        .select("day", "hour", "n_events", "z")
+    )

@@ -173,3 +173,33 @@ def top_ranked(ranks: DataFrame, k: int = 10) -> DataFrame:
         .orderBy(F.desc("rank"), F.col("node"))
         .limit(k)
     )
+
+
+def powerlaw_alpha(
+    degrees: DataFrame, degree_col: str = "degree", d_min: int = 1
+) -> DataFrame:
+    """One row (n_nodes, alpha, sigma): continuous maximum-likelihood
+    power-law exponent of a degree distribution (Clauset-Shalizi-Newman
+    2009, eq. 3.1): alpha = 1 + n / sum(ln(d / (d_min - 0.5))) over
+    degrees >= d_min, with standard error sigma = (alpha - 1) / sqrt(n).
+
+    The scale-free test every large graph gets before algorithm choice
+    (hub-safe strategies like the oriented triangle count matter exactly
+    when alpha < 3). One filter + one aggregate over the (already
+    node-cardinality) degree table; the only float accumulation is the
+    per-partition partial sum of ln terms, rounded to 6 dp in the output.
+    """
+    shift = float(d_min) - 0.5
+    filt = degrees.filter(F.col(degree_col) >= d_min)
+    agg = filt.agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.sum(F.log(F.col(degree_col).cast("double") / F.lit(shift))).alias("__s"),
+    )
+    alpha = F.lit(1.0) + agg.n_nodes.cast("double") / F.col("__s")
+    return agg.select(
+        "n_nodes",
+        F.round(alpha, 6).alias("alpha"),
+        F.round(
+            (alpha - F.lit(1.0)) / F.sqrt(F.col("n_nodes").cast("double")), 6
+        ).alias("sigma"),
+    )

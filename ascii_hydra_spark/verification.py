@@ -5979,6 +5979,82 @@ def distinctive_terms_by_lang(spark, sf_dir):
     )
 
 
+@q(
+    "powerlaw_alpha_degrees",
+    """
+    WITH deg AS (
+        SELECT l_suppkey AS node, COUNT(DISTINCT o_custkey) AS degree
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_suppkey
+    ),
+    a AS (
+        SELECT COUNT(*)::BIGINT AS n_nodes,
+               SUM(LN(CAST(degree AS DOUBLE) / 0.5)) AS s
+        FROM deg WHERE degree >= 1
+    )
+    SELECT n_nodes,
+           ROUND(1.0 + CAST(n_nodes AS DOUBLE) / s, 6) AS alpha,
+           ROUND((1.0 + CAST(n_nodes AS DOUBLE) / s - 1.0)
+                 / SQRT(CAST(n_nodes AS DOUBLE)), 6) AS sigma
+    FROM a
+    """,
+    "continuous MLE power-law exponent (Clauset-Shalizi-Newman eq. 3.1) "
+    "of the supplier->customer degree distribution, alpha = 1 + n/sum "
+    "ln(d/(d_min-.5)) with its standard error — the scale-free test that "
+    "decides hub-safe algorithm choices; one filter + one aggregate",
+)
+def powerlaw_alpha_degrees(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    deg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_suppkey").alias("node"))
+        .agg(F.countDistinct("o_custkey").alias("degree"))
+    )
+    return graph.powerlaw_alpha(deg, "degree", d_min=1)
+
+
+@q(
+    "hourly_rate_anomalies",
+    """
+    WITH b AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+               COUNT(*)::BIGINT AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT hour, COUNT(*) AS days, SUM(n_events) AS sx,
+               SUM(n_events * n_events) AS sxx
+        FROM b GROUP BY hour
+    ),
+    j AS (
+        SELECT b.day, b.hour, b.n_events, s.days,
+               ROUND((CAST(b.n_events AS DOUBLE)
+                      - CAST(s.sx AS DOUBLE) / CAST(s.days AS DOUBLE))
+                     / NULLIF(SQRT(CAST(s.days * s.sxx - s.sx * s.sx AS DOUBLE)
+                                   / (CAST(s.days AS DOUBLE)
+                                      * (CAST(s.days AS DOUBLE) - 1.0))),
+                              0.0), 6) AS z
+        FROM b JOIN s USING (hour)
+    )
+    SELECT CAST(day AS VARCHAR) AS day, hour, n_events, z
+    FROM j WHERE days >= 2 AND ABS(z) >= 1.5
+    """,
+    "seasonal rate anomalies: (day, hour) buckets vs that hour-of-day's "
+    "cross-day baseline; mean/variance from EXACT integer moments "
+    "(n, sum, sum-of-squares), so z is one reproducible division chain; "
+    "24-row baseline broadcast, degenerate hours emit nothing",
+)
+def hourly_rate_anomalies(spark, sf_dir):
+    out = analytics.seasonal_rate_anomalies(
+        _t(spark, sf_dir, "events"), threshold=1.5
+    )
+    # DATE canonicalization differs between the two Arrow paths; compare
+    # as ISO strings (yyyy-MM-dd on both engines)
+    return out.withColumn("day", F.col("day").cast("string"))
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================

@@ -102,6 +102,8 @@ EXTRA = [
     "time_to_convert_funnel", # join-free funnel latency percentiles
     "event_transitions",      # Markov transition matrix (lag + pair count)
     "distinctive_terms_by_lang",  # log-lift keyness per group
+    "powerlaw_alpha_degrees", # CSN scale-free exponent MLE
+    "hourly_rate_anomalies",  # exact-moment seasonal z anomalies
 ]
 
 

@@ -237,3 +237,39 @@ def test_distinctive_terms_exact_lift(spark):
     assert out[("Y", "c")]["lift"] == pytest.approx(math.log(2), abs=1e-6)
     assert out[("X", "b")]["lift"] == pytest.approx(math.log(2 / 3), abs=1e-6)
     assert out[("X", "a")]["rank"] == 1 and out[("X", "b")]["rank"] == 2
+
+
+def test_powerlaw_alpha_closed_form(spark):
+    from ascii_hydra_spark.operators import graph
+
+    # degrees 1,2,4: s = ln2 + ln4 + ln8 = 6 ln2; alpha = 1 + 3/(6 ln2)
+    df = spark.createDataFrame([(1, 1), (2, 2), (3, 4)], "node long, degree int")
+    row = graph.powerlaw_alpha(df, "degree").collect()[0]
+    expect = 1.0 + 3.0 / (6.0 * math.log(2))
+    assert row["n_nodes"] == 3
+    assert row["alpha"] == pytest.approx(expect, abs=1e-6)
+    assert row["sigma"] == pytest.approx((expect - 1) / math.sqrt(3), abs=1e-6)
+
+
+def test_seasonal_rate_anomalies_crafted(spark):
+    # hour 0 on 3 days with 2/2/8 events: mu=4, sd=sqrt(12) -> z=[-.577,-.577,1.155]
+    rows = []
+    eid = 0
+    for day, k in (("01", 2), ("02", 2), ("03", 8)):
+        for _ in range(k):
+            rows.append((f"2024-01-{day} 00:15:00", eid))
+            eid += 1
+    df = spark.createDataFrame(rows, "ts string, event_id long").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = analytics.seasonal_rate_anomalies(df, threshold=1.0).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (str(r["day"]), r["hour"], r["n_events"]) == ("2024-01-03", 0, 8)
+    assert r["z"] == pytest.approx(4.0 / math.sqrt(12.0), abs=1e-6)
+    # single-day hours and zero-variance hours emit nothing
+    df2 = spark.createDataFrame(
+        [("2024-01-01 05:00:00", 1), ("2024-01-02 05:00:00", 2)],
+        "ts string, event_id long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    assert analytics.seasonal_rate_anomalies(df2, threshold=0.1).count() == 0

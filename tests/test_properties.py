@@ -309,7 +309,10 @@ def test_token_entropy_bounds(spark, texts):
             continue
         r = by_id[i]
         distinct = len(set(toks))
-        assert -1e-9 <= r["entropy"] <= math.log(distinct) + 1e-9
+        # the operator rounds H to 6 dp, which may exceed ln(distinct) by
+        # up to half an ulp of that grid (hypothesis found 'ab ba aa a b':
+        # H = ln 5 rounds UP to 1.609438)
+        assert -1e-9 <= r["entropy"] <= math.log(distinct) + 5e-7
         if distinct == 1:
             assert r["entropy"] == 0.0
 
