@@ -6138,6 +6138,12 @@ _ROUND5_QUEUE: tuple[str, ...] = (
     "tfidf_doc_neighbors",
 )
 
+# Round-6 pool: entries added after the round-5 queue filled. They sit in
+# the registry tail (position 96+) — local-suite-checked every round — and
+# are the first candidates when the round-6 rotation is assembled:
+# profile_orders_columns, time_to_convert_funnel, event_transitions,
+# distinctive_terms_by_lang, powerlaw_alpha_degrees, hourly_rate_anomalies.
+
 # Frozen record of every name with a driver-green row (rows+schema, no
 # error) in CORRECTNESS_r01-r03. Guards below reject a rotation slot spent
 # on an already-green name. collect_sorted is deliberately absent (it
