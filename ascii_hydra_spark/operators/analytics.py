@@ -345,3 +345,88 @@ def seasonal_rate_anomalies(
         .filter(F.abs(F.col("z")) >= F.lit(float(threshold)))
         .select("day", "hour", "n_events", "z")
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str,
+    *,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+) -> DataFrame:
+    """One row (n, lo_bound, hi_bound, n_clipped, mean_raw, mean_wins):
+    winsorized mean — values outside the [p_lo, p_hi] exact percentiles
+    are clipped to the boundary before averaging, the standard
+    heavy-tail-robust cleaning step before training-weight or revenue
+    statistics.
+
+    The percentile bounds are ONE aggregate row broadcast back (same
+    shape as `relational.quantile_buckets`); clipped values accumulate in
+    DECIMAL(18,6) (the interpolated boundary has more than money's 2 dp)
+    so the mean is partition-order-independent.
+    """
+    bounds = df.agg(
+        F.expr(f"percentile({value_col}, {float(p_lo)!r})").alias("__lo"),
+        F.expr(f"percentile({value_col}, {float(p_hi)!r})").alias("__hi"),
+    )
+    x = F.col(value_col).cast("double")
+    clipped = F.least(F.greatest(x, F.col("__lo")), F.col("__hi"))
+    return (
+        df.join(F.broadcast(bounds))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.min("__lo"), 6).alias("lo_bound"),
+            F.round(F.min("__hi"), 6).alias("hi_bound"),
+            F.sum(
+                ((x < F.col("__lo")) | (x > F.col("__hi"))).cast("bigint")
+            ).alias("n_clipped"),
+            F.round(
+                F.sum(x.cast("decimal(18,6)")).cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("mean_raw"),
+            F.round(
+                F.sum(clipped.cast("decimal(18,6)")).cast("double")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("mean_wins"),
+        )
+    )
+
+
+def contingency_chi2(
+    df: DataFrame, row_col: str, col_col: str
+) -> DataFrame:
+    """(row_v, col_v, n_obs, expected, chi2_term): full contingency table
+    of two categoricals with each cell's independence-test contribution
+    (o - e)^2 / e, e = row_total * col_total / grand_total — the
+    chi-square dependence screen between dimensions.
+
+    One corpus-sized (row, col) count; marginals are category-bounded
+    broadcasts; expected/chi2 derive from exact integer counts in a fixed
+    division order, 6-dp-rounded.
+    """
+    cells = (
+        df.select(F.col(row_col).alias("row_v"), F.col(col_col).alias("col_v"))
+        .groupBy("row_v", "col_v")
+        .agg(F.count("*").cast("bigint").alias("n_obs"))
+    )
+    rows_t = cells.groupBy("row_v").agg(F.sum("n_obs").alias("__rt"))
+    cols_t = cells.groupBy("col_v").agg(F.sum("n_obs").alias("__ct"))
+    grand = cells.agg(F.sum("n_obs").alias("__g"))
+    joined = (
+        cells.join(F.broadcast(rows_t), "row_v")
+        .join(F.broadcast(cols_t), "col_v")
+        .crossJoin(F.broadcast(grand))
+    )
+    expected = (F.col("__rt") * F.col("__ct")).cast("double") / F.col("__g").cast(
+        "double"
+    )
+    diff = F.col("n_obs").cast("double") - expected
+    return joined.select(
+        "row_v",
+        "col_v",
+        "n_obs",
+        F.round(expected, 6).alias("expected"),
+        F.round(diff * diff / expected, 6).alias("chi2_term"),
+    )

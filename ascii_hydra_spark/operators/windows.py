@@ -300,3 +300,36 @@ def transition_matrix(
             F.col("n_trans").cast("double") / F.col("__row_n").cast("double"), 6
         ).alias("prob"),
     )
+
+
+def session_ids(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    tiebreak: str,
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Tag each row with a per-key `session_id`: a new session starts when
+    the gap to the previous event exceeds `gap_s` seconds (the classic
+    30-minute web-analytics rule). session_id = running count of
+    session-starts — one lag window and one running sum over the SAME
+    keyed sort, so the operator costs a single shuffle.
+
+    This is the window formulation (every row keeps its session id — the
+    input granularity survives); `streaming.sessionize` is the aggregate
+    formulation (one row per session) that also runs incrementally on a
+    stream. Both implement the same gap rule.
+    """
+    w = keyed_window(list(keys), [F.col(ts_col), F.col(tiebreak)])
+    us = F.unix_micros(F.col(ts_col))
+    is_new = (
+        F.when(
+            (us - F.lag(us).over(w)) > F.lit(int(gap_s) * 1_000_000), 1
+        )
+        .otherwise(0)
+        + F.when(F.lag(us).over(w).isNull(), 1).otherwise(0)
+    )
+    run = keyed_window(list(keys), [F.col(ts_col), F.col(tiebreak)]).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return df.withColumn("session_id", F.sum(is_new).over(run).cast("bigint"))

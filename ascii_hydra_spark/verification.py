@@ -6055,6 +6055,114 @@ def hourly_rate_anomalies(spark, sf_dir):
     return out.withColumn("day", F.col("day").cast("string"))
 
 
+@q(
+    "winsorized_order_totals",
+    """
+    WITH b AS (
+        SELECT QUANTILE_CONT(o_totalprice, 0.05) AS lo,
+               QUANTILE_CONT(o_totalprice, 0.95) AS hi
+        FROM orders
+    ),
+    j AS (SELECT o.o_totalprice AS x, b.lo, b.hi FROM orders o CROSS JOIN b)
+    SELECT COUNT(*)::BIGINT AS n,
+           ROUND(MIN(lo), 6) AS lo_bound, ROUND(MIN(hi), 6) AS hi_bound,
+           SUM(CASE WHEN x < lo OR x > hi THEN 1 ELSE 0 END)::BIGINT AS n_clipped,
+           ROUND(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_raw,
+           ROUND(CAST(SUM(CAST(LEAST(GREATEST(x, lo), hi) AS DECIMAL(18,6)))
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_wins
+    FROM j
+    """,
+    "winsorized mean: clip at the exact [p05, p95] percentiles (one "
+    "1-row bounds broadcast, same shape as quantile_buckets), clipped "
+    "values accumulate in DECIMAL(18,6) so the mean is partition-order-"
+    "independent",
+)
+def winsorized_order_totals(spark, sf_dir):
+    return analytics.winsorized_stats(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+@q(
+    "segment_priority_chi2",
+    """
+    WITH cells AS (
+        SELECT c.c_mktsegment AS row_v, o.o_orderpriority AS col_v,
+               COUNT(*)::BIGINT AS n_obs
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    rt AS (SELECT row_v, SUM(n_obs) AS r_t FROM cells GROUP BY row_v),
+    ct AS (SELECT col_v, SUM(n_obs) AS c_t FROM cells GROUP BY col_v),
+    g AS (SELECT SUM(n_obs) AS gt FROM cells)
+    SELECT cells.row_v, cells.col_v, cells.n_obs,
+           ROUND(CAST(rt.r_t * ct.c_t AS DOUBLE) / CAST(g.gt AS DOUBLE), 6)
+               AS expected,
+           ROUND((CAST(cells.n_obs AS DOUBLE)
+                  - CAST(rt.r_t * ct.c_t AS DOUBLE) / CAST(g.gt AS DOUBLE))
+                 * (CAST(cells.n_obs AS DOUBLE)
+                    - CAST(rt.r_t * ct.c_t AS DOUBLE) / CAST(g.gt AS DOUBLE))
+                 / (CAST(rt.r_t * ct.c_t AS DOUBLE) / CAST(g.gt AS DOUBLE)), 6)
+               AS chi2_term
+    FROM cells JOIN rt USING (row_v) JOIN ct USING (col_v) CROSS JOIN g
+    """,
+    "chi-square contingency screen between market segment and order "
+    "priority: full cell table with per-cell (o-e)^2/e contributions, "
+    "e = row*col/grand from exact integer marginals (category-bounded "
+    "broadcasts)",
+)
+def segment_priority_chi2(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(c, o.o_custkey == c.c_custkey)
+    return analytics.contingency_chi2(joined, "c_mktsegment", "o_orderpriority")
+
+
+@q(
+    "session_bounce_rate",
+    """
+    WITH e AS (SELECT user_id, ts, event_id, EPOCH_US(ts) AS us FROM events),
+    g AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(us) OVER w IS NULL
+                         OR us - LAG(us) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sid AS (
+        SELECT user_id,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS session_id
+        FROM g
+    ),
+    per AS (SELECT user_id, session_id, COUNT(*) AS n_ev FROM sid
+            GROUP BY user_id, session_id)
+    SELECT COUNT(*)::BIGINT AS n_sessions,
+           SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounce,
+           ROUND(CAST(SUM(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate
+    FROM per
+    """,
+    "gap-rule (30 min) session ids via lag + running count over ONE keyed "
+    "sort (the row-granularity sibling of streaming.sessionize's "
+    "aggregate form), then bounce rate = single-event sessions / all "
+    "sessions — exact integer counts, one division",
+)
+def session_bounce_rate(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    tagged = windows.session_ids(ev, ["user_id"], "ts", "event_id", gap_s=1800)
+    per = tagged.groupBy("user_id", "session_id").agg(F.count("*").alias("n_ev"))
+    return per.agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum((F.col("n_ev") == 1).cast("bigint")).alias("n_bounce"),
+        F.round(
+            F.sum((F.col("n_ev") == 1).cast("bigint")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("bounce_rate"),
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -6142,7 +6250,8 @@ _ROUND5_QUEUE: tuple[str, ...] = (
 # the registry tail (position 96+) — local-suite-checked every round — and
 # are the first candidates when the round-6 rotation is assembled:
 # profile_orders_columns, time_to_convert_funnel, event_transitions,
-# distinctive_terms_by_lang, powerlaw_alpha_degrees, hourly_rate_anomalies.
+# distinctive_terms_by_lang, powerlaw_alpha_degrees, hourly_rate_anomalies,
+# winsorized_order_totals, segment_priority_chi2, session_bounce_rate.
 
 # Frozen record of every name with a driver-green row (rows+schema, no
 # error) in CORRECTNESS_r01-r03. Guards below reject a rotation slot spent

@@ -104,6 +104,9 @@ EXTRA = [
     "distinctive_terms_by_lang",  # log-lift keyness per group
     "powerlaw_alpha_degrees", # CSN scale-free exponent MLE
     "hourly_rate_anomalies",  # exact-moment seasonal z anomalies
+    "winsorized_order_totals",# percentile-clip robust mean
+    "segment_priority_chi2",  # contingency chi-square screen
+    "session_bounce_rate",    # gap-rule session ids + bounce
 ]
 
 

@@ -273,3 +273,47 @@ def test_seasonal_rate_anomalies_crafted(spark):
         "ts string, event_id long",
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     assert analytics.seasonal_rate_anomalies(df2, threshold=0.1).count() == 0
+
+
+def test_winsorized_stats_clips_tails(spark):
+    # 1..9 plus an outlier 1000: p05/p95 of the 10 values via exact
+    # interpolation; the outlier must clip to hi, pulling mean_wins down
+    vals = [float(v) for v in range(1, 10)] + [1000.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    row = analytics.winsorized_stats(df, "v", p_lo=0.1, p_hi=0.9).collect()[0]
+    assert row["n"] == 10
+    assert row["n_clipped"] == 2            # 1 below p10=1.9, 1000 above p90=9.1... 
+    assert row["mean_raw"] == pytest.approx(sum(vals) / 10, abs=1e-6)
+    assert row["mean_wins"] < row["mean_raw"]
+    # h = (n-1)p: p10 -> x[0] + 0.9*(x[1]-x[0]); p90 -> x[8] + 0.1*(x[9]-x[8])
+    assert row["lo_bound"] == pytest.approx(1.9, abs=1e-6)
+    assert row["hi_bound"] == pytest.approx(108.1, abs=1e-6)
+
+
+def test_contingency_chi2_independent_uniform(spark):
+    # perfectly independent 2x2 with equal counts: expected == observed,
+    # every chi2 term is 0
+    rows = [(r, c) for r in "AB" for c in "XY" for _ in range(5)]
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = analytics.contingency_chi2(df, "r", "c").collect()
+    assert len(out) == 4
+    for cell in out:
+        assert cell["n_obs"] == 5
+        assert cell["expected"] == pytest.approx(5.0, abs=1e-9)
+        assert cell["chi2_term"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_session_ids_gap_rule(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1),
+        (1, "2024-01-01 00:10:00", 2),   # same session (10 min)
+        (1, "2024-01-01 01:00:00", 3),   # 50 min gap -> new session
+        (2, "2024-01-01 00:00:00", 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["event_id"]: r["session_id"] for r in
+           windows.session_ids(df, ["user_id"], "ts", "event_id").collect()}
+    assert out[1] == 1 and out[2] == 1 and out[3] == 2
+    assert out[4] == 1
