@@ -430,3 +430,73 @@ def contingency_chi2(
         F.round(expected, 6).alias("expected"),
         F.round(diff * diff / expected, 6).alias("chi2_term"),
     )
+
+
+def skew_report(
+    df: DataFrame, keys: list[str], top_n: int = 5
+) -> DataFrame:
+    """(rank, key_repr, n_rows, share, skew_ratio): the top-N heaviest
+    join/grouping keys with each key's row share and the global
+    max/mean skew ratio — the diagnostic that decides whether a join
+    needs `relational.salted_join` or AQE skew handling before it runs
+    at 100 TB (a skew_ratio near 1 means uniform keys; hundreds means a
+    hot key will straggle the shuffle).
+
+    One keyed count (map-side partial), one 3-value moment aggregate
+    broadcast back, one TakeOrdered for the top-N — nothing driver-side,
+    nothing proportional to key cardinality on a single node.
+    """
+    counts = df.groupBy(*keys).agg(F.count("*").alias("n_rows"))
+    moments = counts.agg(
+        F.count("*").alias("__k"),
+        F.sum("n_rows").alias("__t"),
+        F.max("n_rows").alias("__mx"),
+    )
+    joined = counts.crossJoin(F.broadcast(moments))
+    key_repr = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    ranked = joined.select(
+        key_repr.alias("key_repr"),
+        "n_rows",
+        F.round(F.col("n_rows").cast("double") / F.col("__t").cast("double"), 6).alias(
+            "share"
+        ),
+        F.round(
+            F.col("__mx").cast("double")
+            / (F.col("__t").cast("double") / F.col("__k").cast("double")),
+            6,
+        ).alias("skew_ratio"),
+    ).orderBy(F.desc("n_rows"), F.col("key_repr")).limit(top_n)
+    w = Window.orderBy(F.desc("n_rows"), F.col("key_repr"))  # <= top_n rows
+    return ranked.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+        "rank", "key_repr", "n_rows", "share", "skew_ratio"
+    )
+
+
+def herfindahl_index(df: DataFrame, value_col: str) -> DataFrame:
+    """One row (n, hhi, hhi_normalized): Herfindahl-Hirschman
+    concentration index sum(share_i^2) of an entity-level value column
+    (1/n = perfectly even, 1 = single holder), with the n-adjusted
+    variant (HHI - 1/n)/(1 - 1/n). The antitrust-style companion to
+    `gini_coefficient`, shuffle-free beyond one aggregate pair.
+
+    Shares derive from DECIMAL-exact value/total; the square-and-sum runs
+    in double (order-dependent at the last ulp, 6-dp-rounded like every
+    float statistic here).
+    """
+    vals = df.select(F.col(value_col).cast("decimal(18,2)").alias("__x"))
+    tot = vals.agg(F.sum("__x").alias("__t"), F.count("*").alias("__n"))
+    joined = vals.crossJoin(F.broadcast(tot))
+    share = F.col("__x").cast("double") / F.col("__t").cast("double")
+    agg = joined.agg(
+        F.min("__n").cast("bigint").alias("n"),
+        F.sum(share * share).alias("__hhi"),
+    )
+    inv_n = F.lit(1.0) / F.col("n").cast("double")
+    return agg.select(
+        "n",
+        F.round(F.col("__hhi"), 6).alias("hhi"),
+        # nullif: the normalized form is undefined for n = 1
+        F.round(
+            (F.col("__hhi") - inv_n) / F.nullif(F.lit(1.0) - inv_n, F.lit(0.0)), 6
+        ).alias("hhi_normalized"),
+    )

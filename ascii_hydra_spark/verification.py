@@ -6163,6 +6163,67 @@ def session_bounce_rate(spark, sf_dir):
     )
 
 
+@q(
+    "join_skew_report",
+    """
+    WITH c AS (
+        SELECT CAST(l_suppkey AS VARCHAR) AS key_repr, COUNT(*)::BIGINT AS n_rows
+        FROM lineitem GROUP BY 1
+    ),
+    m AS (SELECT COUNT(*) AS k, SUM(n_rows) AS t, MAX(n_rows) AS mx FROM c),
+    r AS (
+        SELECT key_repr, n_rows,
+               ROUND(CAST(n_rows AS DOUBLE) / CAST(t AS DOUBLE), 6) AS share,
+               ROUND(CAST(mx AS DOUBLE)
+                     / (CAST(t AS DOUBLE) / CAST(k AS DOUBLE)), 6) AS skew_ratio
+        FROM c CROSS JOIN m
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, key_repr) AS BIGINT)
+               AS rank,
+           key_repr, n_rows, share, skew_ratio
+    FROM r ORDER BY n_rows DESC, key_repr LIMIT 5
+    """,
+    "key-skew diagnostic: top-5 heaviest keys with row share and global "
+    "max/mean skew ratio — the pre-flight check that decides salted_join "
+    "vs plain shuffle; one keyed count + 3-value moment broadcast + "
+    "TakeOrdered",
+)
+def join_skew_report(spark, sf_dir):
+    return analytics.skew_report(_t(spark, sf_dir, "lineitem"), ["l_suppkey"], top_n=5)
+
+
+@q(
+    "hhi_revenue",
+    """
+    WITH rev AS (
+        SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+        FROM orders GROUP BY o_custkey
+    ),
+    t AS (SELECT SUM(x) AS tt, COUNT(*) AS n FROM rev),
+    s AS (
+        SELECT n, SUM((CAST(x AS DOUBLE) / CAST(tt AS DOUBLE))
+                      * (CAST(x AS DOUBLE) / CAST(tt AS DOUBLE))) AS hhi
+        FROM rev CROSS JOIN t GROUP BY n
+    )
+    SELECT CAST(n AS BIGINT) AS n, ROUND(hhi, 6) AS hhi,
+           ROUND((hhi - 1.0 / CAST(n AS DOUBLE))
+                 / (1.0 - 1.0 / CAST(n AS DOUBLE)), 6) AS hhi_normalized
+    FROM s
+    """,
+    "Herfindahl-Hirschman concentration of per-customer revenue: "
+    "sum(share^2) with the n-adjusted variant; shares from DECIMAL-exact "
+    "value/total, the square-sum 6-dp-rounded — the antitrust companion "
+    "to gini_revenue",
+)
+def hhi_revenue(spark, sf_dir):
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    return analytics.herfindahl_index(rev, "revenue")
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -6251,7 +6312,8 @@ _ROUND5_QUEUE: tuple[str, ...] = (
 # are the first candidates when the round-6 rotation is assembled:
 # profile_orders_columns, time_to_convert_funnel, event_transitions,
 # distinctive_terms_by_lang, powerlaw_alpha_degrees, hourly_rate_anomalies,
-# winsorized_order_totals, segment_priority_chi2, session_bounce_rate.
+# winsorized_order_totals, segment_priority_chi2, session_bounce_rate,
+# join_skew_report, hhi_revenue.
 
 # Frozen record of every name with a driver-green row (rows+schema, no
 # error) in CORRECTNESS_r01-r03. Guards below reject a rotation slot spent

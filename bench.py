@@ -107,6 +107,8 @@ EXTRA = [
     "winsorized_order_totals",# percentile-clip robust mean
     "segment_priority_chi2",  # contingency chi-square screen
     "session_bounce_rate",    # gap-rule session ids + bounce
+    "join_skew_report",       # hot-key pre-flight diagnostic
+    "hhi_revenue",            # Herfindahl concentration index
 ]
 
 

@@ -317,3 +317,35 @@ def test_session_ids_gap_rule(spark):
            windows.session_ids(df, ["user_id"], "ts", "event_id").collect()}
     assert out[1] == 1 and out[2] == 1 and out[3] == 2
     assert out[4] == 1
+
+
+def test_skew_report_hot_key(spark):
+    rows = [(1,)] * 80 + [(2,)] * 10 + [(3,)] * 10
+    df = spark.createDataFrame(rows, "k long")
+    out = analytics.skew_report(df, ["k"], top_n=2).collect()
+    assert [r["rank"] for r in out] == [1, 2]
+    top = out[0]
+    assert (top["key_repr"], top["n_rows"]) == ("1", 80)
+    assert top["share"] == pytest.approx(0.8, abs=1e-6)
+    # max/mean = 80 / (100/3)
+    assert top["skew_ratio"] == pytest.approx(80 / (100 / 3), abs=1e-6)
+
+
+def test_herfindahl_closed_forms(spark):
+    # equal shares: hhi = 1/n, normalized 0
+    df = spark.createDataFrame([(i, 10.0) for i in range(4)], "k long, v double")
+    row = analytics.herfindahl_index(df, "v").collect()[0]
+    assert row["hhi"] == pytest.approx(0.25, abs=1e-9)
+    assert row["hhi_normalized"] == pytest.approx(0.0, abs=1e-9)
+    # single holder among zeros: hhi = 1, normalized 1
+    df2 = spark.createDataFrame(
+        [(1, 100.0), (2, 0.0), (3, 0.0)], "k long, v double"
+    )
+    row2 = analytics.herfindahl_index(df2, "v").collect()[0]
+    assert row2["hhi"] == pytest.approx(1.0, abs=1e-9)
+    assert row2["hhi_normalized"] == pytest.approx(1.0, abs=1e-9)
+    # n = 1: normalized undefined -> NULL
+    df3 = spark.createDataFrame([(1, 5.0)], "k long, v double")
+    row3 = analytics.herfindahl_index(df3, "v").collect()[0]
+    assert row3["hhi"] == pytest.approx(1.0, abs=1e-9)
+    assert row3["hhi_normalized"] is None
