@@ -255,6 +255,11 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "pmi_collocations",   # 1-row total-bigram-count broadcast
         "benford_order_totals",   # 1-row observation-total broadcast
         "decile_revenue_lift",    # 1-row revenue-total broadcast
+        "distinctive_terms_by_lang",  # 1-row corpus-total broadcast
+        "winsorized_order_totals",    # 1-row percentile-bounds broadcast
+        "segment_priority_chi2",      # 1-row grand-total broadcast
+        "join_skew_report",           # 1-row (k, total, max) moment broadcast
+        "hhi_revenue",                # 1-row (total, n) broadcast
     }
     offenders = []
     for name, spec in REGISTRY.items():
