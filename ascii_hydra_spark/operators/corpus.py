@@ -18,7 +18,7 @@ same fixtures the driver mandates for dedup/similarity (documents).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ascii_hydra_spark.functions import ngrams, word_tokens
 from ascii_hydra_spark.operators.lineage import truncate_lineage
@@ -504,4 +504,114 @@ def repetition_stats(
         F.round(distinct_ratio, 6).alias("distinct_ratio"),
         F.round(F.coalesce(top_cnt, F.lit(0)) / n_safe, 6).alias("top_token_frac"),
         F.round(dup_bigram_frac, 6).alias("dup_bigram_frac"),
+    )
+
+
+def negative_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 2,
+    seed: int = 13,
+    shard_chars: int = 2,
+) -> DataFrame:
+    """(doc_id, draw, neg_id): k deterministic pseudo-random negative
+    partners per document — the contrastive-training sampler (in-batch
+    negatives' reproducible, engine-neutral cousin).
+
+    Consistent-hashing construction: every doc takes a ring position
+    p = md5(id, seed); each draw probes q = md5(id, draw, seed) and takes
+    the doc with the smallest p >= q ("successor on the ring"), wrapping
+    to the smallest position. A pure function of (ids, seed): rerun-,
+    repartition- and cluster-size-stable, uniform because md5 is, and
+    O(1) state per row — no global index, no RNG, no collect.
+
+    Scale shape: the ring is sharded by the first `shard_chars` hex
+    characters (16^shard_chars shards — raise it with corpus size; the
+    wrap stays shard-local, which preserves uniformity since shards
+    partition the hash space evenly). Per shard: one sorted window pass
+    (successor = windowed MIN over following positions), one key-equi
+    join back to resolve the successor's doc, one per-shard min for the
+    wraparound. Self-pairs (a doc probing into its own position) are
+    filtered; expected loss is k/N draws.
+    """
+    sid = F.col(id_col).cast("string")
+    pos_key = F.md5(F.concat_ws("_", sid, F.lit("ring"), F.lit(str(seed))))
+    positions = docs.select(
+        F.col(id_col).alias("__pos_doc"), pos_key.alias("__key")
+    ).withColumn("__shard", F.substring("__key", 1, shard_chars))
+    draws = docs.select(
+        F.col(id_col).alias("__src"),
+        F.explode(F.sequence(F.lit(0), F.lit(int(k) - 1))).alias("draw"),
+    )
+    probe_key = F.md5(
+        F.concat_ws(
+            "_",
+            F.col("__src").cast("string"),
+            F.lit("probe"),
+            F.col("draw").cast("string"),
+            F.lit(str(seed)),
+        )
+    )
+    probes = draws.select("__src", "draw", probe_key.alias("__key")).withColumn(
+        "__shard", F.substring("__key", 1, shard_chars)
+    )
+    u = positions.select(
+        "__shard", "__key", "__pos_doc",
+        F.lit(None).cast("long").alias("__src"),
+        F.lit(None).cast("int").alias("draw"),
+        F.lit(1).alias("__is_pos"),
+    ).unionAll(
+        probes.select(
+            "__shard", "__key",
+            F.lit(None).cast("long").alias("__pos_doc"),
+            "__src", "draw", F.lit(0).alias("__is_pos"),
+        )
+    )
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy(F.col("__key"), F.col("__is_pos"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    succ = F.min(F.when(F.col("__is_pos") == 1, F.col("__key"))).over(w)
+    resolved = (
+        u.withColumn("__succ", succ)
+        .filter(F.col("__is_pos") == 0)
+        .select("__shard", "__src", "draw", "__succ")
+    )
+    # Cross-shard part of the ring: the shard is a PREFIX of the key, so
+    # global key order equals (shard, key) order — a probe past its
+    # shard's last position takes the first position of the next
+    # non-empty shard, and a probe past everything wraps to the global
+    # first position. Both lookups are bounded: shard-min table has at
+    # most 16^shard_chars rows, so the inequality join below is a tiny
+    # broadcast, never corpus-sized.
+    shard_min = positions.groupBy("__shard").agg(F.min("__key").alias("__minkey"))
+    probe_shards = resolved.select("__shard").distinct()
+    next_min = (
+        probe_shards.alias("p")
+        .join(
+            F.broadcast(shard_min.alias("s")),
+            F.col("s.__shard") > F.col("p.__shard"),
+        )
+        .groupBy(F.col("p.__shard").alias("__shard"))
+        .agg(F.min("__minkey").alias("__nextkey"))
+    )
+    global_min = positions.agg(F.min("__key").alias("__gminkey"))
+    resolved = (
+        resolved.join(F.broadcast(next_min), "__shard", "left")
+        .crossJoin(F.broadcast(global_min))
+        .withColumn("__succ", F.coalesce("__succ", "__nextkey", "__gminkey"))
+    )
+    # md5 keys are globally unique, so the successor resolves on the key
+    # alone (the global-wrap successor lives in a different shard)
+    out = resolved.join(
+        positions.select(F.col("__key").alias("__succ"), "__pos_doc"), "__succ"
+    )
+    return (
+        out.filter(F.col("__pos_doc") != F.col("__src"))
+        .select(
+            F.col("__src").alias(id_col),
+            F.col("draw").cast("bigint").alias("draw"),
+            F.col("__pos_doc").alias("neg_id"),
+        )
     )

@@ -6224,6 +6224,45 @@ def hhi_revenue(spark, sf_dir):
     return analytics.herfindahl_index(rev, "revenue")
 
 
+@q(
+    "negative_pairs_ring",
+    """
+    WITH pos AS (
+        SELECT doc_id AS pos_doc,
+               MD5(CAST(doc_id AS VARCHAR) || '_ring_13') AS k
+        FROM documents
+    ),
+    probes AS (
+        SELECT d.doc_id AS src, t.i AS draw,
+               MD5(CAST(d.doc_id AS VARCHAR) || '_probe_'
+                   || CAST(t.i AS VARCHAR) || '_13') AS k
+        FROM documents d CROSS JOIN (SELECT UNNEST([0, 1]) AS i) t
+    ),
+    succ AS (
+        SELECT p.src, p.draw, MIN(q.k) AS sk
+        FROM probes p LEFT JOIN pos q ON q.k >= p.k
+        GROUP BY p.src, p.draw
+    ),
+    g AS (SELECT MIN(k) AS gk FROM pos)
+    SELECT s.src AS doc_id, CAST(s.draw AS BIGINT) AS draw,
+           pos.pos_doc AS neg_id
+    FROM succ s CROSS JOIN g
+    JOIN pos ON pos.k = COALESCE(s.sk, g.gk)
+    WHERE pos.pos_doc <> s.src
+    """,
+    "deterministic contrastive negative sampling on an md5 consistent-"
+    "hashing ring: partner = successor position of each probe hash, "
+    "wrapping globally. The ENGINE decomposes the search by hash-prefix "
+    "shard (window successor + bounded next-shard-min broadcast — no "
+    "global sort); the oracle states the same ring directly with an "
+    "inequality join. Both are pure functions of (ids, seed)",
+)
+def negative_pairs_ring(spark, sf_dir):
+    return corpus.negative_pairs(
+        _t(spark, sf_dir, "documents").select("doc_id"), k=2, seed=13
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -6313,7 +6352,7 @@ _ROUND5_QUEUE: tuple[str, ...] = (
 # profile_orders_columns, time_to_convert_funnel, event_transitions,
 # distinctive_terms_by_lang, powerlaw_alpha_degrees, hourly_rate_anomalies,
 # winsorized_order_totals, segment_priority_chi2, session_bounce_rate,
-# join_skew_report, hhi_revenue.
+# join_skew_report, hhi_revenue, negative_pairs_ring.
 
 # Frozen record of every name with a driver-green row (rows+schema, no
 # error) in CORRECTNESS_r01-r03. Guards below reject a rotation slot spent

@@ -109,6 +109,7 @@ EXTRA = [
     "session_bounce_rate",    # gap-rule session ids + bounce
     "join_skew_report",       # hot-key pre-flight diagnostic
     "hhi_revenue",            # Herfindahl concentration index
+    "negative_pairs_ring",    # md5-ring contrastive negative sampling
 ]
 
 

@@ -229,3 +229,40 @@ def test_deterministic_shuffle_order_and_seed(spark):
     again = [r.doc_id for r in corpus.deterministic_shuffle(docs, "doc_id", seed=7).collect()]
     other = [r.doc_id for r in corpus.deterministic_shuffle(docs, "doc_id", seed=8).collect()]
     assert again == got and other != got and sorted(other) == list(range(50))
+
+
+def test_negative_pairs_match_hashlib_ring(spark):
+    """The engine's sharded successor search must equal the literal
+    global md5-ring reference computed in plain Python."""
+    import hashlib
+
+    from ascii_hydra_spark.operators import corpus
+
+    n, k, seed = 30, 3, 5
+    df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = sorted(
+        (r["doc_id"], r["draw"], r["neg_id"])
+        for r in corpus.negative_pairs(df, k=k, seed=seed).collect()
+    )
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    pos = sorted((md5(f"{i}_ring_{seed}"), i) for i in range(n))
+    exp = []
+    for i in range(n):
+        for d in range(k):
+            q = md5(f"{i}_probe_{d}_{seed}")
+            succ = next((doc for kk, doc in pos if kk >= q), pos[0][1])
+            if succ != i:
+                exp.append((i, d, succ))
+    assert got == sorted(exp)
+
+
+def test_negative_pairs_deterministic_and_seed_sensitive(spark):
+    from ascii_hydra_spark.operators import corpus
+
+    df = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    a = sorted(map(tuple, corpus.negative_pairs(df, k=2, seed=1).collect()))
+    b = sorted(map(tuple, corpus.negative_pairs(df, k=2, seed=1).collect()))
+    c = sorted(map(tuple, corpus.negative_pairs(df, k=2, seed=2).collect()))
+    assert a == b
+    assert a != c
+    assert all(doc != neg for doc, _, neg in a)  # no self-pairs survive
