@@ -356,6 +356,37 @@ def main() -> int:
 
     stage("remove_boilerplate", boiler)
 
+    # ---- deterministic negative sampling on the md5 ring ----
+    from ascii_hydra_spark.operators.corpus import negative_pairs
+
+    def negatives():
+        pairs = negative_pairs(docs.select("doc_id"), k=2, seed=13)
+        agg = pairs.groupBy("neg_id").count()
+        hot = agg.orderBy(F.desc("count"), F.col("neg_id")).limit(1).collect()[0]
+        total = pairs.count()
+        # every draw resolves except self-pairs (expected loss ~ k)
+        assert total >= 2 * n - 50, f"lost draws: {total} < {2 * n - 50}"
+        # consistent-hashing arc-length bound: the hottest negative should
+        # stay O(log n), not a constant fraction of the corpus
+        assert hot["count"] < 200, f"hot negative {hot['neg_id']}: {hot['count']}"
+        # spot-check 50 draws against the literal hashlib ring
+        import bisect
+        import hashlib
+
+        md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+        keys_docs = sorted((md5(f"{i}_ring_13"), i) for i in range(n))
+        keys = [kd[0] for kd in keys_docs]
+        sample = pairs.filter(F.col("doc_id") % 997 == 0).collect()
+        assert sample, "empty spot-check sample"
+        for r in sample:
+            q = md5(f"{r['doc_id']}_probe_{r['draw']}_13")
+            j = bisect.bisect_left(keys, q)
+            expect = keys_docs[j % len(keys)][1]
+            assert r["neg_id"] == expect, (r, expect)
+        return {"pairs": total, "hot_count": hot["count"], "spot_checked": len(sample)}
+
+    stage("negative_pairs", negatives)
+
     summary = {
         "metric": "scale_stress_sf1",
         "docs": args.docs,
