@@ -404,3 +404,33 @@ def test_runtime_bloom_filter_join_pruning_fires(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runs_and_interarrival_single_exchange(spark, sf_dir):
+    """The gaps-and-islands and inter-arrival operators claim a
+    single-shuffle shape: both windows (and the downstream keyed
+    aggregate) must reuse ONE hash exchange on user_id; the only other
+    exchange allowed is the 1-row SinglePartition collect for global
+    aggregates (absent here)."""
+    import re
+
+    for name in ("event_runs_stats", "interarrival_user_stats"):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        plan = _plan(df)
+        n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+        assert n_exchanges == 1, f"{name}: {n_exchanges} exchanges\n{plan}"
+        assert plan.count("hashpartitioning(user_id") >= 1, plan
+
+
+def test_session_bounce_exchange_budget(spark, sf_dir):
+    """Gap-rule sessionization + per-session count + global rate: one
+    user_id hash exchange (window + same-key aggregates) plus the final
+    1-row SinglePartition exchange — anything more means the session
+    aggregate re-shuffled data it already owned."""
+    import re
+
+    df = REGISTRY["session_bounce_rate"].fn(spark, sf_dir)
+    plan = _plan(df)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 2, plan            # user_id hash + final 1-row
+    assert plan.count("SinglePartition") <= 1, plan
