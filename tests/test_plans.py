@@ -260,6 +260,8 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "segment_priority_chi2",      # 1-row grand-total broadcast
         "join_skew_report",           # 1-row (k, total, max) moment broadcast
         "hhi_revenue",                # 1-row (total, n) broadcast
+        "negative_pairs_ring",  # 1-row global-min + <=16^shard_chars-row
+                                # next-shard-min inequality broadcasts
     }
     offenders = []
     for name, spec in REGISTRY.items():
