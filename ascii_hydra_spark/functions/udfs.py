@@ -12,7 +12,7 @@ verification registry proving the fast path could replace it.
 import pandas as pd
 
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, DoubleType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StringType
 
 # DataType objects, not DDL strings: string return types are parsed through
 # the active SparkContext at decoration time, which would make this module
@@ -200,3 +200,23 @@ def dot_product(a: pd.Series, b: pd.Series) -> pd.Series:
     va = np.stack(a.to_numpy())
     vb = np.stack(b.to_numpy())
     return pd.Series(np.einsum("ij,ij->i", va, vb))
+
+
+@pandas_udf(StringType())
+def nfc_normalize(texts: pd.Series) -> pd.Series:
+    """Unicode NFC normalization (composed form) — the multilingual
+    pre-dedup step: 'e' + COMBINING ACUTE and the precomposed 'é' are the
+    same text to a reader but different bytes to a hash, so exact dedup
+    and fingerprinting must canonicalize first.
+
+    Spark has no built-in Unicode normalizer, so this is one of the
+    documented Python-unavoidable cases (like codec decode): an
+    Arrow-batched pandas UDF over `unicodedata.normalize`, semantically
+    identical to the DuckDB oracle's NFC_NORMALIZE (both implement
+    Unicode Standard Annex #15 NFC).
+    """
+    import unicodedata
+
+    return texts.map(
+        lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+    )

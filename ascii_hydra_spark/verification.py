@@ -6263,6 +6263,36 @@ def negative_pairs_ring(spark, sf_dir):
     )
 
 
+@q(
+    "nfc_normalized_fingerprints",
+    """
+    SELECT lang, COUNT(*)::BIGINT AS n_docs,
+           COUNT(DISTINCT MD5(text))::BIGINT AS n_raw_fp,
+           COUNT(DISTINCT MD5(NFC_NORMALIZE(text)))::BIGINT AS n_nfc_fp
+    FROM documents GROUP BY lang
+    """,
+    "Unicode NFC canonicalization before fingerprinting (composed vs "
+    "decomposed accents hash differently) — Spark-side an Arrow-batched "
+    "pandas UDF over unicodedata.normalize (no builtin exists; one of "
+    "the documented Python-unavoidable cases), oracle-side DuckDB's "
+    "NFC_NORMALIZE, both UAX #15. ASCII fixtures make NFC the identity "
+    "here, so the driver row proves the UDF plumbing + fingerprint "
+    "parity; the crafted composed/decomposed-accent semantics are "
+    "pinned in tests/test_analytics.py",
+)
+def nfc_normalized_fingerprints(spark, sf_dir):
+    from ascii_hydra_spark.functions.udfs import nfc_normalize
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count_distinct(F.md5("text")).cast("bigint").alias("n_raw_fp"),
+        F.count_distinct(F.md5(nfc_normalize(F.col("text"))))
+        .cast("bigint")
+        .alias("n_nfc_fp"),
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -6352,7 +6382,8 @@ _ROUND5_QUEUE: tuple[str, ...] = (
 # profile_orders_columns, time_to_convert_funnel, event_transitions,
 # distinctive_terms_by_lang, powerlaw_alpha_degrees, hourly_rate_anomalies,
 # winsorized_order_totals, segment_priority_chi2, session_bounce_rate,
-# join_skew_report, hhi_revenue, negative_pairs_ring.
+# join_skew_report, hhi_revenue, negative_pairs_ring,
+# nfc_normalized_fingerprints.
 
 # Frozen record of every name with a driver-green row (rows+schema, no
 # error) in CORRECTNESS_r01-r03. Guards below reject a rotation slot spent

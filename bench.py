@@ -110,6 +110,7 @@ EXTRA = [
     "join_skew_report",       # hot-key pre-flight diagnostic
     "hhi_revenue",            # Herfindahl concentration index
     "negative_pairs_ring",    # md5-ring contrastive negative sampling
+    "nfc_normalized_fingerprints",  # Unicode NFC canonical fingerprints
 ]
 
 

@@ -349,3 +349,22 @@ def test_herfindahl_closed_forms(spark):
     row3 = analytics.herfindahl_index(df3, "v").collect()[0]
     assert row3["hhi"] == pytest.approx(1.0, abs=1e-9)
     assert row3["hhi_normalized"] is None
+
+
+def test_nfc_normalize_composed_equals_decomposed(spark):
+    """'é' precomposed (U+00E9) and 'e' + combining acute (U+0301) must
+    hash identically after NFC; the raw bytes must not."""
+    from ascii_hydra_spark.functions.udfs import nfc_normalize
+
+    composed = "café"
+    decomposed = "café"
+    assert composed != decomposed  # different code points going in
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed), (3, None)], "doc_id long, text string"
+    )
+    out = df.select(
+        "doc_id", nfc_normalize(F.col("text")).alias("norm")
+    ).collect()
+    norms = {r["doc_id"]: r["norm"] for r in out}
+    assert norms[1] == norms[2] == composed  # NFC composes
+    assert norms[3] is None                  # NULL passes through
