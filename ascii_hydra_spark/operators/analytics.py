@@ -118,6 +118,8 @@ def equi_width_histogram(
     """
     if n_buckets < 1:
         raise ValueError("n_buckets must be >= 1")
+    if not float(hi) > float(lo):
+        raise ValueError(f"hi ({hi}) must exceed lo ({lo})")
     width = (float(hi) - float(lo)) / n_buckets
     x = F.col(value_col).cast("double")
     raw = F.floor((x - F.lit(float(lo))) / F.lit(width))

@@ -368,3 +368,11 @@ def test_nfc_normalize_composed_equals_decomposed(spark):
     norms = {r["doc_id"]: r["norm"] for r in out}
     assert norms[1] == norms[2] == composed  # NFC composes
     assert norms[3] is None                  # NULL passes through
+
+
+def test_histogram_rejects_degenerate_bounds(spark):
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError, match="must exceed"):
+        analytics.equi_width_histogram(df, "v", 5.0, 5.0, 4)
+    with pytest.raises(ValueError, match="n_buckets"):
+        analytics.equi_width_histogram(df, "v", 0.0, 1.0, 0)
