@@ -615,3 +615,50 @@ def negative_pairs(
             F.col("__pos_doc").alias("neg_id"),
         )
     )
+
+
+def temperature_mixing_weights(
+    docs: DataFrame,
+    group_col: str = "source",
+    weight_by: str | None = None,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """(group, n_docs, tokens, p_raw, p_temp, upsample): temperature-
+    scaled mixture weights p_i^alpha / sum(p_j^alpha) — the standard
+    multilingual/multi-source rebalancing rule (alpha=1 keeps natural
+    proportions, alpha->0 approaches uniform; multilingual LM recipes
+    commonly use 0.3). `upsample` = p_temp / p_raw is the factor a
+    sampler applies per group.
+
+    Mass is exact integers (docs or a token count column); the
+    alpha-power and the normalizing sum run over a GROUP-cardinality
+    aggregate (one groupBy + one broadcast back), so the float work is
+    group-count-sized regardless of corpus size. POW(x, alpha) on
+    identical doubles is libm-consistent within one host; cross-engine
+    the outputs are 6-dp-rounded like every float statistic here.
+    """
+    mass = F.sum(F.col(weight_by)) if weight_by else F.count("*")
+    per = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        mass.cast("bigint").alias("tokens"),
+    )
+    tot = per.agg(F.sum("tokens").alias("__t"))
+    j = per.crossJoin(F.broadcast(tot))
+    p_raw = F.col("tokens").cast("double") / F.col("__t").cast("double")
+    j = j.withColumn("__praw", p_raw).withColumn(
+        "__ptemp_un", F.pow(F.col("__praw"), F.lit(float(alpha)))
+    )
+    z = j.agg(F.sum("__ptemp_un").alias("__z"))
+    return (
+        j.crossJoin(F.broadcast(z))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "tokens",
+            F.round("__praw", 6).alias("p_raw"),
+            F.round(F.col("__ptemp_un") / F.col("__z"), 6).alias("p_temp"),
+            F.round(F.col("__ptemp_un") / F.col("__z") / F.col("__praw"), 6).alias(
+                "upsample"
+            ),
+        )
+    )

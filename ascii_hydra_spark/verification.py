@@ -6293,6 +6293,39 @@ def nfc_normalized_fingerprints(spark, sf_dir):
     )
 
 
+@q(
+    "mixing_weights_temperature",
+    """
+    WITH per AS (
+        SELECT source AS grp, COUNT(*)::BIGINT AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ),
+    t AS (SELECT SUM(tokens) AS tt FROM per),
+    j AS (
+        SELECT grp, n_docs, tokens,
+               CAST(tokens AS DOUBLE) / CAST(tt AS DOUBLE) AS praw,
+               POWER(CAST(tokens AS DOUBLE) / CAST(tt AS DOUBLE), 0.3) AS pun
+        FROM per CROSS JOIN t
+    ),
+    z AS (SELECT SUM(pun) AS zz FROM j)
+    SELECT grp AS source, n_docs, tokens,
+           ROUND(praw, 6) AS p_raw,
+           ROUND(pun / zz, 6) AS p_temp,
+           ROUND(pun / zz / praw, 6) AS upsample
+    FROM j CROSS JOIN z
+    """,
+    "temperature-scaled mixture weights p_i^0.3 / sum p_j^0.3 over "
+    "per-source char mass — the standard multilingual/multi-source "
+    "rebalancing rule, with the per-group upsample factor; float work is "
+    "group-count-sized (one groupBy, two 1-row broadcasts)",
+)
+def mixing_weights_temperature(spark, sf_dir):
+    return corpus.temperature_mixing_weights(
+        _t(spark, sf_dir, "documents"), "source", weight_by="n_chars", alpha=0.3
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -6383,7 +6416,7 @@ _ROUND5_QUEUE: tuple[str, ...] = (
 # distinctive_terms_by_lang, powerlaw_alpha_degrees, hourly_rate_anomalies,
 # winsorized_order_totals, segment_priority_chi2, session_bounce_rate,
 # join_skew_report, hhi_revenue, negative_pairs_ring,
-# nfc_normalized_fingerprints.
+# nfc_normalized_fingerprints, mixing_weights_temperature.
 
 # Frozen record of every name with a driver-green row (rows+schema, no
 # error) in CORRECTNESS_r01-r03. Guards below reject a rotation slot spent

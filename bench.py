@@ -111,6 +111,7 @@ EXTRA = [
     "hhi_revenue",            # Herfindahl concentration index
     "negative_pairs_ring",    # md5-ring contrastive negative sampling
     "nfc_normalized_fingerprints",  # Unicode NFC canonical fingerprints
+    "mixing_weights_temperature",   # p^alpha multi-source rebalancing
 ]
 
 

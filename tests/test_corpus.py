@@ -7,6 +7,8 @@ contamination exactness on crafted overlaps, and budget monotonicity.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from ascii_hydra_spark.operators import corpus
@@ -266,3 +268,27 @@ def test_negative_pairs_deterministic_and_seed_sensitive(spark):
     assert a == b
     assert a != c
     assert all(doc != neg for doc, _, neg in a)  # no self-pairs survive
+
+
+def test_temperature_mixing_weights_closed_form(spark):
+    from ascii_hydra_spark.operators import corpus
+
+    # two sources with 80/20 doc mass, alpha=0.5:
+    # p_temp(A) = sqrt(.8) / (sqrt(.8)+sqrt(.2))
+    rows = [("A",)] * 80 + [("B",)] * 20
+    df = spark.createDataFrame(rows, "source string")
+    out = {r["source"]: r for r in
+           corpus.temperature_mixing_weights(df, "source", alpha=0.5).collect()}
+    import math
+
+    sa, sb = math.sqrt(0.8), math.sqrt(0.2)
+    assert out["A"]["p_raw"] == pytest.approx(0.8, abs=1e-6)
+    assert out["A"]["p_temp"] == pytest.approx(sa / (sa + sb), abs=1e-6)
+    assert out["B"]["p_temp"] == pytest.approx(sb / (sa + sb), abs=1e-6)
+    # temperature flattens: minority upsampled, majority downsampled
+    assert out["B"]["upsample"] > 1.0 > out["A"]["upsample"]
+    # alpha=1 keeps natural proportions
+    nat = {r["source"]: r for r in
+           corpus.temperature_mixing_weights(df, "source", alpha=1.0).collect()}
+    assert nat["A"]["p_temp"] == pytest.approx(0.8, abs=1e-6)
+    assert nat["A"]["upsample"] == pytest.approx(1.0, abs=1e-6)
