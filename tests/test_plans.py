@@ -262,6 +262,7 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "hhi_revenue",                # 1-row (total, n) broadcast
         "negative_pairs_ring",  # 1-row global-min + <=16^shard_chars-row
                                 # next-shard-min inequality broadcasts
+        "mixing_weights_temperature",  # 1-row total + 1-row Z broadcasts
     }
     offenders = []
     for name, spec in REGISTRY.items():
