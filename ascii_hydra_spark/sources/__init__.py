@@ -395,3 +395,25 @@ def repair_compacted_parquet(path: str) -> bool:
         os.rename(old, path)
         return True
     return False
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite"
+) -> None:
+    """XML sink via Spark 4's NATIVE xml data source (the former
+    spark-xml package, merged upstream in 4.0 — no external jar)."""
+    df.write.format("xml").option("rowTag", row_tag).mode(mode).save(path)
+
+
+def read_xml(
+    spark: SparkSession, path: str, schema: StructType | str, row_tag: str = "row"
+) -> DataFrame:
+    """Explicit-schema XML source. Schema is REQUIRED here for the same
+    reason as read_csv: at 100 TB, schema inference is a full extra pass
+    over the data before the real job starts."""
+    return (
+        spark.read.format("xml")
+        .option("rowTag", row_tag)
+        .schema(schema)
+        .load(path)
+    )

@@ -6326,6 +6326,24 @@ def mixing_weights_temperature(spark, sf_dir):
     )
 
 
+@q(
+    "xml_roundtrip",
+    "SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(l_orderkey) AS BIGINT) AS key_sum "
+    "FROM lineitem GROUP BY l_returnflag",
+    "C32: XML sink + explicit-schema XML source round-trip via Spark 4's "
+    "NATIVE xml data source (spark-xml merged upstream — no external "
+    "jar); schema required on read, same no-inference-pass rule as CSV",
+)
+def xml_roundtrip(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    path = tempfile.mkdtemp(prefix="ahs_xml_") + "/data"
+    sources.write_xml(li, path)
+    back = sources.read_xml(spark, path, "l_orderkey BIGINT, l_returnflag STRING")
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), F.sum("l_orderkey").alias("key_sum")
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -6416,7 +6434,7 @@ _ROUND5_QUEUE: tuple[str, ...] = (
 # distinctive_terms_by_lang, powerlaw_alpha_degrees, hourly_rate_anomalies,
 # winsorized_order_totals, segment_priority_chi2, session_bounce_rate,
 # join_skew_report, hhi_revenue, negative_pairs_ring,
-# nfc_normalized_fingerprints, mixing_weights_temperature.
+# nfc_normalized_fingerprints, mixing_weights_temperature, xml_roundtrip.
 
 # Frozen record of every name with a driver-green row (rows+schema, no
 # error) in CORRECTNESS_r01-r03. Guards below reject a rotation slot spent

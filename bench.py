@@ -112,6 +112,7 @@ EXTRA = [
     "negative_pairs_ring",    # md5-ring contrastive negative sampling
     "nfc_normalized_fingerprints",  # Unicode NFC canonical fingerprints
     "mixing_weights_temperature",   # p^alpha multi-source rebalancing
+    "xml_roundtrip",          # native Spark 4 XML sink/source
 ]
 
 

@@ -183,7 +183,7 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
 # called — plan/schema sweeps skip them; their plans are inspected in their
 # own tests. ONE definition shared by every sweep below.
 EAGER_PREFIXES = (
-    "stream_", "pyds_", "jdbc_", "csv_", "json_round", "orc_",
+    "stream_", "pyds_", "jdbc_", "csv_", "json_round", "orc_", "xml_",
     "zorder", "partitioned", "hypertable", "text_scan",
 )
 
