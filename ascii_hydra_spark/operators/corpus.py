@@ -662,3 +662,53 @@ def temperature_mixing_weights(
             ),
         )
     )
+
+
+def split_unigram_kl(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """One row (n_train_tokens, n_val_tokens, vocab, kl): KL divergence
+    KL(P_train || P_val) between the unigram distributions of the
+    deterministic train and val splits, with add-alpha smoothing over the
+    UNION vocabulary (otherwise one split-only term makes the divergence
+    infinite) — the distribution-shift check that a split is
+    representative, and the proper-scoring cousin of
+    `token_distribution_drift`.
+
+    Per-term counts are exact integers; smoothed p/q derive from them in
+    a fixed division order; the only order-dependent float op is the
+    final vocabulary-sized sum of p*ln(p/q), rounded to 6 dp. One
+    corpus-sized (term, split) aggregate; everything after is
+    vocabulary-bounded.
+    """
+    labeled = train_val_test_split(docs, key_col)
+    toks = labeled.filter(F.col("split").isin("train", "val")).select(
+        "split", F.explode(word_tokens(text_col)).alias("term")
+    )
+    per_term = toks.groupBy("term").agg(
+        F.sum((F.col("split") == "train").cast("bigint")).alias("c_p"),
+        F.sum((F.col("split") == "val").cast("bigint")).alias("c_q"),
+    )
+    stats = per_term.agg(
+        F.sum("c_p").alias("__np"),
+        F.sum("c_q").alias("__nq"),
+        F.count("*").alias("__v"),
+    )
+    j = per_term.crossJoin(F.broadcast(stats))
+    a = float(alpha)
+    p = (F.col("c_p").cast("double") + F.lit(a)) / (
+        F.col("__np").cast("double") + F.lit(a) * F.col("__v").cast("double")
+    )
+    qq = (F.col("c_q").cast("double") + F.lit(a)) / (
+        F.col("__nq").cast("double") + F.lit(a) * F.col("__v").cast("double")
+    )
+    agg = j.agg(
+        F.min("__np").cast("bigint").alias("n_train_tokens"),
+        F.min("__nq").cast("bigint").alias("n_val_tokens"),
+        F.min("__v").cast("bigint").alias("vocab"),
+        F.round(F.sum(p * F.log(p / qq)), 6).alias("kl"),
+    )
+    return agg

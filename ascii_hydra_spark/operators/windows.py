@@ -333,3 +333,28 @@ def session_ids(
         Window.unboundedPreceding, 0
     )
     return df.withColumn("session_id", F.sum(is_new).over(run).cast("bigint"))
+
+
+def uniformized_rank(
+    df: DataFrame,
+    by: Sequence[str],
+    value_col: str,
+    tiebreak: str,
+    out_col: str = "u",
+) -> DataFrame:
+    """Per-group quantile normalization: map each row's `value_col` to its
+    uniformized rank u = (rank - 0.5) / n within `by` — the calibration
+    step that makes scores COMPARABLE ACROSS GROUPS (e.g. per-language
+    quality scores with very different raw scales) so one global
+    threshold selects the same per-group fraction everywhere.
+
+    u is an exact rational of two integers divided once — engine-stable;
+    rank ties are broken by `tiebreak`. Two windows (rank + group count)
+    over the same partitioning: one shuffle.
+    """
+    w = keyed_window(list(by), [F.col(value_col), F.col(tiebreak)])
+    w_all = Window.partitionBy(*by)
+    u = (
+        F.row_number().over(w).cast("double") - F.lit(0.5)
+    ) / F.count("*").over(w_all).cast("double")
+    return df.withColumn(out_col, F.round(u, 6))

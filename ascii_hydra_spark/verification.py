@@ -6344,6 +6344,71 @@ def xml_roundtrip(spark, sf_dir):
     )
 
 
+@q(
+    "uniformized_length_by_lang",
+    """
+    SELECT doc_id, lang, n_chars,
+           ROUND((CAST(ROW_NUMBER() OVER (
+                      PARTITION BY lang ORDER BY n_chars, doc_id) AS DOUBLE)
+                  - 0.5)
+                 / CAST(COUNT(*) OVER (PARTITION BY lang) AS DOUBLE), 6) AS u
+    FROM documents
+    """,
+    "per-group quantile normalization: u = (rank - 0.5)/n within each "
+    "language — makes scores with different per-group scales comparable "
+    "under ONE global threshold; exact integer rank/count, one division",
+)
+def uniformized_length_by_lang(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return windows.uniformized_rank(d, ["lang"], "n_chars", "doc_id")
+
+
+@q(
+    "split_unigram_kl",
+    f"""
+    WITH labeled AS (
+        SELECT CASE WHEN ((doc_id * 2654435761) % 4294967296) % 1000 < 50
+                    THEN 'test'
+                    WHEN ((doc_id * 2654435761) % 4294967296) % 1000 < 100
+                    THEN 'val' ELSE 'train' END AS split,
+               text
+        FROM documents
+    ),
+    toks AS (
+        SELECT split, UNNEST({_TOKS}) AS term
+        FROM labeled WHERE split IN ('train', 'val')
+    ),
+    per_term AS (
+        SELECT term,
+               SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)::BIGINT AS c_p,
+               SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END)::BIGINT AS c_q
+        FROM toks GROUP BY term
+    ),
+    s AS (SELECT SUM(c_p) AS np, SUM(c_q) AS nq, COUNT(*) AS v FROM per_term),
+    j AS (
+        SELECT (CAST(c_p AS DOUBLE) + 0.5)
+                   / (CAST(np AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)) AS p,
+               (CAST(c_q AS DOUBLE) + 0.5)
+                   / (CAST(nq AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)) AS q,
+               np, nq, v
+        FROM per_term CROSS JOIN s
+    )
+    SELECT CAST(MIN(np) AS BIGINT) AS n_train_tokens,
+           CAST(MIN(nq) AS BIGINT) AS n_val_tokens,
+           CAST(MIN(v) AS BIGINT) AS vocab,
+           ROUND(SUM(p * LN(p / q)), 6) AS kl
+    FROM j
+    """,
+    "KL(P_train || P_val) over the deterministic hash split's unigram "
+    "distributions, add-0.5 smoothing over the union vocabulary — the "
+    "distribution-shift check that a split is representative; exact "
+    "integer counts, fixed division order, one 6-dp-rounded vocab-sized "
+    "sum",
+)
+def split_unigram_kl(spark, sf_dir):
+    return corpus.split_unigram_kl(_t(spark, sf_dir, "documents"))
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -6434,7 +6499,8 @@ _ROUND5_QUEUE: tuple[str, ...] = (
 # distinctive_terms_by_lang, powerlaw_alpha_degrees, hourly_rate_anomalies,
 # winsorized_order_totals, segment_priority_chi2, session_bounce_rate,
 # join_skew_report, hhi_revenue, negative_pairs_ring,
-# nfc_normalized_fingerprints, mixing_weights_temperature, xml_roundtrip.
+# nfc_normalized_fingerprints, mixing_weights_temperature, xml_roundtrip,
+# uniformized_length_by_lang, split_unigram_kl.
 
 # Frozen record of every name with a driver-green row (rows+schema, no
 # error) in CORRECTNESS_r01-r03. Guards below reject a rotation slot spent

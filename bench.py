@@ -113,6 +113,8 @@ EXTRA = [
     "nfc_normalized_fingerprints",  # Unicode NFC canonical fingerprints
     "mixing_weights_temperature",   # p^alpha multi-source rebalancing
     "xml_roundtrip",          # native Spark 4 XML sink/source
+    "uniformized_length_by_lang",   # per-group quantile normalization
+    "split_unigram_kl",       # train/val distribution-shift KL
 ]
 
 

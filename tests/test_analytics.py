@@ -376,3 +376,35 @@ def test_histogram_rejects_degenerate_bounds(spark):
         analytics.equi_width_histogram(df, "v", 5.0, 5.0, 4)
     with pytest.raises(ValueError, match="n_buckets"):
         analytics.equi_width_histogram(df, "v", 0.0, 1.0, 0)
+
+
+def test_uniformized_rank_properties(spark):
+    # group A: values 10,20,30 -> u = 1/6, 3/6, 5/6; mean exactly 0.5
+    rows = [(1, "A", 10.0), (2, "A", 20.0), (3, "A", 30.0), (4, "B", 5.0)]
+    df = spark.createDataFrame(rows, "k long, g string, v double")
+    out = {r["k"]: r["u"] for r in
+           windows.uniformized_rank(df, ["g"], "v", "k").collect()}
+    assert out[1] == pytest.approx(1 / 6, abs=1e-6)
+    assert out[2] == pytest.approx(0.5, abs=1e-6)
+    assert out[3] == pytest.approx(5 / 6, abs=1e-6)
+    assert out[4] == pytest.approx(0.5, abs=1e-6)  # singleton group centers
+
+
+def test_split_unigram_kl_identical_distributions(spark):
+    """If train and val draw from the same token stream, smoothed KL is
+    near 0; KL is always >= 0 (Gibbs) up to output rounding."""
+    from ascii_hydra_spark.operators import corpus
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d " * 5) for i in range(400)], "doc_id long, text string"
+    )
+    row = corpus.split_unigram_kl(docs).collect()[0]
+    assert row["vocab"] == 4
+    assert row["kl"] == pytest.approx(0.0, abs=1e-6)  # identical per-doc text
+    # skewed case: still non-negative
+    docs2 = spark.createDataFrame(
+        [(i, "a a a a" if i % 7 else "b b b b") for i in range(400)],
+        "doc_id long, text string",
+    )
+    row2 = corpus.split_unigram_kl(docs2).collect()[0]
+    assert row2["kl"] >= -1e-6
