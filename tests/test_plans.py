@@ -263,6 +263,7 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "negative_pairs_ring",  # 1-row global-min + <=16^shard_chars-row
                                 # next-shard-min inequality broadcasts
         "mixing_weights_temperature",  # 1-row total + 1-row Z broadcasts
+        "split_unigram_kl",     # 1-row (Np, Nq, V) stats broadcast
     }
     offenders = []
     for name, spec in REGISTRY.items():
