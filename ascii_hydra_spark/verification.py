@@ -6409,6 +6409,28 @@ def split_unigram_kl(spark, sf_dir):
     return corpus.split_unigram_kl(_t(spark, sf_dir, "documents"))
 
 
+@q(
+    "group_by_all_status",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*)::BIGINT AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY ALL
+    """,
+    "modern SQL surface: GROUP BY ALL (every non-aggregate select item "
+    "becomes a key) — identical syntax and semantics in Spark 4 and "
+    "DuckDB; the literal same query text runs on both engines",
+)
+def group_by_all_status(spark, sf_dir):
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY ALL
+        """
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -6500,7 +6522,7 @@ _ROUND5_QUEUE: tuple[str, ...] = (
 # winsorized_order_totals, segment_priority_chi2, session_bounce_rate,
 # join_skew_report, hhi_revenue, negative_pairs_ring,
 # nfc_normalized_fingerprints, mixing_weights_temperature, xml_roundtrip,
-# uniformized_length_by_lang, split_unigram_kl.
+# uniformized_length_by_lang, split_unigram_kl, group_by_all_status.
 
 # Frozen record of every name with a driver-green row (rows+schema, no
 # error) in CORRECTNESS_r01-r03. Guards below reject a rotation slot spent
