@@ -502,3 +502,59 @@ def herfindahl_index(df: DataFrame, value_col: str) -> DataFrame:
             (F.col("__hhi") - inv_n) / F.nullif(F.lit(1.0) - inv_n, F.lit(0.0)), 6
         ).alias("hhi_normalized"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame, duration_col: str, event_col: str
+) -> DataFrame:
+    """(t, n_at_risk, n_events, n_censored, survival): the Kaplan-Meier
+    product-limit survival estimator over right-censored durations —
+    churn/retention analysis done correctly (censored users count in the
+    at-risk denominator until their censoring time instead of being
+    dropped or mis-counted as churned).
+
+    S(t) = prod over t_i <= t of (1 - d_i / n_i). Shapes: one duration-
+    keyed groupBy (time-point cardinality output), then running windows
+    ORDERED BY t — a sequential fold in a defined order, so the log-space
+    cumulative product (exp of a running sum of ln terms) is
+    engine-deterministic; d/n are exact integers. The at-risk count
+    derives from the total minus an exclusive running sum — no second
+    pass over the input. Once a time point absorbs everyone at risk
+    (d = n), survival is pinned to exactly 0.0 rather than ln(0).
+
+    Contract: input is ENTITY-LEVEL (one row per subject); the global
+    ordered window runs over distinct time points, not subjects.
+    """
+    per_t = df.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(F.col(event_col).cast("bigint")).alias("n_events"),
+        F.sum((~F.col(event_col).cast("boolean")).cast("bigint")).alias("n_censored"),
+    )
+    total = per_t.agg(
+        F.sum(F.col("n_events") + F.col("n_censored")).alias("__total")
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_incl = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    left_before = F.coalesce(
+        F.sum(F.col("n_events") + F.col("n_censored")).over(w_prev), F.lit(0)
+    )
+    j = per_t.crossJoin(F.broadcast(total)).withColumn(
+        "n_at_risk", (F.col("__total") - left_before).cast("bigint")
+    )
+    term = F.when(
+        F.col("n_events") < F.col("n_at_risk"),
+        F.log(
+            (F.col("n_at_risk") - F.col("n_events")).cast("double")
+            / F.col("n_at_risk").cast("double")
+        ),
+    )  # NULL marks an absorbing step (d == n)
+    absorbed = F.max((F.col("n_events") >= F.col("n_at_risk")).cast("int")).over(w_incl)
+    surv = F.when(absorbed == 1, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.sum(term).over(w_incl)), 6)
+    )
+    return j.select(
+        F.col("t").cast("bigint").alias("t"),
+        "n_at_risk",
+        "n_events",
+        "n_censored",
+        surv.alias("survival"),
+    )

@@ -6431,6 +6431,72 @@ def group_by_all_status(spark, sf_dir):
     )
 
 
+@q(
+    "kaplan_meier_lifetimes",
+    """
+    WITH u AS (
+        SELECT user_id, MIN(EPOCH_US(ts)) AS f, MAX(EPOCH_US(ts)) AS l
+        FROM events GROUP BY user_id
+    ),
+    g AS (SELECT MAX(l) AS gm FROM u),
+    d AS (
+        SELECT (l - f) // 86400000000 AS t,
+               (l < gm - 259200000000) AS ev
+        FROM u CROSS JOIN g
+    ),
+    per_t AS (
+        SELECT t, SUM(CASE WHEN ev THEN 1 ELSE 0 END)::BIGINT AS n_events,
+               SUM(CASE WHEN ev THEN 0 ELSE 1 END)::BIGINT AS n_censored
+        FROM d GROUP BY t
+    ),
+    tot AS (SELECT SUM(n_events + n_censored) AS total FROM per_t),
+    r AS (
+        SELECT t, n_events, n_censored,
+               CAST(total - COALESCE(SUM(n_events + n_censored) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+        FROM per_t CROSS JOIN tot
+    ),
+    s AS (
+        SELECT *,
+               MAX(CASE WHEN n_events >= n_at_risk THEN 1 ELSE 0 END) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS dead,
+               SUM(CASE WHEN n_events < n_at_risk
+                        THEN LN(CAST(n_at_risk - n_events AS DOUBLE)
+                                / CAST(n_at_risk AS DOUBLE)) END) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) AS lnsum
+        FROM r
+    )
+    SELECT CAST(t AS BIGINT) AS t, n_at_risk, n_events, n_censored,
+           CASE WHEN dead = 1 THEN 0.0 ELSE ROUND(EXP(lnsum), 6) END AS survival
+    FROM s
+    """,
+    "Kaplan-Meier product-limit survival over per-user lifetimes (whole "
+    "days between first and last event); users still active in the final "
+    "3 days are right-censored, counting in the at-risk denominator "
+    "without being churned. Exact integer d/n; the log-space cumulative "
+    "product is an ORDERED window fold (engine-deterministic); absorbing "
+    "steps (d = n) pin survival to exactly 0.0 instead of ln(0)",
+)
+def kaplan_meier_lifetimes(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(us).alias("__f"), F.max(us).alias("__l")
+    )
+    gmax = per_user.agg(F.max("__l").alias("__gm"))
+    d = (
+        per_user.crossJoin(F.broadcast(gmax))
+        .select(
+            F.expr("(__l - __f) div 86400000000").alias("t_days"),
+            (F.col("__l") < F.col("__gm") - F.lit(259_200_000_000)).alias("event"),
+        )
+    )
+    return analytics.kaplan_meier(d, "t_days", "event")
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -6522,7 +6588,8 @@ _ROUND5_QUEUE: tuple[str, ...] = (
 # winsorized_order_totals, segment_priority_chi2, session_bounce_rate,
 # join_skew_report, hhi_revenue, negative_pairs_ring,
 # nfc_normalized_fingerprints, mixing_weights_temperature, xml_roundtrip,
-# uniformized_length_by_lang, split_unigram_kl, group_by_all_status.
+# uniformized_length_by_lang, split_unigram_kl, group_by_all_status,
+# kaplan_meier_lifetimes.
 
 # Frozen record of every name with a driver-green row (rows+schema, no
 # error) in CORRECTNESS_r01-r03. Guards below reject a rotation slot spent

@@ -115,6 +115,7 @@ EXTRA = [
     "xml_roundtrip",          # native Spark 4 XML sink/source
     "uniformized_length_by_lang",   # per-group quantile normalization
     "split_unigram_kl",       # train/val distribution-shift KL
+    "kaplan_meier_lifetimes", # right-censored survival estimator
 ]
 
 

@@ -408,3 +408,26 @@ def test_split_unigram_kl_identical_distributions(spark):
     )
     row2 = corpus.split_unigram_kl(docs2).collect()[0]
     assert row2["kl"] >= -1e-6
+
+
+def test_kaplan_meier_textbook_example(spark):
+    # durations 1,2+,3,4+ (+ = censored): S(1) = 3/4, S(3) = 3/4 * 1/2
+    rows = [(1, True), (2, False), (3, True), (4, False)]
+    df = spark.createDataFrame(rows, "t long, event boolean")
+    out = {r["t"]: r for r in analytics.kaplan_meier(df, "t", "event").collect()}
+    assert out[1]["n_at_risk"] == 4 and out[1]["n_events"] == 1
+    assert out[1]["survival"] == pytest.approx(0.75, abs=1e-6)
+    assert out[2]["n_at_risk"] == 3 and out[2]["n_censored"] == 1
+    assert out[2]["survival"] == pytest.approx(0.75, abs=1e-6)  # censor: no drop
+    assert out[3]["n_at_risk"] == 2
+    assert out[3]["survival"] == pytest.approx(0.375, abs=1e-6)
+    assert out[4]["survival"] == pytest.approx(0.375, abs=1e-6)
+
+
+def test_kaplan_meier_absorbing_step(spark):
+    # everyone churns at t=2 -> survival exactly 0.0, no ln(0) blowup
+    rows = [(1, True), (2, True), (2, True)]
+    df = spark.createDataFrame(rows, "t long, event boolean")
+    out = {r["t"]: r for r in analytics.kaplan_meier(df, "t", "event").collect()}
+    assert out[1]["survival"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out[2]["survival"] == 0.0

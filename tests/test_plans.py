@@ -264,6 +264,7 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
                                 # next-shard-min inequality broadcasts
         "mixing_weights_temperature",  # 1-row total + 1-row Z broadcasts
         "split_unigram_kl",     # 1-row (Np, Nq, V) stats broadcast
+        "kaplan_meier_lifetimes",  # 1-row total / global-max broadcasts
     }
     offenders = []
     for name, spec in REGISTRY.items():
