@@ -6497,6 +6497,37 @@ def kaplan_meier_lifetimes(spark, sf_dir):
     return analytics.kaplan_meier(d, "t_days", "event")
 
 
+@q(
+    "cms_heavy_hitter_estimates",
+    None,
+    "count-min sketch point estimates for the exact top-10 terms, built "
+    "as two per-half sketches MERGED (union+sum — the associative combine "
+    "that rolls per-day sketches up at 100 TB); xxhash64 has no DuckDB "
+    "twin so this registers rows-only; the over-estimate-only bound "
+    "(true <= est <= true + eps*N) and merge ≡ whole-corpus-build "
+    "equality are asserted in tests/test_analytics.py",
+)
+def cms_heavy_hitter_estimates(spark, sf_dir):
+    from ascii_hydra_spark.operators import sketches
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(word_tokens("text")).alias("term"))
+    # two halves built independently, then merged — the 100 TB shape
+    h1 = sketches.cms_build(toks.filter(F.crc32(F.col("term")) % 2 == 0), "term")
+    h2 = sketches.cms_build(toks.filter(F.crc32(F.col("term")) % 2 == 1), "term")
+    sk = sketches.cms_merge(h1, h2)
+    top = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("true_n"))
+        .orderBy(F.desc("true_n"), F.col("term"))
+        .limit(10)
+    )
+    est = sketches.cms_estimate(sk, top.select(F.col("term")), "term")
+    return top.join(est, top.term == est.item).select(
+        "term", "true_n", "est_n", (F.col("est_n") - F.col("true_n")).alias("overcount")
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -6589,7 +6620,7 @@ _ROUND5_QUEUE: tuple[str, ...] = (
 # join_skew_report, hhi_revenue, negative_pairs_ring,
 # nfc_normalized_fingerprints, mixing_weights_temperature, xml_roundtrip,
 # uniformized_length_by_lang, split_unigram_kl, group_by_all_status,
-# kaplan_meier_lifetimes.
+# kaplan_meier_lifetimes, cms_heavy_hitter_estimates.
 
 # Frozen record of every name with a driver-green row (rows+schema, no
 # error) in CORRECTNESS_r01-r03. Guards below reject a rotation slot spent

@@ -116,6 +116,7 @@ EXTRA = [
     "uniformized_length_by_lang",   # per-group quantile normalization
     "split_unigram_kl",       # train/val distribution-shift KL
     "kaplan_meier_lifetimes", # right-censored survival estimator
+    "cms_heavy_hitter_estimates",  # mergeable count-min sketch
 ]
 
 

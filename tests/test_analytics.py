@@ -431,3 +431,32 @@ def test_kaplan_meier_absorbing_step(spark):
     out = {r["t"]: r for r in analytics.kaplan_meier(df, "t", "event").collect()}
     assert out[1]["survival"] == pytest.approx(2 / 3, abs=1e-6)
     assert out[2]["survival"] == 0.0
+
+
+def test_cms_overestimate_bound_and_merge(spark):
+    """Count-min guarantees: est >= true always; est <= true + eps*N with
+    w=1024 (eps ~ e/w); merging two half-sketches equals building one
+    sketch over the whole stream."""
+    from ascii_hydra_spark.operators import sketches
+
+    rows = [("a",)] * 500 + [("b",)] * 100 + [("c",)] * 10 + [("d",)] * 1
+    items = spark.createDataFrame(rows, "term string")
+    sk = sketches.cms_build(items, "term")
+    q = spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("missing",)],
+                              "term string")
+    est = {r["item"]: r["est_n"] for r in
+           sketches.cms_estimate(sk, q, "term").collect()}
+    true = {"a": 500, "b": 100, "c": 10, "d": 1, "missing": 0}
+    n_total = 611
+    for t, tn in true.items():
+        assert est[t] >= tn, (t, est[t], tn)
+        assert est[t] <= tn + (2.72 / 1024) * n_total + 1, (t, est[t])
+    # merge of halves == build over the union (same cells, same counts);
+    # the halves split by a deterministic expression, not limit()
+    left = items.filter(F.crc32("term") % 2 == 0)
+    right = items.filter(F.crc32("term") % 2 == 1)
+    merged = sketches.cms_merge(
+        sketches.cms_build(left, "term"), sketches.cms_build(right, "term")
+    )
+    whole = sketches.cms_build(items, "term")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
