@@ -558,3 +558,89 @@ def kaplan_meier(
         "n_censored",
         surv.alias("survival"),
     )
+
+
+def two_proportion_ztest(
+    df: DataFrame, group_col: str, success_col: str
+) -> DataFrame:
+    """One row (n_a, n_b, conv_a, conv_b, lift, z): two-proportion
+    z-test between exactly two groups — the A/B-experiment readout
+    (difference of conversion rates over the pooled standard error,
+    z = (p_a - p_b) / sqrt(p(1-p)(1/n_a + 1/n_b))).
+
+    Group labels are taken in ascending order (a = min label) so the
+    sign of z is well-defined. All four inputs (successes/trials per
+    group) are exact integers; every derived float follows one written
+    operation order, 6-dp-rounded. Raises if the column does not have
+    exactly two groups — a silent pick would misattribute the test.
+    """
+    per = (
+        df.groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col(success_col).cast("bigint")).alias("s"),
+        )
+        .orderBy("g")
+    )
+    rows = per.limit(3).collect()  # bounded: group-cardinality probe
+    if len(rows) != 2:
+        raise ValueError(
+            f"two_proportion_ztest needs exactly 2 groups in {group_col}, "
+            f"found {len(rows)}"
+        )
+    (ga, na, sa), (gb, nb, sb) = [(r["g"], r["n"], r["s"]) for r in rows]
+    a = per.filter(F.col("g") == ga).select(
+        F.col("n").alias("__na"), F.col("s").alias("__sa")
+    )
+    b = per.filter(F.col("g") == gb).select(
+        F.col("n").alias("__nb"), F.col("s").alias("__sb")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    pa = F.col("__sa").cast("double") / F.col("__na").cast("double")
+    pb = F.col("__sb").cast("double") / F.col("__nb").cast("double")
+    pool = (F.col("__sa") + F.col("__sb")).cast("double") / (
+        F.col("__na") + F.col("__nb")
+    ).cast("double")
+    se = F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (
+            F.lit(1.0) / F.col("__na").cast("double")
+            + F.lit(1.0) / F.col("__nb").cast("double")
+        )
+    )
+    return j.select(
+        F.col("__na").cast("bigint").alias("n_a"),
+        F.col("__nb").cast("bigint").alias("n_b"),
+        F.round(pa, 6).alias("conv_a"),
+        F.round(pb, 6).alias("conv_b"),
+        F.round(pa - pb, 6).alias("lift"),
+        F.round((pa - pb) / F.nullif(se, F.lit(0.0)), 6).alias("z"),
+    )
+
+
+def log2_histogram(df: DataFrame, value_col: str) -> DataFrame:
+    """(bucket, lo, hi, n_obs): logarithmic-width histogram of a POSITIVE
+    integer column — bucket k holds values in [2^k, 2^(k+1)). The
+    standard way to eyeball a heavy-tailed distribution (degree counts,
+    doc lengths); pairs with `graph.powerlaw_alpha`, which fits what
+    this shows.
+
+    The bucket is LENGTH(BIN(x)) - 1 — floor(log2) computed in exact
+    integer/string space, so a value exactly at a power of two can't
+    straddle a float log boundary differently per engine.
+    """
+    x = F.col(value_col).cast("bigint")
+    bucket = (F.length(F.bin(x)) - F.lit(1)).cast("int")
+    return (
+        df.filter(x > 0)
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_obs"))
+        .select(
+            "bucket",
+            F.expr("shiftleft(1, bucket)").cast("bigint").alias("lo"),
+            F.expr("shiftleft(1, bucket + 1) - 1").cast("bigint").alias("hi"),
+            "n_obs",
+        )
+    )

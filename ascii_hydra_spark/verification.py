@@ -6528,6 +6528,73 @@ def cms_heavy_hitter_estimates(spark, sf_dir):
     )
 
 
+@q(
+    "ab_conversion_ztest",
+    """
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN ((user_id * 2654435761) % 4294967296) % 2 = 0
+                    THEN 'A' ELSE 'B' END AS grp,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id
+    ),
+    a AS (SELECT COUNT(*) AS na, SUM(conv) AS sa FROM u WHERE grp = 'A'),
+    b AS (SELECT COUNT(*) AS nb, SUM(conv) AS sb FROM u WHERE grp = 'B')
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE), 6) AS conv_a,
+           ROUND(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS conv_b,
+           ROUND(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                 - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS lift,
+           ROUND((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                  - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                 / NULLIF(SQRT(
+                       (CAST(sa + sb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                       * (1.0 - CAST(sa + sb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                       * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))),
+                   0.0), 6) AS z
+    FROM a CROSS JOIN b
+    """,
+    "two-proportion z-test between a deterministic Knuth-hash A/B user "
+    "split on purchase conversion — the experiment readout; all four "
+    "inputs exact integers, pooled SE in one written operation order",
+)
+def ab_conversion_ztest(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    )
+    grp = F.when(
+        (F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296) % 2 == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    return analytics.two_proportion_ztest(u.withColumn("grp", grp), "grp", "conv")
+
+
+@q(
+    "log2_hist_user_events",
+    """
+    WITH c AS (SELECT user_id, COUNT(*)::BIGINT AS n FROM events GROUP BY user_id),
+    b AS (SELECT CAST(LENGTH(BIN(n)) - 1 AS INT) AS bucket FROM c WHERE n > 0)
+    SELECT bucket,
+           CAST(1 << bucket AS BIGINT) AS lo,
+           CAST((1 << (bucket + 1)) - 1 AS BIGINT) AS hi,
+           COUNT(*)::BIGINT AS n_obs
+    FROM b GROUP BY bucket
+    """,
+    "logarithmic-width histogram of per-user event counts: bucket = "
+    "LENGTH(BIN(x)) - 1 (floor(log2) in exact integer/string space — a "
+    "power-of-two value can't straddle a float log boundary); the "
+    "heavy-tail eyeball that graph.powerlaw_alpha then fits",
+)
+def log2_hist_user_events(spark, sf_dir):
+    counts = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return analytics.log2_histogram(counts, "n")
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -6620,7 +6687,8 @@ _ROUND5_QUEUE: tuple[str, ...] = (
 # join_skew_report, hhi_revenue, negative_pairs_ring,
 # nfc_normalized_fingerprints, mixing_weights_temperature, xml_roundtrip,
 # uniformized_length_by_lang, split_unigram_kl, group_by_all_status,
-# kaplan_meier_lifetimes, cms_heavy_hitter_estimates.
+# kaplan_meier_lifetimes, cms_heavy_hitter_estimates,
+# ab_conversion_ztest, log2_hist_user_events.
 
 # Frozen record of every name with a driver-green row (rows+schema, no
 # error) in CORRECTNESS_r01-r03. Guards below reject a rotation slot spent

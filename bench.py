@@ -117,6 +117,8 @@ EXTRA = [
     "split_unigram_kl",       # train/val distribution-shift KL
     "kaplan_meier_lifetimes", # right-censored survival estimator
     "cms_heavy_hitter_estimates",  # mergeable count-min sketch
+    "ab_conversion_ztest",    # A/B two-proportion z-test
+    "log2_hist_user_events",  # exact-integer log2 histogram
 ]
 
 

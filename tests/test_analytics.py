@@ -460,3 +460,37 @@ def test_cms_overestimate_bound_and_merge(spark):
     )
     whole = sketches.cms_build(items, "term")
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_two_proportion_ztest_closed_form(spark):
+    # A: 60/100 convert, B: 40/100 -> pool 0.5,
+    # se = sqrt(.5*.5*(1/100+1/100)) = sqrt(0.005)
+    import math
+
+    rows = [("A", 1)] * 60 + [("A", 0)] * 40 + [("B", 1)] * 40 + [("B", 0)] * 60
+    df = spark.createDataFrame(rows, "grp string, conv int")
+    row = analytics.two_proportion_ztest(df, "grp", "conv").collect()[0]
+    assert (row["n_a"], row["n_b"]) == (100, 100)
+    assert row["lift"] == pytest.approx(0.2, abs=1e-6)
+    assert row["z"] == pytest.approx(0.2 / math.sqrt(0.005), abs=1e-6)
+
+
+def test_two_proportion_ztest_rejects_wrong_group_count(spark):
+    df = spark.createDataFrame([("A", 1), ("B", 0), ("C", 1)], "grp string, conv int")
+    with pytest.raises(ValueError, match="exactly 2 groups"):
+        analytics.two_proportion_ztest(df, "grp", "conv")
+
+
+def test_log2_histogram_power_of_two_boundaries(spark):
+    # 1 -> bucket 0; 2,3 -> bucket 1; 4..7 -> bucket 2; 8 -> bucket 3;
+    # exact powers of two MUST land in their own bucket (the float-log
+    # formulation can misfile them); zeros/negatives are excluded
+    df = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,), (7,), (8,), (0,), (-4,)], "v long"
+    )
+    out = {r["bucket"]: r for r in analytics.log2_histogram(df, "v").collect()}
+    assert out[0]["n_obs"] == 1 and (out[0]["lo"], out[0]["hi"]) == (1, 1)
+    assert out[1]["n_obs"] == 2 and (out[1]["lo"], out[1]["hi"]) == (2, 3)
+    assert out[2]["n_obs"] == 2 and (out[2]["lo"], out[2]["hi"]) == (4, 7)
+    assert out[3]["n_obs"] == 1 and (out[3]["lo"], out[3]["hi"]) == (8, 15)
+    assert sum(r["n_obs"] for r in out.values()) == 6
