@@ -644,3 +644,79 @@ def log2_histogram(df: DataFrame, value_col: str) -> DataFrame:
             "n_obs",
         )
     )
+
+
+def mann_whitney_u(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """One row (n_a, n_b, rank_sum_a, u_a, z): Mann-Whitney U rank-sum
+    test between exactly two groups — the nonparametric A/B readout for
+    CONTINUOUS metrics (revenue per user, latency), robust where the
+    t-test's normality assumption fails.
+
+    Ties take average ranks: avg = min_rank + (t-1)/2, an exact half-
+    integer, so the rank sum accumulates EXACTLY in doubles (halves are
+    exact in binary) and is partition-order-independent. The normal
+    approximation uses the tie-corrected variance
+    var = (n_a*n_b/12) * ((n+1) - sum(t^3-t)/(n*(n-1))); every input to
+    the final division/sqrt is an exact integer or half-integer.
+
+    Contract: entity-level input (the global rank window sorts subjects,
+    not raw events — same contract as `gini_coefficient`). Group labels
+    order ascending (a = min label). Raises unless exactly two groups.
+    """
+    labels = [
+        r["g"]
+        for r in df.select(F.col(group_col).alias("g")).distinct().limit(3).collect()
+    ]
+    if len(labels) != 2:
+        raise ValueError(
+            f"mann_whitney_u needs exactly 2 groups in {group_col}, "
+            f"found {len(labels)}"
+        )
+    ga = min(labels)
+    w = Window.orderBy(F.col(value_col))
+    w_tie = Window.partitionBy(F.col(value_col))
+    ranked = df.select(
+        (F.col(group_col) == F.lit(ga)).alias("__is_a"),
+        F.col(value_col).alias("__x"),
+        (
+            F.rank().over(w).cast("double")
+            + (F.count("*").over(w_tie).cast("double") - F.lit(1.0)) / F.lit(2.0)
+        ).alias("__ar"),
+    )
+    ties = (
+        ranked.groupBy("__x")
+        .agg(F.count("*").alias("__t"))
+        .filter(F.col("__t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
+                ),
+                F.lit(0),
+            ).alias("__tie_sum")
+        )
+    )
+    agg = ranked.agg(
+        F.sum(F.col("__is_a").cast("bigint")).alias("__na"),
+        F.sum((~F.col("__is_a")).cast("bigint")).alias("__nb"),
+        F.sum(F.when(F.col("__is_a"), F.col("__ar"))).alias("__ra"),
+    ).crossJoin(F.broadcast(ties))
+    na = F.col("__na").cast("double")
+    nb = F.col("__nb").cast("double")
+    n = na + nb
+    u_a = F.col("__ra") - na * (na + F.lit(1.0)) / F.lit(2.0)
+    mu = na * nb / F.lit(2.0)
+    var = (na * nb / F.lit(12.0)) * (
+        (n + F.lit(1.0))
+        - F.col("__tie_sum").cast("double") / (n * (n - F.lit(1.0)))
+    )
+    z = (u_a - mu) / F.nullif(F.sqrt(var), F.lit(0.0))
+    return agg.select(
+        F.col("__na").cast("bigint").alias("n_a"),
+        F.col("__nb").cast("bigint").alias("n_b"),
+        F.round("__ra", 6).alias("rank_sum_a"),
+        F.round(u_a, 6).alias("u_a"),
+        F.round(z, 6).alias("z"),
+    )

@@ -6595,6 +6595,63 @@ def log2_hist_user_events(spark, sf_dir):
     return analytics.log2_histogram(counts, "n")
 
 
+@q(
+    "mann_whitney_value_ab",
+    """
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN ((user_id * 2654435761) % 4294967296) % 2 = 0
+                    THEN 'A' ELSE 'B' END AS grp,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+        FROM events GROUP BY user_id
+    ),
+    r AS (
+        SELECT grp = 'A' AS is_a, x,
+               CAST(RANK() OVER (ORDER BY x) AS DOUBLE)
+               + (CAST(COUNT(*) OVER (PARTITION BY x) AS DOUBLE) - 1.0)
+                 / 2.0 AS ar
+        FROM u
+    ),
+    ties AS (
+        SELECT COALESCE(SUM(t * t * t - t), 0) AS tie_sum
+        FROM (SELECT x, COUNT(*) AS t FROM r GROUP BY x) WHERE t > 1
+    ),
+    a AS (
+        SELECT SUM(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS na,
+               SUM(CASE WHEN is_a THEN 0 ELSE 1 END)::BIGINT AS nb,
+               SUM(CASE WHEN is_a THEN ar END) AS ra
+        FROM r
+    )
+    SELECT na AS n_a, nb AS n_b, ROUND(ra, 6) AS rank_sum_a,
+           ROUND(ra - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0) / 2.0, 6)
+               AS u_a,
+           ROUND((ra - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0) / 2.0
+                  - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
+                 / NULLIF(SQRT(
+                       (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0)
+                       * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
+                          - CAST(tie_sum AS DOUBLE)
+                            / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                               * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)
+                                  - 1.0)))),
+                   0.0), 6) AS z
+    FROM a CROSS JOIN ties
+    """,
+    "Mann-Whitney U rank-sum test on per-user total event value between "
+    "the deterministic A/B hash split — the nonparametric A/B readout "
+    "for continuous metrics; tie-averaged ranks are exact half-integers "
+    "(order-independent double sums), tie-corrected normal variance",
+)
+def mann_whitney_value_ab(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(dsum("value").alias("x"))
+    grp = F.when(
+        (F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296) % 2 == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    return analytics.mann_whitney_u(per_user.withColumn("grp", grp), "grp", "x")
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -6688,7 +6745,7 @@ _ROUND5_QUEUE: tuple[str, ...] = (
 # nfc_normalized_fingerprints, mixing_weights_temperature, xml_roundtrip,
 # uniformized_length_by_lang, split_unigram_kl, group_by_all_status,
 # kaplan_meier_lifetimes, cms_heavy_hitter_estimates,
-# ab_conversion_ztest, log2_hist_user_events.
+# ab_conversion_ztest, log2_hist_user_events, mann_whitney_value_ab.
 
 # Frozen record of every name with a driver-green row (rows+schema, no
 # error) in CORRECTNESS_r01-r03. Guards below reject a rotation slot spent

@@ -119,6 +119,7 @@ EXTRA = [
     "cms_heavy_hitter_estimates",  # mergeable count-min sketch
     "ab_conversion_ztest",    # A/B two-proportion z-test
     "log2_hist_user_events",  # exact-integer log2 histogram
+    "mann_whitney_value_ab",  # nonparametric rank-sum A/B test
 ]
 
 

@@ -494,3 +494,34 @@ def test_log2_histogram_power_of_two_boundaries(spark):
     assert out[2]["n_obs"] == 2 and (out[2]["lo"], out[2]["hi"]) == (4, 7)
     assert out[3]["n_obs"] == 1 and (out[3]["lo"], out[3]["hi"]) == (8, 15)
     assert sum(r["n_obs"] for r in out.values()) == 6
+
+
+def test_mann_whitney_against_scipy_formula(spark):
+    """Crafted 4-vs-4 with a tie across groups; U and tie-corrected z
+    checked against the hand-computed normal approximation."""
+    rows = [("A", 1.0), ("A", 3.0), ("A", 5.0), ("A", 7.0),
+            ("B", 2.0), ("B", 4.0), ("B", 6.0), ("B", 7.0)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    row = analytics.mann_whitney_u(df, "grp", "x").collect()[0]
+    # ranks: 1,2,3,4,5,6 then the two 7.0s share (7+8)/2 = 7.5
+    # R_A = 1 + 3 + 5 + 7.5 = 16.5 ; U_A = 16.5 - 4*5/2 = 6.5
+    assert (row["n_a"], row["n_b"]) == (4, 4)
+    assert row["rank_sum_a"] == pytest.approx(16.5, abs=1e-9)
+    assert row["u_a"] == pytest.approx(6.5, abs=1e-9)
+    # var = (16/12) * (9 - (2^3-2)/(8*7)) = (4/3)*(9 - 6/56)
+    import math
+
+    var = (16 / 12) * (9 - 6 / 56)
+    assert row["z"] == pytest.approx((6.5 - 8.0) / math.sqrt(var), abs=1e-6)
+
+
+def test_mann_whitney_symmetric_distributions_z_small(spark):
+    # identical groups -> U ~ n^2/2, z == 0 exactly (same values per group)
+    rows = [("A", float(v)) for v in range(10)] + [("B", float(v)) for v in range(10)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    row = analytics.mann_whitney_u(df, "grp", "x").collect()[0]
+    assert row["z"] == pytest.approx(0.0, abs=1e-9)
+    with pytest.raises(ValueError, match="exactly 2 groups"):
+        analytics.mann_whitney_u(
+            spark.createDataFrame([("A", 1.0)], "grp string, x double"), "grp", "x"
+        )
