@@ -720,3 +720,59 @@ def mann_whitney_u(
         F.round(u_a, 6).alias("u_a"),
         F.round(z, 6).alias("z"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """One row (n_a, n_b, d_stat, ks_stat): two-sample Kolmogorov-
+    Smirnov — the distribution-shape A/B test (detects shifts the mean
+    tests miss: variance, bimodality, tails). D = max |F_a(x) - F_b(x)|
+    over observed values; ks_stat = D * sqrt(n_a*n_b/(n_a+n_b)) is the
+    statistic compared against the Kolmogorov distribution.
+
+    The ECDF gap is computed from exact integer cumulative counts (one
+    ordered window over DISTINCT values carrying per-value group counts),
+    so D is an exact rational maximized in integer cross-multiplied form
+    — (ca*nb - cb*na) avoids forming either quotient — with no float
+    comparison deciding the argmax. Entity-level-input contract.
+    Raises unless exactly two groups.
+    """
+    labels = [
+        r["g"]
+        for r in df.select(F.col(group_col).alias("g")).distinct().limit(3).collect()
+    ]
+    if len(labels) != 2:
+        raise ValueError(
+            f"ks_two_sample needs exactly 2 groups in {group_col}, "
+            f"found {len(labels)}"
+        )
+    ga = min(labels)
+    per_v = df.groupBy(F.col(value_col).alias("__x")).agg(
+        F.sum((F.col(group_col) == F.lit(ga)).cast("bigint")).alias("__da"),
+        F.sum((F.col(group_col) != F.lit(ga)).cast("bigint")).alias("__db"),
+    )
+    totals = per_v.agg(
+        F.sum("__da").alias("__na"), F.sum("__db").alias("__nb")
+    )
+    w = Window.orderBy("__x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        F.sum("__da").over(w).alias("__ca"), F.sum("__db").over(w).alias("__cb")
+    ).crossJoin(F.broadcast(totals))
+    # |ca*nb - cb*na| maximized in exact integer space; divide once at the end
+    agg = cum.agg(
+        F.min("__na").alias("__na"),
+        F.min("__nb").alias("__nb"),
+        F.max(
+            F.abs(F.col("__ca") * F.col("__nb") - F.col("__cb") * F.col("__na"))
+        ).alias("__num"),
+    )
+    na = F.col("__na").cast("double")
+    nb = F.col("__nb").cast("double")
+    d = F.col("__num").cast("double") / (na * nb)
+    return agg.select(
+        F.col("__na").cast("bigint").alias("n_a"),
+        F.col("__nb").cast("bigint").alias("n_b"),
+        F.round(d, 6).alias("d_stat"),
+        F.round(d * F.sqrt(na * nb / (na + nb)), 6).alias("ks_stat"),
+    )

@@ -6652,6 +6652,61 @@ def mann_whitney_value_ab(spark, sf_dir):
     return analytics.mann_whitney_u(per_user.withColumn("grp", grp), "grp", "x")
 
 
+@q(
+    "ks_two_sample_value_ab",
+    """
+    WITH u AS (
+        SELECT user_id,
+               CASE WHEN ((user_id * 2654435761) % 4294967296) % 2 = 0
+                    THEN 'A' ELSE 'B' END AS grp,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+        FROM events GROUP BY user_id
+    ),
+    per_v AS (
+        SELECT x,
+               SUM(CASE WHEN grp = 'A' THEN 1 ELSE 0 END)::BIGINT AS da,
+               SUM(CASE WHEN grp = 'B' THEN 1 ELSE 0 END)::BIGINT AS db
+        FROM u GROUP BY x
+    ),
+    t AS (SELECT SUM(da) AS na, SUM(db) AS nb FROM per_v),
+    cum AS (
+        SELECT SUM(da) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS ca,
+               SUM(db) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cb
+        FROM per_v
+    ),
+    a AS (
+        SELECT CAST(MIN(na) AS BIGINT) AS n_a, CAST(MIN(nb) AS BIGINT) AS n_b,
+               MAX(ABS(ca * nb - cb * na)) AS num
+        FROM cum CROSS JOIN t
+    )
+    SELECT n_a, n_b,
+           ROUND(CAST(num AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS d_stat,
+           ROUND(CAST(num AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                 * SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                        / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))), 6)
+               AS ks_stat
+    FROM a
+    """,
+    "two-sample Kolmogorov-Smirnov on per-user total value between the "
+    "deterministic A/B hash split — the distribution-SHAPE test (catches "
+    "variance/tail shifts mean tests miss); the max ECDF gap is "
+    "maximized in exact integer cross-multiplied form |ca*nb - cb*na| "
+    "so no float comparison decides the argmax",
+)
+def ks_two_sample_value_ab(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(dsum("value").alias("x"))
+    grp = F.when(
+        (F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296) % 2 == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    return analytics.ks_two_sample(per_user.withColumn("grp", grp), "grp", "x")
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -6745,7 +6800,8 @@ _ROUND5_QUEUE: tuple[str, ...] = (
 # nfc_normalized_fingerprints, mixing_weights_temperature, xml_roundtrip,
 # uniformized_length_by_lang, split_unigram_kl, group_by_all_status,
 # kaplan_meier_lifetimes, cms_heavy_hitter_estimates,
-# ab_conversion_ztest, log2_hist_user_events, mann_whitney_value_ab.
+# ab_conversion_ztest, log2_hist_user_events, mann_whitney_value_ab,
+# ks_two_sample_value_ab.
 
 # Frozen record of every name with a driver-green row (rows+schema, no
 # error) in CORRECTNESS_r01-r03. Guards below reject a rotation slot spent

@@ -120,6 +120,7 @@ EXTRA = [
     "ab_conversion_ztest",    # A/B two-proportion z-test
     "log2_hist_user_events",  # exact-integer log2 histogram
     "mann_whitney_value_ab",  # nonparametric rank-sum A/B test
+    "ks_two_sample_value_ab", # distribution-shape KS test
 ]
 
 

@@ -525,3 +525,24 @@ def test_mann_whitney_symmetric_distributions_z_small(spark):
         analytics.mann_whitney_u(
             spark.createDataFrame([("A", 1.0)], "grp string, x double"), "grp", "x"
         )
+
+
+def test_ks_two_sample_known_gap(spark):
+    # A = {1..5}, B = {3..7}: max ECDF gap at x=2 -> |2/5 - 0| = 0.4
+    rows = [("A", float(v)) for v in range(1, 6)] + [("B", float(v)) for v in range(3, 8)]
+    df = spark.createDataFrame(rows, "grp string, x double")
+    row = analytics.ks_two_sample(df, "grp", "x").collect()[0]
+    assert (row["n_a"], row["n_b"]) == (5, 5)
+    assert row["d_stat"] == pytest.approx(0.4, abs=1e-9)
+    import math
+
+    assert row["ks_stat"] == pytest.approx(0.4 * math.sqrt(2.5), abs=1e-6)
+
+
+def test_ks_identical_and_disjoint(spark):
+    same = [("A", float(v)) for v in range(10)] + [("B", float(v)) for v in range(10)]
+    df = spark.createDataFrame(same, "grp string, x double")
+    assert analytics.ks_two_sample(df, "grp", "x").collect()[0]["d_stat"] == 0.0
+    disjoint = [("A", float(v)) for v in range(5)] + [("B", float(v + 100)) for v in range(5)]
+    df2 = spark.createDataFrame(disjoint, "grp string, x double")
+    assert analytics.ks_two_sample(df2, "grp", "x").collect()[0]["d_stat"] == 1.0
