@@ -408,10 +408,22 @@ def contingency_chi2(
     broadcasts; expected/chi2 derive from exact integer counts in a fixed
     division order, 6-dp-rounded.
     """
-    cells = (
+    observed = (
         df.select(F.col(row_col).alias("row_v"), F.col(col_col).alias("col_v"))
         .groupBy("row_v", "col_v")
         .agg(F.count("*").cast("bigint").alias("n_obs"))
+    )
+    # the FULL r x c grid, not just observed cells: an unobserved cell
+    # contributes (0-e)^2/e = e to chi2, and dropping it understates the
+    # statistic (a perfect one-to-one 2x2 would read V = 1/sqrt(2)
+    # instead of 1 — caught by the closed-form test). The grid cross-join
+    # is category-bounded, never data-sized.
+    grid = (
+        observed.select("row_v").distinct()
+        .crossJoin(observed.select("col_v").distinct())
+    )
+    cells = grid.join(observed, ["row_v", "col_v"], "left").select(
+        "row_v", "col_v", F.coalesce("n_obs", F.lit(0)).cast("bigint").alias("n_obs")
     )
     rows_t = cells.groupBy("row_v").agg(F.sum("n_obs").alias("__rt"))
     cols_t = cells.groupBy("col_v").agg(F.sum("n_obs").alias("__ct"))
@@ -776,3 +788,30 @@ def ks_two_sample(
         F.round(d, 6).alias("d_stat"),
         F.round(d * F.sqrt(na * nb / (na + nb)), 6).alias("ks_stat"),
     )
+
+
+def cramers_v(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
+    """One row (n, chi2, df_free, v): Cramér's V effect size from the
+    full chi-square contingency — the magnitude readout the raw chi2
+    statistic lacks (chi2 grows with n; V in [0,1] does not):
+    V = sqrt(chi2 / (n * min(r-1, c-1))).
+
+    Reuses `contingency_chi2` for the cell terms; the category counts
+    and n are exact integers, so the only float accumulation is the
+    cell-bounded chi2 sum (6-dp-rounded, like every float statistic).
+    """
+    cells = contingency_chi2(df, row_col, col_col)
+    agg = cells.agg(
+        F.sum("n_obs").cast("bigint").alias("n"),
+        F.round(F.sum("chi2_term"), 6).alias("chi2"),
+        (
+            F.least(
+                F.count_distinct("row_v"), F.count_distinct("col_v")
+            ) - F.lit(1)
+        ).cast("bigint").alias("df_free"),
+    )
+    v = F.sqrt(
+        F.col("chi2")
+        / (F.col("n").cast("double") * F.col("df_free").cast("double"))
+    )
+    return agg.select("n", "chi2", "df_free", F.round(v, 6).alias("v"))

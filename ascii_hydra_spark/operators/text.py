@@ -624,3 +624,52 @@ def distinctive_terms(
         .filter(F.col("rank") <= top_k)
         .withColumnRenamed("grp", group_col)
     )
+
+
+def vocab_jaccard_matrix(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(group_a, group_b, n_a, n_b, n_common, jaccard): pairwise Jaccard
+    similarity between each group's VOCABULARY (distinct-token sets) —
+    the cross-corpus diagnostic for "how much do these sources share a
+    lexicon" (high overlap -> dedup across them matters; low -> they
+    contribute distinct coverage).
+
+    One corpus-sized distinct (group, term) projection; the pair join is
+    keyed by term with group-bounded fanout (each term joins its own
+    groups only), and the counts are exact integers with one division.
+    Pairs are emitted once (group_a < group_b).
+    """
+    gt = (
+        docs.select(F.col(group_col).alias("g"), F.explode(word_tokens(text_col)).alias("term"))
+        .distinct()
+    )
+    gt = truncate_lineage(gt)  # sizes + pair join both read it
+    sizes = gt.groupBy("g").agg(F.count("*").alias("n_terms"))
+    a = gt.select(F.col("g").alias("group_a"), "term")
+    b = gt.select(F.col("g").alias("group_b"), "term")
+    common = (
+        a.join(b, "term")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        common.join(
+            F.broadcast(sizes.select(F.col("g").alias("group_a"), F.col("n_terms").alias("n_a"))),
+            "group_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("g").alias("group_b"), F.col("n_terms").alias("n_b"))),
+            "group_b",
+        )
+    )
+    union_n = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    return out.select(
+        "group_a", "group_b", "n_a", "n_b", "n_common",
+        F.round(F.col("n_common").cast("double") / union_n.cast("double"), 6).alias(
+            "jaccard"
+        ),
+    )

@@ -6085,11 +6085,18 @@ def winsorized_order_totals(spark, sf_dir):
 @q(
     "segment_priority_chi2",
     """
-    WITH cells AS (
+    WITH observed AS (
         SELECT c.c_mktsegment AS row_v, o.o_orderpriority AS col_v,
                COUNT(*)::BIGINT AS n_obs
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY 1, 2
+    ),
+    cells AS (
+        -- full r x c grid: unobserved cells contribute e to chi2
+        SELECT r.row_v, c2.col_v, COALESCE(ob.n_obs, 0)::BIGINT AS n_obs
+        FROM (SELECT DISTINCT row_v FROM observed) r
+        CROSS JOIN (SELECT DISTINCT col_v FROM observed) c2
+        LEFT JOIN observed ob ON ob.row_v = r.row_v AND ob.col_v = c2.col_v
     ),
     rt AS (SELECT row_v, SUM(n_obs) AS r_t FROM cells GROUP BY row_v),
     ct AS (SELECT col_v, SUM(n_obs) AS c_t FROM cells GROUP BY col_v),
@@ -6707,6 +6714,91 @@ def ks_two_sample_value_ab(spark, sf_dir):
     return analytics.ks_two_sample(per_user.withColumn("grp", grp), "grp", "x")
 
 
+@q(
+    "cramers_v_segment_priority",
+    """
+    WITH observed AS (
+        SELECT c.c_mktsegment AS row_v, o.o_orderpriority AS col_v,
+               COUNT(*)::BIGINT AS n_obs
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    cells AS (
+        -- full r x c grid: unobserved cells contribute e to chi2
+        SELECT r.row_v, c2.col_v, COALESCE(ob.n_obs, 0)::BIGINT AS n_obs
+        FROM (SELECT DISTINCT row_v FROM observed) r
+        CROSS JOIN (SELECT DISTINCT col_v FROM observed) c2
+        LEFT JOIN observed ob ON ob.row_v = r.row_v AND ob.col_v = c2.col_v
+    ),
+    rt AS (SELECT row_v, SUM(n_obs) AS r_t FROM cells GROUP BY row_v),
+    ct AS (SELECT col_v, SUM(n_obs) AS c_t FROM cells GROUP BY col_v),
+    g AS (SELECT SUM(n_obs) AS gt FROM cells),
+    terms AS (
+        SELECT cells.n_obs,
+               cells.row_v, cells.col_v,
+               ROUND((CAST(cells.n_obs AS DOUBLE)
+                      - CAST(rt.r_t * ct.c_t AS DOUBLE) / CAST(g.gt AS DOUBLE))
+                     * (CAST(cells.n_obs AS DOUBLE)
+                        - CAST(rt.r_t * ct.c_t AS DOUBLE) / CAST(g.gt AS DOUBLE))
+                     / (CAST(rt.r_t * ct.c_t AS DOUBLE) / CAST(g.gt AS DOUBLE)),
+                     6) AS chi2_term
+        FROM cells JOIN rt USING (row_v) JOIN ct USING (col_v) CROSS JOIN g
+    ),
+    a AS (
+        SELECT CAST(SUM(n_obs) AS BIGINT) AS n,
+               ROUND(SUM(chi2_term), 6) AS chi2,
+               CAST(LEAST(COUNT(DISTINCT row_v), COUNT(DISTINCT col_v)) - 1
+                    AS BIGINT) AS df_free
+        FROM terms
+    )
+    SELECT n, chi2, df_free,
+           ROUND(SQRT(chi2 / (CAST(n AS DOUBLE) * CAST(df_free AS DOUBLE))), 6)
+               AS v
+    FROM a
+    """,
+    "Cramér's V effect size over the segment×priority contingency — the "
+    "scale-free magnitude the raw chi2 lacks; V = sqrt(chi2/(n*min(r-1,"
+    "c-1))); sums the SAME 6-dp-rounded cell terms as segment_priority_"
+    "chi2 so both entries agree by construction",
+)
+def cramers_v_segment_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = o.join(c, o.o_custkey == c.c_custkey)
+    return analytics.cramers_v(joined, "c_mktsegment", "o_orderpriority")
+
+
+@q(
+    "source_vocab_jaccard",
+    f"""
+    WITH gt AS (
+        SELECT DISTINCT source AS g, term FROM (
+            SELECT source, UNNEST({_TOKS}) AS term FROM documents
+        )
+    ),
+    sizes AS (SELECT g, COUNT(*)::BIGINT AS n_terms FROM gt GROUP BY g),
+    common AS (
+        SELECT a.g AS group_a, b.g AS group_b, COUNT(*)::BIGINT AS n_common
+        FROM gt a JOIN gt b ON a.term = b.term AND a.g < b.g
+        GROUP BY a.g, b.g
+    )
+    SELECT c.group_a, c.group_b, sa.n_terms AS n_a, sb.n_terms AS n_b,
+           c.n_common,
+           ROUND(CAST(c.n_common AS DOUBLE)
+                 / CAST(sa.n_terms + sb.n_terms - c.n_common AS DOUBLE), 6)
+               AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.g = c.group_a
+    JOIN sizes sb ON sb.g = c.group_b
+    """,
+    "pairwise Jaccard between per-source VOCABULARIES (distinct-token "
+    "sets): the cross-corpus lexicon-overlap diagnostic; term-keyed pair "
+    "join with group-bounded fanout, exact integer counts, one division",
+)
+def source_vocab_jaccard(spark, sf_dir):
+    return text.vocab_jaccard_matrix(_t(spark, sf_dir, "documents"), "source")
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -6801,7 +6893,7 @@ _ROUND5_QUEUE: tuple[str, ...] = (
 # uniformized_length_by_lang, split_unigram_kl, group_by_all_status,
 # kaplan_meier_lifetimes, cms_heavy_hitter_estimates,
 # ab_conversion_ztest, log2_hist_user_events, mann_whitney_value_ab,
-# ks_two_sample_value_ab.
+# ks_two_sample_value_ab, cramers_v_segment_priority, source_vocab_jaccard.
 
 # Frozen record of every name with a driver-green row (rows+schema, no
 # error) in CORRECTNESS_r01-r03. Guards below reject a rotation slot spent

@@ -121,6 +121,8 @@ EXTRA = [
     "log2_hist_user_events",  # exact-integer log2 histogram
     "mann_whitney_value_ab",  # nonparametric rank-sum A/B test
     "ks_two_sample_value_ab", # distribution-shape KS test
+    "cramers_v_segment_priority",  # chi2 effect size (full-grid cells)
+    "source_vocab_jaccard",   # cross-source lexicon overlap matrix
 ]
 
 

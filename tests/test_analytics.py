@@ -546,3 +546,28 @@ def test_ks_identical_and_disjoint(spark):
     disjoint = [("A", float(v)) for v in range(5)] + [("B", float(v + 100)) for v in range(5)]
     df2 = spark.createDataFrame(disjoint, "grp string, x double")
     assert analytics.ks_two_sample(df2, "grp", "x").collect()[0]["d_stat"] == 1.0
+
+
+def test_cramers_v_bounds(spark):
+    # independent uniform table -> V = 0; deterministic one-to-one -> V = 1
+    indep = [(r, c) for r in "AB" for c in "XY" for _ in range(5)]
+    df = spark.createDataFrame(indep, "r string, c string")
+    row = analytics.cramers_v(df, "r", "c").collect()[0]
+    assert row["v"] == pytest.approx(0.0, abs=1e-9)
+    perfect = [("A", "X")] * 10 + [("B", "Y")] * 10
+    df2 = spark.createDataFrame(perfect, "r string, c string")
+    row2 = analytics.cramers_v(df2, "r", "c").collect()[0]
+    assert row2["v"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_vocab_jaccard_crafted(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c", "S1"), (2, "b c d", "S2"), (3, "x y", "S3")],
+        "doc_id long, text string, source string",
+    )
+    out = {(r["group_a"], r["group_b"]): r for r in
+           text.vocab_jaccard_matrix(df, "source").collect()}
+    r12 = out[("S1", "S2")]
+    assert (r12["n_a"], r12["n_b"], r12["n_common"]) == (3, 3, 2)
+    assert r12["jaccard"] == pytest.approx(2 / 4, abs=1e-9)
+    assert ("S1", "S3") not in out  # disjoint vocabularies emit no pair row
