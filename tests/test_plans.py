@@ -268,6 +268,7 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "ab_conversion_ztest",     # 1-row group-aggregate broadcast
         "mann_whitney_value_ab",   # 1-row tie-sum broadcast
         "ks_two_sample_value_ab",  # 1-row group-totals broadcast
+        "cramers_v_segment_priority",  # category-bounded grid cross join
     }
     offenders = []
     for name, spec in REGISTRY.items():
