@@ -815,3 +815,79 @@ def cramers_v(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
         / (F.col("n").cast("double") * F.col("df_free").cast("double"))
     )
     return agg.select("n", "chi2", "df_free", F.round(v, 6).alias("v"))
+
+
+def theil_index(df: DataFrame, value_col: str) -> DataFrame:
+    """One row (n, mean_v, theil): Theil T inequality index
+    T = (1/n) * sum((x/mu) * ln(x/mu)) over positive values — the
+    entropy-based member of the inequality family (0 = perfect equality,
+    ln(n) = one holder), and the only common one that DECOMPOSES
+    additively into within-group + between-group terms, which is why
+    multi-segment analyses prefer it to Gini.
+
+    mu comes from a DECIMAL-exact sum (order-independent); each term is
+    the same fixed float op sequence; the final sum is 6-dp-rounded.
+    Zero/negative values are excluded (x ln x -> 0 boundary is taken at
+    the population level, matching the standard definition).
+    """
+    vals = df.filter(F.col(value_col) > 0).select(
+        F.col(value_col).cast("decimal(18,2)").alias("__x")
+    )
+    tot = vals.agg(
+        F.count("*").alias("__n"), F.sum("__x").alias("__s")
+    )
+    j = vals.crossJoin(F.broadcast(tot))
+    mu = F.col("__s").cast("double") / F.col("__n").cast("double")
+    r = F.col("__x").cast("double") / mu
+    agg = j.agg(
+        F.min("__n").cast("bigint").alias("n"),
+        F.round(F.min(mu), 6).alias("mean_v"),
+        F.round(F.sum(r * F.log(r)) / F.min("__n").cast("double"), 6).alias("theil"),
+    )
+    return agg
+
+
+def spearman_rank_corr(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """One row (n, rho): Spearman rank correlation — Pearson on
+    tie-averaged ranks, the monotonic-association measure that ignores
+    the metrics' scales (e.g. does a customer's ORDER COUNT rank track
+    their REVENUE rank).
+
+    Tie-averaged ranks are exact half-integers (rank() + (t-1)/2), so
+    every sum feeding the Pearson formula — sum r, sum r², sum rx*ry —
+    accumulates exactly in doubles (half-integers and their products are
+    binary-exact well below 2^52): the numerator and denominator are
+    exact until the final division and sqrt. Entity-level-input contract
+    (two global rank windows over subjects).
+    """
+    wx = Window.orderBy(F.col(x_col))
+    wy = Window.orderBy(F.col(y_col))
+    tx = Window.partitionBy(F.col(x_col))
+    ty = Window.partitionBy(F.col(y_col))
+    ranked = df.select(
+        (
+            F.rank().over(wx).cast("double")
+            + (F.count("*").over(tx).cast("double") - F.lit(1.0)) / F.lit(2.0)
+        ).alias("__rx"),
+        (
+            F.rank().over(wy).cast("double")
+            + (F.count("*").over(ty).cast("double") - F.lit(1.0)) / F.lit(2.0)
+        ).alias("__ry"),
+    )
+    agg = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("__rx").alias("__sx"),
+        F.sum("__ry").alias("__sy"),
+        F.sum(F.col("__rx") * F.col("__rx")).alias("__sxx"),
+        F.sum(F.col("__ry") * F.col("__ry")).alias("__syy"),
+        F.sum(F.col("__rx") * F.col("__ry")).alias("__sxy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den = F.sqrt(
+        (n * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+        * (n * F.col("__syy") - F.col("__sy") * F.col("__sy"))
+    )
+    return agg.select("n", F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("rho"))

@@ -6799,6 +6799,82 @@ def source_vocab_jaccard(spark, sf_dir):
     return text.vocab_jaccard_matrix(_t(spark, sf_dir, "documents"), "source")
 
 
+@q(
+    "theil_revenue",
+    """
+    WITH rev AS (
+        SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS xd
+        FROM orders GROUP BY o_custkey
+    ),
+    v AS (SELECT CAST(xd AS DECIMAL(18,2)) AS x FROM rev
+          WHERE CAST(xd AS DOUBLE) > 0),
+    t AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM v)
+    SELECT CAST(MIN(n) AS BIGINT) AS n,
+           ROUND(MIN(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS mean_v,
+           ROUND(SUM((CAST(x AS DOUBLE)
+                      / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                     * LN(CAST(x AS DOUBLE)
+                          / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))))
+                 / CAST(MIN(n) AS DOUBLE), 6) AS theil
+    FROM v CROSS JOIN t
+    """,
+    "Theil T entropy inequality of per-customer revenue — the additively "
+    "decomposable member of the inequality family (with gini_revenue and "
+    "hhi_revenue); DECIMAL-exact mean, fixed per-term float op order, "
+    "6-dp-rounded sum",
+)
+def theil_revenue(spark, sf_dir):
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    return analytics.theil_index(rev, "revenue")
+
+
+@q(
+    "spearman_orders_revenue",
+    """
+    WITH per AS (
+        SELECT o_custkey, COUNT(*)::BIGINT AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+        SELECT CAST(RANK() OVER (ORDER BY n_orders) AS DOUBLE)
+               + (CAST(COUNT(*) OVER (PARTITION BY n_orders) AS DOUBLE) - 1.0)
+                 / 2.0 AS rx,
+               CAST(RANK() OVER (ORDER BY revenue) AS DOUBLE)
+               + (CAST(COUNT(*) OVER (PARTITION BY revenue) AS DOUBLE) - 1.0)
+                 / 2.0 AS ry
+        FROM per
+    ),
+    a AS (
+        SELECT COUNT(*)::BIGINT AS n, SUM(rx) AS sx, SUM(ry) AS sy,
+               SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy, SUM(rx * ry) AS sxy
+        FROM r
+    )
+    SELECT n,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / NULLIF(SQRT((CAST(n AS DOUBLE) * sxx - sx * sx)
+                               * (CAST(n AS DOUBLE) * syy - sy * sy)), 0.0),
+                 6) AS rho
+    FROM a
+    """,
+    "Spearman rank correlation between per-customer order count and "
+    "revenue — Pearson on tie-averaged ranks; half-integer ranks and "
+    "their products accumulate EXACTLY in doubles, so numerator and "
+    "denominator are exact until the final division/sqrt",
+)
+def spearman_orders_revenue(spark, sf_dir):
+    per = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )
+    return analytics.spearman_rank_corr(per, "n_orders", "revenue")
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -6893,7 +6969,8 @@ _ROUND5_QUEUE: tuple[str, ...] = (
 # uniformized_length_by_lang, split_unigram_kl, group_by_all_status,
 # kaplan_meier_lifetimes, cms_heavy_hitter_estimates,
 # ab_conversion_ztest, log2_hist_user_events, mann_whitney_value_ab,
-# ks_two_sample_value_ab, cramers_v_segment_priority, source_vocab_jaccard.
+# ks_two_sample_value_ab, cramers_v_segment_priority, source_vocab_jaccard,
+# theil_revenue, spearman_orders_revenue.
 
 # Frozen record of every name with a driver-green row (rows+schema, no
 # error) in CORRECTNESS_r01-r03. Guards below reject a rotation slot spent

@@ -123,6 +123,8 @@ EXTRA = [
     "ks_two_sample_value_ab", # distribution-shape KS test
     "cramers_v_segment_priority",  # chi2 effect size (full-grid cells)
     "source_vocab_jaccard",   # cross-source lexicon overlap matrix
+    "theil_revenue",          # decomposable entropy inequality
+    "spearman_orders_revenue",# rank correlation on exact half-int ranks
 ]
 
 

@@ -571,3 +571,37 @@ def test_vocab_jaccard_crafted(spark):
     assert (r12["n_a"], r12["n_b"], r12["n_common"]) == (3, 3, 2)
     assert r12["jaccard"] == pytest.approx(2 / 4, abs=1e-9)
     assert ("S1", "S3") not in out  # disjoint vocabularies emit no pair row
+
+
+def test_theil_closed_forms(spark):
+    # equal values -> T = 0; one holder of everything among n -> T = ln(n)
+    eq = spark.createDataFrame([(i, 50.0) for i in range(8)], "k long, v double")
+    assert analytics.theil_index(eq, "v").collect()[0]["theil"] == pytest.approx(
+        0.0, abs=1e-9
+    )
+    # zeros are excluded, so "one holder among zeros" degenerates to n=1, T=0;
+    # instead: near-total concentration 1000 vs seven 0.01s approaches ln(8)
+    one = spark.createDataFrame(
+        [(0, 1000.0)] + [(i, 0.01) for i in range(1, 8)], "k long, v double"
+    )
+    row = analytics.theil_index(one, "v").collect()[0]
+    import math
+
+    assert row["n"] == 8
+    assert row["theil"] == pytest.approx(math.log(8), rel=0.01)
+
+
+def test_spearman_monotone_and_reversed(spark):
+    # y = x^3 is monotone in x -> rho exactly 1; reversed -> -1
+    inc = spark.createDataFrame(
+        [(float(i), float(i**3)) for i in range(1, 20)], "x double, y double"
+    )
+    assert analytics.spearman_rank_corr(inc, "x", "y").collect()[0]["rho"] == (
+        pytest.approx(1.0, abs=1e-9)
+    )
+    dec = spark.createDataFrame(
+        [(float(i), float(-i)) for i in range(1, 20)], "x double, y double"
+    )
+    assert analytics.spearman_rank_corr(dec, "x", "y").collect()[0]["rho"] == (
+        pytest.approx(-1.0, abs=1e-9)
+    )

@@ -269,6 +269,7 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "mann_whitney_value_ab",   # 1-row tie-sum broadcast
         "ks_two_sample_value_ab",  # 1-row group-totals broadcast
         "cramers_v_segment_priority",  # category-bounded grid cross join
+        "theil_revenue",           # 1-row (n, sum) broadcast
     }
     offenders = []
     for name, spec in REGISTRY.items():
