@@ -891,3 +891,77 @@ def spearman_rank_corr(
         * (n * F.col("__syy") - F.col("__sy") * F.col("__sy"))
     )
     return agg.select("n", F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("rho"))
+
+
+def autocorrelation(
+    df: DataFrame, time_col: str, value_col: str, lags: tuple[int, ...] = (1, 7)
+) -> DataFrame:
+    """One row (n_points, r_lag1, r_lag7, ...): serial correlation of a
+    time series with lagged copies of itself — THE diagnostic for "is
+    yesterday predictive of today" (lag 1) and "is there a weekly cycle"
+    (lag 7) before anyone fits a forecasting model.
+
+    Input contract: one row per time point (the caller aggregates the
+    fact table to a day/hour grain first), so the global order-by window
+    sorts thousands of points, not billions of fact rows — same
+    entity-level contract as the rest of this module. Each lag column is
+    a single `F.lag` over that order; the correlation is Spark's native
+    CORR (6-dp-rounded, the same tolerance the driver-green corr_stats
+    family uses).
+    """
+    x = F.col("__x")
+    lagged = df.select(
+        F.col(value_col).cast("double").alias("__x"),
+        *[
+            F.lag(F.col(value_col).cast("double"), k).over(
+                Window.orderBy(F.col(time_col))
+            ).alias(f"__x_{k}")
+            for k in lags
+        ],
+    )
+    return lagged.agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        *[
+            F.round(F.corr(x, F.col(f"__x_{k}")), 6).alias(f"r_lag{k}")
+            for k in lags
+        ],
+    )
+
+
+def seasonality_index(
+    df: DataFrame, ts_col: str, value_col: str
+) -> DataFrame:
+    """Per ISO weekday (1=Mon..7=Sun): number of days observed, average
+    daily total, and the seasonality index = dow average / overall daily
+    average (1.0 = flat week; 1.3 = that weekday runs 30% hot). The
+    standard de-seasonalization factor for staffing/capacity curves.
+
+    Daily totals accumulate in DECIMAL (order-independent); the two
+    averages divide those exact sums as doubles in a fixed written order,
+    so the index is deterministic across partitionings. Day grain means
+    the aggregate input is bounded (years x 366), and the overall average
+    joins back as a broadcast single row.
+    """
+    daily = (
+        df.groupBy(F.col(ts_col).cast("date").alias("__day"))
+        .agg(F.sum(F.col(value_col).cast("decimal(18,2)")).alias("__day_total"))
+    )
+    overall = daily.agg(
+        F.sum("__day_total").alias("__s_all"),
+        F.count("*").alias("__n_all"),
+    )
+    per_dow = daily.groupBy(
+        (F.weekday("__day") + 1).cast("int").alias("dow")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("__day_total").alias("__s_dow"),
+    )
+    j = per_dow.crossJoin(F.broadcast(overall))
+    avg_dow = F.col("__s_dow").cast("double") / F.col("n_days").cast("double")
+    avg_all = F.col("__s_all").cast("double") / F.col("__n_all").cast("double")
+    return j.select(
+        "dow",
+        "n_days",
+        F.round(avg_dow, 6).alias("avg_daily"),
+        F.round(avg_dow / avg_all, 6).alias("seasonality_index"),
+    )

@@ -6875,6 +6875,72 @@ def spearman_orders_revenue(spark, sf_dir):
     return analytics.spearman_rank_corr(per, "n_orders", "revenue")
 
 
+@q(
+    "autocorr_daily_revenue",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
+        FROM orders GROUP BY 1
+    ),
+    lagged AS (
+        SELECT x,
+               LAG(x, 1) OVER (ORDER BY day) AS x_1,
+               LAG(x, 7) OVER (ORDER BY day) AS x_7
+        FROM daily
+    )
+    SELECT COUNT(*)::BIGINT AS n_points,
+           ROUND(CORR(x, x_1), 6) AS r_lag1,
+           ROUND(CORR(x, x_7), 6) AS r_lag7
+    FROM lagged
+    """,
+    "Serial correlation of the daily-revenue series at lag 1 and lag 7 — "
+    "the pre-forecasting diagnostic for momentum and weekly cycle; "
+    "day-grain input contract so the order-by window is bounded, native "
+    "CORR at the corr_stats-proven 6-dp tolerance",
+)
+def autocorr_daily_revenue(spark, sf_dir):
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    return analytics.autocorrelation(daily, "day", "revenue", lags=(1, 7))
+
+
+@q(
+    "dow_seasonality_revenue",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_total
+        FROM orders GROUP BY 1
+    ),
+    t AS (SELECT SUM(day_total) AS s_all, COUNT(*) AS n_all FROM daily),
+    per AS (
+        SELECT CAST(ISODOW(day) AS INT) AS dow,
+               COUNT(*)::BIGINT AS n_days,
+               SUM(day_total) AS s_dow
+        FROM daily GROUP BY 1
+    )
+    SELECT dow, n_days,
+           ROUND(CAST(s_dow AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+               AS avg_daily,
+           ROUND((CAST(s_dow AS DOUBLE) / CAST(n_days AS DOUBLE))
+                 / (CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE)), 6)
+               AS seasonality_index
+    FROM per CROSS JOIN t
+    """,
+    "ISO-weekday seasonality index of daily revenue (dow average / "
+    "overall daily average) — the de-seasonalization factor; DECIMAL "
+    "daily totals, fixed double division order, broadcast 1-row total",
+)
+def dow_seasonality_revenue(spark, sf_dir):
+    return analytics.seasonality_index(
+        _t(spark, sf_dir, "orders"), "o_orderdate", "o_totalprice"
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -6970,7 +7036,8 @@ _ROUND5_QUEUE: tuple[str, ...] = (
 # kaplan_meier_lifetimes, cms_heavy_hitter_estimates,
 # ab_conversion_ztest, log2_hist_user_events, mann_whitney_value_ab,
 # ks_two_sample_value_ab, cramers_v_segment_priority, source_vocab_jaccard,
-# theil_revenue, spearman_orders_revenue.
+# theil_revenue, spearman_orders_revenue, autocorr_daily_revenue,
+# dow_seasonality_revenue.
 
 # Frozen record of every name with a driver-green row (rows+schema, no
 # error) in CORRECTNESS_r01-r03. Guards below reject a rotation slot spent

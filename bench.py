@@ -125,6 +125,8 @@ EXTRA = [
     "source_vocab_jaccard",   # cross-source lexicon overlap matrix
     "theil_revenue",          # decomposable entropy inequality
     "spearman_orders_revenue",# rank correlation on exact half-int ranks
+    "autocorr_daily_revenue", # lag-1/lag-7 serial correlation
+    "dow_seasonality_revenue",# weekday de-seasonalization index
 ]
 
 

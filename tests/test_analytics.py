@@ -605,3 +605,44 @@ def test_spearman_monotone_and_reversed(spark):
     assert analytics.spearman_rank_corr(dec, "x", "y").collect()[0]["rho"] == (
         pytest.approx(-1.0, abs=1e-9)
     )
+
+
+def test_autocorrelation_closed_forms(spark):
+    import datetime as dt
+
+    d0 = dt.date(2024, 1, 1)
+    # strictly increasing series -> lag-1 correlation exactly 1
+    inc = spark.createDataFrame(
+        [(d0 + dt.timedelta(days=i), float(i)) for i in range(20)],
+        "day date, v double",
+    )
+    row = analytics.autocorrelation(inc, "day", "v", lags=(1,)).collect()[0]
+    assert row["n_points"] == 20
+    assert row["r_lag1"] == pytest.approx(1.0, abs=1e-9)
+    # period-2 alternating series -> lag-1 = -1, lag-2 = +1
+    alt = spark.createDataFrame(
+        [(d0 + dt.timedelta(days=i), float(i % 2)) for i in range(21)],
+        "day date, v double",
+    )
+    row = analytics.autocorrelation(alt, "day", "v", lags=(1, 2)).collect()[0]
+    assert row["r_lag1"] == pytest.approx(-1.0, abs=1e-6)
+    assert row["r_lag2"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_seasonality_index_closed_form(spark):
+    import datetime as dt
+
+    # 4 full weeks where Monday carries 8.0/day and other days 1.0/day:
+    # overall daily avg = (8 + 6) / 7 = 2.0 -> Monday index 4.0, others 0.5
+    d0 = dt.date(2024, 1, 1)  # a Monday
+    rows = []
+    for i in range(28):
+        day = d0 + dt.timedelta(days=i)
+        rows.append((dt.datetime.combine(day, dt.time(9)), 8.0 if day.isoweekday() == 1 else 1.0))
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = {r["dow"]: r for r in
+           analytics.seasonality_index(df, "ts", "v").collect()}
+    assert len(out) == 7 and all(out[d]["n_days"] == 4 for d in out)
+    assert out[1]["avg_daily"] == pytest.approx(8.0, abs=1e-9)
+    assert out[1]["seasonality_index"] == pytest.approx(4.0, abs=1e-9)
+    assert out[5]["seasonality_index"] == pytest.approx(0.5, abs=1e-9)

@@ -270,6 +270,7 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "ks_two_sample_value_ab",  # 1-row group-totals broadcast
         "cramers_v_segment_priority",  # category-bounded grid cross join
         "theil_revenue",           # 1-row (n, sum) broadcast
+        "dow_seasonality_revenue", # 1-row overall-average broadcast
     }
     offenders = []
     for name, spec in REGISTRY.items():
