@@ -6941,6 +6941,76 @@ def dow_seasonality_revenue(spark, sf_dir):
     )
 
 
+@q(
+    "open_lines_by_day",
+    """
+    WITH iv AS (
+        SELECT CAST(o.o_orderdate AS DATE) AS s,
+               CAST(l.l_shipdate AS DATE) AS e
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)
+    ),
+    deltas AS (
+        SELECT s AS day, 1 AS d FROM iv
+        UNION ALL
+        SELECT e + 1 AS day, -1 AS d FROM iv
+    ),
+    per AS (
+        SELECT day,
+               CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_opened,
+               CAST(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_closed,
+               SUM(d) AS net
+        FROM deltas GROUP BY 1
+    )
+    SELECT CAST(day AS VARCHAR) AS day, n_opened, n_closed,
+           CAST(SUM(net) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_open
+    FROM per
+    """,
+    "Order-to-ship backlog: line items open between order date and ship "
+    "date, counted per day by the SWEEP-LINE form (+1/-1 deltas, one "
+    "bounded day-grain running sum) — reads the fact table once instead "
+    "of materializing the interval x day BETWEEN-join fanout",
+)
+def open_lines_by_day(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    iv = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderdate").alias("start_ts"), F.col("l_shipdate").alias("end_ts")
+    )
+    out = analytics.open_intervals_by_day(iv, "start_ts", "end_ts")
+    return out.select(
+        F.col("day").cast("string").alias("day"),
+        "n_opened", "n_closed", "n_open",
+    )
+
+
+@q(
+    "rolling_active_users_7d",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud)
+    SELECT CAST(d.day AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS active
+    FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    """,
+    "Rolling 7-day active users per observed day — entity-days exploded "
+    "into the <=7 report days each covers (constant-factor map-side "
+    "fanout, broadcast semi join against the bounded day list) instead "
+    "of the quadratic day x entity-day range join the oracle spells",
+)
+def rolling_active_users_7d(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = analytics.rolling_active_entities(ev, "ts", "user_id", window_days=7)
+    return out.select(F.col("day").cast("string").alias("day"), "active")
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -7037,7 +7107,7 @@ _ROUND5_QUEUE: tuple[str, ...] = (
 # ab_conversion_ztest, log2_hist_user_events, mann_whitney_value_ab,
 # ks_two_sample_value_ab, cramers_v_segment_priority, source_vocab_jaccard,
 # theil_revenue, spearman_orders_revenue, autocorr_daily_revenue,
-# dow_seasonality_revenue.
+# dow_seasonality_revenue, open_lines_by_day, rolling_active_users_7d.
 
 # Frozen record of every name with a driver-green row (rows+schema, no
 # error) in CORRECTNESS_r01-r03. Guards below reject a rotation slot spent

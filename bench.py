@@ -127,6 +127,8 @@ EXTRA = [
     "spearman_orders_revenue",# rank correlation on exact half-int ranks
     "autocorr_daily_revenue", # lag-1/lag-7 serial correlation
     "dow_seasonality_revenue",# weekday de-seasonalization index
+    "open_lines_by_day",      # sweep-line interval backlog
+    "rolling_active_users_7d",# trailing-window distinct actives
 ]
 
 

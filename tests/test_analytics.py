@@ -646,3 +646,51 @@ def test_seasonality_index_closed_form(spark):
     assert out[1]["avg_daily"] == pytest.approx(8.0, abs=1e-9)
     assert out[1]["seasonality_index"] == pytest.approx(4.0, abs=1e-9)
     assert out[5]["seasonality_index"] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_open_intervals_sweep_line(spark):
+    import datetime as dt
+
+    d = dt.date
+    # intervals: [1,3], [2,2], [4,4]; day 5 closes everything
+    df = spark.createDataFrame(
+        [
+            (d(2024, 1, 1), d(2024, 1, 3)),
+            (d(2024, 1, 2), d(2024, 1, 2)),
+            (d(2024, 1, 4), d(2024, 1, 4)),
+            (d(2024, 1, 9), d(2024, 1, 1)),  # end < start -> dropped
+        ],
+        "s date, e date",
+    )
+    out = {str(r["day"]): r for r in
+           analytics.open_intervals_by_day(df, "s", "e").collect()}
+    assert out["2024-01-01"]["n_open"] == 1
+    assert out["2024-01-02"]["n_open"] == 2  # [1,3] and [2,2]
+    assert out["2024-01-03"]["n_open"] == 1  # [2,2] closed after day 2
+    assert out["2024-01-04"]["n_open"] == 1  # [1,3] closed, [4,4] open
+    assert out["2024-01-05"]["n_open"] == 0
+    assert out["2024-01-02"]["n_opened"] == 1 and out["2024-01-03"]["n_closed"] == 1
+
+
+def test_rolling_active_entities(spark):
+    import datetime as dt
+
+    t = dt.datetime
+    # user A active day 1; user B active day 5; window 3 days
+    df = spark.createDataFrame(
+        [
+            ("A", t(2024, 1, 1, 8)),
+            ("A", t(2024, 1, 1, 9)),   # same day dedup
+            ("B", t(2024, 1, 5, 8)),
+        ],
+        "u string, ts timestamp",
+    )
+    out = {str(r["day"]): r["active"] for r in
+           analytics.rolling_active_entities(df, "ts", "u", window_days=3).collect()}
+    # only OBSERVED days are reported: day 1 (A active) and day 5 (B);
+    # A's window [1..3] doesn't reach day 5
+    assert out == {"2024-01-01": 1, "2024-01-05": 1}
+    # widen window to 5: A (active day 1) still doesn't cover day 5 (1+4=5 does)
+    out5 = {str(r["day"]): r["active"] for r in
+            analytics.rolling_active_entities(df, "ts", "u", window_days=5).collect()}
+    assert out5 == {"2024-01-01": 1, "2024-01-05": 2}
