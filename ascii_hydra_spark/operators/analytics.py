@@ -1037,3 +1037,82 @@ def rolling_active_entities(
         .groupBy("day")
         .agg(F.count_distinct("__k").cast("bigint").alias("active"))
     )
+
+
+def mad_outliers(
+    df: DataFrame, group_col: str, value_col: str, k: float = 3.0
+) -> DataFrame:
+    """Per group (group, n, median_v, mad, n_outliers): robust outlier
+    gate using the median / MAD scale instead of mean / stddev — immune
+    to the very outliers it hunts (a single 1e9 row inflates a z-score
+    sigma until nothing is an outlier; it barely moves the MAD).
+    Outlier = |x - median| > k * 1.4826 * MAD (1.4826 scales MAD to
+    sigma-equivalent under normality).
+
+    Two exact interpolated-percentile passes (the driver-proven
+    percentile ≡ QUANTILE_CONT pairing), each a keyed groupBy; the
+    per-group medians join back by group key — group cardinality is
+    bounded, so those joins broadcast. Thresholds are the same double
+    expression on both engines, so boundary rows can't flip.
+    """
+    x = F.col(value_col).cast("double")
+    base = df.select(F.col(group_col).alias("grp"), x.alias("__x"))
+    med = base.groupBy("grp").agg(
+        F.expr("percentile(__x, 0.5)").alias("__med"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    dev = base.join(F.broadcast(med), "grp").withColumn(
+        "__d", F.abs(F.col("__x") - F.col("__med"))
+    )
+    mad = dev.groupBy("grp").agg(F.expr("percentile(__d, 0.5)").alias("__mad"))
+    thresh = F.lit(float(k)) * F.lit(1.4826) * F.col("__mad")
+    return (
+        dev.join(F.broadcast(mad), "grp")
+        .groupBy("grp")
+        .agg(
+            F.min("n").alias("n"),
+            F.round(F.min("__med"), 6).alias("median_v"),
+            F.round(F.min("__mad"), 6).alias("mad"),
+            F.sum(F.when(F.col("__d") > thresh, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .withColumnRenamed("grp", group_col)
+    )
+
+
+def trimmed_mean(
+    df: DataFrame, value_col: str, tiebreak: str, trim: float = 0.05
+) -> DataFrame:
+    """One row (n, n_trim_each, trimmed_mean): two-sided trimmed mean —
+    drop floor(n * trim) rows from each end of the sorted values, average
+    the rest. The robust-location companion to `winsorized_stats` (which
+    clamps instead of dropping).
+
+    Trim positions come from a row_number over (value, tiebreak) — the
+    tiebreak makes WHICH tied row is dropped reproducible, and since
+    tied values are interchangeable in a mean the statistic is stable
+    regardless. The kept-range sum accumulates in DECIMAL. Entity-level
+    input contract (the rank is a global window, accepted only here).
+    """
+    if not 0.0 <= trim < 0.5:
+        raise ValueError("trim must be in [0, 0.5)")
+    w = Window.orderBy(F.col(value_col).asc(), F.col(tiebreak).asc())
+    r = df.select(
+        F.col(value_col).cast("decimal(18,2)").alias("__x"),
+        F.row_number().over(w).cast("bigint").alias("__i"),
+        F.count("*").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("bigint").alias("__n"),
+    )
+    cut = F.floor(F.col("__n").cast("double") * F.lit(float(trim))).cast("bigint")
+    kept = r.filter((F.col("__i") > cut) & (F.col("__i") <= F.col("__n") - cut))
+    return kept.agg(
+        F.min("__n").alias("n"),
+        F.min(cut).alias("n_trim_each"),
+        F.round(
+            F.sum("__x").cast("double") / F.count("*").cast("double"), 6
+        ).alias("trimmed_mean"),
+    )

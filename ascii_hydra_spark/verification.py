@@ -7011,6 +7011,68 @@ def rolling_active_users_7d(spark, sf_dir):
     return out.select(F.col("day").cast("string").alias("day"), "active")
 
 
+@q(
+    "mad_outliers_quantity",
+    """
+    WITH base AS (
+        SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS x
+        FROM lineitem
+    ),
+    med AS (
+        SELECT grp, QUANTILE_CONT(x, 0.5) AS m, COUNT(*)::BIGINT AS n
+        FROM base GROUP BY grp
+    ),
+    dev AS (
+        SELECT base.grp, ABS(x - m) AS d, m, n
+        FROM base JOIN med USING (grp)
+    ),
+    mad AS (SELECT grp, QUANTILE_CONT(d, 0.5) AS mad FROM dev GROUP BY grp)
+    SELECT dev.grp AS l_returnflag, MIN(n) AS n,
+           ROUND(MIN(m), 6) AS median_v,
+           ROUND(MIN(mad.mad), 6) AS mad,
+           CAST(SUM(CASE WHEN d > 3.0 * 1.4826 * mad.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (grp)
+    GROUP BY dev.grp
+    """,
+    "Robust median/MAD outlier gate per return flag — the scale estimate "
+    "a single 1e9 row can't inflate; two exact interpolated-percentile "
+    "passes (percentile ≡ QUANTILE_CONT), broadcast group-median joins, "
+    "identical double threshold expression on both engines",
+)
+def mad_outliers_quantity(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return analytics.mad_outliers(li, "l_returnflag", "l_quantity", k=3.0)
+
+
+@q(
+    "trimmed_mean_order_total",
+    """
+    WITH r AS (
+        SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+               ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS i,
+               COUNT(*) OVER () AS n
+        FROM orders
+    )
+    SELECT CAST(MIN(n) AS BIGINT) AS n,
+           CAST(MIN(CAST(FLOOR(CAST(n AS DOUBLE) * 0.05) AS BIGINT))
+                AS BIGINT) AS n_trim_each,
+           ROUND(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS trimmed_mean
+    FROM r
+    WHERE i > CAST(FLOOR(CAST(n AS DOUBLE) * 0.05) AS BIGINT)
+      AND i <= n - CAST(FLOOR(CAST(n AS DOUBLE) * 0.05) AS BIGINT)
+    """,
+    "5% two-sided trimmed mean of order totals — robust location "
+    "companion to winsorized_stats (drops instead of clamps); "
+    "row_number over (value, key) makes tie handling reproducible, "
+    "DECIMAL-exact kept-range sum, entity-level global-window contract",
+)
+def trimmed_mean_order_total(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return analytics.trimmed_mean(o, "o_totalprice", "o_orderkey", trim=0.05)
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -7107,7 +7169,8 @@ _ROUND5_QUEUE: tuple[str, ...] = (
 # ab_conversion_ztest, log2_hist_user_events, mann_whitney_value_ab,
 # ks_two_sample_value_ab, cramers_v_segment_priority, source_vocab_jaccard,
 # theil_revenue, spearman_orders_revenue, autocorr_daily_revenue,
-# dow_seasonality_revenue, open_lines_by_day, rolling_active_users_7d.
+# dow_seasonality_revenue, open_lines_by_day, rolling_active_users_7d,
+# mad_outliers_quantity, trimmed_mean_order_total.
 
 # Frozen record of every name with a driver-green row (rows+schema, no
 # error) in CORRECTNESS_r01-r03. Guards below reject a rotation slot spent

@@ -129,6 +129,8 @@ EXTRA = [
     "dow_seasonality_revenue",# weekday de-seasonalization index
     "open_lines_by_day",      # sweep-line interval backlog
     "rolling_active_users_7d",# trailing-window distinct actives
+    "mad_outliers_quantity",  # robust median/MAD outlier gate
+    "trimmed_mean_order_total",# two-sided trimmed mean
 ]
 
 

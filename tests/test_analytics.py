@@ -694,3 +694,32 @@ def test_rolling_active_entities(spark):
     out5 = {str(r["day"]): r["active"] for r in
             analytics.rolling_active_entities(df, "ts", "u", window_days=5).collect()}
     assert out5 == {"2024-01-01": 1, "2024-01-05": 2}
+
+
+def test_mad_outliers_robust_to_extremes(spark):
+    # 9 values near 10 plus one 1e6 spike: MAD stays ~1, spike flagged
+    rows = [("g", float(v)) for v in [8, 9, 9, 10, 10, 10, 11, 11, 12]]
+    rows.append(("g", 1_000_000.0))
+    df = spark.createDataFrame(rows, "grp string, v double")
+    r = analytics.mad_outliers(df, "grp", "v", k=3.0).collect()[0]
+    assert r["n"] == 10 and r["median_v"] == pytest.approx(10.0)
+    assert r["mad"] == pytest.approx(1.0)
+    assert r["n_outliers"] == 1  # only the spike exceeds 3*1.4826*1
+    # contrast: a z-score gate with the spike in sigma would flag nothing
+    # (sigma ~ 3e5, spike z ~ 3.0 borderline) — MAD is the point
+
+
+def test_trimmed_mean_drops_tails(spark):
+    # values 1..20 with trim=0.1 -> drop 2 from each end -> mean(3..18) = 10.5
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 21)], "k long, v double"
+    )
+    r = analytics.trimmed_mean(df, "v", "k", trim=0.1).collect()[0]
+    assert (r["n"], r["n_trim_each"]) == (20, 2)
+    assert r["trimmed_mean"] == pytest.approx(10.5, abs=1e-9)
+    # trim=0 degenerates to the plain mean
+    r0 = analytics.trimmed_mean(df, "v", "k", trim=0.0).collect()[0]
+    assert r0["trimmed_mean"] == pytest.approx(10.5, abs=1e-9)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        analytics.trimmed_mean(df, "v", "k", trim=0.6)
