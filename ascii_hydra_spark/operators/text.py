@@ -673,3 +673,93 @@ def vocab_jaccard_matrix(
             "jaccard"
         ),
     )
+
+
+def lexical_diversity(
+    docs: DataFrame, group_col: str = "source",
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Per group (group, n_tokens, n_types, ttr, hapax_ratio): type-token
+    ratio and hapax-legomena share of each corpus slice — the vocabulary-
+    richness diagnostics (template-generated text has low TTR; OCR noise
+    and code have hapax spikes).
+
+    One explode + (group, term) count, then a per-group rollup: all
+    counts are exact integers, the two ratios are single double
+    divisions. Both shuffles are keyed groupBys (map-side partial),
+    output is group-cardinality sized.
+    """
+    tf = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(word_tokens(text_col)).alias("term"),
+        )
+        .groupBy("grp", "term")
+        .agg(F.count("*").cast("bigint").alias("__c"))
+    )
+    return (
+        tf.groupBy("grp")
+        .agg(
+            F.sum("__c").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_types"),
+            F.sum(F.when(F.col("__c") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("__hapax"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "n_types",
+            F.round(
+                F.col("n_types").cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("ttr"),
+            F.round(
+                F.col("__hapax").cast("double") / F.col("n_types").cast("double"), 6
+            ).alias("hapax_ratio"),
+        )
+    )
+
+
+def zipf_slope(
+    docs: DataFrame, text_col: str = "text", top_n: int = 200
+) -> DataFrame:
+    """One row (n_terms, slope, intercept): OLS fit of ln(freq) on
+    ln(rank) over the corpus's top ``top_n`` terms — Zipf's law says
+    slope ~ -1 for natural language; flat slopes flag templated or
+    synthetic corpora (same diagnostic family as `graph.powerlaw_alpha`
+    for degree distributions).
+
+    The frequency table reduces via keyed groupBy; the top-N cut is a
+    distributed TakeOrdered (count desc, term asc — the tiebreak makes
+    the boundary reproducible), and only those ``top_n`` rows enter the
+    bounded rank window and the closed-form OLS aggregate.
+    """
+    tf = (
+        docs.select(F.explode(word_tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("__c"))
+        .orderBy(F.desc("__c"), F.asc("term"))
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc("__c"), F.asc("term"))
+    pts = tf.select(
+        F.log(F.row_number().over(w).cast("double")).alias("__x"),
+        F.log(F.col("__c").cast("double")).alias("__y"),
+    )
+    agg = pts.agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+    )
+    n = F.col("n_terms").cast("double")
+    slope = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / (
+        n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    )
+    intercept = (F.col("__sy") - slope * F.col("__sx")) / n
+    return agg.select(
+        "n_terms",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )

@@ -7073,6 +7073,69 @@ def trimmed_mean_order_total(spark, sf_dir):
     return analytics.trimmed_mean(o, "o_totalprice", "o_orderkey", trim=0.05)
 
 
+@q(
+    "lexical_diversity_by_source",
+    f"""
+    WITH tf AS (
+        SELECT source AS grp, term, COUNT(*)::BIGINT AS c
+        FROM (SELECT source, UNNEST({_TOKS}) AS term FROM documents)
+        GROUP BY grp, term
+    )
+    SELECT grp AS source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*)::BIGINT AS n_types,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+               AS ttr,
+           ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio
+    FROM tf GROUP BY grp
+    """,
+    "Type-token ratio and hapax-legomena share per source — vocabulary "
+    "richness diagnostics (templated text = low TTR, OCR noise = hapax "
+    "spike); exact integer counts, two double divisions",
+)
+def lexical_diversity_by_source(spark, sf_dir):
+    return text.lexical_diversity(_t(spark, sf_dir, "documents"), "source")
+
+
+@q(
+    "zipf_slope_tokens",
+    f"""
+    WITH tf AS (
+        SELECT term, COUNT(*)::BIGINT AS c
+        FROM (SELECT UNNEST({_TOKS}) AS term FROM documents)
+        GROUP BY term
+    ),
+    top AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, term ASC) AS r
+        FROM tf ORDER BY c DESC, term ASC LIMIT 200
+    ),
+    pts AS (
+        SELECT LN(CAST(r AS DOUBLE)) AS x, LN(CAST(c AS DOUBLE)) AS y
+        FROM top
+    ),
+    a AS (
+        SELECT COUNT(*)::BIGINT AS n_terms, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM pts
+    )
+    SELECT n_terms,
+           ROUND((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n_terms AS DOUBLE) * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - ((CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(n_terms AS DOUBLE) * sxx - sx * sx)) * sx)
+                 / CAST(n_terms AS DOUBLE), 6) AS intercept
+    FROM a
+    """,
+    "Zipf slope: OLS of ln(freq) on ln(rank) over the top-200 terms "
+    "(slope ~ -1 for natural language; flat = templated corpus) — "
+    "TakeOrdered cut with (count desc, term) tiebreak, bounded rank "
+    "window, closed-form OLS from exact counts",
+)
+def zipf_slope_tokens(spark, sf_dir):
+    return text.zipf_slope(_t(spark, sf_dir, "documents"), top_n=200)
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -7170,7 +7233,8 @@ _ROUND5_QUEUE: tuple[str, ...] = (
 # ks_two_sample_value_ab, cramers_v_segment_priority, source_vocab_jaccard,
 # theil_revenue, spearman_orders_revenue, autocorr_daily_revenue,
 # dow_seasonality_revenue, open_lines_by_day, rolling_active_users_7d,
-# mad_outliers_quantity, trimmed_mean_order_total.
+# mad_outliers_quantity, trimmed_mean_order_total,
+# lexical_diversity_by_source, zipf_slope_tokens.
 
 # Frozen record of every name with a driver-green row (rows+schema, no
 # error) in CORRECTNESS_r01-r03. Guards below reject a rotation slot spent

@@ -131,6 +131,8 @@ EXTRA = [
     "rolling_active_users_7d",# trailing-window distinct actives
     "mad_outliers_quantity",  # robust median/MAD outlier gate
     "trimmed_mean_order_total",# two-sided trimmed mean
+    "lexical_diversity_by_source", # TTR + hapax vocabulary richness
+    "zipf_slope_tokens",      # Zipf OLS over top-200 terms
 ]
 
 

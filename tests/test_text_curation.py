@@ -170,3 +170,45 @@ def test_substring_dedup_short_docs_no_windows(spark):
     )
     out = {r.doc_id: r for r in remove_duplicate_substrings(docs, window=5).collect()}
     assert out[1].n_tokens_removed == 0 and out[2].n_tokens_removed == 0
+
+
+def test_lexical_diversity_closed_form(spark):
+    docs = spark.createDataFrame(
+        [
+            # S1: 6 tokens, 3 types (a x3, b x2, c x1) -> ttr 0.5, hapax 1/3
+            (1, "a a a b b c", "en", "S1"),
+            # S2: every token unique -> ttr 1.0, hapax 1.0
+            (2, "x y z", "en", "S2"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {r["source"]: r for r in
+           text.lexical_diversity(docs, "source").collect()}
+    s1 = out["S1"]
+    assert (s1["n_tokens"], s1["n_types"]) == (6, 3)
+    assert s1["ttr"] == 0.5 and s1["hapax_ratio"] == round(1 / 3, 6)
+    s2 = out["S2"]
+    assert s2["ttr"] == 1.0 and s2["hapax_ratio"] == 1.0
+
+
+def test_zipf_slope_exact_power_law(spark):
+    # construct frequencies c_r = 1024 / r for r=1,2,4,...: a perfect
+    # slope -1 line in (ln r, ln c); realized by repeating distinct tokens
+    rows = []
+    for r in (1, 2, 4, 8, 16):
+        rows.append((r, " ".join(f"t{r}" for _ in range(1024 // r))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.zipf_slope(docs, top_n=5).collect()[0]
+    assert out["n_terms"] == 5
+    # ranks are 1,2,3,4,5 but counts are 1024/1,1024/2,1024/4... -> not
+    # exactly -1; recompute expected OLS on the true (rank, count) pairs
+    import math
+
+    xs = [math.log(i + 1) for i in range(5)]
+    ys = [math.log(1024 // r) for r in (1, 2, 4, 8, 16)]
+    n = 5
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert out["slope"] == round(slope, 6)
