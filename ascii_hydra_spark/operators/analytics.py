@@ -1116,3 +1116,40 @@ def trimmed_mean(
             F.sum("__x").cast("double") / F.count("*").cast("double"), 6
         ).alias("trimmed_mean"),
     )
+
+
+def format_mask_profile(
+    df: DataFrame, col: str, top_n: int = 20
+) -> DataFrame:
+    """Top ``top_n`` format masks (mask, n, share) of a string column:
+    digits -> 9, lowercase -> a, uppercase -> A, everything else kept —
+    the data-profiling view that surfaces mixed phone/ID/date formats in
+    one glance ("99% '+99 999', 1% '(999)'" = a normalization bug).
+
+    Three chained regexp_replace passes (JVM-side, codegen-friendly),
+    one keyed count, broadcast 1-row total for the share, TakeOrdered
+    top-N with a mask tiebreak. NULLs profile as the literal mask
+    '<null>' so they are visible rather than dropped.
+    """
+    mask = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(col), "[0-9]", "9"), "[a-z]", "a"
+        ),
+        "[A-Z]",
+        "A",
+    )
+    counts = (
+        df.select(F.coalesce(mask, F.lit("<null>")).alias("mask"))
+        .groupBy("mask")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    total = counts.agg(F.sum("n").cast("double").alias("__t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "mask", "n",
+            F.round(F.col("n").cast("double") / F.col("__t"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n"), F.asc("mask"))
+        .limit(top_n)
+    )

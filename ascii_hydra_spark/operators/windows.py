@@ -358,3 +358,53 @@ def uniformized_rank(
         F.row_number().over(w).cast("double") - F.lit(0.5)
     ) / F.count("*").over(w_all).cast("double")
     return df.withColumn(out_col, F.round(u, 6))
+
+
+def session_paths(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    tiebreak: str,
+    type_col: str,
+    gap_s: int = 1800,
+    top_n: int = 20,
+) -> DataFrame:
+    """Top ``top_n`` session paths (path, n_sessions): the ordered
+    sequence of event types inside each gap-rule session, joined with
+    '>' — the UX/funnel answer to "what do sessions actually look like",
+    one level up from the pairwise `transition_matrix`.
+
+    Sessions come from `session_ids` (one keyed shuffle); each session
+    reduces to a path string via collect_list of (ts, tiebreak, type)
+    structs sorted IN-ARRAY (array_sort on the struct order, no extra
+    shuffle, deterministic under ties because the tiebreak is in the
+    struct), then a count per path and a TakeOrdered top-N with a path
+    tiebreak. Path strings are session-bounded, counts map-side partial.
+    """
+    tagged = session_ids(df, keys, ts_col, tiebreak, gap_s=gap_s)
+    paths = (
+        tagged.groupBy(*keys, "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col(ts_col).alias("t"),
+                                F.col(tiebreak).alias("k"),
+                                F.col(type_col).alias("e"),
+                            )
+                        )
+                    ),
+                    lambda s: s["e"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(top_n)
+    )

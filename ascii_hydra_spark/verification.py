@@ -7136,6 +7136,79 @@ def zipf_slope_tokens(spark, sf_dir):
     return text.zipf_slope(_t(spark, sf_dir, "documents"), top_n=200)
 
 
+@q(
+    "format_mask_profile_props",
+    r"""
+    WITH m AS (
+        SELECT COALESCE(
+            REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(
+                props, '[0-9]', '9', 'g'), '[a-z]', 'a', 'g'),
+                '[A-Z]', 'A', 'g'),
+            '<null>') AS mask
+        FROM events
+    ),
+    c AS (SELECT mask, COUNT(*)::BIGINT AS n FROM m GROUP BY mask),
+    t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM c)
+    SELECT mask, n, ROUND(CAST(n AS DOUBLE) / tot, 6) AS share
+    FROM c CROSS JOIN t
+    ORDER BY n DESC, mask ASC LIMIT 20
+    """,
+    "Format-mask profile of the event props column (digits->9, "
+    "lower->a, upper->A) — the data-profiling view that surfaces mixed "
+    "formats; three JVM-side regexp passes, keyed count, broadcast "
+    "1-row total, TakeOrdered top-20",
+)
+def format_mask_profile_props(spark, sf_dir):
+    return analytics.format_mask_profile(
+        _t(spark, sf_dir, "events"), "props", top_n=20
+    )
+
+
+@q(
+    "session_path_topk",
+    """
+    WITH lagd AS (
+        SELECT user_id, ts, event_id, event_type,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+        FROM events
+    ),
+    marked AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                       OR EPOCH_US(CAST(ts AS TIMESTAMP))
+                          - EPOCH_US(CAST(prev_ts AS TIMESTAMP)) > 1800000000
+                       THEN 1 ELSE 0 END AS is_new
+        FROM lagd
+    ),
+    sess AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM marked
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM sess GROUP BY user_id, session_id
+    )
+    SELECT path, COUNT(*)::BIGINT AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path ASC LIMIT 20
+    """,
+    "Top-20 whole-session event-type paths under the 30-min gap rule — "
+    "the sequence-level sibling of transition_matrix; same gaps-and-"
+    "islands session ids as `sessionize`, in-array struct sort for the "
+    "path (no extra shuffle), TakeOrdered with path tiebreak",
+)
+def session_path_topk(spark, sf_dir):
+    return windows.session_paths(
+        _t(spark, sf_dir, "events"),
+        ["user_id"], "ts", "event_id", "event_type",
+        gap_s=1800, top_n=20,
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -7234,7 +7307,8 @@ _ROUND5_QUEUE: tuple[str, ...] = (
 # theil_revenue, spearman_orders_revenue, autocorr_daily_revenue,
 # dow_seasonality_revenue, open_lines_by_day, rolling_active_users_7d,
 # mad_outliers_quantity, trimmed_mean_order_total,
-# lexical_diversity_by_source, zipf_slope_tokens.
+# lexical_diversity_by_source, zipf_slope_tokens,
+# format_mask_profile_props, session_path_topk.
 
 # Frozen record of every name with a driver-green row (rows+schema, no
 # error) in CORRECTNESS_r01-r03. Guards below reject a rotation slot spent

@@ -133,6 +133,8 @@ EXTRA = [
     "trimmed_mean_order_total",# two-sided trimmed mean
     "lexical_diversity_by_source", # TTR + hapax vocabulary richness
     "zipf_slope_tokens",      # Zipf OLS over top-200 terms
+    "format_mask_profile_props", # digit/alpha format-mask profiling
+    "session_path_topk",      # whole-session event paths
 ]
 
 

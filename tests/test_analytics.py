@@ -723,3 +723,37 @@ def test_trimmed_mean_drops_tails(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         analytics.trimmed_mean(df, "v", "k", trim=0.6)
+
+
+def test_format_mask_profile(spark):
+    df = spark.createDataFrame(
+        [("+1 555-0100",), ("+1 555-0199",), ("(555) 0000",), (None,)],
+        "phone string",
+    )
+    out = {r["mask"]: r for r in
+           analytics.format_mask_profile(df, "phone", top_n=10).collect()}
+    assert out["+9 999-9999"]["n"] == 2
+    assert out["+9 999-9999"]["share"] == 0.5
+    assert out["(999) 9999"]["n"] == 1
+    assert out["<null>"]["n"] == 1
+
+
+def test_session_paths_gap_rule(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    rows = [
+        # user 1 session 1: view > click (2 min apart)
+        (1, 1, t0, "view"),
+        (1, 2, t0 + dt.timedelta(minutes=2), "click"),
+        # gap 31 min -> new session: purchase alone
+        (1, 3, t0 + dt.timedelta(minutes=33), "purchase"),
+        # user 2: same view > click shape
+        (2, 4, t0, "view"),
+        (2, 5, t0 + dt.timedelta(minutes=1), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp, event_type string")
+    out = {r["path"]: r["n_sessions"] for r in windows.session_paths(
+        df, ["user_id"], "ts", "event_id", "event_type", gap_s=1800, top_n=10
+    ).collect()}
+    assert out == {"view>click": 2, "purchase": 1}
