@@ -271,6 +271,7 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "cramers_v_segment_priority",  # category-bounded grid cross join
         "theil_revenue",           # 1-row (n, sum) broadcast
         "dow_seasonality_revenue", # 1-row overall-average broadcast
+        "format_mask_profile_props", # 1-row mask-total broadcast
     }
     offenders = []
     for name, spec in REGISTRY.items():
