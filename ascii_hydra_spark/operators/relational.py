@@ -293,3 +293,54 @@ def rollup_agg(df: DataFrame, keys: Sequence[str], aggs: dict[str, Column]) -> D
 def cube_agg(df: DataFrame, keys: Sequence[str], aggs: dict[str, Column]) -> DataFrame:
     marks = [F.grouping(k).cast("int").alias(f"g_{k}") for k in keys]
     return df.cube(*keys).agg(*marks, *[c.alias(n) for n, c in aggs.items()])
+
+
+def item_cf_neighbors(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Per item, its top-``k`` most-similar items (item, neighbor,
+    co_baskets, cosine, rnk) by co-occurrence cosine
+    co / sqrt(n_a * n_b) over shared baskets — the item-item
+    collaborative-filtering table behind "customers also bought".
+
+    The pair join is keyed on the basket id, so fan-out is bounded by
+    basket size (never corpus-quadratic — same discipline as
+    basket_pairs); supports join back by item key; the top-k is a
+    keyed row_number window with a neighbor tiebreak. All inputs to the
+    cosine are exact integers, so the double is identical everywhere.
+    """
+    bi = baskets.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    support = bi.groupBy("__i").agg(F.count("*").cast("bigint").alias("__n"))
+    a, b = bi.alias("a"), bi.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.__b") == F.col("b.__b"))
+            & (F.col("a.__i") != F.col("b.__i")),
+        )
+        .groupBy(F.col("a.__i").alias("item"), F.col("b.__i").alias("neighbor"))
+        .agg(F.count("*").cast("bigint").alias("co_baskets"))
+    )
+    sa = support.select(F.col("__i").alias("item"), F.col("__n").alias("__na"))
+    sb = support.select(F.col("__i").alias("neighbor"), F.col("__n").alias("__nb"))
+    scored = co.join(sa, "item").join(sb, "neighbor").withColumn(
+        "cosine",
+        F.round(
+            F.col("co_baskets").cast("double")
+            / F.sqrt(F.col("__na").cast("double") * F.col("__nb").cast("double")),
+            6,
+        ),
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.desc("cosine"), F.asc("neighbor")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("item", "neighbor", "co_baskets", "cosine", "rnk")
+    )

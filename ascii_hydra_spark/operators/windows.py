@@ -408,3 +408,40 @@ def session_paths(
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(top_n)
     )
+
+
+def touch_attribution(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    tiebreak: str,
+    type_col: str,
+    conversion: str,
+) -> DataFrame:
+    """Per (first_touch, last_touch) pair: how many ``conversion`` events
+    a user reached with that combination of FIRST preceding touch and
+    LAST preceding touch — the two classic marketing-attribution models
+    side by side ('direct' when the conversion had no preceding touch).
+
+    One keyed window pass: first/last non-conversion event type over
+    rows-between(unbounded preceding, 1 preceding) with ignorenulls —
+    no self-join, no fanout; conversions then reduce with a keyed
+    count. The window sorts each user's history once (same shuffle the
+    sessionizer uses).
+    """
+    w = (
+        keyed_window(list(keys), [F.col(ts_col), F.col(tiebreak)])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col(type_col) != conversion, F.col(type_col))
+    tagged = df.withColumn(
+        "__first", F.first(touch, ignorenulls=True).over(w)
+    ).withColumn("__last", F.last(touch, ignorenulls=True).over(w))
+    return (
+        tagged.filter(F.col(type_col) == conversion)
+        .groupBy(
+            F.coalesce(F.col("__first"), F.lit("direct")).alias("first_touch"),
+            F.coalesce(F.col("__last"), F.lit("direct")).alias("last_touch"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_conversions"))
+    )

@@ -7209,6 +7209,78 @@ def session_path_topk(spark, sf_dir):
     )
 
 
+@q(
+    "touch_attribution_purchase",
+    """
+    WITH w AS (
+        SELECT user_id, ts, event_id, event_type,
+               FIRST_VALUE(CASE WHEN event_type <> 'purchase'
+                                THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS ft,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS lt
+        FROM events
+    )
+    SELECT COALESCE(ft, 'direct') AS first_touch,
+           COALESCE(lt, 'direct') AS last_touch,
+           COUNT(*)::BIGINT AS n_conversions
+    FROM w WHERE event_type = 'purchase' GROUP BY 1, 2
+    """,
+    "First-touch x last-touch attribution of purchase events — both "
+    "classic marketing models in one keyed window pass (ignorenulls "
+    "first/last over the preceding-rows frame), no self-join fanout; "
+    "'direct' when a conversion had no preceding touch",
+)
+def touch_attribution_purchase(spark, sf_dir):
+    return windows.touch_attribution(
+        _t(spark, sf_dir, "events"),
+        ["user_id"], "ts", "event_id", "event_type", "purchase",
+    )
+
+
+@q(
+    "item_cf_neighbors",
+    """
+    WITH bi AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    sup AS (SELECT i, COUNT(*)::BIGINT AS n FROM bi GROUP BY i),
+    co AS (
+        SELECT a.i AS item, b.i AS neighbor, COUNT(*)::BIGINT AS co_baskets
+        FROM bi a JOIN bi b ON a.b = b.b AND a.i <> b.i
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT co.item, co.neighbor, co.co_baskets,
+               ROUND(CAST(co.co_baskets AS DOUBLE)
+                     / SQRT(CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)), 6)
+                   AS cosine
+        FROM co JOIN sup sa ON co.item = sa.i
+                JOIN sup sb ON co.neighbor = sb.i
+    )
+    SELECT item, neighbor, co_baskets, cosine, CAST(rnk AS INT) AS rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+                   ORDER BY cosine DESC, neighbor ASC) AS rnk
+        FROM s
+    ) WHERE rnk <= 3
+    """,
+    "Item-item collaborative filtering: top-3 neighbors per part by "
+    "co-order cosine co/sqrt(na*nb) — 'customers also bought'; pair "
+    "join keyed on the basket id (fanout bounded by basket size, the "
+    "basket_pairs discipline), keyed row_number top-k, exact-integer "
+    "cosine inputs",
+)
+def item_cf_neighbors(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return relational.item_cf_neighbors(li, "l_orderkey", "l_partkey", k=3)
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -7308,7 +7380,8 @@ _ROUND5_QUEUE: tuple[str, ...] = (
 # dow_seasonality_revenue, open_lines_by_day, rolling_active_users_7d,
 # mad_outliers_quantity, trimmed_mean_order_total,
 # lexical_diversity_by_source, zipf_slope_tokens,
-# format_mask_profile_props, session_path_topk.
+# format_mask_profile_props, session_path_topk,
+# touch_attribution_purchase, item_cf_neighbors.
 
 # Frozen record of every name with a driver-green row (rows+schema, no
 # error) in CORRECTNESS_r01-r03. Guards below reject a rotation slot spent

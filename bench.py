@@ -135,6 +135,8 @@ EXTRA = [
     "zipf_slope_tokens",      # Zipf OLS over top-200 terms
     "format_mask_profile_props", # digit/alpha format-mask profiling
     "session_path_topk",      # whole-session event paths
+    "touch_attribution_purchase", # first/last-touch attribution
+    "item_cf_neighbors",      # item-item CF cosine top-k
 ]
 
 

@@ -757,3 +757,44 @@ def test_session_paths_gap_rule(spark):
         df, ["user_id"], "ts", "event_id", "event_type", gap_s=1800, top_n=10
     ).collect()}
     assert out == {"view>click": 2, "purchase": 1}
+
+
+def test_touch_attribution(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 9)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: view -> click -> purchase  => first=view, last=click
+        (1, 1, t0, "view"), (1, 2, t0 + m, "click"), (1, 3, t0 + 2 * m, "purchase"),
+        # user 2: cold purchase => direct/direct
+        (2, 4, t0, "purchase"),
+        # user 2 buys again right after: first/last both 'purchase'-excluded
+        # -> still direct (only purchases precede)
+        (2, 5, t0 + m, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    out = {(r["first_touch"], r["last_touch"]): r["n_conversions"]
+           for r in windows.touch_attribution(
+               df, ["user_id"], "ts", "event_id", "event_type", "purchase"
+           ).collect()}
+    assert out == {("view", "click"): 1, ("direct", "direct"): 2}
+
+
+def test_item_cf_neighbors(spark):
+    from ascii_hydra_spark.operators import relational
+
+    # baskets: {A,B,C}, {A,B}, {A,D} -> co(A,B)=2, nA=3, nB=2
+    rows = [(1, "A"), (1, "B"), (1, "C"), (2, "A"), (2, "B"), (3, "A"), (3, "D")]
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = relational.item_cf_neighbors(df, "b", "i", k=2).collect()
+    byitem = {}
+    for r in out:
+        byitem.setdefault(r["item"], []).append(r)
+    a_top = sorted(byitem["A"], key=lambda r: r["rnk"])
+    assert a_top[0]["neighbor"] == "B"
+    assert a_top[0]["cosine"] == round(2 / math.sqrt(3 * 2), 6)
+    assert len(a_top) == 2  # k=2 even though A has 3 co-purchased items
+    assert all(r["rnk"] <= 2 for r in out)
