@@ -19,7 +19,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ascii_hydra_spark.functions import cosine_similarity, to_double_array
+from ascii_hydra_spark.functions import cosine_similarity, l2_norm, to_double_array
 
 
 def _as_query_array(query: Sequence[float]):
@@ -634,4 +634,34 @@ def cosine_topk_ivf(
         )
         .orderBy(F.desc("sim"), F.col(id_col))
         .limit(k)
+    )
+
+
+def embedding_norm_histogram(
+    emb: DataFrame, vec_col: str = "embedding", bucket_width: float = 0.25
+) -> DataFrame:
+    """Sparse histogram of embedding L2 norms (bucket, bucket_lo, n,
+    min_norm, max_norm) — the first sanity gate on a vector corpus:
+    un-normalized rows, zero vectors, and mixed-model batches all show
+    up as stray norm buckets before any similarity search runs.
+
+    The norm is a sequential in-row fold (functions.l2_norm) — the same
+    left-to-right double accumulation DuckDB's LIST_REDUCE performs, so
+    the bucket edge floor() sees bit-identical doubles on both engines
+    (an unordered SUM over unnested elements would not guarantee that).
+    Pure map + keyed count; output is bucket-cardinality sized.
+    """
+    norm = l2_norm(to_double_array(vec_col))
+    w = float(bucket_width)
+    bucket = F.floor(norm / F.lit(w)).cast("bigint")
+    return (
+        emb.select(norm.alias("__n"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.min("__n"), 6).alias("min_norm"),
+            F.round(F.max("__n"), 6).alias("max_norm"),
+        )
+        .withColumn("bucket_lo", F.round(F.col("bucket") * F.lit(w), 6))
+        .select("bucket", "bucket_lo", "n", "min_norm", "max_norm")
     )

@@ -7281,6 +7281,82 @@ def item_cf_neighbors(spark, sf_dir):
     return relational.item_cf_neighbors(li, "l_orderkey", "l_partkey", k=3)
 
 
+@q(
+    "embedding_norm_hist",
+    """
+    WITH n AS (
+        SELECT LIST_REDUCE(LIST_TRANSFORM(CAST(embedding AS DOUBLE[]),
+                                          x -> x * x),
+                           (a, b) -> a + b) AS sq
+        FROM embeddings
+    ),
+    b AS (
+        SELECT SQRT(sq) AS norm,
+               CAST(FLOOR(SQRT(sq) / 0.25) AS BIGINT) AS bucket
+        FROM n
+    )
+    SELECT bucket, ROUND(bucket * 0.25, 6) AS bucket_lo,
+           COUNT(*)::BIGINT AS n,
+           ROUND(MIN(norm), 6) AS min_norm,
+           ROUND(MAX(norm), 6) AS max_norm
+    FROM b GROUP BY bucket
+    """,
+    "Sparse L2-norm histogram of the embedding corpus — the sanity gate "
+    "that surfaces un-normalized rows / zero vectors / mixed-model "
+    "batches; sequential in-row fold on BOTH engines (aggregate ≡ "
+    "LIST_REDUCE, same left-to-right double order) so the floor() edge "
+    "sees bit-identical doubles",
+)
+def embedding_norm_hist(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_norm_histogram(e, "embedding", bucket_width=0.25)
+
+
+@q(
+    "mom_revenue_growth",
+    """
+    WITH m AS (
+        SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+               COUNT(*)::BIGINT AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(month AS VARCHAR) AS month, n_orders,
+           CAST(rev AS DOUBLE) AS revenue,
+           ROUND((CAST(rev AS DOUBLE)
+                  - CAST(LAG(rev) OVER (ORDER BY month) AS DOUBLE))
+                 / CAST(LAG(rev) OVER (ORDER BY month) AS DOUBLE), 6)
+               AS mom_growth
+    FROM m
+    """,
+    "Month-over-month revenue growth — DECIMAL-exact monthly sums, one "
+    "LAG over the bounded month grain, growth = (rev - prev)/prev in a "
+    "fixed double order (NULL for the first month)",
+)
+def mom_revenue_growth(spark, sf_dir):
+    from pyspark.sql import Window
+
+    m = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__rev"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("month")
+    rev = F.col("__rev").cast("double")
+    prev = F.lag("__rev").over(w).cast("double")
+    return m.select(
+        F.col("month").cast("string").alias("month"),
+        "n_orders",
+        rev.alias("revenue"),
+        F.round((rev - prev) / prev, 6).alias("mom_growth"),
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -7381,7 +7457,8 @@ _ROUND5_QUEUE: tuple[str, ...] = (
 # mad_outliers_quantity, trimmed_mean_order_total,
 # lexical_diversity_by_source, zipf_slope_tokens,
 # format_mask_profile_props, session_path_topk,
-# touch_attribution_purchase, item_cf_neighbors.
+# touch_attribution_purchase, item_cf_neighbors,
+# embedding_norm_hist, mom_revenue_growth.
 
 # Frozen record of every name with a driver-green row (rows+schema, no
 # error) in CORRECTNESS_r01-r03. Guards below reject a rotation slot spent

@@ -137,6 +137,8 @@ EXTRA = [
     "session_path_topk",      # whole-session event paths
     "touch_attribution_purchase", # first/last-touch attribution
     "item_cf_neighbors",      # item-item CF cosine top-k
+    "embedding_norm_hist",    # vector-corpus L2 norm sanity gate
+    "mom_revenue_growth",     # month-over-month growth
 ]
 
 

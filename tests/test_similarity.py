@@ -189,3 +189,17 @@ def test_quantized_cosine_zero_vectors_rank_last(spark):
     hits2 = similarity.cosine_topk_quantized_by_id(emb, 0, k=3).collect()
     assert [r.vec_id for r in hits2][-1] == 2
     assert hits2[-1].sim_q is None
+
+
+def test_embedding_norm_histogram(spark):
+    rows = [
+        (1, [3.0, 4.0]),    # norm 5.0 -> bucket 20 at width 0.25
+        (2, [0.0, 0.0]),    # zero vector -> bucket 0
+        (3, [0.3, 0.4]),    # norm 0.5 -> bucket 2 (floor(0.5/0.25))
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["bucket"]: r for r in
+           similarity.embedding_norm_histogram(df, "embedding", 0.25).collect()}
+    assert out[20]["n"] == 1 and out[20]["min_norm"] == 5.0
+    assert out[0]["n"] == 1 and out[0]["max_norm"] == 0.0
+    assert out[2]["bucket_lo"] == 0.5
