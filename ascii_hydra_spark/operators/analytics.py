@@ -1153,3 +1153,51 @@ def format_mask_profile(
         .orderBy(F.desc("n"), F.asc("mask"))
         .limit(top_n)
     )
+
+
+def cusum_changepoint(
+    df: DataFrame, time_col: str, count_col: str
+) -> DataFrame:
+    """One row (n_points, change_at, max_abs_drift, direction): CUSUM
+    changepoint locator over an integer-valued series (e.g. daily event
+    counts). S_t = sum_{i<=t}(x_i - mean); the point where |S_t| peaks
+    is the classic level-shift estimate ("traffic stepped up HERE").
+
+    The whole argmax runs in EXACT integer space: n*S_t = n*cumsum_t -
+    t*total, so the peak position cannot move with float accumulation
+    order (the same cross-multiplication trick as the KS statistic);
+    only the reported drift divides by n at the end. One bounded
+    order-by window over the time grain (entity-level contract),
+    TakeOrdered argmax with earliest-time tiebreak.
+    """
+    base = df.select(
+        F.col(time_col).alias("__t"),
+        F.col(count_col).cast("bigint").alias("__x"),
+    )
+    w = Window.orderBy("__t").rowsBetween(Window.unboundedPreceding, 0)
+    wi = Window.orderBy("__t")
+    tot = base.agg(
+        F.sum("__x").alias("__total"), F.count("*").alias("__n")
+    )
+    cum = base.select(
+        "__t",
+        F.sum("__x").over(w).alias("__cum"),
+        F.row_number().over(wi).cast("bigint").alias("__i"),
+    )
+    j = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "__num",
+        F.col("__n") * F.col("__cum") - F.col("__i") * F.col("__total"),
+    )
+    return (
+        j.orderBy(F.abs(F.col("__num")).desc(), F.col("__t").asc())
+        .limit(1)
+        .select(
+            F.col("__n").cast("bigint").alias("n_points"),
+            F.col("__t").cast("string").alias("change_at"),
+            F.round(
+                F.abs(F.col("__num")).cast("double") / F.col("__n").cast("double"),
+                6,
+            ).alias("max_abs_drift"),
+            F.signum(F.col("__num").cast("double")).cast("int").alias("direction"),
+        )
+    )

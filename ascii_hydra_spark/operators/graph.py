@@ -203,3 +203,49 @@ def powerlaw_alpha(
             (alpha - F.lit(1.0)) / F.sqrt(F.col("n_nodes").cast("double")), 6
         ).alias("sigma"),
     )
+
+
+def kcore_peel(
+    edges: DataFrame, k: int = 3, rounds: int = 3,
+    src_col: str = "src", dst_col: str = "dst",
+) -> DataFrame:
+    """Per peel round (round, n_nodes, n_edges): iterative k-core
+    peeling — drop every node with degree < k, drop incident edges,
+    repeat. The survivor curve is the standard "dense core vs periphery"
+    summary (spam rings and power-user cliques survive peeling;
+    long-tail nodes fall out in round 1). A FIXED number of rounds keeps
+    the plan bounded and the oracle expressible as an unrolled CTE —
+    the same design as `pagerank`'s fixed iterations; run more rounds
+    for a fixpoint.
+
+    Each round is one degree groupBy + two broadcast-or-shuffle semi
+    joins on the shrinking survivor set — at scale the edge list only
+    ever shrinks, and no step is worse than the keyed joins the input
+    already requires.
+    """
+    und = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).unionAll(
+        edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+    ).distinct()
+    stats = []
+    cur = und
+    for r in range(1, rounds + 1):
+        deg = cur.groupBy("a").agg(F.count("*").alias("__d"))
+        keep = deg.filter(F.col("__d") >= k).select("a")
+        cur = (
+            cur.join(keep, "a", "semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "semi")
+            .select("a", "b")
+        )
+        stats.append(
+            cur.agg(
+                F.lit(r).cast("int").alias("round"),
+                F.count_distinct("a").cast("bigint").alias("n_nodes"),
+                (F.count("*") / 2).cast("bigint").alias("n_edges"),
+            )
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionAll(s)
+    return out

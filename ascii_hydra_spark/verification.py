@@ -7357,6 +7357,91 @@ def mom_revenue_growth(spark, sf_dir):
     )
 
 
+@q(
+    "kcore_peel_rounds",
+    """
+    WITH e0 AS (
+        SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    ed0 AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    d1 AS (SELECT a, COUNT(*) AS c FROM ed0 GROUP BY a),
+    k1 AS (SELECT a FROM d1 WHERE c >= 3),
+    ed1 AS (SELECT e.a, e.b FROM ed0 e
+            JOIN k1 ka ON e.a = ka.a JOIN k1 kb ON e.b = kb.a),
+    d2 AS (SELECT a, COUNT(*) AS c FROM ed1 GROUP BY a),
+    k2 AS (SELECT a FROM d2 WHERE c >= 3),
+    ed2 AS (SELECT e.a, e.b FROM ed1 e
+            JOIN k2 ka ON e.a = ka.a JOIN k2 kb ON e.b = kb.a),
+    d3 AS (SELECT a, COUNT(*) AS c FROM ed2 GROUP BY a),
+    k3 AS (SELECT a FROM d3 WHERE c >= 3),
+    ed3 AS (SELECT e.a, e.b FROM ed2 e
+            JOIN k3 ka ON e.a = ka.a JOIN k3 kb ON e.b = kb.a)
+    SELECT 1 AS round, COUNT(DISTINCT a)::BIGINT AS n_nodes,
+           (COUNT(*) / 2)::BIGINT AS n_edges FROM ed1
+    UNION ALL
+    SELECT 2, COUNT(DISTINCT a)::BIGINT, (COUNT(*) / 2)::BIGINT FROM ed2
+    UNION ALL
+    SELECT 3, COUNT(DISTINCT a)::BIGINT, (COUNT(*) / 2)::BIGINT FROM ed3
+    """,
+    "3-round k=3 core peeling of the customer-supplier graph — the "
+    "dense-core survivor curve; fixed rounds keep the plan bounded and "
+    "the oracle an unrolled CTE (the pagerank design); each round is "
+    "one degree groupBy + two semi joins on a shrinking edge set",
+)
+def kcore_peel_rounds(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+    )
+    return graph.kcore_peel(edges, k=3, rounds=3)
+
+
+@q(
+    "cusum_changepoint_events",
+    """
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*)::BIGINT AS x
+        FROM events GROUP BY 1
+    ),
+    t AS (SELECT SUM(x) AS total, COUNT(*) AS n FROM daily),
+    c AS (
+        SELECT day,
+               SUM(x) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               ROW_NUMBER() OVER (ORDER BY day) AS i
+        FROM daily
+    ),
+    s AS (
+        SELECT day, n, n * cum - i * total AS num
+        FROM c CROSS JOIN t
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           CAST(day AS VARCHAR) AS change_at,
+           ROUND(CAST(ABS(num) AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS max_abs_drift,
+           CAST(SIGN(CAST(num AS DOUBLE)) AS INT) AS direction
+    FROM s ORDER BY ABS(num) DESC, day ASC LIMIT 1
+    """,
+    "CUSUM changepoint over daily event counts — argmax |S_t| located "
+    "entirely in exact integer space (n*S_t = n*cumsum - i*total, the "
+    "KS cross-multiplication trick) so float order can't move the "
+    "peak; bounded day-grain window, TakeOrdered argmax",
+)
+def cusum_changepoint_events(spark, sf_dir):
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    return analytics.cusum_changepoint(daily, "day", "n_events")
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -7458,7 +7543,8 @@ _ROUND5_QUEUE: tuple[str, ...] = (
 # lexical_diversity_by_source, zipf_slope_tokens,
 # format_mask_profile_props, session_path_topk,
 # touch_attribution_purchase, item_cf_neighbors,
-# embedding_norm_hist, mom_revenue_growth.
+# embedding_norm_hist, mom_revenue_growth, kcore_peel_rounds,
+# cusum_changepoint_events.
 
 # Frozen record of every name with a driver-green row (rows+schema, no
 # error) in CORRECTNESS_r01-r03. Guards below reject a rotation slot spent

@@ -139,6 +139,8 @@ EXTRA = [
     "item_cf_neighbors",      # item-item CF cosine top-k
     "embedding_norm_hist",    # vector-corpus L2 norm sanity gate
     "mom_revenue_growth",     # month-over-month growth
+    "kcore_peel_rounds",      # dense-core survivor curve
+    "cusum_changepoint_events", # exact-integer CUSUM argmax
 ]
 
 

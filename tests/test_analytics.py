@@ -798,3 +798,17 @@ def test_item_cf_neighbors(spark):
     assert a_top[0]["cosine"] == round(2 / math.sqrt(3 * 2), 6)
     assert len(a_top) == 2  # k=2 even though A has 3 co-purchased items
     assert all(r["rnk"] <= 2 for r in out)
+
+
+def test_cusum_changepoint_level_shift(spark):
+    import datetime as dt
+
+    d0 = dt.date(2024, 1, 1)
+    # 10 days at 100/day then 10 days at 200/day: CUSUM peaks at day 10
+    rows = [(d0 + dt.timedelta(days=i), 100 if i < 10 else 200) for i in range(20)]
+    df = spark.createDataFrame(rows, "day date, x long")
+    r = analytics.cusum_changepoint(df, "day", "x").collect()[0]
+    assert r["n_points"] == 20
+    assert r["change_at"] == "2024-01-10"  # last low day: |S| maximal there
+    # mean 150, S after 10 low days = 10*(100-150) = -500
+    assert r["max_abs_drift"] == 500.0 and r["direction"] == -1

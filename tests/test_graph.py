@@ -104,3 +104,21 @@ def test_triangle_count_hub_graph(spark):
     assert triangle_count(
         spark.createDataFrame(star + [(1, 2)], ["src", "dst"])
     ).collect()[0]["n_triangles"] == 1
+
+
+def test_kcore_peel_triangle_plus_tail(spark):
+    from ascii_hydra_spark.operators.graph import kcore_peel
+
+    # triangle a-b-c (each degree 2) + pendant d hanging off a
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")],
+        "src string, dst string",
+    )
+    out = {r["round"]: r for r in kcore_peel(edges, k=2, rounds=2).collect()}
+    # round 1: d (degree 1) peeled -> triangle remains (3 nodes, 3 edges)
+    assert (out[1]["n_nodes"], out[1]["n_edges"]) == (3, 3)
+    # round 2: stable — the triangle IS the 2-core
+    assert (out[2]["n_nodes"], out[2]["n_edges"]) == (3, 3)
+    # k=3 wipes everything in one round
+    out3 = {r["round"]: r for r in kcore_peel(edges, k=3, rounds=1).collect()}
+    assert (out3[1]["n_nodes"], out3[1]["n_edges"]) == (0, 0)

@@ -272,6 +272,7 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "theil_revenue",           # 1-row (n, sum) broadcast
         "dow_seasonality_revenue", # 1-row overall-average broadcast
         "format_mask_profile_props", # 1-row mask-total broadcast
+        "cusum_changepoint_events", # 1-row (total, n) broadcast
     }
     offenders = []
     for name, spec in REGISTRY.items():
