@@ -344,3 +344,33 @@ def item_cf_neighbors(
         .filter(F.col("rnk") <= k)
         .select("item", "neighbor", "co_baskets", "cosine", "rnk")
     )
+
+
+def skyline_2d(df: DataFrame, minimize: str, maximize: str) -> DataFrame:
+    """The 2-D Pareto front (skyline) over DISTINCT (minimize, maximize)
+    points: every point no other point strictly dominates, where
+    domination = <= in the minimized dimension, >= in the maximized one,
+    strict in at least one — "cheapest part for its size class" without
+    picking the weights up front.
+
+    The naive skyline is the quadratic NOT-EXISTS anti join (which the
+    oracle spells to prove semantics). This is the O(n log n) sweep:
+    sort by (minimize asc, maximize desc); a point survives iff its
+    maximize value strictly exceeds the running max of all preceding
+    points — every preceding point has a <= minimize value, so a
+    running-max hit IS a dominator, and after distinct the strictness
+    cases all reduce to `> cummax`. One global window over the distinct
+    point set (entity-level contract: distinct (x, y) pairs are
+    bucket-bounded, not fact-table-sized).
+    """
+    pts = df.select(
+        F.col(minimize).alias("__x"), F.col(maximize).alias("__y")
+    ).distinct()
+    w = Window.orderBy(F.col("__x").asc(), F.col("__y").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        pts.withColumn("__m", F.max("__y").over(w))
+        .filter(F.col("__m").isNull() | (F.col("__y") > F.col("__m")))
+        .select(F.col("__x").alias(minimize), F.col("__y").alias(maximize))
+    )

@@ -7442,6 +7442,31 @@ def cusum_changepoint_events(spark, sf_dir):
     return analytics.cusum_changepoint(daily, "day", "n_events")
 
 
+@q(
+    "skyline_price_size",
+    """
+    WITH p AS (
+        SELECT DISTINCT p_retailprice, p_size FROM part
+    )
+    SELECT a.p_retailprice, a.p_size
+    FROM p a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p b
+        WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+          AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+    """,
+    "2-D Pareto front of parts (minimize price, maximize size) — the "
+    "skyline operator; engine side is the O(n log n) sweep (sort by "
+    "price asc / size desc, survive iff size > running max), proven "
+    "against the oracle's quadratic NOT-EXISTS definition",
+)
+def skyline_price_size(spark, sf_dir):
+    return relational.skyline_2d(
+        _t(spark, sf_dir, "part"), "p_retailprice", "p_size"
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -7544,7 +7569,7 @@ _ROUND5_QUEUE: tuple[str, ...] = (
 # format_mask_profile_props, session_path_topk,
 # touch_attribution_purchase, item_cf_neighbors,
 # embedding_norm_hist, mom_revenue_growth, kcore_peel_rounds,
-# cusum_changepoint_events.
+# cusum_changepoint_events, skyline_price_size.
 
 # Frozen record of every name with a driver-green row (rows+schema, no
 # error) in CORRECTNESS_r01-r03. Guards below reject a rotation slot spent

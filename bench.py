@@ -141,6 +141,7 @@ EXTRA = [
     "mom_revenue_growth",     # month-over-month growth
     "kcore_peel_rounds",      # dense-core survivor curve
     "cusum_changepoint_events", # exact-integer CUSUM argmax
+    "skyline_price_size",     # 2-D Pareto front (window sweep)
 ]
 
 

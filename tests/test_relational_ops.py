@@ -236,3 +236,23 @@ def test_weighted_sample_heavy_weight_dominates(spark):
         got = relational.weighted_sample(df, "w", 1, key_col="key", seed=seed).collect()
         wins += got[0]["key"] == 7
     assert wins >= 30, wins
+
+
+def test_skyline_2d_dominance(spark):
+    # points: (1,5) dominates (2,4) and (1,4); (3,9) undominated;
+    # (2,9)? -> dominates (3,9)... craft carefully:
+    pts = [
+        (1.0, 5), (2.0, 4), (1.0, 4),   # (1,5) dominates the other two
+        (3.0, 9),                        # skyline (cheapest at size>=9)
+        (0.5, 2),                        # skyline (cheapest overall)
+        (3.0, 9),                        # duplicate collapses
+    ]
+    df = spark.createDataFrame(pts, "price double, size int")
+    out = {(r["price"], r["size"]) for r in
+           relational.skyline_2d(df, "price", "size").collect()}
+    assert out == {(1.0, 5), (3.0, 9), (0.5, 2)}
+    # equal-price tie: (1,5) vs (1,7) -> only (1,7) survives
+    df2 = spark.createDataFrame([(1.0, 5), (1.0, 7)], "price double, size int")
+    out2 = {(r["price"], r["size"]) for r in
+            relational.skyline_2d(df2, "price", "size").collect()}
+    assert out2 == {(1.0, 7)}
