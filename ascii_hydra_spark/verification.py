@@ -7551,25 +7551,28 @@ _ROUND5_QUEUE: tuple[str, ...] = (
 )
 
 # Round-6 pool: entries added after the round-5 queue filled. They sit in
-# the registry tail (position 96+) — local-suite-checked every round — and
-# are the first candidates when the round-6 rotation is assembled:
-# profile_orders_columns, time_to_convert_funnel, event_transitions,
-# distinctive_terms_by_lang, powerlaw_alpha_degrees, hourly_rate_anomalies,
-# winsorized_order_totals, segment_priority_chi2, session_bounce_rate,
-# join_skew_report, hhi_revenue, negative_pairs_ring,
-# nfc_normalized_fingerprints, mixing_weights_temperature, xml_roundtrip,
-# uniformized_length_by_lang, split_unigram_kl, group_by_all_status,
-# kaplan_meier_lifetimes, cms_heavy_hitter_estimates,
-# ab_conversion_ztest, log2_hist_user_events, mann_whitney_value_ab,
-# ks_two_sample_value_ab, cramers_v_segment_priority, source_vocab_jaccard,
-# theil_revenue, spearman_orders_revenue, autocorr_daily_revenue,
-# dow_seasonality_revenue, open_lines_by_day, rolling_active_users_7d,
-# mad_outliers_quantity, trimmed_mean_order_total,
-# lexical_diversity_by_source, zipf_slope_tokens,
-# format_mask_profile_props, session_path_topk,
-# touch_attribution_purchase, item_cf_neighbors,
-# embedding_norm_hist, mom_revenue_growth, kcore_peel_rounds,
-# cusum_changepoint_events, skyline_price_size.
+# the registry tail — local-suite-checked every round — and hold exactly
+# the 45 rotation slots round 6 needs (guarded below like the queue).
+_ROUND6_POOL: tuple[str, ...] = (
+    "profile_orders_columns", "time_to_convert_funnel", "event_transitions",
+    "distinctive_terms_by_lang", "powerlaw_alpha_degrees",
+    "hourly_rate_anomalies", "winsorized_order_totals",
+    "segment_priority_chi2", "session_bounce_rate", "join_skew_report",
+    "hhi_revenue", "negative_pairs_ring", "nfc_normalized_fingerprints",
+    "mixing_weights_temperature", "xml_roundtrip",
+    "uniformized_length_by_lang", "split_unigram_kl", "group_by_all_status",
+    "kaplan_meier_lifetimes", "cms_heavy_hitter_estimates",
+    "ab_conversion_ztest", "log2_hist_user_events", "mann_whitney_value_ab",
+    "ks_two_sample_value_ab", "cramers_v_segment_priority",
+    "source_vocab_jaccard", "theil_revenue", "spearman_orders_revenue",
+    "autocorr_daily_revenue", "dow_seasonality_revenue", "open_lines_by_day",
+    "rolling_active_users_7d", "mad_outliers_quantity",
+    "trimmed_mean_order_total", "lexical_diversity_by_source",
+    "zipf_slope_tokens", "format_mask_profile_props", "session_path_topk",
+    "touch_attribution_purchase", "item_cf_neighbors", "embedding_norm_hist",
+    "mom_revenue_growth", "kcore_peel_rounds", "cusum_changepoint_events",
+    "skyline_price_size",
+)
 
 # Frozen record of every name with a driver-green row (rows+schema, no
 # error) in CORRECTNESS_r01-r03. Guards below reject a rotation slot spent
@@ -7615,7 +7618,9 @@ _PAST_DRIVER_GREEN: frozenset[str] = frozenset({
     "window_running", "zorder_clustering", "zscore_outlier_counts",
 })
 
-_PRIORITY: tuple[str, ...] = _ANCHORS + _ROTATION + _ROUND5_QUEUE
+_PRIORITY: tuple[str, ...] = (
+    _ANCHORS + _ROTATION + _ROUND5_QUEUE + _ROUND6_POOL
+)
 
 
 def _reorder_registry() -> None:

@@ -44,3 +44,13 @@ def test_round5_queue_is_first_time_too() -> None:
 
 def test_priority_names_all_registered() -> None:
     assert set(v._PRIORITY) <= set(v.REGISTRY)
+
+
+def test_round6_pool_is_a_full_first_time_rotation() -> None:
+    # exactly the 45 rotation slots round 6 needs, every name
+    # never-driver-checked and disjoint from every earlier block
+    assert len(v._ROUND6_POOL) == 45
+    assert not (set(v._ROUND6_POOL) & v._PAST_DRIVER_GREEN)
+    assert not (set(v._ROUND6_POOL) & set(v._ANCHORS + v._ROTATION))
+    assert not (set(v._ROUND6_POOL) & set(v._ROUND5_QUEUE))
+    assert set(v._ROUND6_POOL) <= set(v.REGISTRY)
