@@ -1201,3 +1201,118 @@ def cusum_changepoint(
             F.signum(F.col("__num").cast("double")).cast("int").alias("direction"),
         )
     )
+
+
+def welch_ttest(
+    df: DataFrame, group_col: str, value_col: str, *, scale: int = 2
+) -> DataFrame:
+    """One row (n_a, n_b, mean_a, mean_b, t, dof): Welch's unequal-
+    variance t-test between exactly two groups — the parametric A/B
+    readout that `mann_whitney_u` is the rank-based fallback for; Welch
+    (1947) drops the pooled-variance assumption, so unbalanced arms with
+    different spreads stay honest.
+
+    Determinism: values accumulate as DECIMAL(18,scale) (sums) and their
+    exact decimal squares (sums of squares), so partition order cannot
+    move a bit; every derived float (mean, variance, t, the Welch-
+    Satterthwaite dof) follows ONE written operation order mirrored in
+    the oracle, 6-dp-rounded. One conditional aggregate over the fact
+    rows — no window, no join, map-side partial everywhere.
+
+    Group labels order ascending (a = min label); raises unless exactly
+    two groups (a silent pick would misattribute the test).
+    """
+    labels = [
+        r["g"]
+        for r in df.select(F.col(group_col).alias("g")).distinct().limit(3).collect()
+    ]
+    if len(labels) != 2:
+        raise ValueError(
+            f"welch_ttest needs exactly 2 groups in {group_col}, "
+            f"found {len(labels)}"
+        )
+    ga = min(labels)
+    is_a = F.col(group_col) == F.lit(ga)
+    x = F.col(value_col).cast(f"decimal(18,{scale})")
+    xx = x * x
+    agg = df.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("bigint").alias("__na"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("bigint").alias("__nb"),
+        F.sum(F.when(is_a, x)).cast("double").alias("__sa"),
+        F.sum(F.when(~is_a, x)).cast("double").alias("__sb"),
+        F.sum(F.when(is_a, xx)).cast("double").alias("__qa"),
+        F.sum(F.when(~is_a, xx)).cast("double").alias("__qb"),
+    )
+    na = F.col("__na").cast("double")
+    nb = F.col("__nb").cast("double")
+    ma = F.col("__sa") / na
+    mb = F.col("__sb") / nb
+    va = (F.col("__qa") - F.col("__sa") * F.col("__sa") / na) / (na - F.lit(1.0))
+    vb = (F.col("__qb") - F.col("__sb") * F.col("__sb") / nb) / (nb - F.lit(1.0))
+    sea = va / na
+    seb = vb / nb
+    t = (ma - mb) / F.sqrt(sea + seb)
+    dof = ((sea + seb) * (sea + seb)) / (
+        sea * sea / (na - F.lit(1.0)) + seb * seb / (nb - F.lit(1.0))
+    )
+    return agg.select(
+        F.col("__na").alias("n_a"),
+        F.col("__nb").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(t, 6).alias("t"),
+        F.round(dof, 6).alias("dof"),
+    )
+
+
+def lagged_crosscorr(
+    xs: DataFrame,
+    ys: DataFrame,
+    day_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    max_lag: int = 3,
+    scale: int = 4,
+) -> DataFrame:
+    """(lag, n_days, r): Pearson cross-correlation between x(t) and
+    y(t + lag) for lag = 0..max_lag — the leading-indicator scan ("does
+    today's x predict y in k days?"). Inputs are DAY-GRAIN aggregates
+    (the caller reduces fact rows first), so the lag expansion is a
+    constant (max_lag+1)x blowup of an already-bounded table, never of
+    the 100 TB fact table.
+
+    The x side explodes its lag fan-out map-side (sequence + explode, no
+    driver loop), joins y on the shifted calendar day, and reduces per
+    lag. All five correlation sums accumulate as exact DECIMAL(18,scale)
+    products, so r = (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) *
+    sqrt(n*syy - sy*sy)) sees identical inputs on any partitioning; the
+    float expression follows that single written order, 6-dp-rounded.
+    """
+    dx = F.col(x_col).cast(f"decimal(18,{scale})")
+    dy = F.col(y_col).cast(f"decimal(18,{scale})")
+    lx = xs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(max_lag))).alias("lag"),
+        F.col(day_col).cast("date").alias("__d"),
+        dx.alias("__x"),
+    )
+    ly = ys.select(F.col(day_col).cast("date").alias("__dy"), dy.alias("__y"))
+    j = lx.join(ly, F.date_add(F.col("__d"), F.col("lag")) == F.col("__dy"))
+    agg = j.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("__x").cast("double").alias("__sx"),
+        F.sum("__y").cast("double").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).cast("double").alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("double").alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).cast("double").alias("__syy"),
+    )
+    n = F.col("n_days").cast("double")
+    num = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den = F.sqrt(n * F.col("__sxx") - F.col("__sx") * F.col("__sx")) * F.sqrt(
+        n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    )
+    return agg.select(
+        F.col("lag").cast("int").alias("lag"),
+        "n_days",
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("r"),
+    ).orderBy("lag")

@@ -445,3 +445,38 @@ def touch_attribution(
         )
         .agg(F.count("*").cast("bigint").alias("n_conversions"))
     )
+
+
+def day_streaks(
+    df: DataFrame,
+    keys: Sequence[str],
+    day_col: str,
+) -> DataFrame:
+    """Per-key consecutive-day streaks (gaps-and-islands on the calendar):
+    (keys..., n_streaks, longest_streak, active_days). The classic
+    engagement metric ("longest run of consecutive active days").
+
+    Island anchor = epoch-day MINUS row_number over the key — constant
+    exactly while days are consecutive, computed entirely in integer
+    space (datediff from a fixed epoch), so no float/date-arithmetic
+    divergence between engines. One shuffle: the distinct, the window,
+    and both groupBys all share the key partitioning, so Spark plans a
+    single exchange for the whole pipeline.
+    """
+    d = (
+        df.select(*keys, F.col(day_col).cast("date").alias("__day"))
+        .distinct()
+    )
+    w = keyed_window(list(keys), [F.col("__day")])
+    epoch_day = F.datediff(F.col("__day"), F.lit("1970-01-01"))
+    anchored = d.withColumn(
+        "__anchor", (epoch_day - F.row_number().over(w)).cast("bigint")
+    )
+    runs = anchored.groupBy(*keys, "__anchor").agg(
+        F.count("*").alias("__len")
+    )
+    return runs.groupBy(*keys).agg(
+        F.count("*").cast("bigint").alias("n_streaks"),
+        F.max("__len").cast("bigint").alias("longest_streak"),
+        F.sum("__len").cast("bigint").alias("active_days"),
+    )

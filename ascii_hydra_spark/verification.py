@@ -7467,6 +7467,132 @@ def skyline_price_size(spark, sf_dir):
     )
 
 
+@q(
+    "user_day_streaks",
+    """
+    WITH d AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    r AS (
+        SELECT user_id,
+               CAST(day - DATE '1970-01-01' AS BIGINT)
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                   AS anchor
+        FROM d
+    ),
+    s AS (SELECT user_id, anchor, COUNT(*) AS len FROM r GROUP BY 1, 2)
+    SELECT user_id, COUNT(*)::BIGINT AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(SUM(len) AS BIGINT) AS active_days
+    FROM s GROUP BY user_id
+    """,
+    "Consecutive-day activity streaks per user (gaps-and-islands on the "
+    "calendar): island anchor = epoch-day minus row_number, all integer "
+    "space; engine plans ONE exchange for distinct + window + both "
+    "groupBys (shared user_id partitioning)",
+)
+def user_day_streaks(spark, sf_dir):
+    return windows.day_streaks(_t(spark, sf_dir, "events"), ["user_id"], "ts")
+
+
+@q(
+    "welch_ttest_value_ab",
+    """
+    WITH e AS (
+        SELECT ((user_id * 2654435761) % 4294967296) % 2 = 0 AS is_a,
+               CAST(value AS DECIMAL(18,2)) AS x
+        FROM events
+    ),
+    a AS (
+        SELECT SUM(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS na,
+               SUM(CASE WHEN is_a THEN 0 ELSE 1 END)::BIGINT AS nb,
+               CAST(SUM(CASE WHEN is_a THEN x END) AS DOUBLE) AS sa,
+               CAST(SUM(CASE WHEN NOT is_a THEN x END) AS DOUBLE) AS sb,
+               CAST(SUM(CASE WHEN is_a THEN x * x END) AS DOUBLE) AS qa,
+               CAST(SUM(CASE WHEN NOT is_a THEN x * x END) AS DOUBLE) AS qb
+        FROM e
+    ),
+    v AS (
+        SELECT na, nb,
+               CAST(na AS DOUBLE) AS nad, CAST(nb AS DOUBLE) AS nbd,
+               sa / CAST(na AS DOUBLE) AS ma,
+               sb / CAST(nb AS DOUBLE) AS mb,
+               (qa - sa * sa / CAST(na AS DOUBLE))
+                   / (CAST(na AS DOUBLE) - 1.0) / CAST(na AS DOUBLE) AS sea,
+               (qb - sb * sb / CAST(nb AS DOUBLE))
+                   / (CAST(nb AS DOUBLE) - 1.0) / CAST(nb AS DOUBLE) AS seb
+        FROM a
+    )
+    SELECT na AS n_a, nb AS n_b,
+           ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+           ROUND((ma - mb) / SQRT(sea + seb), 6) AS t,
+           ROUND((sea + seb) * (sea + seb)
+                 / (sea * sea / (nad - 1.0) + seb * seb / (nbd - 1.0)),
+                 6) AS dof
+    FROM v
+    """,
+    "Welch's unequal-variance t-test (+ Welch-Satterthwaite dof) between "
+    "the Knuth-hash A/B user split on raw event values — decimal-exact "
+    "sums and sums-of-squares, one conditional aggregate, no window/join",
+)
+def welch_ttest_value_ab(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    grp = F.when(
+        (F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296) % 2 == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    return analytics.welch_ttest(ev.withColumn("grp", grp), "grp", "value")
+
+
+@q(
+    "crosscorr_orders_lagged",
+    """
+    WITH d AS (
+        -- DECIMAL(28,4): forces DuckDB's int128 multiply path (the
+        -- 18-wide operand product overflows its int64 fast path); the
+        -- values are identical to the engine's decimal(18,4) operands
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(COUNT(*) AS DECIMAL(28,4)) AS x,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    AS DECIMAL(28,4)) AS y
+        FROM orders GROUP BY 1
+    ),
+    l AS (SELECT CAST(range AS INT) AS lag FROM range(0, 4)),
+    j AS (
+        SELECT l.lag, a.x, b.y
+        FROM l CROSS JOIN d a JOIN d b ON b.day = a.day + l.lag
+    ),
+    g AS (
+        SELECT lag, COUNT(*)::BIGINT AS n_days,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y * y) AS DOUBLE) AS syy
+        FROM j GROUP BY lag
+    )
+    SELECT lag, n_days,
+           ROUND((CAST(n_days AS DOUBLE) * sxy - sx * sy)
+                 / NULLIF(SQRT(CAST(n_days AS DOUBLE) * sxx - sx * sx)
+                          * SQRT(CAST(n_days AS DOUBLE) * syy - sy * sy),
+                          0.0), 6) AS r
+    FROM g ORDER BY lag
+    """,
+    "Lagged Pearson cross-correlation (lag 0-3) between daily order count "
+    "and daily revenue — leading-indicator scan; lag fan-out explodes the "
+    "day-grain table map-side (never the fact table), correlation sums "
+    "accumulate as exact decimals",
+)
+def crosscorr_orders_lagged(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count("*").cast("bigint").alias("x"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y"),
+    )
+    return analytics.lagged_crosscorr(daily, daily, "day", "x", "y", max_lag=3)
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -7574,6 +7700,13 @@ _ROUND6_POOL: tuple[str, ...] = (
     "skyline_price_size",
 )
 
+# Round-7 pool: entries added after the round-6 pool filled (round-4
+# continuation session 2). Registry tail, local-suite-checked every round;
+# fills toward the 45 rotation slots round 7 will need.
+_ROUND7_POOL: tuple[str, ...] = (
+    "user_day_streaks", "welch_ttest_value_ab", "crosscorr_orders_lagged",
+)
+
 # Frozen record of every name with a driver-green row (rows+schema, no
 # error) in CORRECTNESS_r01-r03. Guards below reject a rotation slot spent
 # on an already-green name. collect_sorted is deliberately absent (it
@@ -7619,7 +7752,7 @@ _PAST_DRIVER_GREEN: frozenset[str] = frozenset({
 })
 
 _PRIORITY: tuple[str, ...] = (
-    _ANCHORS + _ROTATION + _ROUND5_QUEUE + _ROUND6_POOL
+    _ANCHORS + _ROTATION + _ROUND5_QUEUE + _ROUND6_POOL + _ROUND7_POOL
 )
 
 

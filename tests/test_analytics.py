@@ -812,3 +812,78 @@ def test_cusum_changepoint_level_shift(spark):
     assert r["change_at"] == "2024-01-10"  # last low day: |S| maximal there
     # mean 150, S after 10 low days = 10*(100-150) = -500
     assert r["max_abs_drift"] == 500.0 and r["direction"] == -1
+
+
+def test_day_streaks_islands(spark):
+    # user 1: days 1,2,3 then 5,6 -> streaks (3, 2); user 2: one day
+    rows = [
+        (1, "2024-01-01"), (1, "2024-01-02"), (1, "2024-01-03"),
+        (1, "2024-01-05"), (1, "2024-01-06"),
+        (1, "2024-01-02"),  # duplicate day must not split or extend a run
+        (2, "2024-03-10"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, day string").select(
+        "user_id", F.col("day").cast("date").alias("day")
+    )
+    out = {
+        r["user_id"]: (r["n_streaks"], r["longest_streak"], r["active_days"])
+        for r in windows.day_streaks(df, ["user_id"], "day").collect()
+    }
+    assert out == {1: (2, 3, 5), 2: (1, 1, 1)}
+
+
+def test_day_streaks_month_boundary(spark):
+    # Jan 31 -> Feb 1 is consecutive (epoch-day arithmetic, not day-of-month)
+    df = spark.createDataFrame(
+        [(1, "2024-01-31"), (1, "2024-02-01")], "user_id long, day string"
+    ).select("user_id", F.col("day").cast("date").alias("day"))
+    row = windows.day_streaks(df, ["user_id"], "day").collect()[0]
+    assert (row["n_streaks"], row["longest_streak"]) == (1, 2)
+
+
+def test_welch_ttest_closed_form(spark):
+    # a = {1,2,3}, b = {2,4,6,8}: ma=2, va=1, mb=5, vb=20/3
+    # se = 1/3 + 5/3 = 2; t = -3/sqrt(2); dof = 4/(1/18 + 25/27)
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0)] + [
+        ("b", float(v)) for v in (2, 4, 6, 8)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    row = analytics.welch_ttest(df, "g", "v").collect()[0]
+    assert (row["n_a"], row["n_b"]) == (3, 4)
+    assert row["mean_a"] == pytest.approx(2.0, abs=1e-6)
+    assert row["mean_b"] == pytest.approx(5.0, abs=1e-6)
+    assert row["t"] == pytest.approx(-3.0 / math.sqrt(2.0), abs=1e-6)
+    sea, seb = 1.0 / 3.0, (20.0 / 3.0) / 4.0
+    dof = (sea + seb) ** 2 / (sea**2 / 2.0 + seb**2 / 3.0)
+    assert row["dof"] == pytest.approx(dof, abs=1e-6)
+
+
+def test_welch_ttest_requires_two_groups(spark):
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with pytest.raises(ValueError, match="exactly 2 groups"):
+        analytics.welch_ttest(df, "g", "v")
+
+
+def test_lagged_crosscorr_shifted_series(spark):
+    # y(t) = x(t-1): correlation at lag 0 on an up-down series is
+    # negative, at lag 1 it is exactly +1 (y one day ahead equals x)
+    xs = [1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0]
+    days = [f"2024-01-0{i+1}" for i in range(len(xs))]
+    x_rows = [(d, v) for d, v in zip(days, xs)]
+    y_rows = [(days[i + 1], xs[i]) for i in range(len(xs) - 1)]
+    fx = spark.createDataFrame(x_rows, "day string, x double").select(
+        F.col("day").cast("date").alias("day"), "x"
+    )
+    fy = spark.createDataFrame(y_rows, "day string, y double").select(
+        F.col("day").cast("date").alias("day"), "y"
+    )
+    out = {
+        r["lag"]: (r["n_days"], r["r"])
+        for r in analytics.lagged_crosscorr(
+            fx, fy, "day", "x", "y", max_lag=1
+        ).collect()
+    }
+    assert out[1][0] == 6
+    assert out[1][1] == pytest.approx(1.0, abs=1e-6)
+    assert out[0][0] == 6  # y days 2-7 all match at lag 0
+    assert out[0][1] < 0.3  # phase-shifted zig-zag decorrelates

@@ -54,3 +54,14 @@ def test_round6_pool_is_a_full_first_time_rotation() -> None:
     assert not (set(v._ROUND6_POOL) & set(v._ANCHORS + v._ROTATION))
     assert not (set(v._ROUND6_POOL) & set(v._ROUND5_QUEUE))
     assert set(v._ROUND6_POOL) <= set(v.REGISTRY)
+
+
+def test_round7_pool_is_first_time_and_disjoint() -> None:
+    # fills toward round 7's 45 rotation slots; same first-time and
+    # disjointness contract as the earlier blocks, size may still grow
+    assert 0 < len(v._ROUND7_POOL) <= 45
+    assert not (set(v._ROUND7_POOL) & v._PAST_DRIVER_GREEN)
+    assert not (set(v._ROUND7_POOL) & set(v._ANCHORS + v._ROTATION))
+    assert not (set(v._ROUND7_POOL) & set(v._ROUND5_QUEUE))
+    assert not (set(v._ROUND7_POOL) & set(v._ROUND6_POOL))
+    assert set(v._ROUND7_POOL) <= set(v.REGISTRY)
