@@ -249,3 +249,71 @@ def kcore_peel(
     for s in stats[1:]:
         out = out.unionAll(s)
     return out
+
+
+def jaccard_link_prediction(
+    edges: DataFrame,
+    ctx_col: str,
+    node_col: str,
+    *,
+    k: int = 15,
+    min_common: int = 1,
+) -> DataFrame:
+    """Top-k predicted links by common-neighbor Jaccard over a bipartite
+    incidence list (context -> node): score(a, b) =
+    |ctx(a) & ctx(b)| / |ctx(a) | ctx(b)| — the classic link-prediction /
+    "suppliers who ship together" similarity (Liben-Nowell & Kleinberg
+    2003).
+
+    Shape discipline: the pair join is KEYED ON THE CONTEXT, so fan-out is
+    bounded by per-context degree (the basket_pairs rule) — never the
+    node-squared join. Degrees are a second pass over the same deduped
+    incidence list; the union size needs no third pass (|a|+|b|-common).
+    All score inputs are exact integers; the single division is the last
+    step, 6-dp-rounded; the top-k is a distributed TakeOrdered with a
+    (node_a, node_b) tiebreak.
+    """
+    e = edges.select(
+        F.col(ctx_col).alias("__ctx"), F.col(node_col).alias("__n")
+    ).distinct()
+    deg = e.groupBy("__n").agg(F.count("*").alias("__deg"))
+    pairs = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.__ctx") == F.col("b.__ctx"))
+            & (F.col("a.__n") < F.col("b.__n")),
+        )
+        .groupBy(
+            F.col("a.__n").alias("node_a"), F.col("b.__n").alias("node_b")
+        )
+        .agg(F.count("*").alias("__common"))
+        .filter(F.col("__common") >= min_common)
+    )
+    scored = (
+        pairs.join(
+            deg.select(F.col("__n").alias("node_a"), F.col("__deg").alias("__da")),
+            "node_a",
+        )
+        .join(
+            deg.select(F.col("__n").alias("node_b"), F.col("__deg").alias("__db")),
+            "node_b",
+        )
+        .select(
+            "node_a",
+            "node_b",
+            F.col("__common").cast("bigint").alias("n_common"),
+            F.col("__da").cast("bigint").alias("n_a"),
+            F.col("__db").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("__common").cast("double")
+                / (F.col("__da") + F.col("__db") - F.col("__common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(), "node_a", "node_b"
+    ).limit(k)

@@ -76,3 +76,83 @@ def cms_estimate(
         "item", F.coalesce(F.col("c"), F.lit(0)).alias("c")
     )
     return joined.groupBy("item").agg(F.min("c").cast("bigint").alias("est_n"))
+
+
+def _md5_bit_pos(key: "F.Column", seed: "F.Column", m_bits: int) -> "F.Column":
+    """Deterministic bit position: top 60 bits of md5(key || '#' || seed)
+    mod m. md5 (not xxhash64) on purpose — both engines expose it, so the
+    Bloom entries verify against the DuckDB oracle bit-for-bit, where the
+    count-min arm has to register rows-only."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(key.cast("string"), F.lit("#"), seed.cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(m_bits))
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, *, m_bits: int = 4096, k: int = 4
+) -> DataFrame:
+    """One-column (pos) set-bit table: the Bloom filter over `key_col`.
+
+    The sparse set-bit form (<= min(k*|keys|, m) rows) rather than a packed
+    bitmap: it unions/distincts with ordinary DataFrame ops, merges across
+    shards exactly like the count-min cell table (union + distinct is the
+    Bloom OR), and broadcasts whole for probing — at the default sizing the
+    table is bounded by m rows regardless of corpus size, which is the
+    whole point: membership of a 100 TB key set probed without shuffling
+    the probe side.
+    """
+    bits = None
+    for s in range(k):
+        part = keys.select(
+            _md5_bit_pos(F.col(key_col), F.lit(s), m_bits).alias("pos")
+        )
+        bits = part if bits is None else bits.unionAll(part)
+    return bits.distinct()
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Bloom OR of two same-sized filters: union + distinct — associative
+    and commutative, so per-day/per-shard filters roll up like sketches."""
+    return a.unionAll(b).distinct()
+
+
+def bloom_probe(
+    probes: DataFrame,
+    key_col: str,
+    bits: DataFrame,
+    *,
+    m_bits: int = 4096,
+    k: int = 4,
+) -> DataFrame:
+    """(key_col, bloom_hit): a probe key hits iff ALL k positions are set.
+
+    The filter broadcasts (<= m rows); the probe side expands k-fold
+    map-side (explode of a literal seed range, no driver loop) and reduces
+    per key — no shuffle of the probe fact table against the member set,
+    which is what the Bloom filter buys over an exact semi-join at scale.
+    One-sided error: false positives only, never false negatives.
+    """
+    pk = probes.select(F.col(key_col).alias("__key")).distinct()
+    expanded = pk.select(
+        "__key",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("__s"),
+    ).select(
+        "__key", _md5_bit_pos(F.col("__key"), F.col("__s"), m_bits).alias("pos")
+    )
+    marked = expanded.join(
+        F.broadcast(bits.withColumn("__set", F.lit(1))), "pos", "left"
+    )
+    per = marked.groupBy("__key").agg(
+        F.sum(F.coalesce(F.col("__set"), F.lit(0))).alias("__n_set")
+    )
+    return per.select(
+        F.col("__key").alias(key_col),
+        (F.col("__n_set") == F.lit(k)).alias("bloom_hit"),
+    )

@@ -7593,6 +7593,114 @@ def crosscorr_orders_lagged(spark, sf_dir):
     return analytics.lagged_crosscorr(daily, daily, "day", "x", "y", max_lag=3)
 
 
+@q(
+    "bloom_membership_counts",
+    """
+    WITH member AS (
+        SELECT DISTINCT c_custkey FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+    ),
+    seeds AS (SELECT CAST(range AS VARCHAR) AS s FROM range(0, 4)),
+    bits AS (
+        SELECT DISTINCT
+            CAST(('0x' || SUBSTR(MD5(CAST(c_custkey AS VARCHAR) || '#' || s),
+                          1, 15)) AS BIGINT) % 4096 AS pos
+        FROM member CROSS JOIN seeds
+    ),
+    probe AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    expanded AS (
+        SELECT p.key,
+            CAST(('0x' || SUBSTR(MD5(CAST(p.key AS VARCHAR) || '#' || sd.s),
+                          1, 15)) AS BIGINT) % 4096 AS pos
+        FROM probe p CROSS JOIN seeds sd
+    ),
+    hits AS (
+        SELECT key, SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS n
+        FROM expanded e LEFT JOIN bits b USING (pos) GROUP BY key
+    ),
+    flags AS (
+        SELECT h.key, h.n = 4 AS hit, m.c_custkey IS NOT NULL AS member
+        FROM hits h LEFT JOIN member m ON m.c_custkey = h.key
+    )
+    SELECT COUNT(*)::BIGINT AS n_probed,
+           SUM(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT AS bloom_positive,
+           SUM(CASE WHEN member THEN 1 ELSE 0 END)::BIGINT AS true_members,
+           SUM(CASE WHEN hit AND NOT member THEN 1 ELSE 0 END)::BIGINT
+               AS false_positives
+    FROM flags
+    """,
+    "Bloom-filter membership (m=4096, k=4, md5 bit positions shared with "
+    "the oracle bit-for-bit): build over BUILDING-segment custkeys, "
+    "broadcast-probe every ordering custkey, report positives vs exact "
+    "semi-join truth — false positives only, never false negatives",
+)
+def bloom_membership_counts(spark, sf_dir):
+    from ascii_hydra_spark.operators import sketches
+
+    members = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    bits = sketches.bloom_build(members, "c_custkey", m_bits=4096, k=4)
+    probed = sketches.bloom_probe(
+        _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key")),
+        "key",
+        bits,
+        m_bits=4096,
+        k=4,
+    )
+    truth = probed.join(
+        members.select(F.col("c_custkey").alias("key")).withColumn(
+            "__m", F.lit(1)
+        ),
+        "key",
+        "left",
+    ).select("key", "bloom_hit", F.col("__m").isNotNull().alias("member"))
+    return truth.agg(
+        F.count("*").cast("bigint").alias("n_probed"),
+        F.sum(F.col("bloom_hit").cast("bigint"))
+        .cast("bigint")
+        .alias("bloom_positive"),
+        F.sum(F.col("member").cast("bigint")).cast("bigint").alias("true_members"),
+        F.sum((F.col("bloom_hit") & ~F.col("member")).cast("bigint"))
+        .cast("bigint")
+        .alias("false_positives"),
+    )
+
+
+@q(
+    "supplier_jaccard_links",
+    """
+    WITH e AS (
+        SELECT DISTINCT l_orderkey AS ctx, l_suppkey AS n FROM lineitem
+    ),
+    deg AS (SELECT n, COUNT(*) AS d FROM e GROUP BY n),
+    pairs AS (
+        SELECT a.n AS node_a, b.n AS node_b, COUNT(*) AS common
+        FROM e a JOIN e b ON a.ctx = b.ctx AND a.n < b.n
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT node_a, node_b,
+           CAST(common AS BIGINT) AS n_common,
+           CAST(da.d AS BIGINT) AS n_a, CAST(db.d AS BIGINT) AS n_b,
+           ROUND(CAST(common AS DOUBLE)
+                 / CAST(da.d + db.d - common AS DOUBLE), 6) AS jaccard
+    FROM pairs JOIN deg da ON da.n = node_a JOIN deg db ON db.n = node_b
+    ORDER BY jaccard DESC, node_a, node_b LIMIT 15
+    """,
+    "Common-neighbor Jaccard link prediction over the order->supplier "
+    "incidence list (suppliers who ship together): pair join keyed on the "
+    "order (basket-bounded fan-out, never supplier-squared), exact-integer "
+    "score inputs, distributed TakeOrdered top-15",
+)
+def supplier_jaccard_links(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return graph.jaccard_link_prediction(
+        li, "l_orderkey", "l_suppkey", k=15, min_common=2
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -7705,6 +7813,7 @@ _ROUND6_POOL: tuple[str, ...] = (
 # fills toward the 45 rotation slots round 7 will need.
 _ROUND7_POOL: tuple[str, ...] = (
     "user_day_streaks", "welch_ttest_value_ab", "crosscorr_orders_lagged",
+    "bloom_membership_counts", "supplier_jaccard_links",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema, no

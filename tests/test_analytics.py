@@ -887,3 +887,44 @@ def test_lagged_crosscorr_shifted_series(spark):
     assert out[1][1] == pytest.approx(1.0, abs=1e-6)
     assert out[0][0] == 6  # y days 2-7 all match at lag 0
     assert out[0][1] < 0.3  # phase-shifted zig-zag decorrelates
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from ascii_hydra_spark.operators import sketches
+
+    members = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    bits = sketches.bloom_build(members, "k", m_bits=512, k=3)
+    probes = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    out = {
+        r["k"]: r["bloom_hit"]
+        for r in sketches.bloom_probe(
+            probes, "k", bits, m_bits=512, k=3
+        ).collect()
+    }
+    # one-sided error: every true member MUST hit
+    assert all(out[i] for i in range(50))
+    # merge of two half-filters == filter over the whole set (Bloom OR)
+    h1 = sketches.bloom_build(members.filter(F.col("k") < 25), "k", m_bits=512, k=3)
+    h2 = sketches.bloom_build(members.filter(F.col("k") >= 25), "k", m_bits=512, k=3)
+    merged = sketches.bloom_merge(h1, h2)
+    assert sorted(r["pos"] for r in merged.collect()) == sorted(
+        r["pos"] for r in bits.collect()
+    )
+
+
+def test_bloom_false_positive_rate_bounded(spark):
+    from ascii_hydra_spark.operators import sketches
+
+    members = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    bits = sketches.bloom_build(members, "k", m_bits=4096, k=4)
+    strangers = spark.createDataFrame(
+        [(i,) for i in range(10_000, 11_000)], "k long"
+    )
+    fp = (
+        sketches.bloom_probe(strangers, "k", bits, m_bits=4096, k=4)
+        .filter(F.col("bloom_hit"))
+        .count()
+    )
+    # load ~ 0.177 set fraction -> fp ~ 0.1%; 5% is a generous determinism-
+    # safe ceiling (the build is seeded md5, so this never flakes)
+    assert fp <= 50

@@ -122,3 +122,36 @@ def test_kcore_peel_triangle_plus_tail(spark):
     # k=3 wipes everything in one round
     out3 = {r["round"]: r for r in kcore_peel(edges, k=3, rounds=1).collect()}
     assert (out3[1]["n_nodes"], out3[1]["n_edges"]) == (0, 0)
+
+
+def test_jaccard_link_prediction_crafted(spark):
+    from ascii_hydra_spark.operators import graph
+
+    # contexts: a,b share 2 of (2 + 3 - 2) = 3 ctxs -> 2/3; a,c share 1 of 4
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "b"), (3, "c"),
+        (4, "c"),
+        (4, "c"),  # duplicate incidence must not inflate degree or overlap
+    ]
+    edges = spark.createDataFrame(rows, "ctx long, node string")
+    out = {
+        (r["node_a"], r["node_b"]): (r["n_common"], r["n_a"], r["n_b"], r["jaccard"])
+        for r in graph.jaccard_link_prediction(
+            edges, "ctx", "node", k=10, min_common=1
+        ).collect()
+    }
+    assert out[("a", "b")] == (2, 2, 3, round(2 / 3, 6))
+    assert out[("b", "c")] == (1, 3, 2, 0.25)
+    assert ("a", "c") not in out  # no shared context
+
+
+def test_jaccard_link_prediction_topk_order(spark):
+    from ascii_hydra_spark.operators import graph
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "x"), (3, "y"), (4, "x")]
+    edges = spark.createDataFrame(rows, "ctx long, node string")
+    top = graph.jaccard_link_prediction(edges, "ctx", "node", k=1).collect()
+    # (a,b) jaccard 1.0 beats (x,y) 0.5
+    assert len(top) == 1 and (top[0]["node_a"], top[0]["node_b"]) == ("a", "b")
