@@ -1316,3 +1316,70 @@ def lagged_crosscorr(
         "n_days",
         F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("r"),
     ).orderBy("lag")
+
+
+def decision_stump(
+    df: DataFrame, value_col: str, label_col: str
+) -> DataFrame:
+    """One row (threshold, n_left, n_right, pos_left, pos_right,
+    base_gini, split_gini, gain): the best single "x <= t" split of a
+    binary label by Gini impurity — decision-stump training, the
+    feature-screening primitive (CART's inner loop; also the 1R
+    baseline). `label_col` must be 0/1.
+
+    Candidate thresholds are the DISTINCT values (value-space
+    cardinality, the skyline contract — the global cumulative window
+    sorts distinct thresholds, never raw fact rows; this module is the
+    documented home for bounded global windows). All impurity inputs
+    (cumulative counts/positives) are exact integers; the Gini
+    polynomial follows ONE written operation order mirrored in the
+    oracle, so the argmin compares bit-identical doubles; ties break on
+    the smaller threshold. The top split is a TakeOrdered, not a
+    collect.
+    """
+    pts = df.select(
+        F.col(value_col).alias("v"), F.col(label_col).cast("bigint").alias("y")
+    )
+    byv = pts.groupBy("v").agg(
+        F.count("*").alias("__c"), F.sum("y").alias("__p")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = byv.select(
+        "v",
+        F.sum("__c").over(w).alias("__nl"),
+        F.sum("__p").over(w).alias("__pl"),
+    )
+    tot = byv.agg(
+        F.sum("__c").alias("__n"), F.sum("__p").alias("__pos")
+    )
+    j = cum.crossJoin(F.broadcast(tot)).filter(F.col("__nl") < F.col("__n"))
+    nl = F.col("__nl").cast("double")
+    pl = F.col("__pl").cast("double")
+    n = F.col("__n").cast("double")
+    pos = F.col("__pos").cast("double")
+    nr = n - nl
+    pr = pos - pl
+    gini_l = (
+        F.lit(1.0) - (pl / nl) * (pl / nl) - ((nl - pl) / nl) * ((nl - pl) / nl)
+    )
+    gini_r = (
+        F.lit(1.0) - (pr / nr) * (pr / nr) - ((nr - pr) / nr) * ((nr - pr) / nr)
+    )
+    split = (nl / n) * gini_l + (nr / n) * gini_r
+    base = (
+        F.lit(1.0) - (pos / n) * (pos / n) - ((n - pos) / n) * ((n - pos) / n)
+    )
+    scored = j.select(
+        F.col("v").alias("threshold"),
+        F.col("__nl").cast("bigint").alias("n_left"),
+        (F.col("__n") - F.col("__nl")).cast("bigint").alias("n_right"),
+        F.col("__pl").cast("bigint").alias("pos_left"),
+        (F.col("__pos") - F.col("__pl")).cast("bigint").alias("pos_right"),
+        F.round(base, 6).alias("base_gini"),
+        F.round(split, 6).alias("split_gini"),
+        F.round(base - split, 6).alias("gain"),
+        split.alias("__order"),
+    )
+    return scored.orderBy(F.col("__order").asc(), F.col("threshold").asc()).limit(
+        1
+    ).drop("__order")

@@ -763,3 +763,47 @@ def zipf_slope(
         F.round(slope, 6).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
     )
+
+
+def shingle_novelty(
+    docs: DataFrame,
+    *,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_shingles, n_novel, novelty): per-doc share of DISTINCT
+    word n-gram shingles whose corpus-wide FIRST appearance (min doc id)
+    is this document — the novelty signal training-data pipelines use to
+    down-weight recombined/templated text that an exact or near-dup pass
+    won't catch (every shingle seen before, no doc-level match).
+
+    Two keyed shuffles, both on bounded keys: distinct (doc, shingle),
+    then the shingle-grain min — an inverted index, the same shape the
+    contamination scan uses. No quadratic doc-pair stage; docs shorter
+    than n tokens carry no shingles and drop out (novelty undefined).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ngrams(word_tokens(text_col), n)).alias("sh"),
+    ).distinct()
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"),
+            6,
+        ).alias("novelty"),
+    )

@@ -480,3 +480,52 @@ def day_streaks(
         F.max("__len").cast("bigint").alias("longest_streak"),
         F.sum("__len").cast("bigint").alias("active_days"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak: str,
+    *,
+    scale: int = 2,
+) -> DataFrame:
+    """Per-key TWAP (keys..., n_obs, held_s, twap): each observation holds
+    until the key's next one; its weight is that hold duration. The
+    hypertable/market-data "time-weighted average" — a plain AVG
+    over-weights bursts of rapid updates.
+
+    Durations are exact integer microseconds (lead over one keyed window
+    — the sessionizer's shuffle); values clamp to DECIMAL(18,scale), so
+    the weighted sum accumulates exactly and partition order cannot move
+    a bit. The final (last) observation has no hold duration and carries
+    zero weight; keys with a single observation have no weighted span and
+    drop out rather than dividing by zero.
+    """
+    w = keyed_window(list(keys), [F.col(ts_col), F.col(tiebreak)])
+    us = F.unix_micros(F.col(ts_col))
+    v = F.col(value_col).cast(f"decimal(18,{scale})")
+    stepped = df.select(
+        *keys, (F.lead(us).over(w) - us).alias("__dur"), v.alias("__v")
+    )
+    weighted = stepped.select(
+        *keys,
+        "__dur",
+        (F.col("__v") * F.col("__dur").cast("decimal(18,0)")).alias("__wv"),
+    )
+    agged = weighted.groupBy(*keys).agg(
+        F.count("*").cast("bigint").alias("n_obs"),
+        F.sum("__dur").alias("__held_us"),
+        F.sum("__wv").cast("double").alias("__sum_wv"),
+    )
+    return agged.filter(F.col("__held_us") > 0).select(
+        *keys,
+        "n_obs",
+        F.round(F.col("__held_us").cast("double") / F.lit(1e6), 6).alias(
+            "held_s"
+        ),
+        F.round(
+            F.col("__sum_wv") / F.col("__held_us").cast("double"), 6
+        ).alias("twap"),
+    )

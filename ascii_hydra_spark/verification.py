@@ -7701,6 +7701,130 @@ def supplier_jaccard_links(spark, sf_dir):
     )
 
 
+@q(
+    "shingle_novelty_scores",
+    f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               ARRAY_TO_STRING(t[CAST(i AS BIGINT):CAST(i AS BIGINT)+4], ' ')
+                   AS sh
+        FROM tk, UNNEST(RANGE(1, LEN(t) - 3)) AS u(i)
+    ),
+    f AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh),
+    per AS (
+        SELECT s.doc_id, COUNT(*) AS ns,
+               SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS nn
+        FROM sh s JOIN f USING (sh) GROUP BY s.doc_id
+    )
+    SELECT doc_id, CAST(ns AS BIGINT) AS n_shingles,
+           CAST(nn AS BIGINT) AS n_novel,
+           ROUND(CAST(nn AS DOUBLE) / CAST(ns AS DOUBLE), 6) AS novelty
+    FROM per
+    """,
+    "Per-doc 5-gram shingle novelty (share of distinct shingles first "
+    "seen in this doc) — the anti-templating signal near-dup passes miss; "
+    "inverted-index shape (shingle-grain min), no doc-pair stage",
+)
+def shingle_novelty_scores(spark, sf_dir):
+    return text.shingle_novelty(_t(spark, sf_dir, "documents"), n=5)
+
+
+@q(
+    "twap_user_values",
+    """
+    WITH s AS (
+        SELECT user_id,
+               LEAD(EPOCH_US(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)
+               - EPOCH_US(ts) AS dur,
+               CAST(value AS DECIMAL(28,2)) AS v
+        FROM events
+    ),
+    g AS (
+        SELECT user_id, COUNT(*)::BIGINT AS n_obs,
+               SUM(dur) AS held_us,
+               CAST(SUM(v * CAST(dur AS DECIMAL(28,0))) AS DOUBLE) AS swv
+        FROM s GROUP BY user_id
+    )
+    SELECT user_id, n_obs,
+           ROUND(CAST(held_us AS DOUBLE) / 1e6, 6) AS held_s,
+           ROUND(swv / CAST(held_us AS DOUBLE), 6) AS twap
+    FROM g WHERE held_us > 0
+    """,
+    "Per-user time-weighted average value (TWAP): each observation "
+    "weighted by its hold duration in exact integer microseconds, value "
+    "clamped to decimal so the weighted sum is partition-order-exact; "
+    "one keyed lead window (the sessionizer's shuffle)",
+)
+def twap_user_values(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return windows.time_weighted_avg(
+        ev, ["user_id"], "ts", "value", "event_id"
+    )
+
+
+@q(
+    "decision_stump_purchase_value",
+    """
+    WITH pts AS (
+        SELECT value AS v,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    byv AS (SELECT v, COUNT(*) AS c, SUM(y) AS p FROM pts GROUP BY v),
+    tot AS (SELECT SUM(c) AS n, SUM(p) AS pos FROM byv),
+    cum AS (
+        SELECT v,
+               SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS nl,
+               SUM(p) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS pl
+        FROM byv
+    ),
+    s AS (
+        SELECT v, nl, pl, n, pos,
+               CAST(nl AS DOUBLE) AS nld, CAST(pl AS DOUBLE) AS pld,
+               CAST(n AS DOUBLE) AS nd, CAST(pos AS DOUBLE) AS posd
+        FROM cum CROSS JOIN tot WHERE nl < n
+    ),
+    g AS (
+        SELECT v, nl, pl, n, pos,
+               (nld / nd) * (1.0 - (pld / nld) * (pld / nld)
+                   - ((nld - pld) / nld) * ((nld - pld) / nld))
+               + ((nd - nld) / nd)
+                 * (1.0
+                    - ((posd - pld) / (nd - nld))
+                      * ((posd - pld) / (nd - nld))
+                    - (((nd - nld) - (posd - pld)) / (nd - nld))
+                      * (((nd - nld) - (posd - pld)) / (nd - nld)))
+                   AS split,
+               1.0 - (posd / nd) * (posd / nd)
+                   - ((nd - posd) / nd) * ((nd - posd) / nd) AS base
+        FROM s
+    )
+    SELECT v AS threshold, CAST(nl AS BIGINT) AS n_left,
+           CAST(n - nl AS BIGINT) AS n_right,
+           CAST(pl AS BIGINT) AS pos_left,
+           CAST(pos - pl AS BIGINT) AS pos_right,
+           ROUND(base, 6) AS base_gini, ROUND(split, 6) AS split_gini,
+           ROUND(base - split, 6) AS gain
+    FROM g ORDER BY split ASC, threshold ASC LIMIT 1
+    """,
+    "Decision-stump training (best 'value <= t' split of the purchase "
+    "label by Gini impurity, CART's inner loop): cumulative class counts "
+    "over DISTINCT thresholds (value-space window), exact-integer "
+    "impurity inputs, one written float order both engines, TakeOrdered "
+    "argmin",
+)
+def decision_stump_purchase_value(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    labeled = ev.select(
+        "value", (F.col("event_type") == "purchase").cast("int").alias("y")
+    )
+    return analytics.decision_stump(labeled, "value", "y")
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -7814,6 +7938,8 @@ _ROUND6_POOL: tuple[str, ...] = (
 _ROUND7_POOL: tuple[str, ...] = (
     "user_day_streaks", "welch_ttest_value_ab", "crosscorr_orders_lagged",
     "bloom_membership_counts", "supplier_jaccard_links",
+    "shingle_novelty_scores", "twap_user_values",
+    "decision_stump_purchase_value",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema, no

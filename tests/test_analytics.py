@@ -928,3 +928,63 @@ def test_bloom_false_positive_rate_bounded(spark):
     # load ~ 0.177 set fraction -> fp ~ 0.1%; 5% is a generous determinism-
     # safe ceiling (the build is seeded md5, so this never flakes)
     assert fp <= 50
+
+
+def test_shingle_novelty_crafted(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b x"), (3, "z")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty"])
+        for r in text.shingle_novelty(docs, n=2).collect()
+    }
+    # doc 1 owns both its bigrams; doc 2 reuses "a b" from doc 1
+    assert out[1] == (2, 2, 1.0)
+    assert out[2] == (2, 1, 0.5)
+    assert 3 not in out  # shorter than n tokens -> no shingles
+
+
+def test_time_weighted_avg_holds_until_next(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, 10.0),
+        (1, "2024-01-01 00:00:10", 2, 20.0),
+        (1, "2024-01-01 00:00:40", 3, 999.0),  # last obs: zero weight
+        (2, "2024-01-01 00:00:00", 4, 5.0),    # single obs: dropped
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["user_id"]: (r["n_obs"], r["held_s"], r["twap"])
+        for r in windows.time_weighted_avg(
+            df, ["user_id"], "ts", "value", "event_id"
+        ).collect()
+    }
+    # (10*10 + 20*30) / 40 = 17.5 -- a plain AVG would say 343
+    assert out[1] == (3, 40.0, 17.5)
+    assert 2 not in out
+
+
+def test_decision_stump_perfect_split(spark):
+    df = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)], "value double, y int"
+    )
+    row = analytics.decision_stump(df, "value", "y").collect()[0]
+    assert row["threshold"] == 2.0
+    assert (row["n_left"], row["n_right"]) == (2, 2)
+    assert (row["pos_left"], row["pos_right"]) == (0, 2)
+    assert row["split_gini"] == pytest.approx(0.0, abs=1e-9)
+    assert row["base_gini"] == pytest.approx(0.5, abs=1e-9)
+    assert row["gain"] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_decision_stump_tiebreak_smallest_threshold(spark):
+    # all-same-label: every split has gini 0 == base 0; gain 0; the
+    # argmin must deterministically take the smallest threshold
+    df = spark.createDataFrame(
+        [(float(v), 1) for v in range(1, 6)], "value double, y int"
+    )
+    row = analytics.decision_stump(df, "value", "y").collect()[0]
+    assert row["threshold"] == 1.0
+    assert row["gain"] == pytest.approx(0.0, abs=1e-9)
