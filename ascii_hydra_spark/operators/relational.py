@@ -374,3 +374,88 @@ def skyline_2d(df: DataFrame, minimize: str, maximize: str) -> DataFrame:
         .filter(F.col("__m").isNull() | (F.col("__y") > F.col("__m")))
         .select(F.col("__x").alias(minimize), F.col("__y").alias(maximize))
     )
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_pair: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k directional association rules a -> b by lift:
+    (antecedent, consequent, n_both, n_ante, n_cons, support, confidence,
+    lift) — the market-basket rule miner (Agrawal & Srikant 1994's 2-item
+    case): support = P(a,b), confidence = P(b|a), lift = P(a,b) /
+    (P(a) P(b)).
+
+    Same shape discipline as `item_cf_neighbors`: the pair join is keyed
+    on the basket id (fan-out bounded by basket size, never
+    item-squared); item supports are one more keyed pass over the deduped
+    incidence list; the basket total is a broadcast scalar. Every ratio's
+    inputs are exact integers — lift is spelled (n*n_ab)/(n_a*n_b) with
+    the multiplications first, one written order both engines; the top-k
+    is a distributed TakeOrdered with an (antecedent, consequent)
+    tiebreak.
+    """
+    bi = baskets.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    n_baskets = bi.agg(
+        F.count_distinct(F.col("__b")).cast("bigint").alias("__n")
+    )
+    support = bi.groupBy("__i").agg(F.count("*").cast("bigint").alias("__c"))
+    a, b = bi.alias("a"), bi.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.__b") == F.col("b.__b"))
+            & (F.col("a.__i") != F.col("b.__i")),
+        )
+        .groupBy(
+            F.col("a.__i").alias("antecedent"), F.col("b.__i").alias("consequent")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+        .filter(F.col("n_both") >= min_pair)
+    )
+    scored = (
+        pairs.join(
+            support.select(
+                F.col("__i").alias("antecedent"), F.col("__c").alias("n_ante")
+            ),
+            "antecedent",
+        )
+        .join(
+            support.select(
+                F.col("__i").alias("consequent"), F.col("__c").alias("n_cons")
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    lift = (F.col("__n") * F.col("n_both")).cast("double") / (
+        F.col("n_ante") * F.col("n_cons")
+    ).cast("double")
+    out = scored.select(
+        "antecedent",
+        "consequent",
+        "n_both",
+        "n_ante",
+        "n_cons",
+        F.round(
+            F.col("n_both").cast("double") / F.col("__n").cast("double"), 6
+        ).alias("support"),
+        F.round(
+            F.col("n_both").cast("double") / F.col("n_ante").cast("double"), 6
+        ).alias("confidence"),
+        F.round(lift, 6).alias("lift"),
+        lift.alias("__order"),
+    )
+    return (
+        out.orderBy(
+            F.col("__order").desc(), "antecedent", "consequent"
+        )
+        .limit(k)
+        .drop("__order")
+    )

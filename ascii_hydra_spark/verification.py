@@ -36,6 +36,7 @@ from ascii_hydra_spark.operators import (
     corpus,
     dedup,
     graph,
+    mleval,
     multimodal,
     relational,
     retrieval,
@@ -7825,6 +7826,159 @@ def decision_stump_purchase_value(spark, sf_dir):
     return analytics.decision_stump(labeled, "value", "y")
 
 
+@q(
+    "classification_metrics_value",
+    """
+    WITH c AS (
+        SELECT SUM(CASE WHEN value >= 50.0 AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END)::BIGINT AS tp,
+               SUM(CASE WHEN value >= 50.0 AND event_type <> 'purchase'
+                        THEN 1 ELSE 0 END)::BIGINT AS fp,
+               SUM(CASE WHEN value < 50.0 AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END)::BIGINT AS fn,
+               SUM(CASE WHEN value < 50.0 AND event_type <> 'purchase'
+                        THEN 1 ELSE 0 END)::BIGINT AS tn
+        FROM events
+    ),
+    r AS (
+        SELECT tp, fp, fn, tn,
+               CAST(tp AS DOUBLE) AS tpd, CAST(fp AS DOUBLE) AS fpd,
+               CAST(fn AS DOUBLE) AS fnd, CAST(tn AS DOUBLE) AS tnd,
+               CAST(tp AS DOUBLE)
+                   / NULLIF(CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE), 0.0)
+                   AS prec,
+               CAST(tp AS DOUBLE)
+                   / NULLIF(CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE), 0.0)
+                   AS rec
+        FROM c
+    )
+    SELECT tp, fp, fn, tn,
+           ROUND((tpd + tnd) / (tpd + fpd + fnd + tnd), 6) AS accuracy,
+           ROUND(prec, 6) AS precision, ROUND(rec, 6) AS recall,
+           ROUND(2.0 * prec * rec / NULLIF(prec + rec, 0.0), 6) AS f1
+    FROM r
+    """,
+    "Confusion matrix + accuracy/precision/recall/F1 for the classifier "
+    "'value >= 50' predicting purchases — four exact-integer cells from "
+    "ONE conditional aggregate, every rate a single division",
+)
+def classification_metrics_value(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    labeled = ev.select(
+        "value", (F.col("event_type") == "purchase").cast("int").alias("y")
+    )
+    return mleval.confusion_metrics(labeled, "value", "y", 50.0)
+
+
+@q(
+    "auc_value_purchase",
+    """
+    WITH r AS (
+        SELECT event_type = 'purchase' AS pos,
+               CAST(RANK() OVER (ORDER BY value) AS DOUBLE)
+               + (CAST(COUNT(*) OVER (PARTITION BY value) AS DOUBLE) - 1.0)
+                 / 2.0 AS ar
+        FROM events
+    ),
+    a AS (
+        SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+               SUM(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS n_neg,
+               SUM(CASE WHEN pos THEN ar END) AS rp
+        FROM r
+    )
+    SELECT n_pos, n_neg,
+           ROUND((rp - CAST(n_pos AS DOUBLE)
+                       * (CAST(n_pos AS DOUBLE) + 1.0) / 2.0)
+                 / NULLIF(CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE),
+                          0.0), 6) AS auc
+    FROM a
+    """,
+    "ROC AUC of value as a purchase predictor via the rank identity "
+    "(normalized Mann-Whitney U, ties at average rank — exact "
+    "half-integers); one global rank over scores, one aggregate",
+)
+def auc_value_purchase(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    labeled = ev.select(
+        "value", (F.col("event_type") == "purchase").cast("int").alias("y")
+    )
+    return mleval.auc_score(labeled, "value", "y")
+
+
+@q(
+    "calibration_value_purchase",
+    """
+    WITH b AS (
+        SELECT CAST(NTILE(10) OVER (ORDER BY value, event_id) AS INT)
+                   AS bin,
+               CAST(value AS DECIMAL(18,2)) AS s,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    p AS (
+        SELECT bin, COUNT(*)::BIGINT AS n_obs,
+               CAST(SUM(s) AS DOUBLE) AS ss, SUM(y)::BIGINT AS np
+        FROM b GROUP BY bin
+    )
+    SELECT bin, n_obs,
+           ROUND(ss / CAST(n_obs AS DOUBLE), 6) AS mean_score,
+           ROUND(CAST(np AS DOUBLE) / CAST(n_obs AS DOUBLE), 6) AS pos_rate
+    FROM p
+    """,
+    "Reliability diagram: decile calibration bins of value vs observed "
+    "purchase rate — NTILE over (score, event_id) for deterministic bin "
+    "edges under ties, decimal-exact score sums",
+)
+def calibration_value_purchase(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    labeled = ev.select(
+        "event_id",
+        "value",
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return mleval.calibration_bins(labeled, "value", "y", "event_id", n_bins=10)
+
+
+@q(
+    "association_rules_parts",
+    """
+    WITH bi AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    nb AS (SELECT COUNT(DISTINCT b) AS n FROM bi),
+    sup AS (SELECT i, COUNT(*) AS c FROM bi GROUP BY i),
+    pairs AS (
+        SELECT a.i AS antecedent, b2.i AS consequent, COUNT(*) AS n_both
+        FROM bi a JOIN bi b2 ON a.b = b2.b AND a.i <> b2.i
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT antecedent, consequent, CAST(n_both AS BIGINT) AS n_both,
+           CAST(sa.c AS BIGINT) AS n_ante, CAST(sc.c AS BIGINT) AS n_cons,
+           ROUND(CAST(n_both AS DOUBLE) / CAST(nb.n AS DOUBLE), 6)
+               AS support,
+           ROUND(CAST(n_both AS DOUBLE) / CAST(sa.c AS DOUBLE), 6)
+               AS confidence,
+           ROUND(CAST(nb.n * n_both AS DOUBLE)
+                 / CAST(sa.c * sc.c AS DOUBLE), 6) AS lift
+    FROM pairs JOIN sup sa ON sa.i = antecedent
+               JOIN sup sc ON sc.i = consequent
+    CROSS JOIN nb
+    ORDER BY CAST(nb.n * n_both AS DOUBLE) / CAST(sa.c * sc.c AS DOUBLE)
+             DESC, antecedent, consequent
+    LIMIT 20
+    """,
+    "Top-20 directional association rules part->part by lift (support/"
+    "confidence/lift, the 2-item Apriori case): pair join keyed on the "
+    "order id (basket-bounded fan-out), broadcast basket total, "
+    "exact-integer ratio inputs, TakeOrdered with a pair tiebreak",
+)
+def association_rules_parts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return relational.association_rules(
+        li, "l_orderkey", "l_partkey", min_pair=2, k=20
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -7939,7 +8093,9 @@ _ROUND7_POOL: tuple[str, ...] = (
     "user_day_streaks", "welch_ttest_value_ab", "crosscorr_orders_lagged",
     "bloom_membership_counts", "supplier_jaccard_links",
     "shingle_novelty_scores", "twap_user_values",
-    "decision_stump_purchase_value",
+    "decision_stump_purchase_value", "classification_metrics_value",
+    "auc_value_purchase", "calibration_value_purchase",
+    "association_rules_parts",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema, no

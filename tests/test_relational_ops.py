@@ -256,3 +256,24 @@ def test_skyline_2d_dominance(spark):
     out2 = {(r["price"], r["size"]) for r in
             relational.skyline_2d(df2, "price", "size").collect()}
     assert out2 == {(1.0, 7)}
+
+
+def test_association_rules_crafted(spark):
+    from ascii_hydra_spark.operators import relational
+
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c")]
+    baskets = spark.createDataFrame(rows, "b long, i string")
+    out = {
+        (r["antecedent"], r["consequent"]): r
+        for r in relational.association_rules(
+            baskets, "b", "i", min_pair=2, k=10
+        ).collect()
+    }
+    ab = out[("a", "b")]
+    assert (ab["n_both"], ab["n_ante"], ab["n_cons"]) == (2, 3, 2)
+    assert ab["support"] == round(2 / 3, 6)
+    assert ab["confidence"] == round(2 / 3, 6)
+    assert ab["lift"] == 1.0  # 3*2 / (3*2)
+    ba = out[("b", "a")]
+    assert ba["confidence"] == 1.0 and ba["lift"] == 1.0
+    assert ("a", "c") not in out  # below min_pair
