@@ -1383,3 +1383,72 @@ def decision_stump(
     return scored.orderBy(F.col("__order").asc(), F.col("threshold").asc()).limit(
         1
     ).drop("__order")
+
+
+def bollinger_bands(
+    daily: DataFrame,
+    day_col: str,
+    value_col: str,
+    *,
+    window_days: int = 7,
+    n_sigma: float = 2.0,
+    scale: int = 2,
+) -> DataFrame:
+    """(day, n_window, mid, upper, lower, breakout): rolling mean +/-
+    n_sigma rolling sample-std bands over a calendar RANGE frame (gaps
+    count as absent days, not missing rows) — the volatility-band
+    breakout monitor, day-grain twin of the per-entity z-score gate.
+
+    Input is a DAY-GRAIN aggregate (bounded — this module's documented
+    global-window contract). The frame is RANGE over exact epoch-day
+    integers, so both engines agree on which days fall in a band even
+    across gaps; sums and sums-of-squares accumulate as exact decimals
+    inside the frame, and mean/std/bands follow one written float order.
+    Days with fewer than 2 frame rows carry NULL bands (sample std
+    undefined), never a divide-by-zero.
+    """
+    v = F.col(value_col).cast(f"decimal(18,{scale})")
+    epoch_day = F.datediff(F.col(day_col), F.lit("1970-01-01"))
+    based = daily.select(
+        F.col(day_col).alias("day"),
+        epoch_day.alias("__ed"),
+        v.alias("__v"),
+        (v * v).alias("__vv"),
+    )
+    w = (
+        Window.orderBy(F.col("__ed"))
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    framed = based.select(
+        "day",
+        F.col("__v").cast("double").alias("__x"),
+        F.count("*").over(w).cast("bigint").alias("n_window"),
+        F.sum("__v").over(w).cast("double").alias("__s"),
+        F.sum("__vv").over(w).cast("double").alias("__q"),
+    )
+    n = F.col("n_window").cast("double")
+    mid = F.col("__s") / n
+    std = F.when(
+        F.col("n_window") >= 2,
+        F.sqrt(
+            (F.col("__q") - F.col("__s") * F.col("__s") / n) / (n - F.lit(1.0))
+        ),
+    )
+    upper = mid + F.lit(n_sigma) * std
+    lower = mid - F.lit(n_sigma) * std
+
+    # floor(x*1e6 + 0.5)/1e6, NOT engine ROUND: the bands are irrational
+    # (sqrt), and at a double-repr half boundary Spark's HALF_UP and the
+    # oracle's correctly-rounded ROUND legitimately disagree by 1e-6;
+    # this spelling is one written float order both engines share.
+    def _r6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    return framed.select(
+        "day",
+        "n_window",
+        _r6(mid).alias("mid"),
+        _r6(upper).alias("upper"),
+        _r6(lower).alias("lower"),
+        ((F.col("__x") > upper) | (F.col("__x") < lower)).alias("breakout"),
+    )

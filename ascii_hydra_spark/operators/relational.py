@@ -459,3 +459,44 @@ def association_rules(
         .limit(k)
         .drop("__order")
     )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    key_col: str,
+    cat_col: str,
+    value_col: str,
+    *,
+    smoothing: float = 10.0,
+    scale: int = 2,
+) -> DataFrame:
+    """(key, cat, encoded): leave-one-out target encoding with additive
+    smoothing toward the global mean — enc_i = (S_cat - x_i + m * prior)
+    / (n_cat - 1 + m). The standard high-cardinality categorical
+    featurizer; leave-one-out keeps the row's own target out of its
+    feature (the train-time leakage guard), smoothing keeps rare
+    categories from memorizing.
+
+    Category sums accumulate as DECIMAL(18,scale) (exact, order-free);
+    the global prior is a broadcast scalar; the per-row float follows
+    one written order. Two aggregates + two broadcast joins back onto
+    the fact rows — no window, no self-join.
+    """
+    v = F.col(value_col).cast(f"decimal(18,{scale})")
+    base = df.select(
+        F.col(key_col).alias("key"), F.col(cat_col).alias("cat"), v.alias("__x")
+    )
+    per_cat = base.groupBy("cat").agg(
+        F.sum("__x").alias("__s"), F.count("*").alias("__n")
+    )
+    glob = base.agg(
+        F.sum("__x").cast("double").alias("__gs"),
+        F.count("*").cast("double").alias("__gn"),
+    )
+    j = base.join(F.broadcast(per_cat), "cat").crossJoin(F.broadcast(glob))
+    prior = F.col("__gs") / F.col("__gn")
+    enc = (
+        (F.col("__s") - F.col("__x")).cast("double")
+        + F.lit(smoothing) * prior
+    ) / ((F.col("__n") - F.lit(1)).cast("double") + F.lit(smoothing))
+    return j.select("key", "cat", F.round(enc, 6).alias("encoded"))

@@ -807,3 +807,69 @@ def shingle_novelty(
             6,
         ).alias("novelty"),
     )
+
+
+def readability_scores(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_words, n_sentences, n_syllable_groups, flesch):
+    Flesch reading-ease with the standard regex proxies — sentences as
+    [.!?]+ runs (min 1), syllables as [aeiouy]+ vowel groups — the
+    deterministic readability gate corpus pipelines run where a real
+    syllabifier would need a dictionary. All three counts are exact
+    integers from JVM-side regexp_count (no UDF); the score's two
+    divisions follow one written order, 6-dp-rounded. Pure map-side —
+    no shuffle at any scale.
+
+    Zero-word docs drop out (the score divides by words).
+    """
+    words = token_count(text_col)
+    sentences = F.greatest(
+        F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")), F.lit(1)
+    )
+    syll = F.regexp_count(F.lower(F.col(text_col)), F.lit("[aeiouy]+"))
+    counted = docs.select(
+        F.col(id_col).alias("doc_id"),
+        words.cast("bigint").alias("n_words"),
+        sentences.cast("bigint").alias("n_sentences"),
+        syll.cast("bigint").alias("n_syllable_groups"),
+    ).filter(F.col("n_words") > 0)
+    wd = F.col("n_words").cast("double")
+    sd = F.col("n_sentences").cast("double")
+    yd = F.col("n_syllable_groups").cast("double")
+    flesch = (
+        F.lit(206.835) - F.lit(1.015) * (wd / sd) - F.lit(84.6) * (yd / wd)
+    )
+    return counted.withColumn("flesch", F.round(flesch, 6))
+
+
+def feature_hashing(
+    docs: DataFrame,
+    *,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, bucket, n_tokens): the hashing trick — token counts
+    folded into a fixed bucket space via md5 (Weinberger et al. 2009),
+    the constant-memory featurizer for downstream linear models when the
+    vocabulary is unbounded. md5 (not xxhash) so the DuckDB oracle
+    reproduces bucket assignment bit-for-bit.
+
+    One explode + one (doc, bucket)-keyed groupBy; output is bounded by
+    docs x n_buckets regardless of vocabulary size — that bound (not the
+    vocab) is what the trick buys at 100 TB.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_tokens(text_col)).alias("__t"),
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("__t")), 1, 15), 16, 10).cast("bigint"),
+        F.lit(n_buckets),
+    )
+    return (
+        tok.select("doc_id", bucket.cast("int").alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").cast("bigint").alias("n_tokens"))
+    )

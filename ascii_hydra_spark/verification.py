@@ -7565,10 +7565,13 @@ def welch_ttest_value_ab(spark, sf_dir):
     ),
     g AS (
         SELECT lag, COUNT(*)::BIGINT AS n_days,
-               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
-               CAST(SUM(x * y) AS DOUBLE) AS sxy,
-               CAST(SUM(x * x) AS DOUBLE) AS sxx,
-               CAST(SUM(y * y) AS DOUBLE) AS syy
+               -- VARCHAR route: see bollinger_daily_revenue (DuckDB's
+               -- wide-decimal -> double cast is not correctly rounded)
+               CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(x * y) AS VARCHAR) AS DOUBLE) AS sxy,
+               CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(SUM(y * y) AS VARCHAR) AS DOUBLE) AS syy
         FROM j GROUP BY lag
     )
     SELECT lag, n_days,
@@ -7745,7 +7748,8 @@ def shingle_novelty_scores(spark, sf_dir):
     g AS (
         SELECT user_id, COUNT(*)::BIGINT AS n_obs,
                SUM(dur) AS held_us,
-               CAST(SUM(v * CAST(dur AS DECIMAL(28,0))) AS DOUBLE) AS swv
+               CAST(CAST(SUM(v * CAST(dur AS DECIMAL(28,0))) AS VARCHAR)
+                    AS DOUBLE) AS swv
         FROM s GROUP BY user_id
     )
     SELECT user_id, n_obs,
@@ -7979,6 +7983,146 @@ def association_rules_parts(spark, sf_dir):
     )
 
 
+@q(
+    "readability_docs",
+    f"""
+    WITH c AS (
+        SELECT doc_id,
+               CAST(LEN({_TOKS}) AS BIGINT) AS n_words,
+               CAST(GREATEST(LEN(REGEXP_EXTRACT_ALL(text, '[.!?]+')), 1)
+                    AS BIGINT) AS n_sentences,
+               CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[aeiouy]+'))
+                    AS BIGINT) AS n_syllable_groups
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllable_groups,
+           ROUND(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE)
+                            / CAST(n_sentences AS DOUBLE))
+                 - 84.6 * (CAST(n_syllable_groups AS DOUBLE)
+                           / CAST(n_words AS DOUBLE)), 6) AS flesch
+    FROM c WHERE n_words > 0
+    """,
+    "Flesch reading-ease per doc with regex proxies (sentence runs, "
+    "vowel-group syllables) — exact-integer counts from JVM-side "
+    "regexp_count, pure map-side, no shuffle",
+)
+def readability_docs(spark, sf_dir):
+    return text.readability_scores(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "hashed_features_docs",
+    f"""
+    WITH tok AS (SELECT doc_id, UNNEST({_TOKS}) AS t FROM documents)
+    SELECT doc_id,
+           CAST(CAST(('0x' || SUBSTR(MD5(t), 1, 15)) AS BIGINT) % 64
+                AS INT) AS bucket,
+           COUNT(*)::BIGINT AS n_tokens
+    FROM tok GROUP BY 1, 2
+    """,
+    "Hashing-trick featurizer: token counts folded into 64 md5 buckets "
+    "(oracle reproduces bucket assignment bit-for-bit); output bounded "
+    "by docs x buckets regardless of vocabulary size",
+)
+def hashed_features_docs(spark, sf_dir):
+    return text.feature_hashing(_t(spark, sf_dir, "documents"), n_buckets=64)
+
+
+@q(
+    "target_encode_segment",
+    """
+    WITH base AS (
+        SELECT o_orderkey AS key, c_mktsegment AS cat,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS x
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    pc AS (SELECT cat, SUM(x) AS s, COUNT(*) AS n FROM base GROUP BY cat),
+    g AS (
+        SELECT CAST(SUM(x) AS DOUBLE) AS gs,
+               CAST(COUNT(*) AS DOUBLE) AS gn
+        FROM base
+    )
+    SELECT key, cat,
+           ROUND((CAST(s - x AS DOUBLE) + 10.0 * (gs / gn))
+                 / (CAST(n - 1 AS DOUBLE) + 10.0), 6) AS encoded
+    FROM base JOIN pc USING (cat) CROSS JOIN g
+    """,
+    "Leave-one-out target encoding of market segment by order total "
+    "(additive smoothing m=10 toward the broadcast global prior): the "
+    "high-cardinality categorical featurizer with the train-time leakage "
+    "guard; decimal-exact category sums, two aggregates + broadcast "
+    "joins, no window",
+)
+def target_encode_segment(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return relational.target_encode_loo(
+        j, "o_orderkey", "c_mktsegment", "o_totalprice", smoothing=10.0
+    )
+
+
+@q(
+    "bollinger_daily_revenue",
+    """
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE) AS DECIMAL(28,2)) AS v
+        FROM orders GROUP BY 1
+    ),
+    e AS (
+        SELECT day, CAST(day - DATE '1970-01-01' AS BIGINT) AS ed, v
+        FROM d
+    ),
+    f AS (
+        -- decimal -> VARCHAR -> DOUBLE: DuckDB's int128-decimal to
+        -- double cast is not correctly rounded once the scaled integer
+        -- exceeds 2^53; strtod is, and matches Spark's BigDecimal cast
+        SELECT day, CAST(v AS DOUBLE) AS x,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_window,
+               CAST(CAST(SUM(v) OVER w AS VARCHAR) AS DOUBLE) AS s,
+               CAST(CAST(SUM(v * v) OVER w AS VARCHAR) AS DOUBLE) AS q
+        FROM e
+        WINDOW w AS (ORDER BY ed RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ),
+    b AS (
+        SELECT day, x, n_window,
+               s / CAST(n_window AS DOUBLE) AS mid,
+               CASE WHEN n_window >= 2 THEN
+                   SQRT((q - s * s / CAST(n_window AS DOUBLE))
+                        / (CAST(n_window AS DOUBLE) - 1.0))
+               END AS std
+        FROM f
+    )
+    SELECT CAST(day AS VARCHAR) AS day, n_window,
+           FLOOR(mid * 1000000.0 + 0.5) / 1000000.0 AS mid,
+           FLOOR((mid + 2.0 * std) * 1000000.0 + 0.5) / 1000000.0 AS upper,
+           FLOOR((mid - 2.0 * std) * 1000000.0 + 0.5) / 1000000.0 AS lower,
+           (x > mid + 2.0 * std) OR (x < mid - 2.0 * std) AS breakout
+    FROM b
+    """,
+    "7-day Bollinger bands over daily revenue: calendar RANGE frame on "
+    "exact epoch-day integers (gaps are absent days, not missing rows), "
+    "decimal-exact in-frame sums, NULL bands where sample std is "
+    "undefined; day-grain bounded global window",
+)
+def bollinger_daily_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    bands = analytics.bollinger_bands(
+        daily, "day", "revenue", window_days=7, n_sigma=2.0
+    )
+    # dates compare as strings (pandas renders DateType as midnight
+    # Timestamps — the cusum_changepoint_events convention)
+    return bands.withColumn("day", F.col("day").cast("string"))
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -8095,7 +8239,8 @@ _ROUND7_POOL: tuple[str, ...] = (
     "shingle_novelty_scores", "twap_user_values",
     "decision_stump_purchase_value", "classification_metrics_value",
     "auc_value_purchase", "calibration_value_purchase",
-    "association_rules_parts",
+    "association_rules_parts", "readability_docs", "hashed_features_docs",
+    "target_encode_segment", "bollinger_daily_revenue",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema, no
