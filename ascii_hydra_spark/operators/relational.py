@@ -500,3 +500,26 @@ def target_encode_loo(
         + F.lit(smoothing) * prior
     ) / ((F.col("__n") - F.lit(1)).cast("double") + F.lit(smoothing))
     return j.select("key", "cat", F.round(enc, 6).alias("encoded"))
+
+
+def fixed_size_sample(
+    df: DataFrame,
+    strata: "list[str]",
+    id_col: str,
+    *,
+    k: int = 5,
+    salt: str = "s1",
+) -> DataFrame:
+    """Deterministic fixed-k-per-stratum sample: rank rows inside each
+    stratum by md5(id || '#' || salt) and keep rank <= k — the
+    "exactly k examples per language/source" sampler, where
+    `hash_stratified_sample` keeps a *fraction*. Re-running with the
+    same salt reproduces the sample exactly; changing the salt redraws
+    it. One keyed window (rank by hash), no RNG, no collect.
+    """
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"#{salt}")))
+    w = Window.partitionBy(*strata).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

@@ -665,3 +665,78 @@ def embedding_norm_histogram(
         .withColumn("bucket_lo", F.round(F.col("bucket") * F.lit(w), 6))
         .select("bucket", "bucket_lo", "n", "min_norm", "max_norm")
     )
+
+
+def embedding_covariance(
+    emb: DataFrame, vec_col: str = "embedding", *, scale: int = 4
+) -> DataFrame:
+    """(i, j, n, cov): upper-triangle (1-based, i <= j) sample covariance
+    of the embedding coordinates — the distributed X^T X (Gram) pass that
+    PCA / whitening / SemDeDup preprocessing starts from.
+
+    Physical shape: `mapInPandas` computes each Arrow batch's partial
+    Gram as ONE int64 numpy matmul on 10^scale-scaled rounded
+    coordinates and emits d(d+1)/2 partial rows; an (i, j)-keyed groupBy
+    sums the partials — the map-side combine IS the distributed matrix
+    multiply, and the shuffle moves d(d+1)/2 rows per batch regardless
+    of corpus size. No driver-side matrix ever exists.
+
+    Exactness bridge to the oracle: a float32 coordinate times 10^4 fits
+    float64's mantissa exactly (24 + 14 bits < 53), so np.rint equals
+    the oracle's DECIMAL(_,4) cast bit-for-bit (an exact half at 4 dp is
+    not a binary fraction, so neither engine's tie rule ever fires);
+    partials reduce as DECIMAL(38,0) so row count can't overflow the
+    int64 batch partials; the single float conversion is the last step.
+    int64 partial headroom: |x| <= 10^scale * max|v|, one batch of B
+    rows needs B * (10^scale * max|v|)^2 < 2^63 — at scale 4, |v| <= 2,
+    that is ~23M rows per batch; lower `scale` if coordinates are large.
+    """
+    import numpy as np
+    import pandas as pd
+
+    d = len(emb.select(vec_col).first()[0])  # bounded probe (one row)
+    mult = float(10**scale)
+
+    def part(batches):
+        iu = np.triu_indices(d)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["__v"].to_numpy()).astype("float64")
+            x = np.rint(m * mult).astype("int64")
+            q = x.T @ x
+            s = x.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": (iu[0] + 1).astype("int32"),
+                    "j": (iu[1] + 1).astype("int32"),
+                    "q": q[iu],
+                    "si": s[iu[0]],
+                    "sj": s[iu[1]],
+                    "n": np.full(len(iu[0]), len(pdf), dtype="int64"),
+                }
+            )
+
+    parts = emb.select(F.col(vec_col).alias("__v")).mapInPandas(
+        part, "i int, j int, q long, si long, sj long, n long"
+    )
+    agg = parts.groupBy("i", "j").agg(
+        F.sum(F.col("q").cast("decimal(38,0)")).alias("__q"),
+        F.sum(F.col("si").cast("decimal(38,0)")).alias("__si"),
+        F.sum(F.col("sj").cast("decimal(38,0)")).alias("__sj"),
+        F.sum("n").cast("decimal(38,0)").alias("__n"),
+    )
+    covnum = F.col("__n") * F.col("__q") - F.col("__si") * F.col("__sj")
+    cov = (
+        covnum.cast("double")
+        / (F.col("__n") * (F.col("__n") - 1)).cast("double")
+        / F.lit(mult * mult)
+    )
+    # floor(x*1e6 + 0.5)/1e6 instead of engine ROUND: identical written
+    # float order both engines (see analytics.bollinger_bands)
+    return agg.select(
+        "i",
+        "j",
+        F.col("__n").cast("bigint").alias("n"),
+        (F.floor(cov * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("cov"),
+    )

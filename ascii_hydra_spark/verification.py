@@ -8123,6 +8123,73 @@ def bollinger_daily_revenue(spark, sf_dir):
     return bands.withColumn("day", F.col("day").cast("string"))
 
 
+@q(
+    "embedding_covariance_gram",
+    """
+    WITH pos AS (SELECT CAST(range AS INT) AS p FROM range(1, 65)),
+    -- FLOOR(double*1e4 + 0.5), NOT CAST(.. AS DECIMAL): DuckDB's
+    -- float->decimal cast rounds the float's SHORTEST repr (which can
+    -- be an exact .5 at 4 dp) while the engine rounds the true binary
+    -- value; float32*1e4 is exact in float64 and true ties are
+    -- impossible, so this formulation is the bit-exact one
+    v AS (
+        SELECT vec_id, p,
+               CAST(FLOOR(CAST(embedding[p] AS DOUBLE) * 10000.0 + 0.5)
+                    AS BIGINT) AS x
+        FROM embeddings CROSS JOIN pos
+    ),
+    g AS (
+        SELECT a.p AS i, b.p AS j, COUNT(*) AS n,
+               SUM(CAST(a.x AS HUGEINT) * b.x) AS q,
+               SUM(CAST(a.x AS HUGEINT)) AS si,
+               SUM(CAST(b.x AS HUGEINT)) AS sj
+        FROM v a JOIN v b ON a.vec_id = b.vec_id AND a.p <= b.p
+        GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT i, j, n, CAST(n AS HUGEINT) * q - si * sj AS covnum FROM g
+    )
+    SELECT i, j, CAST(n AS BIGINT) AS n,
+           FLOOR(CAST(CAST(covnum AS VARCHAR) AS DOUBLE)
+                 / CAST(n * (n - 1) AS DOUBLE)
+                 / 100000000.0 * 1000000.0 + 0.5) / 1000000.0 AS cov
+    FROM c
+    """,
+    "Distributed Gram / coordinate-covariance matrix of the embeddings "
+    "(the X^T X pass PCA and whitening start from): one int64 numpy "
+    "matmul per Arrow batch emitting d(d+1)/2 partials, (i,j)-keyed "
+    "decimal reduce — map-side combine IS the matrix multiply; exact "
+    "integer bridge to the oracle's DECIMAL(_,4) formulation",
+)
+def embedding_covariance_gram(spark, sf_dir):
+    return similarity.embedding_covariance(
+        _t(spark, sf_dir, "embeddings"), "embedding", scale=4
+    )
+
+
+@q(
+    "fixed_size_sample_docs",
+    """
+    SELECT doc_id, lang, CAST(rnk AS INT) AS sample_rank FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY MD5(CAST(doc_id AS VARCHAR) || '#s1'), doc_id
+               ) AS rnk
+        FROM documents
+    ) WHERE rnk <= 5
+    """,
+    "Deterministic fixed-k-per-stratum sampler (exactly 5 docs per lang, "
+    "ranked by salted md5 — rerunnable, redrawable by salt): one keyed "
+    "window, no RNG; complements the fraction-based stratified sampler",
+)
+def fixed_size_sample_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return relational.fixed_size_sample(
+        d, ["lang"], "doc_id", k=5, salt="s1"
+    ).select("doc_id", "lang", "sample_rank")
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -8241,6 +8308,7 @@ _ROUND7_POOL: tuple[str, ...] = (
     "auc_value_purchase", "calibration_value_purchase",
     "association_rules_parts", "readability_docs", "hashed_features_docs",
     "target_encode_segment", "bollinger_daily_revenue",
+    "embedding_covariance_gram", "fixed_size_sample_docs",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema, no

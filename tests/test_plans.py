@@ -254,6 +254,9 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "hybrid_rrf_topk",    # same stats broadcast + 1-row query vector
         "pmi_collocations",   # 1-row total-bigram-count broadcast
         "benford_order_totals",   # 1-row observation-total broadcast
+        "decision_stump_purchase_value",  # 1-row class-totals broadcast
+        "association_rules_parts",        # 1-row basket-total broadcast
+        "target_encode_segment",          # 1-row global-prior broadcast
         "decile_revenue_lift",    # 1-row revenue-total broadcast
         "distinctive_terms_by_lang",  # 1-row corpus-total broadcast
         "winsorized_order_totals",    # 1-row percentile-bounds broadcast

@@ -277,3 +277,27 @@ def test_association_rules_crafted(spark):
     ba = out[("b", "a")]
     assert ba["confidence"] == 1.0 and ba["lift"] == 1.0
     assert ("a", "c") not in out  # below min_pair
+
+
+def test_fixed_size_sample_exact_k_and_determinism(spark):
+    from ascii_hydra_spark.operators import relational
+
+    rows = [(i, "en" if i % 2 else "fr") for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = relational.fixed_size_sample(df, ["lang"], "doc_id", k=5).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["lang"], []).append(r["doc_id"])
+    assert {k: len(v) for k, v in per.items()} == {"en": 5, "fr": 5}
+    again = relational.fixed_size_sample(
+        df.repartition(7), ["lang"], "doc_id", k=5
+    ).collect()
+    assert sorted((r["lang"], r["doc_id"]) for r in out) == sorted(
+        (r["lang"], r["doc_id"]) for r in again
+    )
+    other = relational.fixed_size_sample(
+        df, ["lang"], "doc_id", k=5, salt="s2"
+    ).collect()
+    assert sorted((r["lang"], r["doc_id"]) for r in other) != sorted(
+        (r["lang"], r["doc_id"]) for r in out
+    )

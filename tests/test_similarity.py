@@ -203,3 +203,34 @@ def test_embedding_norm_histogram(spark):
     assert out[20]["n"] == 1 and out[20]["min_norm"] == 5.0
     assert out[0]["n"] == 1 and out[0]["max_norm"] == 0.0
     assert out[2]["bucket_lo"] == 0.5
+
+
+def test_embedding_covariance_closed_form(spark):
+    from ascii_hydra_spark.operators import similarity
+
+    rows = [(1, [1.0, 2.0]), (2, [3.0, 4.0]), (3, [5.0, 6.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        (r["i"], r["j"]): (r["n"], r["cov"])
+        for r in similarity.embedding_covariance(emb, "embedding").collect()
+    }
+    # both coordinates are {1,3,5}/{2,4,6} shifted: var = cov = 4 exactly
+    assert out[(1, 1)] == (3, 4.0)
+    assert out[(2, 2)] == (3, 4.0)
+    assert out[(1, 2)] == (3, 4.0)
+    assert (2, 1) not in out  # upper triangle only
+
+
+def test_embedding_covariance_partition_invariant(spark):
+    from ascii_hydra_spark.operators import similarity
+
+    rows = [(i, [float(i % 7) / 3.0, float(i % 5) / 7.0]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(map(tuple, similarity.embedding_covariance(emb).collect()))
+    b = sorted(
+        map(
+            tuple,
+            similarity.embedding_covariance(emb.repartition(13)).collect(),
+        )
+    )
+    assert a == b  # exact integer partials: no float drift across layouts
