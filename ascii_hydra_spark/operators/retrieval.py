@@ -239,3 +239,80 @@ def tfidf_doc_neighbors(
         F.count("*").cast("bigint").alias("n_neighbors"),
         F.max("cos").alias("best_cos"),
     ).select(F.col("doc").alias(id_col), "n_neighbors", "best_cos")
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    id_col: str,
+    vec_col: str,
+    score_col: str,
+    *,
+    k: int = 10,
+    lam: float = 0.7,
+) -> DataFrame:
+    """(rank, id, relevance, mmr): Maximal Marginal Relevance rerank
+    (Carbonell & Goldstein 1998) — greedily pick the item maximizing
+    lam * relevance - (1 - lam) * max_cosine_to_already_picked, the
+    standard diversity pass between an ANN/BM25 ranker and the user.
+
+    Contract + topology: `candidates` is a BOUNDED top-N list (the
+    TakeOrdered output of an upstream ranker — same contract as
+    `rrf_fuse`), so the greedy loop runs inside ONE `applyInPandas`
+    group on one executor: the distributed part of retrieval is the
+    narrowing, the O(N*k) rerank is not worth a shuffle per step. The
+    iteration is inherently sequential (each pick changes the next
+    penalty), hence no SQL oracle — the registry entry registers
+    rows-only and the greedy semantics are pinned by closed-form tests.
+    Ties break on (relevance desc, id asc) for run-to-run determinism.
+    """
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"rank int, {id_col} long, relevance double, mmr double"
+    )
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame(
+                {"rank": [], id_col: [], "relevance": [], "mmr": []}
+            ).astype({"rank": "int32", id_col: "int64"})
+        # deterministic candidate order: relevance desc, id asc
+        pdf = pdf.sort_values(
+            [score_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = m / norms[:, None]
+        rel = pdf[score_col].to_numpy(dtype="float64")
+        ids = pdf[id_col].to_numpy()
+        picked: list[int] = []
+        max_sim = np.zeros(n)
+        mmrs: list[float] = []
+        avail = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            scores = lam * rel - (1.0 - lam) * max_sim
+            scores[~avail] = -np.inf
+            best = int(np.argmax(scores))  # first max = best tiebreak order
+            picked.append(best)
+            mmrs.append(float(scores[best]))
+            avail[best] = False
+            max_sim = np.maximum(max_sim, unit @ unit[best])
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(picked) + 1, dtype="int32"),
+                id_col: ids[picked],
+                "relevance": rel[picked],
+                "mmr": mmrs,
+            }
+        )
+
+    return (
+        candidates.select(
+            F.lit(1).alias("__g"), F.col(id_col), F.col(vec_col), F.col(score_col)
+        )
+        .groupBy("__g")
+        .applyInPandas(lambda _, pdf: rerank(pdf), out_schema)
+    )

@@ -8190,6 +8190,32 @@ def fixed_size_sample_docs(spark, sf_dir):
     ).select("doc_id", "lang", "sample_rank")
 
 
+@q(
+    "mmr_rerank_topk",
+    None,
+    "MMR diversified rerank of the exact-cosine top-50 for a probe query "
+    "(lam=0.7, k=10) — the greedy relevance-vs-redundancy pass between an "
+    "ANN ranker and the user; inherently sequential (each pick changes "
+    "the next penalty) so rows-only here, semantics pinned by the "
+    "duplicate-demotion closed-form tests in tests/test_retrieval.py",
+)
+def mmr_rerank_topk(spark, sf_dir):
+    from ascii_hydra_spark.functions import cosine_similarity, to_double_array
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.orderBy("vec_id").select("embedding").first()[0]  # bounded probe
+    q = F.array(*[F.lit(float(x)) for x in qvec]).cast("array<double>")
+    scored = emb.select(
+        "vec_id",
+        "embedding",
+        cosine_similarity(to_double_array(F.col("embedding")), q).alias("rel"),
+    )
+    cands = scored.orderBy(F.desc("rel"), "vec_id").limit(50)
+    return retrieval.mmr_rerank(
+        cands, "vec_id", "embedding", "rel", k=10, lam=0.7
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -8309,6 +8335,7 @@ _ROUND7_POOL: tuple[str, ...] = (
     "association_rules_parts", "readability_docs", "hashed_features_docs",
     "target_encode_segment", "bollinger_daily_revenue",
     "embedding_covariance_gram", "fixed_size_sample_docs",
+    "mmr_rerank_topk",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema, no

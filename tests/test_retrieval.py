@@ -101,3 +101,35 @@ def test_hybrid_search_end_to_end(spark, sf_dir):
     both = [r for r in rows if r["n_rankers"] == 2]
     if both:
         assert both[0]["rrf"] > 1 / 61
+
+
+def test_mmr_demotes_duplicates(spark):
+    # v2 duplicates v1 with near-top relevance; diversity must push the
+    # orthogonal v3 above it at lam = 0.5
+    rows = [
+        (1, [1.0, 0.0], 1.0),
+        (2, [1.0, 0.0], 0.99),
+        (3, [0.0, 1.0], 0.5),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, rel double")
+    out = retrieval.mmr_rerank(df, "vec_id", "embedding", "rel", k=3, lam=0.5).collect()
+    order = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order == [1, 3, 2]
+    by_id = {r["vec_id"]: r for r in out}
+    assert by_id[1]["mmr"] == pytest.approx(0.5, abs=1e-9)       # 0.5*1.0
+    assert by_id[3]["mmr"] == pytest.approx(0.25, abs=1e-9)      # 0.5*0.5 - 0
+    assert by_id[2]["mmr"] == pytest.approx(-0.005, abs=1e-9)    # penalized
+
+
+def test_mmr_lambda_one_is_pure_relevance(spark):
+    rows = [(i, [1.0, 0.0], 1.0 - i / 10.0) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, rel double")
+    out = retrieval.mmr_rerank(df, "vec_id", "embedding", "rel", k=5, lam=1.0).collect()
+    order = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order == [1, 2, 3, 4, 5]  # duplicates never demoted at lam=1
+
+
+def test_mmr_k_larger_than_candidates(spark):
+    rows = [(1, [1.0, 0.0], 0.9), (2, [0.0, 1.0], 0.8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, rel double")
+    assert retrieval.mmr_rerank(df, "vec_id", "embedding", "rel", k=10).count() == 2
