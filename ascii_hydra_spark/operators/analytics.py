@@ -1452,3 +1452,62 @@ def bollinger_bands(
         _r6(lower).alias("lower"),
         ((F.col("__x") > upper) | (F.col("__x") < lower)).alias("breakout"),
     )
+
+
+def cumulative_distinct_by_day(
+    daily_entities: DataFrame, entity_col: str, ts_col: str
+) -> DataFrame:
+    """(day, new_entities, cum_entities): the growth curve — first-seen
+    day per entity, then a running total over the bounded day grain.
+    The naive formulation (COUNT(DISTINCT user) OVER cumulative day
+    frame) rescans every prior day per day; this one reduces the fact
+    table ONCE to entity grain (min day per entity — the only
+    corpus-sized shuffle), and the cumulative window runs over day-count
+    rows.
+    """
+    first = daily_entities.groupBy(F.col(entity_col).alias("__e")).agg(
+        F.min(F.col(ts_col).cast("date")).alias("day")
+    )
+    per_day = first.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("new_entities")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day",
+        "new_entities",
+        F.sum("new_entities").over(w).cast("bigint").alias("cum_entities"),
+    )
+
+
+def weighted_median(
+    df: DataFrame, value_col: str, weight_col: str, *, scale: int = 2
+) -> DataFrame:
+    """One row (total_weight, weighted_median): smallest value whose
+    cumulative weight reaches half the total — the weighted quantile
+    primitive (plain median treats a 10,000-unit line item like a
+    1-unit one).
+
+    Weights accumulate as DECIMAL(18,scale) and the half-total test is
+    the integer-space cross-multiplication (2*cumw >= total), so no
+    float division can move the pick; the cumulative window runs over
+    DISTINCT values (value-space cardinality, the skyline/stump
+    contract), and the pick is a TakeOrdered limit 1.
+    """
+    w_ = F.col(weight_col).cast(f"decimal(18,{scale})")
+    byv = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.sum(w_).alias("__w")
+    )
+    win = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = byv.agg(F.sum("__w").alias("__t"))
+    cum = byv.select("v", F.sum("__w").over(win).alias("__cw")).crossJoin(
+        F.broadcast(tot)
+    )
+    return (
+        cum.filter(F.col("__cw") * 2 >= F.col("__t"))
+        .orderBy("v")
+        .limit(1)
+        .select(
+            F.col("__t").cast("double").alias("total_weight"),
+            F.col("v").alias("weighted_median"),
+        )
+    )

@@ -129,3 +129,39 @@ def calibration_bins(
         F.round(F.col("__sum_s") / n, 6).alias("mean_score"),
         F.round(F.col("__n_pos").cast("double") / n, 6).alias("pos_rate"),
     )
+
+
+def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """One row (n, cells, mi): mutual information in nats between two
+    categorical columns — MI = sum (n_xy/n) * ln(n*n_xy / (n_x*n_y)).
+    The feature-relevance screen that catches non-linear association
+    where correlation reads zero; completes the screening trio with the
+    chi-squared test and the Gini stump.
+
+    One (x, y)-keyed aggregate builds the cell table; margins are two
+    more bounded aggregates joined back (cell-table-sized, broadcast);
+    all log inputs are exact integers and each term follows one written
+    order, so the final cell-bounded sum matches the oracle under the
+    same 6-dp round as the KL/entropy family.
+    """
+    cells = df.groupBy(
+        F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+    ).agg(F.count("*").alias("__nxy"))
+    mx = cells.groupBy("__x").agg(F.sum("__nxy").alias("__nx"))
+    my = cells.groupBy("__y").agg(F.sum("__nxy").alias("__ny"))
+    tot = cells.agg(F.sum("__nxy").alias("__n"))
+    j = (
+        cells.join(F.broadcast(mx), "__x")
+        .join(F.broadcast(my), "__y")
+        .crossJoin(F.broadcast(tot))
+    )
+    nxy = F.col("__nxy").cast("double")
+    nx = F.col("__nx").cast("double")
+    ny = F.col("__ny").cast("double")
+    n = F.col("__n").cast("double")
+    term = (nxy / n) * F.log((n * nxy) / (nx * ny))
+    return j.agg(
+        F.max(F.col("__n")).cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("cells"),
+        F.round(F.sum(term), 6).alias("mi"),
+    )

@@ -8216,6 +8216,94 @@ def mmr_rerank_topk(spark, sf_dir):
     )
 
 
+@q(
+    "mutual_info_value_type",
+    """
+    WITH b AS (
+        SELECT NTILE(10) OVER (ORDER BY value, event_id) AS x,
+               event_type AS y
+        FROM events
+    ),
+    cells AS (SELECT x, y, COUNT(*) AS nxy FROM b GROUP BY 1, 2),
+    mx AS (SELECT x, SUM(nxy) AS nx FROM cells GROUP BY x),
+    my AS (SELECT y, SUM(nxy) AS ny FROM cells GROUP BY y),
+    t AS (SELECT SUM(nxy) AS n FROM cells)
+    SELECT CAST(MAX(n) AS BIGINT) AS n, COUNT(*)::BIGINT AS cells,
+           ROUND(SUM((CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
+                     * LN((CAST(n AS DOUBLE) * CAST(nxy AS DOUBLE))
+                          / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))),
+                 6) AS mi
+    FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t
+    """,
+    "Mutual information (nats) between the value decile and the event "
+    "type — the non-linear feature-relevance screen beside chi2 and the "
+    "Gini stump; exact-integer cell/margin counts, cell-bounded log sum "
+    "under the KL-family 6-dp round",
+)
+def mutual_info_value_type(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy(F.col("value"), F.col("event_id"))
+    binned = ev.select(
+        F.ntile(10).over(w).alias("x"), F.col("event_type").alias("y")
+    )
+    return mleval.mutual_information(binned, "x", "y")
+
+
+@q(
+    "cumulative_user_growth",
+    """
+    WITH f AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+        FROM events GROUP BY user_id
+    ),
+    p AS (SELECT day, COUNT(*)::BIGINT AS new_entities FROM f GROUP BY day)
+    SELECT CAST(day AS VARCHAR) AS day, new_entities,
+           CAST(SUM(new_entities) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+               ROW) AS BIGINT) AS cum_entities
+    FROM p
+    """,
+    "User growth curve (new + cumulative distinct users per day): ONE "
+    "entity-grain reduce (min day per user) then a day-count cumulative "
+    "window — never the per-day COUNT(DISTINCT) rescan formulation",
+)
+def cumulative_user_growth(spark, sf_dir):
+    curve = analytics.cumulative_distinct_by_day(
+        _t(spark, sf_dir, "events"), "user_id", "ts"
+    )
+    return curve.withColumn("day", F.col("day").cast("string"))
+
+
+@q(
+    "weighted_median_price",
+    """
+    WITH byv AS (
+        SELECT l_extendedprice AS v,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS w
+        FROM lineitem GROUP BY 1
+    ),
+    c AS (
+        SELECT v,
+               SUM(w) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cw,
+               SUM(w) OVER () AS t
+        FROM byv
+    )
+    SELECT CAST(t AS DOUBLE) AS total_weight, v AS weighted_median
+    FROM c WHERE cw * 2 >= t ORDER BY v LIMIT 1
+    """,
+    "Quantity-weighted median line-item price: decimal-exact cumulative "
+    "weights over DISTINCT values with the integer-space half-total test "
+    "(2*cumw >= total) — no float division can move the pick",
+)
+def weighted_median_price(spark, sf_dir):
+    return analytics.weighted_median(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", "l_quantity"
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -8335,7 +8423,8 @@ _ROUND7_POOL: tuple[str, ...] = (
     "association_rules_parts", "readability_docs", "hashed_features_docs",
     "target_encode_segment", "bollinger_daily_revenue",
     "embedding_covariance_gram", "fixed_size_sample_docs",
-    "mmr_rerank_topk",
+    "mmr_rerank_topk", "mutual_info_value_type", "cumulative_user_growth",
+    "weighted_median_price",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema, no

@@ -1080,3 +1080,33 @@ def test_bollinger_calendar_gap_shrinks_frame(spark):
         for r in analytics.bollinger_bands(df, "day", "v", window_days=3).collect()
     }
     assert out == {"2024-01-01": 1, "2024-01-02": 2, "2024-01-10": 1}
+
+
+def test_cumulative_distinct_by_day(spark):
+    rows = [
+        (1, "2024-01-01"), (2, "2024-01-01"),
+        (1, "2024-01-02"),                      # not new
+        (3, "2024-01-03"), (1, "2024-01-03"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.col("ts").cast("date").alias("ts")
+    )
+    out = {
+        str(r["day"]): (r["new_entities"], r["cum_entities"])
+        for r in analytics.cumulative_distinct_by_day(df, "user_id", "ts").collect()
+    }
+    assert out == {"2024-01-01": (2, 2), "2024-01-03": (1, 3)}
+
+
+def test_weighted_median_mass_pulls_pick(spark):
+    heavy = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 1.0), (3.0, 10.0)], "v double, w double"
+    )
+    row = analytics.weighted_median(heavy, "v", "w").collect()[0]
+    assert row["weighted_median"] == 3.0 and row["total_weight"] == 12.0
+    flat = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 1.0), (3.0, 1.0)], "v double, w double"
+    )
+    assert analytics.weighted_median(flat, "v", "w").collect()[0][
+        "weighted_median"
+    ] == 2.0

@@ -80,3 +80,22 @@ def test_calibration_tiebreak_is_deterministic(spark):
     ).collect()
     key = lambda r: (r["bin"], r["n_obs"], r["mean_score"], r["pos_rate"])
     assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+def test_mutual_information_independent_is_zero(spark):
+    # x and y independent by construction: MI must be exactly 0
+    rows = [(x, y) for x in ("a", "b") for y in ("u", "v") for _ in range(5)]
+    df = spark.createDataFrame(rows, "x string, y string")
+    row = mleval.mutual_information(df, "x", "y").collect()[0]
+    assert row["n"] == 20 and row["cells"] == 4
+    assert row["mi"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_mutual_information_deterministic_copy(spark):
+    import math
+
+    # y == x (balanced binary): MI = H(x) = ln 2
+    rows = [("a", "a")] * 6 + [("b", "b")] * 6
+    df = spark.createDataFrame(rows, "x string, y string")
+    row = mleval.mutual_information(df, "x", "y").collect()[0]
+    assert row["mi"] == pytest.approx(math.log(2), abs=1e-6)
