@@ -165,3 +165,118 @@ def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         F.count("*").cast("bigint").alias("cells"),
         F.round(F.sum(term), 6).alias("mi"),
     )
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    keys: "list[str]",
+    score_col: str,
+    rel_col: str,
+    tiebreak: str,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Per-key (keys..., dcg, idcg, ndcg): normalized discounted
+    cumulative gain at k — the ranking-quality readout for graded (or
+    binary) relevance, where AUC only sees pair order. DCG ranks by the
+    model score, the ideal ranking by the relevance itself; both use the
+    same (desc, tiebreak) order so ties cannot flap between runs.
+
+    Two keyed windows over the SAME partitioning (one shuffle — the
+    second window reuses the sort exchange), then one per-key aggregate
+    of <= k log-discounted terms per side. Keys with zero total
+    relevance have no ideal ranking and surface ndcg NULL rather than a
+    divide-by-zero.
+    """
+    rel = F.col(rel_col).cast("double")
+    w_model = Window.partitionBy(*keys).orderBy(
+        F.col(score_col).desc(), F.col(tiebreak)
+    )
+    w_ideal = Window.partitionBy(*keys).orderBy(
+        rel.desc(), F.col(tiebreak)
+    )
+    ranked = df.select(
+        *keys,
+        rel.alias("__rel"),
+        F.row_number().over(w_model).alias("__rm"),
+        F.row_number().over(w_ideal).alias("__ri"),
+    )
+    disc_m = F.when(
+        F.col("__rm") <= k,
+        F.col("__rel") / F.log2(F.col("__rm").cast("double") + F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    disc_i = F.when(
+        F.col("__ri") <= k,
+        F.col("__rel") / F.log2(F.col("__ri").cast("double") + F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    agg = ranked.groupBy(*keys).agg(
+        F.sum(disc_m).alias("__dcg"), F.sum(disc_i).alias("__idcg")
+    )
+    return agg.select(
+        *keys,
+        F.round(F.col("__dcg"), 6).alias("dcg"),
+        F.round(F.col("__idcg"), 6).alias("idcg"),
+        F.round(
+            F.col("__dcg") / F.nullif(F.col("__idcg"), F.lit(0.0)), 6
+        ).alias("ndcg"),
+    )
+
+
+def isotonic_calibration(
+    bins: DataFrame, bin_col: str, n_col: str, rate_col: str
+) -> DataFrame:
+    """(bin, n_obs, pos_rate, calibrated): isotonic regression over the
+    reliability bins by pool-adjacent-violators (PAVA) — the standard
+    non-parametric calibrator fitted on `calibration_bins` output. Input
+    is BIN-GRAIN (n_bins rows, bounded), so the inherently sequential
+    pooling runs inside one applyInPandas group — same topology ruling
+    as `retrieval.mmr_rerank`; distributing a ~10-step scan buys
+    nothing. Weighted by bin counts; deterministic (no RNG, no SQL
+    oracle — semantics pinned by crafted-violator tests).
+    """
+    import pandas as pd
+
+    out_schema = f"{bin_col} int, n_obs long, pos_rate double, calibrated double"
+
+    def pava(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(bin_col).reset_index(drop=True)
+        # blocks of (weight, weighted-rate-sum); merge while decreasing
+        blocks: list[list[float]] = []  # [w, s, count_of_bins]
+        for _, row in pdf.iterrows():
+            w, s = float(row[n_col]), float(row[n_col]) * float(row[rate_col])
+            blocks.append([w, s])
+            while len(blocks) > 1 and (
+                blocks[-2][1] / blocks[-2][0] > blocks[-1][1] / blocks[-1][0]
+            ):
+                w2, s2 = blocks.pop()
+                blocks[-1][0] += w2
+                blocks[-1][1] += s2
+        fitted: list[float] = []
+        i = 0
+        remaining = pdf[n_col].tolist()
+        for w, s in blocks:
+            level = s / w
+            acc = 0.0
+            while acc < w - 1e-9 and i < len(remaining):
+                fitted.append(level)
+                acc += float(remaining[i])
+                i += 1
+        return pd.DataFrame(
+            {
+                bin_col: pdf[bin_col].astype("int32"),
+                "n_obs": pdf[n_col].astype("int64"),
+                "pos_rate": pdf[rate_col].astype("float64"),
+                "calibrated": fitted,
+            }
+        )
+
+    return (
+        bins.select(
+            F.lit(1).alias("__g"),
+            F.col(bin_col).cast("int").alias(bin_col),
+            F.col(n_col).cast("long").alias(n_col),
+            F.col(rate_col).cast("double").alias(rate_col),
+        )
+        .groupBy("__g")
+        .applyInPandas(lambda _, pdf: pava(pdf), out_schema)
+    )

@@ -8304,6 +8304,72 @@ def weighted_median_price(spark, sf_dir):
     )
 
 
+@q(
+    "ndcg_user_value_purchase",
+    """
+    WITH r AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END
+                   AS rel,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY value DESC, event_id) AS rm,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY CASE WHEN event_type = 'purchase'
+                            THEN 1.0 ELSE 0.0 END DESC, event_id) AS ri
+        FROM events
+    ),
+    a AS (
+        SELECT user_id,
+               SUM(CASE WHEN rm <= 10
+                   THEN rel / LOG2(CAST(rm AS DOUBLE) + 1.0)
+                   ELSE 0.0 END) AS dcg,
+               SUM(CASE WHEN ri <= 10
+                   THEN rel / LOG2(CAST(ri AS DOUBLE) + 1.0)
+                   ELSE 0.0 END) AS idcg
+        FROM r GROUP BY user_id
+    )
+    SELECT user_id, ROUND(dcg, 6) AS dcg, ROUND(idcg, 6) AS idcg,
+           ROUND(dcg / NULLIF(idcg, 0.0), 6) AS ndcg
+    FROM a
+    """,
+    "Per-user NDCG@10 of the value ranking against purchase relevance — "
+    "the graded ranking-quality metric beside AUC; two keyed windows on "
+    "one shuffle, <= k log-discounted terms per side, NULL where a user "
+    "has no relevant events",
+)
+def ndcg_user_value_purchase(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    labeled = ev.select(
+        "user_id",
+        "value",
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("rel"),
+    )
+    return mleval.ndcg_at_k(
+        labeled, ["user_id"], "value", "rel", "event_id", k=10
+    )
+
+
+@q(
+    "isotonic_calibration_value",
+    None,
+    "Isotonic (PAVA) calibration fitted on the value-vs-purchase decile "
+    "reliability bins — inherently sequential pooling over the bounded "
+    "bin table inside one applyInPandas group (the mmr_rerank topology "
+    "ruling), so rows-only; monotonicity and pooled-average semantics "
+    "pinned by crafted-violator tests in tests/test_mleval.py",
+)
+def isotonic_calibration_value(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    labeled = ev.select(
+        "event_id",
+        "value",
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    bins = mleval.calibration_bins(labeled, "value", "y", "event_id", n_bins=10)
+    return mleval.isotonic_calibration(bins, "bin", "n_obs", "pos_rate")
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -8424,7 +8490,8 @@ _ROUND7_POOL: tuple[str, ...] = (
     "target_encode_segment", "bollinger_daily_revenue",
     "embedding_covariance_gram", "fixed_size_sample_docs",
     "mmr_rerank_topk", "mutual_info_value_type", "cumulative_user_growth",
-    "weighted_median_price",
+    "weighted_median_price", "ndcg_user_value_purchase",
+    "isotonic_calibration_value",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema, no

@@ -99,3 +99,72 @@ def test_mutual_information_deterministic_copy(spark):
     df = spark.createDataFrame(rows, "x string, y string")
     row = mleval.mutual_information(df, "x", "y").collect()[0]
     assert row["mi"] == pytest.approx(math.log(2), abs=1e-6)
+
+
+def test_ndcg_perfect_and_inverted(spark):
+    import math
+
+    # user 1: scores rank the two relevant items top -> ndcg 1.0
+    rows = [
+        (1, 1, 9.0, 1), (1, 2, 8.0, 1), (1, 3, 7.0, 0), (1, 4, 6.0, 0),
+        # user 2: relevant item ranked LAST of 3
+        (2, 5, 9.0, 0), (2, 6, 8.0, 0), (2, 7, 7.0, 1),
+        # user 3: nothing relevant -> ndcg NULL
+        (3, 8, 5.0, 0),
+    ]
+    df = spark.createDataFrame(rows, "u long, eid long, score double, rel int")
+    out = {
+        r["u"]: r
+        for r in mleval.ndcg_at_k(df, ["u"], "score", "rel", "eid", k=10).collect()
+    }
+    assert out[1]["ndcg"] == pytest.approx(1.0, abs=1e-9)
+    # dcg = 1/log2(4), idcg = 1/log2(2) = 1
+    assert out[2]["ndcg"] == pytest.approx(1.0 / math.log2(4.0), abs=1e-6)
+    assert out[3]["ndcg"] is None and out[3]["idcg"] == 0.0
+
+
+def test_ndcg_k_cutoff(spark):
+    # relevant item at rank 3 contributes nothing at k=2
+    rows = [(1, 1, 9.0, 0), (1, 2, 8.0, 0), (1, 3, 7.0, 1)]
+    df = spark.createDataFrame(rows, "u long, eid long, score double, rel int")
+    row = mleval.ndcg_at_k(df, ["u"], "score", "rel", "eid", k=2).collect()[0]
+    assert row["dcg"] == 0.0 and row["idcg"] == 1.0 and row["ndcg"] == 0.0
+
+
+def test_isotonic_pools_violators(spark):
+    # rates 0.1, 0.5, 0.3, 0.9 with equal weights: bins 2+3 violate and
+    # pool to 0.4; ends untouched
+    rows = [(1, 10, 0.1), (2, 10, 0.5), (3, 10, 0.3), (4, 10, 0.9)]
+    df = spark.createDataFrame(rows, "bin int, n_obs long, pos_rate double")
+    out = {
+        r["bin"]: r["calibrated"]
+        for r in mleval.isotonic_calibration(df, "bin", "n_obs", "pos_rate").collect()
+    }
+    assert out[1] == pytest.approx(0.1, abs=1e-9)
+    assert out[2] == pytest.approx(0.4, abs=1e-9)
+    assert out[3] == pytest.approx(0.4, abs=1e-9)
+    assert out[4] == pytest.approx(0.9, abs=1e-9)
+
+
+def test_isotonic_weighted_pooling_and_monotone_passthrough(spark):
+    # unequal weights: pool of (0.8 w=30, 0.2 w=10) = (24+2)/40 = 0.65
+    rows = [(1, 30, 0.8), (2, 10, 0.2)]
+    df = spark.createDataFrame(rows, "bin int, n_obs long, pos_rate double")
+    out = {
+        r["bin"]: r["calibrated"]
+        for r in mleval.isotonic_calibration(df, "bin", "n_obs", "pos_rate").collect()
+    }
+    assert out[1] == pytest.approx(0.65, abs=1e-9)
+    assert out[2] == pytest.approx(0.65, abs=1e-9)
+    mono = spark.createDataFrame(
+        [(1, 5, 0.1), (2, 5, 0.2), (3, 5, 0.7)], "bin int, n_obs long, pos_rate double"
+    )
+    fitted = {
+        r["bin"]: r["calibrated"]
+        for r in mleval.isotonic_calibration(mono, "bin", "n_obs", "pos_rate").collect()
+    }
+    assert fitted == {
+        1: pytest.approx(0.1, abs=1e-9),
+        2: pytest.approx(0.2, abs=1e-9),
+        3: pytest.approx(0.7, abs=1e-9),
+    }
