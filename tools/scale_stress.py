@@ -387,6 +387,49 @@ def main() -> int:
 
     stage("negative_pairs", negatives)
 
+    # ---- distributed Gram/covariance: exact under any partitioning ----
+    from ascii_hydra_spark.operators.similarity import embedding_covariance
+
+    def covariance():
+        a = sorted(map(tuple, embedding_covariance(emb).collect()))
+        b = sorted(
+            map(tuple, embedding_covariance(emb.repartition(23)).collect())
+        )
+        dim = 64
+        assert len(a) == dim * (dim + 1) // 2, len(a)
+        # the integer-partial path means two layouts must be IDENTICAL,
+        # not merely close — a float-accumulating variant fails this
+        assert a == b, "covariance differs across partitionings"
+        diag = [r for r in a if r[0] == r[1]]
+        assert all(r[3] > 0.0 for r in diag), "non-positive variance"
+        return {"cells": len(a), "layout_invariant": True}
+
+    stage("embedding_covariance", covariance)
+
+    # ---- Bloom membership at 50k keys: one-sided error + fp bound ----
+    from ascii_hydra_spark.operators import sketches as SK
+
+    def bloom():
+        m_bits, k = 1 << 17, 4
+        members = docs.select("doc_id").filter(F.col("doc_id") < n // 2)
+        bits = SK.bloom_build(members, "doc_id", m_bits=m_bits, k=k)
+        probed = SK.bloom_probe(
+            docs.select("doc_id"), "doc_id", bits, m_bits=m_bits, k=k
+        )
+        flags = probed.withColumn("member", F.col("doc_id") < n // 2)
+        agg = flags.agg(
+            F.sum((F.col("member") & ~F.col("bloom_hit")).cast("bigint")).alias("fneg"),
+            F.sum((~F.col("member") & F.col("bloom_hit")).cast("bigint")).alias("fpos"),
+            F.count("*").alias("probed"),
+        ).collect()[0]
+        assert agg["probed"] == n, agg
+        assert agg["fneg"] == 0, f"{agg['fneg']} false negatives (impossible)"
+        # fill ~ 1-exp(-k*m/2/m_bits) ~ 0.53 -> fp ~ fill^4 ~ 8%; 12% ceiling
+        assert agg["fpos"] <= int(0.12 * (n - n // 2)), agg["fpos"]
+        return {"probed": agg["probed"], "false_pos": agg["fpos"], "false_neg": 0}
+
+    stage("bloom_membership", bloom)
+
     summary = {
         "metric": "scale_stress_sf1",
         "docs": args.docs,
