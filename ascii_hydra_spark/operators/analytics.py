@@ -1511,3 +1511,147 @@ def weighted_median(
             F.col("v").alias("weighted_median"),
         )
     )
+
+
+# Poisson(1) inverse-CDF ladder (cumulative e^-1 * 1/j! prefix sums) —
+# shared literal constants between the engine and the oracle so replicate
+# weights are bit-identical. P(X > 7) ~ 1e-5; the tail clamps to 8.
+_POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.919698602928606,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    *,
+    replicates: int = 100,
+    lo: float = 0.025,
+    hi: float = 0.975,
+    scale: int = 2,
+) -> DataFrame:
+    """One row (replicates, mean_point, ci_lo, ci_hi): a bootstrap
+    confidence interval for the mean with DETERMINISTIC Poisson(1)
+    resampling — each (row, replicate) draws its multiplicity from the
+    Poisson inverse-CDF applied to a salted-md5 uniform, the standard
+    streaming/distributed bootstrap (no RNG state, no resample shuffle;
+    Poisson(1) multiplicities approximate multinomial resampling for
+    large n). Reruns reproduce the interval bit-for-bit.
+
+    Entity-level-input contract (the replicate fan-out is B x rows —
+    feed per-entity aggregates). Values accumulate as decimals per
+    replicate; the replicate means are exact-input doubles; the interval
+    is the exact interpolated percentile over the B means.
+    """
+    b = F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("__b")
+    expanded = df.select(
+        F.col(value_col).cast(f"decimal(18,{scale})").alias("__x"),
+        F.col(id_col).alias("__id"),
+        b,
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("__id").cast("string"),
+                    F.lit("#boot#"),
+                    F.col("__b").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("double") / F.lit(float(1 << 48))
+    w = F.lit(8)
+    for j in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CDF[j]), F.lit(j)).otherwise(w)
+    weighted = expanded.select(
+        "__b", w.alias("__w"), (F.col("__x") * w.cast("decimal(9,0)")).alias("__wx")
+    )
+    per_rep = weighted.groupBy("__b").agg(
+        (
+            F.sum("__wx").cast("double")
+            / F.nullif(F.sum("__w").cast("double"), F.lit(0.0))
+        ).alias("__mean")
+    )
+    point = df.agg(
+        (
+            F.sum(F.col(value_col).cast(f"decimal(18,{scale})")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("__point")
+    )
+    return per_rep.agg(
+        F.count("*").cast("bigint").alias("replicates"),
+        F.round(F.percentile(F.col("__mean"), F.lit(lo)), 6).alias("ci_lo"),
+        F.round(F.percentile(F.col("__mean"), F.lit(hi)), 6).alias("ci_hi"),
+    ).crossJoin(F.broadcast(point)).select(
+        "replicates",
+        F.round(F.col("__point"), 6).alias("mean_point"),
+        "ci_lo",
+        "ci_hi",
+    )
+
+
+def wasserstein_1d(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """One row (n_a, n_b, w1): the 1-D Wasserstein (earth-mover)
+    distance between two groups' value distributions — W1 = integral of
+    |CDF_a - CDF_b|, the distribution-shift measure that keeps the
+    value's UNITS (where KS reports a max gap and KL a ratio). Completes
+    the two-sample family (z, t, Mann-Whitney, KS, chi2, KL/JS).
+
+    Cumulative counts ride one value-space window (distinct-value
+    cardinality, the KS contract); each segment's |CDF gap| uses the
+    cross-multiplied integer form |cum_a*n_b - cum_b*n_a| so no division
+    happens until the very end; segment widths are double differences of
+    adjacent support points. Labels order ascending (a = min).
+    """
+    labels = [
+        r["g"]
+        for r in df.select(F.col(group_col).alias("g")).distinct().limit(3).collect()
+    ]
+    if len(labels) != 2:
+        raise ValueError(
+            f"wasserstein_1d needs exactly 2 groups in {group_col}, "
+            f"found {len(labels)}"
+        )
+    ga = min(labels)
+    byv = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.sum((F.col(group_col) == F.lit(ga)).cast("bigint")).alias("__ca"),
+        F.sum((F.col(group_col) != F.lit(ga)).cast("bigint")).alias("__cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = byv.select(
+        "v",
+        F.sum("__ca").over(w).alias("__cuma"),
+        F.sum("__cb").over(w).alias("__cumb"),
+        (F.lead("v").over(Window.orderBy("v")) - F.col("v")).alias("__dx"),
+    )
+    tot = byv.agg(
+        F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
+    )
+    j = cum.filter(F.col("__dx").isNotNull()).crossJoin(F.broadcast(tot))
+    gap = F.abs(
+        F.col("__cuma") * F.col("__nb") - F.col("__cumb") * F.col("__na")
+    ).cast("double")
+    term = gap * F.col("__dx")
+    return j.agg(
+        F.max("__na").cast("bigint").alias("n_a"),
+        F.max("__nb").cast("bigint").alias("n_b"),
+        F.round(
+            F.sum(term)
+            / (F.max("__na") * F.max("__nb")).cast("double"),
+            6,
+        ).alias("w1"),
+    )

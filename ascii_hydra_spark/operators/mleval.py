@@ -280,3 +280,58 @@ def isotonic_calibration(
         .groupBy("__g")
         .applyInPandas(lambda _, pdf: pava(pdf), out_schema)
     )
+
+
+def map_at_k(
+    df: DataFrame,
+    keys: "list[str]",
+    score_col: str,
+    rel_col: str,
+    tiebreak: str,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Per-key (keys..., n_rel, p_at_k, ap_at_k): precision@k and average
+    precision@k for a binary relevance column — the set-based ranking
+    readouts beside `ndcg_at_k`'s graded one. AP sums precision at each
+    relevant rank (P@i = cum_rel_i / i) and normalizes by min(R, k).
+
+    One keyed window supplies both the rank and the cumulative relevance
+    (same sort, same shuffle); keys with no relevant items surface NULL
+    AP rather than dividing by zero.
+    """
+    rel = F.col(rel_col).cast("bigint")
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(score_col).desc(), F.col(tiebreak)
+    )
+    ranked = df.select(
+        *keys,
+        rel.alias("__rel"),
+        F.row_number().over(w).alias("__rn"),
+        F.sum(rel).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "__cum"
+        ),
+    )
+    ap_term = F.when(
+        (F.col("__rn") <= k) & (F.col("__rel") == 1),
+        F.col("__cum").cast("double") / F.col("__rn").cast("double"),
+    ).otherwise(F.lit(0.0))
+    hits_at_k = F.when(
+        (F.col("__rn") <= k) & (F.col("__rel") == 1), F.lit(1)
+    ).otherwise(F.lit(0))
+    agg = ranked.groupBy(*keys).agg(
+        F.sum("__rel").cast("bigint").alias("n_rel"),
+        F.sum(hits_at_k).cast("bigint").alias("__hits"),
+        F.sum(ap_term).alias("__ap_sum"),
+    )
+    denom = F.least(F.col("n_rel"), F.lit(k)).cast("double")
+    return agg.select(
+        *keys,
+        "n_rel",
+        F.round(F.col("__hits").cast("double") / F.lit(float(k)), 6).alias(
+            "p_at_k"
+        ),
+        F.round(
+            F.col("__ap_sum") / F.nullif(denom, F.lit(0.0)), 6
+        ).alias("ap_at_k"),
+    )

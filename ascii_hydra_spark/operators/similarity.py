@@ -740,3 +740,73 @@ def embedding_covariance(
         F.col("__n").cast("bigint").alias("n"),
         (F.floor(cov * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("cov"),
     )
+
+
+def label_centroid_separation(
+    emb: DataFrame,
+    label_col: str,
+    vec_col: str = "embedding",
+    *,
+    scale: int = 4,
+) -> DataFrame:
+    """(label_a, label_b, n_a, n_b, cos): pairwise cosine between
+    per-label centroid vectors — the class-separation diagnostic a
+    training-data pipeline runs before trusting labels ("are the
+    classes even distinguishable in embedding space?").
+
+    Exactness: cosine(mean_a, mean_b) == cosine(sum_a, sum_b) (the 1/n
+    scaling cancels), so the whole computation runs on per-(label,
+    coordinate) DECIMAL sums of 10^scale-scaled exact-rounded
+    coordinates (posexplode map-side, one keyed groupBy of
+    labels x d rows); the single sqrt/division is the last step. Label
+    pairs are label-cardinality-squared — dimension-table sized.
+    """
+    pe = F.posexplode(F.col(vec_col))
+    scaled = F.floor(
+        F.col("__x").cast("double") * F.lit(float(10**scale)) + F.lit(0.5)
+    ).cast("decimal(28,0)")
+    coords = emb.select(F.col(label_col).alias("__l"), pe).select(
+        "__l", F.col("pos").alias("__p"), F.col("col").alias("__x")
+    )
+    per = coords.groupBy("__l", "__p").agg(
+        F.sum(scaled).alias("__s"),
+    )
+    counts = emb.groupBy(F.col(label_col).alias("__l")).agg(
+        F.count("*").cast("bigint").alias("__n")
+    )
+    a = per.select(
+        F.col("__l").alias("label_a"), "__p", F.col("__s").alias("__sa")
+    )
+    b = per.select(
+        F.col("__l").alias("label_b"), "__p", F.col("__s").alias("__sb")
+    )
+    pairs = (
+        a.join(b, "__p")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("__sa") * F.col("__sb")).cast("double").alias("__dot"),
+            F.sum(F.col("__sa") * F.col("__sa")).cast("double").alias("__qa"),
+            F.sum(F.col("__sb") * F.col("__sb")).cast("double").alias("__qb"),
+        )
+    )
+    out = (
+        pairs.join(
+            counts.select(F.col("__l").alias("label_a"), F.col("__n").alias("n_a")),
+            "label_a",
+        )
+        .join(
+            counts.select(F.col("__l").alias("label_b"), F.col("__n").alias("n_b")),
+            "label_b",
+        )
+    )
+    cos = F.col("__dot") / (F.sqrt(F.col("__qa")) * F.sqrt(F.col("__qb")))
+    # floor(x*1e6 + 0.5)/1e6: irrational output — engine-native ROUNDs
+    # disagree at double-repr halves (see analytics.bollinger_bands)
+    return out.select(
+        "label_a",
+        "label_b",
+        "n_a",
+        "n_b",
+        (F.floor(cos * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("cos"),
+    ).orderBy("label_a", "label_b")

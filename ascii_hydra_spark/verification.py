@@ -8370,6 +8370,200 @@ def isotonic_calibration_value(spark, sf_dir):
     return mleval.isotonic_calibration(bins, "bin", "n_obs", "pos_rate")
 
 
+@q(
+    "map_at_k_user",
+    """
+    WITH r AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY value DESC, event_id) AS rn,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id
+                         ORDER BY value DESC, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM events
+    ),
+    a AS (
+        SELECT user_id, SUM(rel)::BIGINT AS n_rel,
+               SUM(CASE WHEN rn <= 10 AND rel = 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS hits,
+               SUM(CASE WHEN rn <= 10 AND rel = 1
+                   THEN CAST(cum AS DOUBLE) / CAST(rn AS DOUBLE)
+                   ELSE 0.0 END) AS ap_sum
+        FROM r GROUP BY user_id
+    )
+    SELECT user_id, n_rel,
+           ROUND(CAST(hits AS DOUBLE) / 10.0, 6) AS p_at_k,
+           ROUND(ap_sum / NULLIF(CAST(LEAST(n_rel, 10) AS DOUBLE), 0.0), 6)
+               AS ap_at_k
+    FROM a
+    """,
+    "Per-user precision@10 and average-precision@10 of the value ranking "
+    "against purchases — the set-based ranking metrics beside NDCG; one "
+    "keyed window supplies both rank and cumulative relevance",
+)
+def map_at_k_user(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    labeled = ev.select(
+        "user_id",
+        "value",
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("rel"),
+    )
+    return mleval.map_at_k(
+        labeled, ["user_id"], "value", "rel", "event_id", k=10
+    )
+
+
+@q(
+    "bootstrap_ci_user_value",
+    """
+    WITH u AS (
+        SELECT user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+        FROM events GROUP BY user_id
+    ),
+    e AS (
+        SELECT CAST(x AS DECIMAL(18,2)) AS x, user_id,
+               CAST(range AS INT) AS b
+        FROM u CROSS JOIN range(0, 100)
+    ),
+    d AS (
+        SELECT b, x,
+               CAST(('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR) || '#boot#'
+                             || CAST(b AS VARCHAR)), 1, 12)) AS BIGINT)
+                   / 281474976710656.0 AS u0
+        FROM e
+    ),
+    w AS (
+        SELECT b, x,
+               CASE WHEN u0 < 0.36787944117144233 THEN 0
+                    WHEN u0 < 0.7357588823428847 THEN 1
+                    WHEN u0 < 0.919698602928606 THEN 2
+                    WHEN u0 < 0.9810118431238462 THEN 3
+                    WHEN u0 < 0.9963401531726563 THEN 4
+                    WHEN u0 < 0.9994058151824183 THEN 5
+                    WHEN u0 < 0.9999167588507119 THEN 6
+                    WHEN u0 < 0.9999897508033253 THEN 7
+                    ELSE 8 END AS w
+        FROM d
+    ),
+    m AS (
+        SELECT b, CAST(SUM(x * CAST(w AS DECIMAL(9,0))) AS DOUBLE)
+                  / NULLIF(CAST(SUM(w) AS DOUBLE), 0.0) AS mean
+        FROM w GROUP BY b
+    ),
+    p AS (SELECT CAST(SUM(x2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pt
+          FROM (SELECT CAST(x AS DECIMAL(18,2)) AS x2 FROM u))
+    SELECT COUNT(*)::BIGINT AS replicates,
+           ROUND(MAX(pt), 6) AS mean_point,
+           ROUND(QUANTILE_CONT(mean, 0.025), 6) AS ci_lo,
+           ROUND(QUANTILE_CONT(mean, 0.975), 6) AS ci_hi
+    FROM m CROSS JOIN p
+    """,
+    "Deterministic Poisson(1)-bootstrap 95% CI for the mean per-user "
+    "value: replicate multiplicities from a salted-md5 uniform through "
+    "the shared inverse-CDF ladder (no RNG state, no resample shuffle — "
+    "the distributed bootstrap), decimal-exact replicate sums, exact "
+    "interpolated percentile over the 100 replicate means",
+)
+def bootstrap_ci_user_value(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("x")
+    )
+    return analytics.poisson_bootstrap_ci(
+        per_user, "x", "user_id", replicates=100
+    )
+
+
+@q(
+    "wasserstein_value_ab",
+    """
+    WITH u AS (
+        SELECT CASE WHEN ((user_id * 2654435761) % 4294967296) % 2 = 0
+                    THEN 'A' ELSE 'B' END AS grp,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+        FROM events GROUP BY user_id
+    ),
+    byv AS (
+        SELECT x AS v,
+               SUM(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS ca,
+               SUM(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS cb
+        FROM u GROUP BY x
+    ),
+    c AS (
+        SELECT v,
+               SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cuma,
+               SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cumb,
+               LEAD(v) OVER (ORDER BY v) - v AS dx
+        FROM byv
+    ),
+    t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM byv)
+    SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+           ROUND(SUM(CAST(ABS(cuma * nb - cumb * na) AS DOUBLE) * dx)
+                 / CAST(MAX(na) * MAX(nb) AS DOUBLE), 6) AS w1
+    FROM c CROSS JOIN t WHERE dx IS NOT NULL
+    """,
+    "1-D Wasserstein (earth-mover) distance between the A/B user-value "
+    "distributions — keeps the metric in value units where KS reports a "
+    "max gap; cross-multiplied integer CDF gaps over the value-space "
+    "window, single division last",
+)
+def wasserstein_value_ab(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("x")
+    )
+    grp = F.when(
+        (F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296) % 2 == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    return analytics.wasserstein_1d(per_user.withColumn("grp", grp), "grp", "x")
+
+
+@q(
+    "label_centroid_separation",
+    """
+    WITH pos AS (SELECT CAST(range AS INT) AS p FROM range(1, 65)),
+    c AS (
+        SELECT label AS l, p,
+               SUM(CAST(FLOOR(CAST(embedding[p] AS DOUBLE) * 10000.0 + 0.5)
+                        AS HUGEINT)) AS s
+        FROM embeddings CROSS JOIN pos
+        GROUP BY 1, 2
+    ),
+    n AS (SELECT label AS l, COUNT(*)::BIGINT AS cnt FROM embeddings
+          GROUP BY 1),
+    pr AS (
+        SELECT a.l AS label_a, b.l AS label_b,
+               CAST(CAST(SUM(a.s * b.s) AS VARCHAR) AS DOUBLE) AS dot,
+               CAST(CAST(SUM(a.s * a.s) AS VARCHAR) AS DOUBLE) AS qa,
+               CAST(CAST(SUM(b.s * b.s) AS VARCHAR) AS DOUBLE) AS qb
+        FROM c a JOIN c b ON a.p = b.p AND a.l < b.l
+        GROUP BY 1, 2
+    )
+    SELECT label_a, label_b, na.cnt AS n_a, nb.cnt AS n_b,
+           FLOOR(dot / (SQRT(qa) * SQRT(qb)) * 1000000.0 + 0.5)
+               / 1000000.0 AS cos
+    FROM pr JOIN n na ON na.l = label_a JOIN n nb ON nb.l = label_b
+    ORDER BY label_a, label_b
+    """,
+    "Pairwise cosine between per-label embedding centroids (class-"
+    "separation diagnostic): the 1/n scaling cancels in cosine, so the "
+    "whole pass runs on decimal-exact sums of scaled coordinates — "
+    "posexplode map-side, one labels x d groupBy, sqrt last",
+)
+def label_centroid_separation(spark, sf_dir):
+    return similarity.label_centroid_separation(
+        _t(spark, sf_dir, "embeddings"), "label", "embedding", scale=4
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -8491,7 +8685,9 @@ _ROUND7_POOL: tuple[str, ...] = (
     "embedding_covariance_gram", "fixed_size_sample_docs",
     "mmr_rerank_topk", "mutual_info_value_type", "cumulative_user_growth",
     "weighted_median_price", "ndcg_user_value_purchase",
-    "isotonic_calibration_value",
+    "isotonic_calibration_value", "map_at_k_user",
+    "bootstrap_ci_user_value", "wasserstein_value_ab",
+    "label_centroid_separation",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema, no

@@ -1110,3 +1110,46 @@ def test_weighted_median_mass_pulls_pick(spark):
     assert analytics.weighted_median(flat, "v", "w").collect()[0][
         "weighted_median"
     ] == 2.0
+
+
+def test_wasserstein_point_masses_and_identity(spark):
+    two = spark.createDataFrame(
+        [("A", 0.0)] * 3 + [("B", 1.0)] * 3, "g string, v double"
+    )
+    row = analytics.wasserstein_1d(two, "g", "v").collect()[0]
+    assert (row["n_a"], row["n_b"]) == (3, 3)
+    assert row["w1"] == pytest.approx(1.0, abs=1e-9)
+    same = spark.createDataFrame(
+        [("A", v) for v in (1.0, 2.0, 3.0)] + [("B", v) for v in (1.0, 2.0, 3.0)],
+        "g string, v double",
+    )
+    assert analytics.wasserstein_1d(same, "g", "v").collect()[0][
+        "w1"
+    ] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_wasserstein_shift_equals_offset(spark):
+    # B = A + 2 (same shape): W1 must equal the shift exactly
+    a = [1.0, 2.0, 3.0, 4.0]
+    df = spark.createDataFrame(
+        [("A", v) for v in a] + [("B", v + 2.0) for v in a], "g string, v double"
+    )
+    assert analytics.wasserstein_1d(df, "g", "v").collect()[0][
+        "w1"
+    ] == pytest.approx(2.0, abs=1e-9)
+
+
+def test_poisson_bootstrap_deterministic_and_sane(spark):
+    df = spark.createDataFrame(
+        [(i, float(10 + (i % 5))) for i in range(1, 101)], "k long, x double"
+    )
+    a = analytics.poisson_bootstrap_ci(df, "x", "k", replicates=50).collect()[0]
+    b = analytics.poisson_bootstrap_ci(
+        df.repartition(9), "x", "k", replicates=50
+    ).collect()[0]
+    assert a == b  # salted-md5 weights: layout cannot change the interval
+    assert a["replicates"] == 50
+    assert a["ci_lo"] <= a["mean_point"] <= a["ci_hi"]
+    assert a["mean_point"] == pytest.approx(12.0, abs=1e-6)
+    # interval width sane for sd~1.4/sqrt(100)
+    assert 0.01 < a["ci_hi"] - a["ci_lo"] < 2.0

@@ -168,3 +168,19 @@ def test_isotonic_weighted_pooling_and_monotone_passthrough(spark):
         2: pytest.approx(0.2, abs=1e-9),
         3: pytest.approx(0.7, abs=1e-9),
     }
+
+
+def test_map_at_k_closed_form(spark):
+    # relevant at ranks 1 and 3 of 4: AP = (1/1 + 2/3)/2; P@10 = 2/10
+    rows = [(1, 1, 9.0, 1), (1, 2, 8.0, 0), (1, 3, 7.0, 1), (1, 4, 6.0, 0)]
+    df = spark.createDataFrame(rows, "u long, eid long, score double, rel int")
+    row = mleval.map_at_k(df, ["u"], "score", "rel", "eid", k=10).collect()[0]
+    assert row["n_rel"] == 2
+    assert row["p_at_k"] == pytest.approx(0.2, abs=1e-9)
+    assert row["ap_at_k"] == pytest.approx((1.0 + 2.0 / 3.0) / 2.0, abs=1e-6)
+
+
+def test_map_at_k_no_relevant_is_null(spark):
+    df = spark.createDataFrame([(1, 1, 9.0, 0)], "u long, eid long, score double, rel int")
+    row = mleval.map_at_k(df, ["u"], "score", "rel", "eid", k=5).collect()[0]
+    assert row["ap_at_k"] is None and row["p_at_k"] == 0.0

@@ -259,6 +259,8 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "target_encode_segment",          # 1-row global-prior broadcast
         "mutual_info_value_type",         # 1-row cell-total broadcast
         "weighted_median_price",          # 1-row weight-total broadcast
+        "bootstrap_ci_user_value",        # 1-row point-estimate broadcast
+        "wasserstein_value_ab",           # 1-row group-totals broadcast
         "decile_revenue_lift",    # 1-row revenue-total broadcast
         "distinctive_terms_by_lang",  # 1-row corpus-total broadcast
         "winsorized_order_totals",    # 1-row percentile-bounds broadcast

@@ -234,3 +234,22 @@ def test_embedding_covariance_partition_invariant(spark):
         )
     )
     assert a == b  # exact integer partials: no float drift across layouts
+
+
+def test_label_centroid_separation_orthogonal_and_aligned(spark):
+    import pytest
+
+    rows = (
+        [(i, [1.0, 0.0], 0) for i in range(4)]
+        + [(i + 10, [0.0, 1.0], 1) for i in range(4)]
+        + [(i + 20, [2.0, 0.0], 2) for i in range(2)]
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {
+        (r["label_a"], r["label_b"]): r
+        for r in similarity.label_centroid_separation(emb, "label").collect()
+    }
+    assert out[(0, 1)]["cos"] == pytest.approx(0.0, abs=1e-9)
+    assert out[(0, 2)]["cos"] == pytest.approx(1.0, abs=1e-9)  # same direction
+    assert out[(1, 2)]["cos"] == pytest.approx(0.0, abs=1e-9)
+    assert (out[(0, 1)]["n_a"], out[(0, 1)]["n_b"]) == (4, 4)
