@@ -1655,3 +1655,75 @@ def wasserstein_1d(
             6,
         ).alias("w1"),
     )
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: "list[str]", *, k: int = 5
+) -> DataFrame:
+    """One row (k, n_rows, n_classes, min_class_size, violating_classes,
+    violating_rows): k-anonymity audit over a quasi-identifier set — a
+    release is k-anonymous iff every equivalence class (distinct
+    quasi-identifier combination) holds >= k rows. The governance gate
+    run before sharing "de-identified" data; pairs with the PII
+    redaction pass (which removes direct identifiers — this measures
+    re-identification risk from the indirect ones).
+
+    One keyed groupBy to class grain, one bounded aggregate over the
+    class table. All outputs exact integers.
+    """
+    classes = df.groupBy(*quasi_cols).agg(F.count("*").alias("__sz"))
+    return classes.agg(
+        F.lit(k).cast("int").alias("k"),
+        F.sum("__sz").cast("bigint").alias("n_rows"),
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.min("__sz").cast("bigint").alias("min_class_size"),
+        F.sum((F.col("__sz") < k).cast("bigint"))
+        .cast("bigint")
+        .alias("violating_classes"),
+        F.sum(F.when(F.col("__sz") < k, F.col("__sz")).otherwise(0))
+        .cast("bigint")
+        .alias("violating_rows"),
+    )
+
+
+def seasonal_naive_mape(
+    daily: DataFrame,
+    day_col: str,
+    value_col: str,
+    *,
+    season_days: int = 7,
+    scale: int = 2,
+) -> DataFrame:
+    """One row (n_scored, mape, smape): backtest of the seasonal-naive
+    forecast f(d) = value(d - season_days) — the baseline every real
+    forecasting model must beat, and the cheapest drift alarm for a
+    daily metric. Scored only on days whose seasonal ancestor exists
+    (a calendar self-join on exact epoch-day arithmetic, so gaps score
+    nothing rather than shifting the season).
+
+    Values join as exact decimals; each day's APE/SAPE is one division
+    of decimal-exact doubles; the day-bounded mean follows the
+    KL-family 6-dp-round convention.
+    """
+    v = F.col(value_col).cast(f"decimal(18,{scale})")
+    based = daily.select(
+        F.col(day_col).cast("date").alias("__d"), v.alias("__v")
+    )
+    future = based.select(
+        F.date_sub(F.col("__d"), season_days).alias("__dpast"),
+        F.col("__v").alias("__actual"),
+    )
+    j = future.join(
+        based.select(F.col("__d").alias("__dpast"), F.col("__v").alias("__fc")),
+        "__dpast",
+    )
+    a = F.col("__actual").cast("double")
+    f_ = F.col("__fc").cast("double")
+    ape = F.abs(a - f_) / F.abs(a)
+    sape = F.lit(2.0) * F.abs(a - f_) / (F.abs(a) + F.abs(f_))
+    scored = j.filter(F.col("__actual") != 0)
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_scored"),
+        F.round(F.avg(ape), 6).alias("mape"),
+        F.round(F.avg(sape), 6).alias("smape"),
+    )

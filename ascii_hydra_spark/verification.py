@@ -8564,6 +8564,67 @@ def label_centroid_separation(spark, sf_dir):
     )
 
 
+@q(
+    "k_anonymity_customers",
+    """
+    WITH c AS (
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS sz
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(5 AS INT) AS k, CAST(SUM(sz) AS BIGINT) AS n_rows,
+           COUNT(*)::BIGINT AS n_classes,
+           CAST(MIN(sz) AS BIGINT) AS min_class_size,
+           SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END)::BIGINT
+               AS violating_classes,
+           SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END)::BIGINT
+               AS violating_rows
+    FROM c
+    """,
+    "k-anonymity audit (k=5) of customers under the (segment, nation) "
+    "quasi-identifier pair — the re-identification-risk gate that pairs "
+    "with PII redaction; one class-grain groupBy + one bounded "
+    "aggregate, all-integer outputs",
+)
+def k_anonymity_customers(spark, sf_dir):
+    return analytics.k_anonymity_report(
+        _t(spark, sf_dir, "customer"), ["c_mktsegment", "c_nationkey"], k=5
+    )
+
+
+@q(
+    "seasonal_naive_mape_revenue",
+    """
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+        FROM orders GROUP BY 1
+    ),
+    j AS (
+        SELECT CAST(a.v AS DOUBLE) AS actual, CAST(b.v AS DOUBLE) AS fc
+        FROM d a JOIN d b ON b.day = a.day - 7
+        WHERE CAST(a.v AS DOUBLE) <> 0
+    )
+    SELECT COUNT(*)::BIGINT AS n_scored,
+           ROUND(AVG(ABS(actual - fc) / ABS(actual)), 6) AS mape,
+           ROUND(AVG(2.0 * ABS(actual - fc)
+                     / (ABS(actual) + ABS(fc))), 6) AS smape
+    FROM j
+    """,
+    "Seasonal-naive (lag-7) forecast backtest over daily revenue — MAPE "
+    "and SMAPE, the baseline every forecaster must beat and the cheapest "
+    "daily-metric drift alarm; exact epoch-day self-join so calendar "
+    "gaps score nothing instead of shifting the season",
+)
+def seasonal_naive_mape_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    return analytics.seasonal_naive_mape(daily, "day", "revenue", season_days=7)
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -8687,7 +8748,8 @@ _ROUND7_POOL: tuple[str, ...] = (
     "weighted_median_price", "ndcg_user_value_purchase",
     "isotonic_calibration_value", "map_at_k_user",
     "bootstrap_ci_user_value", "wasserstein_value_ab",
-    "label_centroid_separation",
+    "label_centroid_separation", "k_anonymity_customers",
+    "seasonal_naive_mape_revenue",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema, no

@@ -1153,3 +1153,42 @@ def test_poisson_bootstrap_deterministic_and_sane(spark):
     assert a["mean_point"] == pytest.approx(12.0, abs=1e-6)
     # interval width sane for sd~1.4/sqrt(100)
     assert 0.01 < a["ci_hi"] - a["ci_lo"] < 2.0
+
+
+def test_k_anonymity_report_crafted(spark):
+    rows = (
+        [("a", 1)] * 5            # class of 5: compliant at k=5
+        + [("a", 2)] * 2          # class of 2: violating
+        + [("b", 1)]              # class of 1: violating
+    )
+    df = spark.createDataFrame(rows, "seg string, nat int")
+    row = analytics.k_anonymity_report(df, ["seg", "nat"], k=5).collect()[0]
+    assert row["n_rows"] == 8 and row["n_classes"] == 3
+    assert row["min_class_size"] == 1
+    assert row["violating_classes"] == 2
+    assert row["violating_rows"] == 3
+
+
+def test_seasonal_naive_mape_closed_form(spark):
+    # days 1..14, value = 100 then 110 in week 2 -> APE = 0.1 on all
+    # 7 scored days; first week has no ancestor and scores nothing
+    rows = [(f"2024-01-{d:02d}", 100.0) for d in range(1, 8)]
+    rows += [(f"2024-01-{d:02d}", 110.0) for d in range(8, 15)]
+    df = spark.createDataFrame(rows, "day string, v double").select(
+        F.col("day").cast("date").alias("day"), "v"
+    )
+    row = analytics.seasonal_naive_mape(df, "day", "v", season_days=7).collect()[0]
+    assert row["n_scored"] == 7
+    assert row["mape"] == pytest.approx(10.0 / 110.0, abs=1e-6)
+    assert row["smape"] == pytest.approx(20.0 / 210.0, abs=1e-6)
+
+
+def test_seasonal_naive_gap_scores_nothing(spark):
+    # the ancestor day is missing -> the day is unscored, not mis-lagged
+    rows = [("2024-01-01", 100.0), ("2024-01-09", 110.0)]
+    df = spark.createDataFrame(rows, "day string, v double").select(
+        F.col("day").cast("date").alias("day"), "v"
+    )
+    assert analytics.seasonal_naive_mape(df, "day", "v").collect()[0][
+        "n_scored"
+    ] == 0
