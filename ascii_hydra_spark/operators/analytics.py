@@ -1727,3 +1727,139 @@ def seasonal_naive_mape(
         F.round(F.avg(ape), 6).alias("mape"),
         F.round(F.avg(sape), 6).alias("smape"),
     )
+
+
+def anova_oneway(
+    df: DataFrame, group_col: str, value_col: str, *, scale: int = 2
+) -> DataFrame:
+    """One row (k_groups, n, ss_between, ss_within, f_stat): one-way
+    ANOVA F — does the mean differ across k groups? The k-group
+    generalization of `welch_ttest` (pooled-variance form; for k = 2 it
+    squares the pooled t).
+
+    Per-group sums and sums-of-squares accumulate as exact decimals (one
+    keyed aggregate); SSW = sum_g(q_g - s_g^2/n_g) and
+    SSB = sum_g(s_g^2/n_g) - s^2/n are then k-bounded float sums in one
+    written order; F = (SSB/(k-1)) / (SSW/(n-k)) divides last.
+    """
+    x = F.col(value_col).cast(f"decimal(18,{scale})")
+    per = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count("*").alias("__n"),
+        F.sum(x).cast("double").alias("__s"),
+        F.sum(x * x).cast("double").alias("__q"),
+    )
+    ng = F.col("__n").cast("double")
+    agg = per.agg(
+        F.count("*").cast("bigint").alias("k_groups"),
+        F.sum("__n").cast("bigint").alias("n"),
+        F.sum("__s").alias("__ts"),
+        F.sum(F.col("__q") - F.col("__s") * F.col("__s") / ng).alias("__ssw"),
+        F.sum(F.col("__s") * F.col("__s") / ng).alias("__sb_raw"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k_groups").cast("double")
+    ssb = F.col("__sb_raw") - F.col("__ts") * F.col("__ts") / nd
+    f_stat = (ssb / (kd - F.lit(1.0))) / (
+        F.col("__ssw") / (nd - kd)
+    )
+    # SS values are ~1e8-scale sums of k float terms whose last ulps are
+    # accumulation-order-dependent; 2-dp output keeps the rounding
+    # boundary 10-100x wider than the worst-case ulp drift. f_stat is a
+    # ratio of the same sums (relative error ~1e-15) — 6 dp is safe.
+    return agg.select(
+        "k_groups",
+        "n",
+        F.round(ssb, 2).alias("ss_between"),
+        F.round(F.col("__ssw"), 2).alias("ss_within"),
+        F.round(f_stat, 6).alias("f_stat"),
+    )
+
+
+def hbos_outlier_scores(
+    df: DataFrame,
+    id_col: str,
+    feature_cols: "list[str]",
+    *,
+    n_bins: int = 10,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k (id, score) by histogram-based outlier score (HBOS,
+    Goldstein & Dengel 2012): score = sum_f ln(n / count_f(bin_f(x))) —
+    features binned equi-width on their observed [min, max], rarer bins
+    score higher. The density-based anomaly detector that needs no
+    distance joins: two bounded aggregates per feature (range, then bin
+    histogram) and broadcast joins back, so it runs at fact-table scale
+    where k-NN outlier methods can't.
+
+    Bin index = clamp(floor((x - min) / (max - min) * n_bins)) in one
+    written float order; all densities are exact integers over n; the
+    top-k is a TakeOrdered with an id tiebreak.
+    """
+    feats = list(feature_cols)
+    cur = df.select(F.col(id_col).alias("id"), *[F.col(c) for c in feats])
+    n_total = None
+    score = None
+    for c in feats:
+        rng = cur.agg(
+            F.min(F.col(c)).cast("double").alias(f"__lo_{c}"),
+            F.max(F.col(c)).cast("double").alias(f"__hi_{c}"),
+            F.count("*").alias(f"__n_{c}"),
+        )
+        cur = cur.crossJoin(F.broadcast(rng))
+        span = F.col(f"__hi_{c}") - F.col(f"__lo_{c}")
+        raw = F.floor(
+            (F.col(c).cast("double") - F.col(f"__lo_{c}"))
+            / span
+            * F.lit(float(n_bins))
+        )
+        bin_ = F.when(span == 0.0, F.lit(0)).otherwise(
+            F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+        ).cast("int")
+        cur = cur.withColumn(f"__bin_{c}", bin_)
+        hist = cur.groupBy(f"__bin_{c}").agg(
+            F.count("*").alias(f"__cnt_{c}")
+        )
+        cur = cur.join(F.broadcast(hist), f"__bin_{c}")
+        term = F.log(
+            F.col(f"__n_{c}").cast("double") / F.col(f"__cnt_{c}").cast("double")
+        )
+        score = term if score is None else score + term
+        n_total = F.col(f"__n_{c}")
+    scored = cur.select("id", F.round(score, 6).alias("score"))
+    return scored.orderBy(F.col("score").desc(), "id").limit(k)
+
+
+def theil_sen_trend(
+    daily: DataFrame, day_col: str, value_col: str, *, scale: int = 2
+) -> DataFrame:
+    """One row (n_days, n_pairs, slope_per_day): Theil-Sen robust trend
+    — the median of all pairwise slopes (v_j - v_i) / (d_j - d_i), the
+    estimator that shrugs off the outlier days OLS chases. Quadratic in
+    DAYS, not rows: the self-join runs on the bounded day-grain table
+    (the caller reduces fact rows first), so ~2.4k days is ~3M slope
+    pairs — distributed-trivial.
+
+    Day deltas are exact epoch-day integers and values exact decimals,
+    so every slope double is identical on both engines; the median is
+    the exact interpolated percentile over the slope set.
+    """
+    v = F.col(value_col).cast(f"decimal(18,{scale})")
+    based = daily.select(
+        F.datediff(F.col(day_col), F.lit("1970-01-01")).alias("__d"),
+        v.alias("__v"),
+    )
+    a = based.select(F.col("__d").alias("__da"), F.col("__v").alias("__va"))
+    b = based.select(F.col("__d").alias("__db"), F.col("__v").alias("__vb"))
+    pairs = a.join(b, F.col("__da") < F.col("__db"))
+    slope = (F.col("__vb") - F.col("__va")).cast("double") / (
+        F.col("__db") - F.col("__da")
+    ).cast("double")
+    n_days = based.agg(F.count("*").cast("bigint").alias("n_days"))
+    return (
+        pairs.agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.percentile(slope, F.lit(0.5)), 6).alias("slope_per_day"),
+        )
+        .crossJoin(F.broadcast(n_days))
+        .select("n_days", "n_pairs", "slope_per_day")
+    )

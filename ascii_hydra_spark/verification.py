@@ -8625,6 +8625,130 @@ def seasonal_naive_mape_revenue(spark, sf_dir):
     return analytics.seasonal_naive_mape(daily, "day", "revenue", season_days=7)
 
 
+@q(
+    "anova_value_by_type",
+    """
+    WITH per AS (
+        SELECT event_type AS g, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))
+                        * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS q
+        FROM events GROUP BY 1
+    ),
+    a AS (
+        SELECT COUNT(*)::BIGINT AS k_groups, CAST(SUM(n) AS BIGINT) AS n,
+               SUM(s) AS ts,
+               SUM(q - s * s / CAST(n AS DOUBLE)) AS ssw,
+               SUM(s * s / CAST(n AS DOUBLE)) AS sb_raw
+        FROM per
+    )
+    SELECT k_groups, n,
+           ROUND(sb_raw - ts * ts / CAST(n AS DOUBLE), 2) AS ss_between,
+           ROUND(ssw, 2) AS ss_within,
+           ROUND(((sb_raw - ts * ts / CAST(n AS DOUBLE))
+                  / (CAST(k_groups AS DOUBLE) - 1.0))
+                 / (ssw / (CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE))),
+                 6) AS f_stat
+    FROM a
+    """,
+    "One-way ANOVA F across the five event types — the k-group "
+    "generalization of Welch's t; decimal-exact per-group moments, "
+    "k-bounded float combination, division last",
+)
+def anova_value_by_type(spark, sf_dir):
+    return analytics.anova_oneway(
+        _t(spark, sf_dir, "events"), "event_type", "value"
+    )
+
+
+@q(
+    "hbos_event_outliers",
+    """
+    WITH f AS (
+        SELECT event_id AS id, value AS x1, CAST(HOUR(ts) AS DOUBLE) AS x2
+        FROM events
+    ),
+    r1 AS (SELECT MIN(x1) AS lo1, MAX(x1) AS hi1, COUNT(*) AS n FROM f),
+    b1 AS (
+        SELECT id, x2, n,
+               CASE WHEN hi1 = lo1 THEN 0 ELSE
+                   CAST(LEAST(GREATEST(
+                       FLOOR((x1 - lo1) / (hi1 - lo1) * 10.0), 0), 9)
+                       AS INT) END AS bin1
+        FROM f CROSS JOIN r1
+    ),
+    h1 AS (SELECT bin1, COUNT(*) AS c1 FROM b1 GROUP BY 1),
+    r2 AS (SELECT MIN(x2) AS lo2, MAX(x2) AS hi2 FROM f),
+    b2 AS (
+        SELECT b1.id, b1.n, b1.bin1,
+               CASE WHEN hi2 = lo2 THEN 0 ELSE
+                   CAST(LEAST(GREATEST(
+                       FLOOR((x2 - lo2) / (hi2 - lo2) * 10.0), 0), 9)
+                       AS INT) END AS bin2
+        FROM b1 CROSS JOIN r2
+    ),
+    h2 AS (SELECT bin2, COUNT(*) AS c2 FROM b2 GROUP BY 1),
+    s AS (
+        SELECT id,
+               LN(CAST(n AS DOUBLE) / CAST(c1 AS DOUBLE))
+               + LN(CAST(n AS DOUBLE) / CAST(c2 AS DOUBLE)) AS score
+        FROM b2 JOIN h1 USING (bin1) JOIN h2 USING (bin2)
+    )
+    SELECT id, ROUND(score, 6) AS score
+    FROM s ORDER BY score DESC, id LIMIT 20
+    """,
+    "Top-20 histogram-based outlier scores (HBOS) over (value, hour) — "
+    "the density anomaly detector with NO distance join: per-feature "
+    "range + histogram aggregates broadcast back over the fact rows, "
+    "exact-integer densities, TakeOrdered with an id tiebreak",
+)
+def hbos_event_outliers(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    feats = ev.select(
+        F.col("event_id"),
+        F.col("value"),
+        F.hour("ts").cast("double").alias("hour_of_day"),
+    )
+    return analytics.hbos_outlier_scores(
+        feats, "event_id", ["value", "hour_of_day"], n_bins=10, k=20
+    )
+
+
+@q(
+    "theil_sen_revenue_trend",
+    """
+    WITH d AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                    AS BIGINT) AS ed,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+        FROM orders GROUP BY 1
+    ),
+    p AS (
+        SELECT CAST(b.v - a.v AS DOUBLE) / CAST(b.ed - a.ed AS DOUBLE)
+                   AS slope
+        FROM d a JOIN d b ON a.ed < b.ed
+    )
+    SELECT (SELECT COUNT(*)::BIGINT FROM d) AS n_days,
+           COUNT(*)::BIGINT AS n_pairs,
+           ROUND(QUANTILE_CONT(slope, 0.5), 6) AS slope_per_day
+    FROM p
+    """,
+    "Theil-Sen robust daily-revenue trend: median of all pairwise "
+    "slopes over the bounded day grain (quadratic in DAYS, never rows); "
+    "integer day deltas x decimal value deltas make every slope double "
+    "identical on both engines, median is the exact interpolated "
+    "percentile",
+)
+def theil_sen_revenue_trend(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue")
+    )
+    return analytics.theil_sen_trend(daily, "day", "revenue")
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -8749,7 +8873,8 @@ _ROUND7_POOL: tuple[str, ...] = (
     "isotonic_calibration_value", "map_at_k_user",
     "bootstrap_ci_user_value", "wasserstein_value_ab",
     "label_centroid_separation", "k_anonymity_customers",
-    "seasonal_naive_mape_revenue",
+    "seasonal_naive_mape_revenue", "anova_value_by_type",
+    "hbos_event_outliers", "theil_sen_revenue_trend",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema, no

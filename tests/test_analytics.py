@@ -1192,3 +1192,41 @@ def test_seasonal_naive_gap_scores_nothing(spark):
     assert analytics.seasonal_naive_mape(df, "day", "v").collect()[0][
         "n_scored"
     ] == 0
+
+
+def test_anova_closed_form(spark):
+    # groups {1,2,3}, {4,5,6}: means 2 and 5, SSW = 2+2 = 4,
+    # SSB = 2*(2-3.5)^2 + 2*... wait n=3 each: SSB = 3*(1.5^2)*2 = 13.5
+    rows = [("a", v) for v in (1.0, 2.0, 3.0)] + [("b", v) for v in (4.0, 5.0, 6.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    row = analytics.anova_oneway(df, "g", "v").collect()[0]
+    assert (row["k_groups"], row["n"]) == (2, 6)
+    assert row["ss_between"] == pytest.approx(13.5, abs=1e-6)
+    assert row["ss_within"] == pytest.approx(4.0, abs=1e-6)
+    # F = (13.5/1) / (4/4) = 13.5; for k=2 this is the pooled t squared
+    assert row["f_stat"] == pytest.approx(13.5, abs=1e-6)
+
+
+def test_hbos_flags_rare_bin(spark):
+    # 99 points near 0 in hour 12, one point at 100 in hour 0:
+    # the singleton lands alone in both feature bins -> top score
+    rows = [(i, float(i % 10) / 10.0, 12.0) for i in range(1, 100)]
+    rows.append((999, 100.0, 0.0))
+    df = spark.createDataFrame(rows, "id long, x1 double, x2 double")
+    top = analytics.hbos_outlier_scores(df, "id", ["x1", "x2"], k=1).collect()
+    assert top[0]["id"] == 999
+    import math
+
+    assert top[0]["score"] == pytest.approx(2 * math.log(100.0), abs=1e-6)
+
+
+def test_theil_sen_ignores_outlier_day(spark):
+    # perfect slope 2 line with one wild day: median slope stays 2
+    rows = [(f"2024-01-{d:02d}", 2.0 * d) for d in range(1, 10)]
+    rows.append(("2024-01-10", 1000.0))
+    df = spark.createDataFrame(rows, "day string, v double").select(
+        F.col("day").cast("date").alias("day"), "v"
+    )
+    row = analytics.theil_sen_trend(df, "day", "v").collect()[0]
+    assert row["n_days"] == 10 and row["n_pairs"] == 45
+    assert row["slope_per_day"] == pytest.approx(2.0, abs=1e-6)

@@ -261,6 +261,11 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "weighted_median_price",          # 1-row weight-total broadcast
         "bootstrap_ci_user_value",        # 1-row point-estimate broadcast
         "wasserstein_value_ab",           # 1-row group-totals broadcast
+        "anova_value_by_type",            # 1-row moment-totals broadcast
+        "hbos_event_outliers",            # 1-row per-feature range broadcast
+        "theil_sen_revenue_trend",        # day-grain (<2.5k-row) broadcast
+                                          # non-equi pair join — quadratic
+                                          # in DAYS by design, never rows
         "decile_revenue_lift",    # 1-row revenue-total broadcast
         "distinctive_terms_by_lang",  # 1-row corpus-total broadcast
         "winsorized_order_totals",    # 1-row percentile-bounds broadcast
