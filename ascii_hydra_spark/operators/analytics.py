@@ -1863,3 +1863,56 @@ def theil_sen_trend(
         .crossJoin(F.broadcast(n_days))
         .select("n_days", "n_pairs", "slope_per_day")
     )
+
+
+# Abramowitz & Stegun 7.1.26 erf coefficients — shared literals between
+# the engine and the oracle: neither Spark SQL nor DuckDB exposes erf, so
+# BOTH engines evaluate this same polynomial and produce identical
+# doubles (max abs error 1.5e-7, fine for 6-dp p-values).
+_AS_ERF_P = 0.3275911
+_AS_ERF_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def two_sided_p_from_z(z: Column) -> Column:
+    """p = 2*(1 - Phi(|z|)) = 1 - erf(|z|/sqrt(2)) via the shared A&S
+    polynomial — one written float order, evaluable identically in the
+    DuckDB oracle."""
+    x = F.abs(z) / F.sqrt(F.lit(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_ERF_P) * x)
+    a1, a2, a3, a4, a5 = (F.lit(a) for a in _AS_ERF_A)
+    poly = a1 * t + a2 * t * t + a3 * t * t * t + a4 * t * t * t * t + (
+        a5 * t * t * t * t * t
+    )
+    erf = F.lit(1.0) - poly * F.exp(-x * x)
+    return F.lit(1.0) - erf
+
+
+def benjamini_hochberg(
+    df: DataFrame, p_col: str, tiebreak: str, *, alpha: float = 0.05
+) -> DataFrame:
+    """Adds (p_rank, p_adj, significant) to a TEST-GRAIN table of raw
+    p-values — the Benjamini-Hochberg step-up FDR correction every
+    segment-sweep A/B readout needs before declaring winners (m tests at
+    alpha uncorrected expect m*alpha false discoveries).
+
+    adj_i = min_{j >= i}(p_j * m / j), capped at 1 — the suffix-min is a
+    cumulative MIN over the descending-p window (min is accumulation-
+    order-free, so no float-order caveat applies). Input is the bounded
+    per-test table (the global windows sort m tests, not fact rows).
+    """
+    p = F.col(p_col)
+    w_rank = Window.orderBy(p.asc(), F.col(tiebreak).asc())
+    w_m = Window.partitionBy()
+    w_suffix = Window.orderBy(p.desc(), F.col(tiebreak).desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = df.withColumn("p_rank", F.row_number().over(w_rank)).withColumn(
+        "__m", F.count("*").over(w_m)
+    )
+    factor = p * F.col("__m").cast("double") / F.col("p_rank").cast("double")
+    adjusted = ranked.withColumn(
+        "p_adj", F.least(F.min(factor).over(w_suffix), F.lit(1.0))
+    )
+    return adjusted.withColumn(
+        "significant", F.col("p_adj") < F.lit(alpha)
+    ).drop("__m")

@@ -8749,6 +8749,124 @@ def theil_sen_revenue_trend(spark, sf_dir):
     return analytics.theil_sen_trend(daily, "day", "revenue")
 
 
+@q(
+    "bh_fdr_nation_urgency",
+    """
+    WITH conv AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    ),
+    u AS (
+        SELECT c_nationkey AS nation,
+               CASE WHEN conv.o_custkey IS NOT NULL THEN 1 ELSE 0 END AS c
+        FROM customer LEFT JOIN conv ON o_custkey = c_custkey
+    ),
+    per AS (SELECT nation, COUNT(*) AS ng, SUM(c) AS sg FROM u GROUP BY 1),
+    t AS (SELECT SUM(ng) AS n, SUM(sg) AS s FROM per),
+    z AS (
+        SELECT nation, ng, sg,
+               (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)
+                - CAST(s - sg AS DOUBLE) / CAST(n - ng AS DOUBLE))
+               / SQRT((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (1.0 / CAST(ng AS DOUBLE)
+                         + 1.0 / CAST(n - ng AS DOUBLE))) AS zv
+        FROM per CROSS JOIN t
+    ),
+    p AS (
+        SELECT nation, ng, sg, zv,
+               1.0 - (1.0 - (0.254829592 * tt
+                             + -0.284496736 * tt * tt
+                             + 1.421413741 * tt * tt * tt
+                             + -1.453152027 * tt * tt * tt * tt
+                             + 1.061405429 * tt * tt * tt * tt * tt)
+                            * EXP(-xx * xx)) AS pv
+        FROM (SELECT nation, ng, sg, zv,
+                     ABS(zv) / SQRT(2.0) AS xx,
+                     1.0 / (1.0 + 0.3275911 * (ABS(zv) / SQRT(2.0))) AS tt
+              FROM z)
+    ),
+    b AS (
+        SELECT nation, ng, sg, zv, pv,
+               ROW_NUMBER() OVER (ORDER BY pv ASC, nation ASC) AS p_rank,
+               COUNT(*) OVER () AS m
+        FROM p
+    ),
+    adj AS (
+        SELECT nation, ng, sg, zv, pv, p_rank,
+               LEAST(MIN(pv * CAST(m AS DOUBLE) / CAST(p_rank AS DOUBLE))
+                     OVER (ORDER BY pv DESC, nation DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                           ROW),
+                     1.0) AS p_adj
+        FROM b
+    )
+    SELECT nation, CAST(ng AS BIGINT) AS n_users,
+           CAST(sg AS BIGINT) AS n_conv,
+           ROUND(zv, 6) AS z, ROUND(pv, 6) AS p_value,
+           CAST(p_rank AS INT) AS p_rank, ROUND(p_adj, 6) AS p_adj,
+           p_adj < 0.05 AS significant
+    FROM adj
+    """,
+    "Per-nation urgent-order conversion z-tests swept through "
+    "Benjamini-Hochberg FDR — the multiple-testing correction every "
+    "segment sweep needs; p-values via the SHARED Abramowitz-Stegun erf "
+    "polynomial (neither engine exposes erf, both evaluate identical "
+    "literals), suffix-min adjustment is accumulation-order-free",
+)
+def bh_fdr_nation_urgency(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    conv = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("__c", F.lit(1))
+    )
+    u = c.join(conv, "c_custkey", "left").select(
+        F.col("c_nationkey").alias("nation"),
+        F.coalesce(F.col("__c"), F.lit(0)).alias("c"),
+    )
+    per = u.groupBy("nation").agg(
+        F.count("*").alias("__ng"), F.sum("c").alias("__sg")
+    )
+    tot = per.agg(F.sum("__ng").alias("__n"), F.sum("__sg").alias("__s"))
+    j = per.crossJoin(F.broadcast(tot))
+    ng = F.col("__ng").cast("double")
+    sg = F.col("__sg").cast("double")
+    n = F.col("__n").cast("double")
+    s = F.col("__s").cast("double")
+    pool = s / n
+    z = (sg / ng - (F.col("__s") - F.col("__sg")).cast("double") / (
+        F.col("__n") - F.col("__ng")
+    ).cast("double")) / F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (
+            F.lit(1.0) / ng
+            + F.lit(1.0) / (F.col("__n") - F.col("__ng")).cast("double")
+        )
+    )
+    tests = j.select(
+        "nation",
+        F.col("__ng").cast("bigint").alias("n_users"),
+        F.col("__sg").cast("bigint").alias("n_conv"),
+        z.alias("__z"),
+        analytics.two_sided_p_from_z(z).alias("__p"),
+    )
+    adj = analytics.benjamini_hochberg(tests, "__p", "nation", alpha=0.05)
+    return adj.select(
+        "nation",
+        "n_users",
+        "n_conv",
+        F.round(F.col("__z"), 6).alias("z"),
+        F.round(F.col("__p"), 6).alias("p_value"),
+        "p_rank",
+        F.round(F.col("p_adj"), 6).alias("p_adj"),
+        "significant",
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -8875,6 +8993,7 @@ _ROUND7_POOL: tuple[str, ...] = (
     "label_centroid_separation", "k_anonymity_customers",
     "seasonal_naive_mape_revenue", "anova_value_by_type",
     "hbos_event_outliers", "theil_sen_revenue_trend",
+    "bh_fdr_nation_urgency",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema, no

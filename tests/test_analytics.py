@@ -1230,3 +1230,41 @@ def test_theil_sen_ignores_outlier_day(spark):
     row = analytics.theil_sen_trend(df, "day", "v").collect()[0]
     assert row["n_days"] == 10 and row["n_pairs"] == 45
     assert row["slope_per_day"] == pytest.approx(2.0, abs=1e-6)
+
+
+def test_two_sided_p_from_z_reference_points(spark):
+    df = spark.createDataFrame(
+        [(0.0,), (1.959964,), (-1.959964,), (3.0,)], "z double"
+    )
+    out = [
+        r["p"]
+        for r in df.select(
+            analytics.two_sided_p_from_z(F.col("z")).alias("p")
+        ).collect()
+    ]
+    assert out[0] == pytest.approx(1.0, abs=2e-7)   # A&S poly max err 1.5e-7
+    assert out[1] == pytest.approx(0.05, abs=1e-5)
+    assert out[2] == pytest.approx(0.05, abs=1e-5)  # symmetric in z
+    assert out[3] == pytest.approx(0.0027, abs=1e-4)
+
+
+def test_benjamini_hochberg_stepup(spark):
+    df = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.02), ("c", 0.04), ("d", 0.9)], "t string, p double"
+    )
+    out = {
+        r["t"]: (r["p_rank"], r["p_adj"], r["significant"])
+        for r in analytics.benjamini_hochberg(df, "p", "t").collect()
+    }
+    # factors: .04, .04, .0533, .9 -> suffix mins: .04, .04, .0533, .9
+    assert out["a"] == (1, pytest.approx(0.04, abs=1e-9), True)
+    assert out["b"] == (2, pytest.approx(0.04, abs=1e-9), True)
+    assert out["c"] == (3, pytest.approx(0.04 * 4 / 3, abs=1e-9), False)
+    assert out["d"] == (4, pytest.approx(0.9, abs=1e-9), False)
+
+
+def test_benjamini_hochberg_caps_at_one(spark):
+    df = spark.createDataFrame([("a", 0.8), ("b", 0.9)], "t string, p double")
+    out = {r["t"]: r["p_adj"] for r in analytics.benjamini_hochberg(df, "p", "t").collect()}
+    assert out["a"] == pytest.approx(0.9, abs=1e-9)  # min(0.8*2/1, 0.9*2/2)
+    assert out["b"] == pytest.approx(0.9, abs=1e-9)
