@@ -227,3 +227,70 @@ def semantic_dedup(
         emb, k=k, iterations=iterations, threshold=threshold, id_col=id_col, **kw
     )
     return cluster_dedup(emb, pairs, id_col)
+
+
+def calinski_harabasz(
+    emb: DataFrame,
+    label_col: str,
+    vec_col: str = "embedding",
+    *,
+    scale: int = 4,
+) -> DataFrame:
+    """One row (k_clusters, n, ss_between, ss_within, ch): the
+    Calinski-Harabasz (variance-ratio) clustering quality index over a
+    labeled embedding table — CH = (SSB/(k-1)) / (SSW/(n-k)), higher =
+    tighter, better-separated clusters. The closed-form quality readout
+    for `kmeans_assign` output (or given labels) where silhouette's
+    O(n^2) pair distances are unaffordable.
+
+    Algebra keeps everything in sums: SSW = Q - sum_l |S_l|^2/n_l and
+    SSB = sum_l |S_l|^2/n_l - |S|^2/n, where Q is the total squared
+    norm and S_l the per-label coordinate sums — all exact integers
+    after the same 10^scale rounding the covariance/centroid operators
+    use; the only floats are the k-bounded final combinations. Same
+    2-dp SS / 6-dp ratio output policy as `analytics.anova_oneway`
+    (this IS one-way ANOVA in embedding space).
+    """
+    mult = float(10**scale)
+    pe = F.posexplode(F.col(vec_col))
+    coords = emb.select(F.col(label_col).alias("__l"), pe).select(
+        "__l",
+        F.col("pos").alias("__p"),
+        F.floor(F.col("col").cast("double") * F.lit(mult) + F.lit(0.5))
+        .cast("decimal(28,0)")
+        .alias("__x"),
+    )
+    per_lp = coords.groupBy("__l", "__p").agg(F.sum("__x").alias("__s"))
+    q_tot = coords.agg(
+        F.sum(F.col("__x") * F.col("__x")).cast("double").alias("__q")
+    )
+    n_per = emb.groupBy(F.col(label_col).alias("__l")).agg(
+        F.count("*").alias("__nl")
+    )
+    norms = (
+        per_lp.groupBy("__l")
+        .agg(F.sum(F.col("__s") * F.col("__s")).cast("double").alias("__s2"))
+        .join(F.broadcast(n_per), "__l")
+    )
+    per_label = norms.agg(
+        F.count("*").cast("bigint").alias("k_clusters"),
+        F.sum("__nl").cast("bigint").alias("n"),
+        F.sum(F.col("__s2") / F.col("__nl").cast("double")).alias("__within_sub"),
+    )
+    glob = per_lp.groupBy("__p").agg(F.sum("__s").alias("__gs")).agg(
+        F.sum(F.col("__gs") * F.col("__gs")).cast("double").alias("__g2")
+    )
+    j = per_label.crossJoin(F.broadcast(q_tot)).crossJoin(F.broadcast(glob))
+    nd = F.col("n").cast("double")
+    kd = F.col("k_clusters").cast("double")
+    descale = F.lit(mult * mult)
+    ssw = (F.col("__q") - F.col("__within_sub")) / descale
+    ssb = (F.col("__within_sub") - F.col("__g2") / nd) / descale
+    ch = (ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd))
+    return j.select(
+        "k_clusters",
+        "n",
+        F.round(ssb, 2).alias("ss_between"),
+        F.round(ssw, 2).alias("ss_within"),
+        F.round(ch, 6).alias("ch"),
+    )

@@ -335,3 +335,44 @@ def map_at_k(
             F.col("__ap_sum") / F.nullif(denom, F.lit(0.0)), 6
         ).alias("ap_at_k"),
     )
+
+
+def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """One row (n, n_agree, po, pe, kappa): Cohen's kappa between two
+    categorical labelings of the same rows — chance-corrected agreement,
+    the annotation-QA metric for training-data labels (raw percent
+    agreement flatters skewed label sets; kappa doesn't).
+
+    po = agreements / n; pe = sum_l n_a(l) * n_b(l) / n^2 from the two
+    bounded margin tables (inner join — a label missing on either side
+    contributes zero). All inputs exact integers; kappa =
+    (po - pe) / (1 - pe) in one written float order.
+    """
+    base = df.select(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+    tot = base.agg(
+        F.count("*").alias("__n"),
+        F.sum((F.col("__a") == F.col("__b")).cast("bigint")).alias("__ag"),
+    )
+    ma = base.groupBy(F.col("__a").alias("__l")).agg(
+        F.count("*").alias("__na")
+    )
+    mb = base.groupBy(F.col("__b").alias("__l")).agg(
+        F.count("*").alias("__nb")
+    )
+    pe_num = (
+        ma.join(mb, "__l")
+        .agg(F.sum(F.col("__na") * F.col("__nb")).alias("__pe_num"))
+    )
+    j = tot.crossJoin(F.broadcast(pe_num.select(
+        F.coalesce(F.col("__pe_num"), F.lit(0)).alias("__pe_num")
+    )))
+    n = F.col("__n").cast("double")
+    po = F.col("__ag").cast("double") / n
+    pe = F.col("__pe_num").cast("double") / (n * n)
+    return j.select(
+        F.col("__n").cast("bigint").alias("n"),
+        F.col("__ag").cast("bigint").alias("n_agree"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )

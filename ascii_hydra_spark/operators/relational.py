@@ -523,3 +523,23 @@ def fixed_size_sample(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def merge_rollups(parts: "list[DataFrame]", keys: "list[str]") -> DataFrame:
+    """Algebraically merge pre-aggregated rollups (same schema: keys +
+    additive measure columns) by union + keyed re-sum — the maintenance
+    step of an incremental materialized aggregate: yesterday's rollup
+    plus today's delta rollup MUST equal a full recompute, because
+    counts and (decimal) sums are associative/commutative partials.
+    That identity is what makes per-day/per-shard aggregation safe at
+    100 TB, and the registry entry proves it against a full-recompute
+    oracle. Avg/stddev callers carry (count, sum, sum_sq) partials and
+    derive the ratio after the merge — never merge a ratio.
+    """
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    measures = [c for c in out.columns if c not in keys]
+    return out.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in measures]
+    )

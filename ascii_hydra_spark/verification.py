@@ -8867,6 +8867,139 @@ def bh_fdr_nation_urgency(spark, sf_dir):
     )
 
 
+@q(
+    "calinski_harabasz_labels",
+    """
+    WITH pos AS (SELECT CAST(range AS INT) AS p FROM range(1, 65)),
+    coords AS (
+        SELECT label AS l, p,
+               CAST(FLOOR(CAST(embedding[p] AS DOUBLE) * 10000.0 + 0.5)
+                    AS HUGEINT) AS x
+        FROM embeddings CROSS JOIN pos
+    ),
+    per_lp AS (SELECT l, p, SUM(x) AS s FROM coords GROUP BY 1, 2),
+    q AS (SELECT CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS qt
+          FROM coords),
+    n_per AS (SELECT label AS l, COUNT(*) AS nl FROM embeddings GROUP BY 1),
+    norms AS (
+        SELECT l, CAST(CAST(SUM(s * s) AS VARCHAR) AS DOUBLE) AS s2
+        FROM per_lp GROUP BY l
+    ),
+    pl AS (
+        SELECT COUNT(*)::BIGINT AS k_clusters,
+               CAST(SUM(nl) AS BIGINT) AS n,
+               SUM(s2 / CAST(nl AS DOUBLE)) AS within_sub
+        FROM norms JOIN n_per USING (l)
+    ),
+    g AS (
+        SELECT CAST(CAST(SUM(gs * gs) AS VARCHAR) AS DOUBLE) AS g2
+        FROM (SELECT p, SUM(s) AS gs FROM per_lp GROUP BY p)
+    )
+    SELECT k_clusters, n,
+           ROUND((within_sub - g2 / CAST(n AS DOUBLE)) / 100000000.0, 2)
+               AS ss_between,
+           ROUND((qt - within_sub) / 100000000.0, 2) AS ss_within,
+           ROUND((((within_sub - g2 / CAST(n AS DOUBLE)) / 100000000.0)
+                  / (CAST(k_clusters AS DOUBLE) - 1.0))
+                 / (((qt - within_sub) / 100000000.0)
+                    / (CAST(n AS DOUBLE) - CAST(k_clusters AS DOUBLE))),
+                 6) AS ch
+    FROM pl CROSS JOIN q CROSS JOIN g
+    """,
+    "Calinski-Harabasz variance-ratio index over the labeled embeddings "
+    "— clustering quality without silhouette's O(n^2) pair distances; "
+    "one-way ANOVA in embedding space on exact scaled-integer sums "
+    "(covariance-operator arithmetic), k-bounded float combination",
+)
+def calinski_harabasz_labels(spark, sf_dir):
+    return clustering.calinski_harabasz(
+        _t(spark, sf_dir, "embeddings"), "label", "embedding", scale=4
+    )
+
+
+def _kappa_oracle() -> str:
+    score_cols, case = _lang_sql_parts()
+    return f"""
+    WITH s AS (SELECT lang AS gold, {score_cols} FROM documents),
+    lab AS (SELECT gold, {case} AS pred FROM s),
+    t AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN gold = pred THEN 1 ELSE 0 END) AS ag
+        FROM lab
+    ),
+    ma AS (SELECT gold AS l, COUNT(*) AS na FROM lab GROUP BY 1),
+    mb AS (SELECT pred AS l, COUNT(*) AS nb FROM lab GROUP BY 1),
+    pe AS (
+        SELECT COALESCE(SUM(na * nb), 0) AS pe_num
+        FROM ma JOIN mb USING (l)
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(ag AS BIGINT) AS n_agree,
+           ROUND(CAST(ag AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+           ROUND(CAST(pe_num AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+           ROUND((CAST(ag AS DOUBLE) / CAST(n AS DOUBLE)
+                  - CAST(pe_num AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 / (1.0 - CAST(pe_num AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))),
+                 6) AS kappa
+    FROM t CROSS JOIN pe
+    """
+
+
+@q(
+    "cohens_kappa_langid",
+    None,  # filled in below: needs the marker lexicons inlined
+    "Cohen's kappa between the gold `lang` column and the marker-lexicon "
+    "language-ID prediction — chance-corrected annotation agreement, the "
+    "label-QA readout raw accuracy flatters on skewed label sets; exact "
+    "integer margins, one float order",
+)
+def cohens_kappa_langid(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    labeled = text.language_id(d).join(
+        d.select("doc_id", F.col("lang").alias("gold")), "doc_id"
+    )
+    return mleval.cohens_kappa(labeled, "gold", "pred_lang")
+
+
+REGISTRY["cohens_kappa_langid"].sql = _kappa_oracle()
+
+
+@q(
+    "incremental_rollup_maintenance",
+    """
+    SELECT o_orderpriority, COUNT(*)::BIGINT AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM orders GROUP BY 1
+    """,
+    "Incremental materialized-aggregate maintenance: a pre-1997 base "
+    "rollup merged with the post-1997 delta rollup (union + keyed "
+    "re-sum of additive count/decimal partials) must equal the oracle's "
+    "FULL recompute — the algebraic identity that makes per-day rollups "
+    "safe at 100 TB",
+)
+def incremental_rollup_maintenance(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+
+    def roll(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__rev"),
+        )
+
+    cut = F.col("o_orderdate") < "1997-01-01"
+    merged = relational.merge_rollups(
+        [roll(o.filter(cut)), roll(o.filter(~cut))], ["o_orderpriority"]
+    )
+    return merged.select(
+        "o_orderpriority",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("__rev").cast("double").alias("revenue"),
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -8993,7 +9126,8 @@ _ROUND7_POOL: tuple[str, ...] = (
     "label_centroid_separation", "k_anonymity_customers",
     "seasonal_naive_mape_revenue", "anova_value_by_type",
     "hbos_event_outliers", "theil_sen_revenue_trend",
-    "bh_fdr_nation_urgency",
+    "bh_fdr_nation_urgency", "calinski_harabasz_labels",
+    "cohens_kappa_langid", "incremental_rollup_maintenance",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema, no

@@ -101,3 +101,20 @@ def test_cluster_sizes_partition_the_input(emb):
     sizes = clustering.cluster_sizes(emb, k=4, iterations=2).collect()
     assert sum(r["n_vectors"] for r in sizes) == 40
     assert all(r["n_vectors"] > 0 for r in sizes)
+
+
+def test_calinski_harabasz_closed_form(spark):
+    from ascii_hydra_spark.operators import clustering
+    import pytest
+
+    rows = [
+        (1, [0.0, 0.0], 0), (2, [0.2, 0.0], 0),
+        (3, [10.0, 0.0], 1), (4, [10.2, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    row = clustering.calinski_harabasz(emb, "label").collect()[0]
+    assert (row["k_clusters"], row["n"]) == (2, 4)
+    # per-cluster SSW = 2*(0.1^2) each -> 0.04; SSB = 4 * 25 = 100
+    assert row["ss_within"] == pytest.approx(0.04, abs=1e-2)
+    assert row["ss_between"] == pytest.approx(100.0, abs=1e-2)
+    assert row["ch"] == pytest.approx((100.0 / 1.0) / (0.04 / 2.0), rel=1e-3)

@@ -184,3 +184,19 @@ def test_map_at_k_no_relevant_is_null(spark):
     df = spark.createDataFrame([(1, 1, 9.0, 0)], "u long, eid long, score double, rel int")
     row = mleval.map_at_k(df, ["u"], "score", "rel", "eid", k=5).collect()[0]
     assert row["ap_at_k"] is None and row["p_at_k"] == 0.0
+
+
+def test_cohens_kappa_perfect_and_chance(spark):
+    perfect = spark.createDataFrame(
+        [("x", "x"), ("y", "y"), ("x", "x")], "a string, b string"
+    )
+    row = mleval.cohens_kappa(perfect, "a", "b").collect()[0]
+    assert row["kappa"] == pytest.approx(1.0, abs=1e-9)
+    # balanced disagreement exactly at chance level: kappa = 0
+    chance = spark.createDataFrame(
+        [("x", "x"), ("x", "y"), ("y", "x"), ("y", "y")], "a string, b string"
+    )
+    row = mleval.cohens_kappa(chance, "a", "b").collect()[0]
+    assert row["po"] == pytest.approx(0.5, abs=1e-9)
+    assert row["pe"] == pytest.approx(0.5, abs=1e-9)
+    assert row["kappa"] == pytest.approx(0.0, abs=1e-9)

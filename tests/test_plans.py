@@ -263,6 +263,8 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "wasserstein_value_ab",           # 1-row group-totals broadcast
         "anova_value_by_type",            # 1-row moment-totals broadcast
         "bh_fdr_nation_urgency",          # 1-row conversion-totals broadcast
+        "calinski_harabasz_labels",       # 1-row norm-totals broadcast
+        "cohens_kappa_langid",            # 1-row chance-expectation broadcast
         "hbos_event_outliers",            # 1-row per-feature range broadcast
         "theil_sen_revenue_trend",        # day-grain (<2.5k-row) broadcast
                                           # non-equi pair join — quadratic

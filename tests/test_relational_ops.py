@@ -301,3 +301,24 @@ def test_fixed_size_sample_exact_k_and_determinism(spark):
     assert sorted((r["lang"], r["doc_id"]) for r in other) != sorted(
         (r["lang"], r["doc_id"]) for r in out
     )
+
+
+def test_merge_rollups_equals_recompute(spark):
+    from ascii_hydra_spark.operators import relational
+    from pyspark.sql import functions as F
+
+    rows = [("a", 1.0), ("a", 2.0), ("b", 3.0), ("a", 4.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+
+    def roll(d):
+        return d.groupBy("k").agg(
+            F.count("*").alias("n"), F.sum("v").alias("s")
+        )
+
+    merged = relational.merge_rollups(
+        [roll(df.limit(2)), roll(df.subtract(df.limit(2)))], ["k"]
+    )
+    full = roll(df)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
