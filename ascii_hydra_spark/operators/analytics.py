@@ -1916,3 +1916,69 @@ def benjamini_hochberg(
     return adjusted.withColumn(
         "significant", F.col("p_adj") < F.lit(alpha)
     ).drop("__m")
+
+
+def population_stability_index(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """One row (n_a, n_b, psi): population stability index between two
+    groups' value distributions — sum over bins of
+    (share_a - share_b) * ln(share_a / share_b), THE model-monitoring
+    drift score (rule of thumb: < 0.1 stable, > 0.25 shifted). Bin edges
+    are the EXPECTED group's interior quantiles (group a = min label,
+    the standard expected-vs-actual framing); shares take add-0.5
+    smoothing so an empty bin cannot blow up the log.
+
+    Edges come from one exact interpolated percentile (broadcast 1-row
+    array); bin assignment is size(filter(edges, e -> x > e)) — the same
+    lambda on both engines; bin counts are exact integers and the final
+    combination is an n_bins-bounded float sum under the KL-family 6-dp
+    round.
+    """
+    labels = [
+        r["g"]
+        for r in df.select(F.col(group_col).alias("g")).distinct().limit(3).collect()
+    ]
+    if len(labels) != 2:
+        raise ValueError(
+            f"population_stability_index needs exactly 2 groups in "
+            f"{group_col}, found {len(labels)}"
+        )
+    ga = min(labels)
+    is_a = F.col(group_col) == F.lit(ga)
+    qs = [i / n_bins for i in range(1, n_bins)]
+    edges = df.filter(is_a).agg(
+        F.percentile(F.col(value_col), F.lit(qs).cast("array<double>")).alias(
+            "__edges"
+        )
+    )
+    binned = df.crossJoin(F.broadcast(edges)).select(
+        is_a.alias("__is_a"),
+        F.size(
+            F.filter(
+                F.col("__edges"), lambda e: F.col(value_col) > e
+            )
+        ).alias("__bin"),
+    )
+    cells = binned.groupBy("__bin").agg(
+        F.sum(F.col("__is_a").cast("bigint")).alias("__ca"),
+        F.sum((~F.col("__is_a")).cast("bigint")).alias("__cb"),
+    )
+    tot = cells.agg(F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb"))
+    j = cells.crossJoin(F.broadcast(tot))
+    k = F.lit(float(n_bins))
+    sa = (F.col("__ca").cast("double") + F.lit(0.5)) / (
+        F.col("__na").cast("double") + F.lit(0.5) * k
+    )
+    sb = (F.col("__cb").cast("double") + F.lit(0.5)) / (
+        F.col("__nb").cast("double") + F.lit(0.5) * k
+    )
+    return j.agg(
+        F.max("__na").cast("bigint").alias("n_a"),
+        F.max("__nb").cast("bigint").alias("n_b"),
+        F.round(F.sum((sa - sb) * F.log(sa / sb)), 6).alias("psi"),
+    )

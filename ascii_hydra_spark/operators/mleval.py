@@ -376,3 +376,64 @@ def cohens_kappa(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         F.round(pe, 6).alias("pe"),
         F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
     )
+
+
+def expected_calibration_error(
+    bins: DataFrame, n_col: str, mean_col: str, rate_col: str
+) -> DataFrame:
+    """One row (n, ece): expected calibration error — the count-weighted
+    mean |observed rate - mean score| over the reliability bins, the
+    scalar that summarizes the `calibration_bins` diagram (and what
+    `isotonic_calibration` minimizes toward). Bin-bounded arithmetic on
+    the bins table; exact integer weights."""
+    gap = F.abs(F.col(rate_col) - F.col(mean_col))
+    return bins.agg(
+        F.sum(F.col(n_col)).cast("bigint").alias("n"),
+        F.round(
+            F.sum(F.col(n_col).cast("double") * gap)
+            / F.sum(F.col(n_col)).cast("double"),
+            6,
+        ).alias("ece"),
+    )
+
+
+def split_conformal_coverage(
+    df: DataFrame,
+    pred_col: str,
+    actual_col: str,
+    cal_flag_col: str,
+    *,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """One row (n_cal, n_test, qhat, coverage): split conformal
+    prediction — qhat is the adjusted (1-alpha) quantile of calibration
+    |residuals|, and `coverage` is the share of held-out rows whose
+    actual lands within pred +/- qhat. The distribution-free interval
+    guarantee (coverage >= 1-alpha in expectation) every production
+    regression model should ship with; `cal_flag_col` marks the
+    calibration split (the caller's deterministic hash split).
+
+    qhat is the plain (1-alpha) exact interpolated percentile — the
+    large-n form (both engines require a foldable quantile level; the
+    finite-sample ceil((n+1)(1-alpha))/n correction shifts the level by
+    O(1/n), negligible beyond a few hundred calibration rows); the
+    coverage comparison sees identical doubles on both engines.
+    """
+    resid = F.abs(F.col(actual_col) - F.col(pred_col))
+    cal = df.filter(F.col(cal_flag_col))
+    q = cal.agg(
+        F.count("*").cast("bigint").alias("n_cal"),
+        F.percentile(resid, F.lit(1.0 - alpha)).alias("__qhat"),
+    )
+    test = df.filter(~F.col(cal_flag_col))
+    cov = test.crossJoin(F.broadcast(q)).agg(
+        F.max("n_cal").alias("n_cal"),
+        F.count("*").cast("bigint").alias("n_test"),
+        F.round(F.max("__qhat"), 6).alias("qhat"),
+        F.round(
+            F.sum((resid <= F.col("__qhat")).cast("bigint")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("coverage"),
+    )
+    return cov.select("n_cal", "n_test", "qhat", "coverage")

@@ -9000,6 +9000,169 @@ def incremental_rollup_maintenance(spark, sf_dir):
     )
 
 
+@q(
+    "ece_value_purchase",
+    """
+    WITH b AS (
+        SELECT CAST(NTILE(10) OVER (ORDER BY value / 500.0, event_id)
+                    AS INT) AS bin,
+               CAST(value / 500.0 AS DECIMAL(18,6)) AS s,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    p AS (
+        SELECT bin, COUNT(*)::BIGINT AS n_obs,
+               CAST(SUM(s) AS DOUBLE) AS ss, SUM(y)::BIGINT AS np
+        FROM b GROUP BY bin
+    ),
+    r AS (
+        SELECT n_obs,
+               ROUND(ss / CAST(n_obs AS DOUBLE), 6) AS mean_score,
+               ROUND(CAST(np AS DOUBLE) / CAST(n_obs AS DOUBLE), 6)
+                   AS pos_rate
+        FROM p
+    )
+    SELECT CAST(SUM(n_obs) AS BIGINT) AS n,
+           ROUND(SUM(CAST(n_obs AS DOUBLE) * ABS(pos_rate - mean_score))
+                 / CAST(SUM(n_obs) AS DOUBLE), 6) AS ece
+    FROM r
+    """,
+    "Expected calibration error of the value/500 pseudo-probability "
+    "against purchase outcomes — the scalar summary of the reliability "
+    "diagram; composes calibration_bins, bin-bounded weighted gap",
+)
+def ece_value_purchase(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    labeled = ev.select(
+        "event_id",
+        (F.col("value") / F.lit(500.0)).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    bins = mleval.calibration_bins(
+        labeled, "score", "y", "event_id", n_bins=10, scale=6
+    )
+    return mleval.expected_calibration_error(
+        bins, "n_obs", "mean_score", "pos_rate"
+    )
+
+
+@q(
+    "psi_value_ab",
+    """
+    WITH u AS (
+        SELECT CASE WHEN ((user_id * 2654435761) % 4294967296) % 2 = 0
+                    THEN 'A' ELSE 'B' END AS grp,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+        FROM events GROUP BY user_id
+    ),
+    e AS (
+        SELECT QUANTILE_CONT(x, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                 0.6, 0.7, 0.8, 0.9]) AS edges
+        FROM u WHERE grp = 'A'
+    ),
+    b AS (
+        SELECT grp = 'A' AS is_a,
+               LEN(LIST_FILTER(edges, ed -> x > ed)) AS bin
+        FROM u CROSS JOIN e
+    ),
+    c AS (
+        SELECT bin, SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS ca,
+               SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS cb
+        FROM b GROUP BY bin
+    ),
+    t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM c)
+    SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+           ROUND(SUM(((CAST(ca AS DOUBLE) + 0.5)
+                      / (CAST(na AS DOUBLE) + 0.5 * 10.0)
+                      - (CAST(cb AS DOUBLE) + 0.5)
+                        / (CAST(nb AS DOUBLE) + 0.5 * 10.0))
+                     * LN(((CAST(ca AS DOUBLE) + 0.5)
+                           / (CAST(na AS DOUBLE) + 0.5 * 10.0))
+                          / ((CAST(cb AS DOUBLE) + 0.5)
+                             / (CAST(nb AS DOUBLE) + 0.5 * 10.0)))),
+                 6) AS psi
+    FROM c CROSS JOIN t
+    """,
+    "Population stability index between the A/B per-user value "
+    "distributions — THE model-monitoring drift score; bin edges are "
+    "group A's interior deciles (one exact percentile, broadcast), bin "
+    "assignment the same array-lambda both engines, add-0.5 smoothed "
+    "shares so empty bins cannot blow up the log",
+)
+def psi_value_ab(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("x")
+    )
+    grp = F.when(
+        (F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296) % 2 == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    return analytics.population_stability_index(
+        per_user.withColumn("grp", grp), "grp", "x", n_bins=10
+    )
+
+
+@q(
+    "conformal_orders_priority",
+    """
+    WITH base AS (
+        SELECT o_orderpriority AS prio, o_totalprice AS actual,
+               ((o_orderkey * 2654435761) % 4294967296) % 2 = 0 AS is_cal
+        FROM orders
+    ),
+    means AS (
+        SELECT prio,
+               CAST(SUM(CAST(actual AS DECIMAL(18,2))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS pred
+        FROM base WHERE is_cal GROUP BY prio
+    ),
+    j AS (SELECT b.*, m.pred FROM base b JOIN means m USING (prio)),
+    q AS (
+        SELECT COUNT(*)::BIGINT AS n_cal,
+               QUANTILE_CONT(ABS(actual - pred), 0.9) AS qhat
+        FROM j WHERE is_cal
+    )
+    SELECT n_cal, COUNT(*)::BIGINT AS n_test, ROUND(qhat, 6) AS qhat,
+           ROUND(SUM(CASE WHEN ABS(actual - pred) <= qhat
+                     THEN 1 ELSE 0 END)::DOUBLE
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS coverage
+    FROM j CROSS JOIN q WHERE NOT is_cal
+    GROUP BY n_cal, qhat
+    """,
+    "Split conformal prediction around the per-priority mean-price "
+    "predictor: qhat = 0.9-quantile of calibration |residuals| (exact "
+    "interpolated percentile), coverage measured on the held-out hash "
+    "split — the distribution-free interval guarantee",
+)
+def conformal_orders_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("actual"),
+        (
+            (F.col("o_orderkey") * F.lit(2654435761))
+            % F.lit(4294967296)
+            % 2
+            == 0
+        ).alias("is_cal"),
+    )
+    means = (
+        base.filter("is_cal")
+        .groupBy("prio")
+        .agg(
+            (
+                F.sum(F.col("actual").cast("decimal(18,2)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("pred")
+        )
+    )
+    j = base.join(F.broadcast(means), "prio")
+    return mleval.split_conformal_coverage(
+        j, "pred", "actual", "is_cal", alpha=0.1
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -9128,6 +9291,7 @@ _ROUND7_POOL: tuple[str, ...] = (
     "hbos_event_outliers", "theil_sen_revenue_trend",
     "bh_fdr_nation_urgency", "calinski_harabasz_labels",
     "cohens_kappa_langid", "incremental_rollup_maintenance",
+    "ece_value_purchase", "psi_value_ab", "conformal_orders_priority",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema, no

@@ -1268,3 +1268,22 @@ def test_benjamini_hochberg_caps_at_one(spark):
     out = {r["t"]: r["p_adj"] for r in analytics.benjamini_hochberg(df, "p", "t").collect()}
     assert out["a"] == pytest.approx(0.9, abs=1e-9)  # min(0.8*2/1, 0.9*2/2)
     assert out["b"] == pytest.approx(0.9, abs=1e-9)
+
+
+def test_psi_identical_distributions_near_zero(spark):
+    rows = [("A", float(v)) for v in range(1, 101)] + [
+        ("B", float(v)) for v in range(1, 101)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    row = analytics.population_stability_index(df, "g", "v").collect()[0]
+    assert (row["n_a"], row["n_b"]) == (100, 100)
+    assert abs(row["psi"]) < 1e-6  # identical -> smoothed shares equal
+
+
+def test_psi_shifted_distribution_flags(spark):
+    rows = [("A", float(v)) for v in range(1, 101)] + [
+        ("B", float(v) + 80.0) for v in range(1, 101)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    row = analytics.population_stability_index(df, "g", "v").collect()[0]
+    assert row["psi"] > 0.25  # classic "significant shift" threshold

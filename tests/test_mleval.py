@@ -200,3 +200,41 @@ def test_cohens_kappa_perfect_and_chance(spark):
     assert row["po"] == pytest.approx(0.5, abs=1e-9)
     assert row["pe"] == pytest.approx(0.5, abs=1e-9)
     assert row["kappa"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_ece_zero_when_perfectly_calibrated(spark):
+    bins = spark.createDataFrame(
+        [(1, 10, 0.2, 0.2), (2, 30, 0.8, 0.8)],
+        "bin int, n_obs long, mean_score double, pos_rate double",
+    )
+    row = mleval.expected_calibration_error(
+        bins, "n_obs", "mean_score", "pos_rate"
+    ).collect()[0]
+    assert row["n"] == 40 and row["ece"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_ece_weighted_gap(spark):
+    # gaps 0.1 (w 10) and 0.3 (w 30) -> (1 + 9)/40 = 0.25
+    bins = spark.createDataFrame(
+        [(1, 10, 0.1, 0.2), (2, 30, 0.5, 0.8)],
+        "bin int, n_obs long, mean_score double, pos_rate double",
+    )
+    assert mleval.expected_calibration_error(
+        bins, "n_obs", "mean_score", "pos_rate"
+    ).collect()[0]["ece"] == pytest.approx(0.25, abs=1e-9)
+
+
+def test_split_conformal_coverage_guarantee(spark):
+    # constant predictor, |resid| uniform-ish: coverage ~ 0.9 on the
+    # same distribution; exact check on a crafted symmetric set
+    rows = [(i, 0.0, float(i % 10), i % 2 == 0) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, pred double, actual double, is_cal boolean")
+    row = mleval.split_conformal_coverage(
+        df, "pred", "actual", "is_cal", alpha=0.1
+    ).collect()[0]
+    assert row["n_cal"] == 100 and row["n_test"] == 100
+    # cal residuals 0,2,4,6,8 x20 each: interpolation position
+    # (100-1)*0.9 = 89.1 sits inside the block of 8s -> qhat = 8.0
+    assert row["qhat"] == pytest.approx(8.0, abs=1e-6)
+    # test residuals 1,3,5,7,9 x20: <=8.0 covers {1,3,5,7} = 80%
+    assert row["coverage"] == pytest.approx(0.8, abs=1e-9)

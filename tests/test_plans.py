@@ -265,6 +265,9 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "bh_fdr_nation_urgency",          # 1-row conversion-totals broadcast
         "calinski_harabasz_labels",       # 1-row norm-totals broadcast
         "cohens_kappa_langid",            # 1-row chance-expectation broadcast
+        "ece_value_purchase",             # bin-table (10-row) broadcast
+        "psi_value_ab",                   # 1-row decile-edges broadcast
+        "conformal_orders_priority",      # 1-row qhat broadcast
         "hbos_event_outliers",            # 1-row per-feature range broadcast
         "theil_sen_revenue_trend",        # day-grain (<2.5k-row) broadcast
                                           # non-equi pair join — quadratic
