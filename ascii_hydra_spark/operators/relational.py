@@ -543,3 +543,31 @@ def merge_rollups(parts: "list[DataFrame]", keys: "list[str]") -> DataFrame:
     return out.groupBy(*keys).agg(
         *[F.sum(c).alias(c) for c in measures]
     )
+
+
+def dataset_fingerprint(df: DataFrame, cols: "list[str]") -> DataFrame:
+    """One row (n_rows, fingerprint): ORDER-INSENSITIVE content hash of
+    the named columns — the sum (exact decimal, serialized as a string)
+    of each row\'s md5 integer. Two materializations fingerprint equal
+    iff they hold the same multiset of rows (md5-collision caveat), so
+    this is the cheap did-anything-change audit between pipeline layers,
+    reruns, or engine migrations; commutative summation means no sort,
+    no canonical ordering, one aggregate.
+
+    Caller contract: pass integer/string/date columns (floats and
+    timestamps render differently across engines — normalize them to
+    strings yourself first). NULLs fold as a sentinel, and the unit
+    separator (U+001F) keeps adjacent columns from colliding.
+    """
+    sep = chr(31)
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("<null>")) for c in cols
+    ]
+    row_str = F.concat_ws(sep, *parts)
+    h = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast(
+        "decimal(38,0)"
+    )
+    return df.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(h).cast("string").alias("fingerprint"),
+    )

@@ -873,3 +873,41 @@ def feature_hashing(
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").cast("bigint").alias("n_tokens"))
     )
+
+
+def compression_ratio(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_bytes, n_compressed, ratio): zlib-9 compression ratio
+    per document — the redundancy proxy quality gate (Gopher-style):
+    templated/repetitive text compresses far below prose, and the gate
+    needs no tokenizer or language model. Arrow-batched mapInPandas over
+    stdlib zlib (the one corpus op with no JVM-side twin — DEFLATE has
+    no Spark SQL function — hence a rows-only registry entry; the
+    monotonicity and bound semantics are pinned by crafted tests).
+    Empty docs carry NULL ratio rather than dividing by zero.
+    """
+    import pandas as pd
+
+    def comp(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").map(lambda s: s.encode("utf-8"))
+            nb = raw.map(len)
+            nc = raw.map(lambda b: len(zlib.compress(b, 9)))
+            ratio = [
+                round(c / b, 6) if b > 0 else None for b, c in zip(nb, nc)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": nb.astype("int64"),
+                    "n_compressed": nc.astype("int64"),
+                    "ratio": pd.array(ratio, dtype="float64"),
+                }
+            )
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        comp, "doc_id long, n_bytes long, n_compressed long, ratio double"
+    )

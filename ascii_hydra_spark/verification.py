@@ -9163,6 +9163,47 @@ def conformal_orders_priority(spark, sf_dir):
     )
 
 
+@q(
+    "compression_ratio_quality",
+    None,
+    "zlib-9 compression ratio per document — the tokenizer-free "
+    "redundancy quality gate (templated text compresses far below "
+    "prose); DEFLATE has no SQL twin on either engine, so rows-only — "
+    "bounds and monotonicity pinned in tests/test_text_curation.py",
+)
+def compression_ratio_quality(spark, sf_dir):
+    return text.compression_ratio(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "dataset_fingerprint_orders",
+    """
+    SELECT COUNT(*)::BIGINT AS n_rows,
+           CAST(SUM(CAST(CAST(('0x' || SUBSTR(MD5(
+                     CONCAT_WS(CHR(31),
+                               COALESCE(CAST(o_orderkey AS VARCHAR),
+                                        '<null>'),
+                               COALESCE(CAST(o_custkey AS VARCHAR),
+                                        '<null>'),
+                               COALESCE(o_orderstatus, '<null>'),
+                               COALESCE(o_orderpriority, '<null>'))),
+                     1, 15)) AS BIGINT) AS HUGEINT)) AS VARCHAR)
+               AS fingerprint
+    FROM orders
+    """,
+    "Order-insensitive dataset content fingerprint (sum of per-row md5 "
+    "integers, exact decimal serialized as string) over the stable "
+    "integer/string order columns — the did-anything-change audit "
+    "between layers/reruns/engines; commutative, so no sort and no "
+    "canonical ordering needed",
+)
+def dataset_fingerprint_orders(spark, sf_dir):
+    return relational.dataset_fingerprint(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -9292,6 +9333,7 @@ _ROUND7_POOL: tuple[str, ...] = (
     "bh_fdr_nation_urgency", "calinski_harabasz_labels",
     "cohens_kappa_langid", "incremental_rollup_maintenance",
     "ece_value_purchase", "psi_value_ab", "conformal_orders_priority",
+    "compression_ratio_quality", "dataset_fingerprint_orders",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema, no

@@ -322,3 +322,26 @@ def test_merge_rollups_equals_recompute(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+def test_dataset_fingerprint_order_insensitive_and_sensitive_to_change(spark):
+    from ascii_hydra_spark.operators import relational
+
+    rows = [(1, "a"), (2, "b"), (3, None)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    a = relational.dataset_fingerprint(df, ["k", "s"]).collect()[0]
+    b = relational.dataset_fingerprint(
+        df.orderBy("s").repartition(5), ["k", "s"]
+    ).collect()[0]
+    assert a == b  # multiset hash: layout and order are invisible
+    changed = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (3, None)], "k long, s string"
+    )
+    c = relational.dataset_fingerprint(changed, ["k", "s"]).collect()[0]
+    assert c["fingerprint"] != a["fingerprint"]
+    # separator discipline: ("ab", "c") must not collide with ("a", "bc")
+    x = spark.createDataFrame([("ab", "c")], "p string, q string")
+    y = spark.createDataFrame([("a", "bc")], "p string, q string")
+    fx = relational.dataset_fingerprint(x, ["p", "q"]).collect()[0]
+    fy = relational.dataset_fingerprint(y, ["p", "q"]).collect()[0]
+    assert fx["fingerprint"] != fy["fingerprint"]

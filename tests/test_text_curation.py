@@ -212,3 +212,27 @@ def test_zipf_slope_exact_power_law(spark):
     sxy = sum(x * y for x, y in zip(xs, ys))
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     assert out["slope"] == round(slope, 6)
+
+
+def test_compression_ratio_orders_repetitive_below_prose(spark):
+    from ascii_hydra_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam spam spam " * 20),
+            (2, "the quick brown fox jumps over the lazy dog while seven "
+                "wizards brew quartz elixirs at midnight under neon skies "
+                "and every sentence introduces new vocabulary entirely"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.compression_ratio(docs).collect()}
+    assert out[1]["ratio"] < out[2]["ratio"]  # repetition compresses harder
+    assert 0.0 < out[1]["ratio"] < 1.0
+    assert out[3]["ratio"] is None and out[3]["n_bytes"] == 0
+    assert out[2]["n_bytes"] == len(
+        "the quick brown fox jumps over the lazy dog while seven "
+        "wizards brew quartz elixirs at midnight under neon skies "
+        "and every sentence introduces new vocabulary entirely"
+    )
