@@ -208,6 +208,7 @@ def powerlaw_alpha(
 def kcore_peel(
     edges: DataFrame, k: int = 3, rounds: int = 3,
     src_col: str = "src", dst_col: str = "dst",
+    reliable: bool = False,
 ) -> DataFrame:
     """Per peel round (round, n_nodes, n_edges): iterative k-core
     peeling — drop every node with degree < k, drop incident edges,
@@ -219,24 +220,39 @@ def kcore_peel(
     for a fixpoint.
 
     Each round is one degree groupBy + two broadcast-or-shuffle semi
-    joins on the shrinking survivor set — at scale the edge list only
-    ever shrinks, and no step is worse than the keyed joins the input
-    already requires.
+    joins on the survivor set, and each round's edge set is MATERIALIZED
+    (`truncate_lineage`, same discipline as `pagerank` /
+    `connected_components`) before the next round or its stats row reads
+    it — so round r's join chain executes exactly once, not once per
+    downstream consumer. Without this the per-round stats rows re-run
+    rounds 1..r from scratch at the final union (O(rounds^2) recompute —
+    a fixpoint-seeking rounds=10 on a 100 TB edge list would pay ~5x).
+    At scale the edge list only ever shrinks, so the materialization cost
+    is bounded by the first round's survivor set.
+
+    The undirected dedup shuffles CANONICAL pairs (least, greatest) and
+    doubles afterwards — half the shuffle volume of distinct-ing the
+    doubled list, same result set (self-loops kept once, like the
+    doubled-distinct would).
     """
-    und = edges.select(
-        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
-    ).unionAll(
-        edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
-    ).distinct()
+    lo, hi = F.least(F.col(src_col), F.col(dst_col)), F.greatest(
+        F.col(src_col), F.col(dst_col)
+    )
+    canon = edges.select(lo.alias("a"), hi.alias("b")).distinct()
+    proper = canon.filter(F.col("a") != F.col("b"))
+    und = proper.unionAll(
+        proper.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).unionAll(canon.filter(F.col("a") == F.col("b")))
     stats = []
     cur = und
     for r in range(1, rounds + 1):
         deg = cur.groupBy("a").agg(F.count("*").alias("__d"))
         keep = deg.filter(F.col("__d") >= k).select("a")
-        cur = (
+        cur = truncate_lineage(
             cur.join(keep, "a", "semi")
             .join(keep.select(F.col("a").alias("b")), "b", "semi")
-            .select("a", "b")
+            .select("a", "b"),
+            reliable=reliable,
         )
         stats.append(
             cur.agg(

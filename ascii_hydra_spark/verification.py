@@ -3119,29 +3119,75 @@ def multimodal_frame_sample(spark, sf_dir):
 
 @q(
     "multimodal_resize",
-    None,
-    "Multimodal: mapInPandas binary resize plumbing (deterministic byte-pad "
-    "stand-in for the codec step; real codecs raise NotImplementedError)",
+    "SELECT doc_id AS media_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height, "
+    "CAST(64 AS BIGINT) AS n_bytes, "
+    "substring(hex(encode(text)), 1, 128) "
+    "|| repeat('0', greatest(0, 128 - length(hex(encode(text))))) AS payload_hex "
+    "FROM documents",
+    "Multimodal: mapInPandas binary resize plumbing (deterministic byte "
+    "truncate/pad stand-in for the codec step; real codecs raise "
+    "NotImplementedError). Hash-matched oracle: the stand-in's output "
+    "payload is closed-form (first 64 utf8 bytes, zero-padded), checked "
+    "byte-exact through hex on both sides — was rows-only through r4",
 )
 def multimodal_resize(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     media = multimodal.documents_as_media(d)
     out = multimodal.resize_media(media, width=8, height=8)
-    return out.select("media_id", "width", "height", F.octet_length("payload").alias("n_bytes"))
+    return out.select(
+        "media_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        F.hex("payload").alias("payload_hex"),
+    )
 
 
 @q(
     "multimodal_decode_features",
-    None,
+    r"""
+    WITH h AS (
+        SELECT doc_id,
+               regexp_replace(hex(encode(text)), '.(.)', '\1', 'g') AS low,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    )
+    SELECT doc_id AS media_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(length(low) - length(replace(low, '0', '')) AS BIGINT) AS f0_count,
+           CAST(length(low) - length(replace(low, '5', '')) AS BIGINT) AS f5_count,
+           CAST(length(low) - length(replace(low, 'A', '')) AS BIGINT) AS f10_count
+    FROM h
+    """,
     "Multimodal: Arrow-batched mapInPandas decode/feature pipeline "
-    "(deterministic byte-histogram stand-in for codec decode)",
+    "(deterministic byte-histogram stand-in for codec decode). "
+    "Hash-matched oracle: feature j is count(byte%16==j)/len, so "
+    "count = round(feature*len) recovers the EXACT integer histogram "
+    "(len << 1e6 so the 6-dp round can't move the product past +-0.5); "
+    "the oracle counts low nibbles via hex-string surgery — was "
+    "rows-only through r4",
 )
 def multimodal_decode_features(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     media = multimodal.documents_as_media(d)
     feats = multimodal.decode_media(media, n_features=16)
+
+    def cnt(i: int, name: str):
+        return (
+            F.round(
+                F.element_at("features", i + 1)
+                * F.greatest(F.col("n_bytes"), F.lit(1)).cast("double"),
+                0,
+            )
+            .cast("bigint")
+            .alias(name)
+        )
+
     return feats.select(
-        "media_id", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
+        "media_id",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        cnt(0, "f0_count"),
+        cnt(5, "f5_count"),
+        cnt(10, "f10_count"),
     )
 
 
@@ -7362,7 +7408,7 @@ def mom_revenue_growth(spark, sf_dir):
     "kcore_peel_rounds",
     """
     WITH e0 AS (
-        SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+        SELECT DISTINCT 2 * o_custkey AS a, 2 * l_suppkey + 1 AS b
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ),
     ed0 AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
@@ -7388,7 +7434,10 @@ def mom_revenue_growth(spark, sf_dir):
     "3-round k=3 core peeling of the customer-supplier graph — the "
     "dense-core survivor curve; fixed rounds keep the plan bounded and "
     "the oracle an unrolled CTE (the pagerank design); each round is "
-    "one degree groupBy + two semi joins on a shrinking edge set",
+    "one degree groupBy + two semi joins on a MATERIALIZED shrinking "
+    "edge set (per-round truncate_lineage, so no O(rounds^2) recompute). "
+    "Nodes are int-encoded (2*custkey / 2*suppkey+1) — integer shuffle "
+    "keys, not string concat, in the hottest stage",
 )
 def kcore_peel_rounds(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
@@ -7396,8 +7445,8 @@ def kcore_peel_rounds(spark, sf_dir):
     edges = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
     )
     return graph.kcore_peel(edges, k=3, rounds=3)
@@ -8352,12 +8401,44 @@ def ndcg_user_value_purchase(spark, sf_dir):
 
 @q(
     "isotonic_calibration_value",
-    None,
+    """
+    WITH b AS (
+        SELECT CAST(NTILE(10) OVER (ORDER BY value, event_id) AS INT) AS bin,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    r AS (
+        SELECT bin, COUNT(*)::BIGINT AS n_obs,
+               ROUND(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+                   AS pos_rate
+        FROM b GROUP BY bin
+    ),
+    means AS (
+        SELECT lo.bin AS j, hi.bin AS k,
+               SUM(CAST(m.n_obs AS DOUBLE) * m.pos_rate)
+                   / CAST(SUM(m.n_obs) AS DOUBLE) AS mu
+        FROM r lo JOIN r hi ON lo.bin <= hi.bin
+        JOIN r m ON m.bin BETWEEN lo.bin AND hi.bin
+        GROUP BY lo.bin, hi.bin
+    ),
+    lowmin AS (
+        SELECT i.bin AS bin, m.j, MIN(m.mu) AS mn
+        FROM r i JOIN means m ON m.j <= i.bin AND m.k >= i.bin
+        GROUP BY i.bin, m.j
+    )
+    SELECT r.bin, r.n_obs, r.pos_rate, ROUND(f.cal, 6) AS calibrated
+    FROM r JOIN (SELECT bin, MAX(mn) AS cal FROM lowmin GROUP BY bin) f
+        USING (bin)
+    """,
     "Isotonic (PAVA) calibration fitted on the value-vs-purchase decile "
     "reliability bins — inherently sequential pooling over the bounded "
     "bin table inside one applyInPandas group (the mmr_rerank topology "
-    "ruling), so rows-only; monotonicity and pooled-average semantics "
-    "pinned by crafted-violator tests in tests/test_mleval.py",
+    "ruling). Hash-matched oracle (was rows-only through r4) via the "
+    "minimax identity: the weighted isotonic fit at bin i equals "
+    "max_{j<=i} min_{k>=i} weightedMean(rate[j..k]) (Robertson/Wright/"
+    "Dykstra 1988), an O(bins^3) bounded self-join DuckDB runs directly; "
+    "monotonicity and pooled-average semantics additionally pinned by "
+    "crafted-violator tests in tests/test_mleval.py",
 )
 def isotonic_calibration_value(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
@@ -8367,7 +8448,10 @@ def isotonic_calibration_value(spark, sf_dir):
         (F.col("event_type") == "purchase").cast("int").alias("y"),
     )
     bins = mleval.calibration_bins(labeled, "value", "y", "event_id", n_bins=10)
-    return mleval.isotonic_calibration(bins, "bin", "n_obs", "pos_rate")
+    fit = mleval.isotonic_calibration(bins, "bin", "n_obs", "pos_rate")
+    return fit.select(
+        "bin", "n_obs", "pos_rate", F.round("calibrated", 6).alias("calibrated")
+    )
 
 
 @q(

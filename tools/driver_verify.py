@@ -2,8 +2,8 @@
 
 Fresh-process consumption of ``__spark_entry__`` (entry / queries /
 oracle_sql) against the DuckDB oracle at the driver's correctness scale
-(sf0.01 by default). This is the /verify recipe from
-.claude/skills/verify/SKILL.md as a committed tool.
+(sf0.01 by default), replicating the per-round external gate so
+mismatches surface before a round ends rather than after.
 
 Usage: python tools/driver_verify.py [--head N] [--sf DIR] [--names a,b,c]
 Exit nonzero on any mismatch; prints one JSON line per query + a summary.

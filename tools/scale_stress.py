@@ -430,6 +430,37 @@ def main() -> int:
 
     stage("bloom_membership", bloom)
 
+    # ---- k-core peeling at n ring nodes + planted 100-node dense core:
+    # ring nodes (degree 2) peel in round 1, the circular band-5 core
+    # (degree 10) survives every round — closed-form survivor curve, and
+    # a per-round-persist regression guard (pre-fix this re-executed the
+    # whole chain once per round) ----
+    from ascii_hydra_spark.operators import graph as G
+
+    def kcore():
+        nn = args.docs
+        ring = spark.range(nn).select(
+            F.col("id").alias("src"), ((F.col("id") + 1) % nn).alias("dst")
+        )
+        core_ids = spark.range(100)
+        band = (
+            core_ids.select(F.col("id").alias("src"))
+            .crossJoin(core_ids.select(F.col("id").alias("dst")))
+            .filter(
+                (F.col("src") < F.col("dst"))
+                & (
+                    (F.col("dst") - F.col("src") <= 5)
+                    | (F.col("dst") - F.col("src") >= 95)
+                )
+            )
+        )
+        curve = G.kcore_peel(ring.unionAll(band), k=3, rounds=3).collect()
+        got = {r["round"]: (r["n_nodes"], r["n_edges"]) for r in curve}
+        assert got == {1: (100, 500), 2: (100, 500), 3: (100, 500)}, got
+        return {"rounds": len(curve), "core_nodes": 100, "core_edges": 500}
+
+    stage("kcore_peel", kcore)
+
     summary = {
         "metric": "scale_stress_sf1",
         "docs": args.docs,
