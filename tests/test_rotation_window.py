@@ -1,18 +1,26 @@
 """Guards on the driver-evidence rotation window in verification.py.
 
 The external driver checks exactly the first 50 registry entries per round
-(rounds 1-3 each recorded 50 rows). Round 3's rotation listed 51 names
-before the position-51 comment, so the 51st (`sim_topk_quantized`) silently
-fell outside the window and got no driver row despite being explicitly
-rotated in. These tests make that class of mistake a hard failure:
+(rounds 1-4 each recorded 50 rows), and its only green mode is a full
+rows+schema+value-hash match against the entry's own oracle SQL. Two past
+mistakes are made hard failures here:
+
+- round 3's rotation listed 51 names, so the 51st (`sim_topk_quantized`)
+  silently fell outside the window and got no driver row;
+- round 4 spent 10 of its 50 slots on rows-only (sql=None) entries that
+  by construction can only ever record `no_oracle`.
+
+Contracts enforced:
 
 - the head (anchors + rotation) is exactly 50 names;
+- every head / pool name carries a DuckDB oracle (rows-only entries are
+  verified in pytest and stay in the registry tail);
 - no rotation slot is spent on a name that already has a driver-green row
   (frozen in _PAST_DRIVER_GREEN);
 - anchors are all previously driver-green (they exist to re-confirm);
 - no duplicates anywhere in _PRIORITY;
-- the round-5 queue contains only never-checked names, so next round's
-  rotation is a straight copy.
+- the round-6 pool holds exactly the next rotation's 45 slots, so next
+  round's promotion is a straight copy.
 """
 
 from ascii_hydra_spark import verification as v
@@ -37,13 +45,19 @@ def test_anchors_are_known_green_families() -> None:
     assert set(v._ANCHORS) <= v._PAST_DRIVER_GREEN
 
 
-def test_round5_queue_is_first_time_too() -> None:
-    assert not (set(v._ROUND5_QUEUE) & v._PAST_DRIVER_GREEN)
-    assert not (set(v._ROUND5_QUEUE) & set(v._ANCHORS + v._ROTATION))
-
-
 def test_priority_names_all_registered() -> None:
     assert set(v._PRIORITY) <= set(v.REGISTRY)
+
+
+def test_head_and_pools_are_all_oracle_able() -> None:
+    # a rows-only name in the head records `no_oracle`, wasting the slot;
+    # queued/pooled names are future heads so the same rule applies
+    bad = [
+        n
+        for n in v._ROTATION + v._ROUND6_POOL + v._ROUND7_POOL
+        if v.REGISTRY[n].sql is None
+    ]
+    assert not bad, f"rows-only names in head/pools: {bad}"
 
 
 def test_round6_pool_is_a_full_first_time_rotation() -> None:
@@ -52,7 +66,6 @@ def test_round6_pool_is_a_full_first_time_rotation() -> None:
     assert len(v._ROUND6_POOL) == 45
     assert not (set(v._ROUND6_POOL) & v._PAST_DRIVER_GREEN)
     assert not (set(v._ROUND6_POOL) & set(v._ANCHORS + v._ROTATION))
-    assert not (set(v._ROUND6_POOL) & set(v._ROUND5_QUEUE))
     assert set(v._ROUND6_POOL) <= set(v.REGISTRY)
 
 
@@ -62,6 +75,19 @@ def test_round7_pool_is_first_time_and_disjoint() -> None:
     assert 0 < len(v._ROUND7_POOL) <= 45
     assert not (set(v._ROUND7_POOL) & v._PAST_DRIVER_GREEN)
     assert not (set(v._ROUND7_POOL) & set(v._ANCHORS + v._ROTATION))
-    assert not (set(v._ROUND7_POOL) & set(v._ROUND5_QUEUE))
     assert not (set(v._ROUND7_POOL) & set(v._ROUND6_POOL))
     assert set(v._ROUND7_POOL) <= set(v.REGISTRY)
+
+
+def test_rows_only_entries_stay_verified_in_pytest() -> None:
+    # every rows-only entry must appear in some pytest module by name so
+    # dropping it from the driver window never drops its verification
+    import pathlib
+
+    tests_dir = pathlib.Path(__file__).parent
+    corpus = "\n".join(
+        p.read_text() for p in tests_dir.glob("test_*.py") if p.name != "test_rotation_window.py"
+    )
+    rows_only = [n for n, s in v.REGISTRY.items() if s.sql is None]
+    missing = [n for n in rows_only if n not in corpus]
+    assert not missing, f"rows-only entries with no pytest reference: {missing}"
