@@ -1982,3 +1982,142 @@ def population_stability_index(
         F.max("__nb").cast("bigint").alias("n_b"),
         F.round(F.sum((sa - sb) * F.log(sa / sb)), 6).alias("psi"),
     )
+
+
+def central_moments(df: DataFrame, value_col: str, *, scale: int = 2) -> DataFrame:
+    """One row (n, mean, stddev_pop, skewness, kurtosis): population
+    moments of a value column by the TWO-PASS centered formulation —
+    the exact DECIMAL sum fixes the mean, then one aggregate sums the
+    centered powers. Raw power sums (E[x^4] ~ 1e22 for prices) lose the
+    central moments to catastrophic cancellation; centering first keeps
+    every sum at the scale of the answer, which is also why the result
+    is engine-reproducible under the 6-dp round (an oracle can run the
+    same two passes verbatim). Kurtosis is Pearson (m4/m2^2, normal = 3),
+    not excess.
+
+    Shape: two scans (first can feed off statistics-only metadata at
+    scale), a 1-row broadcast of the mean, map-side centered powers.
+    """
+    x = F.col(value_col).cast(f"decimal(18,{scale})")
+    base = df.agg(
+        F.count("*").cast("bigint").alias("n"), F.sum(x).alias("__s")
+    ).select(
+        "n", (F.col("__s").cast("double") / F.col("n").cast("double")).alias("__mean")
+    )
+    d = F.col(value_col).cast("double") - F.col("__mean")
+    cm = (
+        df.crossJoin(F.broadcast(base))
+        .groupBy("n", "__mean")
+        .agg(
+            F.sum(d * d).alias("__m2s"),
+            F.sum(d * d * d).alias("__m3s"),
+            F.sum(d * d * d * d).alias("__m4s"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    m2 = F.col("__m2s") / nd
+    m3 = F.col("__m3s") / nd
+    m4 = F.col("__m4s") / nd
+    return cm.select(
+        "n",
+        F.round(F.col("__mean"), 6).alias("mean"),
+        F.round(F.sqrt(m2), 6).alias("stddev_pop"),
+        F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2), 6).alias("kurtosis"),
+    )
+
+
+def tukey_fences(
+    df: DataFrame, value_col: str, group_cols: "list[str]", *, k: float = 1.5
+) -> DataFrame:
+    """Per group (group..., n, q1, q3, n_low, n_high): Tukey's boxplot
+    fences — flag values below q1 - k*IQR or above q3 + k*IQR, with
+    EXACT linear-interpolation quartiles. The quartile-based gate beside
+    the z-score (moment) and MAD (median) outlier gates: resistant to
+    the outliers it hunts, unlike the z-score, and keeps the classic
+    1.5-IQR calibration.
+
+    One keyed percentile aggregate over the groups, a broadcast join of
+    the (group-cardinality) fence table back onto the rows, and one
+    conditional count aggregate — two scans, no window. The fences are
+    computed with one written expression order so an oracle's identical
+    arithmetic lands bit-for-bit.
+    """
+    x = F.col(value_col).cast("double")
+    q = df.groupBy(*group_cols).agg(
+        F.percentile(x, F.lit(0.25)).alias("__q1"),
+        F.percentile(x, F.lit(0.75)).alias("__q3"),
+    )
+    lo = F.col("__q1") - F.lit(float(k)) * (F.col("__q3") - F.col("__q1"))
+    hi = F.col("__q3") + F.lit(float(k)) * (F.col("__q3") - F.col("__q1"))
+    j = df.join(F.broadcast(q), group_cols)
+    return (
+        j.groupBy(*group_cols)
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.max("__q1"), 6).alias("q1"),
+            F.round(F.max("__q3"), 6).alias("q3"),
+            F.sum((x < lo).cast("bigint")).alias("n_low"),
+            F.sum((x > hi).cast("bigint")).alias("n_high"),
+        )
+    )
+
+
+def new_vs_returning(
+    df: DataFrame, entity_col: str, ts_col: str, *, grain: str = "week"
+) -> DataFrame:
+    """Per period (period, n_active, n_new, n_returning): classify each
+    period's active entities by whether this is their FIRST-EVER active
+    period — the growth-accounting split behind every activation
+    dashboard (and the acquisition sibling of `retention_cohorts`).
+
+    Distinct (period, entity) pairs first (one shuffle), a keyed min
+    for the first period (second shuffle on the entity), then the
+    period rollup. All counts exact integers; no window over the full
+    event table.
+    """
+    period = F.date_trunc(grain, F.col(ts_col))
+    active = df.select(
+        period.alias("period"), F.col(entity_col).alias("__e")
+    ).distinct()
+    first = active.groupBy("__e").agg(F.min("period").alias("__first"))
+    j = active.join(first, "__e")
+    is_new = (F.col("period") == F.col("__first")).cast("bigint")
+    return j.groupBy("period").agg(
+        F.count("*").cast("bigint").alias("n_active"),
+        F.sum(is_new).alias("n_new"),
+        (F.count("*") - F.sum(is_new)).cast("bigint").alias("n_returning"),
+    )
+
+
+def session_duration_percentiles(
+    sessioned: DataFrame,
+    keys: "list[str]",
+    session_col: str,
+    ts_col: str,
+    *,
+    percentiles: "tuple[float, ...]" = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """One row (n_sessions, p50_s, p90_s, p99_s): the session-length
+    distribution over gap-rule sessions (input = `windows.session_ids`
+    output). Duration = last-event - first-event in exact integer
+    microseconds (one keyed aggregate), divided once into seconds;
+    percentiles are EXACT with linear interpolation.
+
+    The global percentile over per-session rows is a single-partition
+    sort of session-grain data (entity-bounded, not event-bounded) —
+    the same contract as `gini_coefficient`'s global rank.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    per = (
+        sessioned.groupBy(*keys, session_col)
+        .agg(((F.max(us) - F.min(us)).cast("double") / 1e6).alias("__dur"))
+    )
+    cols = [F.count("*").cast("bigint").alias("n_sessions")]
+    for p in percentiles:
+        cols.append(
+            F.round(F.percentile(F.col("__dur"), F.lit(p)), 6).alias(
+                f"p{int(p * 100)}_s"
+            )
+        )
+    return per.agg(*cols)

@@ -748,3 +748,35 @@ def fuzzy_name_pairs(
         .filter((F.col("dist") > 0) & (F.col("dist") <= max_distance))
         .distinct()
     )
+
+
+def dup_rate_by_group(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per group (group, n_docs, n_dups, dup_rate): what share of each
+    corpus slice is an exact duplicate of ANY document corpus-wide
+    (fingerprint multiplicity > 1, cross-slice duplicates included) —
+    the per-source health metric a curation pipeline reads before
+    deciding which feeds to throttle, computed WITHOUT materializing
+    the dedup survivors.
+
+    md5-fingerprint count (one keyed shuffle on the hash — uniform by
+    construction, no skew), joined back fingerprint-to-fingerprint,
+    then a group rollup; all counts exact integers, one division.
+    """
+    fp = docs.select(
+        F.col(group_col).alias("grp"), F.md5(F.col(text_col)).alias("__fp")
+    )
+    counts = fp.groupBy("__fp").agg(F.count("*").alias("__n"))
+    j = fp.join(counts, "__fp")
+    dup = (F.col("__n") > 1).cast("bigint")
+    return j.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(dup).alias("n_dups"),
+        F.round(
+            F.sum(dup).cast("double") / F.count("*").cast("double"), 6
+        ).alias("dup_rate"),
+    )

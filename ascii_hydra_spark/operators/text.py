@@ -911,3 +911,39 @@ def compression_ratio(
     return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
         comp, "doc_id long, n_bytes long, n_compressed long, ratio double"
     )
+
+
+def simpson_diversity(
+    docs: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per group (group, n_tokens, simpson): the UNBIASED Simpson
+    diversity index 1 - sum(n_t*(n_t-1)) / (N*(N-1)) over the token
+    distribution of each corpus slice — the probability two tokens drawn
+    WITHOUT replacement differ. The concentration-side complement of
+    `token_entropy` / `lexical_diversity`: template spam drives it to 0,
+    rich text toward 1, and the finite-sample form keeps the whole
+    computation in exact integers until one final division (so the 6-dp
+    output has no float-accumulation path at any scale).
+
+    One explode + (group, term) keyed count, then a group rollup —
+    the lexical_diversity shuffle shape exactly.
+    """
+    tf = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(word_tokens(text_col)).alias("term"),
+        )
+        .groupBy("grp", "term")
+        .agg(F.count("*").cast("bigint").alias("__c"))
+    )
+    n = F.sum("__c").cast("bigint")
+    s = F.sum(F.col("__c") * (F.col("__c") - F.lit(1))).cast("bigint")
+    return tf.groupBy("grp").agg(
+        n.alias("n_tokens"),
+        F.round(
+            F.lit(1.0)
+            - s.cast("double")
+            / (n.cast("double") * (n - F.lit(1)).cast("double")),
+            6,
+        ).alias("simpson"),
+    )

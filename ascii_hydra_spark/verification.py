@@ -9288,6 +9288,188 @@ def dataset_fingerprint_orders(spark, sf_dir):
     )
 
 
+@q(
+    "moments_order_total",
+    """
+    WITH s AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS mean
+        FROM orders
+    ),
+    c AS (
+        SELECT s.n, s.mean,
+               SUM((o_totalprice - mean) * (o_totalprice - mean)) AS m2s,
+               SUM((o_totalprice - mean) * (o_totalprice - mean)
+                   * (o_totalprice - mean)) AS m3s,
+               SUM((o_totalprice - mean) * (o_totalprice - mean)
+                   * (o_totalprice - mean) * (o_totalprice - mean)) AS m4s
+        FROM orders CROSS JOIN s GROUP BY s.n, s.mean
+    )
+    SELECT n, ROUND(mean, 6) AS mean,
+           ROUND(SQRT(m2s / n), 6) AS stddev_pop,
+           ROUND((m3s / n) / POW(m2s / n, 1.5), 6) AS skewness,
+           ROUND((m4s / n) / ((m2s / n) * (m2s / n)), 6) AS kurtosis
+    FROM c
+    """,
+    "Population skewness + Pearson kurtosis of order totals via the "
+    "TWO-PASS centered formulation (exact decimal mean broadcast, then "
+    "centered power sums) — raw E[x^4] power sums at price scale lose "
+    "the central moments to cancellation; centering keeps every sum at "
+    "answer scale and makes the computation engine-reproducible",
+)
+def moments_order_total(spark, sf_dir):
+    return analytics.central_moments(
+        _t(spark, sf_dir, "orders"), "o_totalprice"
+    )
+
+
+@q(
+    "tukey_fences_outliers",
+    """
+    WITH q AS (
+        SELECT o_orderpriority,
+               quantile_cont(o_totalprice, 0.25) AS q1,
+               quantile_cont(o_totalprice, 0.75) AS q3
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority, COUNT(*)::BIGINT AS n,
+           ROUND(MAX(q.q1), 6) AS q1, ROUND(MAX(q.q3), 6) AS q3,
+           SUM(CASE WHEN o.o_totalprice < q.q1 - 1.5 * (q.q3 - q.q1)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_low,
+           SUM(CASE WHEN o.o_totalprice > q.q3 + 1.5 * (q.q3 - q.q1)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_high
+    FROM orders o JOIN q USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    """,
+    "Tukey 1.5-IQR boxplot fences per order priority — the "
+    "quartile-based outlier gate beside zscore (moments) and MAD "
+    "(medians); exact linear-interpolation quartiles (Spark percentile "
+    "== DuckDB quantile_cont), fences written in one expression order "
+    "on both sides, broadcast fence join + conditional count",
+)
+def tukey_fences_outliers(spark, sf_dir):
+    return analytics.tukey_fences(
+        _t(spark, sf_dir, "orders"), "o_totalprice", ["o_orderpriority"]
+    )
+
+
+@q(
+    "new_vs_returning_weekly",
+    """
+    WITH active AS (
+        SELECT DISTINCT date_trunc('week', ts) AS period, user_id
+        FROM events
+    ),
+    first AS (
+        SELECT user_id, MIN(period) AS first_period FROM active GROUP BY user_id
+    )
+    SELECT a.period, COUNT(*)::BIGINT AS n_active,
+           SUM(CASE WHEN a.period = f.first_period THEN 1 ELSE 0 END)::BIGINT
+               AS n_new,
+           (COUNT(*) - SUM(CASE WHEN a.period = f.first_period
+                           THEN 1 ELSE 0 END))::BIGINT AS n_returning
+    FROM active a JOIN first f USING (user_id)
+    GROUP BY a.period
+    """,
+    "Weekly growth accounting: each week's active users split into "
+    "first-ever-week (new) vs returning — the acquisition sibling of "
+    "retention_cohorts; distinct (week, user) pairs then a keyed min, "
+    "all exact integer counts",
+)
+def new_vs_returning_weekly(spark, sf_dir):
+    return analytics.new_vs_returning(
+        _t(spark, sf_dir, "events"), "user_id", "ts", grain="week"
+    )
+
+
+@q(
+    "simpson_diversity_by_source",
+    f"""
+    WITH toks AS (
+        SELECT source AS grp, UNNEST({_TOKS}) AS term FROM documents
+    ),
+    c AS (SELECT grp, term, COUNT(*)::BIGINT AS n FROM toks GROUP BY 1, 2),
+    a AS (SELECT grp, SUM(n)::BIGINT AS nt,
+                 SUM(n * (n - 1))::BIGINT AS s
+          FROM c GROUP BY grp)
+    SELECT grp, nt AS n_tokens,
+           ROUND(1.0 - CAST(s AS DOUBLE)
+                 / (CAST(nt AS DOUBLE) * CAST(nt - 1 AS DOUBLE)), 6)
+               AS simpson
+    FROM a
+    """,
+    "Unbiased Simpson diversity (prob. two tokens drawn without "
+    "replacement differ) of each source's token distribution — the "
+    "concentration complement of token_entropy/lexical_diversity; "
+    "exact integers until one final division",
+)
+def simpson_diversity_by_source(spark, sf_dir):
+    return text.simpson_diversity(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "session_duration_percentiles",
+    """
+    WITH e AS (SELECT user_id, ts, event_id, EPOCH_US(ts) AS us FROM events),
+    g AS (
+        SELECT user_id, us, ts, event_id,
+               CASE WHEN LAG(us) OVER w IS NULL
+                         OR us - LAG(us) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sid AS (
+        SELECT user_id, us,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS session_id
+        FROM g
+    ),
+    per AS (
+        SELECT user_id, session_id,
+               CAST(MAX(us) - MIN(us) AS DOUBLE) / 1e6 AS dur
+        FROM sid GROUP BY user_id, session_id
+    )
+    SELECT COUNT(*)::BIGINT AS n_sessions,
+           ROUND(quantile_cont(dur, 0.5), 6) AS p50_s,
+           ROUND(quantile_cont(dur, 0.9), 6) AS p90_s,
+           ROUND(quantile_cont(dur, 0.99), 6) AS p99_s
+    FROM per
+    """,
+    "p50/p90/p99 of gap-rule (30 min) session durations — duration is "
+    "last-minus-first event in exact integer microseconds per session, "
+    "percentiles exact with linear interpolation over session-grain "
+    "rows (entity-bounded global sort, the gini contract)",
+)
+def session_duration_percentiles(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    tagged = windows.session_ids(ev, ["user_id"], "ts", "event_id", gap_s=1800)
+    return analytics.session_duration_percentiles(
+        tagged, ["user_id"], "session_id", "ts"
+    )
+
+
+@q(
+    "dup_rate_by_source",
+    """
+    WITH fp AS (SELECT source AS grp, MD5(text) AS f FROM documents),
+    c AS (SELECT f, COUNT(*) AS n FROM fp GROUP BY f)
+    SELECT grp, COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dups,
+           ROUND(CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+    FROM fp JOIN c USING (f) GROUP BY grp
+    """,
+    "Per-source exact-duplicate share (corpus-wide md5 fingerprint "
+    "multiplicity > 1, cross-source dups included) — the feed-health "
+    "readout a curation pipeline checks before throttling sources; "
+    "uniform hash-keyed shuffle, exact counts, one division",
+)
+def dup_rate_by_source(spark, sf_dir):
+    return dedup.dup_rate_by_group(_t(spark, sf_dir, "documents"))
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -9397,6 +9579,13 @@ _ROUND7_POOL: tuple[str, ...] = (
     "cohens_kappa_langid", "incremental_rollup_maintenance",
     "ece_value_purchase", "psi_value_ab", "conformal_orders_priority",
     "dataset_fingerprint_orders",
+    # round-5 additions (moments / fences / growth accounting / token
+    # concentration / session durations / feed health) — first-time by
+    # construction; with these the pool holds exactly the 45 rotation
+    # slots round 7 needs
+    "moments_order_total", "tukey_fences_outliers",
+    "new_vs_returning_weekly", "simpson_diversity_by_source",
+    "session_duration_percentiles", "dup_rate_by_source",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema+hash,
