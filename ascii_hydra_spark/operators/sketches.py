@@ -28,18 +28,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _cms_bucket(col: "F.Column", r: int, width: int, hash_fn: str) -> "F.Column":
+    """Row-r bucket address. hash_fn='xxhash64' is the fast JVM path;
+    'md5' is the PORTABLE path (same '#'-seeded scheme as `_md5_bit_pos`)
+    whose addresses an external engine can reproduce exactly — the knob
+    that lets a count-min entry verify against a SQL oracle bit-for-bit
+    instead of registering rows-only."""
+    if hash_fn == "md5":
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(col.cast("string"), F.lit("#"), F.lit(str(r)))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return F.pmod(h, F.lit(width))
+    if hash_fn != "xxhash64":
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    return F.pmod(F.xxhash64(col, F.lit(r)), F.lit(width))
+
+
 def cms_build(
     items: DataFrame,
     item_col: str,
     *,
     width: int = 1024,
     depth: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(row, bucket, c): count-min cell table over `item_col` occurrences.
     One groupBy per build; output is depth*width cells max."""
     cells = None
     for r in range(depth):
-        b = F.pmod(F.xxhash64(F.col(item_col), F.lit(r)), F.lit(width))
+        b = _cms_bucket(F.col(item_col), r, width, hash_fn)
         part = items.select(F.lit(r).alias("row"), b.alias("bucket"))
         cells = part if cells is None else cells.unionAll(part)
     return cells.groupBy("row", "bucket").agg(F.count("*").alias("c"))
@@ -62,6 +85,7 @@ def cms_estimate(
     *,
     width: int = 1024,
     depth: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(item, est_n): count-min point estimates for each query item —
     min over the d rows of the addressed cells. The sketch is
@@ -69,7 +93,7 @@ def cms_estimate(
     probes = queries.select(F.col(item_col).alias("item")).distinct()
     addressed = None
     for r in range(depth):
-        b = F.pmod(F.xxhash64(F.col("item"), F.lit(r)), F.lit(width))
+        b = _cms_bucket(F.col("item"), r, width, hash_fn)
         part = probes.select("item", F.lit(r).alias("row"), b.alias("bucket"))
         addressed = part if addressed is None else addressed.unionAll(part)
     joined = addressed.join(F.broadcast(sketch), ["row", "bucket"], "left").select(

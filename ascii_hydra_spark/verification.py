@@ -9289,6 +9289,69 @@ def dataset_fingerprint_orders(spark, sf_dir):
 
 
 @q(
+    "cms_portable_estimates",
+    f"""
+    WITH toks AS (SELECT UNNEST({_TOKS}) AS term FROM documents),
+    seeds AS (SELECT CAST(range AS VARCHAR) AS s, range AS r FROM range(0, 4)),
+    cells AS (
+        SELECT sd.r,
+               CAST(('0x' || SUBSTR(MD5(t.term || '#' || sd.s), 1, 15))
+                    AS BIGINT) % 1024 AS bucket,
+               COUNT(*) AS c
+        FROM toks t CROSS JOIN seeds sd GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT term, COUNT(*)::BIGINT AS true_n FROM toks GROUP BY term
+        ORDER BY true_n DESC, term LIMIT 10
+    ),
+    probes AS (
+        SELECT t.term, t.true_n, sd.r,
+               CAST(('0x' || SUBSTR(MD5(t.term || '#' || sd.s), 1, 15))
+                    AS BIGINT) % 1024 AS bucket
+        FROM top t CROSS JOIN seeds sd
+    ),
+    est AS (
+        SELECT p.term, p.true_n, MIN(COALESCE(c.c, 0))::BIGINT AS est_n
+        FROM probes p LEFT JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
+        GROUP BY p.term, p.true_n
+    )
+    SELECT term, true_n, est_n, (est_n - true_n)::BIGINT AS overcount
+    FROM est
+    """,
+    "Count-min sketch point estimates with the PORTABLE md5 address "
+    "scheme (same '#'-seeded top-60-bit-of-md5 scheme the Bloom entries "
+    "share with their oracle): two per-half sketches MERGED (union+sum), "
+    "then the exact top-10 terms probed — every cell counter and every "
+    "min-over-rows estimate reproduced bit-for-bit in DuckDB. The "
+    "xxhash64 arm (cms_heavy_hitter_estimates) stays rows-only as the "
+    "fast-path twin; this entry gives the sketch family hash-matched "
+    "driver evidence",
+)
+def cms_portable_estimates(spark, sf_dir):
+    from ascii_hydra_spark.operators import sketches
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(word_tokens("text")).alias("term"))
+    h1 = sketches.cms_build(
+        toks.filter(F.crc32(F.col("term")) % 2 == 0), "term", hash_fn="md5"
+    )
+    h2 = sketches.cms_build(
+        toks.filter(F.crc32(F.col("term")) % 2 == 1), "term", hash_fn="md5"
+    )
+    sk = sketches.cms_merge(h1, h2)
+    top = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("true_n"))
+        .orderBy(F.desc("true_n"), F.col("term"))
+        .limit(10)
+    )
+    est = sketches.cms_estimate(sk, top.select("term"), "term", hash_fn="md5")
+    return top.join(est, top.term == est.item).select(
+        "term", "true_n", "est_n", (F.col("est_n") - F.col("true_n")).alias("overcount")
+    )
+
+
+@q(
     "moments_order_total",
     """
     WITH s AS (
@@ -9588,6 +9651,13 @@ _ROUND7_POOL: tuple[str, ...] = (
     "session_duration_percentiles", "dup_rate_by_source",
 )
 
+# Round-8 overflow: SQL-oracle entries added after the round-7 pool hit
+# its 45 slots. Same first-time/disjoint/oracle-able contract; drained
+# once the earlier pools rotate through.
+_ROUND8_POOL: tuple[str, ...] = (
+    "cms_portable_estimates",
+)
+
 # Frozen record of every name with a driver-green row (rows+schema+hash,
 # no error) in CORRECTNESS_r01-r04. Guards below reject a rotation slot
 # spent on an already-green name.
@@ -9646,7 +9716,7 @@ _PAST_DRIVER_GREEN: frozenset[str] = frozenset({
 })
 
 _PRIORITY: tuple[str, ...] = (
-    _ANCHORS + _ROTATION + _ROUND6_POOL + _ROUND7_POOL
+    _ANCHORS + _ROTATION + _ROUND6_POOL + _ROUND7_POOL + _ROUND8_POOL
 )
 
 
@@ -9680,7 +9750,7 @@ def _reorder_registry() -> None:
     # Rows-only entries are verified in pytest and stay in the tail.
     no_oracle = sorted(
         n
-        for n in _ROTATION + _ROUND6_POOL + _ROUND7_POOL
+        for n in _ROTATION + _ROUND6_POOL + _ROUND7_POOL + _ROUND8_POOL
         if REGISTRY[n].sql is None
     )
     if no_oracle:

@@ -54,10 +54,27 @@ def test_head_and_pools_are_all_oracle_able() -> None:
     # queued/pooled names are future heads so the same rule applies
     bad = [
         n
-        for n in v._ROTATION + v._ROUND6_POOL + v._ROUND7_POOL
+        for n in v._ROTATION + v._ROUND6_POOL + v._ROUND7_POOL + v._ROUND8_POOL
         if v.REGISTRY[n].sql is None
     ]
     assert not bad, f"rows-only names in head/pools: {bad}"
+
+
+def test_every_sql_entry_is_scheduled_for_driver_evidence() -> None:
+    # every SQL-oracle entry is either already driver-green or holds a
+    # slot in the head / a future pool — nothing silently unscheduled
+    scheduled = (
+        set(v._ANCHORS)
+        | set(v._ROTATION)
+        | set(v._ROUND6_POOL)
+        | set(v._ROUND7_POOL)
+        | set(v._ROUND8_POOL)
+        | v._PAST_DRIVER_GREEN
+    )
+    unscheduled = [
+        n for n, s in v.REGISTRY.items() if s.sql is not None and n not in scheduled
+    ]
+    assert not unscheduled, f"SQL entries with no driver slot: {unscheduled}"
 
 
 def test_round6_pool_is_a_full_first_time_rotation() -> None:
