@@ -180,3 +180,90 @@ def bloom_probe(
         F.col("__key").alias(key_col),
         (F.col("__n_set") == F.lit(k)).alias("bloom_hit"),
     )
+
+
+def hll_portable_cells(
+    items: DataFrame,
+    item_col: str,
+    group_cols: "list[str] | None" = None,
+    *,
+    b_bits: int = 9,
+) -> DataFrame:
+    """(group..., bucket, max_rho): HyperLogLog register table with a
+    fully PORTABLE hash path — the md5-derived 60-bit integer the Bloom
+    and portable-CMS arms share, split into a `b_bits` bucket prefix and
+    a TRAILING-ZERO rank rho on the remaining bits.
+
+    Trailing zeros (not the textbook leading zeros) on purpose: tz is
+    extracted exactly as round(log2(x & -x)) — log2 of an exact power of
+    two, which every engine computes exactly — where a leading-zero rank
+    via floor(log2(rem)) silently rounds 2^k - 1 up to k at high k
+    (double log2 ulp error), an engine-dependent off-by-one. Under a
+    uniform hash both ranks have the identical geometric distribution,
+    so the standard HLL estimator applies unchanged (Flajolet et al.
+    2007, the rank-distribution argument in sec. 3).
+
+    The register table is the MERGEABLE state: union + groupBy-max
+    combines shards/days, same as cms_merge's union + sum. Registers for
+    a group are at most 2^b_bits rows — broadcastable at any corpus
+    size.
+    """
+    gcols = list(group_cols or [])
+    m = 1 << b_bits
+    h = F.conv(
+        F.substring(F.md5(F.col(item_col).cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    bucket = F.pmod(h, F.lit(m))
+    # quotient bits carry the rank: INTEGER shift, never a double
+    # round-trip (the hash has 60 significant bits, double keeps 53)
+    rem = F.shiftright(h, b_bits)
+    low_bit = rem.bitwiseAND(-rem)  # exact power of two: lowest set bit
+    tz = F.round(F.log2(low_bit.cast("double"))).cast("int")
+    rho = F.when(rem == 0, F.lit(60 - b_bits)).otherwise(tz + 1)
+    return (
+        items.select(*gcols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*gcols, "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_portable_estimate(
+    cells: DataFrame,
+    group_cols: "list[str] | None" = None,
+    *,
+    b_bits: int = 9,
+) -> DataFrame:
+    """(group..., est_distinct): the HLL estimate from a
+    `hll_portable_cells` register table — alpha_m * m^2 / (Z + zeros),
+    with the standard small-range linear-counting correction
+    (E <= 2.5m and empty registers present -> m * ln(m / V)).
+
+    Bucket-grain input (<= 2^b_bits rows per group), one aggregate; the
+    float sum runs over at most m power-of-two terms and the result is
+    6-dp rounded, so an external engine running the same closed form
+    lands on the same value.
+    """
+    gcols = list(group_cols or [])
+    m = 1 << b_bits
+    rank_bits = 60 - b_bits  # max rho; also the fixed-point scale below
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # Z = sum 2^-rho accumulated EXACTLY as integers: each term is
+    # 1 << (rank_bits - rho), the sum is <= m * 2^rank_bits (= 2^60 at
+    # the default sizing — inside int64), divided once by 2^rank_bits.
+    # A float accumulation would span 57 bits of magnitude and make the
+    # sum partition-order-dependent in the last ulp.
+    # 2^(rank_bits - rho) as bigint: pow is exact for these exponents
+    # (<= 2^51, inside double's 53-bit mantissa), and shiftleft would
+    # need a literal shift amount
+    term = F.pow(
+        F.lit(2.0), (F.lit(rank_bits) - F.col("max_rho")).cast("double")
+    ).cast("bigint")
+    per = cells.groupBy(*gcols).agg(
+        F.sum(term).alias("__zi"), F.count("*").alias("__nonzero")
+    )
+    zeros = F.lit(m) - F.col("__nonzero")
+    z = F.col("__zi").cast("double") / F.lit(float(1 << rank_bits))
+    raw = F.lit(alpha * m * m) / (z + zeros.cast("double"))
+    lin = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), lin).otherwise(raw)
+    return per.select(*gcols, F.round(est, 6).alias("est_distinct"))

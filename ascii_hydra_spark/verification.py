@@ -9288,6 +9288,95 @@ def dataset_fingerprint_orders(spark, sf_dir):
     )
 
 
+# HLL constants shared verbatim between the Spark operator and the SQL
+# oracle: the alpha*m^2 literal is computed ONCE in Python and inlined
+# into both sides bit-for-bit.
+_HLL_M = 512  # b_bits = 9
+_HLL_ALPHA_M2 = 0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M
+
+
+@q(
+    "hll_portable_distinct",
+    f"""
+    WITH h AS (
+        SELECT event_type,
+               CAST(('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 15))
+                    AS BIGINT) AS hv
+        FROM events
+    ),
+    cells AS (
+        SELECT event_type, hv % 512 AS bucket,
+               MAX(CASE WHEN (hv >> 9) = 0 THEN 51
+                   ELSE CAST(ROUND(LOG2(CAST(((hv >> 9) & -(hv >> 9))
+                                             AS DOUBLE))) AS INT) + 1
+                   END) AS max_rho
+        FROM h GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT event_type,
+               SUM(CAST(1 AS BIGINT) << (51 - max_rho))::BIGINT AS zi,
+               COUNT(*)::BIGINT AS nonzero
+        FROM cells GROUP BY event_type
+    ),
+    e AS (
+        SELECT event_type,
+               {_HLL_ALPHA_M2!r}
+                   / (CAST(zi AS DOUBLE) / {float(1 << 51)!r}
+                      + CAST(512 - nonzero AS DOUBLE)) AS raw,
+               512 - nonzero AS zeros
+        FROM agg
+    ),
+    est AS (
+        SELECT event_type,
+               ROUND(CASE WHEN raw <= 1280.0 AND zeros > 0
+                          THEN 512.0 * LN(512.0 / CAST(zeros AS DOUBLE))
+                          ELSE raw END, 6) AS est_distinct
+        FROM e
+    ),
+    exact AS (
+        SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS n_exact
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_exact, est_distinct FROM exact JOIN est
+        USING (event_type)
+    """,
+    "HyperLogLog distinct-user estimate per event type with the PORTABLE "
+    "md5 register path (bucket = low 9 hash bits, rho = trailing-zero "
+    "rank of the quotient — tz extracts exactly via log2 of a lone set "
+    "bit, where a leading-zero floor(log2) silently rounds 2^k-1 up at "
+    "high k): two per-half register tables MERGED (union + max, the "
+    "mergeable-state combine), register sum accumulated in EXACT int64 "
+    "fixed-point, alpha*m^2 literal shared bit-for-bit with the oracle. "
+    "The Spark-native datasketches arm (hll_sketch_distinct) stays "
+    "rows-only as the fast-path twin; this gives the HLL family "
+    "hash-matched driver evidence, exact count alongside for the "
+    "accuracy readout",
+)
+def hll_portable_distinct(spark, sf_dir):
+    from ascii_hydra_spark.operators import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    half = F.crc32(F.col("user_id").cast("string")) % 2
+    c1 = sketches.hll_portable_cells(
+        ev.filter(half == 0), "user_id", ["event_type"]
+    )
+    c2 = sketches.hll_portable_cells(
+        ev.filter(half == 1), "user_id", ["event_type"]
+    )
+    merged = (
+        c1.unionAll(c2)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    est = sketches.hll_portable_estimate(merged, ["event_type"])
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type", "n_exact", "est_distinct"
+    )
+
+
 @q(
     "cms_portable_estimates",
     f"""
@@ -9655,7 +9744,7 @@ _ROUND7_POOL: tuple[str, ...] = (
 # its 45 slots. Same first-time/disjoint/oracle-able contract; drained
 # once the earlier pools rotate through.
 _ROUND8_POOL: tuple[str, ...] = (
-    "cms_portable_estimates",
+    "cms_portable_estimates", "hll_portable_distinct",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema+hash,

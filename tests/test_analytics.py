@@ -1287,3 +1287,37 @@ def test_psi_shifted_distribution_flags(spark):
     df = spark.createDataFrame(rows, "g string, v double")
     row = analytics.population_stability_index(df, "g", "v").collect()[0]
     assert row["psi"] > 0.25  # classic "significant shift" threshold
+
+
+def test_hll_portable_accuracy_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from ascii_hydra_spark.operators import sketches
+
+    n = 5000
+    df = spark.range(n).select(F.col("id").alias("k"))
+    cells = sketches.hll_portable_cells(df, "k")
+    est = sketches.hll_portable_estimate(cells).collect()[0]["est_distinct"]
+    # standard error ~ 1.04/sqrt(512) ~ 4.6%; allow 3 sigma
+    assert abs(est - n) / n < 0.14, est
+    # merge of two disjoint halves == whole-set registers (union + max)
+    h1 = sketches.hll_portable_cells(df.filter(F.col("k") < n // 2), "k")
+    h2 = sketches.hll_portable_cells(df.filter(F.col("k") >= n // 2), "k")
+    merged = (
+        h1.unionAll(h2).groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
+    )
+    est_m = sketches.hll_portable_estimate(merged).collect()[0]["est_distinct"]
+    assert est_m == est
+
+
+def test_hll_portable_small_range_linear_counting(spark):
+    from pyspark.sql import functions as F
+
+    from ascii_hydra_spark.operators import sketches
+
+    # 30 distinct keys over 512 registers -> linear-counting regime,
+    # where the estimate is near-exact
+    df = spark.range(30).select(F.col("id").alias("k"))
+    cells = sketches.hll_portable_cells(df, "k")
+    est = sketches.hll_portable_estimate(cells).collect()[0]["est_distinct"]
+    assert abs(est - 30) < 2.0, est
