@@ -780,3 +780,111 @@ def dup_rate_by_group(
             F.sum(dup).cast("double") / F.count("*").cast("double"), 6
         ).alias("dup_rate"),
     )
+
+
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH with a fully
+    PORTABLE hash path: word-bigram shingles, per-seed hash =
+    top-60-bits-of-md5 (the '#'-seeded scheme the Bloom / portable-CMS /
+    portable-HLL arms share), signature = 16 per-seed minimums, band key
+    = ':'-joined signature slice. Every stage — shingling, hashing,
+    min-reduction, banding, candidate join, exact Jaccard verify — is
+    reproducible bit-for-bit by an external SQL engine, which is what
+    lets a MinHash entry carry a hash-matched oracle where the
+    numpy-universal-hash arm (`minhash_lsh_pairs`, the 100 TB fast path)
+    registers rows-only.
+
+    Same scale shape as the fast arm: candidates come from a (band, key)
+    groupBy — the quadratic step never materializes — and the exact
+    shingle-set verification runs only on candidate pairs. Precision is
+    1.0 (exact final filter); recall follows the 4x4 banding s-curve
+    (~(1/4)^(1/4) = 0.71 midpoint). md5-per-shingle-per-seed is ~10x the
+    hash work of the numpy arm — the price of engine-portable
+    determinism; use the fast arm when no cross-engine replay is needed.
+    """
+    rows = num_hashes // bands
+    if rows * bands != num_hashes:
+        raise ValueError("bands must divide num_hashes")
+    tk = word_tokens(text_col)
+    bigrams = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(tk, i), F.element_at(tk, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = (
+        df.select(F.col(id_col).alias("__id"), F.explode(bigrams).alias("__s"))
+        .distinct()
+    )
+
+    def hv(i: int):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("__s"), F.lit("#"), F.lit(str(i)))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    sig = sh.groupBy("__id").agg(
+        *[F.min(hv(i)).alias(f"__m{i}") for i in range(num_hashes)]
+    )
+    band_rows = sig.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.col(f"__m{b * rows + r}").cast("string")
+                                for r in range(rows)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__bk"),
+    ).select("__id", F.col("__bk.band").alias("__band"), F.col("__bk.key").alias("__key"))
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__key") == F.col("b.__key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("__id").agg(F.count("*").alias("__sz"))
+    sa = sh.select(F.col("__id").alias("id_a"), "__s")
+    sb = sh.select(F.col("__id").alias("id_b"), "__s")
+    inter = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "__s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__i"))
+    )
+    za = sizes.select(F.col("__id").alias("id_a"), F.col("__sz").alias("__sza"))
+    zb = sizes.select(F.col("__id").alias("id_b"), F.col("__sz").alias("__szb"))
+    jac = F.col("__i") / (F.col("__sza") + F.col("__szb") - F.col("__i"))
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .filter(jac >= F.lit(float(threshold)))
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )

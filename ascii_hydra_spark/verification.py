@@ -9288,6 +9288,64 @@ def dataset_fingerprint_orders(spark, sf_dir):
     )
 
 
+@q(
+    "near_dup_minhash_portable",
+    f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id AS id,
+               UNNEST(CASE WHEN LEN(tk) >= 2
+                      THEN LIST_TRANSFORM(
+                          LIST_FILTER(LIST_ZIP(tk, tk[2:]),
+                                      p -> p[2] IS NOT NULL),
+                          p -> p[1] || ' ' || p[2])
+                      ELSE [] END) AS s
+        FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)
+    ),
+    hv AS (
+        SELECT id, s, sd.i,
+               CAST(('0x' || SUBSTR(MD5(s || '#' || CAST(sd.i AS VARCHAR)),
+                                    1, 15)) AS BIGINT) AS h
+        FROM sh CROSS JOIN (SELECT range AS i FROM range(0, 16)) sd
+    ),
+    sig AS (SELECT id, i, MIN(h) AS m FROM hv GROUP BY id, i),
+    bandkeys AS (
+        SELECT id, i // 4 AS band,
+               STRING_AGG(CAST(m AS VARCHAR), ':' ORDER BY i) AS key
+        FROM sig GROUP BY id, i // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bandkeys a JOIN bandkeys b
+            ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    ),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS i
+        FROM cand c JOIN sh x ON x.id = c.id_a
+        JOIN sh y ON y.id = c.id_b AND y.s = x.s
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+    """,
+    "MinHash + banded LSH near-dup pairs with the PORTABLE md5 hash "
+    "path (word-bigram shingles, 16 seeded-md5 min-hashes, 4x4 bands, "
+    "exact Jaccard verify >= 0.8): shingling, min-reduction, banding, "
+    "candidate join, and verification all reproduced bit-for-bit in "
+    "DuckDB — the MinHash family's first hash-matched oracle (the "
+    "numpy-universal-hash arm near_dup_minhash stays rows-only as the "
+    "100 TB fast path; precision 1.0 either way, recall follows the "
+    "banding s-curve)",
+)
+def near_dup_minhash_portable(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs_portable(
+        d, "doc_id", "text", threshold=0.8, num_hashes=16, bands=4
+    )
+
+
 # HLL constants shared verbatim between the Spark operator and the SQL
 # oracle: the alpha*m^2 literal is computed ONCE in Python and inlined
 # into both sides bit-for-bit.
@@ -9745,6 +9803,7 @@ _ROUND7_POOL: tuple[str, ...] = (
 # once the earlier pools rotate through.
 _ROUND8_POOL: tuple[str, ...] = (
     "cms_portable_estimates", "hll_portable_distinct",
+    "near_dup_minhash_portable",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema+hash,
