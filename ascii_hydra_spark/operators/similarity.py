@@ -605,12 +605,23 @@ def cosine_topk_ivf(
             F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
         )
 
-    # cell assignment: argmax-dot centroid per vector (broadcast small side)
+    # cell assignment: argmax-dot centroid per vector (broadcast small
+    # side). The max_by ordinal is (dot, -cid) so an EXACT dot tie — a
+    # duplicated centroid vector, or a vector equidistant to two cells —
+    # resolves to the lowest centroid id deterministically instead of
+    # whichever partial arrived last (and an external oracle can repeat
+    # the same rule as ORDER BY dot DESC, cid ASC).
     assigned = (
         normed.crossJoin(F.broadcast(cents))
         .groupBy("__id")
         .agg(
-            F.max_by("__cid", _dot(F.col("__v"), F.col("__cv"))).alias("__cell"),
+            F.max_by(
+                "__cid",
+                F.struct(
+                    _dot(F.col("__v"), F.col("__cv")).alias("d"),
+                    (-F.col("__cid")).alias("c"),
+                ),
+            ).alias("__cell"),
             F.first("__v").alias("__v"),
         )
     )

@@ -1620,9 +1620,36 @@ def sim_pairs_lsh(spark, sf_dir):
 
 @q(
     "sim_topk_ivf",
-    None,
-    "C3 scale arm: IVF cell-probe approximate top-k "
-    "(recall vs exact asserted in tests/test_similarity.py)",
+    """
+    WITH n AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cents AS (SELECT id AS cid, v AS cv FROM n WHERE id < 16),
+    scored AS (
+        SELECT n.id, n.v, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n.id
+                   ORDER BY LIST_COSINE_SIMILARITY(n.v, c.cv) DESC, c.cid
+               ) AS rn
+        FROM n CROSS JOIN cents c
+    ),
+    assigned AS (SELECT id, v, cid AS cell FROM scored WHERE rn = 1),
+    q AS (SELECT v AS qv FROM n WHERE id = 0),
+    probes AS (
+        SELECT c.cid FROM cents c CROSS JOIN q
+        ORDER BY LIST_COSINE_SIMILARITY(c.cv, q.qv) DESC, c.cid LIMIT 4
+    )
+    SELECT a.id AS vec_id, ROUND(LIST_COSINE_SIMILARITY(a.v, q.qv), 6) AS sim
+    FROM assigned a CROSS JOIN q
+    WHERE a.cell IN (SELECT cid FROM probes) AND a.id <> 0
+    ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+    "C3 scale arm: IVF cell-probe approximate top-k. CONVERTED from "
+    "rows-only (r1-r4) to a hash-matched oracle: the index is fully "
+    "deterministic — lowest-16-id seed centroids, argmax-cosine cell "
+    "assignment with an explicit (dot DESC, cid ASC) tie rule, top-4 "
+    "probe cells, 6-dp-rounded exact rescore — so DuckDB replays the "
+    "whole build+probe; recall vs the exact arm additionally asserted "
+    "in tests/test_similarity.py",
 )
 def sim_topk_ivf(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
@@ -9803,7 +9830,7 @@ _ROUND7_POOL: tuple[str, ...] = (
 # once the earlier pools rotate through.
 _ROUND8_POOL: tuple[str, ...] = (
     "cms_portable_estimates", "hll_portable_distinct",
-    "near_dup_minhash_portable",
+    "near_dup_minhash_portable", "sim_topk_ivf",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema+hash,

@@ -291,6 +291,8 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "dow_seasonality_revenue", # 1-row overall-average broadcast
         "format_mask_profile_props", # 1-row mask-total broadcast
         "cusum_changepoint_events", # 1-row (total, n) broadcast
+        "moments_order_total",      # 1-row exact-mean broadcast (pass 2
+                                    # sums centered powers against it)
     }
     offenders = []
     for name, spec in REGISTRY.items():

@@ -11,9 +11,11 @@ coverage. Names asserted here (kept in sync by test_rotation_window's
 `test_rows_only_entries_stay_verified_in_pytest`):
 
 approx_stats, near_dup_minhash, minhash_dedup_survivors, simhash_pairs,
-containment_pairs, sim_pairs_lsh, sim_topk_ivf, hll_sketch_distinct,
+containment_pairs, sim_pairs_lsh, hll_sketch_distinct,
 incremental_minhash_survivors, multimodal_jpeg_decode,
 cms_heavy_hitter_estimates, mmr_rerank_topk, compression_ratio_quality.
+(sim_topk_ivf left this list in round 5: its deterministic build+probe
+now replays in a DuckDB oracle.)
 """
 
 from __future__ import annotations
@@ -32,7 +34,7 @@ def test_rows_only_set_is_the_documented_tail() -> None:
     documented = {
         "approx_stats", "near_dup_minhash", "minhash_dedup_survivors",
         "simhash_pairs", "containment_pairs", "sim_pairs_lsh",
-        "sim_topk_ivf", "hll_sketch_distinct",
+        "hll_sketch_distinct",
         "incremental_minhash_survivors", "multimodal_jpeg_decode",
         "cms_heavy_hitter_estimates", "mmr_rerank_topk",
         "compression_ratio_quality",
