@@ -600,8 +600,14 @@ def minhash_dedup(
     return cluster_dedup(df, pairs, id_col)
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash over word tokens (xxhash64 per token, sign-sum per bit).
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """SimHash over word tokens (seedless hash per token, sign-sum per bit).
 
     Single-shuffle formulation: explode tokens, hash each once, then ONE
     groupBy(id) with `bits` unrolled sign-sum aggregate columns (the shift
@@ -610,9 +616,25 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     shape posexploded a 64-wide sign array — a 64x row blowup shuffled to a
     (id, bit) grouping — which at 100 TB multiplies shuffle volume by the
     hash width for no information gain.
+
+    hash_fn='xxhash64' is the fast JVM path (use bits=64);
+    hash_fn='md5' is the PORTABLE path — the top-60-bits-of-md5 integer
+    the Bloom / portable-CMS / portable-HLL / portable-MinHash arms share
+    (use bits<=60), letting a SimHash entry verify against a SQL oracle
+    bit-for-bit.
     """
     toks = df.select(F.col(id_col).alias("__id"), F.explode(word_tokens(text_col)).alias("__tok"))
-    hashed = toks.select("__id", F.xxhash64("__tok").alias("__h"))
+    if hash_fn == "md5":
+        if bits > 60:
+            raise ValueError("md5 portable hash carries 60 bits")
+        h = F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10).cast(
+            "bigint"
+        )
+    elif hash_fn == "xxhash64":
+        h = F.xxhash64("__tok")
+    else:
+        raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+    hashed = toks.select("__id", h.alias("__h"))
     sign_sums = [
         F.sum(
             F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -641,19 +663,25 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 3,
     chunks: int = 4,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance <= max_hamming.
 
-    Candidate generation by the pigeonhole principle: split the 64-bit hash
-    into `chunks` 16-bit words; any pair within distance chunks-1 must agree
+    Candidate generation by the pigeonhole principle: split the hash into
+    `chunks` equal-width words; any pair within distance chunks-1 must agree
     on at least one chunk, so an equality join per chunk finds all of them
-    without a cartesian product.
+    without a cartesian product. `bits`/`hash_fn` pass through to
+    :func:`simhash` (the md5 portable path uses bits=48 so the four chunk
+    words stay 12-bit).
     """
     if max_hamming >= chunks * 2:
         raise ValueError("raise `chunks` so pigeonhole banding stays sound")
+    if bits % chunks != 0:
+        raise ValueError("chunks must divide bits")
     # persist: one 8-byte hash per doc, read by both sides of the self-join
-    sh = simhash(df, id_col, text_col).persist()
-    width = 64 // chunks
+    sh = simhash(df, id_col, text_col, bits=bits, hash_fn=hash_fn).persist()
+    width = bits // chunks
     chunk_vals = F.array(
         *[
             F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit((1 << width) - 1))

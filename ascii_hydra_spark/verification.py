@@ -9373,6 +9373,136 @@ def near_dup_minhash_portable(spark, sf_dir):
     )
 
 
+@q(
+    "simhash_pairs_portable",
+    f"""
+    WITH toks AS (
+        SELECT doc_id AS id, UNNEST({_TOKS}) AS tok FROM documents
+    ),
+    hashed AS (
+        SELECT id,
+               CAST(('0x' || SUBSTR(MD5(tok), 1, 15)) AS BIGINT) AS h
+        FROM toks
+    ),
+    bitsum AS (
+        SELECT id, b.b,
+               SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM hashed CROSS JOIN (SELECT range AS b FROM range(0, 48)) b
+        GROUP BY id, b.b
+    ),
+    sh AS (
+        SELECT id,
+               SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                   ELSE CAST(0 AS BIGINT) END) AS sim
+        FROM bitsum GROUP BY id
+    ),
+    banded AS (
+        SELECT id, sim, c.c AS chunk, (sim >> (c.c * 12)) & 4095 AS val
+        FROM sh CROSS JOIN (SELECT range AS c FROM range(0, 4)) c
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               a.sim AS ha, b.sim AS hb
+        FROM banded a JOIN banded b
+            ON a.chunk = b.chunk AND a.val = b.val AND a.id < b.id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+    """,
+    "SimHash near-dup pairs (Hamming <= 3, pigeonhole 4x12-bit chunk "
+    "banding) with the PORTABLE hash path: 48-bit sign-sum fingerprint "
+    "from the seedless top-60-bits-of-md5 token hash, every bit "
+    "extraction / sign vote / chunk key / popcount replayed in DuckDB "
+    "exactly. Hash-matched sibling of the rows-only xxhash64 arm "
+    "(simhash_pairs); integer-exact end to end",
+)
+def simhash_pairs_portable(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(
+        d, "doc_id", "text", max_hamming=3, chunks=4, bits=48, hash_fn="md5"
+    )
+
+
+# Portable-minhash candidate pipeline as a reusable CTE body (shared by
+# the pair entry above and the survivors composition below): word-bigram
+# shingles -> 16 seeded-md5 min-hashes -> 4x4 band keys -> candidate
+# pairs -> exact Jaccard >= 0.8.
+_PORTABLE_MINHASH_CTE = f"""
+    sh AS (
+        SELECT DISTINCT doc_id AS id,
+               UNNEST(CASE WHEN LEN(tk) >= 2
+                      THEN LIST_TRANSFORM(
+                          LIST_FILTER(LIST_ZIP(tk, tk[2:]),
+                                      p -> p[2] IS NOT NULL),
+                          p -> p[1] || ' ' || p[2])
+                      ELSE [] END) AS s
+        FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)
+    ),
+    hv AS (
+        SELECT id, s, sd.i,
+               CAST(('0x' || SUBSTR(MD5(s || '#' || CAST(sd.i AS VARCHAR)),
+                                    1, 15)) AS BIGINT) AS h
+        FROM sh CROSS JOIN (SELECT range AS i FROM range(0, 16)) sd
+    ),
+    sig AS (SELECT id, i, MIN(h) AS m FROM hv GROUP BY id, i),
+    bandkeys AS (
+        SELECT id, i // 4 AS band,
+               STRING_AGG(CAST(m AS VARCHAR), ':' ORDER BY i) AS key
+        FROM sig GROUP BY id, i // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bandkeys a JOIN bandkeys b
+            ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    ),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS i
+        FROM cand c JOIN sh x ON x.id = c.id_a
+        JOIN sh y ON y.id = c.id_b AND y.s = x.s
+        GROUP BY c.id_a, c.id_b
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+    )
+"""
+
+
+@q(
+    "minhash_dedup_survivors_portable",
+    "WITH RECURSIVE " + _PORTABLE_MINHASH_CTE + """
+    , edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT doc_id AS node, doc_id AS r FROM documents
+        UNION
+        SELECT e.dst AS node, r.r FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach
+             GROUP BY node)
+    SELECT doc_id FROM comp WHERE doc_id = cluster_id
+    """,
+    "Full MinHash dedup DECISION with the portable hash path: "
+    "portable-md5 LSH pairs -> connected components (min-label "
+    "propagation on Spark; recursive-CTE reachability in the oracle) -> "
+    "min-id survivor per duplicate cluster, singletons kept. The "
+    "hash-matched sibling of the rows-only minhash_dedup_survivors "
+    "(numpy universal-hash arm)",
+)
+def minhash_dedup_survivors_portable(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs_portable(
+        d, "doc_id", "text", threshold=0.8, num_hashes=16, bands=4
+    )
+    return dedup.cluster_dedup(d, pairs, "doc_id").select("doc_id")
+
+
 # HLL constants shared verbatim between the Spark operator and the SQL
 # oracle: the alpha*m^2 literal is computed ONCE in Python and inlined
 # into both sides bit-for-bit.
@@ -9831,6 +9961,7 @@ _ROUND7_POOL: tuple[str, ...] = (
 _ROUND8_POOL: tuple[str, ...] = (
     "cms_portable_estimates", "hll_portable_distinct",
     "near_dup_minhash_portable", "sim_topk_ivf",
+    "minhash_dedup_survivors_portable", "simhash_pairs_portable",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema+hash,
