@@ -8266,14 +8266,72 @@ def fixed_size_sample_docs(spark, sf_dir):
     ).select("doc_id", "lang", "sample_rank")
 
 
+def _mmr_oracle(k: int = 10, lam: float = 0.7) -> str:
+    """The k-step MMR greedy UNROLLED as chained CTEs (the kcore /
+    k-means / PageRank unrolling pattern): p{j} picks step j's argmax of
+    lam*rel - (1-lam)*max_sim (ties: rel DESC, id ASC — numpy argmax's
+    first-maximum over the (rel desc, id asc) candidate order), s{j}
+    folds the new penalty in with GREATEST. Constants are Python-repr'd
+    so both engines share the exact (1-lam) double."""
+    om = 1.0 - lam
+    parts = [
+        f"""
+    WITH n AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    q AS (SELECT v AS qv FROM n ORDER BY id LIMIT 1),
+    cand AS MATERIALIZED (
+        SELECT n.id, n.v, LIST_COSINE_SIMILARITY(n.v, q.qv) AS rel
+        FROM n CROSS JOIN q
+        ORDER BY rel DESC, id LIMIT 50
+    ),
+    p1 AS (
+        SELECT id, v, rel, {lam!r} * rel AS mmr
+        FROM cand ORDER BY rel DESC, id LIMIT 1
+    ),
+    s1 AS MATERIALIZED (
+        SELECT c.id, c.v, c.rel, LIST_COSINE_SIMILARITY(c.v, p1.v) AS ms
+        FROM cand c CROSS JOIN p1 WHERE c.id <> p1.id
+    )"""
+    ]
+    for j in range(2, k + 1):
+        parts.append(
+            f""",
+    p{j} AS MATERIALIZED (
+        SELECT id, v, rel, {lam!r} * rel - {om!r} * ms AS mmr
+        FROM s{j - 1}
+        ORDER BY {lam!r} * rel - {om!r} * ms DESC, rel DESC, id LIMIT 1
+    )"""
+        )
+        if j < k:
+            parts.append(
+                f""",
+    s{j} AS MATERIALIZED (
+        SELECT s.id, s.v, s.rel,
+               GREATEST(s.ms, LIST_COSINE_SIMILARITY(s.v, p{j}.v)) AS ms
+        FROM s{j - 1} s CROSS JOIN p{j} WHERE s.id <> p{j}.id
+    )"""
+            )
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT {j} AS rank, id AS vec_id, ROUND(rel, 6) AS relevance, "
+        f"ROUND(mmr, 6) AS mmr FROM p{j}"
+        for j in range(1, k + 1)
+    )
+    parts.append("\n    " + union)
+    return "".join(parts)
+
+
 @q(
     "mmr_rerank_topk",
-    None,
+    _mmr_oracle(k=10, lam=0.7),
     "MMR diversified rerank of the exact-cosine top-50 for a probe query "
     "(lam=0.7, k=10) — the greedy relevance-vs-redundancy pass between an "
-    "ANN ranker and the user; inherently sequential (each pick changes "
-    "the next penalty) so rows-only here, semantics pinned by the "
-    "duplicate-demotion closed-form tests in tests/test_retrieval.py",
+    "ANN ranker and the user. CONVERTED from rows-only (r1-r4): the "
+    "inherently sequential greedy is UNROLLED into 10 chained "
+    "argmax-CTEs in the oracle (the kcore/k-means/PageRank unrolling "
+    "pattern) with the numpy tie rule (first maximum over the "
+    "(rel desc, id asc) order) spelled as ORDER BY mmr DESC, rel DESC, "
+    "id; duplicate-demotion semantics additionally pinned by the "
+    "closed-form tests in tests/test_retrieval.py",
 )
 def mmr_rerank_topk(spark, sf_dir):
     from ascii_hydra_spark.functions import cosine_similarity, to_double_array
@@ -8287,8 +8345,14 @@ def mmr_rerank_topk(spark, sf_dir):
         cosine_similarity(to_double_array(F.col("embedding")), q).alias("rel"),
     )
     cands = scored.orderBy(F.desc("rel"), "vec_id").limit(50)
-    return retrieval.mmr_rerank(
+    out = retrieval.mmr_rerank(
         cands, "vec_id", "embedding", "rel", k=10, lam=0.7
+    )
+    return out.select(
+        "rank",
+        "vec_id",
+        F.round("relevance", 6).alias("relevance"),
+        F.round("mmr", 6).alias("mmr"),
     )
 
 
@@ -9962,6 +10026,7 @@ _ROUND8_POOL: tuple[str, ...] = (
     "cms_portable_estimates", "hll_portable_distinct",
     "near_dup_minhash_portable", "sim_topk_ivf",
     "minhash_dedup_survivors_portable", "simhash_pairs_portable",
+    "mmr_rerank_topk",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema+hash,

@@ -13,9 +13,10 @@ coverage. Names asserted here (kept in sync by test_rotation_window's
 approx_stats, near_dup_minhash, minhash_dedup_survivors, simhash_pairs,
 containment_pairs, sim_pairs_lsh, hll_sketch_distinct,
 incremental_minhash_survivors, multimodal_jpeg_decode,
-cms_heavy_hitter_estimates, mmr_rerank_topk, compression_ratio_quality.
-(sim_topk_ivf left this list in round 5: its deterministic build+probe
-now replays in a DuckDB oracle.)
+cms_heavy_hitter_estimates, compression_ratio_quality.
+(sim_topk_ivf and mmr_rerank_topk left this list in round 5: the
+deterministic IVF build+probe and the 10-step-unrolled MMR greedy now
+replay in DuckDB oracles.)
 """
 
 from __future__ import annotations
@@ -36,7 +37,7 @@ def test_rows_only_set_is_the_documented_tail() -> None:
         "simhash_pairs", "containment_pairs", "sim_pairs_lsh",
         "hll_sketch_distinct",
         "incremental_minhash_survivors", "multimodal_jpeg_decode",
-        "cms_heavy_hitter_estimates", "mmr_rerank_topk",
+        "cms_heavy_hitter_estimates",
         "compression_ratio_quality",
     }
     assert set(ROWS_ONLY) == documented
