@@ -821,3 +821,85 @@ def label_centroid_separation(
         "n_b",
         (F.floor(cos * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("cos"),
     ).orderBy("label_a", "label_b")
+
+
+def rademacher_planes(
+    dim: int, n_planes: int, seed: int = 7
+) -> "list[list[float]]":
+    """Deterministic +-1 (Rademacher) hyperplanes from md5 bits — sign
+    random projection (Achlioptas 2003 shows +-1 entries preserve the
+    Johnson-Lindenstrauss/SRP guarantees of Gaussian planes). Computed
+    ONCE in Python and inlined as plan literals, so an external SQL
+    oracle can embed the IDENTICAL constants: with both engines folding
+    the same doubles left-to-right, the sign bits match bit-for-bit
+    (no near-zero cross-engine sign-flip risk at all)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{seed}:{j}:{d}".encode()).hexdigest()[0], 16) & 1
+            else -1.0
+            for d in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def cosine_pairs_lsh_portable(
+    emb: DataFrame,
+    threshold: float = 0.5,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PORTABLE sign-random-projection LSH similarity pairs: one table of
+    `n_planes` Rademacher hyperplanes (plan-literal +-1s from
+    :func:`rademacher_planes`), bucket = the sign-bit pattern of the
+    plane dots, exact 6-dp-rounded cosine verify on colliding pairs.
+
+    The portable sibling of `cosine_pairs_lsh` (numpy-matmul buckets,
+    auto-sized planes/tables — the 100 TB fast path): every dot here is
+    a sequential left-to-right fold, the exact op order DuckDB's
+    LIST_REDUCE performs over the same literals, so the bucket keys are
+    engine-reproducible and the whole pipeline carries a hash-matched
+    oracle. Precision 1.0 (exact verify); recall follows the single
+    sign-pattern table (identical vectors always collide).
+    """
+    signs = rademacher_planes(dim, n_planes, seed)
+    v = to_double_array(vec_col)
+
+    def dot_j(j: int):
+        sa = F.array(*[F.lit(s) for s in signs[j]])
+        return F.aggregate(
+            F.zip_with(v, sa, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = None
+    for j in range(n_planes):
+        term = F.when(dot_j(j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    base = emb.select(
+        F.col(id_col).alias("__id"), v.alias("__v"), bucket.alias("__b")
+    ).persist()
+    a, b = base.alias("a"), base.alias("b")
+    sim = F.round(
+        cosine_similarity(F.col("a.__v"), F.col("b.__v")), 6
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.__b") == F.col("b.__b"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= F.lit(float(threshold)))
+    )

@@ -9437,6 +9437,55 @@ def near_dup_minhash_portable(spark, sf_dir):
     )
 
 
+def _srp_oracle(
+    threshold: float = 0.5, n_planes: int = 8, dim: int = 64, seed: int = 7
+) -> str:
+    """Sign-random-projection LSH oracle sharing the EXACT plane
+    literals with similarity.cosine_pairs_lsh_portable: both engines
+    fold the same doubles left-to-right (F.aggregate ≡ LIST_REDUCE), so
+    the sign-bit bucket keys match bit-for-bit."""
+    from ascii_hydra_spark.operators.similarity import rademacher_planes
+
+    signs = rademacher_planes(dim, n_planes, seed)
+    terms = "\n          + ".join(
+        "(CASE WHEN LIST_REDUCE(LIST_TRANSFORM(LIST_ZIP(v, ["
+        + ", ".join(repr(s) for s in signs[j])
+        + "]), p -> p[1] * p[2]), (a, c) -> a + c) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes)
+    )
+    return f"""
+    WITH n AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    b AS (SELECT id, v, {terms} AS bucket FROM n),
+    cand AS (
+        SELECT a.id AS id_a, c.id AS id_b,
+               ROUND(LIST_COSINE_SIMILARITY(a.v, c.v), 6) AS sim
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.id < c.id
+    )
+    SELECT id_a, id_b, sim FROM cand WHERE sim >= {float(threshold)!r}
+    """
+
+
+@q(
+    "sim_pairs_lsh_portable",
+    _srp_oracle(threshold=0.5, n_planes=8, dim=64, seed=7),
+    "Sign-random-projection LSH similarity pairs with the PORTABLE "
+    "plane path: 8 Rademacher hyperplanes (md5-bit +-1s, computed once "
+    "in Python and inlined as literals in BOTH engines), bucket = "
+    "sign-bit pattern of left-to-right fold dots (F.aggregate ≡ "
+    "LIST_REDUCE, bit-identical — no cross-engine sign-flip risk), "
+    "exact 6-dp cosine verify on colliding pairs. Hash-matched sibling "
+    "of the rows-only numpy-matmul arm (sim_pairs_lsh, the auto-sized "
+    "100 TB fast path); precision 1.0, single-table recall",
+)
+def sim_pairs_lsh_portable(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs_lsh_portable(
+        e, threshold=0.5, n_planes=8, dim=64, seed=7
+    )
+
+
 @q(
     "simhash_pairs_portable",
     f"""
@@ -10026,7 +10075,7 @@ _ROUND8_POOL: tuple[str, ...] = (
     "cms_portable_estimates", "hll_portable_distinct",
     "near_dup_minhash_portable", "sim_topk_ivf",
     "minhash_dedup_survivors_portable", "simhash_pairs_portable",
-    "mmr_rerank_topk",
+    "mmr_rerank_topk", "sim_pairs_lsh_portable",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema+hash,
