@@ -142,6 +142,20 @@ EXTRA = [
     "kcore_peel_rounds",      # dense-core survivor curve
     "cusum_changepoint_events", # exact-integer CUSUM argmax
     "skyline_price_size",     # 2-D Pareto front (window sweep)
+    # round-5 additions: portable (oracle-replayable) sketch/LSH arms +
+    # the new analytics operators
+    "near_dup_minhash_portable",  # md5 MinHash+LSH pairs (portable arm)
+    "simhash_pairs_portable",     # 48-bit md5 SimHash pairs
+    "sim_pairs_lsh_portable",     # Rademacher sign-projection pairs
+    "hll_portable_distinct",      # portable-HLL register estimate
+    "cms_portable_estimates",     # portable-CMS heavy-hitter probe
+    "mmr_rerank_topk",            # greedy MMR diversification (k=10)
+    "moments_order_total",        # two-pass central moments
+    "tukey_fences_outliers",      # 1.5-IQR fences per priority
+    "new_vs_returning_weekly",    # growth accounting split
+    "session_duration_percentiles", # gap-rule session lengths
+    "dup_rate_by_source",         # per-source exact-dup share
+    "simpson_diversity_by_source",  # token concentration index
 ]
 
 
