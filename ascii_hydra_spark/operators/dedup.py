@@ -916,3 +916,77 @@ def minhash_lsh_pairs_portable(
         .filter(jac >= F.lit(float(threshold)))
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+def containment_pairs_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    gap: int = 8,
+) -> DataFrame:
+    """Partial-duplicate containment pairs with a PORTABLE content-defined
+    chunking: a chunk boundary falls after any token whose md5-derived
+    hash is 0 mod `gap` (expected chunk length = `gap` tokens). Like the
+    gear-hash CDC arm (`containment_pairs`), boundaries move with the
+    CONTENT — an insertion only redraws the chunks it touches, so shared
+    runs between a quote and its source still collide — but the boundary
+    decision is per-token (no rolling per-character state), which is what
+    makes every stage SQL-expressible: tokenize-with-position, boundary
+    flag, running-sum chunk ids, order-stable chunk fingerprints, the
+    inverted-index chunk join, and the asymmetric containment score
+    |chunks(a) n chunks(b)| / |chunks(a)|.
+
+    Same scale shape as the gear arm: candidates only ever come from the
+    chunk-keyed posting join. The gear arm stays the byte-granular fast
+    path (character-level boundary resolution); this arm trades boundary
+    granularity for an engine-portable, oracle-replayable pipeline.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(word_tokens(text_col)).alias("__pos", "__tok"),
+    )
+    hv = F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    flagged = toks.select(
+        "__id", "__pos", "__tok", (F.pmod(hv, F.lit(gap)) == 0).cast("int").alias("__b")
+    )
+    w = (
+        Window.partitionBy("__id")
+        .orderBy("__pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cells = flagged.select(
+        "__id", "__pos", "__tok", F.sum("__b").over(w).alias("__cid")
+    )
+    chunks = cells.groupBy("__id", "__cid").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                    lambda s: s["__tok"],
+                ),
+                " ",
+            )
+        ).alias("__ch")
+    )
+    posting = chunks.select("__id", "__ch").distinct()
+    sizes = posting.groupBy("__id").agg(F.count("*").alias("__n"))
+    a, b = posting.alias("a"), posting.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.__ch") == F.col("b.__ch"))
+            & (F.col("a.__id") != F.col("b.__id")),
+        )
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count("*").alias("__shared"))
+    )
+    na = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    return (
+        inter.join(na, "id_a")
+        .withColumn("containment", F.col("__shared") / F.col("__na"))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+    )

@@ -9437,6 +9437,59 @@ def near_dup_minhash_portable(spark, sf_dir):
     )
 
 
+@q(
+    "containment_pairs_portable",
+    f"""
+    WITH toks AS (
+        SELECT doc_id AS id, UNNEST(tk) AS tok,
+               UNNEST(RANGE(1, LEN(tk) + 1)) AS pos
+        FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)
+    ),
+    flagged AS (
+        SELECT id, pos, tok,
+               CASE WHEN CAST(('0x' || SUBSTR(MD5(tok), 1, 15)) AS BIGINT)
+                         % 8 = 0 THEN 1 ELSE 0 END AS b
+        FROM toks
+    ),
+    cells AS (
+        SELECT id, pos, tok,
+               SUM(b) OVER (PARTITION BY id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS cid
+        FROM flagged
+    ),
+    chunks AS (
+        SELECT id, cid, MD5(STRING_AGG(tok, ' ' ORDER BY pos)) AS ch
+        FROM cells GROUP BY id, cid
+    ),
+    posting AS (SELECT DISTINCT id, ch FROM chunks),
+    sizes AS (SELECT id, COUNT(*) AS n FROM posting GROUP BY id),
+    inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared
+        FROM posting a JOIN posting b
+            ON a.ch = b.ch AND a.id <> b.id
+        GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(shared AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS containment
+    FROM inter JOIN sizes s ON s.id = id_a
+    WHERE CAST(shared AS DOUBLE) / CAST(n AS DOUBLE) >= 0.5
+    """,
+    "Partial-duplicate containment pairs with PORTABLE content-defined "
+    "chunking: boundary after any token whose md5-hash is 0 mod 8 "
+    "(content-defined at token granularity — insertions only redraw "
+    "touched chunks — but no rolling per-char state), order-stable "
+    "chunk fingerprints, inverted-index chunk join, asymmetric "
+    "|A n B| / |A| score. Hash-matched sibling of the rows-only "
+    "gear-hash CDC arm (containment_pairs, byte-granular boundaries)",
+)
+def containment_pairs_portable_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.containment_pairs_portable(
+        d, "doc_id", "text", threshold=0.5, gap=8
+    )
+
+
 def _srp_oracle(
     threshold: float = 0.5, n_planes: int = 8, dim: int = 64, seed: int = 7
 ) -> str:
@@ -10076,6 +10129,7 @@ _ROUND8_POOL: tuple[str, ...] = (
     "near_dup_minhash_portable", "sim_topk_ivf",
     "minhash_dedup_survivors_portable", "simhash_pairs_portable",
     "mmr_rerank_topk", "sim_pairs_lsh_portable",
+    "containment_pairs_portable",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema+hash,
