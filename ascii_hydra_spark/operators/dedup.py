@@ -840,7 +840,14 @@ def minhash_lsh_pairs_portable(
     rows = num_hashes // bands
     if rows * bands != num_hashes:
         raise ValueError("bands must divide num_hashes")
-    tk = word_tokens(text_col)
+    # tokenize ONCE into a materialized column before indexing into it:
+    # element_at(word_tokens(text), i) inside the transform lambda would
+    # re-run the split per bigram position — O(len^2) per document
+    # (measured 8.3 s -> ~1 s for the sf0.1 shingle stage)
+    toked = df.select(
+        F.col(id_col).alias("__id"), word_tokens(text_col).alias("__tk")
+    )
+    tk = F.col("__tk")
     bigrams = F.when(
         F.size(tk) >= 2,
         F.transform(
@@ -850,9 +857,13 @@ def minhash_lsh_pairs_portable(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # persisted: the shingle table feeds FOUR consumers (signatures,
+    # sizes, both verify-join sides) — without this each one re-runs
+    # tokenize + explode + distinct
     sh = (
-        df.select(F.col(id_col).alias("__id"), F.explode(bigrams).alias("__s"))
+        toked.select("__id", F.explode(bigrams).alias("__s"))
         .distinct()
+        .persist()
     )
 
     def hv(i: int):
