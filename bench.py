@@ -156,6 +156,7 @@ EXTRA = [
     "session_duration_percentiles", # gap-rule session lengths
     "dup_rate_by_source",         # per-source exact-dup share
     "simpson_diversity_by_source",  # token concentration index
+    "containment_pairs_portable",   # token-CDC partial-dup containment
 ]
 
 
