@@ -333,3 +333,156 @@ def jaccard_link_prediction(
     return scored.orderBy(
         F.col("jaccard").desc(), "node_a", "node_b"
     ).limit(k)
+
+
+def clustering_coefficients(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    reliable: bool = False,
+) -> DataFrame:
+    """One-row clustering summary: (n_nodes_deg2, n_wedges,
+    n_closed_wedges, transitivity, avg_local_cc).
+
+    Same degree-oriented triangle enumeration as :func:`triangle_count`
+    (each triangle generated exactly once from its lowest-(degree,id)
+    vertex, bounding hub fan-out by O(sqrt(m))), but the closing join is
+    an INNER join so every found triangle credits all three of its
+    vertices. Every accumulated quantity is an exact integer:
+
+    - wedges per node = deg*(deg-1)/2 (exact bigint),
+    - triangles per node (exact count),
+    - the MEAN local coefficient is accumulated as
+      sum(floor(2e9 * t / (d*(d-1)))) — floor of one deterministic IEEE
+      division per node, then an exact integer sum — so the average is
+      reproducible across partitionings and engines (a naive double sum
+      of t/(d*(d-1)) terms is accumulation-order-dependent).
+
+    Transitivity = 3T / wedges is one final double division. Shuffle
+    profile identical to triangle_count plus one node-keyed groupBy.
+    """
+    u, v = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.select(u.alias("u"), v.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .union(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    with_deg = (
+        e.join(deg.withColumnRenamed("n", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("deg", "dv"), "v")
+    )
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = truncate_lineage(
+        with_deg.select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+            F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("db"),
+        ),
+        reliable=reliable,
+    )
+    o1 = oriented.select(F.col("a"), F.col("b").alias("x"), F.col("db").alias("dx"))
+    o2 = oriented.select(F.col("a"), F.col("b").alias("y"), F.col("db").alias("dy"))
+    wedges = o1.join(o2, "a").filter(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    # inner close (not semi): each matched wedge IS one triangle (a,x,y)
+    tri = wedges.join(
+        oriented.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+    ).select("a", "x", "y")
+    t_per_node = (
+        tri.select(F.explode(F.array("a", "x", "y")).alias("n"))
+        .groupBy("n")
+        .agg(F.count("*").alias("t"))
+    )
+    per_node = deg.filter(F.col("deg") >= 2).join(t_per_node, "n", "left").select(
+        F.col("deg").cast("bigint").alias("deg"),
+        F.coalesce(F.col("t"), F.lit(0)).cast("bigint").alias("t"),
+    )
+    scaled_cc = F.floor(
+        F.lit(2e9) * F.col("t").cast("double")
+        / (F.col("deg") * (F.col("deg") - 1)).cast("double")
+    )
+    agg = per_node.agg(
+        F.count("*").cast("bigint").alias("n_nodes_deg2"),
+        (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2).cast("bigint").alias("n_wedges"),
+        F.sum("t").cast("bigint").alias("n_closed_wedges"),
+        F.sum(scaled_cc).cast("bigint").alias("__s"),
+    )
+    return agg.select(
+        "n_nodes_deg2",
+        "n_wedges",
+        "n_closed_wedges",
+        F.round(
+            F.col("n_closed_wedges").cast("double")
+            / F.col("n_wedges").cast("double"),
+            6,
+        ).alias("transitivity"),
+        F.round(
+            F.col("__s").cast("double")
+            / F.lit(2e9)
+            / F.col("n_nodes_deg2").cast("double"),
+            6,
+        ).alias("avg_local_cc"),
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """One row (n_edges, assortativity): Pearson correlation of endpoint
+    degrees over all 2M directed copies of the undirected edge set
+    (Newman 2002's r in its correlation form — the symmetric double
+    orientation makes the two marginals identical, so no half-sum terms).
+
+    Every accumulated moment (sum dx, sum dx^2, sum dx*dy) is an exact
+    integer over integer degrees; r is assembled in ONE final double
+    expression, so the statistic is partition-order-free. Degrees are
+    node-table sized; the only shuffles are the dedup, two degree joins,
+    and one global aggregate. Hub-heavy graphs (alpha < 3, see
+    :func:`powerlaw_alpha`) typically measure r < 0 — this is the
+    diagnostic that says whether degree-oriented tricks are needed.
+    """
+    u, v = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.select(u.alias("u"), v.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .union(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    both = e.join(
+        deg.withColumnRenamed("n", "u").withColumnRenamed("deg", "du"), "u"
+    ).join(deg.withColumnRenamed("n", "v").withColumnRenamed("deg", "dv"), "v")
+    directed = both.select(
+        F.col("du").alias("dx"), F.col("dv").alias("dy")
+    ).union(both.select(F.col("dv").alias("dx"), F.col("du").alias("dy")))
+    m = directed.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return m.select(
+        (F.col("n_pairs") / 2).cast("bigint").alias("n_edges"),
+        F.round(
+            (n * sxy - sx * sx) / (n * sxx - sx * sx), 6
+        ).alias("assortativity"),
+    )

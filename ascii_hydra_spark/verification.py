@@ -10003,6 +10003,140 @@ def dup_rate_by_source(spark, sf_dir):
     return dedup.dup_rate_by_group(_t(spark, sf_dir, "documents"))
 
 
+# Shared DuckDB CTE: the user proximity graph (users linked when their
+# events are within 2 positions in the same props.k stream) — the same
+# edge construction triangle_count_users / kcore_peel_rounds use, kept
+# as one string so every graph oracle sees the identical graph.
+_EDGE_CTES = """
+    k_seq AS (
+      SELECT CAST(json_extract(props, 'k') AS INT) AS k, user_id,
+             LEAD(user_id, 1) OVER w AS u1, LEAD(user_id, 2) OVER w AS u2
+      FROM events
+      WINDOW w AS (PARTITION BY CAST(json_extract(props, 'k') AS INT)
+                   ORDER BY event_id)
+    ), raw AS (
+      SELECT user_id AS s, u1 AS d FROM k_seq WHERE u1 IS NOT NULL
+      UNION ALL SELECT user_id, u2 FROM k_seq WHERE u2 IS NOT NULL
+    ), e AS (
+      SELECT DISTINCT LEAST(s, d) AS u, GREATEST(s, d) AS v
+      FROM raw WHERE s <> d
+    ), deg AS (
+      SELECT n, COUNT(*)::BIGINT AS deg FROM (
+        SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n
+    )
+"""
+
+
+def _event_proximity_edges(spark, sf_dir):
+    """Spark twin of _EDGE_CTES: (src, dst) user pairs within 2 positions
+    in the same props.k event stream (sparse: ~2 edges/event)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        "user_id",
+        "event_id",
+    )
+    w = Window.partitionBy("k").orderBy("event_id")
+    seq = ev.select(
+        "user_id",
+        F.lead("user_id", 1).over(w).alias("u1"),
+        F.lead("user_id", 2).over(w).alias("u2"),
+    )
+    return (
+        seq.filter(F.col("u1").isNotNull()).select(
+            F.col("user_id").alias("src"), F.col("u1").alias("dst")
+        )
+    ).union(
+        seq.filter(F.col("u2").isNotNull()).select(
+            F.col("user_id").alias("src"), F.col("u2").alias("dst")
+        )
+    )
+
+
+@q(
+    "clustering_coefficient_users",
+    f"""
+    WITH {_EDGE_CTES},
+    wd AS (
+      SELECT e.u, e.v, du.deg AS du, dv.deg AS dv
+      FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+    ), oriented AS (
+      SELECT CASE WHEN (du, u) < (dv, v) THEN u ELSE v END AS a,
+             CASE WHEN (du, u) < (dv, v) THEN v ELSE u END AS b,
+             CASE WHEN (du, u) < (dv, v) THEN dv ELSE du END AS db
+      FROM wd
+    ), tri AS (
+      SELECT o1.a AS a, o1.b AS x, o2.b AS y
+      FROM oriented o1 JOIN oriented o2 ON o1.a = o2.a
+        AND ((o1.db, o1.b) < (o2.db, o2.b))
+      WHERE EXISTS (SELECT 1 FROM oriented o3 WHERE o3.a = o1.b AND o3.b = o2.b)
+    ), tn AS (
+      SELECT n, COUNT(*)::BIGINT AS t FROM (
+        SELECT a AS n FROM tri UNION ALL SELECT x FROM tri
+        UNION ALL SELECT y FROM tri) GROUP BY n
+    ), per AS (
+      SELECT deg.deg::BIGINT AS deg, COALESCE(tn.t, 0)::BIGINT AS t
+      FROM deg LEFT JOIN tn ON tn.n = deg.n WHERE deg.deg >= 2
+    ), agg AS (
+      SELECT COUNT(*)::BIGINT AS n_nodes_deg2,
+             CAST(SUM(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges,
+             SUM(t)::BIGINT AS n_closed_wedges,
+             SUM(CAST(FLOOR(2e9 * CAST(t AS DOUBLE)
+                 / CAST(deg * (deg - 1) AS DOUBLE)) AS BIGINT))::BIGINT AS s
+      FROM per
+    )
+    SELECT n_nodes_deg2, n_wedges, n_closed_wedges,
+           ROUND(CAST(n_closed_wedges AS DOUBLE) / CAST(n_wedges AS DOUBLE),
+                 6) AS transitivity,
+           ROUND(CAST(s AS DOUBLE) / 2e9 / CAST(n_nodes_deg2 AS DOUBLE),
+                 6) AS avg_local_cc
+    FROM agg
+    """,
+    "Global transitivity + mean local clustering coefficient over the "
+    "user proximity graph — degree-oriented triangle enumeration (each "
+    "triangle found once, hub wedge fan-out bounded O(sqrt(m))) with an "
+    "INNER closing join so each triangle credits its 3 vertices; the "
+    "mean local cc is an exact integer sum of floor(2e9*t/(d(d-1))) "
+    "terms, so no accumulation-order float drift exists",
+)
+def clustering_coefficient_users(spark, sf_dir):
+    return graph.clustering_coefficients(_event_proximity_edges(spark, sf_dir))
+
+
+@q(
+    "degree_assortativity_users",
+    f"""
+    WITH {_EDGE_CTES},
+    both_d AS (
+      SELECT du.deg AS du, dv.deg AS dv
+      FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+    ), d2 AS (
+      SELECT du AS dx, dv AS dy FROM both_d
+      UNION ALL SELECT dv, du FROM both_d
+    ), m AS (
+      SELECT COUNT(*)::BIGINT AS n_pairs, SUM(dx)::BIGINT AS sx,
+             SUM(dx * dx)::BIGINT AS sxx, SUM(dx * dy)::BIGINT AS sxy
+      FROM d2
+    )
+    SELECT CAST(n_pairs / 2 AS BIGINT) AS n_edges,
+           ROUND((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / (CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                 6) AS assortativity
+    FROM m
+    """,
+    "Newman degree assortativity (Pearson r of endpoint degrees over "
+    "both orientations of every undirected edge — symmetric, so the two "
+    "marginals coincide and no half-sum terms appear); all moments are "
+    "exact integer sums, r is one final double expression. The r<0 "
+    "readout is what justifies hub-safe (degree-oriented) plan choices",
+)
+def degree_assortativity_users(spark, sf_dir):
+    return graph.degree_assortativity(_event_proximity_edges(spark, sf_dir))
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -10130,6 +10264,7 @@ _ROUND8_POOL: tuple[str, ...] = (
     "minhash_dedup_survivors_portable", "simhash_pairs_portable",
     "mmr_rerank_topk", "sim_pairs_lsh_portable",
     "containment_pairs_portable",
+    "clustering_coefficient_users", "degree_assortativity_users",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema+hash,
