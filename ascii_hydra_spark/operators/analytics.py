@@ -2121,3 +2121,128 @@ def session_duration_percentiles(
             )
         )
     return per.agg(*cols)
+
+
+def max_drawdown(
+    series: DataFrame, time_col: str = "day", value_col: str = "value"
+) -> DataFrame:
+    """One row: worst peak-to-trough shortfall of an ordered series —
+    (trough_day, peak_value, trough_value, max_drawdown, drawdown_pct).
+
+    Input is a CALENDAR-GRAIN series (the caller reduces fact rows to
+    per-day values first), so the global running-max window sorts
+    thousands of rows, not billions — the gini/entity-level contract.
+    Values ride in DECIMAL through the running max and the subtraction,
+    so peak selection and the drawdown amount are exact; the single
+    trough row is picked by (drawdown DESC, day ASC) — deterministic
+    under ties — and only the final pct is a double division.
+    """
+    w = Window.orderBy("__t").rowsBetween(Window.unboundedPreceding, 0)
+    d = series.select(
+        F.col(time_col).alias("__t"),
+        F.col(value_col).cast("decimal(18,2)").alias("__v"),
+    ).withColumn("__peak", F.max("__v").over(w))
+    dd = d.withColumn("__dd", F.col("__peak") - F.col("__v"))
+    pick = dd.orderBy(F.desc("__dd"), F.col("__t")).limit(1)
+    return pick.select(
+        # string-typed day: engine-portable canonical form (dates and
+        # timestamps canonicalize differently across Arrow readers)
+        F.col("__t").cast("string").alias("trough_day"),
+        F.col("__peak").cast("double").alias("peak_value"),
+        F.col("__v").cast("double").alias("trough_value"),
+        F.col("__dd").cast("double").alias("max_drawdown"),
+        F.round(
+            F.col("__dd").cast("double") / F.col("__peak").cast("double"), 6
+        ).alias("drawdown_pct"),
+    )
+
+
+def kendall_tau(
+    series: DataFrame, key_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """One row (n, n_pairs, concordant, discordant, tau_b): Kendall's
+    tau-b between two columns of a BOUNDED series.
+
+    The all-pairs comparison is quadratic in the SERIES length by
+    design, never in fact rows — the caller reduces to calendar grain
+    (<= a few thousand rows) first, same contract as the Theil-Sen
+    trend's pair join. Pair classification (concordant / discordant /
+    x-tied / y-tied) happens on decimal-cast values, so every count is
+    an exact integer; tau-b's tie-corrected denominator
+    sqrt((n0-n1)(n0-n2)) is assembled in one final double expression.
+    """
+    a = series.select(
+        F.col(key_col).alias("__k1"),
+        F.col(x_col).cast("decimal(18,6)").alias("__x1"),
+        F.col(y_col).cast("decimal(18,6)").alias("__y1"),
+    )
+    b = series.select(
+        F.col(key_col).alias("__k2"),
+        F.col(x_col).cast("decimal(18,6)").alias("__x2"),
+        F.col(y_col).cast("decimal(18,6)").alias("__y2"),
+    )
+    pairs = a.join(b, F.col("__k1") < F.col("__k2"))
+    sx = F.signum((F.col("__x2") - F.col("__x1")).cast("double"))
+    sy = F.signum((F.col("__y2") - F.col("__y1")).cast("double"))
+    cls = pairs.select(
+        F.when(sx * sy > 0, 1).otherwise(0).alias("__c"),
+        F.when(sx * sy < 0, 1).otherwise(0).alias("__d"),
+        F.when(sx == 0, 1).otherwise(0).alias("__tx"),
+        F.when(sy == 0, 1).otherwise(0).alias("__ty"),
+    )
+    m = cls.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("__c").cast("bigint").alias("concordant"),
+        F.sum("__d").cast("bigint").alias("discordant"),
+        F.sum("__tx").cast("bigint").alias("__n1"),
+        F.sum("__ty").cast("bigint").alias("__n2"),
+    )
+    n0 = F.col("n_pairs").cast("double")
+    return m.select(
+        "n_pairs",
+        "concordant",
+        "discordant",
+        F.round(
+            (F.col("concordant") - F.col("discordant")).cast("double")
+            / F.sqrt(
+                (n0 - F.col("__n1").cast("double"))
+                * (n0 - F.col("__n2").cast("double"))
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+def poisson_dispersion(
+    counts: DataFrame, count_col: str = "n"
+) -> DataFrame:
+    """One row (n_entities, mean, dispersion, z, p_value): index-of-
+    dispersion test of per-entity event counts against the Poisson
+    null (variance == mean).
+
+    D = s^2 / xbar from exact integer power sums (counts are integers,
+    so sum, sum-of-squares, and n are exact and partition-order-free);
+    z = (D - 1) * sqrt((n - 1) / 2) is the normal approximation of the
+    (n-1)D ~ chi2(n-1) statistic, two-sided p via the shared
+    Abramowitz-Stegun erf polynomial. D >> 1 (burstiness/contagion) is
+    the readout that says per-entity hot-key salting will be needed.
+    """
+    m = counts.agg(
+        F.count("*").cast("bigint").alias("n_entities"),
+        F.sum(count_col).cast("bigint").alias("__s"),
+        F.sum(F.col(count_col) * F.col(count_col)).cast("bigint").alias("__ss"),
+    )
+    n = F.col("n_entities").cast("double")
+    s = F.col("__s").cast("double")
+    ss = F.col("__ss").cast("double")
+    mean = s / n
+    var = (n * ss - s * s) / (n * (n - F.lit(1.0)))
+    disp = var / mean
+    z = (disp - F.lit(1.0)) * F.sqrt((n - F.lit(1.0)) / F.lit(2.0))
+    return m.select(
+        "n_entities",
+        F.round(mean, 6).alias("mean"),
+        F.round(disp, 6).alias("dispersion"),
+        F.round(z, 6).alias("z"),
+        F.round(two_sided_p_from_z(z), 6).alias("p_value"),
+    )

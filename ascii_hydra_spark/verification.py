@@ -10137,6 +10137,147 @@ def degree_assortativity_users(spark, sf_dir):
     return graph.degree_assortativity(_event_proximity_edges(spark, sf_dir))
 
 
+@q(
+    "max_drawdown_revenue",
+    """
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS v
+        FROM orders GROUP BY 1
+    ),
+    p AS (
+        SELECT day, v,
+               MAX(v) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS peak
+        FROM d
+    ),
+    dd AS (SELECT day, v, peak, peak - v AS dd FROM p)
+    SELECT CAST(day AS VARCHAR) AS trough_day,
+           CAST(peak AS DOUBLE) AS peak_value,
+           CAST(v AS DOUBLE) AS trough_value,
+           CAST(dd AS DOUBLE) AS max_drawdown,
+           ROUND(CAST(dd AS DOUBLE) / CAST(peak AS DOUBLE), 6) AS drawdown_pct
+    FROM dd ORDER BY dd DESC, day LIMIT 1
+    """,
+    "Worst peak-to-trough shortfall of the daily-revenue series — "
+    "decimal-exact running max and drawdown over calendar-grain rows "
+    "(the gini entity-level global-window contract), deterministic "
+    "trough pick (drawdown DESC, day ASC), one final double division",
+)
+def max_drawdown_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("value")
+    )
+    return analytics.max_drawdown(daily, "day", "value")
+
+
+@q(
+    "kendall_tau_daily",
+    """
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               COUNT(*)::BIGINT AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS revenue
+        FROM orders GROUP BY 1
+    ),
+    s AS (SELECT day, CAST(n_orders AS DECIMAL(18,6)) AS x,
+                 CAST(revenue AS DECIMAL(18,6)) AS y FROM d),
+    p AS (
+        SELECT SIGN(CAST(b.x - a.x AS DOUBLE)) AS sx,
+               SIGN(CAST(b.y - a.y AS DOUBLE)) AS sy
+        FROM s a JOIN s b ON a.day < b.day
+    ),
+    m AS (
+        SELECT COUNT(*)::BIGINT AS n_pairs,
+               SUM(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS concordant,
+               SUM(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS discordant,
+               SUM(CASE WHEN sx = 0 THEN 1 ELSE 0 END)::BIGINT AS n1,
+               SUM(CASE WHEN sy = 0 THEN 1 ELSE 0 END)::BIGINT AS n2
+        FROM p
+    )
+    SELECT n_pairs, concordant, discordant,
+           ROUND(CAST(concordant - discordant AS DOUBLE)
+                 / SQRT((CAST(n_pairs AS DOUBLE) - CAST(n1 AS DOUBLE))
+                        * (CAST(n_pairs AS DOUBLE) - CAST(n2 AS DOUBLE))),
+                 6) AS tau_b
+    FROM m
+    """,
+    "Kendall tau-b between daily order count and daily revenue — the "
+    "tie-corrected monotone-association check beside spearman (ranks) "
+    "and autocorr (serial); pair classification on decimal-exact "
+    "values so every count is integer, quadratic in DAYS by design "
+    "(same bounded-series pair-join contract as theil_sen)",
+)
+def kendall_tau_daily(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("revenue"),
+    )
+    return analytics.kendall_tau(daily, "day", "n_orders", "revenue")
+
+
+@q(
+    "poisson_dispersion_users",
+    """
+    WITH c AS (
+        SELECT user_id, COUNT(*)::BIGINT AS n FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT COUNT(*)::BIGINT AS n_entities, SUM(n)::BIGINT AS s,
+               SUM(n * n)::BIGINT AS ss
+        FROM c
+    ),
+    t AS (
+        SELECT n_entities,
+               CAST(s AS DOUBLE) / CAST(n_entities AS DOUBLE) AS mean,
+               ((CAST(n_entities AS DOUBLE) * CAST(ss AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                / (CAST(n_entities AS DOUBLE)
+                   * (CAST(n_entities AS DOUBLE) - 1.0)))
+               / (CAST(s AS DOUBLE) / CAST(n_entities AS DOUBLE)) AS disp
+        FROM m
+    ),
+    z AS (
+        SELECT n_entities, mean, disp,
+               (disp - 1.0) * SQRT((CAST(n_entities AS DOUBLE) - 1.0) / 2.0)
+                   AS zv
+        FROM t
+    )
+    SELECT n_entities, ROUND(mean, 6) AS mean, ROUND(disp, 6) AS dispersion,
+           ROUND(zv, 6) AS z,
+           ROUND(1.0 - (1.0 - (0.254829592 * tt
+                               + -0.284496736 * tt * tt
+                               + 1.421413741 * tt * tt * tt
+                               + -1.453152027 * tt * tt * tt * tt
+                               + 1.061405429 * tt * tt * tt * tt * tt)
+                        * EXP(-xx * xx)), 6) AS p_value
+    FROM (SELECT n_entities, mean, disp, zv,
+                 ABS(zv) / SQRT(2.0) AS xx,
+                 1.0 / (1.0 + 0.3275911 * (ABS(zv) / SQRT(2.0))) AS tt
+          FROM z)
+    """,
+    "Index-of-dispersion (variance/mean) test of per-user event counts "
+    "against the Poisson null — the burstiness screen that predicts "
+    "hot-key skew before a user-keyed shuffle; exact integer power "
+    "sums, one final double assembly, p via the shared A&S erf "
+    "polynomial (identical literals both engines)",
+)
+def poisson_dispersion_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("n"))
+    return analytics.poisson_dispersion(counts, "n")
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -10265,6 +10406,7 @@ _ROUND8_POOL: tuple[str, ...] = (
     "mmr_rerank_topk", "sim_pairs_lsh_portable",
     "containment_pairs_portable",
     "clustering_coefficient_users", "degree_assortativity_users",
+    "max_drawdown_revenue", "kendall_tau_daily", "poisson_dispersion_users",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema+hash,

@@ -293,6 +293,9 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "cusum_changepoint_events", # 1-row (total, n) broadcast
         "moments_order_total",      # 1-row exact-mean broadcast (pass 2
                                     # sums centered powers against it)
+        "kendall_tau_daily",        # day-grain (<2.5k-row) broadcast
+                                    # non-equi pair join — quadratic in
+                                    # DAYS by design (theil_sen contract)
     }
     offenders = []
     for name, spec in REGISTRY.items():
