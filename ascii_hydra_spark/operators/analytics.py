@@ -2246,3 +2246,76 @@ def poisson_dispersion(
         F.round(z, 6).alias("z"),
         F.round(two_sided_p_from_z(z), 6).alias("p_value"),
     )
+
+
+def chi2_uniform_weekday(
+    df: DataFrame, date_col: str
+) -> DataFrame:
+    """One row (n_total, n_dows, chi2, p_value): chi-square goodness-of-
+    fit of the weekday load profile against the uniform null.
+
+    The statistic uses the algebraic identity
+    chi2 = k * sum(n_i^2) / T - T (k=7 cells, T total) so it is
+    assembled from EXACT integer aggregates (sum of squared weekday
+    counts) in one final double expression — no per-cell float terms to
+    accumulate in partition order. The survival function for even
+    df = 6 has the closed form exp(-x/2) * (1 + x/2 + (x/2)^2/2),
+    written in one literal order for both engines. Weekday extraction
+    is ISO (Monday=1), identical across engines.
+    """
+    dows = df.select(
+        (F.weekday(F.col(date_col)) + F.lit(1)).alias("__dow")
+    )
+    counts = dows.groupBy("__dow").agg(F.count("*").cast("bigint").alias("__n"))
+    m = counts.agg(
+        F.sum("__n").cast("bigint").alias("n_total"),
+        F.count("*").cast("bigint").alias("n_dows"),
+        F.sum(F.col("__n") * F.col("__n")).cast("bigint").alias("__ss"),
+    )
+    t = F.col("n_total").cast("double")
+    chi2 = F.lit(7.0) * F.col("__ss").cast("double") / t - t
+    half = chi2 / F.lit(2.0)
+    p = F.exp(-half) * (F.lit(1.0) + half + half * half / F.lit(2.0))
+    return m.select(
+        "n_total",
+        "n_dows",
+        F.round(chi2, 6).alias("chi2"),
+        F.round(p, 6).alias("p_value"),
+    )
+
+
+def benford_second_digit(df: DataFrame, value_col: str) -> DataFrame:
+    """Per second-significant-digit row (digit, n, share, expected_p,
+    diff): Benford second-digit conformity audit of a positive value
+    column (values must be >= 10 so a second digit exists).
+
+    First-digit audits (see :func:`benford_digits`) catch crude
+    fabrication; the second-digit test is the standard forensic
+    follow-up (Nigrini) because rounded/psychological pricing shows up
+    here first. The expected law P(d) = sum_{k=1..9} log10(1 + 1/(10k+d))
+    is written as the same nine literals in both engines. Digit
+    extraction is string-based on the integer part (exact), counts are
+    integers, and the share uses a 10-row global window — bucket-grain,
+    the gini contract.
+    """
+    digits = df.filter(F.col(value_col) >= 10).select(
+        F.substring(
+            F.floor(F.col(value_col)).cast("string"), 2, 1
+        ).cast("int").alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count("*").cast("bigint").alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    expected = None
+    for k in range(1, 10):
+        term = F.log10(
+            F.lit(1.0) + F.lit(1.0) / (F.lit(10.0) * k + F.col("digit").cast("double"))
+        )
+        expected = term if expected is None else expected + term
+    share = F.col("n").cast("double") / total.cast("double")
+    return counts.select(
+        "digit",
+        "n",
+        F.round(share, 6).alias("share"),
+        F.round(expected, 6).alias("expected_p"),
+        F.round(share - expected, 6).alias("diff"),
+    )

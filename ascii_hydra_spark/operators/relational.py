@@ -571,3 +571,80 @@ def dataset_fingerprint(df: DataFrame, cols: "list[str]") -> DataFrame:
         F.count("*").cast("bigint").alias("n_rows"),
         F.sum(h).cast("string").alias("fingerprint"),
     )
+
+
+def referential_integrity(
+    relationships: Sequence[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """FK audit: one row per (name, child, child_key, parent, parent_key)
+    relationship — (relationship, n_child, n_keys, n_orphans).
+
+    Each relationship is a LEFT join of the child against the parent's
+    DISTINCT key projection (distinct first, so a duplicated parent key
+    can never multiply child rows and inflate the audit), followed by a
+    conditional count — the exact-integer form of the orphan check. At
+    100 TB each join shuffles on its own FK (or broadcasts a dimension
+    parent); the branches are independent and union lazily into one
+    plan, so one pass schedules the whole audit.
+    """
+    parts = []
+    for name, child, child_key, parent, parent_key in relationships:
+        pk = parent.select(F.col(parent_key).alias("__pk")).distinct()
+        joined = child.select(F.col(child_key).alias("__ck")).join(
+            pk, F.col("__ck") == F.col("__pk"), "left"
+        )
+        parts.append(
+            joined.agg(
+                F.lit(name).alias("relationship"),
+                F.count("*").cast("bigint").alias("n_child"),
+                F.countDistinct("__ck").cast("bigint").alias("n_keys"),
+                F.sum(
+                    F.when(F.col("__pk").isNull(), 1).otherwise(0)
+                ).cast("bigint").alias("n_orphans"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def uniqueness_profile(
+    df: DataFrame, column_sets: Sequence[Sequence[str]]
+) -> DataFrame:
+    """Candidate-key discovery: one row per column set —
+    (columns, n_rows, n_distinct, uniqueness, is_key).
+
+    n_distinct is an exact COUNT(DISTINCT tuple) per set (columns must
+    be non-null for the cross-engine tuple-count semantics to agree);
+    uniqueness = n_distinct / n_rows is the only division. Each set is
+    an independent hash aggregate over its own key columns — map-side
+    partials, no global sort — and the branches union lazily, so the
+    profile is one schedulable plan even with many sets.
+    """
+    parts = []
+    for cols in column_sets:
+        name = ",".join(cols)
+        parts.append(
+            df.agg(
+                F.lit(name).alias("columns"),
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.countDistinct(*[F.col(c) for c in cols])
+                .cast("bigint")
+                .alias("n_distinct"),
+            ).select(
+                "columns",
+                "n_rows",
+                "n_distinct",
+                F.round(
+                    F.col("n_distinct").cast("double")
+                    / F.col("n_rows").cast("double"),
+                    6,
+                ).alias("uniqueness"),
+                (F.col("n_distinct") == F.col("n_rows")).alias("is_key"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -10278,6 +10278,165 @@ def poisson_dispersion_users(spark, sf_dir):
     return analytics.poisson_dispersion(counts, "n")
 
 
+_FK_AUDIT_SQL_ARM = """
+    SELECT '{name}' AS relationship, COUNT(*)::BIGINT AS n_child,
+           COUNT(DISTINCT c.ck)::BIGINT AS n_keys,
+           SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_orphans
+    FROM (SELECT {ck} AS ck FROM {child}) c
+    LEFT JOIN (SELECT DISTINCT {pk} AS pk FROM {parent}) p ON c.ck = p.pk
+"""
+
+_FK_RELATIONSHIPS = [
+    ("lineitem.l_orderkey->orders.o_orderkey",
+     "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey",
+     "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey",
+     "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer.c_custkey",
+     "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation.n_nationkey",
+     "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.s_nationkey->nation.n_nationkey",
+     "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.n_regionkey->region.r_regionkey",
+     "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+@q(
+    "referential_integrity_audit",
+    "\nUNION ALL\n".join(
+        _FK_AUDIT_SQL_ARM.format(name=n, child=c, ck=ck, parent=p, pk=pk)
+        for n, c, ck, p, pk in _FK_RELATIONSHIPS
+    ),
+    "Whole-schema FK audit: orphan counts for all 7 star-schema "
+    "relationships in ONE lazily-unioned plan — each arm left-joins the "
+    "child FK against the parent's DISTINCT key (duplicate parent keys "
+    "can never inflate the child count), exact integer counts; at "
+    "100 TB each arm shuffles on its own FK or broadcasts a dimension",
+)
+def referential_integrity_audit(spark, sf_dir):
+    return relational.referential_integrity(
+        [
+            (n, _t(spark, sf_dir, c), ck, _t(spark, sf_dir, p), pk)
+            for n, c, ck, p, pk in _FK_RELATIONSHIPS
+        ]
+    )
+
+
+@q(
+    "uniqueness_candidate_keys",
+    """
+    SELECT 'o_orderkey' AS columns, COUNT(*)::BIGINT AS n_rows,
+           COUNT(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+           ROUND(CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS uniqueness,
+           COUNT(DISTINCT o_orderkey) = COUNT(*) AS is_key
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*)::BIGINT,
+           COUNT(DISTINCT o_custkey)::BIGINT,
+           ROUND(CAST(COUNT(DISTINCT o_custkey) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6),
+           COUNT(DISTINCT o_custkey) = COUNT(*)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*)::BIGINT,
+           COUNT(DISTINCT o_orderdate)::BIGINT,
+           ROUND(CAST(COUNT(DISTINCT o_orderdate) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6),
+           COUNT(DISTINCT o_orderdate) = COUNT(*)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey,o_orderdate', COUNT(*)::BIGINT,
+           COUNT(DISTINCT (o_custkey, o_orderdate))::BIGINT,
+           ROUND(CAST(COUNT(DISTINCT (o_custkey, o_orderdate)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6),
+           COUNT(DISTINCT (o_custkey, o_orderdate)) = COUNT(*)
+    FROM orders
+    """,
+    "Candidate-key discovery over orders: exact distinct-tuple counts "
+    "for 4 column sets (single and composite) with uniqueness ratios — "
+    "the schema-inference primitive behind dedup-key and bucketing-key "
+    "choices; independent hash aggregates unioned into one plan",
+)
+def uniqueness_candidate_keys(spark, sf_dir):
+    return relational.uniqueness_profile(
+        _t(spark, sf_dir, "orders"),
+        [
+            ["o_orderkey"],
+            ["o_custkey"],
+            ["o_orderdate"],
+            ["o_custkey", "o_orderdate"],
+        ],
+    )
+
+
+@q(
+    "chi2_uniform_dow_orders",
+    """
+    WITH d AS (SELECT ISODOW(CAST(o_orderdate AS DATE)) AS dow FROM orders),
+    c AS (SELECT dow, COUNT(*)::BIGINT AS n FROM d GROUP BY dow),
+    m AS (SELECT SUM(n)::BIGINT AS n_total, COUNT(*)::BIGINT AS n_dows,
+                 SUM(n * n)::BIGINT AS ss
+          FROM c),
+    t AS (SELECT n_total, n_dows,
+                 7.0 * CAST(ss AS DOUBLE) / CAST(n_total AS DOUBLE)
+                 - CAST(n_total AS DOUBLE) AS chi2
+          FROM m)
+    SELECT n_total, n_dows, ROUND(chi2, 6) AS chi2,
+           ROUND(EXP(-(chi2 / 2.0))
+                 * (1.0 + chi2 / 2.0
+                    + (chi2 / 2.0) * (chi2 / 2.0) / 2.0), 6) AS p_value
+    FROM t
+    """,
+    "Chi-square goodness-of-fit of weekday order volume against the "
+    "uniform null via the exact identity chi2 = 7*sum(n^2)/T - T (all "
+    "integer aggregates, ONE final double expression — no per-cell "
+    "float accumulation) and the closed-form even-df=6 survival "
+    "function, identical literals both engines",
+)
+def chi2_uniform_dow_orders(spark, sf_dir):
+    return analytics.chi2_uniform_weekday(
+        _t(spark, sf_dir, "orders"), "o_orderdate"
+    )
+
+
+_BENFORD2_EXPECTED_SQL = " + ".join(
+    f"LOG10(1.0 + 1.0/(10.0*{k} + CAST(digit AS DOUBLE)))" for k in range(1, 10)
+)
+
+
+@q(
+    "benford_second_digit_totals",
+    f"""
+    WITH d AS (
+        SELECT SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                      2, 1)::INT AS digit
+        FROM orders WHERE o_totalprice >= 10
+    ),
+    c AS (SELECT digit, COUNT(*)::BIGINT AS n FROM d GROUP BY digit),
+    w AS (SELECT digit, n, SUM(n) OVER () AS total FROM c)
+    SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+           ROUND({_BENFORD2_EXPECTED_SQL}, 6) AS expected_p,
+           ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+                 - ({_BENFORD2_EXPECTED_SQL}), 6) AS diff
+    FROM w
+    """,
+    "Benford SECOND-digit conformity of order totals (Nigrini's "
+    "forensic follow-up to the first-digit audit — psychological "
+    "pricing shows up here first): exact string-based digit of the "
+    "integer part, integer counts, expected law as the same nine "
+    "log10 literals in both engines, 10-row global window for shares",
+)
+def benford_second_digit_totals(spark, sf_dir):
+    return analytics.benford_second_digit(
+        _t(spark, sf_dir, "orders"), "o_totalprice"
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -10407,6 +10566,8 @@ _ROUND8_POOL: tuple[str, ...] = (
     "containment_pairs_portable",
     "clustering_coefficient_users", "degree_assortativity_users",
     "max_drawdown_revenue", "kendall_tau_daily", "poisson_dispersion_users",
+    "referential_integrity_audit", "uniqueness_candidate_keys",
+    "chi2_uniform_dow_orders", "benford_second_digit_totals",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema+hash,
