@@ -2319,3 +2319,137 @@ def benford_second_digit(df: DataFrame, value_col: str) -> DataFrame:
         F.round(expected, 6).alias("expected_p"),
         F.round(share - expected, 6).alias("diff"),
     )
+
+
+def abc_classification(
+    entities: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """Per-class row (abc_class, n_entities, total_value, value_share):
+    ABC / 80-15-5 inventory classification of an entity-value table.
+
+    Entities are ranked by value (DESC, key ASC tie-break) and classes
+    are cut at 80% / 95% of CUMULATIVE value — both boundaries tested
+    in exact decimal space (10*cum <= 8*total, 20*cum <= 19*total), so
+    an entity sitting exactly on a boundary classifies identically in
+    every engine; only the final share is a double. Input is the
+    entity-grain aggregate (the gini global-window contract).
+    """
+    d = entities.select(
+        F.col(key_col).alias("__k"),
+        F.col(value_col).cast("decimal(18,2)").alias("__v"),
+    )
+    w = Window.orderBy(F.desc("__v"), F.col("__k")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = d.select(
+        "__k", "__v", F.sum("__v").over(w).alias("__cum"),
+        F.sum("__v").over(Window.partitionBy()).alias("__tot"),
+    )
+    cls = cum.select(
+        "__v",
+        "__tot",
+        F.when(F.lit(10) * F.col("__cum") <= F.lit(8) * F.col("__tot"), "A")
+        .when(F.lit(20) * F.col("__cum") <= F.lit(19) * F.col("__tot"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count("*").cast("bigint").alias("n_entities"),
+        F.sum("__v").cast("double").alias("total_value"),
+        F.round(
+            F.sum("__v").cast("double") / F.max("__tot").cast("double"), 6
+        ).alias("value_share"),
+    )
+
+
+def pareto_coverage(
+    entities: DataFrame,
+    key_col: str,
+    value_col: str,
+    threshold_pct: int = 80,
+) -> DataFrame:
+    """One row (n_entities, n_needed, entity_share, covered_share): the
+    smallest top-value entity set covering `threshold_pct` percent of
+    total value (the 80/20 concentration readout).
+
+    An entity is in the covering set while the cumulative value BEFORE
+    it is still under the threshold — tested exactly as
+    100*(cum - v) < pct*total in decimal, so the crossing entity is
+    included and the cut is engine-exact. Entity-grain global window
+    (gini contract); two final double divisions.
+    """
+    d = entities.select(
+        F.col(key_col).alias("__k"),
+        F.col(value_col).cast("decimal(18,2)").alias("__v"),
+    )
+    w = Window.orderBy(F.desc("__v"), F.col("__k")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = d.select(
+        "__v",
+        F.sum("__v").over(w).alias("__cum"),
+        F.sum("__v").over(Window.partitionBy()).alias("__tot"),
+    )
+    flagged = cum.select(
+        "__v",
+        "__tot",
+        (
+            F.lit(100) * (F.col("__cum") - F.col("__v"))
+            < F.lit(threshold_pct) * F.col("__tot")
+        ).alias("__in"),
+    )
+    return flagged.agg(
+        F.count("*").cast("bigint").alias("n_entities"),
+        F.sum(F.when(F.col("__in"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_needed"),
+        F.round(
+            F.sum(F.when(F.col("__in"), 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("entity_share"),
+        F.round(
+            F.sum(F.when(F.col("__in"), F.col("__v")).otherwise(F.lit(0).cast("decimal(18,2)")))
+            .cast("double")
+            / F.max("__tot").cast("double"),
+            6,
+        ).alias("covered_share"),
+    )
+
+
+def repeat_intervals(
+    facts: DataFrame,
+    entity_col: str,
+    time_col: str,
+    tiebreak_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group row (group, n_repeat_entities, n_gaps, avg_gap_days,
+    median_gap_days): distribution of consecutive inter-purchase gaps.
+
+    Gaps are exact integer day differences between consecutive events
+    of one entity (LAG over a (time, tiebreak)-ordered entity window —
+    deterministic under same-day ties); the per-group average is one
+    division over integer sums and the median interpolates integer
+    gaps (exact halves). One entity-keyed window shuffle plus one
+    group aggregate.
+    """
+    w = Window.partitionBy(entity_col).orderBy(time_col, tiebreak_col)
+    gaps = facts.select(
+        F.col(entity_col).alias("__e"),
+        F.col(group_col).alias("grp"),
+        F.datediff(
+            F.col(time_col).cast("date"),
+            F.lag(F.col(time_col).cast("date")).over(w),
+        ).alias("__gap"),
+    ).filter(F.col("__gap").isNotNull())
+    return gaps.groupBy("grp").agg(
+        F.countDistinct("__e").cast("bigint").alias("n_repeat_entities"),
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.round(
+            F.sum("__gap").cast("double") / F.count("*").cast("double"), 6
+        ).alias("avg_gap_days"),
+        F.round(
+            F.expr("percentile(__gap, 0.5)"), 6
+        ).alias("median_gap_days"),
+    )

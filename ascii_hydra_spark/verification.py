@@ -10437,6 +10437,180 @@ def benford_second_digit_totals(spark, sf_dir):
     )
 
 
+@q(
+    "abc_classification_parts",
+    """
+    WITH pv AS (
+        SELECT l_partkey AS k,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS v
+        FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+        SELECT k, v,
+               SUM(v) OVER (ORDER BY v DESC, k ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW) AS cum,
+               SUM(v) OVER () AS tot
+        FROM pv
+    ),
+    cls AS (
+        SELECT v, tot,
+               CASE WHEN 10 * cum <= 8 * tot THEN 'A'
+                    WHEN 20 * cum <= 19 * tot THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM cum
+    )
+    SELECT abc_class, COUNT(*)::BIGINT AS n_entities,
+           CAST(SUM(v) AS DOUBLE) AS total_value,
+           ROUND(CAST(SUM(v) AS DOUBLE) / CAST(MAX(tot) AS DOUBLE), 6)
+               AS value_share
+    FROM cls GROUP BY abc_class
+    """,
+    "ABC (80/95) inventory classification of parts by revenue — both "
+    "class boundaries tested in exact decimal space (10*cum <= 8*tot), "
+    "so boundary entities classify identically in every engine; "
+    "part-grain global window per the gini contract",
+)
+def abc_classification_parts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    pv = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("v")
+    )
+    return analytics.abc_classification(pv, "k", "v")
+
+
+@q(
+    "pareto_coverage_customers",
+    """
+    WITH cv AS (
+        SELECT o_custkey AS k,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS v
+        FROM orders GROUP BY 1
+    ),
+    cum AS (
+        SELECT v,
+               SUM(v) OVER (ORDER BY v DESC, k ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW) AS cum,
+               SUM(v) OVER () AS tot
+        FROM cv
+    ),
+    f AS (
+        SELECT v, tot, 100 * (cum - v) < 80 * tot AS inb FROM cum
+    )
+    SELECT COUNT(*)::BIGINT AS n_entities,
+           SUM(CASE WHEN inb THEN 1 ELSE 0 END)::BIGINT AS n_needed,
+           ROUND(CAST(SUM(CASE WHEN inb THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS entity_share,
+           ROUND(CAST(SUM(CASE WHEN inb THEN v
+                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(MAX(tot) AS DOUBLE), 6) AS covered_share
+    FROM f
+    """,
+    "Smallest top-spend customer set covering 80% of revenue (the "
+    "80/20 concentration readout beside gini/hhi) — membership tested "
+    "exactly as 100*(cum-v) < 80*tot in decimal so the crossing "
+    "customer is included deterministically; two final divisions",
+)
+def pareto_coverage_customers(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    cv = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("v")
+    )
+    return analytics.pareto_coverage(cv, "k", "v", threshold_pct=80)
+
+
+@q(
+    "returns_ratio_by_nation",
+    """
+    SELECT n.n_name,
+           COUNT(*)::BIGINT AS n_lines,
+           SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT
+               AS n_returned,
+           ROUND(CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS return_rate,
+           ROUND(CAST(SUM(CASE WHEN l.l_returnflag = 'R'
+                          THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                        AS DOUBLE), 6) AS returned_rev_share
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    "Return rate and returned-revenue share per supplier nation — the "
+    "supply-quality scorecard: fact rows shuffle once on the group "
+    "key after broadcast dimension joins, counts and decimal revenue "
+    "sums exact, two final divisions per row",
+)
+def returns_ratio_by_nation(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    j = li.join(s, li.l_suppkey == s.s_suppkey).join(
+        n, s.s_nationkey == n.n_nationkey
+    )
+    ret = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    ret_rev = F.when(
+        F.col("l_returnflag") == "R",
+        F.col("l_extendedprice").cast("decimal(18,2)"),
+    ).otherwise(F.lit(0).cast("decimal(18,2)"))
+    return j.groupBy("n_name").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(ret).cast("bigint").alias("n_returned"),
+        F.round(
+            F.sum(ret).cast("double") / F.count("*").cast("double"), 6
+        ).alias("return_rate"),
+        F.round(
+            F.sum(ret_rev).cast("double")
+            / F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                "double"
+            ),
+            6,
+        ).alias("returned_rev_share"),
+    )
+
+
+@q(
+    "repeat_interval_segments",
+    """
+    WITH g AS (
+        SELECT c.c_mktsegment AS grp, o.o_custkey AS e,
+               CAST(o.o_orderdate AS DATE)
+               - LAG(CAST(o.o_orderdate AS DATE))
+                 OVER (PARTITION BY o.o_custkey
+                       ORDER BY o.o_orderdate, o.o_orderkey) AS gap
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT grp, COUNT(DISTINCT e)::BIGINT AS n_repeat_entities,
+           COUNT(*)::BIGINT AS n_gaps,
+           ROUND(CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS avg_gap_days,
+           ROUND(quantile_cont(gap, 0.5), 6) AS median_gap_days
+    FROM g WHERE gap IS NOT NULL GROUP BY grp
+    """,
+    "Inter-purchase interval distribution per market segment — exact "
+    "integer day gaps from a LAG over each customer's (date, orderkey) "
+    "order history (deterministic under same-day ties: the sorted date "
+    "sequence is unique), integer-sum average, interpolated median "
+    "(Spark percentile == DuckDB quantile_cont); one entity-keyed "
+    "window shuffle + one group aggregate",
+)
+def repeat_interval_segments(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    facts = o.join(c, o.o_custkey == c.c_custkey)
+    return analytics.repeat_intervals(
+        facts, "o_custkey", "o_orderdate", "o_orderkey", "c_mktsegment"
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -10568,6 +10742,8 @@ _ROUND8_POOL: tuple[str, ...] = (
     "max_drawdown_revenue", "kendall_tau_daily", "poisson_dispersion_users",
     "referential_integrity_audit", "uniqueness_candidate_keys",
     "chi2_uniform_dow_orders", "benford_second_digit_totals",
+    "abc_classification_parts", "pareto_coverage_customers",
+    "returns_ratio_by_nation", "repeat_interval_segments",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema+hash,
