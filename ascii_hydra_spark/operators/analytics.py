@@ -21,6 +21,8 @@ Scale notes (every function):
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -2452,4 +2454,169 @@ def repeat_intervals(
         F.round(
             F.expr("percentile(__gap, 0.5)"), 6
         ).alias("median_gap_days"),
+    )
+
+
+def stickiness_monthly(
+    events: DataFrame, entity_col: str, ts_col: str
+) -> DataFrame:
+    """Per-month row (month, mau, n_days, avg_dau, stickiness): the
+    DAU/MAU engagement ratio (product-analytics "stickiness").
+
+    Exact integer pieces — per-day distinct actives summed over the
+    month, active-day count, and monthly distinct actives — joined on
+    the month key and combined in one final double expression
+    ((sum_dau / n_days) / mau). Two distinct-aggregates (day grain and
+    month grain) that each shuffle once on their group key; the month
+    join is month-cardinality (broadcast-sized).
+    """
+    month = F.date_format(F.col(ts_col), "yyyy-MM").alias("month")
+    day = F.col(ts_col).cast("date").alias("__day")
+    daily = (
+        events.select(month, day, F.col(entity_col).alias("__e"))
+        .groupBy("month", "__day")
+        .agg(F.countDistinct("__e").cast("bigint").alias("__dau"))
+        .groupBy("month")
+        .agg(
+            F.sum("__dau").cast("bigint").alias("__sum_dau"),
+            F.count("*").cast("bigint").alias("n_days"),
+        )
+    )
+    monthly = (
+        events.select(month, F.col(entity_col).alias("__e"))
+        .groupBy("month")
+        .agg(F.countDistinct("__e").cast("bigint").alias("mau"))
+    )
+    j = daily.join(monthly, "month")
+    avg_dau = F.col("__sum_dau").cast("double") / F.col("n_days").cast("double")
+    return j.select(
+        "month",
+        "mau",
+        "n_days",
+        F.round(avg_dau, 6).alias("avg_dau"),
+        F.round(avg_dau / F.col("mau").cast("double"), 6).alias("stickiness"),
+    )
+
+
+def dow_hour_heatmap(events: DataFrame, ts_col: str) -> DataFrame:
+    """Per-(ISO weekday, hour) row (dow, hour, n, share): the 168-cell
+    load heatmap — the capacity-planning readout behind partition-count
+    and autoscaling choices. One map-side-combinable groupBy; shares
+    via a global window over the 168 bucket rows (bucket grain, the
+    gini contract); exact counts, one division per cell.
+    """
+    cells = events.select(
+        (F.weekday(F.col(ts_col)) + F.lit(1)).alias("dow"),
+        F.hour(F.col(ts_col)).alias("hour"),
+    ).groupBy("dow", "hour").agg(F.count("*").cast("bigint").alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    return cells.select(
+        "dow",
+        "hour",
+        "n",
+        F.round(F.col("n").cast("double") / total.cast("double"), 6).alias(
+            "share"
+        ),
+    )
+
+
+def cooccurrence_lift(
+    facts: DataFrame, entity_col: str, item_col: str
+) -> DataFrame:
+    """Per item pair (item_a, item_b, n_a, n_b, n_both, support, lift):
+    entity-level co-occurrence lift between items (event types,
+    product categories) — lift = (n_both * n_total) / (n_a * n_b),
+    assembled from exact distinct-entity counts in one double
+    expression.
+
+    The pair stage self-joins the DISTINCT (entity, item) projection on
+    the entity key, so fan-out is bounded by the per-entity item count
+    (the catalog is small by construction — event types, categories —
+    never raw item ids; that bounded-vocabulary contract is what makes
+    the output pair table broadcast-sized). The 1-row total-entities
+    aggregate broadcasts onto the bounded pair table.
+    """
+    ui = facts.select(
+        F.col(entity_col).alias("__e"), F.col(item_col).alias("__i")
+    ).distinct()
+    per_item = ui.groupBy("__i").agg(
+        F.countDistinct("__e").cast("bigint").alias("__n")
+    )
+    pairs = (
+        ui.alias("a")
+        .join(ui.alias("b"), (F.col("a.__e") == F.col("b.__e"))
+              & (F.col("a.__i") < F.col("b.__i")))
+        .groupBy(
+            F.col("a.__i").alias("item_a"), F.col("b.__i").alias("item_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    total = facts.select(F.col(entity_col).alias("__e")).agg(
+        F.countDistinct("__e").cast("bigint").alias("__t")
+    )
+    j = (
+        pairs.join(
+            per_item.select(
+                F.col("__i").alias("item_a"), F.col("__n").alias("n_a")
+            ),
+            "item_a",
+        )
+        .join(
+            per_item.select(
+                F.col("__i").alias("item_b"), F.col("__n").alias("n_b")
+            ),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    return j.select(
+        "item_a",
+        "item_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        F.round(
+            F.col("n_both").cast("double") / F.col("__t").cast("double"), 6
+        ).alias("support"),
+        F.round(
+            (F.col("n_both").cast("double") * F.col("__t").cast("double"))
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+            6,
+        ).alias("lift"),
+    )
+
+
+def session_entry_exit(
+    tagged: DataFrame,
+    keys: Sequence[str],
+    session_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    item_col: str,
+) -> DataFrame:
+    """Per (entry, exit) pair (entry_item, exit_item, n_sessions,
+    share): which item opens and closes each session — the navigation-
+    flow matrix. Entry/exit are min_by/max_by over the exact
+    (timestamp, tiebreak) struct (deterministic under ties), one
+    session-keyed aggregate; shares via a global window over the
+    bounded (catalog^2) pair rows.
+    """
+    order_key = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    per_session = tagged.groupBy(
+        *[F.col(k) for k in keys], F.col(session_col)
+    ).agg(
+        F.min_by(F.col(item_col), order_key).alias("entry_item"),
+        F.max_by(F.col(item_col), order_key).alias("exit_item"),
+    )
+    counts = per_session.groupBy("entry_item", "exit_item").agg(
+        F.count("*").cast("bigint").alias("n_sessions")
+    )
+    total = F.sum("n_sessions").over(Window.partitionBy())
+    return counts.select(
+        "entry_item",
+        "exit_item",
+        "n_sessions",
+        F.round(
+            F.col("n_sessions").cast("double") / total.cast("double"), 6
+        ).alias("share"),
     )

@@ -10611,6 +10611,153 @@ def repeat_interval_segments(spark, sf_dir):
     )
 
 
+@q(
+    "monthly_stickiness",
+    """
+    WITH daily AS (
+        SELECT strftime(ts, '%Y-%m') AS month, CAST(ts AS DATE) AS day,
+               COUNT(DISTINCT user_id)::BIGINT AS dau
+        FROM events GROUP BY 1, 2
+    ),
+    dm AS (
+        SELECT month, SUM(dau)::BIGINT AS sum_dau, COUNT(*)::BIGINT AS n_days
+        FROM daily GROUP BY month
+    ),
+    mm AS (
+        SELECT strftime(ts, '%Y-%m') AS month,
+               COUNT(DISTINCT user_id)::BIGINT AS mau
+        FROM events GROUP BY 1
+    )
+    SELECT dm.month, mm.mau, dm.n_days,
+           ROUND(CAST(sum_dau AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+               AS avg_dau,
+           ROUND((CAST(sum_dau AS DOUBLE) / CAST(n_days AS DOUBLE))
+                 / CAST(mau AS DOUBLE), 6) AS stickiness
+    FROM dm JOIN mm USING (month)
+    """,
+    "Monthly DAU/MAU stickiness — the engagement ratio beside "
+    "rolling_active_users and new_vs_returning; exact integer distinct "
+    "counts at day and month grain joined on the month key, one final "
+    "double expression per row",
+)
+def monthly_stickiness(spark, sf_dir):
+    return analytics.stickiness_monthly(
+        _t(spark, sf_dir, "events"), "user_id", "ts"
+    )
+
+
+@q(
+    "dow_hour_heatmap_events",
+    """
+    WITH c AS (
+        SELECT ISODOW(ts)::INT AS dow,
+               CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+               COUNT(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
+    ),
+    w AS (SELECT dow, hour, n, SUM(n) OVER () AS total FROM c)
+    SELECT dow, hour, n,
+           ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+    FROM w
+    """,
+    "ISO-weekday x hour load heatmap (168 cells) with traffic shares — "
+    "the capacity-planning readout behind partition-count choices; one "
+    "map-side-combinable groupBy, bucket-grain global window for "
+    "shares, exact counts",
+)
+def dow_hour_heatmap_events(spark, sf_dir):
+    return analytics.dow_hour_heatmap(_t(spark, sf_dir, "events"), "ts")
+
+
+@q(
+    "event_type_lift",
+    """
+    WITH ui AS (SELECT DISTINCT user_id AS e, event_type AS i FROM events),
+    per AS (SELECT i, COUNT(DISTINCT e)::BIGINT AS n FROM ui GROUP BY i),
+    p AS (
+        SELECT a.i AS item_a, b.i AS item_b, COUNT(*)::BIGINT AS n_both
+        FROM ui a JOIN ui b ON a.e = b.e AND a.i < b.i
+        GROUP BY 1, 2
+    ),
+    t AS (SELECT COUNT(DISTINCT user_id)::BIGINT AS tot FROM events)
+    SELECT item_a, item_b, pa.n AS n_a, pb.n AS n_b, n_both,
+           ROUND(CAST(n_both AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+               AS support,
+           ROUND((CAST(n_both AS DOUBLE) * CAST(tot AS DOUBLE))
+                 / (CAST(pa.n AS DOUBLE) * CAST(pb.n AS DOUBLE)), 6)
+               AS lift
+    FROM p JOIN per pa ON pa.i = item_a JOIN per pb ON pb.i = item_b
+    CROSS JOIN t
+    """,
+    "User-level co-occurrence lift between event types — the "
+    "audience-overlap matrix (lift > 1: types share users beyond "
+    "chance); the pair self-join runs on the DISTINCT (user, type) "
+    "projection with fan-out bounded by the 5-type catalog, exact "
+    "distinct counts, 1-row user-total broadcast onto the bounded "
+    "pair table",
+)
+def event_type_lift(spark, sf_dir):
+    return analytics.cooccurrence_lift(
+        _t(spark, sf_dir, "events"), "user_id", "event_type"
+    )
+
+
+@q(
+    "session_entry_exit_types",
+    """
+    WITH e AS (SELECT user_id, ts, event_id, event_type,
+                      EPOCH_US(ts) AS us FROM events),
+    g AS (
+        SELECT user_id, us, ts, event_id, event_type,
+               CASE WHEN LAG(us) OVER w IS NULL
+                         OR us - LAG(us) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sid AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS session_id
+        FROM g
+    ),
+    rn AS (
+        SELECT user_id, session_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                  ORDER BY ts, event_id) AS r_asc,
+               ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                  ORDER BY ts DESC, event_id DESC) AS r_desc
+        FROM sid
+    ),
+    per AS (
+        SELECT user_id, session_id,
+               MAX(CASE WHEN r_asc = 1 THEN event_type END) AS entry_item,
+               MAX(CASE WHEN r_desc = 1 THEN event_type END) AS exit_item
+        FROM rn GROUP BY user_id, session_id
+    ),
+    c AS (SELECT entry_item, exit_item, COUNT(*)::BIGINT AS n_sessions
+          FROM per GROUP BY 1, 2),
+    w2 AS (SELECT entry_item, exit_item, n_sessions,
+                  SUM(n_sessions) OVER () AS total FROM c)
+    SELECT entry_item, exit_item, n_sessions,
+           ROUND(CAST(n_sessions AS DOUBLE) / CAST(total AS DOUBLE), 6)
+               AS share
+    FROM w2
+    """,
+    "Session navigation-flow matrix: which event type opens and closes "
+    "each gap-rule (30 min) session — entry/exit picked by exact "
+    "(ts, event_id) order (min_by/max_by over the struct in Spark, "
+    "rank-1 rows in the oracle; event_id is unique so both are "
+    "deterministic), one session aggregate + bounded-matrix shares",
+)
+def session_entry_exit_types(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    tagged = windows.session_ids(ev, ["user_id"], "ts", "event_id", gap_s=1800)
+    return analytics.session_entry_exit(
+        tagged, ["user_id"], "session_id", "ts", "event_id", "event_type"
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -10744,6 +10891,8 @@ _ROUND8_POOL: tuple[str, ...] = (
     "chi2_uniform_dow_orders", "benford_second_digit_totals",
     "abc_classification_parts", "pareto_coverage_customers",
     "returns_ratio_by_nation", "repeat_interval_segments",
+    "monthly_stickiness", "dow_hour_heatmap_events",
+    "event_type_lift", "session_entry_exit_types",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema+hash,

@@ -296,6 +296,8 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "kendall_tau_daily",        # day-grain (<2.5k-row) broadcast
                                     # non-equi pair join — quadratic in
                                     # DAYS by design (theil_sen contract)
+        "event_type_lift",          # 1-row user-total broadcast onto
+                                    # the catalog-bounded pair table
     }
     offenders = []
     for name, spec in REGISTRY.items():
