@@ -2620,3 +2620,129 @@ def session_entry_exit(
             F.col("n_sessions").cast("double") / total.cast("double"), 6
         ).alias("share"),
     )
+
+
+def ols_two_features(
+    df: DataFrame,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+    *,
+    y_scale: int = 2,
+    x1_scale: int = 2,
+    x2_scale: int = 4,
+) -> DataFrame:
+    """One row (n, b0, b1, b2, r2): two-feature OLS with intercept by
+    the closed-form normal equations (2x2 Cramer solve on centered
+    sums) — the multivariate sibling of regr_stats.
+
+    Every RAW power sum (x1, x2, y, their squares and cross products)
+    accumulates in exact DECIMAL — the inputs are fixed-point business
+    values, so the products carry bounded scale and the sums are
+    partition-order-free; the centered sums, the Cramer solve, and R^2
+    are then ONE deterministic double expression each. One aggregate
+    scan; no iteration, no broadcast (the solve is driver-free algebra
+    inside the single result row).
+    """
+    y = F.col(y_col).cast(f"decimal(18,{y_scale})")
+    x1 = F.col(x1_col).cast(f"decimal(18,{x1_scale})")
+    x2 = F.col(x2_col).cast(f"decimal(18,{x2_scale})")
+    m = df.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(x1).cast("double").alias("__sx1"),
+        F.sum(x2).cast("double").alias("__sx2"),
+        F.sum(y).cast("double").alias("__sy"),
+        F.sum(x1 * x1).cast("double").alias("__sx1x1"),
+        F.sum(x2 * x2).cast("double").alias("__sx2x2"),
+        F.sum(x1 * x2).cast("double").alias("__sx1x2"),
+        F.sum(x1 * y).cast("double").alias("__sx1y"),
+        F.sum(x2 * y).cast("double").alias("__sx2y"),
+        F.sum(y * y).cast("double").alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    s11 = F.col("__sx1x1") - F.col("__sx1") * F.col("__sx1") / n
+    s22 = F.col("__sx2x2") - F.col("__sx2") * F.col("__sx2") / n
+    s12 = F.col("__sx1x2") - F.col("__sx1") * F.col("__sx2") / n
+    s1y = F.col("__sx1y") - F.col("__sx1") * F.col("__sy") / n
+    s2y = F.col("__sx2y") - F.col("__sx2") * F.col("__sy") / n
+    syy = F.col("__syy") - F.col("__sy") * F.col("__sy") / n
+    den = s11 * s22 - s12 * s12
+    b1 = (s22 * s1y - s12 * s2y) / den
+    b2 = (s11 * s2y - s12 * s1y) / den
+    b0 = F.col("__sy") / n - b1 * F.col("__sx1") / n - b2 * F.col("__sx2") / n
+    r2 = (b1 * s1y + b2 * s2y) / syy
+    return m.select(
+        "n",
+        F.round(b0, 6).alias("b0"),
+        F.round(b1, 6).alias("b1"),
+        F.round(b2, 6).alias("b2"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+def jarque_bera(df: DataFrame, value_col: str, *, scale: int = 2) -> DataFrame:
+    """One row (n, skewness, kurtosis, jb, p_value): Jarque-Bera
+    normality test — JB = n*(S^2/6 + (K-3)^2/24) from the same two-pass
+    centered moments as :func:`central_moments` (exact decimal mean
+    broadcast, centered power sums at answer scale), with the exact
+    closed-form chi2(df=2) survival p = exp(-JB/2). The normality gate
+    run before parametric A/B tests are trusted.
+    """
+    x = F.col(value_col).cast(f"decimal(18,{scale})")
+    base = df.agg(
+        F.count("*").cast("bigint").alias("n"), F.sum(x).alias("__s")
+    ).select(
+        "n",
+        (F.col("__s").cast("double") / F.col("n").cast("double")).alias(
+            "__mean"
+        ),
+    )
+    d = F.col(value_col).cast("double") - F.col("__mean")
+    cm = (
+        df.crossJoin(F.broadcast(base))
+        .groupBy("n", "__mean")
+        .agg(
+            F.sum(d * d).alias("__m2s"),
+            F.sum(d * d * d).alias("__m3s"),
+            F.sum(d * d * d * d).alias("__m4s"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    m2 = F.col("__m2s") / nd
+    skew = (F.col("__m3s") / nd) / F.pow(m2, F.lit(1.5))
+    kurt = (F.col("__m4s") / nd) / (m2 * m2)
+    jb = nd * (
+        skew * skew / F.lit(6.0)
+        + (kurt - F.lit(3.0)) * (kurt - F.lit(3.0)) / F.lit(24.0)
+    )
+    return cm.select(
+        "n",
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("kurtosis"),
+        F.round(jb, 6).alias("jb"),
+        F.round(F.exp(-(jb / F.lit(2.0))), 6).alias("p_value"),
+    )
+
+
+def l_diversity(
+    df: DataFrame, qi_cols: Sequence[str], sensitive_col: str, l_min: int = 3
+) -> DataFrame:
+    """One row (n_groups, min_l, avg_l, n_below): distinct-l diversity
+    of a sensitive attribute within quasi-identifier groups — the
+    re-identification audit beyond :func:`k_anonymity_report` (a group
+    can be large yet expose everyone if all rows share one sensitive
+    value). Exact distinct counts per QI group, one division.
+    """
+    per = df.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.countDistinct(sensitive_col).cast("bigint").alias("__l")
+    )
+    return per.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.min("__l").cast("bigint").alias("min_l"),
+        F.round(
+            F.sum("__l").cast("double") / F.count("*").cast("double"), 6
+        ).alias("avg_l"),
+        F.sum(F.when(F.col("__l") < l_min, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_below"),
+    )

@@ -10758,6 +10758,141 @@ def session_entry_exit_types(spark, sf_dir):
     )
 
 
+@q(
+    "ols_price_quantity_discount",
+    """
+    WITH m AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx1,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sx2,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sy,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sx1x1,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,4))
+                        * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                   AS sx2x2,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                   AS sx1x2,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sx1y,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,4))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sx2y,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS syy
+        FROM lineitem
+    ),
+    c AS (
+        SELECT n, sx1, sx2, sy,
+               sx1x1 - sx1 * sx1 / CAST(n AS DOUBLE) AS s11,
+               sx2x2 - sx2 * sx2 / CAST(n AS DOUBLE) AS s22,
+               sx1x2 - sx1 * sx2 / CAST(n AS DOUBLE) AS s12,
+               sx1y - sx1 * sy / CAST(n AS DOUBLE) AS s1y,
+               sx2y - sx2 * sy / CAST(n AS DOUBLE) AS s2y,
+               syy - sy * sy / CAST(n AS DOUBLE) AS syy_c
+        FROM m
+    ),
+    b AS (
+        SELECT n, sx1, sx2, sy, s1y, s2y, syy_c,
+               (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) AS b1,
+               (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) AS b2
+        FROM c
+    )
+    SELECT n,
+           ROUND(sy / CAST(n AS DOUBLE) - b1 * sx1 / CAST(n AS DOUBLE)
+                 - b2 * sx2 / CAST(n AS DOUBLE), 6) AS b0,
+           ROUND(b1, 6) AS b1, ROUND(b2, 6) AS b2,
+           ROUND((b1 * s1y + b2 * s2y) / syy_c, 6) AS r2
+    FROM b
+    """,
+    "Two-feature OLS (extended price ~ quantity + discount) by the "
+    "closed-form 2x2 Cramer solve on centered sums — the multivariate "
+    "sibling of regr_stats; every raw power sum accumulates in exact "
+    "decimal (fixed-point inputs, bounded product scale), the solve is "
+    "one deterministic double expression; one aggregate scan",
+)
+def ols_price_quantity_discount(spark, sf_dir):
+    return analytics.ols_two_features(
+        _t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        "l_quantity",
+        "l_discount",
+    )
+
+
+@q(
+    "jarque_bera_totals",
+    """
+    WITH s AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS mean
+        FROM orders
+    ),
+    c AS (
+        SELECT s.n, s.mean,
+               SUM((o_totalprice - mean) * (o_totalprice - mean)) AS m2s,
+               SUM((o_totalprice - mean) * (o_totalprice - mean)
+                   * (o_totalprice - mean)) AS m3s,
+               SUM((o_totalprice - mean) * (o_totalprice - mean)
+                   * (o_totalprice - mean) * (o_totalprice - mean)) AS m4s
+        FROM orders CROSS JOIN s GROUP BY s.n, s.mean
+    ),
+    t AS (
+        SELECT n,
+               (m3s / n) / POW(m2s / n, 1.5) AS skew,
+               (m4s / n) / ((m2s / n) * (m2s / n)) AS kurt
+        FROM c
+    ),
+    j AS (
+        SELECT n, skew, kurt,
+               CAST(n AS DOUBLE) * (skew * skew / 6.0
+                   + (kurt - 3.0) * (kurt - 3.0) / 24.0) AS jb
+        FROM t
+    )
+    SELECT n, ROUND(skew, 6) AS skewness, ROUND(kurt, 6) AS kurtosis,
+           ROUND(jb, 6) AS jb, ROUND(EXP(-(jb / 2.0)), 6) AS p_value
+    FROM j
+    """,
+    "Jarque-Bera normality test of order totals — the gate run before "
+    "parametric A/B tests are trusted; same two-pass centered moments "
+    "as moments_order_total (exact decimal mean broadcast), JB and the "
+    "exact closed-form chi2(df=2) survival p = exp(-JB/2) in one "
+    "written order both engines",
+)
+def jarque_bera_totals(spark, sf_dir):
+    return analytics.jarque_bera(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+@q(
+    "l_diversity_customers",
+    """
+    WITH per AS (
+        SELECT c_nationkey, COUNT(DISTINCT c_mktsegment)::BIGINT AS l
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT COUNT(*)::BIGINT AS n_groups, MIN(l)::BIGINT AS min_l,
+           ROUND(CAST(SUM(l) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS avg_l,
+           SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END)::BIGINT AS n_below
+    FROM per
+    """,
+    "l-diversity of the market segment within nation-keyed QI groups — "
+    "the re-identification audit beyond k_anonymity (a large group "
+    "still exposes everyone if all rows share one sensitive value); "
+    "exact distinct counts, one division",
+)
+def l_diversity_customers(spark, sf_dir):
+    return analytics.l_diversity(
+        _t(spark, sf_dir, "customer"), ["c_nationkey"], "c_mktsegment", l_min=3
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -10893,6 +11028,8 @@ _ROUND8_POOL: tuple[str, ...] = (
     "returns_ratio_by_nation", "repeat_interval_segments",
     "monthly_stickiness", "dow_hour_heatmap_events",
     "event_type_lift", "session_entry_exit_types",
+    "ols_price_quantity_discount", "jarque_bera_totals",
+    "l_diversity_customers",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema+hash,

@@ -298,6 +298,8 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
                                     # DAYS by design (theil_sen contract)
         "event_type_lift",          # 1-row user-total broadcast onto
                                     # the catalog-bounded pair table
+        "jarque_bera_totals",       # 1-row exact-mean broadcast (the
+                                    # moments_order_total two-pass shape)
     }
     offenders = []
     for name, spec in REGISTRY.items():
