@@ -8,7 +8,7 @@ which both scales better than per-row NLP UDFs and stays DuckDB-oracle-able.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ascii_hydra_spark.operators.lineage import truncate_lineage
 from ascii_hydra_spark.functions import (
@@ -946,4 +946,134 @@ def simpson_diversity(
             / (n.cast("double") * (n - F.lit(1)).cast("double")),
             6,
         ).alias("simpson"),
+    )
+
+
+def char_class_profile(
+    docs: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-group row (grp, n_docs, n_chars, upper_ratio, digit_ratio,
+    punct_ratio, space_ratio): character-class composition of a corpus
+    slice — the encoding/extraction-health profile (a scraper feed that
+    suddenly doubles its digit or punctuation share broke upstream).
+
+    Each class count is length(text) - length(text with the class
+    REMOVED) — plain character classes that Java and RE2 regexes treat
+    identically — summed as exact integers per group; the four ratios
+    are final divisions. Zero shuffles beyond the group aggregate.
+    """
+    t = F.col(text_col)
+    def cnt(pat: str) -> Column:
+        return F.length(t) - F.length(F.regexp_replace(t, pat, ""))
+
+    agg = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.length(t)).cast("bigint").alias("n_chars"),
+        F.sum(cnt("[A-Z]")).cast("bigint").alias("__u"),
+        F.sum(cnt("[0-9]")).cast("bigint").alias("__d"),
+        F.sum(cnt("[.,;:!?]")).cast("bigint").alias("__p"),
+        F.sum(cnt("[ ]")).cast("bigint").alias("__s"),
+    )
+    c = F.col("n_chars").cast("double")
+    return agg.select(
+        "grp",
+        "n_docs",
+        "n_chars",
+        F.round(F.col("__u").cast("double") / c, 6).alias("upper_ratio"),
+        F.round(F.col("__d").cast("double") / c, 6).alias("digit_ratio"),
+        F.round(F.col("__p").cast("double") / c, 6).alias("punct_ratio"),
+        F.round(F.col("__s").cast("double") / c, 6).alias("space_ratio"),
+    )
+
+
+def token_length_histogram(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    clamp: int = 15,
+) -> DataFrame:
+    """Per (group, token length) row (grp, tok_len, n, share): the
+    token-length distribution, lengths clamped at `clamp` so the output
+    stays bucket-bounded — the tokenizer-sanity profile (a shifted
+    length histogram means the segmenter or the source changed).
+    Exact counts; shares via a per-group window over bucket rows.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(word_tokens(text_col)).alias("__tok"),
+    ).select(
+        "grp",
+        F.least(F.length("__tok"), F.lit(clamp)).cast("int").alias("tok_len"),
+    )
+    counts = toks.groupBy("grp", "tok_len").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy("grp"))
+    return counts.select(
+        "grp",
+        "tok_len",
+        "n",
+        F.round(F.col("n").cast("double") / total.cast("double"), 6).alias(
+            "share"
+        ),
+    )
+
+
+def prefix_dup_rate(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    prefix_chars: int = 64,
+) -> DataFrame:
+    """Per-group row (grp, n_docs, n_distinct_prefixes, prefix_dup_rate):
+    share of documents whose leading `prefix_chars` characters are not
+    unique within the group — the cheap partial-duplication screen that
+    catches templated boilerplate heads before any shingling runs.
+    Exact distinct counts over md5(prefix) fingerprints; one division.
+    """
+    fp = docs.select(
+        F.col(group_col).alias("grp"),
+        F.md5(F.substring(F.col(text_col), 1, prefix_chars)).alias("__f"),
+    )
+    agg = fp.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("__f").cast("bigint").alias("n_distinct_prefixes"),
+    )
+    return agg.select(
+        "grp",
+        "n_docs",
+        "n_distinct_prefixes",
+        F.round(
+            F.lit(1.0)
+            - F.col("n_distinct_prefixes").cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("prefix_dup_rate"),
+    )
+
+
+def multibyte_ratio(
+    docs: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Per-group row (grp, n_chars, n_bytes, n_multibyte_bytes,
+    bytes_per_char): UTF-8 byte-to-character expansion of each corpus
+    slice — the encoding profile that sizes shuffle width and catches
+    mojibake (an ASCII-language slice whose ratio drifts above ~1
+    double-encoded somewhere). Exact integer char and octet sums, one
+    final division.
+    """
+    t = F.col(text_col)
+    agg = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.sum(F.length(t)).cast("bigint").alias("n_chars"),
+        F.sum(F.octet_length(t)).cast("bigint").alias("n_bytes"),
+    )
+    return agg.select(
+        "grp",
+        "n_chars",
+        "n_bytes",
+        (F.col("n_bytes") - F.col("n_chars")).alias("n_multibyte_bytes"),
+        F.round(
+            F.col("n_bytes").cast("double") / F.col("n_chars").cast("double"),
+            6,
+        ).alias("bytes_per_char"),
     )

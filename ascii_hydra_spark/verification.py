@@ -10893,6 +10893,99 @@ def l_diversity_customers(spark, sf_dir):
     )
 
 
+@q(
+    "char_class_profile_sources",
+    """
+    SELECT source AS grp, COUNT(*)::BIGINT AS n_docs,
+           SUM(LENGTH(text))::BIGINT AS n_chars,
+           ROUND(CAST(SUM(LENGTH(text)
+                 - LENGTH(REGEXP_REPLACE(text, '[A-Z]', '', 'g'))) AS DOUBLE)
+                 / CAST(SUM(LENGTH(text)) AS DOUBLE), 6) AS upper_ratio,
+           ROUND(CAST(SUM(LENGTH(text)
+                 - LENGTH(REGEXP_REPLACE(text, '[0-9]', '', 'g'))) AS DOUBLE)
+                 / CAST(SUM(LENGTH(text)) AS DOUBLE), 6) AS digit_ratio,
+           ROUND(CAST(SUM(LENGTH(text)
+                 - LENGTH(REGEXP_REPLACE(text, '[.,;:!?]', '', 'g')))
+                 AS DOUBLE)
+                 / CAST(SUM(LENGTH(text)) AS DOUBLE), 6) AS punct_ratio,
+           ROUND(CAST(SUM(LENGTH(text)
+                 - LENGTH(REGEXP_REPLACE(text, '[ ]', '', 'g'))) AS DOUBLE)
+                 / CAST(SUM(LENGTH(text)) AS DOUBLE), 6) AS space_ratio
+    FROM documents GROUP BY source
+    """,
+    "Character-class composition per source (upper/digit/punct/space "
+    "shares) — the extraction-health profile; each class count is "
+    "length minus class-removed length (plain char classes, identical "
+    "in Java and RE2 regex), exact integer sums, final divisions only",
+)
+def char_class_profile_sources(spark, sf_dir):
+    return text.char_class_profile(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "token_length_hist_by_lang",
+    f"""
+    WITH toks AS (
+        SELECT lang AS grp, UNNEST({_TOKS}) AS term FROM documents
+    ),
+    c AS (SELECT grp, LEAST(LENGTH(term), 15)::INT AS tok_len FROM toks),
+    cc AS (SELECT grp, tok_len, COUNT(*)::BIGINT AS n FROM c GROUP BY 1, 2),
+    w AS (SELECT grp, tok_len, n, SUM(n) OVER (PARTITION BY grp) AS total
+          FROM cc)
+    SELECT grp, tok_len, n,
+           ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+    FROM w
+    """,
+    "Token-length distribution per language (lengths clamped at 15 so "
+    "the output is bucket-bounded) — the tokenizer-sanity profile; "
+    "whitespace tokens via the shared word_tokens contract, exact "
+    "counts, per-group bucket-window shares",
+)
+def token_length_hist_by_lang(spark, sf_dir):
+    return text.token_length_histogram(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "prefix_dup_rate_by_source",
+    """
+    WITH fp AS (
+        SELECT source AS grp, MD5(SUBSTR(text, 1, 64)) AS f FROM documents
+    )
+    SELECT grp, COUNT(*)::BIGINT AS n_docs,
+           COUNT(DISTINCT f)::BIGINT AS n_distinct_prefixes,
+           ROUND(1.0 - CAST(COUNT(DISTINCT f) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS prefix_dup_rate
+    FROM fp GROUP BY grp
+    """,
+    "Share of docs per source whose leading 64 chars are not unique — "
+    "the cheap templated-boilerplate-head screen run before any "
+    "shingling (dup_rate_by_source's partial-duplication sibling); "
+    "md5-prefix fingerprints, exact distinct counts, one division",
+)
+def prefix_dup_rate_by_source(spark, sf_dir):
+    return text.prefix_dup_rate(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "multibyte_ratio_by_lang",
+    """
+    SELECT lang AS grp, SUM(LENGTH(text))::BIGINT AS n_chars,
+           SUM(STRLEN(text))::BIGINT AS n_bytes,
+           (SUM(STRLEN(text)) - SUM(LENGTH(text)))::BIGINT
+               AS n_multibyte_bytes,
+           ROUND(CAST(SUM(STRLEN(text)) AS DOUBLE)
+                 / CAST(SUM(LENGTH(text)) AS DOUBLE), 6) AS bytes_per_char
+    FROM documents GROUP BY lang
+    """,
+    "UTF-8 byte-per-character expansion per language — the encoding "
+    "profile that sizes shuffle width and catches mojibake/double-"
+    "encoding; exact integer char (LENGTH) and octet (STRLEN/"
+    "octet_length) sums, one division",
+)
+def multibyte_ratio_by_lang(spark, sf_dir):
+    return text.multibyte_ratio(_t(spark, sf_dir, "documents"))
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -11030,6 +11123,8 @@ _ROUND8_POOL: tuple[str, ...] = (
     "event_type_lift", "session_entry_exit_types",
     "ols_price_quantity_discount", "jarque_bera_totals",
     "l_diversity_customers",
+    "char_class_profile_sources", "token_length_hist_by_lang",
+    "prefix_dup_rate_by_source", "multibyte_ratio_by_lang",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema+hash,
