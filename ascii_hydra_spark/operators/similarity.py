@@ -903,3 +903,95 @@ def cosine_pairs_lsh_portable(
         )
         .filter(F.col("sim") >= F.lit(float(threshold)))
     )
+
+
+def embedding_dim_stats(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    quant: float = 1048576.0,
+) -> DataFrame:
+    """Per-dimension row (dim, n, sum_q, mean, min_q, max_q): coordinate
+    statistics of an embedding corpus — the drift/collapse monitor (a
+    dimension whose range shrinks to a point after a model update is
+    dead weight in every distance).
+
+    Coordinates are fixed to exact integers as floor(x * 2^20 + 0.5) —
+    the multiply by a power of two only shifts the exponent, so the
+    quantized grid value is the SAME double in every engine and the
+    integer sums/min/max are partition-order-free; the mean divides
+    back out once. posexplode -> one (dim)-keyed aggregate; output is
+    dimension-bounded.
+    """
+    d = emb.select(
+        F.posexplode(to_double_array(F.col(vec_col))).alias("dim", "x")
+    )
+    q = d.select(
+        "dim",
+        F.floor(F.col("x") * F.lit(quant) + F.lit(0.5)).alias("__q"),
+    )
+    agg = q.groupBy("dim").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("__q").cast("bigint").alias("sum_q"),
+        F.min("__q").cast("bigint").alias("min_q"),
+        F.max("__q").cast("bigint").alias("max_q"),
+    )
+    return agg.select(
+        "dim",
+        "n",
+        "sum_q",
+        F.round(
+            F.col("sum_q").cast("double")
+            / F.col("n").cast("double")
+            / F.lit(quant),
+            6,
+        ).alias("mean"),
+        "min_q",
+        "max_q",
+    )
+
+
+def quantized_cosine_pair_histogram(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stride: int = 1,
+) -> DataFrame:
+    """Per cosine-decile row (bucket, n, share): the similarity
+    distribution over the deterministic (id, id+stride) ring pairing —
+    the corpus-geometry sanity gate (a distribution collapsing toward
+    bucket 9-10 says the embedding space has degenerated, BEFORE any
+    expensive all-pairs job is launched).
+
+    The ring pairing is an EQUI join on id+stride (hash join, no
+    sampling RNG, any scale); cosine runs over the shared int8
+    quantization (integer dot products, one sqrt/divide on identical
+    inputs — the sim_topk_quantized exactness argument), bucket =
+    floor(10*cos); zero-norm vectors drop out via the NULL guard.
+    """
+    q = quantize_embeddings(emb, id_col=id_col, vec_col=vec_col)
+    a = q.select(
+        F.col(id_col).alias("__ia"), F.col("q_embedding").alias("__qa")
+    )
+    b = q.select(
+        (F.col(id_col) - F.lit(stride)).alias("__ia"),
+        F.col("q_embedding").alias("__qb"),
+    )
+    cos = _quantized_cosine(F.col("__qa"), F.col("__qb"))
+    bucketed = (
+        a.join(b, "__ia")
+        .select(F.floor(cos * F.lit(10.0)).cast("int").alias("bucket"))
+        .filter(F.col("bucket").isNotNull())
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    from pyspark.sql import Window
+
+    total = F.sum("n").over(Window.partitionBy())
+    return counts.select(
+        "bucket",
+        "n",
+        F.round(F.col("n").cast("double") / total.cast("double"), 6).alias(
+            "share"
+        ),
+    )

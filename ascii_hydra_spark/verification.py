@@ -10986,6 +10986,72 @@ def multibyte_ratio_by_lang(spark, sf_dir):
     return text.multibyte_ratio(_t(spark, sf_dir, "documents"))
 
 
+@q(
+    "embedding_dim_stats",
+    """
+    WITH u AS (
+        SELECT UNNEST(range(len(embedding))) AS dim, UNNEST(embedding) AS x
+        FROM embeddings
+    ),
+    q AS (SELECT dim::INT AS dim,
+                 CAST(FLOOR(CAST(x AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)
+                     AS q
+          FROM u)
+    SELECT dim, COUNT(*)::BIGINT AS n, SUM(q)::BIGINT AS sum_q,
+           ROUND(CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 / 1048576.0, 6) AS mean,
+           MIN(q)::BIGINT AS min_q, MAX(q)::BIGINT AS max_q
+    FROM q GROUP BY dim
+    """,
+    "Per-dimension coordinate statistics of the embedding corpus — the "
+    "drift/collapse monitor; coordinates fixed to exact integers as "
+    "floor(x * 2^20 + 0.5) (power-of-two multiply only shifts the "
+    "exponent, so the grid value is the same double in every engine), "
+    "integer sums/min/max, one division back out",
+)
+def embedding_dim_stats(spark, sf_dir):
+    return similarity.embedding_dim_stats(_t(spark, sf_dir, "embeddings"))
+
+
+@q(
+    "cosine_pair_histogram",
+    """
+    WITH q AS (SELECT vec_id,
+          list_transform(embedding, x -> CASE WHEN s = 0 THEN 0
+              ELSE CAST(FLOOR(x / s + 0.5) AS INT) END) AS qe
+          FROM (SELECT vec_id, embedding,
+                CAST(list_max(list_transform(embedding, x -> abs(x)))
+                     AS DOUBLE) / 127.0 AS s
+                FROM embeddings)),
+    p AS (
+        SELECT a.qe AS qa, b.qe AS qb
+        FROM q a JOIN q b ON a.vec_id + 1 = b.vec_id
+    ),
+    c AS (
+        SELECT CAST(FLOOR(list_dot_product(qa, qb)
+              / (SQRT(list_dot_product(qa, qa))
+                 * SQRT(list_dot_product(qb, qb))) * 10.0) AS INT) AS bucket
+        FROM p
+        WHERE list_dot_product(qa, qa) > 0 AND list_dot_product(qb, qb) > 0
+    ),
+    cc AS (SELECT bucket, COUNT(*)::BIGINT AS n FROM c GROUP BY bucket),
+    w AS (SELECT bucket, n, SUM(n) OVER () AS total FROM cc)
+    SELECT bucket, n,
+           ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+    FROM w
+    """,
+    "Cosine-decile histogram over the deterministic (id, id+1) ring "
+    "pairing — the corpus-geometry gate run before any all-pairs job; "
+    "equi hash join on the shifted id (no RNG, no BNLJ at any scale), "
+    "the shared int8 quantization's integer dot products, bucket = "
+    "floor(10*cos) on identical doubles both engines",
+)
+def cosine_pair_histogram(spark, sf_dir):
+    return similarity.quantized_cosine_pair_histogram(
+        _t(spark, sf_dir, "embeddings")
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -11125,6 +11191,7 @@ _ROUND8_POOL: tuple[str, ...] = (
     "l_diversity_customers",
     "char_class_profile_sources", "token_length_hist_by_lang",
     "prefix_dup_rate_by_source", "multibyte_ratio_by_lang",
+    "embedding_dim_stats", "cosine_pair_histogram",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema+hash,
