@@ -25,7 +25,7 @@ import tempfile
 from collections.abc import Callable
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ascii_hydra_spark.catalog import Catalog
 from ascii_hydra_spark.functions import word_tokens
@@ -11052,6 +11052,177 @@ def cosine_pair_histogram(spark, sf_dir):
     )
 
 
+@q(
+    "order_lines_histogram",
+    """
+    WITH c AS (SELECT l_orderkey, COUNT(*)::BIGINT AS n_lines
+               FROM lineitem GROUP BY 1),
+    h AS (SELECT n_lines, COUNT(*)::BIGINT AS n_orders FROM c
+          GROUP BY n_lines),
+    w AS (SELECT n_lines, n_orders, SUM(n_orders) OVER () AS total FROM h)
+    SELECT n_lines, n_orders,
+           ROUND(CAST(n_orders AS DOUBLE) / CAST(total AS DOUBLE), 6)
+               AS share
+    FROM w
+    """,
+    "Lines-per-order distribution — the fact-table fan-out profile that "
+    "sizes the orders<->lineitem join (the same two-level aggregation "
+    "shape as graph_degree_hist, on the relational fact); exact "
+    "counts, bucket-window shares",
+)
+def order_lines_histogram(spark, sf_dir):
+    per = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").cast("bigint").alias("n_lines"))
+    )
+    h = per.groupBy("n_lines").agg(
+        F.count("*").cast("bigint").alias("n_orders")
+    )
+    total = F.sum("n_orders").over(Window.partitionBy())
+    return h.select(
+        "n_lines",
+        "n_orders",
+        F.round(
+            F.col("n_orders").cast("double") / total.cast("double"), 6
+        ).alias("share"),
+    )
+
+
+@q(
+    "price_spread_by_brand",
+    """
+    WITH m AS (
+        SELECT p_brand, COUNT(*)::BIGINT AS n_parts,
+               CAST(MIN(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS min_price,
+               CAST(MAX(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS max_price,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS s,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))
+                        * CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS ss
+        FROM part GROUP BY p_brand
+    )
+    SELECT p_brand, n_parts, min_price, max_price,
+           ROUND(max_price - min_price, 6) AS price_range,
+           ROUND(SQRT((CAST(n_parts AS DOUBLE) * ss - s * s)
+                 / (CAST(n_parts AS DOUBLE)
+                    * (CAST(n_parts AS DOUBLE) - 1.0))), 6) AS stddev_price
+    FROM m
+    """,
+    "Per-brand retail-price dispersion (min/max/range + sample stddev "
+    "assembled from exact decimal power sums in one double expression) "
+    "— the catalog-pricing consistency audit; one map-side-combinable "
+    "group aggregate",
+)
+def price_spread_by_brand(spark, sf_dir):
+    p = F.col("p_retailprice").cast("decimal(18,2)")
+    m = _t(spark, sf_dir, "part").groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.min(p).cast("double").alias("min_price"),
+        F.max(p).cast("double").alias("max_price"),
+        F.sum(p).cast("double").alias("__s"),
+        F.sum(p * p).cast("double").alias("__ss"),
+    )
+    n = F.col("n_parts").cast("double")
+    return m.select(
+        "p_brand",
+        "n_parts",
+        "min_price",
+        "max_price",
+        F.round(F.col("max_price") - F.col("min_price"), 6).alias(
+            "price_range"
+        ),
+        F.round(
+            F.sqrt(
+                (n * F.col("__ss") - F.col("__s") * F.col("__s"))
+                / (n * (n - F.lit(1.0)))
+            ),
+            6,
+        ).alias("stddev_price"),
+    )
+
+
+@q(
+    "acctbal_sign_profile",
+    """
+    SELECT c_mktsegment, COUNT(*)::BIGINT AS n_customers,
+           SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)::BIGINT AS n_negative,
+           SUM(CASE WHEN c_acctbal = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+           SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END)::BIGINT AS n_positive,
+           ROUND(CAST(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS negative_share,
+           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_balance
+    FROM customer GROUP BY c_mktsegment
+    """,
+    "Account-balance sign profile per market segment (delinquency "
+    "screen): exact conditional counts, decimal-exact balance sum, "
+    "two final divisions; one group aggregate",
+)
+def acctbal_sign_profile(spark, sf_dir):
+    bal = F.col("c_acctbal")
+    return _t(spark, sf_dir, "customer").groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum(F.when(bal < 0, 1).otherwise(0)).cast("bigint").alias("n_negative"),
+        F.sum(F.when(bal == 0, 1).otherwise(0)).cast("bigint").alias("n_zero"),
+        F.sum(F.when(bal > 0, 1).otherwise(0)).cast("bigint").alias("n_positive"),
+        F.round(
+            F.sum(F.when(bal < 0, 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("negative_share"),
+        F.round(
+            F.sum(bal.cast("decimal(18,2)")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("avg_balance"),
+    )
+
+
+@q(
+    "monthly_order_mix",
+    """
+    WITH c AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority,
+               COUNT(*)::BIGINT AS n
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT month, o_orderpriority, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY month) AS DOUBLE), 6)
+               AS share_in_month
+    FROM c
+    """,
+    "Month x priority order-mix matrix with within-month shares — the "
+    "seasonality-of-composition readout behind dow_seasonality (volume) "
+    "and pivot_status (status); exact counts, month-keyed bucket "
+    "window",
+)
+def monthly_order_mix(spark, sf_dir):
+    c = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            "o_orderpriority",
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return c.select(
+        "month",
+        "o_orderpriority",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("month")).cast("double"),
+            6,
+        ).alias("share_in_month"),
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -11192,6 +11363,8 @@ _ROUND8_POOL: tuple[str, ...] = (
     "char_class_profile_sources", "token_length_hist_by_lang",
     "prefix_dup_rate_by_source", "multibyte_ratio_by_lang",
     "embedding_dim_stats", "cosine_pair_histogram",
+    "order_lines_histogram", "price_spread_by_brand",
+    "acctbal_sign_profile", "monthly_order_mix",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema+hash,
