@@ -2746,3 +2746,61 @@ def l_diversity(
         .cast("bigint")
         .alias("n_below"),
     )
+
+
+def holt_linear(
+    series: DataFrame,
+    time_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+) -> DataFrame:
+    """One row (n_points, last_value, level, trend, forecast_next):
+    Holt double exponential smoothing of an ordered series — the
+    trend-aware sibling of the per-key EWMA fold.
+
+    The recurrence (level_t depends on level_{t-1} AND trend_{t-1}) is
+    an ORDERED left fold over a TWO-component state that no frame-based
+    window expresses; like ewma it runs as the literal in-array fold
+    (F.aggregate == LIST_REDUCE over a struct accumulator, same element
+    order, same inlined operation order, so the result is bit-identical
+    across engines). Input is the calendar-grain series (bounded array;
+    the gini entity-level contract) — at scale the reduction to daily
+    grain is the distributed part, the fold is O(days) on one row.
+    """
+    a, b = float(alpha), float(beta)
+    d = series.select(
+        F.col(time_col).alias("__t"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    arr = d.agg(
+        F.array_sort(F.collect_list(F.struct("__t", "__v"))).alias("__a")
+    ).select(F.transform(F.col("__a"), lambda s: s["__v"]).alias("__xs"))
+    xs = F.col("__xs")
+    lvl0 = F.element_at(xs, 1)
+    rest = F.slice(xs, 2, F.size(xs) - 1)
+
+    def _step(acc, x):
+        new_l = F.lit(a) * x + F.lit(1.0 - a) * (acc["l"] + acc["t"])
+        new_t = (
+            F.lit(b)
+            * (
+                (F.lit(a) * x + F.lit(1.0 - a) * (acc["l"] + acc["t"]))
+                - acc["l"]
+            )
+            + F.lit(1.0 - b) * acc["t"]
+        )
+        return F.struct(new_l.alias("l"), new_t.alias("t"))
+
+    state = F.aggregate(
+        rest,
+        F.struct(lvl0.alias("l"), F.lit(0.0).alias("t")),
+        _step,
+    )
+    return arr.select(
+        F.size(xs).cast("bigint").alias("n_points"),
+        F.round(F.element_at(xs, -1), 6).alias("last_value"),
+        F.round(state["l"], 6).alias("level"),
+        F.round(state["t"], 6).alias("trend"),
+        F.round(state["l"] + state["t"], 6).alias("forecast_next"),
+    )

@@ -486,3 +486,63 @@ def degree_assortativity(
             (n * sxy - sx * sx) / (n * sxx - sx * sx), 6
         ).alias("assortativity"),
     )
+
+
+def bfs_frontier_counts(
+    edges: DataFrame,
+    seeds: DataFrame,
+    hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    reliable: bool = False,
+) -> DataFrame:
+    """Per-hop row (hop, n_frontier, n_visited): breadth-first frontier
+    expansion from a seed node set — the reachability probe behind
+    influence/contamination-radius questions.
+
+    Iterative-algorithm discipline (the pagerank rules): the
+    bidirectional edge list is built ONCE and lineage-truncated, then
+    every hop is one hash join on the frontier + one anti-join against
+    the visited set, both persisted per round (the kcore lesson: an
+    unpersisted loop invariant re-executes the whole chain each round).
+    Hop count is FIXED, so the run is deterministic and schedulable;
+    the per-hop stats are 1-row aggregates off the persisted frames.
+    """
+    both = truncate_lineage(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct(),
+        reliable=reliable,
+    )
+    frontier = truncate_lineage(
+        seeds.select(F.col(seeds.columns[0]).alias("n")).distinct(),
+        reliable=reliable,
+    )
+    visited = frontier
+    stats = []
+    for k in range(1, hops + 1):
+        nxt = truncate_lineage(
+            both.join(frontier.withColumnRenamed("n", "a"), "a")
+            .select(F.col("b").alias("n"))
+            .distinct()
+            .join(visited, "n", "left_anti"),
+            reliable=reliable,
+        )
+        visited = truncate_lineage(visited.union(nxt), reliable=reliable)
+        stats.append(
+            nxt.agg(
+                F.lit(k).alias("hop"),
+                F.count("*").cast("bigint").alias("n_frontier"),
+            ).crossJoin(
+                F.broadcast(
+                    visited.agg(
+                        F.count("*").cast("bigint").alias("n_visited")
+                    )
+                )
+            )
+        )
+        frontier = nxt
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionAll(s)
+    return out

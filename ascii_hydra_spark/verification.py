@@ -11223,6 +11223,362 @@ def monthly_order_mix(spark, sf_dir):
     )
 
 
+@q(
+    "customer_recency_bands",
+    """
+    WITH last_o AS (
+        SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_day
+        FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+        SELECT o_custkey,
+               MAX(last_day) OVER () - last_day AS recency_days
+        FROM last_o
+    ),
+    b AS (
+        SELECT c.c_mktsegment,
+               CASE WHEN r.recency_days <= 30 THEN '0-30'
+                    WHEN r.recency_days <= 90 THEN '31-90'
+                    WHEN r.recency_days <= 365 THEN '91-365'
+                    ELSE '365+' END AS band
+        FROM r JOIN customer c ON r.o_custkey = c.c_custkey
+    )
+    SELECT c_mktsegment, band, COUNT(*)::BIGINT AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / CAST(SUM(COUNT(*)) OVER (PARTITION BY c_mktsegment)
+                        AS DOUBLE), 6) AS share_in_segment
+    FROM b GROUP BY c_mktsegment, band
+    """,
+    "Customer recency bands per segment (days since last order vs the "
+    "corpus max date, banded 30/90/365) — the reactivation-targeting "
+    "cut beside rfm_segmentation; exact integer day arithmetic, the "
+    "reference date comes from a customer-grain global window (the "
+    "gini entity-level contract), segment-window shares",
+)
+def customer_recency_bands(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    last_o = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("__last")
+    )
+    rec = last_o.select(
+        "o_custkey",
+        F.datediff(
+            F.max("__last").over(Window.partitionBy()), F.col("__last")
+        ).alias("__rd"),
+    )
+    band = (
+        F.when(F.col("__rd") <= 30, "0-30")
+        .when(F.col("__rd") <= 90, "31-90")
+        .when(F.col("__rd") <= 365, "91-365")
+        .otherwise("365+")
+    )
+    b = rec.join(c, rec.o_custkey == c.c_custkey).select(
+        "c_mktsegment", band.alias("band")
+    )
+    g = b.groupBy("c_mktsegment", "band").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    return g.select(
+        "c_mktsegment",
+        "band",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("c_mktsegment")).cast(
+                "double"
+            ),
+            6,
+        ).alias("share_in_segment"),
+    )
+
+
+@q(
+    "supplier_coverage_hist",
+    """
+    WITH per AS (
+        SELECT l_suppkey, COUNT(DISTINCT l_partkey)::BIGINT AS n_parts
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    b AS (
+        SELECT CAST(LEAST(FLOOR(n_parts / 10.0), 50) * 10 AS INT)
+                   AS bucket_lo
+        FROM per
+    ),
+    h AS (SELECT bucket_lo, COUNT(*)::BIGINT AS n_suppliers FROM b
+          GROUP BY bucket_lo)
+    SELECT bucket_lo, n_suppliers,
+           ROUND(CAST(n_suppliers AS DOUBLE)
+                 / CAST(SUM(n_suppliers) OVER () AS DOUBLE), 6) AS share
+    FROM h
+    """,
+    "Distribution of distinct-part coverage across suppliers (width-10 "
+    "bins, clamped at 500) — the supply-base concentration profile "
+    "that predicts supplier-keyed join skew; two-level distinct "
+    "aggregation, exact integer bucketing (quotients at integers are "
+    "IEEE-exact so FLOOR agrees across engines)",
+)
+def supplier_coverage_hist(spark, sf_dir):
+    per = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.countDistinct("l_partkey").cast("bigint").alias("n_parts"))
+    )
+    b = per.select(
+        (
+            F.least(F.floor(F.col("n_parts") / F.lit(10.0)), F.lit(50))
+            * F.lit(10)
+        )
+        .cast("int")
+        .alias("bucket_lo")
+    )
+    h = b.groupBy("bucket_lo").agg(
+        F.count("*").cast("bigint").alias("n_suppliers")
+    )
+    return h.select(
+        "bucket_lo",
+        "n_suppliers",
+        F.round(
+            F.col("n_suppliers").cast("double")
+            / F.sum("n_suppliers").over(Window.partitionBy()).cast("double"),
+            6,
+        ).alias("share"),
+    )
+
+
+@q(
+    "top_part_types_per_region",
+    """
+    WITH rev AS (
+        SELECT r.r_name, p.p_type,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS revenue
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, p.p_type
+    ),
+    rk AS (
+        SELECT r_name, p_type, revenue,
+               ROW_NUMBER() OVER (PARTITION BY r_name
+                                  ORDER BY revenue DESC, p_type) AS rnk
+        FROM rev
+    )
+    SELECT r_name, p_type, CAST(revenue AS DOUBLE) AS revenue,
+           CAST(rnk AS INT) AS rnk
+    FROM rk WHERE rnk <= 3
+    """,
+    "Top-3 part types by revenue per region — the relational top-per-"
+    "group shape (rank window on decimal-exact revenue, deterministic "
+    "p_type tie-break) over a 5-table star join with broadcast "
+    "dimensions; one fact shuffle on the group key",
+)
+def top_part_types_per_region(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "p_type")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("__rev")
+        )
+    )
+    w = Window.partitionBy("r_name").orderBy(
+        F.desc("__rev"), F.col("p_type")
+    )
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "r_name",
+            "p_type",
+            F.col("__rev").cast("double").alias("revenue"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+@q(
+    "bfs_reachable_3hop",
+    f"""
+    WITH {_EDGE_CTES},
+    bi AS MATERIALIZED (SELECT u AS a, v AS b FROM e
+                        UNION ALL SELECT v, u FROM e),
+    f0 AS MATERIALIZED (SELECT DISTINCT user_id AS n FROM events
+                        WHERE user_id % 100 = 0),
+    f1 AS MATERIALIZED (
+        SELECT DISTINCT bi.b AS n FROM bi JOIN f0 ON bi.a = f0.n
+        WHERE bi.b NOT IN (SELECT n FROM f0)
+    ),
+    v1 AS MATERIALIZED (SELECT n FROM f0 UNION ALL SELECT n FROM f1),
+    f2 AS MATERIALIZED (
+        SELECT DISTINCT bi.b AS n FROM bi JOIN f1 ON bi.a = f1.n
+        WHERE bi.b NOT IN (SELECT n FROM v1)
+    ),
+    v2 AS MATERIALIZED (SELECT n FROM v1 UNION ALL SELECT n FROM f2),
+    f3 AS MATERIALIZED (
+        SELECT DISTINCT bi.b AS n FROM bi JOIN f2 ON bi.a = f2.n
+        WHERE bi.b NOT IN (SELECT n FROM v2)
+    ),
+    v3 AS (SELECT n FROM v2 UNION ALL SELECT n FROM f3)
+    SELECT 1 AS hop, (SELECT COUNT(*) FROM f1)::BIGINT AS n_frontier,
+           (SELECT COUNT(*) FROM v1)::BIGINT AS n_visited
+    UNION ALL
+    SELECT 2, (SELECT COUNT(*) FROM f2)::BIGINT,
+           (SELECT COUNT(*) FROM v2)::BIGINT
+    UNION ALL
+    SELECT 3, (SELECT COUNT(*) FROM f3)::BIGINT,
+           (SELECT COUNT(*) FROM v3)::BIGINT
+    """,
+    "3-hop BFS frontier/visited counts from the deterministic seed set "
+    "(user_id %% 100 == 0) over the proximity graph — frontier "
+    "expansion with the pagerank persist discipline (edge list built "
+    "once, frontier and visited persisted per hop); oracle is the "
+    "unrolled 3-round CTE chain, exact integer counts",
+)
+def bfs_reachable_3hop(spark, sf_dir):
+    seeds = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 100 == 0)
+        .select("user_id")
+    )
+    return graph.bfs_frontier_counts(
+        _event_proximity_edges(spark, sf_dir), seeds, hops=3
+    )
+
+
+@q(
+    "holt_linear_daily_revenue",
+    None,
+    "Holt double exponential smoothing of daily revenue (level+trend, "
+    "alpha=0.3 beta=0.1) — a TWO-component ordered left fold no frame "
+    "window expresses. ROWS-ONLY by necessity: DuckDB's LIST_REDUCE "
+    "evaluates struct-accumulator fields SEQUENTIALLY (acc.l read "
+    "inside the 't' field already sees the updated level — verified "
+    "numerically), so no portable struct-fold oracle exists; the exact "
+    "recurrence is pinned against a pure-Python reference in "
+    "tests/test_analytics_ops.py instead",
+)
+def holt_linear_daily_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("value")
+    )
+    return analytics.holt_linear(daily, "day", "value", alpha=0.3, beta=0.1)
+
+
+@q(
+    "event_transition_triples",
+    """
+    WITH s AS (
+        SELECT event_type AS t1,
+               LEAD(event_type, 1) OVER w AS t2,
+               LEAD(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    c AS (
+        SELECT t1, t2, t3, COUNT(*)::BIGINT AS n
+        FROM s WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        GROUP BY t1, t2, t3
+    )
+    SELECT t1, t2, t3, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY t1, t2) AS DOUBLE), 6)
+               AS p_next
+    FROM c
+    """,
+    "Order-2 Markov transition table of event types (P(next | two "
+    "previous), catalog-bounded <= 125 rows) — the sequence model one "
+    "step beyond event_transitions' order-1 matrix; two LEADs over one "
+    "user-keyed sort (a single shuffle), exact counts, context-window "
+    "conditional shares",
+)
+def event_transition_triples(spark, sf_dir):
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    c = (
+        s.filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return c.select(
+        "t1",
+        "t2",
+        "t3",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("t1", "t2")).cast("double"),
+            6,
+        ).alias("p_next"),
+    )
+
+
+@q(
+    "weekday_weekend_revenue",
+    """
+    WITH k AS (
+        SELECT CASE WHEN ISODOW(CAST(o_orderdate AS DATE)) >= 6
+                    THEN 'weekend' ELSE 'weekday' END AS day_kind,
+               o_totalprice
+        FROM orders
+    ),
+    g AS (
+        SELECT day_kind, COUNT(*)::BIGINT AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS rev
+        FROM k GROUP BY day_kind
+    )
+    SELECT day_kind, n_orders, CAST(rev AS DOUBLE) AS revenue,
+           ROUND(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE), 6)
+               AS revenue_share
+    FROM g
+    """,
+    "Weekday vs weekend order volume and revenue split (ISO weekday, "
+    "decimal-exact sums, 2-row window share) — the coarse calendar-mix "
+    "readout beside dow_seasonality's per-day index",
+)
+def weekday_weekend_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    kind = F.when(
+        F.weekday(F.col("o_orderdate")) + F.lit(1) >= 6, "weekend"
+    ).otherwise("weekday")
+    g = o.groupBy(kind.alias("day_kind")).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("__rev"),
+    )
+    return g.select(
+        "day_kind",
+        "n_orders",
+        F.col("__rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("__rev").cast("double")
+            / F.sum("__rev").over(Window.partitionBy()).cast("double"),
+            6,
+        ).alias("revenue_share"),
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -11341,9 +11697,10 @@ _ROUND7_POOL: tuple[str, ...] = (
     "session_duration_percentiles", "dup_rate_by_source",
 )
 
-# Round-8 overflow: SQL-oracle entries added after the round-7 pool hit
-# its 45 slots. Same first-time/disjoint/oracle-able contract; drained
-# once the earlier pools rotate through.
+# Round-8 pool: SQL-oracle entries added after the round-7 pool hit its
+# 45 slots — now itself a FULL 45-slot rotation (portable sketch/LSH
+# arms + the round-5 continuation's graph/stats/DQ/product-analytics
+# additions). Same first-time/disjoint/oracle-able contract.
 _ROUND8_POOL: tuple[str, ...] = (
     "cms_portable_estimates", "hll_portable_distinct",
     "near_dup_minhash_portable", "sim_topk_ivf",
@@ -11365,6 +11722,10 @@ _ROUND8_POOL: tuple[str, ...] = (
     "embedding_dim_stats", "cosine_pair_histogram",
     "order_lines_histogram", "price_spread_by_brand",
     "acctbal_sign_profile", "monthly_order_mix",
+    "customer_recency_bands", "supplier_coverage_hist",
+    "top_part_types_per_region",
+    "bfs_reachable_3hop", "event_transition_triples",
+    "weekday_weekend_revenue",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema+hash,

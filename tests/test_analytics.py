@@ -1321,3 +1321,40 @@ def test_hll_portable_small_range_linear_counting(spark):
     cells = sketches.hll_portable_cells(df, "k")
     est = sketches.hll_portable_estimate(cells).collect()[0]["est_distinct"]
     assert abs(est - 30) < 2.0, est
+
+
+def test_holt_linear_matches_python_reference(spark):
+    """Pin the Holt fold against the literal recurrence — the DuckDB
+    oracle route is closed (LIST_REDUCE evaluates struct-accumulator
+    fields sequentially, so acc.l inside the trend field already sees
+    the updated level), making this Python reference the ground truth
+    for the rows-only registry entry."""
+    from pyspark.sql import functions as F
+
+    from ascii_hydra_spark.operators import analytics
+
+    xs = [10.0, 12.0, 11.0, 15.0, 9.5, 14.25]
+    a, b = 0.3, 0.1
+    lvl, tr = xs[0], 0.0
+    for x in xs[1:]:
+        new_l = a * x + (1 - a) * (lvl + tr)
+        tr = b * (new_l - lvl) + (1 - b) * tr
+        lvl = new_l
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(xs)], "t INT, v DOUBLE"
+    )
+    row = analytics.holt_linear(df, "t", "v", alpha=a, beta=b).collect()[0]
+    assert row["n_points"] == len(xs)
+    assert row["last_value"] == round(xs[-1], 6)
+    assert abs(row["level"] - lvl) < 1e-6, (row["level"], lvl)  # 6-dp output
+    assert abs(row["trend"] - tr) < 1e-6, (row["trend"], tr)
+    assert abs(row["forecast_next"] - (lvl + tr)) < 1e-6
+
+
+def test_holt_linear_single_point_is_identity(spark):
+    from ascii_hydra_spark.operators import analytics
+
+    df = spark.createDataFrame([(1, 42.0)], "t INT, v DOUBLE")
+    row = analytics.holt_linear(df, "t", "v").collect()[0]
+    assert row["level"] == 42.0 and row["trend"] == 0.0
+    assert row["forecast_next"] == 42.0

@@ -300,6 +300,8 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
                                     # the catalog-bounded pair table
         "jarque_bera_totals",       # 1-row exact-mean broadcast (the
                                     # moments_order_total two-pass shape)
+        "bfs_reachable_3hop",       # three 1-row visited-count
+                                    # broadcasts onto 1-row hop stats
     }
     offenders = []
     for name, spec in REGISTRY.items():

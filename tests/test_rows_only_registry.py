@@ -13,10 +13,14 @@ coverage. Names asserted here (kept in sync by test_rotation_window's
 approx_stats, near_dup_minhash, minhash_dedup_survivors, simhash_pairs,
 containment_pairs, sim_pairs_lsh, hll_sketch_distinct,
 incremental_minhash_survivors, multimodal_jpeg_decode,
-cms_heavy_hitter_estimates, compression_ratio_quality.
+cms_heavy_hitter_estimates, compression_ratio_quality,
+holt_linear_daily_revenue.
 (sim_topk_ivf and mmr_rerank_topk left this list in round 5: the
 deterministic IVF build+probe and the 10-step-unrolled MMR greedy now
-replay in DuckDB oracles.)
+replay in DuckDB oracles. holt_linear_daily_revenue joined it: DuckDB
+LIST_REDUCE evaluates struct-accumulator fields sequentially, so the
+two-component Holt fold has no portable oracle — its recurrence is
+pinned against a pure-Python reference in test_analytics.py.)
 """
 
 from __future__ import annotations
@@ -39,6 +43,7 @@ def test_rows_only_set_is_the_documented_tail() -> None:
         "incremental_minhash_survivors", "multimodal_jpeg_decode",
         "cms_heavy_hitter_estimates",
         "compression_ratio_quality",
+        "holt_linear_daily_revenue",
     }
     assert set(ROWS_ONLY) == documented
 
