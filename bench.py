@@ -157,6 +157,43 @@ EXTRA = [
     "dup_rate_by_source",         # per-source exact-dup share
     "simpson_diversity_by_source",  # token concentration index
     "containment_pairs_portable",   # token-CDC partial-dup containment
+    # round-5 continuation: graph/stats/DQ/product-analytics additions
+    "clustering_coefficient_users", # oriented-triangle transitivity
+    "degree_assortativity_users",   # endpoint-degree correlation
+    "max_drawdown_revenue",         # decimal running-peak shortfall
+    "kendall_tau_daily",            # tie-corrected rank concordance
+    "poisson_dispersion_users",     # variance/mean burstiness test
+    "referential_integrity_audit",  # 7-FK orphan audit, one plan
+    "uniqueness_candidate_keys",    # distinct-tuple key discovery
+    "chi2_uniform_dow_orders",      # integer-identity GoF test
+    "benford_second_digit_totals",  # second-digit forensic audit
+    "abc_classification_parts",     # decimal-exact 80/95 classes
+    "pareto_coverage_customers",    # smallest 80%-coverage set
+    "returns_ratio_by_nation",      # supply-quality scorecard
+    "repeat_interval_segments",     # inter-purchase gap stats
+    "monthly_stickiness",           # DAU/MAU engagement ratio
+    "dow_hour_heatmap_events",      # 168-cell load heatmap
+    "event_type_lift",              # audience-overlap lift matrix
+    "session_entry_exit_types",     # navigation-flow matrix
+    "ols_price_quantity_discount",  # closed-form 2-feature OLS
+    "jarque_bera_totals",           # two-pass normality test
+    "l_diversity_customers",        # sensitive-attribute diversity
+    "char_class_profile_sources",   # char-class composition
+    "token_length_hist_by_lang",    # tokenizer-sanity profile
+    "prefix_dup_rate_by_source",    # boilerplate-head screen
+    "multibyte_ratio_by_lang",      # UTF-8 expansion profile
+    "embedding_dim_stats",          # per-dim drift monitor
+    "cosine_pair_histogram",        # ring-pair geometry gate
+    "order_lines_histogram",        # fact-join fan-out profile
+    "price_spread_by_brand",        # catalog pricing dispersion
+    "acctbal_sign_profile",         # balance-sign delinquency screen
+    "monthly_order_mix",            # month x priority composition
+    "customer_recency_bands",       # recency banding per segment
+    "supplier_coverage_hist",       # supply-base concentration
+    "top_part_types_per_region",    # top-per-group star join
+    "bfs_reachable_3hop",           # persisted frontier expansion
+    "event_transition_triples",     # order-2 Markov transitions
+    "weekday_weekend_revenue",      # calendar-mix split
 ]
 
 
