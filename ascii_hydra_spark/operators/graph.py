@@ -422,15 +422,25 @@ def clustering_coefficients(
         "n_nodes_deg2",
         "n_wedges",
         "n_closed_wedges",
+        # wedge-free / deg<2-only graphs -> both ratios undefined, NULL
+        # (ANSI divide-by-zero guard for degenerate tiny inputs)
         F.round(
-            F.col("n_closed_wedges").cast("double")
-            / F.col("n_wedges").cast("double"),
+            F.when(
+                F.col("n_wedges") == 0, F.lit(None).cast("double")
+            ).otherwise(
+                F.col("n_closed_wedges").cast("double")
+                / F.col("n_wedges").cast("double")
+            ),
             6,
         ).alias("transitivity"),
         F.round(
-            F.col("__s").cast("double")
-            / F.lit(2e9)
-            / F.col("n_nodes_deg2").cast("double"),
+            F.when(
+                F.col("n_nodes_deg2") == 0, F.lit(None).cast("double")
+            ).otherwise(
+                F.col("__s").cast("double")
+                / F.lit(2e9)
+                / F.col("n_nodes_deg2").cast("double")
+            ),
             6,
         ).alias("avg_local_cc"),
     )
@@ -480,10 +490,17 @@ def degree_assortativity(
     sx = F.col("sx").cast("double")
     sxx = F.col("sxx").cast("double")
     sxy = F.col("sxy").cast("double")
+    den = n * sxx - sx * sx
     return m.select(
         (F.col("n_pairs") / 2).cast("bigint").alias("n_edges"),
+        # zero degree variance (regular graph) -> r undefined, NULL —
+        # a bare divide is an ANSI divide-by-zero on tiny/degenerate
+        # inputs
         F.round(
-            (n * sxy - sx * sx) / (n * sxx - sx * sx), 6
+            F.when(den == 0, F.lit(None).cast("double")).otherwise(
+                (n * sxy - sx * sx) / den
+            ),
+            6,
         ).alias("assortativity"),
     )
 

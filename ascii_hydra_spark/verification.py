@@ -10087,9 +10087,13 @@ def _event_proximity_edges(spark, sf_dir):
       FROM per
     )
     SELECT n_nodes_deg2, n_wedges, n_closed_wedges,
-           ROUND(CAST(n_closed_wedges AS DOUBLE) / CAST(n_wedges AS DOUBLE),
+           ROUND(CASE WHEN n_wedges = 0 THEN NULL
+                      ELSE CAST(n_closed_wedges AS DOUBLE)
+                           / CAST(n_wedges AS DOUBLE) END,
                  6) AS transitivity,
-           ROUND(CAST(s AS DOUBLE) / 2e9 / CAST(n_nodes_deg2 AS DOUBLE),
+           ROUND(CASE WHEN n_nodes_deg2 = 0 THEN NULL
+                      ELSE CAST(s AS DOUBLE) / 2e9
+                           / CAST(n_nodes_deg2 AS DOUBLE) END,
                  6) AS avg_local_cc
     FROM agg
     """,
@@ -10120,11 +10124,14 @@ def clustering_coefficient_users(spark, sf_dir):
       FROM d2
     )
     SELECT CAST(n_pairs / 2 AS BIGINT) AS n_edges,
-           ROUND((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                 / (CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
-                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
-                 6) AS assortativity
+           ROUND(CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+                      THEN NULL
+                      ELSE (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           / (CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 END, 6) AS assortativity
     FROM m
     """,
     "Newman degree assortativity (Pearson r of endpoint degrees over "
