@@ -246,7 +246,12 @@ def test_ewma_matches_python_fold(spark, xs, alpha):
     for x in xs[1:]:
         y = x * alpha + y * (1.0 - alpha)
     assert got["n_points"] == len(xs)
-    assert abs(got["ewma"] - round(y, 6)) < 1e-6
+    # tolerance covers the .5-at-7th-digit boundary: Spark ROUND is
+    # HALF_UP, Python round() is half-to-even, so an exact x.xxxxxx5
+    # fold result (hypothesis found y = 0.9203125) legitimately lands
+    # exactly 1e-6 apart — the operator is still bit-faithful to its
+    # own documented rounding
+    assert abs(got["ewma"] - round(y, 6)) <= 1.0001e-6
 
 
 @settings(max_examples=10, deadline=None)
