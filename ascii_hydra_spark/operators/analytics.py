@@ -2804,3 +2804,114 @@ def holt_linear(
         F.round(state["t"], 6).alias("trend"),
         F.round(state["l"] + state["t"], 6).alias("forecast_next"),
     )
+
+
+def lifecycle_states(
+    events: DataFrame, entity_col: str, ts_col: str
+) -> DataFrame:
+    """Per (month, state) row (month, state, n_users, share_in_month):
+    growth-accounting lifecycle matrix — each month's active entities
+    classified as `new` (first month ever), `retained` (also active the
+    previous month), or `resurrected` (returning after a gap).
+
+    Month arithmetic runs on the exact integer index year*12 + month,
+    so gap classification can never drift across engines; one distinct
+    (entity, month) projection, one entity-keyed LAG, exact counts,
+    month-window shares. The full-matrix sibling of new_vs_returning.
+    """
+    idx = (F.year(F.col(ts_col)) * 12 + F.month(F.col(ts_col))).alias("__m")
+    active = events.select(
+        F.col(entity_col).alias("__e"),
+        idx,
+        F.date_format(F.col(ts_col), "yyyy-MM").alias("month"),
+    ).distinct()
+    w = Window.partitionBy("__e").orderBy("__m")
+    tagged = active.select(
+        "month",
+        (F.col("__m") - F.lag("__m").over(w)).alias("__gap"),
+    ).select(
+        "month",
+        F.when(F.col("__gap").isNull(), "new")
+        .when(F.col("__gap") == 1, "retained")
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    g = tagged.groupBy("month", "state").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    return g.select(
+        "month",
+        "state",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double")
+            / F.sum("n_users").over(Window.partitionBy("month")).cast(
+                "double"
+            ),
+            6,
+        ).alias("share_in_month"),
+    )
+
+
+def active_days_histogram(
+    events: DataFrame, entity_col: str, ts_col: str, clamp: int = 60
+) -> DataFrame:
+    """Per-bucket row (days_active, n_users, share): the power-user
+    curve — how many entities were active on exactly N distinct days
+    (clamped at `clamp` so the output stays bucket-bounded). The
+    engagement-depth distribution behind stickiness; two-level distinct
+    aggregation, exact counts, bucket-window shares.
+    """
+    per = (
+        events.select(
+            F.col(entity_col).alias("__e"),
+            F.col(ts_col).cast("date").alias("__d"),
+        )
+        .distinct()
+        .groupBy("__e")
+        .agg(F.count("*").alias("__days"))
+    )
+    h = per.select(
+        F.least(F.col("__days"), F.lit(clamp)).cast("int").alias("days_active")
+    ).groupBy("days_active").agg(F.count("*").cast("bigint").alias("n_users"))
+    return h.select(
+        "days_active",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double")
+            / F.sum("n_users").over(Window.partitionBy()).cast("double"),
+            6,
+        ).alias("share"),
+    )
+
+
+def intersession_gap_percentiles(
+    tagged: DataFrame,
+    keys: Sequence[str],
+    session_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """One row (n_gaps, p50_s, p90_s, p99_s): distribution of the gap
+    between consecutive sessions of the same entity (end of one to
+    start of the next) — the return-cadence metric that sets push/
+    retargeting windows, beside session_duration_percentiles' in-
+    session lengths. Exact integer microsecond boundaries from one
+    session aggregate + one entity-keyed LAG; interpolated percentiles
+    over session-grain rows (entity-bounded global sort).
+    """
+    us = F.unix_micros(F.col(ts_col))
+    per = tagged.groupBy(*[F.col(k) for k in keys], F.col(session_col)).agg(
+        F.min(us).alias("__start"), F.max(us).alias("__end")
+    )
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy("__start")
+    gaps = per.select(
+        ((F.col("__start") - F.lag("__end").over(w)).cast("double") / F.lit(1e6)).alias(
+            "__gap_s"
+        )
+    ).filter(F.col("__gap_s").isNotNull())
+    return gaps.agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.round(F.expr("percentile(__gap_s, 0.5)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(__gap_s, 0.9)"), 6).alias("p90_s"),
+        F.round(F.expr("percentile(__gap_s, 0.99)"), 6).alias("p99_s"),
+    )

@@ -1077,3 +1077,47 @@ def multibyte_ratio(
             6,
         ).alias("bytes_per_char"),
     )
+
+
+def immediate_repeat_rate(
+    docs: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Per-group row (grp, n_docs, total_bigrams, n_repeats,
+    repeat_rate): share of adjacent token pairs that are the SAME token
+    — the stutter/generation-loop signal (template spam and degenerate
+    LM output repeat tokens immediately; natural text almost never
+    does). Token-level, so no regex backreferences are needed (RE2 has
+    none) — both engines compare xs[i] to xs[i+1] over an index range;
+    exact integer counts, one division. Zero shuffles beyond the group
+    aggregate.
+    """
+    toks = word_tokens(text_col)
+    n_big = F.size(toks) - F.lit(1)
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(1))
+    n_rep = F.size(
+        F.filter(
+            idx,
+            lambda i: F.element_at(toks, i) == F.element_at(toks, i + F.lit(1)),
+        )
+    )
+    per = docs.select(
+        F.col(group_col).alias("grp"),
+        n_big.alias("__nb"),
+        n_rep.alias("__nr"),
+    ).filter(F.col("__nb") >= 1)
+    agg = per.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("__nb").cast("bigint").alias("total_bigrams"),
+        F.sum("__nr").cast("bigint").alias("n_repeats"),
+    )
+    return agg.select(
+        "grp",
+        "n_docs",
+        "total_bigrams",
+        "n_repeats",
+        F.round(
+            F.col("n_repeats").cast("double")
+            / F.col("total_bigrams").cast("double"),
+            6,
+        ).alias("repeat_rate"),
+    )

@@ -11586,6 +11586,142 @@ def weekday_weekend_revenue(spark, sf_dir):
     )
 
 
+@q(
+    "user_lifecycle_states",
+    """
+    WITH active AS (
+        SELECT DISTINCT user_id AS e,
+               EXTRACT(year FROM ts) * 12 + EXTRACT(month FROM ts) AS m,
+               strftime(ts, '%Y-%m') AS month
+        FROM events
+    ),
+    g AS (
+        SELECT month, m - LAG(m) OVER (PARTITION BY e ORDER BY m) AS gap
+        FROM active
+    ),
+    s AS (
+        SELECT month, CASE WHEN gap IS NULL THEN 'new'
+                           WHEN gap = 1 THEN 'retained'
+                           ELSE 'resurrected' END AS state
+        FROM g
+    ),
+    c AS (SELECT month, state, COUNT(*)::BIGINT AS n_users FROM s
+          GROUP BY 1, 2)
+    SELECT month, state, n_users,
+           ROUND(CAST(n_users AS DOUBLE)
+                 / CAST(SUM(n_users) OVER (PARTITION BY month) AS DOUBLE),
+                 6) AS share_in_month
+    FROM c
+    """,
+    "Growth-accounting lifecycle matrix: each month's actives split "
+    "new / retained / resurrected — gap classification on the exact "
+    "integer month index year*12+month (no date-diff drift); one "
+    "distinct projection + one entity LAG + exact counts",
+)
+def user_lifecycle_states(spark, sf_dir):
+    return analytics.lifecycle_states(
+        _t(spark, sf_dir, "events"), "user_id", "ts"
+    )
+
+
+@q(
+    "power_user_curve",
+    """
+    WITH per AS (
+        SELECT user_id, COUNT(DISTINCT CAST(ts AS DATE)) AS days
+        FROM events GROUP BY user_id
+    ),
+    h AS (SELECT LEAST(days, 60)::INT AS days_active,
+                 COUNT(*)::BIGINT AS n_users
+          FROM per GROUP BY 1)
+    SELECT days_active, n_users,
+           ROUND(CAST(n_users AS DOUBLE)
+                 / CAST(SUM(n_users) OVER () AS DOUBLE), 6) AS share
+    FROM h
+    """,
+    "Power-user curve: entities by exact count of distinct active days "
+    "(clamped at 60) — the engagement-depth histogram behind "
+    "monthly_stickiness; two-level distinct aggregation, bucket-window "
+    "shares",
+)
+def power_user_curve(spark, sf_dir):
+    return analytics.active_days_histogram(
+        _t(spark, sf_dir, "events"), "user_id", "ts", clamp=60
+    )
+
+
+@q(
+    "intersession_gap_percentiles",
+    """
+    WITH e AS (SELECT user_id, ts, event_id, EPOCH_US(ts) AS us FROM events),
+    g AS (
+        SELECT user_id, us, ts, event_id,
+               CASE WHEN LAG(us) OVER w IS NULL
+                         OR us - LAG(us) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sid AS (
+        SELECT user_id, us,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS session_id
+        FROM g
+    ),
+    per AS (
+        SELECT user_id, session_id, MIN(us) AS s, MAX(us) AS en
+        FROM sid GROUP BY 1, 2
+    ),
+    gaps AS (
+        SELECT CAST(s - LAG(en) OVER (PARTITION BY user_id ORDER BY s)
+                    AS DOUBLE) / 1e6 AS gap_s
+        FROM per
+    )
+    SELECT COUNT(*)::BIGINT AS n_gaps,
+           ROUND(quantile_cont(gap_s, 0.5), 6) AS p50_s,
+           ROUND(quantile_cont(gap_s, 0.9), 6) AS p90_s,
+           ROUND(quantile_cont(gap_s, 0.99), 6) AS p99_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    """,
+    "Return-cadence percentiles: gap from one gap-rule session's end "
+    "to the same user's next session start — exact integer microsecond "
+    "boundaries, one session aggregate + one entity LAG, interpolated "
+    "percentiles over session-grain rows",
+)
+def intersession_gap_percentiles(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    tagged = windows.session_ids(ev, ["user_id"], "ts", "event_id", gap_s=1800)
+    return analytics.intersession_gap_percentiles(
+        tagged, ["user_id"], "session_id", "ts"
+    )
+
+
+@q(
+    "immediate_repeat_tokens_by_source",
+    f"""
+    WITH t AS (SELECT source AS grp, {_TOKS} AS xs FROM documents),
+    c AS (
+        SELECT grp, LEN(xs) - 1 AS nb,
+               LEN(LIST_FILTER(RANGE(1, LEN(xs)), i -> xs[i] = xs[i + 1]))
+                   AS nr
+        FROM t WHERE LEN(xs) >= 2
+    )
+    SELECT grp, COUNT(*)::BIGINT AS n_docs, SUM(nb)::BIGINT AS total_bigrams,
+           SUM(nr)::BIGINT AS n_repeats,
+           ROUND(CAST(SUM(nr) AS DOUBLE) / CAST(SUM(nb) AS DOUBLE), 6)
+               AS repeat_rate
+    FROM c GROUP BY grp
+    """,
+    "Immediate token-repeat rate per source (share of adjacent token "
+    "pairs that are the same token) — the stutter/generation-loop "
+    "signal beside the n-gram repetition gates; token-level index "
+    "comparison (RE2 has no backreferences, so this is NOT a regex), "
+    "exact integer counts, one division",
+)
+def immediate_repeat_tokens_by_source(spark, sf_dir):
+    return text.immediate_repeat_rate(_t(spark, sf_dir, "documents"))
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -11792,8 +11928,16 @@ _PAST_DRIVER_GREEN: frozenset[str] = frozenset({
     "window_running", "zorder_clustering", "zscore_outlier_counts",
 })
 
+# Round-9 pool: entries added after the round-8 pool filled its 45
+# slots. Same first-time/disjoint/oracle-able contract.
+_ROUND9_POOL: tuple[str, ...] = (
+    "user_lifecycle_states", "power_user_curve",
+    "intersession_gap_percentiles", "immediate_repeat_tokens_by_source",
+)
+
 _PRIORITY: tuple[str, ...] = (
     _ANCHORS + _ROTATION + _ROUND6_POOL + _ROUND7_POOL + _ROUND8_POOL
+    + _ROUND9_POOL
 )
 
 
@@ -11828,6 +11972,7 @@ def _reorder_registry() -> None:
     no_oracle = sorted(
         n
         for n in _ROTATION + _ROUND6_POOL + _ROUND7_POOL + _ROUND8_POOL
+        + _ROUND9_POOL
         if REGISTRY[n].sql is None
     )
     if no_oracle:

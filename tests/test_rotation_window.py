@@ -54,7 +54,8 @@ def test_head_and_pools_are_all_oracle_able() -> None:
     # queued/pooled names are future heads so the same rule applies
     bad = [
         n
-        for n in v._ROTATION + v._ROUND6_POOL + v._ROUND7_POOL + v._ROUND8_POOL
+        for n in v._ROTATION + v._ROUND6_POOL + v._ROUND7_POOL
+        + v._ROUND8_POOL + v._ROUND9_POOL
         if v.REGISTRY[n].sql is None
     ]
     assert not bad, f"rows-only names in head/pools: {bad}"
@@ -69,6 +70,7 @@ def test_every_sql_entry_is_scheduled_for_driver_evidence() -> None:
         | set(v._ROUND6_POOL)
         | set(v._ROUND7_POOL)
         | set(v._ROUND8_POOL)
+        | set(v._ROUND9_POOL)
         | v._PAST_DRIVER_GREEN
     )
     unscheduled = [
@@ -94,6 +96,27 @@ def test_round7_pool_is_first_time_and_disjoint() -> None:
     assert not (set(v._ROUND7_POOL) & set(v._ANCHORS + v._ROTATION))
     assert not (set(v._ROUND7_POOL) & set(v._ROUND6_POOL))
     assert set(v._ROUND7_POOL) <= set(v.REGISTRY)
+
+
+def test_round8_pool_is_a_full_first_time_rotation() -> None:
+    # filled to exactly 45 in the round-5 continuation; same contract
+    assert len(v._ROUND8_POOL) == 45
+    assert not (set(v._ROUND8_POOL) & v._PAST_DRIVER_GREEN)
+    earlier = set(v._ANCHORS + v._ROTATION + v._ROUND6_POOL + v._ROUND7_POOL)
+    assert not (set(v._ROUND8_POOL) & earlier)
+    assert set(v._ROUND8_POOL) <= set(v.REGISTRY)
+
+
+def test_round9_pool_is_first_time_and_disjoint() -> None:
+    # overflow beyond round 8; may still be filling toward 45
+    assert len(v._ROUND9_POOL) <= 45
+    assert not (set(v._ROUND9_POOL) & v._PAST_DRIVER_GREEN)
+    earlier = set(
+        v._ANCHORS + v._ROTATION + v._ROUND6_POOL + v._ROUND7_POOL
+        + v._ROUND8_POOL
+    )
+    assert not (set(v._ROUND9_POOL) & earlier)
+    assert set(v._ROUND9_POOL) <= set(v.REGISTRY)
 
 
 def test_rows_only_entries_stay_verified_in_pytest() -> None:
