@@ -995,3 +995,37 @@ def quantized_cosine_pair_histogram(
             "share"
         ),
     )
+
+
+def quantization_error_stats(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """One row (n_vectors, max_abs_err, avg_max_abs_err, zero_err_vectors):
+    reconstruction error of the shared int8 quantization
+    (x - q*scale per coordinate) — the quality gate that justifies
+    running similarity search on the 4x-narrower column.
+
+    Per-coordinate errors and the per-vector max are deterministic
+    doubles (same expression on the same floats in every engine;
+    array_max is order-free); only the corpus average is a float sum,
+    whose magnitude (~1e-3 per term) keeps 6-dp output stable at any
+    partition count. Bounded by construction: |err| <= scale/2.
+    """
+    scale, q = _quantize_parts(vec_col)
+    v = to_double_array(F.col(vec_col))
+    err = F.zip_with(
+        v,
+        q,
+        lambda x, qi: F.abs(x - qi.cast("double") * scale),
+    )
+    per = emb.select(F.array_max(err).alias("__m"))
+    return per.agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.round(F.max("__m"), 6).alias("max_abs_err"),
+        F.round(F.sum("__m") / F.count("*").cast("double"), 6).alias(
+            "avg_max_abs_err"
+        ),
+        F.sum(F.when(F.col("__m") == 0.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("zero_err_vectors"),
+    )

@@ -11722,6 +11722,225 @@ def immediate_repeat_tokens_by_source(spark, sf_dir):
     return text.immediate_repeat_rate(_t(spark, sf_dir, "documents"))
 
 
+@q(
+    "nation_trade_balance",
+    """
+    WITH sup AS (
+        SELECT n.n_name,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS supply_rev
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    ),
+    dem AS (
+        SELECT n.n_name,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS demand_rev
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    )
+    SELECT COALESCE(sup.n_name, dem.n_name) AS n_name,
+           CAST(COALESCE(supply_rev, CAST(0 AS DECIMAL(18,2))) AS DOUBLE)
+               AS supply_revenue,
+           CAST(COALESCE(demand_rev, CAST(0 AS DECIMAL(18,2))) AS DOUBLE)
+               AS demand_revenue,
+           CAST(COALESCE(supply_rev, CAST(0 AS DECIMAL(18,2)))
+                - COALESCE(demand_rev, CAST(0 AS DECIMAL(18,2))) AS DOUBLE)
+               AS trade_balance
+    FROM sup FULL OUTER JOIN dem ON sup.n_name = dem.n_name
+    """,
+    "Per-nation trade balance: revenue supplied (supplier side of the "
+    "fact) minus revenue consumed (customer side) — two independent "
+    "star aggregations full-outer-joined on the 25-row nation key, "
+    "decimal-exact subtraction; the bilateral rollup behind tpch_q7's "
+    "nation-pair shape",
+)
+def nation_trade_balance(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    price = F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+        "decimal(18,2)"
+    )
+    sup = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(price.alias("supply_rev"))
+    )
+    dem = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(price.alias("demand_rev"))
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    j = sup.join(dem, "n_name", "full_outer")
+    return j.select(
+        "n_name",
+        F.coalesce(F.col("supply_rev"), zero).cast("double").alias(
+            "supply_revenue"
+        ),
+        F.coalesce(F.col("demand_rev"), zero).cast("double").alias(
+            "demand_revenue"
+        ),
+        (
+            F.coalesce(F.col("supply_rev"), zero)
+            - F.coalesce(F.col("demand_rev"), zero)
+        )
+        .cast("double")
+        .alias("trade_balance"),
+    )
+
+
+@q(
+    "size_price_corr_by_type",
+    """
+    WITH m AS (
+        SELECT p_type, COUNT(*)::BIGINT AS n_parts,
+               SUM(CAST(p_size AS BIGINT))::BIGINT AS sx,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sy,
+               SUM(CAST(p_size AS BIGINT) * CAST(p_size AS BIGINT))::BIGINT
+                   AS sxx,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))
+                        * CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS syy,
+               CAST(SUM(CAST(p_size AS DECIMAL(18,0))
+                        * CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sxy
+        FROM part GROUP BY p_type
+    )
+    SELECT p_type, n_parts,
+           ROUND(CASE WHEN CAST(n_parts AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0
+                           OR CAST(n_parts AS DOUBLE) * syy - sy * sy = 0
+                      THEN NULL
+                      ELSE (CAST(n_parts AS DOUBLE) * sxy
+                            - CAST(sx AS DOUBLE) * sy)
+                           / (SQRT(CAST(n_parts AS DOUBLE)
+                                   * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * SQRT(CAST(n_parts AS DOUBLE) * syy
+                                     - sy * sy))
+                 END, 6) AS corr
+    FROM m
+    """,
+    "Per-type Pearson correlation between part size and retail price — "
+    "the grouped sibling of corr_stats; every moment is an exact "
+    "integer/decimal sum, r assembled in one double expression with a "
+    "zero-variance NULL guard",
+)
+def size_price_corr_by_type(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    size_i = F.col("p_size").cast("bigint")
+    size_d = F.col("p_size").cast("decimal(18,0)")
+    price = F.col("p_retailprice").cast("decimal(18,2)")
+    m = p.groupBy("p_type").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.sum(size_i).cast("bigint").alias("__sx"),
+        F.sum(price).cast("double").alias("__sy"),
+        F.sum(size_i * size_i).cast("bigint").alias("__sxx"),
+        F.sum(price * price).cast("double").alias("__syy"),
+        F.sum(size_d * price).cast("double").alias("__sxy"),
+    )
+    n = F.col("n_parts").cast("double")
+    sx = F.col("__sx").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    denx = n * sxx - sx * sx
+    deny = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    return m.select(
+        "p_type",
+        "n_parts",
+        F.round(
+            F.when(
+                (denx == 0) | (deny == 0), F.lit(None).cast("double")
+            ).otherwise(
+                (n * F.col("__sxy") - sx * F.col("__sy"))
+                / (F.sqrt(denx) * F.sqrt(deny))
+            ),
+            6,
+        ).alias("corr"),
+    )
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+@q(
+    "stopword_ratio_by_lang",
+    f"""
+    WITH toks AS (
+        SELECT lang AS grp, UNNEST({_TOKS}) AS term FROM documents
+    )
+    SELECT grp, COUNT(*)::BIGINT AS n_tokens,
+           SUM(CASE WHEN term IN {_STOPWORDS!r} THEN 1 ELSE 0 END)::BIGINT
+               AS n_stopwords,
+           ROUND(CAST(SUM(CASE WHEN term IN {_STOPWORDS!r}
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS stopword_ratio
+    FROM toks GROUP BY grp
+    """,
+    "Function-word (stopword) share per language over a fixed 6-word "
+    "list — the classic fluency/quality signal (too low: keyword spam; "
+    "too high: boilerplate); exact token counts, one division; "
+    "map-side-combinable explode + group aggregate",
+)
+def stopword_ratio_by_lang(spark, sf_dir):
+    toks = _t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("grp"),
+        F.explode(word_tokens("text")).alias("term"),
+    )
+    is_stop = F.when(F.col("term").isin(*_STOPWORDS), 1).otherwise(0)
+    return toks.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum(is_stop).cast("bigint").alias("n_stopwords"),
+        F.round(
+            F.sum(is_stop).cast("double") / F.count("*").cast("double"), 6
+        ).alias("stopword_ratio"),
+    )
+
+
+@q(
+    "quantization_error_stats",
+    """
+    WITH q AS (SELECT vec_id, embedding, s,
+          list_transform(embedding, x -> CASE WHEN s = 0 THEN 0
+              ELSE CAST(FLOOR(x / s + 0.5) AS INT) END) AS qe
+          FROM (SELECT vec_id, embedding,
+                CAST(list_max(list_transform(embedding, x -> abs(x)))
+                     AS DOUBLE) / 127.0 AS s
+                FROM embeddings)),
+    per AS (
+        SELECT list_max(list_transform(range(1, len(embedding) + 1),
+               i -> ABS(CAST(embedding[i] AS DOUBLE)
+                        - CAST(qe[i] AS DOUBLE) * s))) AS m
+        FROM q
+    )
+    SELECT COUNT(*)::BIGINT AS n_vectors, ROUND(MAX(m), 6) AS max_abs_err,
+           ROUND(SUM(m) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_max_abs_err,
+           SUM(CASE WHEN m = 0.0 THEN 1 ELSE 0 END)::BIGINT
+               AS zero_err_vectors
+    FROM per
+    """,
+    "Reconstruction-error profile of the shared int8 quantization "
+    "(x - q*scale per coordinate; |err| <= scale/2 by construction) — "
+    "the quality gate behind the 4x-narrower similarity arms; "
+    "per-vector max is order-free, only the tiny-magnitude corpus "
+    "average is a float sum",
+)
+def quantization_error_stats(spark, sf_dir):
+    return similarity.quantization_error_stats(_t(spark, sf_dir, "embeddings"))
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -11933,6 +12152,8 @@ _PAST_DRIVER_GREEN: frozenset[str] = frozenset({
 _ROUND9_POOL: tuple[str, ...] = (
     "user_lifecycle_states", "power_user_curve",
     "intersession_gap_percentiles", "immediate_repeat_tokens_by_source",
+    "nation_trade_balance", "size_price_corr_by_type",
+    "stopword_ratio_by_lang", "quantization_error_stats",
 )
 
 _PRIORITY: tuple[str, ...] = (
