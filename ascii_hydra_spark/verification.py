@@ -11941,6 +11941,163 @@ def quantization_error_stats(spark, sf_dir):
     return similarity.quantization_error_stats(_t(spark, sf_dir, "embeddings"))
 
 
+@q(
+    "trigram_top_by_lang",
+    f"""
+    WITH toks AS (SELECT lang AS grp, {_TOKS} AS xs FROM documents),
+    tg AS (
+        SELECT grp, xs[i] || ' ' || xs[i + 1] || ' ' || xs[i + 2] AS ngram
+        FROM toks, UNNEST(RANGE(1, LEN(xs) - 1)) AS t(i)
+    ),
+    c AS (SELECT grp, ngram, COUNT(*)::BIGINT AS cnt FROM tg GROUP BY 1, 2),
+    rk AS (
+        SELECT grp, ngram, cnt,
+               ROW_NUMBER() OVER (PARTITION BY grp
+                                  ORDER BY cnt DESC, ngram) AS rnk
+        FROM c
+    )
+    SELECT grp, CAST(rnk AS INT) AS rnk, ngram, cnt FROM rk WHERE rnk <= 10
+    """,
+    "Top-10 word trigrams per language (count DESC, ngram ASC "
+    "tie-break) — the phrase-level heavy hitters beside the bigram "
+    "PMI collocations; two-level aggregation with per-group window "
+    "top-k (k rows of state per group, never a global sort)",
+)
+def trigram_top_by_lang(spark, sf_dir):
+    from ascii_hydra_spark.functions import ngrams
+
+    c = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            F.col("lang").alias("grp"),
+            F.explode(ngrams(word_tokens("text"), 3)).alias("ngram"),
+        )
+        .groupBy("grp", "ngram")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("cnt"), F.col("ngram"))
+    return (
+        c.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 10)
+        .select("grp", "rnk", "ngram", "cnt")
+    )
+
+
+@q(
+    "customer_value_migration",
+    """
+    WITH per AS (
+        SELECT o_custkey AS k,
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 'p1'
+                    ELSE 'p2' END AS period,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS v
+        FROM orders GROUP BY 1, 2
+    ),
+    qt AS (
+        SELECT k, period,
+               NTILE(4) OVER (PARTITION BY period ORDER BY v DESC, k)
+                   AS quartile
+        FROM per
+    ),
+    mv AS (
+        SELECT a.quartile AS q_from, b.quartile AS q_to
+        FROM qt a JOIN qt b ON a.k = b.k
+        WHERE a.period = 'p1' AND b.period = 'p2'
+    ),
+    c AS (SELECT q_from, q_to, COUNT(*)::BIGINT AS n_customers FROM mv
+          GROUP BY 1, 2)
+    SELECT q_from, q_to, n_customers,
+           ROUND(CAST(n_customers AS DOUBLE)
+                 / CAST(SUM(n_customers) OVER () AS DOUBLE), 6) AS share
+    FROM c
+    """,
+    "Customer value-quartile migration matrix between the 1995-97 and "
+    "1998-01 halves of the order history — the churn/upsell movement "
+    "readout behind rfm_segmentation; NTILE over a TOTAL order "
+    "(value DESC, custkey) so quartile assignment is deterministic, "
+    "exact counts, 16-cell window shares",
+)
+def customer_value_migration(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    per = o.groupBy(
+        F.col("o_custkey").alias("k"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), "p1"
+        )
+        .otherwise("p2")
+        .alias("period"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("v")
+    )
+    w = Window.partitionBy("period").orderBy(F.desc("v"), F.col("k"))
+    qt = per.select("k", "period", F.ntile(4).over(w).alias("quartile"))
+    a = qt.filter(F.col("period") == "p1").select(
+        "k", F.col("quartile").alias("q_from")
+    )
+    b = qt.filter(F.col("period") == "p2").select(
+        "k", F.col("quartile").alias("q_to")
+    )
+    c = (
+        a.join(b, "k")
+        .groupBy("q_from", "q_to")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+    )
+    return c.select(
+        "q_from",
+        "q_to",
+        "n_customers",
+        F.round(
+            F.col("n_customers").cast("double")
+            / F.sum("n_customers").over(Window.partitionBy()).cast("double"),
+            6,
+        ).alias("share"),
+    )
+
+
+@q(
+    "ship_lead_time_by_priority",
+    """
+    WITH g AS (
+        SELECT o.o_orderpriority,
+               CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+                   AS lead_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority, COUNT(*)::BIGINT AS n_lines,
+           ROUND(CAST(SUM(lead_days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                 6) AS avg_days,
+           ROUND(quantile_cont(lead_days, 0.5), 6) AS p50_days,
+           ROUND(quantile_cont(lead_days, 0.95), 6) AS p95_days
+    FROM g GROUP BY o_orderpriority
+    """,
+    "Order-to-ship lead time per priority class — the fulfillment SLA "
+    "scorecard; exact integer day gaps from the fact join, integer-sum "
+    "average, interpolated p50/p95 (Spark percentile == DuckDB "
+    "quantile_cont); one fact shuffle on the join key + one group "
+    "aggregate",
+)
+def ship_lead_time_by_priority(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    g = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("lead_days"),
+    )
+    return g.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.round(
+            F.sum("lead_days").cast("double") / F.count("*").cast("double"), 6
+        ).alias("avg_days"),
+        F.round(F.expr("percentile(lead_days, 0.5)"), 6).alias("p50_days"),
+        F.round(F.expr("percentile(lead_days, 0.95)"), 6).alias("p95_days"),
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -12154,6 +12311,8 @@ _ROUND9_POOL: tuple[str, ...] = (
     "intersession_gap_percentiles", "immediate_repeat_tokens_by_source",
     "nation_trade_balance", "size_price_corr_by_type",
     "stopword_ratio_by_lang", "quantization_error_stats",
+    "trigram_top_by_lang", "customer_value_migration",
+    "ship_lead_time_by_priority",
 )
 
 _PRIORITY: tuple[str, ...] = (
