@@ -12098,6 +12098,263 @@ def ship_lead_time_by_priority(spark, sf_dir):
     )
 
 
+@q(
+    "peak_concurrency_sessions",
+    """
+    WITH e AS (SELECT user_id, ts, event_id, EPOCH_US(ts) AS us FROM events),
+    g AS (
+        SELECT user_id, us, ts, event_id,
+               CASE WHEN LAG(us) OVER w IS NULL
+                         OR us - LAG(us) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sid AS (
+        SELECT user_id, us,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS session_id
+        FROM g
+    ),
+    per AS (
+        SELECT user_id, session_id, MIN(us) AS s, MAX(us) AS en
+        FROM sid GROUP BY 1, 2
+    ),
+    pts AS (
+        SELECT s AS us, 1 AS d FROM per
+        UNION ALL SELECT en + 1, -1 FROM per
+    ),
+    sweep AS (
+        SELECT us, d,
+               SUM(d) OVER (ORDER BY us, d DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cur
+        FROM pts
+    ),
+    mx AS (SELECT MAX(cur) AS peak FROM sweep)
+    SELECT (SELECT COUNT(*) FROM per)::BIGINT AS n_sessions,
+           CAST(mx.peak AS BIGINT) AS peak_concurrent,
+           (SELECT MIN(us) FROM sweep, mx WHERE cur = mx.peak)::BIGINT
+               AS first_peak_us
+    FROM mx
+    """,
+    "Peak concurrent gap-rule sessions via the sweep line (+1 at start, "
+    "-1 one microsecond past end; starts sort before ends at equal "
+    "times, so touching sessions count as concurrent and the running "
+    "max is order-independent within tie blocks) — the capacity "
+    "number sizing connection pools; exact integer arithmetic "
+    "throughout, session-grain global window (the open_lines "
+    "contract)",
+)
+def peak_concurrency_sessions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    tagged = windows.session_ids(ev, ["user_id"], "ts", "event_id", gap_s=1800)
+    us = F.unix_micros(F.col("ts"))
+    per = tagged.groupBy("user_id", "session_id").agg(
+        F.min(us).alias("s"), F.max(us).alias("en")
+    )
+    pts = per.select(F.col("s").alias("us"), F.lit(1).alias("d")).unionAll(
+        per.select((F.col("en") + 1).alias("us"), F.lit(-1).alias("d"))
+    )
+    w = Window.orderBy(F.col("us"), F.desc("d")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sweep = pts.select("us", "d", F.sum("d").over(w).alias("cur"))
+    agg = sweep.agg(
+        (F.count("*") / 2).cast("bigint").alias("n_sessions"),
+        F.max("cur").cast("bigint").alias("peak_concurrent"),
+        F.min_by(F.col("us"), F.struct((-F.col("cur")).alias("a"), F.col("us").alias("b")))
+        .cast("bigint")
+        .alias("first_peak_us"),
+    )
+    return agg
+
+
+@q(
+    "weekly_wow_volatility",
+    """
+    WITH wk AS (
+        SELECT date_trunc('week', o_orderdate) AS week,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS rev
+        FROM orders GROUP BY 1
+    ),
+    ch AS (
+        SELECT CAST(rev AS DOUBLE)
+               / CAST(LAG(rev) OVER (ORDER BY week) AS DOUBLE) - 1.0
+                   AS chg
+        FROM wk
+    ),
+    m AS (
+        SELECT COUNT(*)::BIGINT AS n_weeks, SUM(chg) AS s,
+               SUM(chg * chg) AS ss, MIN(chg) AS mn, MAX(chg) AS mx
+        FROM ch WHERE chg IS NOT NULL
+    )
+    SELECT n_weeks, ROUND(s / CAST(n_weeks AS DOUBLE), 6) AS avg_change,
+           ROUND(SQRT((CAST(n_weeks AS DOUBLE) * ss - s * s)
+                 / (CAST(n_weeks AS DOUBLE)
+                    * (CAST(n_weeks AS DOUBLE) - 1.0))), 6)
+               AS stddev_change,
+           ROUND(mn, 6) AS max_drop, ROUND(mx, 6) AS max_gain
+    FROM m
+    """,
+    "Week-over-week revenue-change volatility — the dispersion "
+    "companion to mom_revenue_growth; weekly sums are decimal-exact, "
+    "each change ratio is the same double in both engines, and the "
+    "sample stddev is assembled from calendar-bounded (~340-term) "
+    "sums whose drift is far below the 6-dp round",
+)
+def weekly_wow_volatility(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    wk = o.groupBy(F.date_trunc("week", F.col("o_orderdate")).alias("week")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    lagw = Window.orderBy("week")
+    ch = wk.select(
+        (
+            F.col("rev").cast("double")
+            / F.lag("rev").over(lagw).cast("double")
+            - F.lit(1.0)
+        ).alias("chg")
+    ).filter(F.col("chg").isNotNull())
+    m = ch.agg(
+        F.count("*").cast("bigint").alias("n_weeks"),
+        F.sum("chg").alias("__s"),
+        F.sum(F.col("chg") * F.col("chg")).alias("__ss"),
+        F.min("chg").alias("__mn"),
+        F.max("chg").alias("__mx"),
+    )
+    n = F.col("n_weeks").cast("double")
+    return m.select(
+        "n_weeks",
+        F.round(F.col("__s") / n, 6).alias("avg_change"),
+        F.round(
+            F.sqrt(
+                (n * F.col("__ss") - F.col("__s") * F.col("__s"))
+                / (n * (n - F.lit(1.0)))
+            ),
+            6,
+        ).alias("stddev_change"),
+        F.round(F.col("__mn"), 6).alias("max_drop"),
+        F.round(F.col("__mx"), 6).alias("max_gain"),
+    )
+
+
+@q(
+    "churn_rate_by_segment",
+    """
+    WITH p1 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    ),
+    p2 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    ),
+    f AS (
+        SELECT c.c_mktsegment,
+               CASE WHEN p2.o_custkey IS NULL THEN 1 ELSE 0 END AS churned
+        FROM p1 JOIN customer c ON p1.o_custkey = c.c_custkey
+        LEFT JOIN p2 ON p1.o_custkey = p2.o_custkey
+    )
+    SELECT c_mktsegment, COUNT(*)::BIGINT AS n_p1_customers,
+           SUM(churned)::BIGINT AS n_churned,
+           ROUND(CAST(SUM(churned) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS churn_rate
+    FROM f GROUP BY c_mktsegment
+    """,
+    "Churn rate per segment: customers active in 1995-97 with no "
+    "order afterward — distinct-key anti-membership via a left join "
+    "against the later period's distinct keys (duplicate-safe), exact "
+    "counts, one division; the acquisition complement of "
+    "customer_recency_bands",
+)
+def churn_rate_by_segment(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    pivot = F.lit("1998-01-01").cast("timestamp")
+    p1 = o.filter(F.col("o_orderdate") < pivot).select("o_custkey").distinct()
+    p2 = (
+        o.filter(F.col("o_orderdate") >= pivot)
+        .select(F.col("o_custkey").alias("__k2"))
+        .distinct()
+    )
+    f = (
+        p1.join(c, p1.o_custkey == c.c_custkey)
+        .join(p2, p1.o_custkey == F.col("__k2"), "left")
+        .select(
+            "c_mktsegment",
+            F.when(F.col("__k2").isNull(), 1).otherwise(0).alias("churned"),
+        )
+    )
+    return f.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_p1_customers"),
+        F.sum("churned").cast("bigint").alias("n_churned"),
+        F.round(
+            F.sum("churned").cast("double") / F.count("*").cast("double"), 6
+        ).alias("churn_rate"),
+    )
+
+
+@q(
+    "brand_yoy_growth",
+    """
+    WITH r AS (
+        SELECT p.p_brand, EXTRACT(year FROM l.l_shipdate) AS yr,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS rev
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE EXTRACT(year FROM l.l_shipdate) IN (1999, 2000)
+        GROUP BY 1, 2
+    )
+    SELECT a.p_brand, CAST(a.rev AS DOUBLE) AS rev_1999,
+           CAST(b.rev AS DOUBLE) AS rev_2000,
+           ROUND(CASE WHEN a.rev = 0 THEN NULL
+                      ELSE CAST(b.rev - a.rev AS DOUBLE)
+                           / CAST(a.rev AS DOUBLE) END, 6) AS yoy_growth
+    FROM r a JOIN r b ON a.p_brand = b.p_brand
+    WHERE a.yr = 1999 AND b.yr = 2000
+    """,
+    "Year-over-year revenue growth per part brand (1999 -> 2000, "
+    "ship-date attributed) — decimal-exact yearly sums, the growth "
+    "ratio computed on the decimal difference, zero-base NULL guard; "
+    "one fact shuffle + a brand-keyed self-join of the year grain",
+)
+def brand_yoy_growth(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    r = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(F.year("l_shipdate").isin(1999, 2000))
+        .groupBy("p_brand", F.year("l_shipdate").alias("yr"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+    )
+    a = r.filter(F.col("yr") == 1999).select(
+        "p_brand", F.col("rev").alias("__r1")
+    )
+    b = r.filter(F.col("yr") == 2000).select(
+        "p_brand", F.col("rev").alias("__r2")
+    )
+    return a.join(b, "p_brand").select(
+        "p_brand",
+        F.col("__r1").cast("double").alias("rev_1999"),
+        F.col("__r2").cast("double").alias("rev_2000"),
+        F.round(
+            F.when(F.col("__r1") == 0, F.lit(None).cast("double")).otherwise(
+                (F.col("__r2") - F.col("__r1")).cast("double")
+                / F.col("__r1").cast("double")
+            ),
+            6,
+        ).alias("yoy_growth"),
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -12313,6 +12570,8 @@ _ROUND9_POOL: tuple[str, ...] = (
     "stopword_ratio_by_lang", "quantization_error_stats",
     "trigram_top_by_lang", "customer_value_migration",
     "ship_lead_time_by_priority",
+    "peak_concurrency_sessions", "weekly_wow_volatility",
+    "churn_rate_by_segment", "brand_yoy_growth",
 )
 
 _PRIORITY: tuple[str, ...] = (
