@@ -2915,3 +2915,52 @@ def intersession_gap_percentiles(
         F.round(F.expr("percentile(__gap_s, 0.9)"), 6).alias("p90_s"),
         F.round(F.expr("percentile(__gap_s, 0.99)"), 6).alias("p99_s"),
     )
+
+
+def entity_mix_entropy_hist(
+    facts: DataFrame, entity_col: str, item_col: str
+) -> DataFrame:
+    """Per-bucket row (bucket, n_entities, share): histogram of each
+    entity's item-mix Shannon entropy (bucket = floor(10 * H), H in
+    nats) — the behavioral-diversity profile (bucket 0: single-minded
+    entities; high buckets: uniform mixers).
+
+    Per-entity entropy is an ORDERED left fold over the item-sorted
+    count list (F.aggregate from a 0.0 init == LIST_REDUCE over the
+    transformed list, because 0.0 + x is exact — same element order,
+    same operation order, bit-identical doubles), so no per-group
+    float-sum ordering exists anywhere. Counts and totals are exact
+    integers; the bucket floor is deterministic on identical doubles.
+    """
+    c = facts.groupBy(
+        F.col(entity_col).alias("__e"), F.col(item_col).alias("__i")
+    ).agg(F.count("*").cast("bigint").alias("__c"))
+    lst = c.groupBy("__e").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__i", "__c"))),
+            lambda s: s["__c"],
+        ).alias("__xs")
+    )
+    xs = F.col("__xs")
+    n = F.aggregate(
+        xs, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    ).cast("double")
+    ent = -F.aggregate(
+        xs,
+        F.lit(0.0),
+        lambda acc, cc: acc
+        + (cc.cast("double") / n) * F.log(cc.cast("double") / n),
+    )
+    b = lst.select(
+        F.floor(ent * F.lit(10.0)).cast("int").alias("bucket")
+    )
+    h = b.groupBy("bucket").agg(F.count("*").cast("bigint").alias("n_entities"))
+    return h.select(
+        "bucket",
+        "n_entities",
+        F.round(
+            F.col("n_entities").cast("double")
+            / F.sum("n_entities").over(Window.partitionBy()).cast("double"),
+            6,
+        ).alias("share"),
+    )

@@ -563,3 +563,95 @@ def bfs_frontier_counts(
     for s in stats[1:]:
         out = out.unionAll(s)
     return out
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 10,
+    reliable: bool = False,
+) -> DataFrame:
+    """Top-k nodes by HITS authority after a fixed number of
+    hub/authority power iterations — the bipartite-flavored authority
+    score beside PageRank (a node is a good authority when good hubs
+    point at it).
+
+    Same iterative discipline as pagerank: the directed edge list is
+    deduped, persisted once, and reused as both the forward and the
+    reverse propagation table; every iteration is two keyed sums with
+    a max-normalization (max is accumulation-order-free, unlike the
+    L2 norm) and the score frames are lineage-truncated per round.
+    Iteration count is FIXED. Output rounds to 6 dp; tie-break on
+    node id.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    e = truncate_lineage(e, reliable=reliable)
+    nodes = truncate_lineage(
+        e.select(F.col("s").alias("n"))
+        .union(e.select(F.col("d").alias("n")))
+        .distinct(),
+        reliable=reliable,
+    )
+    auth = nodes.select("n", F.lit(1.0).alias("a"))
+    for _ in range(iterations):
+        hub = (
+            e.join(auth.withColumnRenamed("n", "d"), "d")
+            .groupBy(F.col("s").alias("n"))
+            .agg(F.sum("a").alias("h"))
+        )
+        hub = hub.crossJoin(
+            F.broadcast(hub.agg(F.max("h").alias("__mx")))
+        ).select("n", (F.col("h") / F.col("__mx")).alias("h"))
+        hub = truncate_lineage(hub, reliable=reliable)
+        auth = (
+            e.join(hub.withColumnRenamed("n", "s"), "s")
+            .groupBy(F.col("d").alias("n"))
+            .agg(F.sum("h").alias("a"))
+        )
+        auth = auth.crossJoin(
+            F.broadcast(auth.agg(F.max("a").alias("__mx")))
+        ).select("n", (F.col("a") / F.col("__mx")).alias("a"))
+        auth = truncate_lineage(auth, reliable=reliable)
+    return (
+        auth.select("n", F.round("a", 6).alias("authority"))
+        .orderBy(F.desc("authority"), F.col("n"))
+        .limit(k)
+    )
+
+
+def reciprocity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """One row (n_directed_edges, n_reciprocal, reciprocity): share of
+    directed edges whose reverse edge also exists — the mutual-link
+    diagnostic that separates broadcast-shaped graphs (r ~ 0) from
+    conversation-shaped ones (r ~ 1). Distinct directed edges, one
+    self-equi-join on the swapped key, exact integer counts.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    rev = e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    recip = e.join(rev, ["s", "d"], "left_semi")
+    m = e.agg(F.count("*").cast("bigint").alias("n_directed_edges")).crossJoin(
+        F.broadcast(
+            recip.agg(F.count("*").cast("bigint").alias("n_reciprocal"))
+        )
+    )
+    return m.select(
+        "n_directed_edges",
+        "n_reciprocal",
+        F.round(
+            F.col("n_reciprocal").cast("double")
+            / F.col("n_directed_edges").cast("double"),
+            6,
+        ).alias("reciprocity"),
+    )

@@ -12355,6 +12355,203 @@ def brand_yoy_growth(spark, sf_dir):
     )
 
 
+@q(
+    "hits_top_authorities",
+    """
+    WITH k_seq AS (
+      SELECT CAST(json_extract(props, 'k') AS INT) AS k, user_id,
+             LEAD(user_id, 1) OVER w AS u1, LEAD(user_id, 2) OVER w AS u2
+      FROM events
+      WINDOW w AS (PARTITION BY CAST(json_extract(props, 'k') AS INT)
+                   ORDER BY event_id)
+    ), raw AS (
+      SELECT user_id AS s, u1 AS d FROM k_seq WHERE u1 IS NOT NULL
+      UNION ALL SELECT user_id, u2 FROM k_seq WHERE u2 IS NOT NULL
+    ),
+    de AS MATERIALIZED (SELECT DISTINCT s, d FROM raw WHERE s <> d),
+    n0 AS (SELECT DISTINCT n FROM
+           (SELECT s AS n FROM de UNION ALL SELECT d FROM de)),
+    h1 AS MATERIALIZED (
+        SELECT de.s AS n, SUM(a0.a) AS h
+        FROM de JOIN (SELECT n, 1.0 AS a FROM n0) a0 ON a0.n = de.d
+        GROUP BY de.s
+    ),
+    h1n AS MATERIALIZED (
+        SELECT n, h / (SELECT MAX(h) FROM h1) AS h FROM h1
+    ),
+    a1 AS MATERIALIZED (
+        SELECT de.d AS n, SUM(h1n.h) AS a
+        FROM de JOIN h1n ON h1n.n = de.s GROUP BY de.d
+    ),
+    a1n AS MATERIALIZED (
+        SELECT n, a / (SELECT MAX(a) FROM a1) AS a FROM a1
+    ),
+    h2 AS MATERIALIZED (
+        SELECT de.s AS n, SUM(a1n.a) AS h
+        FROM de JOIN a1n ON a1n.n = de.d GROUP BY de.s
+    ),
+    h2n AS MATERIALIZED (
+        SELECT n, h / (SELECT MAX(h) FROM h2) AS h FROM h2
+    ),
+    a2 AS MATERIALIZED (
+        SELECT de.d AS n, SUM(h2n.h) AS a
+        FROM de JOIN h2n ON h2n.n = de.s GROUP BY de.d
+    ),
+    a2n AS (SELECT n, a / (SELECT MAX(a) FROM a2) AS a FROM a2)
+    SELECT n, ROUND(a, 6) AS authority
+    FROM a2n ORDER BY authority DESC, n LIMIT 10
+    """,
+    "Top-10 HITS authorities after 2 fixed hub/authority power "
+    "iterations over the DIRECTED proximity edges — PageRank's "
+    "bipartite-flavored sibling; max-normalization (order-free, unlike "
+    "an L2 norm), the pagerank persist/truncate loop discipline, and "
+    "the oracle is the fully unrolled 2-iteration CTE chain",
+)
+def hits_top_authorities(spark, sf_dir):
+    return graph.hits(_event_directed_edges(spark, sf_dir), iterations=2, k=10)
+
+
+@q(
+    "graph_reciprocity",
+    """
+    WITH k_seq AS (
+      SELECT CAST(json_extract(props, 'k') AS INT) AS k, user_id,
+             LEAD(user_id, 1) OVER w AS u1, LEAD(user_id, 2) OVER w AS u2
+      FROM events
+      WINDOW w AS (PARTITION BY CAST(json_extract(props, 'k') AS INT)
+                   ORDER BY event_id)
+    ), raw AS (
+      SELECT user_id AS s, u1 AS d FROM k_seq WHERE u1 IS NOT NULL
+      UNION ALL SELECT user_id, u2 FROM k_seq WHERE u2 IS NOT NULL
+    ),
+    de AS MATERIALIZED (SELECT DISTINCT s, d FROM raw WHERE s <> d)
+    SELECT (SELECT COUNT(*) FROM de)::BIGINT AS n_directed_edges,
+           (SELECT COUNT(*) FROM de a
+            WHERE EXISTS (SELECT 1 FROM de b
+                          WHERE b.s = a.d AND b.d = a.s))::BIGINT
+               AS n_reciprocal,
+           ROUND(CAST((SELECT COUNT(*) FROM de a
+                       WHERE EXISTS (SELECT 1 FROM de b
+                                     WHERE b.s = a.d AND b.d = a.s))
+                      AS DOUBLE)
+                 / CAST((SELECT COUNT(*) FROM de) AS DOUBLE), 6)
+               AS reciprocity
+    """,
+    "Directed-edge reciprocity of the proximity graph (share of edges "
+    "whose reverse exists) — the broadcast-vs-conversation shape "
+    "diagnostic; distinct directed edges, one swapped-key semi-join, "
+    "exact integer counts",
+)
+def graph_reciprocity(spark, sf_dir):
+    return graph.reciprocity(_event_directed_edges(spark, sf_dir))
+
+
+def _event_directed_edges(spark, sf_dir):
+    """DIRECTED variant of _event_proximity_edges (direction = stream
+    order); HITS and reciprocity are direction-sensitive."""
+    return _event_proximity_edges(spark, sf_dir)
+
+
+@q(
+    "demand_curve_price_deciles",
+    """
+    WITH dec AS (
+        SELECT p_partkey,
+               CAST(p_retailprice AS DECIMAL(18,2)) AS price,
+               NTILE(10) OVER (ORDER BY p_retailprice, p_partkey) AS decile
+        FROM part
+    ),
+    q AS (
+        SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                               AS DECIMAL(18,2)) AS qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT dec.decile, COUNT(*)::BIGINT AS n_parts,
+           ROUND(CAST(SUM(dec.price) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE),
+                 6) AS avg_price,
+           CAST(SUM(COALESCE(q.qty, CAST(0 AS DECIMAL(18,2)))) AS DOUBLE)
+               AS total_qty,
+           ROUND(CAST(SUM(COALESCE(q.qty, CAST(0 AS DECIMAL(18,2))))
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS qty_per_part
+    FROM dec LEFT JOIN q ON dec.p_partkey = q.l_partkey
+    GROUP BY dec.decile
+    """,
+    "Demand curve: quantity sold per part-price decile (NTILE over the "
+    "total (price, partkey) order — deterministic assignment) — the "
+    "price-elasticity proxy; decimal-exact price and quantity sums, "
+    "parts with no sales kept at zero via the left join",
+)
+def demand_curve_price_deciles(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.orderBy(F.col("p_retailprice"), F.col("p_partkey"))
+    dec = p.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("decimal(18,2)").alias("price"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    q = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("qty")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    j = dec.join(q, dec.p_partkey == q.l_partkey, "left")
+    return j.groupBy("decile").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.round(
+            F.sum("price").cast("double") / F.count("*").cast("double"), 6
+        ).alias("avg_price"),
+        F.sum(F.coalesce(F.col("qty"), zero)).cast("double").alias("total_qty"),
+        F.round(
+            F.sum(F.coalesce(F.col("qty"), zero)).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("qty_per_part"),
+    )
+
+
+@q(
+    "user_type_entropy_hist",
+    """
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*)::BIGINT AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    l AS (
+        SELECT user_id, LIST(cnt ORDER BY event_type) AS xs
+        FROM c GROUP BY user_id
+    ),
+    e AS (
+        SELECT CAST(FLOOR(
+            -LIST_REDUCE(
+                LIST_TRANSFORM(xs, c ->
+                    (CAST(c AS DOUBLE) / CAST(LIST_SUM(xs) AS DOUBLE))
+                    * LN(CAST(c AS DOUBLE) / CAST(LIST_SUM(xs) AS DOUBLE))),
+                (a, b) -> a + b
+            ) * 10.0) AS INT) AS bucket
+        FROM l
+    ),
+    h AS (SELECT bucket, COUNT(*)::BIGINT AS n_entities FROM e
+          GROUP BY bucket)
+    SELECT bucket, n_entities,
+           ROUND(CAST(n_entities AS DOUBLE)
+                 / CAST(SUM(n_entities) OVER () AS DOUBLE), 6) AS share
+    FROM h
+    """,
+    "Histogram of per-user event-type-mix Shannon entropy (bucket = "
+    "floor(10H)) — the behavioral-diversity profile; per-entity "
+    "entropy is an ORDERED fold over the type-sorted count list "
+    "(F.aggregate == LIST_REDUCE, 0.0-init exact), so no per-group "
+    "float-sum ordering exists anywhere",
+)
+def user_type_entropy_hist(spark, sf_dir):
+    return analytics.entity_mix_entropy_hist(
+        _t(spark, sf_dir, "events"), "user_id", "event_type"
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -12572,6 +12769,8 @@ _ROUND9_POOL: tuple[str, ...] = (
     "ship_lead_time_by_priority",
     "peak_concurrency_sessions", "weekly_wow_volatility",
     "churn_rate_by_segment", "brand_yoy_growth",
+    "hits_top_authorities", "graph_reciprocity",
+    "demand_curve_price_deciles", "user_type_entropy_hist",
 )
 
 _PRIORITY: tuple[str, ...] = (

@@ -302,6 +302,9 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
                                     # moments_order_total two-pass shape)
         "bfs_reachable_3hop",       # three 1-row visited-count
                                     # broadcasts onto 1-row hop stats
+        "hits_top_authorities",     # 1-row max-norm broadcast per
+                                    # hub/authority iteration
+        "graph_reciprocity",        # 1-row reciprocal-count broadcast
     }
     offenders = []
     for name, spec in REGISTRY.items():
