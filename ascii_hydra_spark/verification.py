@@ -12552,6 +12552,184 @@ def user_type_entropy_hist(spark, sf_dir):
     )
 
 
+@q(
+    "customer_order_frequency_hist",
+    """
+    WITH per AS (
+        SELECT o_custkey, COUNT(*)::BIGINT AS n_orders
+        FROM orders GROUP BY o_custkey
+    ),
+    h AS (SELECT LEAST(n_orders, 30)::INT AS orders_bucket,
+                 COUNT(*)::BIGINT AS n_customers
+          FROM per GROUP BY 1)
+    SELECT orders_bucket, n_customers,
+           ROUND(CAST(n_customers AS DOUBLE)
+                 / CAST(SUM(n_customers) OVER () AS DOUBLE), 6) AS share
+    FROM h
+    """,
+    "Orders-per-customer frequency histogram (clamped at 30) — the "
+    "purchase-frequency distribution behind RFM's F axis; two-level "
+    "aggregation, exact counts, bucket-window shares",
+)
+def customer_order_frequency_hist(spark, sf_dir):
+    per = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+    )
+    h = per.select(
+        F.least(F.col("n_orders"), F.lit(30)).cast("int").alias("orders_bucket")
+    ).groupBy("orders_bucket").agg(
+        F.count("*").cast("bigint").alias("n_customers")
+    )
+    return h.select(
+        "orders_bucket",
+        "n_customers",
+        F.round(
+            F.col("n_customers").cast("double")
+            / F.sum("n_customers").over(Window.partitionBy()).cast("double"),
+            6,
+        ).alias("share"),
+    )
+
+
+@q(
+    "part_name_top_words",
+    """
+    WITH toks AS (
+        SELECT UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(p_name, '\\s+'),
+                                  x -> x <> '')) AS word
+        FROM part
+    ),
+    c AS (SELECT word, COUNT(*)::BIGINT AS cnt FROM toks GROUP BY word),
+    rk AS (
+        SELECT word, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rnk
+        FROM c
+    )
+    SELECT CAST(rnk AS INT) AS rnk, word, cnt FROM rk WHERE rnk <= 20
+    """,
+    "Top-20 words in part names (count DESC, word ASC tie-break) — "
+    "catalog-text profiling with the same whitespace-token contract as "
+    "the document operators; two-level aggregation + TakeOrdered cut",
+)
+def part_name_top_words(spark, sf_dir):
+    c = (
+        _t(spark, sf_dir, "part")
+        .select(F.explode(word_tokens("p_name")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.col("word"))
+    return (
+        c.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 20)
+        .select("rnk", "word", "cnt")
+    )
+
+
+@q(
+    "quantity_discount_profile",
+    """
+    SELECT CAST(l_quantity AS INT) AS quantity,
+           COUNT(*)::BIGINT AS n_lines,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_discount,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS avg_price
+    FROM lineitem GROUP BY 1
+    """,
+    "Average discount and price per quantity level — the volume-"
+    "discount interaction profile (the relationship tpch_q19's "
+    "quantity-banded predicates assume); quantity levels are a bounded "
+    "integer domain, decimal-exact sums, map-side-combinable aggregate",
+)
+def quantity_discount_profile(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_quantity").cast("int").alias("quantity")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_discount").cast("decimal(18,4)")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("avg_discount"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                "double"
+            )
+            / F.count("*").cast("double"),
+            6,
+        ).alias("avg_price"),
+    )
+
+
+@q(
+    "supply_hhi_by_nation",
+    """
+    WITH sup AS (
+        SELECT n.n_name, l.l_suppkey,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS rev
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name, l.l_suppkey
+    ),
+    t AS (
+        SELECT n_name, COUNT(*)::BIGINT AS n_suppliers,
+               CAST(SUM(rev) AS DOUBLE) AS tot,
+               SUM(CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE)) AS sq
+        FROM sup GROUP BY n_name
+    )
+    SELECT n_name, n_suppliers,
+           ROUND(sq / (tot * tot), 6) AS hhi,
+           ROUND((sq / (tot * tot) - 1.0 / CAST(n_suppliers AS DOUBLE))
+                 / (1.0 - 1.0 / CAST(n_suppliers AS DOUBLE)), 6)
+               AS hhi_normalized
+    FROM t WHERE n_suppliers > 1
+    """,
+    "Herfindahl supply concentration within each nation (share-squared "
+    "sum over per-supplier revenue, plus the size-corrected normalized "
+    "form) — the grouped sibling of hhi_revenue; supplier revenues are "
+    "decimal-exact, each squared share is the same double both "
+    "engines, per-nation term counts are supplier-bounded",
+)
+def supply_hhi_by_nation(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    sup = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+    )
+    t = sup.groupBy("n_name").agg(
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        F.sum("rev").cast("double").alias("__tot"),
+        F.sum(F.col("rev").cast("double") * F.col("rev").cast("double")).alias(
+            "__sq"
+        ),
+    )
+    ns = F.col("n_suppliers").cast("double")
+    hhi = F.col("__sq") / (F.col("__tot") * F.col("__tot"))
+    return t.filter(F.col("n_suppliers") > 1).select(
+        "n_name",
+        "n_suppliers",
+        F.round(hhi, 6).alias("hhi"),
+        F.round(
+            (hhi - F.lit(1.0) / ns) / (F.lit(1.0) - F.lit(1.0) / ns), 6
+        ).alias("hhi_normalized"),
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -12771,6 +12949,8 @@ _ROUND9_POOL: tuple[str, ...] = (
     "churn_rate_by_segment", "brand_yoy_growth",
     "hits_top_authorities", "graph_reciprocity",
     "demand_curve_price_deciles", "user_type_entropy_hist",
+    "customer_order_frequency_hist", "part_name_top_words",
+    "quantity_discount_profile", "supply_hhi_by_nation",
 )
 
 _PRIORITY: tuple[str, ...] = (
