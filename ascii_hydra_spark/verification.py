@@ -12730,6 +12730,237 @@ def supply_hhi_by_nation(spark, sf_dir):
     )
 
 
+@q(
+    "monthly_seasonality_revenue",
+    """
+    WITH ym AS (
+        SELECT EXTRACT(year FROM o_orderdate) AS yr,
+               CAST(EXTRACT(month FROM o_orderdate) AS INT) AS moy,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT moy, COUNT(*)::BIGINT AS n_months,
+               CAST(SUM(rev) AS DECIMAL(18,2)) AS rev
+        FROM ym GROUP BY moy
+    )
+    SELECT moy, n_months,
+           ROUND(CAST(rev AS DOUBLE) / CAST(n_months AS DOUBLE), 6)
+               AS avg_month_revenue,
+           ROUND((CAST(rev AS DOUBLE) / CAST(n_months AS DOUBLE))
+                 / (CAST(SUM(rev) OVER () AS DOUBLE)
+                    / CAST(SUM(n_months) OVER () AS DOUBLE)), 6)
+               AS seasonal_index
+    FROM m
+    """,
+    "Month-of-year revenue seasonality index (month average over its "
+    "years / overall monthly average) — the annual-cycle sibling of "
+    "dow_seasonality; decimal-exact sums at (year, month) grain, the "
+    "overall baseline from 12-row window sums (no broadcast), two "
+    "final divisions",
+)
+def monthly_seasonality_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    ym = o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("moy"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    m = ym.groupBy("moy").agg(
+        F.count("*").cast("bigint").alias("n_months"),
+        F.sum("rev").cast("decimal(18,2)").alias("rev"),
+    )
+    avg_m = F.col("rev").cast("double") / F.col("n_months").cast("double")
+    overall = F.sum("rev").over(Window.partitionBy()).cast("double") / F.sum(
+        "n_months"
+    ).over(Window.partitionBy()).cast("double")
+    return m.select(
+        "moy",
+        "n_months",
+        F.round(avg_m, 6).alias("avg_month_revenue"),
+        F.round(avg_m / overall, 6).alias("seasonal_index"),
+    )
+
+
+@q(
+    "cohort_ltv_monthly",
+    """
+    WITH om AS (
+        SELECT o_custkey,
+               EXTRACT(year FROM o_orderdate) * 12
+                   + EXTRACT(month FROM o_orderdate) AS m,
+               strftime(o_orderdate, '%Y-%m') AS month,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS v
+        FROM orders
+    ),
+    first_m AS (
+        SELECT o_custkey, MIN(m) AS cm FROM om GROUP BY o_custkey
+    ),
+    cm_label AS (
+        SELECT DISTINCT m AS cm, month AS cohort_month FROM om
+    ),
+    r AS (
+        SELECT f.cm, LEAST(om.m - f.cm, 5) AS offset_m, om.v
+        FROM om JOIN first_m f ON om.o_custkey = f.o_custkey
+    ),
+    g AS (
+        SELECT cm, offset_m,
+               CAST(SUM(v) AS DECIMAL(18,2)) AS revenue
+        FROM r GROUP BY cm, offset_m
+    ),
+    cum AS (
+        SELECT cm, offset_m, revenue,
+               CAST(SUM(revenue) OVER (PARTITION BY cm ORDER BY offset_m
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DECIMAL(18,2)) AS cum_revenue
+        FROM g
+    )
+    SELECT l.cohort_month, CAST(c.offset_m AS INT) AS offset_m,
+           CAST(c.revenue AS DOUBLE) AS revenue,
+           CAST(c.cum_revenue AS DOUBLE) AS cum_revenue
+    FROM cum c JOIN cm_label l ON l.cm = c.cm
+    """,
+    "First-purchase cohort LTV: revenue per cohort month at month "
+    "offsets 0-5 (5 = everything later, clamped) with the running "
+    "cumulative — the revenue companion to retention_cohorts; cohort "
+    "assignment on the exact integer month index, decimal-exact sums "
+    "and running totals, one fact shuffle + a cohort-keyed window",
+)
+def cohort_ltv_monthly(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    om = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("v"),
+    )
+    first_m = om.groupBy("o_custkey").agg(F.min("m").alias("cm"))
+    cm_label = om.select(
+        F.col("m").alias("cm"), F.col("month").alias("cohort_month")
+    ).distinct()
+    r = om.join(first_m, "o_custkey").select(
+        "cm", F.least(F.col("m") - F.col("cm"), F.lit(5)).alias("offset_m"), "v"
+    )
+    g = r.groupBy("cm", "offset_m").agg(
+        F.sum("v").cast("decimal(18,2)").alias("revenue")
+    )
+    w = Window.partitionBy("cm").orderBy("offset_m").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = g.select(
+        "cm",
+        "offset_m",
+        "revenue",
+        F.sum("revenue").over(w).cast("decimal(18,2)").alias("cum_revenue"),
+    )
+    return cum.join(cm_label, "cm").select(
+        "cohort_month",
+        F.col("offset_m").cast("int").alias("offset_m"),
+        F.col("revenue").cast("double").alias("revenue"),
+        F.col("cum_revenue").cast("double").alias("cum_revenue"),
+    )
+
+
+@q(
+    "discount_band_effectiveness",
+    """
+    WITH b AS (
+        SELECT CASE WHEN CAST(l_discount AS DECIMAL(9,2)) = 0 THEN 'none'
+                    WHEN CAST(l_discount AS DECIMAL(9,2)) <= 0.05
+                         THEN 'low(0-5%)'
+                    ELSE 'high(6%+)' END AS band,
+               l_quantity, l_extendedprice
+        FROM lineitem
+    )
+    SELECT band, COUNT(*)::BIGINT AS n_lines,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_quantity,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE)
+                 / CAST(SUM(SUM(CAST(l_extendedprice AS DECIMAL(18,2))))
+                        OVER () AS DOUBLE), 6) AS revenue_share
+    FROM b GROUP BY band
+    """,
+    "Volume and revenue by discount band (none / 0-5% / 6%+) — the "
+    "promo-effectiveness cut; band edges tested on the exact 2-dp "
+    "decimal (a double 0.05 comparison would misband boundary rows), "
+    "decimal-exact sums, 3-row window share",
+)
+def discount_band_effectiveness(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    d = F.col("l_discount").cast("decimal(9,2)")
+    band = (
+        F.when(d == 0, "none")
+        .when(d <= 0.05, "low(0-5%)")
+        .otherwise("high(6%+)")
+    )
+    g = li.groupBy(band.alias("band")).agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("avg_quantity"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("__rev"),
+    )
+    return g.select(
+        "band",
+        "n_lines",
+        "avg_quantity",
+        F.col("__rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("__rev").cast("double")
+            / F.sum("__rev").over(Window.partitionBy()).cast("double"),
+            6,
+        ).alias("revenue_share"),
+    )
+
+
+@q(
+    "value_profile_by_type",
+    """
+    SELECT event_type, COUNT(*)::BIGINT AS n_events,
+           SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+           SUM(CASE WHEN value = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+           SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END)::BIGINT AS n_negative,
+           ROUND(MIN(value), 6) AS min_value,
+           ROUND(MAX(value), 6) AS max_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE)
+                 / CAST(COUNT(value) AS DOUBLE), 6) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+    "Per-event-type value-column DQ profile (null/zero/negative "
+    "counts, order-free min/max, decimal-accumulated mean — the "
+    "DECIMAL(12,4) cast is the same convention the green SCD2 entries "
+    "use for this column) — the per-type sibling of "
+    "profile_orders_columns",
+)
+def value_profile_by_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.when(v.isNull(), 1).otherwise(0)).cast("bigint").alias("n_null"),
+        F.sum(F.when(v == 0, 1).otherwise(0)).cast("bigint").alias("n_zero"),
+        F.sum(F.when(v < 0, 1).otherwise(0)).cast("bigint").alias("n_negative"),
+        F.round(F.min(v), 6).alias("min_value"),
+        F.round(F.max(v), 6).alias("max_value"),
+        F.round(
+            F.sum(v.cast("decimal(12,4)")).cast("double")
+            / F.count(v).cast("double"),
+            6,
+        ).alias("avg_value"),
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -12951,6 +13182,8 @@ _ROUND9_POOL: tuple[str, ...] = (
     "demand_curve_price_deciles", "user_type_entropy_hist",
     "customer_order_frequency_hist", "part_name_top_words",
     "quantity_discount_profile", "supply_hhi_by_nation",
+    "monthly_seasonality_revenue", "cohort_ltv_monthly",
+    "discount_band_effectiveness", "value_profile_by_type",
 )
 
 _PRIORITY: tuple[str, ...] = (
