@@ -1029,3 +1029,122 @@ def quantization_error_stats(
         .cast("bigint")
         .alias("zero_err_vectors"),
     )
+
+
+def gram_power_iteration_eigen(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    iterations: int = 3,
+    scale: int = 4,
+) -> DataFrame:
+    """One row (d, eigenvalue, top_dim): dominant eigenvalue of the
+    corpus Gram matrix X^T X by fixed-iteration power iteration — the
+    spectral-concentration readout (a dominant eigenvalue carrying most
+    of the trace means the embedding space has collapsed to ~1
+    direction and ANN partitioning will degenerate).
+
+    Exactness chain: coordinates fix to the floor(x * 10^scale + 0.5)
+    integer grid (the embedding_dim_stats convention — one
+    deterministic IEEE multiply-add-floor; NOT a decimal cast, whose
+    tie rounding differs between Spark's HALF_UP and DuckDB's
+    float-to-decimal conversion), the d x d Gram accumulates as exact
+    integer sums, and every matvec component is an ORDERED fold over
+    the j-sorted row (0.0-init F.aggregate == LIST_REDUCE), so all
+    three iterations are bit-identical across engines;
+    max-normalization is order-free. The eigenvalue descales by
+    10^(2*scale) at the end.
+
+    This entry's Gram builds via a coordinate pair join (d(d+1)/2
+    groups — exact and oracle-replayable); at 100 TB build the same
+    integer Gram with the mapInPandas GEMM partials
+    (:func:`embedding_covariance`) and feed these folds unchanged —
+    the iteration is dimension-bounded either way.
+    """
+    d = len(emb.select(vec_col).first()[0])
+    mult = 10**scale
+    u = emb.select(
+        F.col("vec_id").alias("__r"),
+        F.posexplode(to_double_array(F.col(vec_col))).alias("__i0", "__x"),
+    ).select(
+        "__r",
+        (F.col("__i0") + 1).alias("__i"),
+        F.floor(F.col("__x") * F.lit(float(mult)) + F.lit(0.5)).alias("__q"),
+    )
+    a = u.select(
+        F.col("__r"), F.col("__i").alias("i"), F.col("__q").alias("qa")
+    )
+    b = u.select(
+        F.col("__r"), F.col("__i").alias("j"), F.col("__q").alias("qb")
+    )
+    upper = (
+        a.join(b, "__r")
+        .filter(F.col("i") <= F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("qa") * F.col("qb")).cast("bigint").alias("v"))
+    )
+    full_g = upper.unionAll(
+        upper.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "v"
+        )
+    )
+    rows_g = full_g.groupBy("i").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "v"))),
+            lambda s: s["v"].cast("double"),
+        ).alias("row_v")
+    )
+    x = F.array_repeat(F.lit(1.0), d)
+    cur = rows_g.select("i", "row_v", x.alias("__x"))
+    m_col = None
+    for _ in range(iterations):
+        y = cur.select(
+            "i",
+            "row_v",
+            F.aggregate(
+                F.zip_with(
+                    F.col("row_v"), F.col("__x"), lambda r, xx: r * xx
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ).alias("__y"),
+        )
+        norm = y.agg(
+            F.max(F.abs(F.col("__y"))).alias("__m"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "__y"))),
+                lambda s: s["__y"],
+            ).alias("__ys"),
+        )
+        m_col = norm
+        cur = y.select("i", "row_v").crossJoin(F.broadcast(norm)).select(
+            "i",
+            "row_v",
+            F.transform(
+                F.col("__ys"), lambda yy: yy / F.col("__m")
+            ).alias("__x"),
+        )
+        # the last-iteration y per row is re-derivable from __x; keep
+        # the loop frames bounded (d rows) — no truncation needed
+    final = cur.select(
+        "i",
+        F.element_at(F.col("__x"), F.col("i").cast("int")).alias("__xi"),
+    )
+    pick = final.agg(
+        F.min_by(
+            F.col("i"),
+            F.struct((-F.abs(F.col("__xi"))).alias("a"), F.col("i").alias("b")),
+        )
+        .cast("int")
+        .alias("top_dim")
+    )
+    out = (
+        m_col.select(
+            F.lit(d).alias("d"),
+            F.round(F.col("__m") / F.lit(float(mult * mult)), 6).alias(
+                "eigenvalue"
+            ),
+        )
+        .crossJoin(F.broadcast(pick))
+        .select("d", "eigenvalue", "top_dim")
+    )
+    return out

@@ -12961,6 +12961,72 @@ def value_profile_by_type(spark, sf_dir):
     )
 
 
+@q(
+    "gram_top_eigenvalue",
+    """
+    WITH u AS (
+        SELECT vec_id, UNNEST(range(1, len(embedding) + 1)) AS i,
+               CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 10000.0
+                          + 0.5) AS BIGINT) AS q
+        FROM embeddings
+    ),
+    upper_g AS MATERIALIZED (
+        SELECT a.i AS i, b.i AS j, SUM(a.q * b.q)::BIGINT AS v
+        FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY 1, 2
+    ),
+    full_g AS (
+        SELECT i, j, v FROM upper_g
+        UNION ALL SELECT j, i, v FROM upper_g WHERE i <> j
+    ),
+    rg AS MATERIALIZED (
+        SELECT i, LIST(CAST(v AS DOUBLE) ORDER BY j) AS row_v
+        FROM full_g GROUP BY i
+    ),
+    x0 AS (SELECT LIST_TRANSFORM(range(64), t -> 1.0) AS x),
+    it1 AS MATERIALIZED (
+        SELECT i, LIST_REDUCE(LIST_TRANSFORM(range(1, 65),
+                   k -> row_v[k] * x[k]), (a, b) -> a + b) AS y
+        FROM rg CROSS JOIN x0
+    ),
+    m1 AS MATERIALIZED (SELECT MAX(ABS(y)) AS m FROM it1),
+    x1 AS MATERIALIZED (SELECT LIST(y / m ORDER BY i) AS x
+                        FROM it1 CROSS JOIN m1),
+    it2 AS MATERIALIZED (
+        SELECT i, LIST_REDUCE(LIST_TRANSFORM(range(1, 65),
+                   k -> row_v[k] * x[k]), (a, b) -> a + b) AS y
+        FROM rg CROSS JOIN x1
+    ),
+    m2 AS MATERIALIZED (SELECT MAX(ABS(y)) AS m FROM it2),
+    x2 AS MATERIALIZED (SELECT LIST(y / m ORDER BY i) AS x
+                        FROM it2 CROSS JOIN m2),
+    it3 AS MATERIALIZED (
+        SELECT i, LIST_REDUCE(LIST_TRANSFORM(range(1, 65),
+                   k -> row_v[k] * x[k]), (a, b) -> a + b) AS y
+        FROM rg CROSS JOIN x2
+    ),
+    m3 AS MATERIALIZED (SELECT MAX(ABS(y)) AS m FROM it3)
+    SELECT 64 AS d,
+           ROUND(m3.m / 100000000.0, 6) AS eigenvalue,
+           (SELECT i FROM it3 CROSS JOIN m3
+            ORDER BY ABS(y / m3.m) DESC, i LIMIT 1)::INT AS top_dim
+    FROM m3
+    """,
+    "Dominant eigenvalue of the corpus Gram X^T X by THREE unrolled "
+    "power iterations — the spectral-collapse gate before trusting ANN "
+    "partitioning; coordinates on the floor(x*1e4+0.5) integer grid "
+    "(decimal casts tie-round differently across engines), exact "
+    "integer Gram, every matvec component an ordered 0.0-init fold "
+    "(F.aggregate == LIST_REDUCE bit-for-bit), order-free max "
+    "normalization, descaled by 10^8 at the end. The oracle replays "
+    "all three iterations as materialized CTEs",
+)
+def gram_top_eigenvalue(spark, sf_dir):
+    return similarity.gram_power_iteration_eigen(
+        _t(spark, sf_dir, "embeddings"), iterations=3, scale=4
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -13184,6 +13250,7 @@ _ROUND9_POOL: tuple[str, ...] = (
     "quantity_discount_profile", "supply_hhi_by_nation",
     "monthly_seasonality_revenue", "cohort_ltv_monthly",
     "discount_band_effectiveness", "value_profile_by_type",
+    "gram_top_eigenvalue",
 )
 
 _PRIORITY: tuple[str, ...] = (

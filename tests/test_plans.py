@@ -305,6 +305,8 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "hits_top_authorities",     # 1-row max-norm broadcast per
                                     # hub/authority iteration
         "graph_reciprocity",        # 1-row reciprocal-count broadcast
+        "gram_top_eigenvalue",      # 1-row (max-norm, x-vector)
+                                    # broadcast per power iteration
     }
     offenders = []
     for name, spec in REGISTRY.items():
