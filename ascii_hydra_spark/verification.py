@@ -13027,6 +13027,216 @@ def gram_top_eigenvalue(spark, sf_dir):
     )
 
 
+@q(
+    "brand_type_nested_shares",
+    """
+    WITH c AS (
+        SELECT p_type, p_brand, COUNT(*)::BIGINT AS n_parts
+        FROM part GROUP BY 1, 2
+    )
+    SELECT p_type, p_brand, n_parts,
+           ROUND(CAST(n_parts AS DOUBLE)
+                 / CAST(SUM(n_parts) OVER (PARTITION BY p_type) AS DOUBLE),
+                 6) AS share_in_type,
+           ROUND(CAST(SUM(n_parts) OVER (PARTITION BY p_type) AS DOUBLE)
+                 / CAST(SUM(n_parts) OVER () AS DOUBLE), 6) AS type_share
+    FROM c
+    """,
+    "Hierarchical catalog composition: brand share within each part "
+    "type plus the type's overall share — the two-level mix readout "
+    "behind rollup_revenue's additive hierarchy; exact counts, two "
+    "bucket-window divisions per row",
+)
+def brand_type_nested_shares(spark, sf_dir):
+    c = (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_type", "p_brand")
+        .agg(F.count("*").cast("bigint").alias("n_parts"))
+    )
+    by_type = F.sum("n_parts").over(Window.partitionBy("p_type"))
+    total = F.sum("n_parts").over(Window.partitionBy())
+    return c.select(
+        "p_type",
+        "p_brand",
+        "n_parts",
+        F.round(
+            F.col("n_parts").cast("double") / by_type.cast("double"), 6
+        ).alias("share_in_type"),
+        F.round(by_type.cast("double") / total.cast("double"), 6).alias(
+            "type_share"
+        ),
+    )
+
+
+@q(
+    "value_ecdf_points",
+    """
+    SELECT COUNT(value)::BIGINT AS n,
+           ROUND(CAST(SUM(CASE WHEN value <= 0.5 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(value) AS DOUBLE), 6)
+               AS p_le_0_5,
+           ROUND(CAST(SUM(CASE WHEN value <= 1.0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(value) AS DOUBLE), 6)
+               AS p_le_1,
+           ROUND(CAST(SUM(CASE WHEN value <= 2.0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(value) AS DOUBLE), 6)
+               AS p_le_2,
+           ROUND(CAST(SUM(CASE WHEN value <= 5.0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(value) AS DOUBLE), 6)
+               AS p_le_5,
+           ROUND(CAST(SUM(CASE WHEN value <= 10.0 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(value) AS DOUBLE), 6)
+               AS p_le_10
+    FROM events
+    """,
+    "Empirical CDF of event value probed at fixed points (0.5/1/2/5/"
+    "10) — the monitoring-friendly inverse of the quantile family "
+    "(fixed thresholds, comparable across snapshots, mergeable "
+    "counts); exact conditional counts, one scan",
+)
+def value_ecdf_points(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    n = F.count(v).cast("bigint")
+
+    def p_le(t, name):
+        return F.round(
+            F.sum(F.when(v <= t, 1).otherwise(0)).cast("double")
+            / F.count(v).cast("double"),
+            6,
+        ).alias(name)
+
+    return ev.agg(
+        n.alias("n"),
+        p_le(0.5, "p_le_0_5"),
+        p_le(1.0, "p_le_1"),
+        p_le(2.0, "p_le_2"),
+        p_le(5.0, "p_le_5"),
+        p_le(10.0, "p_le_10"),
+    )
+
+
+@q(
+    "ytd_revenue_share",
+    """
+    WITH m AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+               CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS rev
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT yr, mo, CAST(rev AS DOUBLE) AS revenue,
+           CAST(CAST(SUM(rev) OVER (PARTITION BY yr ORDER BY mo
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DECIMAL(18,2)) AS DOUBLE) AS ytd_revenue,
+           ROUND(CAST(SUM(rev) OVER (PARTITION BY yr ORDER BY mo
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE)
+                 / CAST(SUM(rev) OVER (PARTITION BY yr) AS DOUBLE), 6)
+               AS ytd_share_of_year
+    FROM m
+    """,
+    "Year-to-date revenue accumulation per (year, month) with the "
+    "share of the full year reached — the pacing readout finance "
+    "dashboards run; decimal-exact monthly sums and running totals, "
+    "year-keyed windows, one division",
+)
+def ytd_revenue_share(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    run = Window.partitionBy("yr").orderBy("mo").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    yr_total = F.sum("rev").over(Window.partitionBy("yr"))
+    return m.select(
+        "yr",
+        "mo",
+        F.col("rev").cast("double").alias("revenue"),
+        F.sum("rev").over(run).cast("decimal(18,2)").cast("double").alias(
+            "ytd_revenue"
+        ),
+        F.round(
+            F.sum("rev").over(run).cast("double") / yr_total.cast("double"), 6
+        ).alias("ytd_share_of_year"),
+    )
+
+
+@q(
+    "decayed_customer_value",
+    """
+    WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS ref FROM orders),
+    t AS (
+        SELECT o_custkey,
+               LIST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                    * EXP(-CAST(mx.ref - CAST(o_orderdate AS DATE)
+                                AS DOUBLE) / 365.0)
+                    ORDER BY o_orderdate, o_orderkey) AS terms
+        FROM orders CROSS JOIN mx GROUP BY o_custkey
+    ),
+    s AS (
+        SELECT o_custkey,
+               LIST_REDUCE(terms, (a, b) -> a + b) AS score,
+               LEN(terms)::BIGINT AS n_orders
+        FROM t
+    )
+    SELECT o_custkey, n_orders, ROUND(score, 6) AS decayed_value
+    FROM s ORDER BY decayed_value DESC, o_custkey LIMIT 20
+    """,
+    "Top-20 customers by exponentially time-decayed revenue "
+    "(weight = exp(-age_days/365) against the corpus max date) — the "
+    "recency-weighted LTV that ranks a recent mid-spender above a "
+    "lapsed whale; each term is the same double in both engines and "
+    "the per-customer total is an ORDERED fold over the (date, key)-"
+    "sorted order list (0.0-init F.aggregate == LIST_REDUCE), so no "
+    "per-group float-sum ordering exists; 1-row ref-date broadcast",
+)
+def decayed_customer_value(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("__ref"))
+    term = F.col("o_totalprice").cast("decimal(18,2)").cast("double") * F.exp(
+        -F.datediff(F.col("__ref"), F.col("o_orderdate").cast("date")).cast(
+            "double"
+        )
+        / F.lit(365.0)
+    )
+    t = (
+        o.crossJoin(F.broadcast(mx))
+        .select(
+            "o_custkey",
+            F.struct(
+                F.col("o_orderdate").alias("__d"),
+                F.col("o_orderkey").alias("__k"),
+                term.alias("__t"),
+            ).alias("__s"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("__s")), lambda s: s["__t"]
+            ).alias("__terms")
+        )
+    )
+    s = t.select(
+        "o_custkey",
+        F.size("__terms").cast("bigint").alias("n_orders"),
+        F.round(
+            F.aggregate(
+                F.col("__terms"), F.lit(0.0), lambda acc, x: acc + x
+            ),
+            6,
+        ).alias("decayed_value"),
+    )
+    return s.orderBy(F.desc("decayed_value"), F.col("o_custkey")).limit(20)
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -13251,6 +13461,8 @@ _ROUND9_POOL: tuple[str, ...] = (
     "monthly_seasonality_revenue", "cohort_ltv_monthly",
     "discount_band_effectiveness", "value_profile_by_type",
     "gram_top_eigenvalue",
+    "brand_type_nested_shares", "value_ecdf_points",
+    "ytd_revenue_share", "decayed_customer_value",
 )
 
 _PRIORITY: tuple[str, ...] = (

@@ -307,6 +307,7 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "graph_reciprocity",        # 1-row reciprocal-count broadcast
         "gram_top_eigenvalue",      # 1-row (max-norm, x-vector)
                                     # broadcast per power iteration
+        "decayed_customer_value",   # 1-row ref-date broadcast
     }
     offenders = []
     for name, spec in REGISTRY.items():
