@@ -13237,6 +13237,237 @@ def decayed_customer_value(spark, sf_dir):
     return s.orderBy(F.desc("decayed_value"), F.col("o_custkey")).limit(20)
 
 
+@q(
+    "label_balance_embeddings",
+    """
+    WITH per AS (
+        SELECT label,
+               CAST(FLOOR(1e6 * SQRT(LIST_REDUCE(
+                   LIST_TRANSFORM(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   (a, b) -> a + b))) AS BIGINT) AS qn
+        FROM embeddings
+    )
+    SELECT label, COUNT(*)::BIGINT AS n_vectors,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS share,
+           ROUND(CAST(SUM(qn) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                 / 1e6, 6) AS avg_norm
+    FROM per GROUP BY label
+    """,
+    "Class balance + mean L2 norm per embedding label — the "
+    "training-set balance check with a norm sanity per class; the "
+    "per-vector norm is an ordered squared-coordinate fold then "
+    "floor-scaled to an exact integer, so the class average has no "
+    "float-accumulation path",
+)
+def label_balance_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    from ascii_hydra_spark.functions import to_double_array
+
+    v = to_double_array(F.col("embedding"))
+    sq = F.aggregate(
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+    )
+    per = emb.select(
+        "label", F.floor(F.lit(1e6) * F.sqrt(sq)).alias("__qn")
+    )
+    g = per.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.sum("__qn").cast("bigint").alias("__sqn"),
+    )
+    return g.select(
+        "label",
+        "n_vectors",
+        F.round(
+            F.col("n_vectors").cast("double")
+            / F.sum("n_vectors").over(Window.partitionBy()).cast("double"),
+            6,
+        ).alias("share"),
+        F.round(
+            F.col("__sqn").cast("double")
+            / F.col("n_vectors").cast("double")
+            / F.lit(1e6),
+            6,
+        ).alias("avg_norm"),
+    )
+
+
+@q(
+    "header_line_consistency_audit",
+    """
+    WITH ls AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS line_sum
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+        SELECT o.o_orderkey,
+               CAST(FLOOR(10.0 * (CAST(ls.line_sum AS DOUBLE)
+                    / CAST(o.o_totalprice AS DOUBLE))) AS INT) AS ratio_band
+        FROM orders o JOIN ls ON o.o_orderkey = ls.l_orderkey
+        WHERE o.o_totalprice > 0
+    )
+    SELECT ratio_band, COUNT(*)::BIGINT AS n_orders,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS share
+    FROM j GROUP BY ratio_band
+    """,
+    "Header-vs-lines consistency audit: distribution of "
+    "floor(10 * sum(line prices)/header total) per order — the "
+    "cross-table reconciliation every warehouse runs (band 10 = "
+    "consistent, other bands = drift to investigate); decimal-exact "
+    "line sums, one deterministic IEEE ratio+floor per order",
+)
+def header_line_consistency_audit(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    ls = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("line_sum")
+    )
+    j = (
+        o.filter(F.col("o_totalprice") > 0)
+        .join(ls, o.o_orderkey == ls.l_orderkey)
+        .select(
+            F.floor(
+                F.lit(10.0)
+                * (
+                    F.col("line_sum").cast("double")
+                    / F.col("o_totalprice").cast("double")
+                )
+            )
+            .cast("int")
+            .alias("ratio_band")
+        )
+    )
+    g = j.groupBy("ratio_band").agg(
+        F.count("*").cast("bigint").alias("n_orders")
+    )
+    return g.select(
+        "ratio_band",
+        "n_orders",
+        F.round(
+            F.col("n_orders").cast("double")
+            / F.sum("n_orders").over(Window.partitionBy()).cast("double"),
+            6,
+        ).alias("share"),
+    )
+
+
+@q(
+    "linenumber_continuity_audit",
+    """
+    WITH per AS (
+        SELECT l_orderkey, COUNT(*)::BIGINT AS n_lines,
+               MIN(l_linenumber) AS mn, MAX(l_linenumber) AS mx,
+               COUNT(DISTINCT l_linenumber)::BIGINT AS n_distinct
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT COUNT(*)::BIGINT AS n_orders,
+           SUM(CASE WHEN mn <> 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_bad_start,
+           SUM(CASE WHEN CAST(mx AS BIGINT) <> n_lines THEN 1 ELSE 0
+               END)::BIGINT AS n_gapped,
+           SUM(CASE WHEN n_distinct <> n_lines THEN 1 ELSE 0 END)::BIGINT
+               AS n_duplicated,
+           ROUND(CAST(SUM(CASE WHEN mn = 1
+                          AND CAST(mx AS BIGINT) = n_lines
+                          AND n_distinct = n_lines
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS clean_share
+    FROM per
+    """,
+    "Line-number continuity audit: per order, does l_linenumber run "
+    "1..n with no gaps or duplicates — the sequence-integrity DQ check "
+    "for any positional child table (a gap means lost lines, a dup "
+    "means double-loaded ones); exact integer aggregates, one scan",
+)
+def linenumber_continuity_audit(spark, sf_dir):
+    per = _t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.min("l_linenumber").alias("mn"),
+        F.max("l_linenumber").cast("bigint").alias("mx"),
+        F.countDistinct("l_linenumber").cast("bigint").alias("n_distinct"),
+    )
+    clean = (
+        (F.col("mn") == 1)
+        & (F.col("mx") == F.col("n_lines"))
+        & (F.col("n_distinct") == F.col("n_lines"))
+    )
+    return per.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("mn") != 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bad_start"),
+        F.sum(F.when(F.col("mx") != F.col("n_lines"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_gapped"),
+        F.sum(F.when(F.col("n_distinct") != F.col("n_lines"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_duplicated"),
+        F.round(
+            F.sum(F.when(clean, 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("clean_share"),
+    )
+
+
+@q(
+    "nation_mix_entropy_by_segment",
+    """
+    WITH c AS (
+        SELECT c_mktsegment, c_nationkey, COUNT(*)::BIGINT AS cnt
+        FROM customer GROUP BY 1, 2
+    ),
+    l AS (
+        SELECT c_mktsegment, LIST(cnt ORDER BY c_nationkey) AS xs
+        FROM c GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, LEN(xs)::BIGINT AS n_nations,
+           ROUND(-LIST_REDUCE(
+               LIST_TRANSFORM(xs, c ->
+                   (CAST(c AS DOUBLE) / CAST(LIST_SUM(xs) AS DOUBLE))
+                   * LN(CAST(c AS DOUBLE) / CAST(LIST_SUM(xs) AS DOUBLE))),
+               (a, b) -> a + b), 6) AS nation_entropy
+    FROM l
+    """,
+    "Shannon entropy of each segment's customer-nation mix — the "
+    "geographic-concentration readout (low entropy: one-market "
+    "segment); the per-segment entropy is an ORDERED fold over the "
+    "nation-sorted count list (0.0-init F.aggregate == LIST_REDUCE), "
+    "exact integer counts underneath",
+)
+def nation_mix_entropy_by_segment(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").groupBy(
+        "c_mktsegment", "c_nationkey"
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    lst = c.groupBy("c_mktsegment").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("c_nationkey", "cnt"))),
+            lambda s: s["cnt"],
+        ).alias("__xs")
+    )
+    xs = F.col("__xs")
+    n = F.aggregate(
+        xs, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    ).cast("double")
+    ent = -F.aggregate(
+        xs,
+        F.lit(0.0),
+        lambda acc, cc: acc
+        + (cc.cast("double") / n) * F.log(cc.cast("double") / n),
+    )
+    return lst.select(
+        "c_mktsegment",
+        F.size(xs).cast("bigint").alias("n_nations"),
+        F.round(ent, 6).alias("nation_entropy"),
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -13463,6 +13694,8 @@ _ROUND9_POOL: tuple[str, ...] = (
     "gram_top_eigenvalue",
     "brand_type_nested_shares", "value_ecdf_points",
     "ytd_revenue_share", "decayed_customer_value",
+    "label_balance_embeddings", "header_line_consistency_audit",
+    "linenumber_continuity_audit", "nation_mix_entropy_by_segment",
 )
 
 _PRIORITY: tuple[str, ...] = (
