@@ -13468,6 +13468,207 @@ def nation_mix_entropy_by_segment(spark, sf_dir):
     )
 
 
+@q(
+    "vocab_coverage_top100",
+    f"""
+    WITH toks AS (SELECT UNNEST({_TOKS}) AS term FROM documents),
+    c AS (SELECT term, COUNT(*)::BIGINT AS cnt FROM toks GROUP BY term),
+    rk AS (
+        SELECT term, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rnk
+        FROM c
+    ),
+    m AS (
+        SELECT SUM(cnt)::BIGINT AS total,
+               SUM(CASE WHEN rnk <= 100 THEN cnt ELSE 0 END)::BIGINT
+                   AS top_cnt,
+               COUNT(*)::BIGINT AS vocab_size
+        FROM rk
+    )
+    SELECT vocab_size, total AS n_tokens, top_cnt AS top100_tokens,
+           ROUND(CAST(top_cnt AS DOUBLE) / CAST(total AS DOUBLE), 6)
+               AS top100_coverage
+    FROM m
+    """,
+    "Share of all token occurrences covered by the 100 most frequent "
+    "terms — the coverage-curve point that sizes tokenizer vocab "
+    "budgets (Zipfian corpora: small heads cover most mass); exact "
+    "counts, deterministic (count DESC, term) head cut",
+)
+def vocab_coverage_top100(spark, sf_dir):
+    c = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(word_tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.col("term"))
+    rk = c.withColumn("rnk", F.row_number().over(w))
+    return rk.agg(
+        F.count("*").cast("bigint").alias("vocab_size"),
+        F.sum("cnt").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("rnk") <= 100, F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("top100_tokens"),
+        F.round(
+            F.sum(F.when(F.col("rnk") <= 100, F.col("cnt")).otherwise(0))
+            .cast("double")
+            / F.sum("cnt").cast("double"),
+            6,
+        ).alias("top100_coverage"),
+    )
+
+
+@q(
+    "priority_mix_drift_monthly",
+    """
+    WITH mc AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority,
+               COUNT(*)::BIGINT AS n
+        FROM orders GROUP BY 1, 2
+    ),
+    mt AS (SELECT month, SUM(n)::BIGINT AS mtot FROM mc GROUP BY month),
+    gc AS (SELECT o_orderpriority, COUNT(*)::BIGINT AS gn FROM orders
+           GROUP BY 1),
+    gt AS (SELECT SUM(gn)::BIGINT AS gtot FROM gc),
+    terms AS (
+        SELECT mc.month,
+               (CAST(mc.n AS DOUBLE) / CAST(mt.mtot AS DOUBLE)
+                - CAST(gc.gn AS DOUBLE) / CAST(gt.gtot AS DOUBLE))
+               * (CAST(mc.n AS DOUBLE) / CAST(mt.mtot AS DOUBLE)
+                  - CAST(gc.gn AS DOUBLE) / CAST(gt.gtot AS DOUBLE))
+               / (CAST(gc.gn AS DOUBLE) / CAST(gt.gtot AS DOUBLE)) AS t
+        FROM mc
+        JOIN mt USING (month)
+        JOIN gc USING (o_orderpriority)
+        CROSS JOIN gt
+    )
+    SELECT month, ROUND(SUM(t), 6) AS chi2_drift
+    FROM terms GROUP BY month
+    """,
+    "Monthly categorical drift of the priority mix vs the corpus "
+    "baseline (chi-square distance per month) — the composition-drift "
+    "monitor beside psi_value_ab's numeric deciles; exact counts "
+    "underneath, 5 bounded terms per month whose float sum is far "
+    "inside the 6-dp round",
+)
+def priority_mix_drift_monthly(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    mc = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        "o_orderpriority",
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    mt = mc.groupBy("month").agg(F.sum("n").cast("bigint").alias("mtot"))
+    gc = o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("gn")
+    )
+    gt = gc.agg(F.sum("gn").cast("bigint").alias("gtot"))
+    p_m = F.col("n").cast("double") / F.col("mtot").cast("double")
+    p_g = F.col("gn").cast("double") / F.col("gtot").cast("double")
+    terms = (
+        mc.join(mt, "month")
+        .join(gc, "o_orderpriority")
+        .crossJoin(F.broadcast(gt))
+        .select("month", ((p_m - p_g) * (p_m - p_g) / p_g).alias("t"))
+    )
+    return terms.groupBy("month").agg(
+        F.round(F.sum("t"), 6).alias("chi2_drift")
+    )
+
+
+@q(
+    "sessions_per_user_hist",
+    """
+    WITH e AS (SELECT user_id, ts, event_id, EPOCH_US(ts) AS us FROM events),
+    g AS (
+        SELECT user_id, us, ts, event_id,
+               CASE WHEN LAG(us) OVER w IS NULL
+                         OR us - LAG(us) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    per AS (
+        SELECT user_id, SUM(is_new)::BIGINT AS n_sessions
+        FROM g GROUP BY user_id
+    ),
+    h AS (SELECT LEAST(n_sessions, 50)::INT AS sessions_bucket,
+                 COUNT(*)::BIGINT AS n_users
+          FROM per GROUP BY 1)
+    SELECT sessions_bucket, n_users,
+           ROUND(CAST(n_users AS DOUBLE)
+                 / CAST(SUM(n_users) OVER () AS DOUBLE), 6) AS share
+    FROM h
+    """,
+    "Sessions-per-user histogram (clamped at 50): session count = sum "
+    "of gap-rule session starts per user — one keyed window + two "
+    "exact aggregates; the visit-frequency profile completing the "
+    "session family (duration / gap / entry-exit / concurrency)",
+)
+def sessions_per_user_hist(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    tagged = windows.session_ids(ev, ["user_id"], "ts", "event_id", gap_s=1800)
+    per = tagged.groupBy("user_id").agg(
+        F.max("session_id").cast("bigint").alias("n_sessions")
+    )
+    h = per.select(
+        F.least(F.col("n_sessions"), F.lit(50))
+        .cast("int")
+        .alias("sessions_bucket")
+    ).groupBy("sessions_bucket").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    return h.select(
+        "sessions_bucket",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double")
+            / F.sum("n_users").over(Window.partitionBy()).cast("double"),
+            6,
+        ).alias("share"),
+    )
+
+
+@q(
+    "single_source_parts_by_brand",
+    """
+    WITH per AS (
+        SELECT l_partkey, COUNT(DISTINCT l_suppkey)::BIGINT AS n_suppliers
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand, COUNT(*)::BIGINT AS n_parts_traded,
+           SUM(CASE WHEN per.n_suppliers = 1 THEN 1 ELSE 0 END)::BIGINT
+               AS n_single_source,
+           ROUND(CAST(SUM(CASE WHEN per.n_suppliers = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS single_source_share
+    FROM per JOIN part p ON per.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    "Single-sourced parts per brand (exactly one distinct supplier in "
+    "the trade history) — the supply-risk audit beside "
+    "supply_hhi_by_nation; exact distinct counts, one fact shuffle + "
+    "a broadcast part join",
+)
+def single_source_parts_by_brand(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    per = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").cast("bigint").alias("n_suppliers")
+    )
+    single = F.when(F.col("n_suppliers") == 1, 1).otherwise(0)
+    return (
+        per.join(p, per.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts_traded"),
+            F.sum(single).cast("bigint").alias("n_single_source"),
+            F.round(
+                F.sum(single).cast("double") / F.count("*").cast("double"), 6
+            ).alias("single_source_share"),
+        )
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -13696,6 +13897,8 @@ _ROUND9_POOL: tuple[str, ...] = (
     "ytd_revenue_share", "decayed_customer_value",
     "label_balance_embeddings", "header_line_consistency_audit",
     "linenumber_continuity_audit", "nation_mix_entropy_by_segment",
+    "vocab_coverage_top100", "priority_mix_drift_monthly",
+    "sessions_per_user_hist", "single_source_parts_by_brand",
 )
 
 _PRIORITY: tuple[str, ...] = (

@@ -308,6 +308,7 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "gram_top_eigenvalue",      # 1-row (max-norm, x-vector)
                                     # broadcast per power iteration
         "decayed_customer_value",   # 1-row ref-date broadcast
+        "priority_mix_drift_monthly",  # 1-row baseline-total broadcast
     }
     offenders = []
     for name, spec in REGISTRY.items():
