@@ -13669,6 +13669,190 @@ def single_source_parts_by_brand(spark, sf_dir):
     )
 
 
+@q(
+    "region_revenue_share_trend",
+    """
+    WITH r AS (
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS yr,
+               rg.r_name,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS rev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region rg ON n.n_regionkey = rg.r_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT yr, r_name, CAST(rev AS DOUBLE) AS revenue,
+           ROUND(CAST(rev AS DOUBLE)
+                 / CAST(SUM(rev) OVER (PARTITION BY yr) AS DOUBLE), 6)
+               AS share_in_year
+    FROM r
+    """,
+    "Region revenue share per year — the market-mix trend over the "
+    "broadcast-dimension star join; decimal-exact sums, year-window "
+    "shares",
+)
+def region_revenue_share_trend(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rg = _t(spark, sf_dir, "region")
+    r = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(rg, n.n_regionkey == rg.r_regionkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"), "r_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+    )
+    return r.select(
+        "yr",
+        "r_name",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double")
+            / F.sum("rev").over(Window.partitionBy("yr")).cast("double"),
+            6,
+        ).alias("share_in_year"),
+    )
+
+
+@q(
+    "part_size_price_profile",
+    """
+    SELECT p_size, COUNT(*)::BIGINT AS n_parts,
+           ROUND(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_price,
+           CAST(MIN(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS min_price,
+           CAST(MAX(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS max_price
+    FROM part GROUP BY p_size
+    """,
+    "Catalog price profile per part size (bounded integer domain) — "
+    "the size-tier pricing table behind tpch_q19's size-banded "
+    "predicates; decimal-exact sums and order-free min/max",
+)
+def part_size_price_profile(spark, sf_dir):
+    p = F.col("p_retailprice").cast("decimal(18,2)")
+    return _t(spark, sf_dir, "part").groupBy("p_size").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.round(
+            F.sum(p).cast("double") / F.count("*").cast("double"), 6
+        ).alias("avg_price"),
+        F.min(p).cast("double").alias("min_price"),
+        F.max(p).cast("double").alias("max_price"),
+    )
+
+
+@q(
+    "aov_by_segment",
+    """
+    SELECT c.c_mktsegment, COUNT(*)::BIGINT AS n_orders,
+           ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS avg_order_value,
+           ROUND(quantile_cont(o.o_totalprice, 0.5), 6)
+               AS median_order_value
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    "Average and median order value per market segment — the AOV "
+    "scorecard; decimal-exact sums for the mean, interpolated median "
+    "(Spark percentile == DuckDB quantile_cont), one fact shuffle on "
+    "the group key after a broadcast-ish customer join",
+)
+def aov_by_segment(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey).groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("avg_order_value"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias(
+            "median_order_value"
+        ),
+    )
+
+
+@q(
+    "hourly_value_profile",
+    """
+    SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+           COUNT(value)::BIGINT AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE)
+                 / CAST(COUNT(value) AS DOUBLE), 6) AS avg_value,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DECIMAL(18,4))
+                AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+    "Event value by hour of day (24 buckets) — the monetization "
+    "day-curve beside dow_hour_heatmap's volume curve; decimal-exact "
+    "value sums under the established DECIMAL(12,4) convention",
+)
+def hourly_value_profile(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(12,4)")
+    return ev.groupBy(F.hour("ts").cast("int").alias("hour")).agg(
+        F.count("value").cast("bigint").alias("n_events"),
+        F.round(
+            F.sum(v).cast("double") / F.count("value").cast("double"), 6
+        ).alias("avg_value"),
+        F.sum(v).cast("decimal(18,4)").cast("double").alias("total_value"),
+    )
+
+
+@q(
+    "new_customer_order_share_monthly",
+    """
+    WITH om AS (
+        SELECT o_custkey,
+               EXTRACT(year FROM o_orderdate) * 12
+                   + EXTRACT(month FROM o_orderdate) AS m,
+               strftime(o_orderdate, '%Y-%m') AS month
+        FROM orders
+    ),
+    fm AS (SELECT o_custkey, MIN(m) AS first_m FROM om GROUP BY o_custkey)
+    SELECT om.month, COUNT(*)::BIGINT AS n_orders,
+           SUM(CASE WHEN om.m = fm.first_m THEN 1 ELSE 0 END)::BIGINT
+               AS n_first_month_orders,
+           ROUND(CAST(SUM(CASE WHEN om.m = fm.first_m THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS new_customer_share
+    FROM om JOIN fm ON om.o_custkey = fm.o_custkey
+    GROUP BY om.month
+    """,
+    "Share of each month's orders placed by customers in their FIRST "
+    "month — the order-grain acquisition mix (the purchase-side "
+    "sibling of user_lifecycle_states); exact integer month index for "
+    "the first-month test, exact counts, one division",
+)
+def new_customer_order_share_monthly(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    om = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    )
+    fm = om.groupBy("o_custkey").agg(F.min("m").alias("first_m"))
+    j = om.join(fm, "o_custkey")
+    first = F.when(F.col("m") == F.col("first_m"), 1).otherwise(0)
+    return j.groupBy("month").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(first).cast("bigint").alias("n_first_month_orders"),
+        F.round(
+            F.sum(first).cast("double") / F.count("*").cast("double"), 6
+        ).alias("new_customer_share"),
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -13875,8 +14059,9 @@ _PAST_DRIVER_GREEN: frozenset[str] = frozenset({
     "window_running", "zorder_clustering", "zscore_outlier_counts",
 })
 
-# Round-9 pool: entries added after the round-8 pool filled its 45
-# slots. Same first-time/disjoint/oracle-able contract.
+# Round-9 pool: a fourth FULL 45-slot rotation (round-5 continuation
+# additions: product analytics, schema DQ, graph spectra, portable
+# folds). Same first-time/disjoint/oracle-able contract.
 _ROUND9_POOL: tuple[str, ...] = (
     "user_lifecycle_states", "power_user_curve",
     "intersession_gap_percentiles", "immediate_repeat_tokens_by_source",
@@ -13899,6 +14084,9 @@ _ROUND9_POOL: tuple[str, ...] = (
     "linenumber_continuity_audit", "nation_mix_entropy_by_segment",
     "vocab_coverage_top100", "priority_mix_drift_monthly",
     "sessions_per_user_hist", "single_source_parts_by_brand",
+    "region_revenue_share_trend", "part_size_price_profile",
+    "aov_by_segment", "hourly_value_profile",
+    "new_customer_order_share_monthly",
 )
 
 _PRIORITY: tuple[str, ...] = (
