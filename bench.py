@@ -194,6 +194,52 @@ EXTRA = [
     "bfs_reachable_3hop",           # persisted frontier expansion
     "event_transition_triples",     # order-2 Markov transitions
     "weekday_weekend_revenue",      # calendar-mix split
+    # round-9 pool (round-5 continuation, second wave)
+    "user_lifecycle_states",        # new/retained/resurrected matrix
+    "power_user_curve",             # active-days engagement histogram
+    "intersession_gap_percentiles", # return-cadence percentiles
+    "immediate_repeat_tokens_by_source",  # stutter/loop signal
+    "nation_trade_balance",         # supply-vs-demand star balance
+    "size_price_corr_by_type",      # grouped Pearson correlation
+    "stopword_ratio_by_lang",       # function-word fluency signal
+    "quantization_error_stats",     # int8 reconstruction gate
+    "trigram_top_by_lang",          # phrase-level heavy hitters
+    "customer_value_migration",     # quartile transition matrix
+    "ship_lead_time_by_priority",   # fulfillment SLA scorecard
+    "peak_concurrency_sessions",    # sweep-line capacity number
+    "weekly_wow_volatility",        # revenue-change dispersion
+    "churn_rate_by_segment",        # period anti-membership churn
+    "brand_yoy_growth",             # decimal-exact YoY growth
+    "hits_top_authorities",         # 2-iteration HITS authorities
+    "graph_reciprocity",            # mutual-link diagnostic
+    "demand_curve_price_deciles",   # price-elasticity proxy
+    "user_type_entropy_hist",       # behavioral-diversity fold
+    "customer_order_frequency_hist",  # RFM F-axis distribution
+    "part_name_top_words",          # catalog-text heavy hitters
+    "quantity_discount_profile",    # volume-discount interaction
+    "supply_hhi_by_nation",         # grouped Herfindahl
+    "monthly_seasonality_revenue",  # month-of-year index
+    "cohort_ltv_monthly",           # cohort revenue accumulation
+    "discount_band_effectiveness",  # decimal-exact promo bands
+    "value_profile_by_type",        # value-column DQ profile
+    "gram_top_eigenvalue",          # power-iteration spectral gate
+    "brand_type_nested_shares",     # hierarchical catalog mix
+    "value_ecdf_points",            # fixed-point ECDF probes
+    "ytd_revenue_share",            # year-to-date pacing
+    "decayed_customer_value",       # recency-weighted LTV fold
+    "label_balance_embeddings",     # class balance + norm sanity
+    "header_line_consistency_audit",  # cross-table reconciliation
+    "linenumber_continuity_audit",  # sequence-integrity DQ
+    "nation_mix_entropy_by_segment",  # geographic concentration
+    "vocab_coverage_top100",        # tokenizer budget point
+    "priority_mix_drift_monthly",   # categorical drift monitor
+    "sessions_per_user_hist",       # visit-frequency profile
+    "single_source_parts_by_brand", # supply-risk audit
+    "region_revenue_share_trend",   # market-mix trend
+    "part_size_price_profile",      # size-tier pricing table
+    "aov_by_segment",               # AOV scorecard
+    "hourly_value_profile",         # monetization day-curve
+    "new_customer_order_share_monthly",  # acquisition mix
 ]
 
 
