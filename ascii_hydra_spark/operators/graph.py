@@ -353,10 +353,13 @@ def clustering_coefficients(
     - wedges per node = deg*(deg-1)/2 (exact bigint),
     - triangles per node (exact count),
     - the MEAN local coefficient is accumulated as
-      sum(floor(2e9 * t / (d*(d-1)))) — floor of one deterministic IEEE
-      division per node, then an exact integer sum — so the average is
-      reproducible across partitionings and engines (a naive double sum
-      of t/(d*(d-1)) terms is accumulation-order-dependent).
+      sum(floor(2e9 * t / (d*(d-1)))) = sum(floor(1e9 * local_cc)) —
+      floor of one deterministic IEEE division per node, then an exact
+      integer sum descaled by 1e9 — so the average is reproducible
+      across partitionings and engines (a naive double sum of
+      2t/(d*(d-1)) terms is accumulation-order-dependent). The 1e9
+      descale is pinned by the closed-form 5-clique stress stage
+      (local cc exactly 1.0 per node).
 
     Transitivity = 3T / wedges is one final double division. Shuffle
     profile identical to triangle_count plus one node-keyed groupBy.
@@ -438,7 +441,7 @@ def clustering_coefficients(
                 F.col("n_nodes_deg2") == 0, F.lit(None).cast("double")
             ).otherwise(
                 F.col("__s").cast("double")
-                / F.lit(2e9)
+                / F.lit(1e9)
                 / F.col("n_nodes_deg2").cast("double")
             ),
             6,

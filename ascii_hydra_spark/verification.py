@@ -10092,7 +10092,7 @@ def _event_proximity_edges(spark, sf_dir):
                            / CAST(n_wedges AS DOUBLE) END,
                  6) AS transitivity,
            ROUND(CASE WHEN n_nodes_deg2 = 0 THEN NULL
-                      ELSE CAST(s AS DOUBLE) / 2e9
+                      ELSE CAST(s AS DOUBLE) / 1e9
                            / CAST(n_nodes_deg2 AS DOUBLE) END,
                  6) AS avg_local_cc
     FROM agg

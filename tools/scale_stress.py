@@ -461,6 +461,54 @@ def main() -> int:
 
     stage("kcore_peel", kcore)
 
+    # ---- clustering coefficient on n/5 disjoint 5-cliques: every node
+    # has degree 4, 6 closed wedges, local cc exactly 1 — closed-form
+    # (n, 6n, 6n, 1.0, 1.0) output proves the oriented-triangle + credit
+    # pipeline and the floor-scaled exact mean at sf1 edge counts ----
+    def clustering_cliques():
+        nn = args.docs - (args.docs % 5)
+        ids = spark.range(nn).select(
+            F.col("id"), (F.col("id") / 5).cast("bigint").alias("g")
+        )
+        edges = (
+            ids.alias("a")
+            .join(ids.alias("b"), F.col("a.g") == F.col("b.g"))
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        )
+        row = G.clustering_coefficients(edges).collect()[0]
+        assert row["n_nodes_deg2"] == nn, row
+        assert row["n_wedges"] == 6 * nn, row
+        assert row["n_closed_wedges"] == 6 * nn, row
+        assert row["transitivity"] == 1.0 and row["avg_local_cc"] == 1.0, row
+        return {"nodes": nn, "wedges": 6 * nn}
+
+    stage("clustering_coefficient", clustering_cliques)
+
+    # ---- 3-hop BFS on the n-node ring from every-1000th seed: each
+    # hop's frontier is exactly 2 new nodes per seed (spacing 1000 >> 7,
+    # so frontiers never collide) — closed-form (2s, 4s, 6s) frontier
+    # and (3s, 5s, 7s) visited counts at sf1 ----
+    def bfs_ring():
+        nn = args.docs
+        ring = spark.range(nn).select(
+            F.col("id").alias("src"), ((F.col("id") + 1) % nn).alias("dst")
+        )
+        seeds = spark.range(0, nn, 1000).select(F.col("id").alias("user_id"))
+        ns = seeds.count()
+        rows = {
+            r["hop"]: (r["n_frontier"], r["n_visited"])
+            for r in G.bfs_frontier_counts(ring, seeds, hops=3).collect()
+        }
+        assert rows == {
+            1: (2 * ns, 3 * ns),
+            2: (2 * ns, 5 * ns),
+            3: (2 * ns, 7 * ns),
+        }, rows
+        return {"seeds": ns, "hops": 3}
+
+    stage("bfs_frontier", bfs_ring)
+
     summary = {
         "metric": "scale_stress_sf1",
         "docs": args.docs,
