@@ -370,6 +370,12 @@ def clustering_coefficients(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    # deg feeds BOTH the orientation and the final per-node join, but a
+    # single-reuse DAG needs no checkpoint: the degree table is
+    # node-cardinality (cheap to recompute) and Spark reuses identical
+    # shuffle exchanges where it can — an A/B measured the checkpoint
+    # barrier as a net LOSS here (~+0.5 s at sf0.1). Loops are the
+    # case that amplifies recompute (kcore/pagerank), not DAGs.
     deg = (
         e.select(F.col("u").alias("n"))
         .union(e.select(F.col("v").alias("n")))
