@@ -13857,18 +13857,17 @@ def new_customer_order_share_monthly(spark, sf_dir):
 # Registry ordering
 # ===================================================================
 # The external driver evaluates only the first _DRIVER_HEAD entries of the
-# registry (rounds 1-4 each checked exactly 50), so the head is a ROTATING
+# registry (rounds 1-5 each checked exactly 50), so the head is a ROTATING
 # evidence window: a handful of anchor entries (one per core family) stay
 # pinned every round, and the remaining slots are filled with entries that
-# have NEVER had a driver row. Round-5 rotation: the round-4 queue
-# (text/corpus/LM pipeline surface, semantic clustering, retrieval,
-# distribution analytics, collocations, runs) with its 2 rows-only names
-# swapped for SQL-oracle entries — round 4 spent 10 of its 50 slots on
-# rows-only entries that can only ever come back `no_oracle`, so the
-# window now hard-requires an oracle for every head name (guard below).
-# Position 51+ holds the round-6 pool, then the round-7 pool, then
-# everything previously driver-checked; the repo-local differential suite
-# checks the FULL registry either way.
+# have NEVER had a driver row. Round-6 rotation: the round-5 queue
+# (event transitions, distribution/AB statistics, seasonality, attribution,
+# multimodal conversions, k-core) — every name SQL-oracled, first-time
+# (round 4 spent 10 of its 50 slots on rows-only entries that can only
+# ever come back `no_oracle`, so the window hard-requires an oracle for
+# every head name — guard below). Position 51+ holds the round-7 pool,
+# then the round-8/9/10 pools, then everything previously driver-checked;
+# the repo-local differential suite checks the FULL registry either way.
 _DRIVER_HEAD = 50
 
 _ANCHORS: tuple[str, ...] = (
@@ -13881,41 +13880,6 @@ _ANCHORS: tuple[str, ...] = (
 # 51st name out of the window, and round 4 burned 10 slots on rows-only
 # entries that can only ever record `no_oracle`).
 _ROTATION: tuple[str, ...] = (
-    "percent_rank_cume", "explode_outer_rare_tokens", "dedup_docs_distinct",
-    "cluster_dedup_survivors", "corpus_pipeline", "term_freq_top",
-    "doc_freq", "ngram_bigrams", "udtf_tokenize", "regex_extract_filter",
-    "quality_scores", "fingerprints_md5", "asof_join_forward",
-    "graph_degree_hist", "profile_orders_columns",
-    "applyinarrow_demean",
-    # LM scoring / tokenizer-encode / training shuffle / semantic
-    # clustering (round-4 additions, first driver look)
-    "lm_perplexity_scores", "perplexity_gate_counts", "tokenize_ids",
-    "shuffle_order_head", "kmeans_clusters", "semantic_dup_pairs",
-    "semantic_dedup_survivors", "triangle_count_users", "ewma_user_values",
-    "time_to_convert_funnel", "multimodal_gif_decode", "fuzzy_name_pairs",
-    "tokenizer_prep_pipeline", "substring_dedup_clean", "pyds_jsonl_sink",
-    "ohlc_bars", "bm25_topk", "hybrid_rrf_topk", "weighted_sample_by_lang",
-    # distribution analytics / collocations / runs / sparse similarity
-    # (round-4 continuation additions, first driver look)
-    "pmi_collocations", "token_entropy", "normalized_text_dedup",
-    "event_runs_stats", "interarrival_user_stats", "gini_revenue",
-    "benford_order_totals", "histogram_order_totals", "decile_revenue_lift",
-    "tfidf_doc_neighbors",
-)
-# (The round-4 queue's two rows-only names — incremental_minhash_survivors
-# and multimodal_jpeg_decode — were swapped out for profile_orders_columns
-# and time_to_convert_funnel: a rows-only head slot can never hash-match,
-# so it would waste driver evidence. Their verification lives in pytest.)
-
-# Round-6 pool: the next rotation's candidates, positioned immediately
-# after the head so next round's promotion is a copy-paste. Exactly the
-# 45 slots round 6 needs; every name SQL-oracled, first-time, disjoint
-# (guarded below). multimodal_resize / multimodal_decode_features /
-# isotonic_calibration_value were rows-only through round 4 and were
-# CONVERTED to hash-matched oracles (hex byte surgery / integer histogram
-# recovery / the minimax isotonic identity) — they take the slots freed
-# by the two promotions above and the rows-only cms entry.
-_ROUND6_POOL: tuple[str, ...] = (
     "event_transitions",
     "distinctive_terms_by_lang", "powerlaw_alpha_degrees",
     "hourly_rate_anomalies", "winsorized_order_totals",
@@ -13936,6 +13900,10 @@ _ROUND6_POOL: tuple[str, ...] = (
     "skyline_price_size", "multimodal_decode_features",
     "isotonic_calibration_value",
 )
+# (multimodal_resize / multimodal_decode_features /
+# isotonic_calibration_value were rows-only through round 4 and were
+# CONVERTED to hash-matched oracles — hex byte surgery / integer histogram
+# recovery / the minimax isotonic identity — before entering this head.)
 
 # Round-7 pool: entries added after the round-6 pool filled. Registry
 # tail, local-suite-checked every round; fills toward the 45 rotation
@@ -14003,9 +13971,26 @@ _ROUND8_POOL: tuple[str, ...] = (
 )
 
 # Frozen record of every name with a driver-green row (rows+schema+hash,
-# no error) in CORRECTNESS_r01-r04. Guards below reject a rotation slot
+# no error) in CORRECTNESS_r01-r05. Guards below reject a rotation slot
 # spent on an already-green name.
 _PAST_DRIVER_GREEN: frozenset[str] = frozenset({
+    # ---- green in CORRECTNESS_r05 (45 first-time rows; 50/50 incl. the
+    # 5 anchors, zero errors) ----
+    "percent_rank_cume", "explode_outer_rare_tokens", "dedup_docs_distinct",
+    "cluster_dedup_survivors", "corpus_pipeline", "term_freq_top",
+    "doc_freq", "ngram_bigrams", "udtf_tokenize", "regex_extract_filter",
+    "quality_scores", "fingerprints_md5", "asof_join_forward",
+    "graph_degree_hist", "profile_orders_columns", "applyinarrow_demean",
+    "lm_perplexity_scores", "perplexity_gate_counts", "tokenize_ids",
+    "shuffle_order_head", "kmeans_clusters", "semantic_dup_pairs",
+    "semantic_dedup_survivors", "triangle_count_users", "ewma_user_values",
+    "time_to_convert_funnel", "multimodal_gif_decode", "fuzzy_name_pairs",
+    "tokenizer_prep_pipeline", "substring_dedup_clean", "pyds_jsonl_sink",
+    "ohlc_bars", "bm25_topk", "hybrid_rrf_topk", "weighted_sample_by_lang",
+    "pmi_collocations", "token_entropy", "normalized_text_dedup",
+    "event_runs_stats", "interarrival_user_stats", "gini_revenue",
+    "benford_order_totals", "histogram_order_totals", "decile_revenue_lift",
+    "tfidf_doc_neighbors",
     # ---- green in CORRECTNESS_r04 (35 first-time rows; the other 10
     # r4 head names were rows-only `no_oracle` and are NOT green) ----
     "tpch_q2_like", "tpch_q3_like", "tpch_q4_like", "tpch_q6_like",
@@ -14089,9 +14074,14 @@ _ROUND9_POOL: tuple[str, ...] = (
     "new_customer_order_share_monthly",
 )
 
+# Round-10 pool: entries added during round 6 (WARC ingestion, distributed
+# rank arms, rows-only conversions). Fills toward the 45 rotation slots
+# round 10 will need; same first-time/disjoint/oracle-able contract.
+_ROUND10_POOL: tuple[str, ...] = ()
+
 _PRIORITY: tuple[str, ...] = (
-    _ANCHORS + _ROTATION + _ROUND6_POOL + _ROUND7_POOL + _ROUND8_POOL
-    + _ROUND9_POOL
+    _ANCHORS + _ROTATION + _ROUND7_POOL + _ROUND8_POOL
+    + _ROUND9_POOL + _ROUND10_POOL
 )
 
 
@@ -14125,8 +14115,8 @@ def _reorder_registry() -> None:
     # Rows-only entries are verified in pytest and stay in the tail.
     no_oracle = sorted(
         n
-        for n in _ROTATION + _ROUND6_POOL + _ROUND7_POOL + _ROUND8_POOL
-        + _ROUND9_POOL
+        for n in _ROTATION + _ROUND7_POOL + _ROUND8_POOL
+        + _ROUND9_POOL + _ROUND10_POOL
         if REGISTRY[n].sql is None
     )
     if no_oracle:
