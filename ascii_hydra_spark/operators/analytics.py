@@ -2154,7 +2154,11 @@ def max_drawdown(
         F.col("__v").cast("double").alias("trough_value"),
         F.col("__dd").cast("double").alias("max_drawdown"),
         F.round(
-            F.col("__dd").cast("double") / F.col("__peak").cast("double"), 6
+            # a zero (or all-non-positive) series has peak == 0; NULL pct
+            # (DuckDB x/0 semantics) instead of an ANSI DIVIDE_BY_ZERO
+            F.col("__dd").cast("double")
+            / F.nullif(F.col("__peak").cast("double"), F.lit(0.0)),
+            6,
         ).alias("drawdown_pct"),
     )
 
@@ -2206,9 +2210,15 @@ def kendall_tau(
         "discordant",
         F.round(
             (F.col("concordant") - F.col("discordant")).cast("double")
-            / F.sqrt(
-                (n0 - F.col("__n1").cast("double"))
-                * (n0 - F.col("__n2").cast("double"))
+            # an all-tied x (or y) column makes the tie-corrected
+            # denominator 0; NULL tau_b (DuckDB x/0 semantics) instead
+            # of an ANSI DIVIDE_BY_ZERO
+            / F.nullif(
+                F.sqrt(
+                    (n0 - F.col("__n1").cast("double"))
+                    * (n0 - F.col("__n2").cast("double"))
+                ),
+                F.lit(0.0),
             ),
             6,
         ).alias("tau_b"),
@@ -2237,9 +2247,12 @@ def poisson_dispersion(
     n = F.col("n_entities").cast("double")
     s = F.col("__s").cast("double")
     ss = F.col("__ss").cast("double")
-    mean = s / n
-    var = (n * ss - s * s) / (n * (n - F.lit(1.0)))
-    disp = var / mean
+    mean = s / F.nullif(n, F.lit(0.0))
+    # n == 1 zeroes the variance denominator; an all-zero count column
+    # zeroes the mean — NULL dispersion/z/p (DuckDB x/0 semantics)
+    # instead of an ANSI DIVIDE_BY_ZERO
+    var = (n * ss - s * s) / F.nullif(n * (n - F.lit(1.0)), F.lit(0.0))
+    disp = var / F.nullif(mean, F.lit(0.0))
     z = (disp - F.lit(1.0)) * F.sqrt((n - F.lit(1.0)) / F.lit(2.0))
     return m.select(
         "n_entities",

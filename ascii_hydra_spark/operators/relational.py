@@ -577,15 +577,20 @@ def referential_integrity(
     relationships: Sequence[tuple[str, DataFrame, str, DataFrame, str]],
 ) -> DataFrame:
     """FK audit: one row per (name, child, child_key, parent, parent_key)
-    relationship — (relationship, n_child, n_keys, n_orphans).
+    relationship — (relationship, n_child, n_keys, n_null_keys,
+    n_orphans).
 
     Each relationship is a LEFT join of the child against the parent's
     DISTINCT key projection (distinct first, so a duplicated parent key
     can never multiply child rows and inflate the audit), followed by a
-    conditional count — the exact-integer form of the orphan check. At
-    100 TB each join shuffles on its own FK (or broadcasts a dimension
-    parent); the branches are independent and union lazily into one
-    plan, so one pass schedules the whole audit.
+    conditional count — the exact-integer form of the orphan check.
+    SQL FK semantics: a NULL child key is NOT a violation (MATCH SIMPLE),
+    so orphans require a NON-NULL child key with no parent; NULL keys
+    are surfaced separately as n_null_keys (consistent with n_keys =
+    COUNT(DISTINCT ck), which also excludes NULLs). At 100 TB each join
+    shuffles on its own FK (or broadcasts a dimension parent); the
+    branches are independent and union lazily into one plan, so one
+    pass schedules the whole audit.
     """
     parts = []
     for name, child, child_key, parent, parent_key in relationships:
@@ -599,7 +604,12 @@ def referential_integrity(
                 F.count("*").cast("bigint").alias("n_child"),
                 F.countDistinct("__ck").cast("bigint").alias("n_keys"),
                 F.sum(
-                    F.when(F.col("__pk").isNull(), 1).otherwise(0)
+                    F.when(F.col("__ck").isNull(), 1).otherwise(0)
+                ).cast("bigint").alias("n_null_keys"),
+                F.sum(
+                    F.when(
+                        F.col("__ck").isNotNull() & F.col("__pk").isNull(), 1
+                    ).otherwise(0)
                 ).cast("bigint").alias("n_orphans"),
             )
         )

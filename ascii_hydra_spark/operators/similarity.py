@@ -1036,6 +1036,7 @@ def gram_power_iteration_eigen(
     vec_col: str = "embedding",
     iterations: int = 3,
     scale: int = 4,
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """One row (d, eigenvalue, top_dim): dominant eigenvalue of the
     corpus Gram matrix X^T X by fixed-iteration power iteration — the
@@ -1063,7 +1064,7 @@ def gram_power_iteration_eigen(
     d = len(emb.select(vec_col).first()[0])
     mult = 10**scale
     u = emb.select(
-        F.col("vec_id").alias("__r"),
+        F.col(id_col).alias("__r"),
         F.posexplode(to_double_array(F.col(vec_col))).alias("__i0", "__x"),
     ).select(
         "__r",

@@ -219,6 +219,14 @@ def hll_portable_cells(
     rem = F.shiftright(h, b_bits)
     low_bit = rem.bitwiseAND(-rem)  # exact power of two: lowest set bit
     tz = F.round(F.log2(low_bit.cast("double"))).cast("int")
+    # INTENTIONAL deviation from the textbook rank: Flajolet's rho for an
+    # all-zero remainder is rank_bits + 1, but that rho would make the
+    # estimator's fixed-point term 2^(rank_bits - rho) = 2^-1 — breaking
+    # hll_portable_estimate's exact-integer Z accumulation. The all-zero
+    # pattern (P ~ 2^-51 per item at default sizing) is merged into the
+    # highest observable trailing-zero rank instead; the estimator bias
+    # from the merge is below the 6-dp output rounding. Mirrored in the
+    # DuckDB oracle arm.
     rho = F.when(rem == 0, F.lit(60 - b_bits)).otherwise(tz + 1)
     return (
         items.select(*gcols, bucket.alias("bucket"), rho.alias("rho"))

@@ -943,7 +943,11 @@ def simpson_diversity(
         F.round(
             F.lit(1.0)
             - s.cast("double")
-            / (n.cast("double") * (n - F.lit(1)).cast("double")),
+            # N*(N-1) is 0 for a 1-token group; NULL simpson (matching
+            # DuckDB's x/0 -> NULL) instead of an ANSI DIVIDE_BY_ZERO
+            / F.nullif(
+                n.cast("double") * (n - F.lit(1)).cast("double"), F.lit(0.0)
+            ),
             6,
         ).alias("simpson"),
     )
@@ -974,7 +978,9 @@ def char_class_profile(
         F.sum(cnt("[.,;:!?]")).cast("bigint").alias("__p"),
         F.sum(cnt("[ ]")).cast("bigint").alias("__s"),
     )
-    c = F.col("n_chars").cast("double")
+    # an all-empty-text group has n_chars == 0; NULL ratios (matching
+    # DuckDB's x/0 -> NULL) instead of an ANSI DIVIDE_BY_ZERO
+    c = F.nullif(F.col("n_chars").cast("double"), F.lit(0.0))
     return agg.select(
         "grp",
         "n_docs",
@@ -1073,7 +1079,10 @@ def multibyte_ratio(
         "n_bytes",
         (F.col("n_bytes") - F.col("n_chars")).alias("n_multibyte_bytes"),
         F.round(
-            F.col("n_bytes").cast("double") / F.col("n_chars").cast("double"),
+            # empty-text group -> NULL ratio (DuckDB x/0 semantics), not
+            # an ANSI DIVIDE_BY_ZERO
+            F.col("n_bytes").cast("double")
+            / F.nullif(F.col("n_chars").cast("double"), F.lit(0.0)),
             6,
         ).alias("bytes_per_char"),
     )

@@ -10288,7 +10288,10 @@ def poisson_dispersion_users(spark, sf_dir):
 _FK_AUDIT_SQL_ARM = """
     SELECT '{name}' AS relationship, COUNT(*)::BIGINT AS n_child,
            COUNT(DISTINCT c.ck)::BIGINT AS n_keys,
-           SUM(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_orphans
+           SUM(CASE WHEN c.ck IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_null_keys,
+           SUM(CASE WHEN c.ck IS NOT NULL AND p.pk IS NULL
+                    THEN 1 ELSE 0 END)::BIGINT AS n_orphans
     FROM (SELECT {ck} AS ck FROM {child}) c
     LEFT JOIN (SELECT DISTINCT {pk} AS pk FROM {parent}) p ON c.ck = p.pk
 """
@@ -10320,8 +10323,10 @@ _FK_RELATIONSHIPS = [
     "Whole-schema FK audit: orphan counts for all 7 star-schema "
     "relationships in ONE lazily-unioned plan — each arm left-joins the "
     "child FK against the parent's DISTINCT key (duplicate parent keys "
-    "can never inflate the child count), exact integer counts; at "
-    "100 TB each arm shuffles on its own FK or broadcasts a dimension",
+    "can never inflate the child count), exact integer counts; SQL "
+    "MATCH SIMPLE semantics (NULL child keys are counted separately, "
+    "never as orphans); at 100 TB each arm shuffles on its own FK or "
+    "broadcasts a dimension",
 )
 def referential_integrity_audit(spark, sf_dir):
     return relational.referential_integrity(
