@@ -124,6 +124,47 @@ def rolling_fingerprint(text: Column | str, base: int = 257, mod: int = 1_000_00
     )
 
 
+def surt_url(url: Column | str) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) canonical form of a
+    URL — the crawl-dedup join key the reference toolchain gets from the
+    `surt` package (its Databricks provisioning ships surt alongside
+    fastwarc/warcio; reference resources/databricks.py:76-78):
+    ``http://www.Example.COM/p?b=2&a=1`` -> ``com,example)/p?a=1&b=2``.
+
+    Canonicalization: scheme dropped, host lowercased, leading ``www.``
+    stripped, host labels reversed comma-joined (so one registered
+    domain's captures sort/partition together — the property that makes
+    per-domain dedup a contiguous range scan instead of a shuffle on
+    raw hosts), query params sorted. Pure built-in string/array ops —
+    codegen, no UDF — and every step has a DuckDB closed form, so
+    SURT-keyed entries stay oracle-checkable.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    rest = F.regexp_replace(c, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    host = F.lower(F.substring_index(rest, "/", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    # path+query = everything after the host (empty -> "/")
+    pathq = F.substring(
+        rest, F.length(F.substring_index(rest, "/", 1)) + 1, F.lit(1 << 30)
+    )
+    pathq = F.when(pathq == "", F.lit("/")).otherwise(pathq)
+    path = F.substring_index(pathq, "?", 1)
+    query = F.when(
+        pathq.contains("?"),
+        F.substring(
+            pathq, F.length(F.substring_index(pathq, "?", 1)) + 2, F.lit(1 << 30)
+        ),
+    ).otherwise(F.lit(""))
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        rev_host,
+        F.lit(")"),
+        path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_q)),
+    )
+
+
 def zorder_key(x: Column | str, y: Column | str, bits: int = 16) -> Column:
     """Morton (Z-order) key: interleave the low `bits` of two non-negative
     int columns into one sort key. Sorting/clustering files by this key

@@ -3768,6 +3768,114 @@ def pyds_stream_feed(spark, sf_dir):
 
 
 @q(
+    "warc_records_scan",
+    """
+    SELECT 'part-' || printf('%05d', CAST(i // 150 AS INTEGER)) || '.warc.gz'
+               AS warc_file,
+           'urn:uuid:00000000-0000-0000-0000-' || printf('%012d', i)
+               AS record_id,
+           '2024-01-' || printf('%02d', CAST(1 + i % 28 AS INTEGER))
+               || 'T00:00:00Z' AS warc_date,
+           'http://www.Site' || (i % 7) || '.Example.COM/path/' || i
+               || '/page?b=' || (i % 3) || '&a=' || (i % 5) AS target_uri,
+           CAST(CASE i % 5 WHEN 2 THEN 301 WHEN 3 THEN 404 ELSE 200 END
+                AS INTEGER) AS http_status,
+           CASE i % 3 WHEN 0 THEN 'text/html' WHEN 1 THEN 'text/plain'
+                ELSE 'application/json' END AS content_type,
+           CAST(OCTET_LENGTH(ENCODE(body)) AS BIGINT) AS content_length,
+           body,
+           'com,example,site' || (i % 7) || ')/path/' || i || '/page?a='
+               || (i % 5) || '&b=' || (i % 3) AS surt
+    FROM (
+      SELECT i,
+             'Record ' || i || ' crawl body '
+             || repeat('w' || (i % 11) || ' ', CAST(i % 13 AS INTEGER))
+             || CASE WHEN i % 10 = 0 THEN 'café' ELSE '' END AS body
+      FROM range(600) t(i)
+    )
+    """,
+    "WARC ingestion (the reference's production entry point: Common Crawl "
+    "dumps via fastwarc/warcio/surt, reference resources/databricks.py:76-78"
+    " + paper.md crawl pipeline): pure-stdlib ISO 28500 parser as a Spark 4 "
+    "custom Python DataSource — one task per archive (gzip members aren't "
+    "splittable; file grain IS the Common Crawl contract), streaming "
+    "member-by-member decode, warcinfo/request records filtered, HTTP "
+    "block parsed to scalar columns, SURT canonical URL derived in pure "
+    "codegen ops. Hash-matched end-to-end against a closed-form SQL "
+    "reconstruction of the deterministic fixture (real multi-record "
+    "multi-member .warc.gz bytes in between)",
+)
+def warc_records_scan(spark, sf_dir):
+    from ascii_hydra_spark.functions import surt_url
+    from ascii_hydra_spark.sources.warc import (
+        register_warc_source,
+        write_warc_fixture,
+    )
+
+    register_warc_source(spark)
+    d = tempfile.mkdtemp(prefix="ahs_warc_")
+    write_warc_fixture(d, n_records=600, n_files=4, compress=True)
+    df = spark.read.format("warc").option("path", d).load()
+    return df.withColumn("surt", surt_url("target_uri"))
+
+
+@q(
+    "warc_host_dedup",
+    """
+    WITH recs AS (
+      SELECT 'com,example,site' || (i % 7) AS surt_host,
+             md5('Record ' || i || ' crawl body '
+                 || repeat('w' || (i % 11) || ' ', CAST(i % 13 AS INTEGER))
+                 || CASE WHEN i % 10 = 0 THEN 'café' ELSE '' END) AS fp,
+             CASE i % 5 WHEN 2 THEN 301 WHEN 3 THEN 404 ELSE 200 END AS st
+      FROM range(600) t(i)
+    )
+    SELECT surt_host, CAST(COUNT(*) AS BIGINT) AS n_captures,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_bodies,
+           CAST(SUM(CASE WHEN st = 200 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ok
+    FROM recs GROUP BY surt_host
+    """,
+    "Crawl-to-dedup handoff: WARC scan keyed by the SURT host prefix (one "
+    "registered domain = one contiguous key range — per-domain dedup "
+    "becomes a local groupBy after a single shuffle on the canonical "
+    "key, not a shuffle on raw mixed-case hosts), exact md5-fingerprint "
+    "distinct counts and fetch-status profile per domain; the scan "
+    "projects only the 3 needed columns so the parser's body decode "
+    "feeds md5 once and the shuffle carries 32-hex fingerprints, never "
+    "document text",
+)
+def warc_host_dedup(spark, sf_dir):
+    from ascii_hydra_spark.functions import surt_url
+    from ascii_hydra_spark.sources.warc import (
+        register_warc_source,
+        write_warc_fixture,
+    )
+
+    register_warc_source(spark)
+    d = tempfile.mkdtemp(prefix="ahs_warc_")
+    write_warc_fixture(d, n_records=600, n_files=4, compress=True)
+    df = spark.read.format("warc").option("path", d).load()
+    return (
+        df.select(
+            F.substring_index(surt_url("target_uri"), ")", 1).alias(
+                "surt_host"
+            ),
+            F.md5(F.col("body").cast("binary")).alias("fp"),
+            F.col("http_status").alias("st"),
+        )
+        .groupBy("surt_host")
+        .agg(
+            F.count("*").cast("bigint").alias("n_captures"),
+            F.countDistinct("fp").cast("bigint").alias("n_distinct_bodies"),
+            F.sum(F.when(F.col("st") == 200, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_ok"),
+        )
+    )
+
+
+@q(
     "jdbc_roundtrip",
     "SELECT o_orderstatus, COUNT(*) AS n, "
     "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total "
@@ -14082,7 +14190,9 @@ _ROUND9_POOL: tuple[str, ...] = (
 # Round-10 pool: entries added during round 6 (WARC ingestion, distributed
 # rank arms, rows-only conversions). Fills toward the 45 rotation slots
 # round 10 will need; same first-time/disjoint/oracle-able contract.
-_ROUND10_POOL: tuple[str, ...] = ()
+_ROUND10_POOL: tuple[str, ...] = (
+    "warc_records_scan", "warc_host_dedup",
+)
 
 _PRIORITY: tuple[str, ...] = (
     _ANCHORS + _ROTATION + _ROUND7_POOL + _ROUND8_POOL

@@ -1,0 +1,136 @@
+"""WARC custom-source tests: parser fidelity on real archive bytes
+(gzip members and plain), record-type filtering, UTF-8/byte-length
+handling, partition plan = file grain, and surt_url canonicalization
+edge cases. The end-to-end oracle comparison lives in the registry
+(warc_records_scan / warc_host_dedup); these pin the parser and the
+SURT semantics with hand-checkable inputs.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ascii_hydra_spark.functions import surt_url
+from ascii_hydra_spark.sources.warc import (
+    fixture_record,
+    iter_warc_records,
+    parse_http_response,
+    register_warc_source,
+    write_warc_fixture,
+)
+
+
+def test_fixture_roundtrip_gzip(spark, tmp_path):
+    d = str(tmp_path / "warc")
+    write_warc_fixture(d, n_records=40, n_files=3, compress=True)
+    register_warc_source(spark)
+    df = spark.read.format("warc").option("path", d).load()
+    rows = {r.record_id: r for r in df.collect()}
+    assert len(rows) == 40  # warcinfo + request records filtered out
+    rid, date, uri, status, ctype, body = fixture_record(7)
+    r = rows[rid]
+    assert r.warc_date == date
+    assert r.target_uri == uri
+    assert r.http_status == status
+    assert r.content_type == ctype  # charset param stripped
+    assert r.body == body
+    assert r.content_length == len(body.encode("utf-8"))
+
+
+def test_fixture_roundtrip_plain_matches_gzip(spark, tmp_path):
+    dg, dp = str(tmp_path / "gz"), str(tmp_path / "plain")
+    write_warc_fixture(dg, n_records=25, n_files=2, compress=True)
+    write_warc_fixture(dp, n_records=25, n_files=2, compress=False)
+    register_warc_source(spark)
+    a = spark.read.format("warc").option("path", dg).load().drop("warc_file")
+    b = spark.read.format("warc").option("path", dp).load().drop("warc_file")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_multibyte_body_byte_length(spark, tmp_path):
+    # record 10 carries 'café': content_length counts BYTES, body is chars
+    d = str(tmp_path / "warc")
+    write_warc_fixture(d, n_records=11, n_files=1, compress=True)
+    register_warc_source(spark)
+    r = (
+        spark.read.format("warc").option("path", d).load()
+        .filter(F.col("record_id").endswith("%012d" % 10))
+        .collect()[0]
+    )
+    assert r.body.endswith("café")
+    assert r.content_length == len(r.body.encode("utf-8")) == len(r.body) + 1
+
+
+def test_partition_plan_is_file_grain(spark, tmp_path):
+    d = str(tmp_path / "warc")
+    write_warc_fixture(d, n_records=40, n_files=5, compress=True)
+    register_warc_source(spark)
+    df = spark.read.format("warc").option("path", d).load()
+    # per-file row groups land in distinct task partitions: one task per
+    # archive (gzip members are not splittable mid-stream)
+    parts = df.select(F.spark_partition_id().alias("p"), "warc_file").distinct()
+    assert parts.count() == 5
+    assert parts.select("p").distinct().count() == 5
+
+
+def test_parser_skips_non_response_records():
+    buf = io.BytesIO()
+    for i, (wtype, block) in enumerate(
+        [("warcinfo", b"x: y\r\n"), ("request", b"GET / HTTP/1.1\r\n\r\n"),
+         ("response", b"HTTP/1.1 200 OK\r\n\r\nhello"), ("metadata", b"m")]
+    ):
+        head = (
+            f"WARC/1.0\r\nWARC-Type: {wtype}\r\nWARC-Record-ID: r{i}\r\n"
+            f"Content-Length: {len(block)}\r\n\r\n"
+        ).encode()
+        buf.write(head + block + b"\r\n\r\n")
+    buf.seek(0)
+    recs = list(iter_warc_records(buf))
+    assert [h["warc-type"] for h, _ in recs] == [
+        "warcinfo", "request", "response", "metadata"
+    ]
+    status, headers, body = parse_http_response(recs[2][1])
+    assert status == 200 and body == b"hello"
+
+
+def test_parser_rejects_truncated_record():
+    raw = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 99\r\n\r\nshort"
+    with pytest.raises(ValueError, match="truncated"):
+        list(iter_warc_records(io.BytesIO(raw)))
+
+
+def test_parser_reads_concatenated_gzip_members(tmp_path):
+    # the Common Crawl layout: each record its own gzip member
+    p = tmp_path / "two.warc.gz"
+    rec = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 4\r\n\r\nbody\r\n\r\n"
+    p.write_bytes(gzip.compress(rec, mtime=0) + gzip.compress(rec, mtime=0))
+    with io.BufferedReader(gzip.open(str(p), "rb")) as f:
+        assert len(list(iter_warc_records(f))) == 2
+
+
+def test_surt_url_canonicalization(spark):
+    cases = {
+        "http://www.Example.COM/p?b=2&a=1": "com,example)/p?a=1&b=2",
+        "https://sub.Example.org/deep/path": "org,example,sub)/deep/path",
+        "http://example.com": "com,example)/",
+        "http://example.com/": "com,example)/",
+        "http://example.com/p?one=1": "com,example)/p?one=1",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    out = {r["url"]: r["surt"] for r in df.select("url", surt_url("url").alias("surt")).collect()}
+    assert out == cases
+
+
+def test_missing_path_and_empty_dir_raise(spark, tmp_path):
+    register_warc_source(spark)
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    with pytest.raises(Exception, match="no .warc"):
+        # load() is lazy; reader() (where the validation runs) fires on
+        # the first action
+        spark.read.format("warc").option("path", empty).load().count()
