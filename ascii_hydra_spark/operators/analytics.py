@@ -25,6 +25,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ascii_hydra_spark.operators import distrank
+
 
 def _dsum(col: Column, scale: int = 2) -> Column:
     """Decimal-accumulated sum (order-independent), surfaced as double."""
@@ -40,20 +42,24 @@ def gini_coefficient(
     the statistic under exact arithmetic — is reproducible).
 
     Contract: `df` is an entity-level aggregate (e.g. one row per
-    customer). The rank is a global window — acceptable because the
-    entity table is orders of magnitude smaller than the fact data; for
-    billions of entities, swap in a distributed rank (zipWithIndex over a
-    range-partitioned sort) before this formula.
+    customer). The rank is :func:`distrank.global_row_number` — a
+    two-pass percentile-bucketed rank (value-derived buckets, broadcast
+    bucket offsets, bucket-local sort), so even a billions-of-entities
+    input never funnels through a single-reducer sort; the result is
+    identical to the single-window formulation.
 
     Both sums accumulate exactly: sum(x) as DECIMAL, sum(i*x_i) as
     DECIMAL(38,6) (rank * 2-dp value stays exact), so the one double
     division is bit-identical across engines.
     """
-    w = Window.orderBy(F.col(value_col).asc(), F.col(tiebreak).asc())
-    ranked = df.select(
-        F.col(value_col).cast("decimal(18,2)").alias("__x"),
-        F.row_number().over(w).cast("long").alias("__i"),
-    )
+    ranked = distrank.global_row_number(
+        df.select(
+            F.col(value_col).alias("__v"), F.col(tiebreak).alias("__tb")
+        ),
+        F.col("__v"),
+        [F.col("__tb")],
+        out_col="__i",
+    ).select(F.col("__v").cast("decimal(18,2)").alias("__x"), "__i")
     agg = ranked.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("__x").alias("__sx"),
@@ -150,22 +156,41 @@ def decile_shares(
     report each group's share and the cumulative share ("the top decile
     holds X% of revenue").
 
-    Same entity-level-input contract as `gini_coefficient` (the NTILE is
-    a global window over the aggregated table). Per-tile revenue
-    accumulates in DECIMAL so partition order can't shift a rounding
-    boundary; the cumulative sum runs over at most `tiles` rows.
+    Same entity-level-input contract as `gini_coefficient`, same
+    distributed-rank arm: the NTILE derives from
+    :func:`distrank.global_row_number` (+ total) in pure integer
+    arithmetic — standard SQL tile sizing, no single-partition sort of
+    the entities. Per-tile revenue accumulates in DECIMAL so partition
+    order can't shift a rounding boundary; the cumulative sum runs over
+    at most `tiles` rows (explicitly single-partition, data-size-free).
     """
-    w = Window.orderBy(F.col(value_col).desc(), F.col(tiebreak).asc())
-    tiled = df.select(
-        F.col(value_col).alias("__x"),
-        F.ntile(tiles).over(w).cast("bigint").alias("tile"),
+    ranked = distrank.global_row_number(
+        df.select(F.col(value_col).alias("__x"), F.col(tiebreak).alias("__tb")),
+        F.col("__x"),
+        [F.col("__tb")],
+        desc=True,
+        out_col="__i",
+        total_col="__n",
+    )
+    tiled = ranked.select(
+        "__x",
+        distrank.ntile_from_row_number(
+            F.col("__i"), F.col("__n"), tiles
+        ).cast("bigint").alias("tile"),
     )
     per = tiled.groupBy("tile").agg(
         F.count("*").cast("bigint").alias("n"),
         _dsum(F.col("__x")).alias("revenue"),
     )
     total = per.agg(F.sum(F.col("revenue").cast("decimal(18,2)")).cast("double").alias("__t"))
-    w_cum = Window.orderBy("tile").rowsBetween(Window.unboundedPreceding, 0)
+    # pmod(tile, 1) is constant 0 but non-foldable: a bare lit(0)
+    # partition spec is optimized away, re-triggering the
+    # single-partition warning this <=`tiles`-row window doesn't deserve
+    w_cum = (
+        Window.partitionBy(F.pmod(F.col("tile"), F.lit(1)))
+        .orderBy("tile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     cum = F.sum(F.col("revenue").cast("decimal(18,2)")).over(w_cum).cast("double")
     return (
         per.crossJoin(F.broadcast(total))
@@ -675,9 +700,14 @@ def mann_whitney_u(
     var = (n_a*n_b/12) * ((n+1) - sum(t^3-t)/(n*(n-1))); every input to
     the final division/sqrt is an exact integer or half-integer.
 
-    Contract: entity-level input (the global rank window sorts subjects,
-    not raw events — same contract as `gini_coefficient`). Group labels
-    order ascending (a = min label). Raises unless exactly two groups.
+    Scale shape: the rank never touches raw rows — subjects reduce to
+    DISTINCT-VALUE grain first (count + group-a count per value), then
+    the average rank per value comes from a distributed running count
+    (:func:`distrank.global_running_sum`: percentile-bucketed shuffle +
+    broadcast bucket offsets — no single-reducer sort at any size), and
+    rank_sum_a = sum(count_a * avg_rank) is algebraically identical to
+    the per-row rank sum. Group labels order ascending (a = min label).
+    Raises unless exactly two groups.
     """
     labels = [
         r["g"]
@@ -689,34 +719,28 @@ def mann_whitney_u(
             f"found {len(labels)}"
         )
     ga = min(labels)
-    w = Window.orderBy(F.col(value_col))
-    w_tie = Window.partitionBy(F.col(value_col))
-    ranked = df.select(
-        (F.col(group_col) == F.lit(ga)).alias("__is_a"),
-        F.col(value_col).alias("__x"),
-        (
-            F.rank().over(w).cast("double")
-            + (F.count("*").over(w_tie).cast("double") - F.lit(1.0)) / F.lit(2.0)
-        ).alias("__ar"),
+    per_v = df.groupBy(F.col(value_col).alias("__x")).agg(
+        F.count("*").cast("long").alias("__t"),
+        F.sum((F.col(group_col) == F.lit(ga)).cast("long")).alias("__ta"),
     )
-    ties = (
-        ranked.groupBy("__x")
-        .agg(F.count("*").alias("__t"))
-        .filter(F.col("__t") > 1)
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")
-                ),
-                F.lit(0),
-            ).alias("__tie_sum")
-        )
+    cum = distrank.global_running_sum(
+        per_v, F.col("__x"), F.col("__t"), out_col="__cum"
     )
-    agg = ranked.agg(
-        F.sum(F.col("__is_a").cast("bigint")).alias("__na"),
-        F.sum((~F.col("__is_a")).cast("bigint")).alias("__nb"),
-        F.sum(F.when(F.col("__is_a"), F.col("__ar"))).alias("__ra"),
-    ).crossJoin(F.broadcast(ties))
+    # avg rank of a value = (#rows below) + (t+1)/2 — exact half-integer
+    avg_rank = (F.col("__cum") - F.col("__t")).cast("double") + (
+        F.col("__t").cast("double") + F.lit(1.0)
+    ) / F.lit(2.0)
+    agg = cum.agg(
+        F.sum("__ta").cast("bigint").alias("__na"),
+        (F.sum("__t") - F.sum("__ta")).cast("bigint").alias("__nb"),
+        F.sum(F.col("__ta").cast("double") * avg_rank).alias("__ra"),
+        F.sum(
+            F.when(
+                F.col("__t") > 1,
+                F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("__tie_sum"),
+    )
     na = F.col("__na").cast("double")
     nb = F.col("__nb").cast("double")
     n = na + nb
@@ -861,22 +885,40 @@ def spearman_rank_corr(
     every sum feeding the Pearson formula — sum r, sum r², sum rx*ry —
     accumulates exactly in doubles (half-integers and their products are
     binary-exact well below 2^52): the numerator and denominator are
-    exact until the final division and sqrt. Entity-level-input contract
-    (two global rank windows over subjects).
+    exact until the final division and sqrt.
+
+    Scale shape: each axis's tie-averaged rank is a DISTINCT-VALUE-grain
+    table (value -> avg rank) built from a distributed running count
+    (:func:`distrank.global_running_sum` — percentile-bucketed shuffle +
+    broadcast bucket offsets, no single-reducer sort), joined back to the rows
+    by value (null-safe, matching the window form's treatment of NULL
+    keys). Two bounded rank tables + two shuffle joins replace the two
+    unpartitioned global windows.
     """
-    wx = Window.orderBy(F.col(x_col))
-    wy = Window.orderBy(F.col(y_col))
-    tx = Window.partitionBy(F.col(x_col))
-    ty = Window.partitionBy(F.col(y_col))
-    ranked = df.select(
-        (
-            F.rank().over(wx).cast("double")
-            + (F.count("*").over(tx).cast("double") - F.lit(1.0)) / F.lit(2.0)
-        ).alias("__rx"),
-        (
-            F.rank().over(wy).cast("double")
-            + (F.count("*").over(ty).cast("double") - F.lit(1.0)) / F.lit(2.0)
-        ).alias("__ry"),
+
+    def _avg_ranks(col: str, out: str) -> DataFrame:
+        per_v = df.groupBy(F.col(col).alias("__v")).agg(
+            F.count("*").cast("long").alias("__t")
+        )
+        cum = distrank.global_running_sum(
+            per_v, F.col("__v"), F.col("__t"), out_col="__cum"
+        )
+        return cum.select(
+            F.col("__v"),
+            (
+                (F.col("__cum") - F.col("__t")).cast("double")
+                + (F.col("__t").cast("double") + F.lit(1.0)) / F.lit(2.0)
+            ).alias(out),
+        )
+
+    rx = _avg_ranks(x_col, "__rx")
+    ry = _avg_ranks(y_col, "__ry")
+    ranked = (
+        df.select(F.col(x_col).alias("__xv"), F.col(y_col).alias("__yv"))
+        .join(rx, F.col("__xv").eqNullSafe(rx["__v"]))
+        .drop(rx["__v"])
+        .join(ry, F.col("__yv").eqNullSafe(ry["__v"]))
+        .select("__rx", "__ry")
     )
     agg = ranked.agg(
         F.count("*").cast("bigint").alias("n"),

@@ -1,0 +1,166 @@
+"""Distributed exact rank / prefix sums: the scale arm for the
+exact-rank statistics family.
+
+``Window.orderBy()`` with no ``partitionBy`` moves the whole input to
+ONE partition — acceptable for the documented entity-level contracts at
+fixture scale, but a single-reducer sort once entity tables reach ~1e9
+rows. These helpers compute the SAME exact global row numbers / running
+sums with every data-sized stage parallel:
+
+1. split points = in-plan approximate percentiles of the sort key
+   (1-row broadcast; accuracy only affects load BALANCE, never rank
+   values) assign each row a BUCKET — a pure function of the row's
+   key, so every later stage can key on it deterministically. This is
+   deliberately NOT ``repartitionByRange`` + ``spark_partition_id()``:
+   the RangePartitioner seeds its boundary sampling with the RDD id,
+   which differs per plan instantiation, so two subplans reading
+   "the same" range shuffle can disagree about which partition a
+   boundary row landed in (observed: duplicate global ranks). A
+   value-derived bucket cannot disagree with itself.
+2. a bucket-count-sized side table of per-bucket totals turns into
+   exclusive prefix OFFSETS (a window over <= #buckets rows —
+   explicitly single-partition via ``partitionBy(pmod(bucket, 1))``, a
+   constant Catalyst can't fold away; a bare ``lit(0)`` spec is
+   optimized out, reverting to the warn-worthy empty spec. Bounded by
+   the bucket count, never by data);
+3. offsets broadcast-join back (<= #buckets rows) and shift each
+   bucket's LOCAL ordered aggregate — a window partitioned by bucket,
+   so the big sort runs fully parallel.
+
+Global rank = bucket offset + local row_number: exact, total-order
+deterministic (callers pass tiebreakers making the order total), and
+identical to the single-window answer — the oracle SQL of every
+converted entry is unchanged. Heavy ties on a single key value
+concentrate in that value's bucket (same behavior as a range shuffle);
+the key must be percentile_approx-orderable (numeric/date/timestamp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+_B = "__dr_b"
+
+
+def _bucketed(
+    df: DataFrame,
+    key: Column,
+    desc: bool,
+    num_buckets: "int | None",
+) -> "tuple[DataFrame, int]":
+    p = num_buckets or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    probs = F.array(*[F.lit(i / p) for i in range(1, p)]) if p > 1 else None
+    if probs is None:
+        return df.withColumn(_B, F.lit(0)), 1
+    splits = df.agg(
+        F.percentile_approx(key, probs, F.lit(10000)).alias("__dr_splits")
+    )
+    b = df.crossJoin(F.broadcast(splits))
+    if desc:
+        raw = F.aggregate(
+            F.col("__dr_splits"),
+            F.lit(0),
+            lambda acc, s: acc + F.when(s > key, 1).otherwise(0),
+        )
+        # Spark sorts NULLS LAST under desc -> force the final bucket
+        bucket = F.when(key.isNull(), F.lit(p - 1)).otherwise(raw)
+    else:
+        raw = F.aggregate(
+            F.col("__dr_splits"),
+            F.lit(0),
+            lambda acc, s: acc + F.when(s < key, 1).otherwise(0),
+        )
+        bucket = F.coalesce(raw, F.lit(0))  # NULLS FIRST under asc
+    return b.withColumn(_B, bucket.cast("int")).drop("__dr_splits"), p
+
+
+def _offsets(per_bucket: DataFrame, sum_col: str) -> DataFrame:
+    one = F.pmod(F.col(_B), F.lit(1))  # constant 0, but not foldable
+    w_off = (
+        Window.partitionBy(one)
+        .orderBy(_B)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_bucket.select(
+        F.col(_B),
+        (F.sum(sum_col).over(w_off) - F.col(sum_col)).alias("__dr_off"),
+        F.sum(sum_col).over(Window.partitionBy(one)).alias("__dr_total"),
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    key: Column,
+    tiebreaks: "list[Column] | None" = None,
+    *,
+    desc: bool = False,
+    out_col: str = "__i",
+    total_col: "str | None" = None,
+    num_buckets: "int | None" = None,
+) -> DataFrame:
+    """``df`` + ``out_col`` = exact 1-based global row number under
+    (key asc|desc, tiebreaks... asc) — which must be a TOTAL order —
+    with no single-partition sort of the data. With ``total_col`` the
+    total row count rides along from the already-built per-bucket
+    counts (no extra pass) — NTILE-style consumers need it.
+    """
+    base, _ = _bucketed(df, key, desc, num_buckets)
+    counts = base.groupBy(_B).agg(F.count("*").alias("__dr_cnt"))
+    order = [key.desc() if desc else key.asc()] + [
+        t.asc() for t in (tiebreaks or [])
+    ]
+    local = F.row_number().over(Window.partitionBy(_B).orderBy(*order))
+    out = base.join(F.broadcast(_offsets(counts, "__dr_cnt")), _B).withColumn(
+        out_col, local.cast("long") + F.col("__dr_off").cast("long")
+    )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col("__dr_total").cast("long"))
+    return out.drop(_B, "__dr_off", "__dr_total")
+
+
+def global_running_sum(
+    df: DataFrame,
+    key: Column,
+    value_col: Column,
+    *,
+    out_col: str = "__cum",
+    num_buckets: "int | None" = None,
+) -> DataFrame:
+    """``df`` + ``out_col`` = exact INCLUSIVE running sum of
+    ``value_col`` under ``key`` ascending (callers pass a key that is
+    unique per row — the distinct-value-grain contract), same bucketed
+    two-pass shape as :func:`global_row_number`. The per-bucket
+    pre-aggregate sums in the value's own type, so a decimal/bigint
+    input keeps exact arithmetic end to end.
+    """
+    base, _ = _bucketed(df.withColumn("__dr_v", value_col), key, False, num_buckets)
+    sums = base.groupBy(_B).agg(F.sum("__dr_v").alias("__dr_psum"))
+    local = F.sum("__dr_v").over(
+        Window.partitionBy(_B)
+        .orderBy(key.asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.join(F.broadcast(_offsets(sums, "__dr_psum")), _B)
+        .withColumn(out_col, local + F.coalesce(F.col("__dr_off"), F.lit(0)))
+        .drop(_B, "__dr_off", "__dr_total", "__dr_v")
+    )
+
+
+def ntile_from_row_number(i: Column, n: Column, tiles: int) -> Column:
+    """Standard SQL NTILE(t) from a 1-based global row number ``i`` and
+    total count ``n`` — the first ``n % t`` tiles get ``n/t + 1`` rows,
+    the rest ``n/t`` (exactly Spark's and DuckDB's semantics), in pure
+    integer arithmetic so it composes with :func:`global_row_number`
+    without any window. The CASE branches are lazily evaluated, so the
+    ``base == 0`` small-n shape never divides by zero.
+    """
+    t = F.lit(int(tiles)).cast("long")
+    base = (n / t).cast("long")  # n >= 1 whenever a row exists
+    extra = n - base * t
+    boundary = extra * (base + 1)
+    first = ((i - 1) / (base + 1)).cast("long") + 1
+    rest = extra + ((i - boundary - 1) / base).cast("long") + 1
+    return F.when(i <= boundary, first).otherwise(rest)

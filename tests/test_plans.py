@@ -273,6 +273,10 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
                                           # non-equi pair join — quadratic
                                           # in DAYS by design, never rows
         "decile_revenue_lift",    # 1-row revenue-total broadcast
+        "gini_revenue",           # 1-row percentile-splits broadcast
+                                  # (distrank bucket assignment)
+        "spearman_orders_revenue",  # 1-row percentile-splits broadcast
+                                    # per rank axis (distrank)
         "distinctive_terms_by_lang",  # 1-row corpus-total broadcast
         "winsorized_order_totals",    # 1-row percentile-bounds broadcast
         "segment_priority_chi2",      # 1-row grand-total broadcast

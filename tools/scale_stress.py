@@ -509,6 +509,113 @@ def main() -> int:
 
     stage("bfs_frontier", bfs_ring)
 
+# ---- distributed exact rank: 1M rows through the percentile-bucketed
+    # two-pass rank (the converted gini/decile/MWU/spearman arm). Values
+    # are a bijection of the id, so every rank has the closed form
+    # rank(v) = v + 1 — any boundary double-count or offset drift is an
+    # exact mismatch, and the permutation property catches duplicates ----
+    from ascii_hydra_spark.operators import analytics as A
+    from ascii_hydra_spark.operators import distrank as DR
+
+    def distributed_rank():
+        nr = 1_000_000
+        # v = id * 611953 mod nr (coprime) — a total-order bijection
+        rows = spark.range(nr).select(
+            F.col("id").alias("k"),
+            F.pmod(F.col("id") * 611953, F.lit(nr)).alias("v"),
+        )
+        ranked = DR.global_row_number(rows, F.col("v"), [F.col("k")], out_col="i")
+        bad = ranked.filter(F.col("i") != F.col("v") + 1).count()
+        assert bad == 0, f"{bad} ranks off closed form"
+        # the converted operator end-to-end at 1M entities: a uniform
+        # 0..nr-1 population has closed-form Gini ~ (n-1)/(3n... ) — use
+        # exact rank identity instead: G = 2*sum(i*x)/(n*sum x) - (n+1)/n
+        # with x = v (a permutation of 0..n-1): sum x = n(n-1)/2 and
+        # sum(i*x_i) over the sorted order = sum j*(j-1) for j=1..n
+        row = A.gini_coefficient(rows, "v", "k").collect()[0]
+        sx = nr * (nr - 1) // 2
+        sum_ix = (nr * (nr + 1) * (2 * nr + 1)) // 6 - (nr * (nr + 1)) // 2
+        expect = 2.0 * sum_ix / (nr * float(sx)) - (nr + 1.0) / nr
+        # sum(i*x) ~ 3.3e17 exceeds 2^53, so the Python-float replay of
+        # the closed form carries its own last-ulp rounding — compare at
+        # the 6-dp output grain, not bit-exactly
+        assert abs(row["gini"] - expect) <= 2e-6, (row["gini"], expect)
+        return {"rows": nr, "rank_mismatches": 0, "gini": row["gini"]}
+
+    stage("distributed_rank", distributed_rank)
+
+    # ---- HITS on a planted hub/authority block over ring noise: 20 hubs
+    # all pointing at the same 5 authorities dominate the n-node ring, so
+    # the top-5 authorities are exactly the planted block at score 1.0 ----
+    def hits_planted():
+        nn = args.docs
+        ring = spark.range(nn).select(
+            F.col("id").alias("src"), ((F.col("id") + 1) % nn).alias("dst")
+        )
+        hubs = spark.range(nn, nn + 20).select(F.col("id").alias("src"))
+        auths = spark.range(nn + 20, nn + 25).select(F.col("id").alias("dst"))
+        block = hubs.crossJoin(auths)
+        top = G.hits(ring.unionAll(block), iterations=2, k=5).collect()
+        got = {(r["n"], r["authority"]) for r in top}
+        want = {(nn + 20 + j, 1.0) for j in range(5)}
+        assert got == want, got
+        return {"nodes": nn + 25, "top5_planted": True}
+
+    stage("hits_authorities", hits_planted)
+
+    # ---- degree assortativity on a ring + disjoint 5-cliques mixture:
+    # every edge joins equal-degree endpoints ((2,2) or (4,4)), so the
+    # Newman r is EXACTLY 1.0 — closed form at sf1 edge counts ----
+    def assortativity():
+        nn = args.docs
+        ring = spark.range(nn).select(
+            F.col("id").alias("src"), ((F.col("id") + 1) % nn).alias("dst")
+        )
+        ids = spark.range(nn, 2 * nn - (nn % 5)).select(
+            F.col("id"), (F.col("id") / 5).cast("bigint").alias("g")
+        )
+        cliques = (
+            ids.alias("a")
+            .join(ids.alias("b"), F.col("a.g") == F.col("b.g"))
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+        )
+        row = G.degree_assortativity(ring.unionAll(cliques)).collect()[0]
+        assert row["assortativity"] == 1.0, row
+        return {"edges": row["n_edges"], "r": row["assortativity"]}
+
+    stage("degree_assortativity", assortativity)
+
+    # ---- Gram power-iteration eigenvalue: 5k x 64 vectors through the
+    # integer-grid Gram + ordered folds; the exactness contract is
+    # LAYOUT INVARIANCE (bit-identical across partitionings), plus the
+    # trace/d <= lambda_max <= trace Rayleigh bounds from the exact
+    # integer diagonal ----
+    def gram_eigen():
+        sub = emb.filter(F.col("vec_id") < 5000)
+        a = S.gram_power_iteration_eigen(sub).collect()[0]
+        b = S.gram_power_iteration_eigen(sub.repartition(23)).collect()[0]
+        assert (a["eigenvalue"], a["top_dim"]) == (b["eigenvalue"], b["top_dim"]), (a, b)
+        mult = 10 ** 4
+        diag = (
+            sub.select(F.explode("embedding").alias("x"))
+            .select(
+                (
+                    F.floor(F.col("x").cast("double") * mult + F.lit(0.5)) ** 2
+                ).alias("q2")
+            )
+            .agg((F.sum("q2") / F.lit(float(mult * mult))).alias("tr"))
+            .collect()[0]["tr"]
+        )
+        assert diag / 64 <= a["eigenvalue"] <= diag + 1e-6, (a["eigenvalue"], diag)
+        return {
+            "eigenvalue": a["eigenvalue"],
+            "layout_invariant": True,
+            "trace": round(diag, 2),
+        }
+
+    stage("gram_eigenvalue", gram_eigen)
+
     summary = {
         "metric": "scale_stress_sf1",
         "docs": args.docs,
