@@ -9777,6 +9777,49 @@ def minhash_dedup_survivors_portable(spark, sf_dir):
     return dedup.cluster_dedup(d, pairs, "doc_id").select("doc_id")
 
 
+@q(
+    "incremental_minhash_portable",
+    "WITH RECURSIVE " + _PORTABLE_MINHASH_CTE + """
+    , cross_hits AS (
+        SELECT DISTINCT CASE WHEN id_a % 3 = 0 THEN id_a ELSE id_b END
+                   AS doc_id
+        FROM pairs WHERE (id_a % 3 = 0) <> (id_b % 3 = 0)
+    )
+    SELECT d.lang, COUNT(*)::BIGINT AS n_new,
+           CAST(SUM(LENGTH(d.text)) AS BIGINT) AS new_chars
+    FROM documents d
+    WHERE d.doc_id % 3 = 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM cross_hits)
+    GROUP BY d.lang
+    """,
+    "Incremental near-dup ingestion DECISION with the portable hash "
+    "path: a batch doc (doc_id % 3 = 0) is dropped iff a verified "
+    "portable-md5 MinHash pair links it to the existing corpus — the "
+    "hash-matched sibling of the rows-only incremental_minhash_survivors "
+    "(whose numpy batch-vs-corpus bucket join is the 100 TB fast path); "
+    "batch-internal duplicates are NOT dropped, matching incremental "
+    "semantics (only the corpus side is authoritative)",
+)
+def incremental_minhash_portable(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs_portable(
+        d, "doc_id", "text", threshold=0.8, num_hashes=16, bands=4
+    )
+    cross = pairs.filter(
+        (F.col("id_a") % 3 == 0) != (F.col("id_b") % 3 == 0)
+    )
+    hit = cross.select(
+        F.when(F.col("id_a") % 3 == 0, F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("doc_id")
+    ).distinct()
+    fresh = d.filter(F.col("doc_id") % 3 == 0).join(hit, "doc_id", "left_anti")
+    return fresh.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_new"),
+        F.sum(F.length("text")).cast("bigint").alias("new_chars"),
+    )
+
+
 # HLL constants shared verbatim between the Spark operator and the SQL
 # oracle: the alpha*m^2 literal is computed ONCE in Python and inlined
 # into both sides bit-for-bit.
@@ -14191,7 +14234,7 @@ _ROUND9_POOL: tuple[str, ...] = (
 # rank arms, rows-only conversions). Fills toward the 45 rotation slots
 # round 10 will need; same first-time/disjoint/oracle-able contract.
 _ROUND10_POOL: tuple[str, ...] = (
-    "warc_records_scan", "warc_host_dedup",
+    "warc_records_scan", "warc_host_dedup", "incremental_minhash_portable",
 )
 
 _PRIORITY: tuple[str, ...] = (
