@@ -5983,6 +5983,164 @@ def decile_revenue_lift(spark, sf_dir):
 
 
 @q(
+    "customer_revenue_rank_tiles",
+    """
+    WITH rev AS (
+        SELECT o_custkey AS custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT custkey, revenue,
+           CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, custkey ASC)
+                AS BIGINT) AS rev_rank,
+           CAST(NTILE(20) OVER (ORDER BY revenue DESC, custkey ASC)
+                AS BIGINT) AS vigintile
+    FROM rev
+    """,
+    "Per-customer revenue rank + vigintile via the DISTRIBUTED exact-rank "
+    "arm (distrank.global_row_number: percentile-bucketed two-pass rank, "
+    "broadcast bucket offsets, NTILE recovered from (rank, total) in "
+    "integer arithmetic) — first-time driver evidence for the round-6 "
+    "rank rewrite under a fresh name; the oracle is the plain "
+    "ROW_NUMBER/NTILE single-window form the arm must equal exactly",
+)
+def customer_revenue_rank_tiles(spark, sf_dir):
+    from ascii_hydra_spark.operators import distrank
+
+    rev = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    ranked = distrank.global_row_number(
+        rev,
+        F.col("revenue"),
+        [F.col("custkey")],
+        desc=True,
+        out_col="rev_rank",
+        total_col="__n",
+    )
+    return ranked.select(
+        "custkey",
+        "revenue",
+        "rev_rank",
+        distrank.ntile_from_row_number(
+            F.col("rev_rank"), F.col("__n"), 20
+        ).cast("bigint").alias("vigintile"),
+    )
+
+
+@q(
+    "cumulative_daily_revenue",
+    """
+    WITH d AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT day, CAST(rev AS DOUBLE) AS revenue,
+           CAST(SUM(rev) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS cum_revenue
+    FROM d
+    """,
+    "Day-grain cumulative revenue via distrank.global_running_sum — the "
+    "distributed exact prefix sum (value-derived buckets + broadcast "
+    "offsets; no single-reducer sort), accumulating in DECIMAL so the "
+    "running total is partition-order-free; first-time driver evidence "
+    "for the round-6 prefix-sum arm against the plain single-window "
+    "oracle",
+)
+def cumulative_daily_revenue(spark, sf_dir):
+    from ascii_hydra_spark.operators import distrank
+
+    per_day = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("__d"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("__rev")
+        )
+    )
+    cum = distrank.global_running_sum(
+        per_day.withColumn("__key", F.unix_date(F.col("__d"))),
+        F.col("__key"),
+        F.col("__rev"),
+        out_col="__cum",
+    )
+    return cum.select(
+        F.col("__d").cast("string").alias("day"),
+        F.col("__rev").cast("double").alias("revenue"),
+        F.col("__cum").cast("double").alias("cum_revenue"),
+    )
+
+
+@q(
+    "url_canonical_dedup",
+    """
+    WITH u AS (
+        SELECT source,
+               CASE doc_id % 3
+                 WHEN 0 THEN 'http://www.' || UPPER(source) || '.EXAMPLE.COM'
+                 WHEN 1 THEN 'http://' || source || '.example.com'
+                 ELSE 'http://' || UPPER(source) || '.example.com'
+               END || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+                 || CASE WHEN doc_id % 2 = 0 THEN '?b=1&a=2'
+                         ELSE '?a=2&b=1' END AS url,
+               'com,example,' || source || ')/p/'
+                 || CAST(doc_id % 50 AS VARCHAR) || '?a=2&b=1' AS canon
+        FROM documents
+    )
+    SELECT source, COUNT(*)::BIGINT AS n_urls,
+           COUNT(DISTINCT url)::BIGINT AS n_distinct_raw,
+           COUNT(DISTINCT canon)::BIGINT AS n_canonical
+    FROM u GROUP BY source
+    """,
+    "URL frontier dedup: raw crawl URLs (www/case/param-order variants "
+    "synthesized compositionally) collapse under surt_url to the known "
+    "closed-form canonical — the oracle rebuilds the canonical from the "
+    "same composition WITHOUT implementing SURT, so the Spark-side "
+    "canonicalizer is verified against ground truth (the url_parsing "
+    "pattern); per-source distinct counts are the frontier-size readout",
+)
+def url_canonical_dedup(spark, sf_dir):
+    from ascii_hydra_spark.functions import surt_url
+
+    d = _t(spark, sf_dir, "documents")
+    host = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("http://www."), F.upper("source"), F.lit(".EXAMPLE.COM")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("http://"), F.col("source"), F.lit(".example.com")),
+        )
+        .otherwise(
+            F.concat(F.lit("http://"), F.upper("source"), F.lit(".example.com"))
+        )
+    )
+    url = F.concat(
+        host,
+        F.lit("/p/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("?b=1&a=2")).otherwise(
+            F.lit("?a=2&b=1")
+        ),
+    )
+    u = d.select("source", url.alias("url")).withColumn(
+        "canon", surt_url("url")
+    )
+    return u.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_urls"),
+        F.countDistinct("url").cast("bigint").alias("n_distinct_raw"),
+        F.countDistinct("canon").cast("bigint").alias("n_canonical"),
+    )
+
+
+@q(
     "tfidf_doc_neighbors",
     f"""
     WITH toks AS (
@@ -14235,6 +14393,8 @@ _ROUND9_POOL: tuple[str, ...] = (
 # round 10 will need; same first-time/disjoint/oracle-able contract.
 _ROUND10_POOL: tuple[str, ...] = (
     "warc_records_scan", "warc_host_dedup", "incremental_minhash_portable",
+    "customer_revenue_rank_tiles", "cumulative_daily_revenue",
+    "url_canonical_dedup",
 )
 
 _PRIORITY: tuple[str, ...] = (
