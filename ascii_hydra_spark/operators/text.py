@@ -1141,3 +1141,93 @@ def immediate_repeat_rate(
             6,
         ).alias("repeat_rate"),
     )
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    stop_words: "tuple[str, ...]" = (
+        "the", "be", "to", "of", "and", "that", "have", "with",
+    ),
+    min_stop_words: int = 2,
+) -> DataFrame:
+    """Per-doc Gopher quality-rule evaluation (Rae et al. 2021, the
+    published repetition-free subset every open corpus pipeline reuses:
+    Gopher -> MassiveText -> Dolma/RefinedWeb): word-count bounds, mean
+    word length bounds, symbol-to-word ratio ('#' and ellipsis), share
+    of words containing an alphabetic character, and the required
+    stop-word count — plus the conjunction gate `passes`.
+
+    Output row: (id, n_words, mean_word_len, symbol_word_ratio,
+    alpha_word_ratio, n_stop_words, ok_word_count, ok_mean_word_len,
+    ok_symbol_ratio, ok_alpha_ratio, ok_stop_words, passes).
+
+    Every measure is exact-integer counting over the shared whitespace
+    tokenizer and a final bounded division, so the whole rule set is
+    SQL-expressible (hash-matched oracle) and stays in codegen — one
+    narrow projection, no shuffle at all: the gate composes with any
+    downstream groupBy, which is what a 100 TB curation pass wants
+    (filter before shuffle). Rule CONSTANTS are plan literals.
+    """
+    t = F.col(text_col)
+    toks = word_tokens(text_col)
+    nw = F.size(toks).cast("long")
+    nd = nw.cast("double")
+    char_sum = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    )
+    mean_wl = char_sum.cast("double") / F.nullif(nd, F.lit(0.0))
+    # symbols: '#' occurrences + '...'/'…' runs, counted in char space
+    hashes = F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
+    # each '…' is 1 char; each literal '...' is 3 — count occurrences
+    ell_u = F.length(t) - F.length(F.regexp_replace(t, "…", ""))
+    ell_a = (
+        F.length(t) - F.length(F.regexp_replace(t, r"\.\.\.", ""))
+    ) / F.lit(3)
+    sym_ratio = (hashes + ell_u + ell_a).cast("double") / F.nullif(
+        nd, F.lit(0.0)
+    )
+    alpha_words = F.size(
+        F.filter(toks, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+    alpha_ratio = alpha_words.cast("double") / F.nullif(nd, F.lit(0.0))
+    stops = F.array(*[F.lit(s) for s in stop_words])
+    n_stop = F.size(
+        F.filter(stops, lambda s: F.array_contains(toks, s))
+    ).cast("long")
+    out = docs.select(
+        F.col(id_col).alias("id"),
+        nw.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_word_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        n_stop.alias("n_stop_words"),
+        ((nw >= min_words) & (nw <= max_words)).alias("ok_word_count"),
+        (
+            (mean_wl >= F.lit(float(min_mean_word_len)))
+            & (mean_wl <= F.lit(float(max_mean_word_len)))
+        ).alias("ok_mean_word_len"),
+        (sym_ratio <= F.lit(float(max_symbol_word_ratio))).alias(
+            "ok_symbol_ratio"
+        ),
+        (alpha_ratio >= F.lit(float(min_alpha_word_ratio))).alias(
+            "ok_alpha_ratio"
+        ),
+        (n_stop >= F.lit(int(min_stop_words))).alias("ok_stop_words"),
+    )
+    return out.withColumn(
+        "passes",
+        F.col("ok_word_count")
+        & F.col("ok_mean_word_len")
+        & F.col("ok_symbol_ratio")
+        & F.col("ok_alpha_ratio")
+        & F.col("ok_stop_words"),
+    )

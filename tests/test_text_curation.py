@@ -7,6 +7,7 @@ by hand.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from ascii_hydra_spark.operators import text
@@ -236,3 +237,42 @@ def test_compression_ratio_orders_repetitive_below_prose(spark):
         "wizards brew quartz elixirs at midnight under neon skies "
         "and every sentence introduces new vocabulary entirely"
     )
+
+
+def test_gopher_quality_flags_rule_by_rule(spark):
+    # one doc per failure mode + one that passes every rule
+    good = "the quick brown fox jumps over the lazy dog with zeal"  # 11 words
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "the of and"),  # 3 words -> word-count fail
+            (3, "the ab cd ef gh ij kl mn op qr st"),  # mean len 2.2 -> fail
+            (4, "the ## ## ## word with more words here now ok"),  # symbols
+            (5, "the 11 22 33 44 55 66 77 88 99 00"),  # alpha ratio fail
+            (6, "zz yy xx ww vv uu tt ss rr qq pp"),  # no stop words
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in text.gopher_quality_flags(
+            docs, min_words=5, max_words=100, min_stop_words=1
+        ).collect()
+    }
+    assert out[1]["passes"] is True
+    assert out[2]["ok_word_count"] is False and out[2]["passes"] is False
+    assert out[3]["ok_mean_word_len"] is False  # 24 chars / 11 words < 3
+    assert out[4]["ok_symbol_ratio"] is False
+    assert out[4]["symbol_word_ratio"] == pytest.approx(6 / 11, abs=1e-6)
+    assert out[5]["ok_alpha_ratio"] is False
+    assert out[5]["alpha_word_ratio"] == pytest.approx(1 / 11, abs=1e-6)
+    assert out[6]["ok_stop_words"] is False and out[6]["n_stop_words"] == 0
+    assert out[1]["n_stop_words"] == 2  # 'the', 'with'
+
+
+def test_gopher_quality_flags_empty_text_is_null_not_error(spark):
+    docs = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    row = text.gopher_quality_flags(docs).collect()[0]
+    assert row["n_words"] == 0
+    assert row["mean_word_len"] is None  # ANSI-safe: NULL, not an error
+    assert row["passes"] is None or row["passes"] is False
