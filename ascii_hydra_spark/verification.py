@@ -6141,6 +6141,50 @@ def url_canonical_dedup(spark, sf_dir):
 
 
 @q(
+    "distributed_median_price",
+    """
+    WITH r AS (
+        SELECT CAST(p_retailprice AS DECIMAL(18,2)) AS x,
+               ROW_NUMBER() OVER (ORDER BY p_retailprice, p_partkey) AS i,
+               COUNT(*) OVER () AS n
+        FROM part
+    )
+    SELECT MIN(n)::BIGINT AS n,
+           ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS median
+    FROM r WHERE i = (n + 1) // 2 OR i = (n + 2) // 2
+    """,
+    "Exact global median WITHOUT a single-partition sort: "
+    "distrank.global_row_number ranks prices through the percentile-"
+    "bucketed two-pass arm, the two middle ranks are filtered out, and "
+    "the median is their DECIMAL mean — the distributed-exact sibling "
+    "of percentile()-based medians, demonstrating order statistics at "
+    "any scale; the oracle is the plain ROW_NUMBER construction",
+)
+def distributed_median_price(spark, sf_dir):
+    from ascii_hydra_spark.operators import distrank
+
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_retailprice").alias("__k"),
+        F.col("p_retailprice").cast("decimal(18,2)").alias("__x"),
+        F.col("p_partkey").alias("__tb"),
+    )
+    ranked = distrank.global_row_number(
+        p, F.col("__k"), [F.col("__tb")], out_col="__i", total_col="__n"
+    )
+    n = F.col("__n")
+    mid = ranked.filter(
+        (F.col("__i") == ((n + 1) / 2).cast("long"))
+        | (F.col("__i") == ((n + 2) / 2).cast("long"))
+    )
+    return mid.agg(
+        F.min("__n").cast("bigint").alias("n"),
+        F.round(
+            F.sum("__x").cast("double") / F.count("*").cast("double"), 6
+        ).alias("median"),
+    )
+
+
+@q(
     "gopher_quality_gate",
     f"""
     WITH per AS (
@@ -14476,6 +14520,7 @@ _ROUND10_POOL: tuple[str, ...] = (
     "warc_records_scan", "warc_host_dedup", "incremental_minhash_portable",
     "customer_revenue_rank_tiles", "cumulative_daily_revenue",
     "url_canonical_dedup", "gopher_quality_gate",
+    "distributed_median_price",
 )
 
 _PRIORITY: tuple[str, ...] = (

@@ -240,6 +240,16 @@ EXTRA = [
     "aov_by_segment",               # AOV scorecard
     "hourly_value_profile",         # monetization day-curve
     "new_customer_order_share_monthly",  # acquisition mix
+    # round-6 additions
+    "warc_records_scan",            # WARC custom source + SURT (writes
+                                    # its own fixture per call)
+    "warc_host_dedup",              # SURT-host fingerprint dedup
+    "incremental_minhash_portable", # portable batch-vs-corpus near-dup
+    "customer_revenue_rank_tiles",  # distributed rank + integer NTILE
+    "cumulative_daily_revenue",     # distributed prefix sum
+    "distributed_median_price",     # distributed exact order statistic
+    "url_canonical_dedup",          # SURT frontier dedup
+    "gopher_quality_gate",          # Gopher rule-set curation gate
 ]
 
 

@@ -280,6 +280,7 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "customer_revenue_rank_tiles",  # 1-row percentile-splits
                                         # broadcast (distrank)
         "cumulative_daily_revenue",     # same (distrank prefix sum)
+        "distributed_median_price",     # same (distrank rank)
         "distinctive_terms_by_lang",  # 1-row corpus-total broadcast
         "winsorized_order_totals",    # 1-row percentile-bounds broadcast
         "segment_priority_chi2",      # 1-row grand-total broadcast
