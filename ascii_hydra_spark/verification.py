@@ -6141,6 +6141,53 @@ def url_canonical_dedup(spark, sf_dir):
 
 
 @q(
+    "binaryfile_scan",
+    """
+    SELECT printf('%05d', i) || '.bin' AS file_name,
+           CAST(OCTET_LENGTH(ENCODE(body)) AS BIGINT) AS n_bytes,
+           MD5(body) AS content_md5
+    FROM (
+      SELECT i,
+             'Record ' || i || ' crawl body '
+             || repeat('w' || (i % 11) || ' ', CAST(i % 13 AS INTEGER))
+             || CASE WHEN i % 10 = 0 THEN 'café' ELSE '' END AS body
+      FROM range(200) t(i)
+    )
+    """,
+    "binaryFile source — Spark's built-in entry point for image/audio/"
+    "blob datasets (one row per file: path, length, content bytes; "
+    "pathGlobFilter pruning at the listing): 200 deterministic fixture "
+    "files round-trip through the real file scan and hash-match a "
+    "closed-form reconstruction; at 100 TB this is the scan that feeds "
+    "the multimodal decode UDFs, with partition parallelism from the "
+    "file listing itself",
+)
+def binaryfile_scan(spark, sf_dir):
+    import os
+
+    from ascii_hydra_spark.sources.warc import fixture_record
+
+    d = tempfile.mkdtemp(prefix="ahs_binfiles_")
+    for i in range(200):
+        body = fixture_record(i)[5]
+        with open(os.path.join(d, f"{i:05d}.bin"), "wb") as f:
+            f.write(body.encode("utf-8"))
+        # decoys the glob filter must skip
+        if i % 50 == 0:
+            open(os.path.join(d, f"{i:05d}.skip"), "w").close()
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(d)
+    )
+    return df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
+@q(
     "distributed_median_price",
     """
     WITH r AS (
@@ -14520,7 +14567,7 @@ _ROUND10_POOL: tuple[str, ...] = (
     "warc_records_scan", "warc_host_dedup", "incremental_minhash_portable",
     "customer_revenue_rank_tiles", "cumulative_daily_revenue",
     "url_canonical_dedup", "gopher_quality_gate",
-    "distributed_median_price",
+    "distributed_median_price", "binaryfile_scan",
 )
 
 _PRIORITY: tuple[str, ...] = (
