@@ -616,6 +616,37 @@ def main() -> int:
 
     stage("gram_eigenvalue", gram_eigen)
 
+# ---- WARC ingestion at 20k records / 8 gzip archives: the custom
+    # Python DataSource streams member-by-member with file-grain tasks;
+    # closed-form fetch-status profile + exact byte accounting prove the
+    # parse, and the task count proves the partition plan ----
+    def warc_scan():
+        from ascii_hydra_spark.sources.warc import (
+            register_warc_source,
+            write_warc_fixture,
+        )
+
+        wd = os.path.join(out, "warc_sf1")
+        nrec, nfiles = 20_000, 8
+        write_warc_fixture(wd, n_records=nrec, n_files=nfiles, compress=True)
+        register_warc_source(spark)
+        df = spark.read.format("warc").option("path", wd).load()
+        agg = df.agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("http_status") == 200).cast("long")).alias("ok"),
+            F.sum("content_length").alias("bytes"),
+            F.countDistinct("warc_file").alias("files"),
+        ).collect()[0]
+        assert agg["n"] == nrec, agg
+        # statuses cycle [200,200,301,404,200] -> exactly 3/5 are 200
+        assert agg["ok"] == nrec * 3 // 5, agg
+        assert agg["files"] == nfiles, agg
+        parts = df.select(F.spark_partition_id().alias("p")).distinct().count()
+        assert parts == nfiles, f"expected file-grain tasks, got {parts}"
+        return {"records": agg["n"], "bytes": int(agg["bytes"]), "tasks": parts}
+
+    stage("warc_scan", warc_scan)
+
     summary = {
         "metric": "scale_stress_sf1",
         "docs": args.docs,
