@@ -712,3 +712,91 @@ def split_unigram_kl(
         F.round(F.sum(p * F.log(p / qq)), 6).alias("kl"),
     )
     return agg
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_buckets: int = 1024,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-doc DSIR importance score (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): hashed-unigram
+    log-likelihood ratio of a TARGET distribution (e.g. curated/domain
+    docs) against the RAW corpus — the published recipe for choosing
+    which web documents to keep when you want more target-like data.
+    Output: (id, n_tokens, dsir_score) with score = sum over the doc's
+    tokens of ln(p_target(bucket)/p_raw(bucket)), add-alpha smoothed.
+
+    Determinism/scale discipline:
+
+    - features are HASHED buckets (the portable top-60-bits-of-md5 hash
+      the sketch arms share, mod `n_buckets`), so the parameter table
+      is fixed-size regardless of vocabulary — DSIR's own design point,
+      and what keeps the lookup table broadcastable at 100 TB;
+    - each bucket's log-ratio is quantized ONCE as
+      floor(1e9 * ln(p_t/p_r)) — an exact bigint — so the per-doc score
+      is an exact INTEGER sum (count * scaled_llr), immune to
+      accumulation order, descaled in one final division (the
+      clustering-coefficient mean discipline);
+    - two corpus-sized aggregates (target + raw bucket counts) and one
+      bucket-keyed broadcast join; nothing shuffles document text.
+    """
+    def bucket(col):
+        h = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+        return F.pmod(h, F.lit(int(n_buckets)))
+
+    tok = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_tokens(text_col)).alias("__t"),
+    ).select("__id", bucket(F.col("__t")).alias("__b"))
+    tok_t = target.select(
+        F.explode(word_tokens(text_col)).alias("__t")
+    ).select(bucket(F.col("__t")).alias("__b"))
+
+    per_b = (
+        tok.groupBy("__b")
+        .agg(F.count("*").cast("bigint").alias("c_r"))
+        .join(
+            tok_t.groupBy("__b").agg(
+                F.count("*").cast("bigint").alias("c_t")
+            ),
+            "__b",
+            "left",
+        )
+        .select(
+            "__b", "c_r", F.coalesce(F.col("c_t"), F.lit(0)).alias("c_t")
+        )
+    )
+    totals = per_b.agg(
+        F.sum("c_r").alias("__nr"), F.sum("c_t").alias("__nt")
+    )
+    a = float(alpha)
+    b_count = float(n_buckets)
+    pt = (F.col("c_t").cast("double") + F.lit(a)) / (
+        F.col("__nt").cast("double") + F.lit(a * b_count)
+    )
+    pr = (F.col("c_r").cast("double") + F.lit(a)) / (
+        F.col("__nr").cast("double") + F.lit(a * b_count)
+    )
+    llr = per_b.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        F.floor(F.lit(1e9) * F.log(pt / pr)).cast("bigint").alias("__llr9"),
+    )
+    per_doc_b = tok.groupBy("__id", "__b").agg(
+        F.count("*").cast("bigint").alias("__n")
+    )
+    scored = per_doc_b.join(F.broadcast(llr), "__b").groupBy("__id").agg(
+        F.sum("__n").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("__n") * F.col("__llr9")).alias("__s9"),
+    )
+    return scored.select(
+        F.col("__id").alias("id"),
+        "n_tokens",
+        F.round(F.col("__s9").cast("double") / F.lit(1e9), 6).alias(
+            "dsir_score"
+        ),
+    )

@@ -6141,6 +6141,53 @@ def url_canonical_dedup(spark, sf_dir):
 
 
 @q(
+    "dsir_importance_en",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(('0x' || SUBSTR(MD5(t), 1, 15)) AS BIGINT) % 1024 AS b
+      FROM (SELECT doc_id, UNNEST({_TOKS}) AS t FROM documents)
+    ),
+    tok_t AS (
+      SELECT CAST(('0x' || SUBSTR(MD5(t), 1, 15)) AS BIGINT) % 1024 AS b
+      FROM (SELECT UNNEST({_TOKS}) AS t FROM documents WHERE lang = 'en')
+    ),
+    per_b AS (
+      SELECT r.b, r.c_r, COALESCE(tt.c_t, 0) AS c_t
+      FROM (SELECT b, COUNT(*)::BIGINT AS c_r FROM tok GROUP BY b) r
+      LEFT JOIN (SELECT b, COUNT(*)::BIGINT AS c_t FROM tok_t
+                 GROUP BY b) tt USING (b)
+    ),
+    tots AS (SELECT SUM(c_r) AS nr, SUM(c_t) AS nt FROM per_b),
+    llr AS (
+      SELECT b, CAST(FLOOR(1e9 * LN(
+          ((CAST(c_t AS DOUBLE) + 0.5) / (CAST(nt AS DOUBLE) + 512.0))
+        / ((CAST(c_r AS DOUBLE) + 0.5) / (CAST(nr AS DOUBLE) + 512.0))
+      )) AS BIGINT) AS llr9
+      FROM per_b CROSS JOIN tots
+    ),
+    pdb AS (SELECT doc_id, b, COUNT(*)::BIGINT AS n FROM tok
+            GROUP BY doc_id, b)
+    SELECT doc_id AS id, SUM(n)::BIGINT AS n_tokens,
+           ROUND(CAST(SUM(n * llr9) AS DOUBLE) / 1e9, 6) AS dsir_score
+    FROM pdb JOIN llr USING (b)
+    GROUP BY doc_id
+    """,
+    "DSIR importance scores (Xie et al. 2023): hashed-unigram "
+    "log-likelihood ratio of the en-language target slice against the "
+    "raw corpus — the published importance-resampling recipe for "
+    "target-like data selection. Portable-md5 feature buckets (the "
+    "sketch-arm hash), per-bucket log-ratio quantized ONCE to an exact "
+    "bigint (floor 1e9*ln), per-doc score an exact integer sum — "
+    "accumulation-order-free, descaled in one division; parameter "
+    "table fixed at 1024 rows (broadcast) regardless of corpus size",
+)
+def dsir_importance_en(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return corpus.dsir_importance(d, d.filter(F.col("lang") == "en"))
+
+
+@q(
     "binaryfile_scan",
     """
     SELECT printf('%05d', i) || '.bin' AS file_name,
@@ -14567,7 +14614,7 @@ _ROUND10_POOL: tuple[str, ...] = (
     "warc_records_scan", "warc_host_dedup", "incremental_minhash_portable",
     "customer_revenue_rank_tiles", "cumulative_daily_revenue",
     "url_canonical_dedup", "gopher_quality_gate",
-    "distributed_median_price", "binaryfile_scan",
+    "distributed_median_price", "binaryfile_scan", "dsir_importance_en",
 )
 
 _PRIORITY: tuple[str, ...] = (

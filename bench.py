@@ -250,6 +250,8 @@ EXTRA = [
     "distributed_median_price",     # distributed exact order statistic
     "url_canonical_dedup",          # SURT frontier dedup
     "gopher_quality_gate",          # Gopher rule-set curation gate
+    "binaryfile_scan",              # binaryFile blob-ingest source
+    "dsir_importance_en",           # DSIR hashed-LLR data selection
 ]
 
 

@@ -292,3 +292,29 @@ def test_temperature_mixing_weights_closed_form(spark):
            corpus.temperature_mixing_weights(df, "source", alpha=1.0).collect()}
     assert nat["A"]["p_temp"] == pytest.approx(0.8, abs=1e-6)
     assert nat["A"]["upsample"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_dsir_importance_identity_target_scores_zero(spark):
+    # target == raw corpus: p_t == p_r in every bucket, ln(1) = 0 exactly,
+    # floor-quantized term 0 -> every doc scores exactly 0.0
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc"), (2, "dd ee"), (3, "aa aa ff")],
+        "doc_id long, text string",
+    )
+    out = corpus.dsir_importance(docs, docs).collect()
+    assert len(out) == 3
+    assert all(r["dsir_score"] == 0.0 for r in out)
+    assert {r["id"]: r["n_tokens"] for r in out} == {1: 3, 2: 2, 3: 3}
+
+
+def test_dsir_importance_ranks_target_like_docs_higher(spark):
+    # disjoint vocabularies: docs made of target-side words must outscore
+    # docs made of words the target never uses
+    docs = spark.createDataFrame(
+        [(i, "tgtword1 tgtword2 tgtword3") for i in range(5)]
+        + [(i + 10, "rawonly1 rawonly2 rawonly3") for i in range(5)],
+        "doc_id long, text string",
+    )
+    target = docs.filter("doc_id < 5")
+    out = {r["id"]: r["dsir_score"] for r in corpus.dsir_importance(docs, target).collect()}
+    assert min(out[i] for i in range(5)) > max(out[i + 10] for i in range(5))
