@@ -281,6 +281,8 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
                                         # broadcast (distrank)
         "cumulative_daily_revenue",     # same (distrank prefix sum)
         "distributed_median_price",     # same (distrank rank)
+        "dsir_importance_en",           # 1-row corpus-totals broadcast
+                                        # (the split_unigram_kl shape)
         "distinctive_terms_by_lang",  # 1-row corpus-total broadcast
         "winsorized_order_totals",    # 1-row percentile-bounds broadcast
         "segment_priority_chi2",      # 1-row grand-total broadcast
