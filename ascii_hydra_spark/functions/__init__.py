@@ -131,24 +131,35 @@ def surt_url(url: Column | str) -> Column:
     fastwarc/warcio; reference resources/databricks.py:76-78):
     ``http://www.Example.COM/p?b=2&a=1`` -> ``com,example)/p?a=1&b=2``.
 
-    Canonicalization: scheme dropped, host lowercased, leading ``www.``
+    Canonicalization: fragment dropped, scheme dropped, userinfo
+    dropped, host lowercased, leading ``www.`` stripped, ``:port``
     stripped, host labels reversed comma-joined (so one registered
     domain's captures sort/partition together — the property that makes
     per-domain dedup a contiguous range scan instead of a shuffle on
-    raw hosts), query params sorted. Pure built-in string/array ops —
-    codegen, no UDF — and every step has a DuckDB closed form, so
-    SURT-keyed entries stay oracle-checkable.
+    raw hosts), query params sorted. Handles the real-crawl URL shapes
+    a naive split corrupts: a query before any slash
+    (``http://h?a=1``), ports, userinfo, fragments. Pure built-in
+    string/array ops — codegen, no UDF — and every step has a DuckDB
+    closed form, so SURT-keyed entries stay oracle-checkable.
     """
     c = F.col(url) if isinstance(url, str) else url
     rest = F.regexp_replace(c, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
-    host = F.lower(F.substring_index(rest, "/", 1))
+    rest = F.substring_index(rest, "#", 1)  # fragment is never a key
+    # authority = up to the first '/' OR '?' (a query can precede any
+    # slash); then strip userinfo (last '@') and the ':port' suffix
+    auth = F.substring_index(F.substring_index(rest, "/", 1), "?", 1)
+    host = F.lower(F.substring_index(auth, "@", -1))
+    host = F.substring_index(host, ":", 1)
     host = F.regexp_replace(host, r"^www\.", "")
     rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
-    # path+query = everything after the host (empty -> "/")
-    pathq = F.substring(
-        rest, F.length(F.substring_index(rest, "/", 1)) + 1, F.lit(1 << 30)
+    # path+query = everything after the authority (empty -> "/";
+    # query-only -> "/?...")
+    pathq = F.substring(rest, F.length(auth) + 1, F.lit(1 << 30))
+    pathq = F.when(pathq == "", F.lit("/")).otherwise(
+        F.when(
+            pathq.startswith("?"), F.concat(F.lit("/"), pathq)
+        ).otherwise(pathq)
     )
-    pathq = F.when(pathq == "", F.lit("/")).otherwise(pathq)
     path = F.substring_index(pathq, "?", 1)
     query = F.when(
         pathq.contains("?"),

@@ -183,11 +183,10 @@ def decile_shares(
         _dsum(F.col("__x")).alias("revenue"),
     )
     total = per.agg(F.sum(F.col("revenue").cast("decimal(18,2)")).cast("double").alias("__t"))
-    # pmod(tile, 1) is constant 0 but non-foldable: a bare lit(0)
-    # partition spec is optimized away, re-triggering the
-    # single-partition warning this <=`tiles`-row window doesn't deserve
+    # shared non-foldable constant-0 partition spec (see
+    # distrank.single_partition): this window's input is <= `tiles` rows
     w_cum = (
-        Window.partitionBy(F.pmod(F.col("tile"), F.lit(1)))
+        Window.partitionBy(distrank.single_partition("tile"))
         .orderBy("tile")
         .rowsBetween(Window.unboundedPreceding, 0)
     )

@@ -738,10 +738,16 @@ def dsir_importance(
       is fixed-size regardless of vocabulary — DSIR's own design point,
       and what keeps the lookup table broadcastable at 100 TB;
     - each bucket's log-ratio is quantized ONCE as
-      floor(1e9 * ln(p_t/p_r)) — an exact bigint — so the per-doc score
+      floor(1e6 * ln(p_t/p_r)) — an exact bigint — so the per-doc score
       is an exact INTEGER sum (count * scaled_llr), immune to
       accumulation order, descaled in one final division (the
-      clustering-coefficient mean discipline);
+      clustering-coefficient mean discipline). The grain is 1e6, not
+      1e9, deliberately: JVM Math.log and DuckDB's libm log may differ
+      in the last ulp (~2e-16 relative), and the floor flips between
+      engines only when 1e6*ln(...) lands within that ulp of an integer
+      — ~1e-9 per bucket at this grain vs ~1e-6 at 1e9, keeping the
+      cross-engine hash-match safe while the score keeps 6 usable
+      decimal digits (plenty for a selection ranking);
     - two corpus-sized aggregates (target + raw bucket counts) and one
       bucket-keyed broadcast join; nothing shuffles document text.
     """
@@ -784,19 +790,19 @@ def dsir_importance(
     )
     llr = per_b.crossJoin(F.broadcast(totals)).select(
         "__b",
-        F.floor(F.lit(1e9) * F.log(pt / pr)).cast("bigint").alias("__llr9"),
+        F.floor(F.lit(1e6) * F.log(pt / pr)).cast("bigint").alias("__llr6"),
     )
     per_doc_b = tok.groupBy("__id", "__b").agg(
         F.count("*").cast("bigint").alias("__n")
     )
     scored = per_doc_b.join(F.broadcast(llr), "__b").groupBy("__id").agg(
         F.sum("__n").cast("bigint").alias("n_tokens"),
-        F.sum(F.col("__n") * F.col("__llr9")).alias("__s9"),
+        F.sum(F.col("__n") * F.col("__llr6")).alias("__s6"),
     )
     return scored.select(
         F.col("__id").alias("id"),
         "n_tokens",
-        F.round(F.col("__s9").cast("double") / F.lit(1e9), 6).alias(
+        F.round(F.col("__s6").cast("double") / F.lit(1e6), 6).alias(
             "dsir_score"
         ),
     )

@@ -7,16 +7,22 @@ fixture scale, but a single-reducer sort once entity tables reach ~1e9
 rows. These helpers compute the SAME exact global row numbers / running
 sums with every data-sized stage parallel:
 
-1. split points = in-plan approximate percentiles of the sort key
-   (1-row broadcast; accuracy only affects load BALANCE, never rank
-   values) assign each row a BUCKET — a pure function of the row's
-   key, so every later stage can key on it deterministically. This is
-   deliberately NOT ``repartitionByRange`` + ``spark_partition_id()``:
-   the RangePartitioner seeds its boundary sampling with the RDD id,
-   which differs per plan instantiation, so two subplans reading
-   "the same" range shuffle can disagree about which partition a
-   boundary row landed in (observed: duplicate global ranks). A
-   value-derived bucket cannot disagree with itself.
+1. split points = approximate percentiles of the sort key, computed
+   ONCE on the driver (a bounded ``approxQuantile`` probe returning
+   #buckets-1 doubles) and embedded as plan LITERALS; accuracy only
+   affects load BALANCE, never rank values. Each row's BUCKET is then
+   a pure literal function of its key, so every later stage keys on it
+   deterministically. Two designs were rejected for consistency bugs:
+   ``repartitionByRange`` + ``spark_partition_id()`` (the
+   RangePartitioner seeds boundary sampling with the RDD id, which
+   differs per plan instantiation — two subplans reading "the same"
+   range shuffle disagreed about boundary rows: duplicate global
+   ranks), and an IN-PLAN percentile aggregate (embedded in two plan
+   branches; if exchange reuse misses, the two evaluations of
+   percentile_approx can merge partials in different orders and
+   diverge). Literals cannot disagree with themselves. The probe is
+   one extra sampling scan per call — the price of an unconditional
+   exactness guarantee.
 2. a bucket-count-sized side table of per-bucket totals turns into
    exclusive prefix OFFSETS (a window over <= #buckets rows —
    explicitly single-partition via ``partitionBy(pmod(bucket, 1))``, a
@@ -32,7 +38,7 @@ deterministic (callers pass tiebreakers making the order total), and
 identical to the single-window answer — the oracle SQL of every
 converted entry is unchanged. Heavy ties on a single key value
 concentrate in that value's bucket (same behavior as a range shuffle);
-the key must be percentile_approx-orderable (numeric/date/timestamp).
+the key must be approxQuantile-able (cast-to-double orderable).
 """
 
 from __future__ import annotations
@@ -42,42 +48,73 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 _B = "__dr_b"
 
 
+def _default_buckets(df: DataFrame) -> int:
+    # 'auto' is a legal value under Databricks auto-optimized shuffle —
+    # fall back to the cluster's default parallelism rather than crash
+    raw = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        return max(1, int(raw))
+    except ValueError:
+        return max(1, df.sparkSession.sparkContext.defaultParallelism)
+
+
+def single_partition(order_col: str) -> Column:
+    """A constant-0 partition expression Catalyst can NOT fold away:
+    a bare ``lit(0)`` spec is optimized out, reverting the window to the
+    warn-worthy EMPTY partition spec (and a genuine single-partition
+    move of whatever the input is). Use for windows whose input is
+    provably bounded (bucket/tile-count rows). Shared by distrank and
+    analytics.decile_shares so a future Catalyst folding change has one
+    place to fix."""
+    return F.pmod(F.col(order_col), F.lit(1))
+
+
 def _bucketed(
     df: DataFrame,
     key: Column,
     desc: bool,
     num_buckets: "int | None",
 ) -> "tuple[DataFrame, int]":
-    p = num_buckets or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
-    probs = F.array(*[F.lit(i / p) for i in range(1, p)]) if p > 1 else None
-    if probs is None:
+    p = num_buckets or _default_buckets(df)
+    if p <= 1:
         return df.withColumn(_B, F.lit(0)), 1
-    splits = df.agg(
-        F.percentile_approx(key, probs, F.lit(10000)).alias("__dr_splits")
+    probs = [i / p for i in range(1, p)]
+    # driver-side bounded probe: p-1 doubles, embedded as literals so
+    # every plan branch sees the SAME split points unconditionally
+    splits = (
+        df.select(key.cast("double").alias("__dr_k"))
+        .dropna()
+        .stat.approxQuantile("__dr_k", probs, 0.001)
     )
-    b = df.crossJoin(F.broadcast(splits))
+    splits = sorted(set(splits))
+    if not splits:  # empty or all-NULL input
+        return df.withColumn(_B, F.lit(0)), 1
+    kd = key.cast("double")
+    # summed literal-comparison chain, NOT a higher-order function:
+    # filter(array(...), s -> s < key) carries an OUTER lambda reference
+    # that Catalyst mis-binds once the bucket expression is inlined into
+    # a grouping key ([INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND] — reproduced;
+    # the when-chain form is bind-safe). O(#buckets) comparisons per row
+    # either way; pick a coarser num_buckets if that ever dominates —
+    # buckets only bound sort parallelism, not correctness.
     if desc:
-        raw = F.aggregate(
-            F.col("__dr_splits"),
+        raw = sum(
+            [F.when(F.lit(float(sp)) > kd, 1).otherwise(0) for sp in splits],
             F.lit(0),
-            lambda acc, s: acc + F.when(s > key, 1).otherwise(0),
         )
         # Spark sorts NULLS LAST under desc -> force the final bucket
-        bucket = F.when(key.isNull(), F.lit(p - 1)).otherwise(raw)
+        bucket = F.when(key.isNull(), F.lit(len(splits))).otherwise(raw)
     else:
-        raw = F.aggregate(
-            F.col("__dr_splits"),
+        raw = sum(
+            [F.when(F.lit(float(sp)) < kd, 1).otherwise(0) for sp in splits],
             F.lit(0),
-            lambda acc, s: acc + F.when(s < key, 1).otherwise(0),
         )
         bucket = F.coalesce(raw, F.lit(0))  # NULLS FIRST under asc
-    return b.withColumn(_B, bucket.cast("int")).drop("__dr_splits"), p
+    return df.withColumn(_B, bucket.cast("int")), p
 
 
 def _offsets(per_bucket: DataFrame, sum_col: str) -> DataFrame:
-    one = F.pmod(F.col(_B), F.lit(1))  # constant 0, but not foldable
+    one = single_partition(_B)
     w_off = (
         Window.partitionBy(one)
         .orderBy(_B)

@@ -72,7 +72,16 @@ def iter_warc_records(stream) -> "Iterator[tuple[dict, bytes]]":
                 break
             k, _, v = h.decode("utf-8", "replace").partition(":")
             headers[k.strip().lower()] = v.strip()
-        clen = int(headers.get("content-length", "0"))
+        try:
+            clen = int(headers.get("content-length", "0"))
+        except ValueError as e:
+            # a garbage Content-Length desynchronizes the record stream:
+            # there is no way to find the next boundary, so abort loudly
+            # rather than silently misparse everything after it
+            raise ValueError(
+                f"unparsable Content-Length "
+                f"{headers.get('content-length')!r}"
+            ) from e
         block = stream.read(clen)
         if len(block) != clen:
             raise ValueError(
@@ -84,14 +93,30 @@ def iter_warc_records(stream) -> "Iterator[tuple[dict, bytes]]":
 
 def parse_http_response(block: bytes) -> "tuple[int, dict, bytes]":
     """(status_code, http_headers_lowercased, body_bytes) from the HTTP
-    response block of a WARC response record."""
-    head, _, body = block.partition(b"\r\n\r\n")
-    lines = head.split(b"\r\n")
-    parts = lines[0].decode("latin-1").split(None, 2)  # HTTP/1.1 200 OK
-    status = int(parts[1]) if len(parts) >= 2 else 0
+    response block of a WARC response record.
+
+    NEVER raises: real crawl dumps contain non-HTTP response records
+    (dns), LF-only header framing, and corrupt status lines, and one bad
+    record must not kill a multi-thousand-archive scan (a task fails 4x
+    and the job dies). Unparsable status lines degrade to status 0 with
+    the block preserved as the body, so nothing is silently dropped and
+    a `http_status = 0` filter surfaces the junk downstream.
+    """
+    head, sep, body = block.partition(b"\r\n\r\n")
+    if not sep:  # LF-only framing fallback
+        head, sep, body = block.partition(b"\n\n")
+        if not sep:
+            head, body = b"", block
+    lines = head.replace(b"\r\n", b"\n").split(b"\n")
+    status = 0
+    first = lines[0].decode("latin-1", "replace") if lines and lines[0] else ""
+    if first.startswith("HTTP/"):
+        parts = first.split(None, 2)
+        if len(parts) >= 2 and parts[1].isdigit():
+            status = int(parts[1])
     headers: dict[str, str] = {}
     for ln in lines[1:]:
-        k, _, v = ln.decode("latin-1").partition(":")
+        k, _, v = ln.decode("latin-1", "replace").partition(":")
         headers[k.strip().lower()] = v.strip()
     return status, headers, body
 

@@ -6160,16 +6160,16 @@ def url_canonical_dedup(spark, sf_dir):
     ),
     tots AS (SELECT SUM(c_r) AS nr, SUM(c_t) AS nt FROM per_b),
     llr AS (
-      SELECT b, CAST(FLOOR(1e9 * LN(
+      SELECT b, CAST(FLOOR(1e6 * LN(
           ((CAST(c_t AS DOUBLE) + 0.5) / (CAST(nt AS DOUBLE) + 512.0))
         / ((CAST(c_r AS DOUBLE) + 0.5) / (CAST(nr AS DOUBLE) + 512.0))
-      )) AS BIGINT) AS llr9
+      )) AS BIGINT) AS llr6
       FROM per_b CROSS JOIN tots
     ),
     pdb AS (SELECT doc_id, b, COUNT(*)::BIGINT AS n FROM tok
             GROUP BY doc_id, b)
     SELECT doc_id AS id, SUM(n)::BIGINT AS n_tokens,
-           ROUND(CAST(SUM(n * llr9) AS DOUBLE) / 1e9, 6) AS dsir_score
+           ROUND(CAST(SUM(n * llr6) AS DOUBLE) / 1e6, 6) AS dsir_score
     FROM pdb JOIN llr USING (b)
     GROUP BY doc_id
     """,
@@ -6178,7 +6178,9 @@ def url_canonical_dedup(spark, sf_dir):
     "raw corpus — the published importance-resampling recipe for "
     "target-like data selection. Portable-md5 feature buckets (the "
     "sketch-arm hash), per-bucket log-ratio quantized ONCE to an exact "
-    "bigint (floor 1e9*ln), per-doc score an exact integer sum — "
+    "bigint (floor 1e6*ln — grain chosen so a last-ulp libm ln "
+    "disagreement cannot flip the floor), per-doc score an exact "
+    "integer sum — "
     "accumulation-order-free, descaled in one division; parameter "
     "table fixed at 1024 rows (broadcast) regardless of corpus size",
 )

@@ -273,14 +273,6 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
                                           # non-equi pair join — quadratic
                                           # in DAYS by design, never rows
         "decile_revenue_lift",    # 1-row revenue-total broadcast
-        "gini_revenue",           # 1-row percentile-splits broadcast
-                                  # (distrank bucket assignment)
-        "spearman_orders_revenue",  # 1-row percentile-splits broadcast
-                                    # per rank axis (distrank)
-        "customer_revenue_rank_tiles",  # 1-row percentile-splits
-                                        # broadcast (distrank)
-        "cumulative_daily_revenue",     # same (distrank prefix sum)
-        "distributed_median_price",     # same (distrank rank)
         "dsir_importance_en",           # 1-row corpus-totals broadcast
                                         # (the split_unigram_kl shape)
         "distinctive_terms_by_lang",  # 1-row corpus-total broadcast
@@ -294,7 +286,6 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "split_unigram_kl",     # 1-row (Np, Nq, V) stats broadcast
         "kaplan_meier_lifetimes",  # 1-row total / global-max broadcasts
         "ab_conversion_ztest",     # 1-row group-aggregate broadcast
-        "mann_whitney_value_ab",   # 1-row tie-sum broadcast
         "ks_two_sample_value_ab",  # 1-row group-totals broadcast
         "cramers_v_segment_priority",  # category-bounded grid cross join
         "theil_revenue",           # 1-row (n, sum) broadcast

@@ -98,6 +98,24 @@ def test_parser_skips_non_response_records():
     assert status == 200 and body == b"hello"
 
 
+def test_parse_http_response_never_raises_on_junk():
+    # non-HTTP response blocks (dns), LF-only framing, corrupt status
+    # lines: one bad record must not kill a multi-archive scan
+    status, headers, body = parse_http_response(b"20240101000000\n1.2.3.4")
+    assert status == 0 and body  # block preserved, surfaced as status 0
+    status, _, body = parse_http_response(b"HTTP/1.1 200 OK\nX: y\n\nhello")
+    assert status == 200 and body == b"hello"  # LF-only framing
+    status, _, _ = parse_http_response(b"HTTP/1.1 2x0 huh\r\n\r\nz")
+    assert status == 0  # corrupt status code degrades, not raises
+    assert parse_http_response(b"") == (0, {}, b"")
+
+
+def test_parser_rejects_garbage_content_length():
+    raw = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 9z9\r\n\r\nx"
+    with pytest.raises(ValueError, match="Content-Length"):
+        list(iter_warc_records(io.BytesIO(raw)))
+
+
 def test_parser_rejects_truncated_record():
     raw = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 99\r\n\r\nshort"
     with pytest.raises(ValueError, match="truncated"):
@@ -120,6 +138,12 @@ def test_surt_url_canonicalization(spark):
         "http://example.com": "com,example)/",
         "http://example.com/": "com,example)/",
         "http://example.com/p?one=1": "com,example)/p?one=1",
+        # real-crawl shapes a naive host split corrupts (round-6 review)
+        "http://example.com?a=1": "com,example)/?a=1",
+        "http://example.com:8080/p": "com,example)/p",
+        "http://user:pw@example.com/p": "com,example)/p",
+        "http://example.com/p#frag": "com,example)/p",
+        "http://www.Example.com:80?b=2&a=1#x": "com,example)/?a=1&b=2",
     }
     df = spark.createDataFrame([(u,) for u in cases], "url string")
     out = {r["url"]: r["surt"] for r in df.select("url", surt_url("url").alias("surt")).collect()}
