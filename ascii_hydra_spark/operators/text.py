@@ -1231,3 +1231,34 @@ def gopher_quality_flags(
         & F.col("ok_alpha_ratio")
         & F.col("ok_stop_words"),
     )
+
+
+def html_to_text(html: "Column | str") -> Column:
+    """Plain text extracted from an HTML column — the step between a
+    WARC response body and every text operator in this package (the
+    reference toolchain gets it from resiliparse on Databricks;
+    reference resources/databricks.py:76-78 provisions the crawl
+    stack). Order matters and is fixed: script/style/head SUBTREES go
+    first (their text is code, not content), then comments, then all
+    remaining tags become spaces, then the five core entities decode,
+    then whitespace collapses.
+
+    Every pattern sits in the regex subset Java (Spark) and RE2
+    (DuckDB) treat identically — (?is) flags, lazy quantifiers, no
+    backreferences/lookaround — so extraction output is
+    oracle-checkable; pure codegen string ops, zero shuffles.
+    """
+    c = F.col(html) if isinstance(html, str) else html
+    t = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?is)<head[^>]*>.*?</head>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"<[^>]*>", " ")
+    # &amp; decodes LAST: anything earlier would turn '&amp;lt;' into
+    # '&lt;' and then double-decode it to '<'
+    for ent, ch in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))

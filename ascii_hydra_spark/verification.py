@@ -6141,6 +6141,49 @@ def url_canonical_dedup(spark, sf_dir):
 
 
 @q(
+    "html_text_extraction",
+    """
+    SELECT doc_id,
+           CAST(LENGTH(expected) AS BIGINT) AS n_chars,
+           MD5(expected) AS text_md5
+    FROM (
+      SELECT doc_id,
+             text || ' B&W <tag> "q''s" end' AS expected
+      FROM documents
+    )
+    """,
+    "HTML-to-text extraction (the step between a WARC response body and "
+    "every text operator; the reference provisions resiliparse for it): "
+    "script/style/head subtrees out first, then comments, tags, the five "
+    "core entities, whitespace collapse — all in the Java/RE2-shared "
+    "regex subset, pure codegen. Verified against compositional GROUND "
+    "TRUTH (the url_parsing pattern): each doc's text is wrapped in a "
+    "full HTML page with planted script/style/comment/entity traps, and "
+    "the extraction must hash-equal the known closed-form answer — the "
+    "oracle never re-implements the extractor",
+)
+def html_text_extraction(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>T "),
+        F.col("source"),
+        F.lit("</title><style>p{color:red}</style></head><body><script>"),
+        F.lit('var x="'),
+        F.col("lang"),
+        F.lit('";</script><p>'),
+        F.col("text"),
+        F.lit("</p><!-- hidden --><b>B&amp;W</b> &lt;tag&gt;"),
+        F.lit(' &quot;q&#39;s&quot;&nbsp;end</body></html>'),
+    )
+    extracted = text.html_to_text(html)
+    return d.select(
+        "doc_id",
+        F.length(extracted).cast("bigint").alias("n_chars"),
+        F.md5(extracted.cast("binary")).alias("text_md5"),
+    )
+
+
+@q(
     "dsir_importance_en",
     f"""
     WITH tok AS (
@@ -14617,6 +14660,7 @@ _ROUND10_POOL: tuple[str, ...] = (
     "customer_revenue_rank_tiles", "cumulative_daily_revenue",
     "url_canonical_dedup", "gopher_quality_gate",
     "distributed_median_price", "binaryfile_scan", "dsir_importance_en",
+    "html_text_extraction",
 )
 
 _PRIORITY: tuple[str, ...] = (

@@ -252,6 +252,8 @@ EXTRA = [
     "gopher_quality_gate",          # Gopher rule-set curation gate
     "binaryfile_scan",              # binaryFile blob-ingest source
     "dsir_importance_en",           # DSIR hashed-LLR data selection
+    "html_text_extraction",         # HTML -> text (regex subset shared
+                                    # with RE2; ground-truth verified)
 ]
 
 

@@ -276,3 +276,26 @@ def test_gopher_quality_flags_empty_text_is_null_not_error(spark):
     assert row["n_words"] == 0
     assert row["mean_word_len"] is None  # ANSI-safe: NULL, not an error
     assert row["passes"] is None or row["passes"] is False
+
+
+def test_html_to_text_extraction_semantics(spark):
+    cases = {
+        # subtrees removed wholesale, not just their tags
+        "<head><title>T</title></head><body>x</body>": "x",
+        "<script>var a = '<p>not text</p>';</script>hi": "hi",
+        "<STYLE>p { }</STYLE>ok": "ok",  # case-insensitive
+        "a<script>\nmulti\nline\n</script>b": "a b",  # (?s) spans lines
+        "a<!-- <b>comment</b> -->b": "a b",
+        # entity decoding, &amp; last (no double decode)
+        "&amp;lt; stays": "&lt; stays",
+        "x&nbsp;&quot;y&#39;s&quot;&nbsp;&gt;": 'x "y\'s" >',
+        # whitespace collapse + trim
+        "  <p>a</p>\n\n<p>b</p>  ": "a b",
+        "plain text": "plain text",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "html string")
+    out = {
+        r["html"]: r["t"]
+        for r in df.select("html", text.html_to_text("html").alias("t")).collect()
+    }
+    assert out == cases
