@@ -6141,6 +6141,77 @@ def url_canonical_dedup(spark, sf_dir):
 
 
 @q(
+    "price_ending_profile",
+    """
+    WITH c AS (
+      SELECT CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) % 100
+                  AS INTEGER) AS digit
+      FROM orders
+    ),
+    n AS (SELECT digit, COUNT(*)::BIGINT AS n_obs FROM c GROUP BY digit),
+    t AS (SELECT CAST(SUM(n_obs) AS DOUBLE) AS tt FROM n)
+    SELECT digit, n_obs,
+           ROUND(CAST(n_obs AS DOUBLE) / tt, 6) AS share,
+           ROUND(CAST(n_obs AS DOUBLE) / tt - 0.01, 6) AS dev_from_uniform
+    FROM n CROSS JOIN t
+    """,
+    "Last-cent-digit pricing profile: the DQ/fraud audit Benford's "
+    "first-digit test can't do — psychological endings (.99), rounding "
+    "policies, and fabricated values spike against the uniform 1/100 "
+    "baseline. Digits extract in exact integer cents; one bounded "
+    "groupBy, 1-row total broadcast",
+)
+def price_ending_profile(spark, sf_dir):
+    return analytics.last_digit_profile(
+        _t(spark, sf_dir, "orders"), "o_totalprice"
+    )
+
+
+@q(
+    "gini_by_segment",
+    """
+    WITH rev AS (
+      SELECT c.c_mktsegment AS grp, o.o_custkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT grp, CAST(revenue AS DECIMAL(18,2)) AS x,
+             ROW_NUMBER() OVER (PARTITION BY grp
+                                ORDER BY revenue ASC, o_custkey ASC) AS i
+      FROM rev
+    ),
+    a AS (
+      SELECT grp, COUNT(*)::BIGINT AS n, SUM(x) AS sx,
+             SUM(CAST(i AS DECIMAL(18,0)) * x) AS six
+      FROM rk GROUP BY grp
+    )
+    SELECT grp, n,
+           ROUND(2.0 * CAST(six AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+    FROM a
+    """,
+    "Per-segment Gini concentration of customer revenue — the grouped "
+    "form of the rank formulation (window PARTITIONED by segment, so "
+    "each group sorts independently); decimal-exact sums, one double "
+    "division per group; answers whether concentration is a whole-book "
+    "or a per-segment property",
+)
+def gini_by_segment(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(dsum("o_totalprice").alias("revenue"))
+    )
+    return analytics.gini_by_group(rev, "seg", "revenue", "o_custkey")
+
+
+@q(
     "html_text_extraction",
     """
     SELECT doc_id,
@@ -14660,7 +14731,7 @@ _ROUND10_POOL: tuple[str, ...] = (
     "customer_revenue_rank_tiles", "cumulative_daily_revenue",
     "url_canonical_dedup", "gopher_quality_gate",
     "distributed_median_price", "binaryfile_scan", "dsir_importance_en",
-    "html_text_extraction",
+    "html_text_extraction", "price_ending_profile", "gini_by_segment",
 )
 
 _PRIORITY: tuple[str, ...] = (

@@ -254,6 +254,8 @@ EXTRA = [
     "dsir_importance_en",           # DSIR hashed-LLR data selection
     "html_text_extraction",         # HTML -> text (regex subset shared
                                     # with RE2; ground-truth verified)
+    "price_ending_profile",         # last-cent-digit pricing DQ
+    "gini_by_segment",              # grouped concentration
 ]
 
 

@@ -1358,3 +1358,27 @@ def test_holt_linear_single_point_is_identity(spark):
     row = analytics.holt_linear(df, "t", "v").collect()[0]
     assert row["level"] == 42.0 and row["trend"] == 0.0
     assert row["forecast_next"] == 42.0
+
+
+def test_gini_by_group_closed_forms(spark):
+    # group u: equal values -> 0; group s: one holder of n=4 -> (n-1)/n
+    rows = [("u", k, 10.0) for k in range(1, 7)] + [
+        ("s", 1, 0.0), ("s", 2, 0.0), ("s", 3, 0.0), ("s", 4, 100.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, k long, v double")
+    out = {r["grp"]: r for r in analytics.gini_by_group(df, "g", "v", "k").collect()}
+    assert out["u"]["gini"] == pytest.approx(0.0, abs=1e-9)
+    assert out["s"]["gini"] == pytest.approx(3 / 4, abs=1e-6)
+    assert out["u"]["n"] == 6 and out["s"]["n"] == 4
+
+
+def test_last_digit_profile_crafted_endings(spark):
+    # 8 prices ending .99, 2 ending .50: shares exact, deviation signed
+    rows = [(float(f"{i}.99"),) for i in range(1, 9)] + [(1.50,), (2.50,)]
+    df = spark.createDataFrame(rows, "v double")
+    out = {r["digit"]: r for r in analytics.last_digit_profile(df, "v").collect()}
+    assert set(out) == {99, 50}
+    assert out[99]["n_obs"] == 8
+    assert out[99]["share"] == pytest.approx(0.8, abs=1e-9)
+    assert out[99]["dev_from_uniform"] == pytest.approx(0.79, abs=1e-9)
+    assert out[50]["share"] == pytest.approx(0.2, abs=1e-9)
