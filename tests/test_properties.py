@@ -383,3 +383,36 @@ def test_event_runs_match_python_rle(spark, states):
     runs = [len(list(g)) for _, g in groupby(states)]
     assert row["n_runs"] == len(runs)
     assert row["longest_run"] == max(runs)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=120
+    ),
+    st.integers(min_value=2, max_value=9),
+    st.booleans(),
+)
+def test_distrank_row_number_equals_python_sort(spark, values, buckets, desc):
+    """distrank's bucketed global rank must equal the plain Python sort
+    rank for ANY value multiset (heavy ties included), any bucket count,
+    both directions — the invariant the two rejected designs (partition-
+    id buckets, in-plan percentile splits) each violated."""
+    from ascii_hydra_spark.operators import distrank
+
+    rows = [(k, v) for k, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r["k"]: r["i"]
+        for r in distrank.global_row_number(
+            df, F.col("v"), [F.col("k")], desc=desc, out_col="i",
+            num_buckets=buckets,
+        ).collect()
+    }
+    want = {
+        k: i + 1
+        for i, (k, v) in enumerate(
+            sorted(rows, key=lambda r: (-r[1] if desc else r[1], r[0]))
+        )
+    }
+    assert got == want
