@@ -1148,6 +1148,7 @@ def gopher_quality_flags(
     id_col: str = "doc_id",
     text_col: str = "text",
     *,
+    keep_cols: "tuple[str, ...]" = (),
     min_words: int = 50,
     max_words: int = 100_000,
     min_mean_word_len: float = 3.0,
@@ -1164,9 +1165,11 @@ def gopher_quality_flags(
     Gopher -> MassiveText -> Dolma/RefinedWeb): word-count bounds, mean
     word length bounds, symbol-to-word ratio ('#' and ellipsis), share
     of words containing an alphabetic character, and the required
-    stop-word count — plus the conjunction gate `passes`.
+    stop-word count — plus the conjunction gate `passes`. `keep_cols`
+    ride through unchanged (a pure projection, so the gate drops into a
+    STREAMING pipeline as-is — no join needed to retain grouping keys).
 
-    Output row: (id, n_words, mean_word_len, symbol_word_ratio,
+    Output row: (id, keep_cols..., n_words, mean_word_len, symbol_word_ratio,
     alpha_word_ratio, n_stop_words, ok_word_count, ok_mean_word_len,
     ok_symbol_ratio, ok_alpha_ratio, ok_stop_words, passes).
 
@@ -1205,6 +1208,7 @@ def gopher_quality_flags(
     ).cast("long")
     out = docs.select(
         F.col(id_col).alias("id"),
+        *[F.col(c) for c in keep_cols],
         nw.alias("n_words"),
         F.round(mean_wl, 6).alias("mean_word_len"),
         F.round(sym_ratio, 6).alias("symbol_word_ratio"),

@@ -48,6 +48,24 @@ def read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
     return normalize_events(raw)
 
 
+def read_parquet_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Generic file-stream source over any parquet fixture file/dir —
+    the read_events_stream shape without the events-specific timestamp
+    normalization (schema from a batch read; single files symlinked
+    into a scratch watch dir)."""
+    import os
+
+    watch_dir = path
+    if os.path.isfile(path):
+        watch_dir = tempfile.mkdtemp(prefix="ahs_stream_src_")
+        os.symlink(path, os.path.join(watch_dir, os.path.basename(path)))
+    return (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .format("parquet")
+        .load(watch_dir)
+    )
+
+
 def tumbling_counts(
     events: DataFrame, window: str = "1 hour", watermark: str = "1 hour"
 ) -> DataFrame:

@@ -6140,6 +6140,95 @@ def url_canonical_dedup(spark, sf_dir):
     )
 
 
+_GOPHER_GATE_SQL = """
+    WITH per AS (
+        SELECT lang,
+               LEN(tk) AS nw,
+               CAST(LIST_SUM(LIST_TRANSFORM(tk, w -> LENGTH(w))) AS DOUBLE)
+                   / NULLIF(CAST(LEN(tk) AS DOUBLE), 0.0) AS mwl,
+               (CAST(LENGTH(text) - LENGTH(REPLACE(text, '#', ''))
+                     AS DOUBLE)
+                + CAST(LENGTH(text) - LENGTH(REPLACE(text, '…', ''))
+                       AS DOUBLE)
+                + CAST(LENGTH(text)
+                       - LENGTH(REGEXP_REPLACE(text, '\\.\\.\\.', '', 'g'))
+                       AS DOUBLE) / 3)
+                   / NULLIF(CAST(LEN(tk) AS DOUBLE), 0.0) AS symr,
+               CAST(LEN(LIST_FILTER(tk, w -> REGEXP_MATCHES(w, '[A-Za-z]')))
+                    AS DOUBLE)
+                   / NULLIF(CAST(LEN(tk) AS DOUBLE), 0.0) AS alphar,
+               LEN(LIST_FILTER(['the','be','to','of','and','that','have',
+                                'with'],
+                               s -> LIST_CONTAINS(tk, s))) AS nstop
+        FROM (SELECT lang, text, {toks} AS tk FROM documents)
+    ),
+    flags AS (
+        SELECT lang,
+               (nw >= 30 AND nw <= 80) AS ok_wc,
+               (mwl >= 3.0 AND mwl <= 10.0) AS ok_mwl,
+               (symr <= 0.1) AS ok_sym,
+               (alphar >= 0.8) AS ok_alpha,
+               (nstop >= 1) AS ok_stop
+        FROM per
+    )
+    SELECT lang, COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN ok_wc AND ok_mwl AND ok_sym AND ok_alpha
+                         AND ok_stop THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+           SUM(CASE WHEN NOT ok_wc THEN 1 ELSE 0 END)::BIGINT
+               AS n_fail_word_count,
+           SUM(CASE WHEN NOT ok_mwl THEN 1 ELSE 0 END)::BIGINT
+               AS n_fail_mean_word_len,
+           SUM(CASE WHEN NOT ok_sym THEN 1 ELSE 0 END)::BIGINT
+               AS n_fail_symbol,
+           SUM(CASE WHEN NOT ok_alpha THEN 1 ELSE 0 END)::BIGINT
+               AS n_fail_alpha,
+           SUM(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END)::BIGINT
+               AS n_fail_stop_words
+    FROM flags GROUP BY lang
+    """.format(toks=_TOKS)
+
+
+@q(
+    "stream_quality_gate",
+    _GOPHER_GATE_SQL,
+    "The Gopher gate running INSIDE an ingestion stream (batch ≡ stream "
+    "parity, the C33 family contract): a file-stream over the documents "
+    "fixture evaluates every rule as a pure streaming projection "
+    "(keep_cols passthrough — no stream-stream join needed to retain "
+    "the grouping key), sinks per-doc flags via availableNow, and the "
+    "sink aggregates to the exact same per-lang profile as the batch "
+    "gopher_quality_gate oracle",
+)
+def stream_quality_gate(spark, sf_dir):
+    stream_docs = streaming.read_parquet_stream(
+        spark, f"{sf_dir}/documents.parquet"
+    )
+    flags = text.gopher_quality_flags(
+        stream_docs,
+        keep_cols=("lang",),
+        min_words=30,
+        max_words=80,
+        min_stop_words=1,
+    )
+    sink = streaming.run_available_now(flags)
+    back = spark.read.parquet(sink)
+
+    def fails(c):
+        return F.sum(F.when(~F.col(c), 1).otherwise(0)).cast("bigint")
+
+    return back.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("passes"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass"),
+        fails("ok_word_count").alias("n_fail_word_count"),
+        fails("ok_mean_word_len").alias("n_fail_mean_word_len"),
+        fails("ok_symbol_ratio").alias("n_fail_symbol"),
+        fails("ok_alpha_ratio").alias("n_fail_alpha"),
+        fails("ok_stop_words").alias("n_fail_stop_words"),
+    )
+
+
 @q(
     "price_ending_profile",
     """
@@ -6396,52 +6485,7 @@ def distributed_median_price(spark, sf_dir):
 
 @q(
     "gopher_quality_gate",
-    f"""
-    WITH per AS (
-        SELECT lang,
-               LEN(tk) AS nw,
-               CAST(LIST_SUM(LIST_TRANSFORM(tk, w -> LENGTH(w))) AS DOUBLE)
-                   / NULLIF(CAST(LEN(tk) AS DOUBLE), 0.0) AS mwl,
-               (CAST(LENGTH(text) - LENGTH(REPLACE(text, '#', ''))
-                     AS DOUBLE)
-                + CAST(LENGTH(text) - LENGTH(REPLACE(text, '…', ''))
-                       AS DOUBLE)
-                + CAST(LENGTH(text)
-                       - LENGTH(REGEXP_REPLACE(text, '\\.\\.\\.', '', 'g'))
-                       AS DOUBLE) / 3)
-                   / NULLIF(CAST(LEN(tk) AS DOUBLE), 0.0) AS symr,
-               CAST(LEN(LIST_FILTER(tk, w -> REGEXP_MATCHES(w, '[A-Za-z]')))
-                    AS DOUBLE)
-                   / NULLIF(CAST(LEN(tk) AS DOUBLE), 0.0) AS alphar,
-               LEN(LIST_FILTER(['the','be','to','of','and','that','have',
-                                'with'],
-                               s -> LIST_CONTAINS(tk, s))) AS nstop
-        FROM (SELECT lang, text, {{toks}} AS tk FROM documents)
-    ),
-    flags AS (
-        SELECT lang,
-               (nw >= 30 AND nw <= 80) AS ok_wc,
-               (mwl >= 3.0 AND mwl <= 10.0) AS ok_mwl,
-               (symr <= 0.1) AS ok_sym,
-               (alphar >= 0.8) AS ok_alpha,
-               (nstop >= 1) AS ok_stop
-        FROM per
-    )
-    SELECT lang, COUNT(*)::BIGINT AS n_docs,
-           SUM(CASE WHEN ok_wc AND ok_mwl AND ok_sym AND ok_alpha
-                         AND ok_stop THEN 1 ELSE 0 END)::BIGINT AS n_pass,
-           SUM(CASE WHEN NOT ok_wc THEN 1 ELSE 0 END)::BIGINT
-               AS n_fail_word_count,
-           SUM(CASE WHEN NOT ok_mwl THEN 1 ELSE 0 END)::BIGINT
-               AS n_fail_mean_word_len,
-           SUM(CASE WHEN NOT ok_sym THEN 1 ELSE 0 END)::BIGINT
-               AS n_fail_symbol,
-           SUM(CASE WHEN NOT ok_alpha THEN 1 ELSE 0 END)::BIGINT
-               AS n_fail_alpha,
-           SUM(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END)::BIGINT
-               AS n_fail_stop_words
-    FROM flags GROUP BY lang
-    """.format(toks=_TOKS),
+    _GOPHER_GATE_SQL,
     "Gopher quality rules (Rae et al. 2021 — the published filter set "
     "MassiveText/Dolma/RefinedWeb pipelines reuse): word-count bounds, "
     "mean word length, symbol-to-word ratio, alphabetic-word share, "
@@ -14732,6 +14776,7 @@ _ROUND10_POOL: tuple[str, ...] = (
     "url_canonical_dedup", "gopher_quality_gate",
     "distributed_median_price", "binaryfile_scan", "dsir_importance_en",
     "html_text_extraction", "price_ending_profile", "gini_by_segment",
+    "stream_quality_gate",
 )
 
 _PRIORITY: tuple[str, ...] = (

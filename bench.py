@@ -256,6 +256,7 @@ EXTRA = [
                                     # with RE2; ground-truth verified)
     "price_ending_profile",         # last-cent-digit pricing DQ
     "gini_by_segment",              # grouped concentration
+    "stream_quality_gate",          # Gopher gate inside a file stream
 ]
 
 
