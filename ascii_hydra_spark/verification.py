@@ -6230,6 +6230,95 @@ def stream_quality_gate(spark, sf_dir):
 
 
 @q(
+    "warc_curation_pipeline",
+    """
+    WITH recs AS (
+      SELECT 'com,example,site' || (i % 7) AS surt_host,
+             CASE i % 5 WHEN 2 THEN 301 WHEN 3 THEN 404 ELSE 200 END AS st,
+             'Record ' || i || ' crawl body '
+             || repeat('w' || (i % 11) || ' ', CAST(i % 13 AS INTEGER))
+             || CASE WHEN i % 10 = 0 THEN 'café' ELSE '' END AS body
+      FROM range(600) t(i)
+    ),
+    kept AS (SELECT * FROM recs WHERE st = 200),
+    per AS (
+      SELECT surt_host, MD5(body) AS fp,
+             LEN(tk) AS nw,
+             CAST(LIST_SUM(LIST_TRANSFORM(tk, w -> LENGTH(w))) AS DOUBLE)
+                 / NULLIF(CAST(LEN(tk) AS DOUBLE), 0.0) AS mwl,
+             CAST(LEN(LIST_FILTER(tk, w -> REGEXP_MATCHES(w, '[A-Za-z]')))
+                  AS DOUBLE)
+                 / NULLIF(CAST(LEN(tk) AS DOUBLE), 0.0) AS alphar,
+             LEN(LIST_FILTER(['crawl','body'],
+                             s -> LIST_CONTAINS(tk, s))) AS nstop
+      FROM (SELECT surt_host,
+                   LIST_FILTER(STRING_SPLIT_REGEX(body, '\\s+'),
+                               x -> x <> '') AS tk,
+                   body
+            FROM kept)
+    ),
+    flags AS (
+      SELECT surt_host, fp,
+             (nw >= 6 AND nw <= 12) AND (mwl >= 3.0 AND mwl <= 10.0)
+             AND (alphar >= 0.8) AND (nstop >= 1) AS pass
+      FROM per
+    )
+    SELECT surt_host, COUNT(*)::BIGINT AS n_fetched_ok,
+           SUM(CASE WHEN pass THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+           COUNT(DISTINCT fp)::BIGINT AS n_distinct_bodies
+    FROM flags GROUP BY surt_host
+    """,
+    "The crawl-curation story end-to-end on REAL scanned archive bytes: "
+    "WARC DataSource scan -> fetch-status filter (pushes before "
+    "anything touches text) -> Gopher word-level rules as a streaming-"
+    "safe projection -> SURT-host grouping with exact fingerprint "
+    "dedup counts. One pipeline, three round-6 surfaces composed; the "
+    "oracle recomputes every rule from the closed-form reconstruction "
+    "of the fixture bodies",
+)
+def warc_curation_pipeline(spark, sf_dir):
+    from ascii_hydra_spark.functions import surt_url
+    from ascii_hydra_spark.sources.warc import (
+        register_warc_source,
+        write_warc_fixture,
+    )
+
+    register_warc_source(spark)
+    d = tempfile.mkdtemp(prefix="ahs_warc_")
+    write_warc_fixture(d, n_records=600, n_files=4, compress=True)
+    scanned = (
+        spark.read.format("warc")
+        .option("path", d)
+        .load()
+        .filter(F.col("http_status") == 200)
+        .select(
+            F.col("record_id").alias("rid"),
+            F.substring_index(surt_url("target_uri"), ")", 1).alias(
+                "surt_host"
+            ),
+            F.md5(F.col("body").cast("binary")).alias("fp"),
+            F.col("body").alias("text"),
+        )
+    )
+    flags = text.gopher_quality_flags(
+        scanned,
+        id_col="rid",
+        keep_cols=("surt_host", "fp"),
+        min_words=6,
+        max_words=12,
+        min_stop_words=1,
+        stop_words=("crawl", "body"),
+    )
+    return flags.groupBy("surt_host").agg(
+        F.count("*").cast("bigint").alias("n_fetched_ok"),
+        F.sum(F.when(F.col("passes"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass"),
+        F.countDistinct("fp").cast("bigint").alias("n_distinct_bodies"),
+    )
+
+
+@q(
     "price_ending_profile",
     """
     WITH c AS (
@@ -14776,7 +14865,7 @@ _ROUND10_POOL: tuple[str, ...] = (
     "url_canonical_dedup", "gopher_quality_gate",
     "distributed_median_price", "binaryfile_scan", "dsir_importance_en",
     "html_text_extraction", "price_ending_profile", "gini_by_segment",
-    "stream_quality_gate",
+    "stream_quality_gate", "warc_curation_pipeline",
 )
 
 _PRIORITY: tuple[str, ...] = (

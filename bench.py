@@ -257,6 +257,7 @@ EXTRA = [
     "price_ending_profile",         # last-cent-digit pricing DQ
     "gini_by_segment",              # grouped concentration
     "stream_quality_gate",          # Gopher gate inside a file stream
+    "warc_curation_pipeline",       # scan -> gate -> SURT dedup composite
 ]
 
 
