@@ -275,6 +275,8 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "decile_revenue_lift",    # 1-row revenue-total broadcast
         "dsir_importance_en",           # 1-row corpus-totals broadcast
                                         # (the split_unigram_kl shape)
+        "price_ending_profile",         # 1-row observation-total
+                                        # broadcast (the benford shape)
         "distinctive_terms_by_lang",  # 1-row corpus-total broadcast
         "winsorized_order_totals",    # 1-row percentile-bounds broadcast
         "segment_priority_chi2",      # 1-row grand-total broadcast
