@@ -132,26 +132,44 @@ def surt_url(url: Column | str) -> Column:
     ``http://www.Example.COM/p?b=2&a=1`` -> ``com,example)/p?a=1&b=2``.
 
     Canonicalization: fragment dropped, scheme dropped, userinfo
-    dropped, host lowercased, leading ``www.`` stripped, ``:port``
-    stripped, host labels reversed comma-joined (so one registered
-    domain's captures sort/partition together — the property that makes
+    dropped, host lowercased, leading ``www.`` stripped, DEFAULT ports
+    (:80/:443) stripped while non-default ports are KEPT (distinct
+    origins — ``example.com`` vs ``example.com:8080`` — must not
+    conflate under a dedup key; real SURT makes the same distinction),
+    host labels reversed comma-joined (so one registered domain's
+    captures sort/partition together — the property that makes
     per-domain dedup a contiguous range scan instead of a shuffle on
     raw hosts), query params sorted. Handles the real-crawl URL shapes
     a naive split corrupts: a query before any slash
-    (``http://h?a=1``), ports, userinfo, fragments. Pure built-in
-    string/array ops — codegen, no UDF — and every step has a DuckDB
-    closed form, so SURT-keyed entries stay oracle-checkable.
+    (``http://h?a=1``), ports, userinfo, fragments, bracketed IPv6
+    hosts (kept verbatim — colon-separated groups must not be port- or
+    label-split). Pure built-in string/array ops — codegen, no UDF —
+    and every step has a DuckDB closed form, so SURT-keyed entries
+    stay oracle-checkable.
     """
     c = F.col(url) if isinstance(url, str) else url
     rest = F.regexp_replace(c, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
     rest = F.substring_index(rest, "#", 1)  # fragment is never a key
     # authority = up to the first '/' OR '?' (a query can precede any
-    # slash); then strip userinfo (last '@') and the ':port' suffix
+    # slash); then strip userinfo (last '@')
     auth = F.substring_index(F.substring_index(rest, "/", 1), "?", 1)
-    host = F.lower(F.substring_index(auth, "@", -1))
-    host = F.substring_index(host, ":", 1)
+    hostport = F.lower(F.substring_index(auth, "@", -1))
+    is_v6 = hostport.startswith("[")
+    port = F.when(
+        is_v6, F.regexp_extract(hostport, r"\]:(\d+)$", 1)
+    ).otherwise(F.regexp_extract(hostport, r":(\d+)$", 1))
+    host = F.when(
+        is_v6, F.regexp_extract(hostport, r"^\[([^\]]*)\]", 1)
+    ).otherwise(F.regexp_replace(hostport, r":\d+$", ""))
     host = F.regexp_replace(host, r"^www\.", "")
-    rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    # IPv6 literals keep their colon form un-reversed (groups are not
+    # dot labels); everything else label-reverses
+    rev_host = F.when(is_v6, host).otherwise(
+        F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    )
+    rev_host = F.when(
+        (port == "") | (port == "80") | (port == "443"), rev_host
+    ).otherwise(F.concat(rev_host, F.lit(":"), port))
     # path+query = everything after the authority (empty -> "/";
     # query-only -> "/?...")
     pathq = F.substring(rest, F.length(auth) + 1, F.lit(1 << 30))

@@ -3030,11 +3030,14 @@ def last_digit_profile(
     show up as spikes against the uniform baseline 1/modulus.
 
     The digit extracts in exact integer space (cents via one ROUND,
-    never float modulo); counts are a single map-side-partial groupBy
-    with `modulus`-bounded output; share and the deviation are final
-    divisions against a window-free broadcast total.
+    never float modulo) from the ABSOLUTE value — a refund of -1.99 is
+    still a .99 ending (and pmod/% disagree across engines on negative
+    operands, so signed modulo would also break oracle parity); counts
+    are a single map-side-partial groupBy with `modulus`-bounded
+    output; share and the deviation are final divisions against a
+    window-free broadcast total.
     """
-    cents = F.round(F.col(value_col) * 100, 0).cast("bigint")
+    cents = F.abs(F.round(F.col(value_col) * 100, 0).cast("bigint"))
     digit = F.pmod(cents, F.lit(int(modulus))).cast("int")
     counts = (
         df.select(digit.alias("digit"))

@@ -38,7 +38,9 @@ deterministic (callers pass tiebreakers making the order total), and
 identical to the single-window answer — the oracle SQL of every
 converted entry is unchanged. Heavy ties on a single key value
 concentrate in that value's bucket (same behavior as a range shuffle);
-the key must be approxQuantile-able (cast-to-double orderable).
+the key must be approxQuantile-able (cast-to-double orderable —
+date/timestamp keys convert first, e.g. ``F.unix_date``/
+``F.unix_timestamp``, as cumulative_daily_revenue does).
 """
 
 from __future__ import annotations
@@ -109,7 +111,9 @@ def _bucketed(
             [F.when(F.lit(float(sp)) < kd, 1).otherwise(0) for sp in splits],
             F.lit(0),
         )
-        bucket = F.coalesce(raw, F.lit(0))  # NULLS FIRST under asc
+        # a NULL key falls through every when-condition to 0 -> bucket
+        # 0, matching Spark's NULLS FIRST under asc
+        bucket = raw
     return df.withColumn(_B, bucket.cast("int")), p
 
 

@@ -1257,6 +1257,11 @@ def html_to_text(html: "Column | str") -> Column:
     t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
     t = F.regexp_replace(t, r"(?is)<head[^>]*>.*?</head>", " ")
     t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    # truncated crawl bodies routinely cut mid-subtree: an UNCLOSED
+    # script/style/comment would otherwise leak its source as "text"
+    # (only the opening tag would be stripped by the generic pass)
+    t = F.regexp_replace(t, r"(?is)<(script|style)[^>]*>.*$", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*$", " ")
     t = F.regexp_replace(t, r"<[^>]*>", " ")
     # &amp; decodes LAST: anything earlier would turn '&amp;lt;' into
     # '&lt;' and then double-decode it to '<'

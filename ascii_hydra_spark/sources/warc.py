@@ -98,10 +98,15 @@ def parse_http_response(block: bytes) -> "tuple[int, dict, bytes]":
     NEVER raises: real crawl dumps contain non-HTTP response records
     (dns), LF-only header framing, and corrupt status lines, and one bad
     record must not kill a multi-thousand-archive scan (a task fails 4x
-    and the job dies). Unparsable status lines degrade to status 0 with
-    the block preserved as the body, so nothing is silently dropped and
-    a `http_status = 0` filter surfaces the junk downstream.
+    and the job dies). A block that does not start with an HTTP status
+    line is returned WHOLE as the body with status 0 (header splitting
+    a non-HTTP block would silently eat its leading bytes); an HTTP
+    block with a corrupt status code degrades to status 0 with its
+    body intact. A `http_status = 0` filter surfaces the junk
+    downstream.
     """
+    if not block.startswith(b"HTTP/"):
+        return 0, {}, block
     head, sep, body = block.partition(b"\r\n\r\n")
     if not sep:  # LF-only framing fallback
         head, sep, body = block.partition(b"\n\n")
@@ -110,10 +115,9 @@ def parse_http_response(block: bytes) -> "tuple[int, dict, bytes]":
     lines = head.replace(b"\r\n", b"\n").split(b"\n")
     status = 0
     first = lines[0].decode("latin-1", "replace") if lines and lines[0] else ""
-    if first.startswith("HTTP/"):
-        parts = first.split(None, 2)
-        if len(parts) >= 2 and parts[1].isdigit():
-            status = int(parts[1])
+    parts = first.split(None, 2)
+    if len(parts) >= 2 and parts[1].isdigit():
+        status = int(parts[1])
     headers: dict[str, str] = {}
     for ln in lines[1:]:
         k, _, v = ln.decode("latin-1", "replace").partition(":")

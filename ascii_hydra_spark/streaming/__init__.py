@@ -20,34 +20,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
 
-def read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
-    """File-stream source over the events fixture.
-
-    Spark's file-stream source watches a *directory*; the fixture is a single
-    parquet file, so it is symlinked into a scratch dir (read-only on the
-    fixture, no copy). Streams require an explicit schema; rather than
-    hard-coding one (fixture `ts` encodings have changed across driver
-    generations: ns-as-long, then timestamp[us]/NTZ), the schema is taken
-    from a batch read of the same file, and `ts` is then normalized to
-    session-TZ TIMESTAMP exactly like the batch catalog normalizer —
-    watermarks and window operators require TIMESTAMP.
-    """
-    import os
-
-    from ascii_hydra_spark.catalog import normalize_events
-
-    watch_dir = events_path
-    if os.path.isfile(events_path):
-        watch_dir = tempfile.mkdtemp(prefix="ahs_stream_src_")
-        os.symlink(events_path, os.path.join(watch_dir, os.path.basename(events_path)))
-    raw = (
-        spark.readStream.schema(spark.read.parquet(events_path).schema)
-        .format("parquet")
-        .load(watch_dir)
-    )
-    return normalize_events(raw)
-
-
 def read_parquet_stream(spark: SparkSession, path: str) -> DataFrame:
     """Generic file-stream source over any parquet fixture file/dir —
     the read_events_stream shape without the events-specific timestamp
@@ -64,6 +36,23 @@ def read_parquet_stream(spark: SparkSession, path: str) -> DataFrame:
         .format("parquet")
         .load(watch_dir)
     )
+
+
+def read_events_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    """File-stream source over the events fixture.
+
+    Spark's file-stream source watches a *directory*; the fixture is a single
+    parquet file, so it is symlinked into a scratch dir (read-only on the
+    fixture, no copy). Streams require an explicit schema; rather than
+    hard-coding one (fixture `ts` encodings have changed across driver
+    generations: ns-as-long, then timestamp[us]/NTZ), the schema is taken
+    from a batch read of the same file, and `ts` is then normalized to
+    session-TZ TIMESTAMP exactly like the batch catalog normalizer —
+    watermarks and window operators require TIMESTAMP.
+    """
+    from ascii_hydra_spark.catalog import normalize_events
+
+    return normalize_events(read_parquet_stream(spark, events_path))
 
 
 def tumbling_counts(

@@ -6322,7 +6322,7 @@ def warc_curation_pipeline(spark, sf_dir):
     "price_ending_profile",
     """
     WITH c AS (
-      SELECT CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) % 100
+      SELECT CAST(ABS(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) % 100
                   AS INTEGER) AS digit
       FROM orders
     ),

@@ -292,6 +292,10 @@ def test_html_to_text_extraction_semantics(spark):
         # whitespace collapse + trim
         "  <p>a</p>\n\n<p>b</p>  ": "a b",
         "plain text": "plain text",
+        # truncated crawl body: an UNCLOSED script must not leak source
+        "<p>hi</p><script>var a=1;doc": "hi",
+        "a<style>p{": "a",
+        "a<!-- cut off": "a",
     }
     df = spark.createDataFrame([(h,) for h in cases], "html string")
     out = {

@@ -140,10 +140,16 @@ def test_surt_url_canonicalization(spark):
         "http://example.com/p?one=1": "com,example)/p?one=1",
         # real-crawl shapes a naive host split corrupts (round-6 review)
         "http://example.com?a=1": "com,example)/?a=1",
-        "http://example.com:8080/p": "com,example)/p",
+        # non-default ports are DISTINCT ORIGINS and must stay in the key
+        "http://example.com:8080/p": "com,example:8080)/p",
         "http://user:pw@example.com/p": "com,example)/p",
         "http://example.com/p#frag": "com,example)/p",
+        # default ports drop; fragment drops; query-before-slash
         "http://www.Example.com:80?b=2&a=1#x": "com,example)/?a=1&b=2",
+        "https://example.com:443/s": "com,example)/s",
+        # bracketed IPv6: groups are not labels, no reversal/port-mangle
+        "http://[2001:db8::1]:8080/x": "2001:db8::1:8080)/x",
+        "http://[::1]/x": "::1)/x",
     }
     df = spark.createDataFrame([(u,) for u in cases], "url string")
     out = {r["url"]: r["surt"] for r in df.select("url", surt_url("url").alias("surt")).collect()}
