@@ -14639,17 +14639,17 @@ def new_customer_order_share_monthly(spark, sf_dir):
 # Registry ordering
 # ===================================================================
 # The external driver evaluates only the first _DRIVER_HEAD entries of the
-# registry (rounds 1-5 each checked exactly 50), so the head is a ROTATING
+# registry (rounds 1-6 each checked exactly 50), so the head is a ROTATING
 # evidence window: a handful of anchor entries (one per core family) stay
 # pinned every round, and the remaining slots are filled with entries that
-# have NEVER had a driver row. Round-6 rotation: the round-5 queue
-# (event transitions, distribution/AB statistics, seasonality, attribution,
-# multimodal conversions, k-core) — every name SQL-oracled, first-time
-# (round 4 spent 10 of its 50 slots on rows-only entries that can only
-# ever come back `no_oracle`, so the window hard-requires an oracle for
-# every head name — guard below). Position 51+ holds the round-7 pool,
-# then the round-8/9/10 pools, then everything previously driver-checked;
-# the repo-local differential suite checks the FULL registry either way.
+# have NEVER had a driver row. Round-7 rotation: the round-6 queue
+# (streaks, hypothesis tests, classification/ranking metrics, calibration,
+# sampling, forecast baselines, anonymity audits) — every name SQL-oracled,
+# first-time (round 4 spent 10 of its 50 slots on rows-only entries that
+# can only ever come back `no_oracle`, so the window hard-requires an
+# oracle for every head name — guard below). Position 51+ holds the
+# round-8/9/10 pools, then everything previously driver-checked; the
+# repo-local differential suite checks the FULL registry either way.
 _DRIVER_HEAD = 50
 
 _ANCHORS: tuple[str, ...] = (
@@ -14662,37 +14662,6 @@ _ANCHORS: tuple[str, ...] = (
 # 51st name out of the window, and round 4 burned 10 slots on rows-only
 # entries that can only ever record `no_oracle`).
 _ROTATION: tuple[str, ...] = (
-    "event_transitions",
-    "distinctive_terms_by_lang", "powerlaw_alpha_degrees",
-    "hourly_rate_anomalies", "winsorized_order_totals",
-    "segment_priority_chi2", "session_bounce_rate", "join_skew_report",
-    "hhi_revenue", "negative_pairs_ring", "nfc_normalized_fingerprints",
-    "mixing_weights_temperature", "xml_roundtrip",
-    "uniformized_length_by_lang", "split_unigram_kl", "group_by_all_status",
-    "kaplan_meier_lifetimes", "multimodal_resize",
-    "ab_conversion_ztest", "log2_hist_user_events", "mann_whitney_value_ab",
-    "ks_two_sample_value_ab", "cramers_v_segment_priority",
-    "source_vocab_jaccard", "theil_revenue", "spearman_orders_revenue",
-    "autocorr_daily_revenue", "dow_seasonality_revenue", "open_lines_by_day",
-    "rolling_active_users_7d", "mad_outliers_quantity",
-    "trimmed_mean_order_total", "lexical_diversity_by_source",
-    "zipf_slope_tokens", "format_mask_profile_props", "session_path_topk",
-    "touch_attribution_purchase", "item_cf_neighbors", "embedding_norm_hist",
-    "mom_revenue_growth", "kcore_peel_rounds", "cusum_changepoint_events",
-    "skyline_price_size", "multimodal_decode_features",
-    "isotonic_calibration_value",
-)
-# (multimodal_resize / multimodal_decode_features /
-# isotonic_calibration_value were rows-only through round 4 and were
-# CONVERTED to hash-matched oracles — hex byte surgery / integer histogram
-# recovery / the minimax isotonic identity — before entering this head.)
-
-# Round-7 pool: entries added after the round-6 pool filled. Registry
-# tail, local-suite-checked every round; fills toward the 45 rotation
-# slots round 7 will need. Its former rows-only names (mmr_rerank_topk,
-# compression_ratio_quality; isotonic moved to round 6 once converted)
-# were swapped out under the same no-rows-only rule.
-_ROUND7_POOL: tuple[str, ...] = (
     "user_day_streaks", "welch_ttest_value_ab", "crosscorr_orders_lagged",
     "bloom_membership_counts", "supplier_jaccard_links",
     "shingle_novelty_scores", "twap_user_values",
@@ -14712,17 +14681,16 @@ _ROUND7_POOL: tuple[str, ...] = (
     "cohens_kappa_langid", "incremental_rollup_maintenance",
     "ece_value_purchase", "psi_value_ab", "conformal_orders_priority",
     "dataset_fingerprint_orders",
-    # round-5 additions (moments / fences / growth accounting / token
-    # concentration / session durations / feed health) — first-time by
-    # construction; with these the pool holds exactly the 45 rotation
-    # slots round 7 needs
     "moments_order_total", "tukey_fences_outliers",
     "new_vs_returning_weekly", "simpson_diversity_by_source",
     "session_duration_percentiles", "dup_rate_by_source",
 )
+# (This is the round-6 `_ROUND7_POOL` promoted verbatim — 45 first-time
+# SQL-oracled names; the round-6 rotation moved to _PAST_DRIVER_GREEN
+# after CORRECTNESS_r06.json recorded all 50 head rows green.)
 
-# Round-8 pool: SQL-oracle entries added after the round-7 pool hit its
-# 45 slots — now itself a FULL 45-slot rotation (portable sketch/LSH
+# Round-8 pool: the next rotation up (promoted verbatim at round 8) — a
+# FULL 45-slot rotation (portable sketch/LSH
 # arms + the round-5 continuation's graph/stats/DQ/product-analytics
 # additions). Same first-time/disjoint/oracle-able contract.
 _ROUND8_POOL: tuple[str, ...] = (
@@ -14753,9 +14721,30 @@ _ROUND8_POOL: tuple[str, ...] = (
 )
 
 # Frozen record of every name with a driver-green row (rows+schema+hash,
-# no error) in CORRECTNESS_r01-r05. Guards below reject a rotation slot
+# no error) in CORRECTNESS_r01-r06. Guards below reject a rotation slot
 # spent on an already-green name.
 _PAST_DRIVER_GREEN: frozenset[str] = frozenset({
+    # ---- green in CORRECTNESS_r06 (45 first-time rows; 50/50 incl. the
+    # 5 anchors, zero errors) ----
+    "event_transitions",
+    "distinctive_terms_by_lang", "powerlaw_alpha_degrees",
+    "hourly_rate_anomalies", "winsorized_order_totals",
+    "segment_priority_chi2", "session_bounce_rate", "join_skew_report",
+    "hhi_revenue", "negative_pairs_ring", "nfc_normalized_fingerprints",
+    "mixing_weights_temperature", "xml_roundtrip",
+    "uniformized_length_by_lang", "split_unigram_kl", "group_by_all_status",
+    "kaplan_meier_lifetimes", "multimodal_resize",
+    "ab_conversion_ztest", "log2_hist_user_events", "mann_whitney_value_ab",
+    "ks_two_sample_value_ab", "cramers_v_segment_priority",
+    "source_vocab_jaccard", "theil_revenue", "spearman_orders_revenue",
+    "autocorr_daily_revenue", "dow_seasonality_revenue", "open_lines_by_day",
+    "rolling_active_users_7d", "mad_outliers_quantity",
+    "trimmed_mean_order_total", "lexical_diversity_by_source",
+    "zipf_slope_tokens", "format_mask_profile_props", "session_path_topk",
+    "touch_attribution_purchase", "item_cf_neighbors", "embedding_norm_hist",
+    "mom_revenue_growth", "kcore_peel_rounds", "cusum_changepoint_events",
+    "skyline_price_size", "multimodal_decode_features",
+    "isotonic_calibration_value",
     # ---- green in CORRECTNESS_r05 (45 first-time rows; 50/50 incl. the
     # 5 anchors, zero errors) ----
     "percent_rank_cume", "explode_outer_rare_tokens", "dedup_docs_distinct",
@@ -14869,8 +14858,7 @@ _ROUND10_POOL: tuple[str, ...] = (
 )
 
 _PRIORITY: tuple[str, ...] = (
-    _ANCHORS + _ROTATION + _ROUND7_POOL + _ROUND8_POOL
-    + _ROUND9_POOL + _ROUND10_POOL
+    _ANCHORS + _ROTATION + _ROUND8_POOL + _ROUND9_POOL + _ROUND10_POOL
 )
 
 
@@ -14904,8 +14892,7 @@ def _reorder_registry() -> None:
     # Rows-only entries are verified in pytest and stay in the tail.
     no_oracle = sorted(
         n
-        for n in _ROTATION + _ROUND7_POOL + _ROUND8_POOL
-        + _ROUND9_POOL + _ROUND10_POOL
+        for n in _ROTATION + _ROUND8_POOL + _ROUND9_POOL + _ROUND10_POOL
         if REGISTRY[n].sql is None
     )
     if no_oracle:

@@ -1,7 +1,7 @@
 """Guards on the driver-evidence rotation window in verification.py.
 
 The external driver checks exactly the first 50 registry entries per round
-(rounds 1-5 each recorded 50 rows), and its only green mode is a full
+(rounds 1-6 each recorded 50 rows), and its only green mode is a full
 rows+schema+value-hash match against the entry's own oracle SQL. Two past
 mistakes are made hard failures here:
 
@@ -19,7 +19,7 @@ Contracts enforced:
   (frozen in _PAST_DRIVER_GREEN);
 - anchors are all previously driver-green (they exist to re-confirm);
 - no duplicates anywhere in _PRIORITY;
-- the round-7 pool holds exactly the next rotation's 45 slots, so next
+- the round-8 pool holds exactly the next rotation's 45 slots, so next
   round's promotion is a straight copy.
 """
 
@@ -54,8 +54,8 @@ def test_head_and_pools_are_all_oracle_able() -> None:
     # queued/pooled names are future heads so the same rule applies
     bad = [
         n
-        for n in v._ROTATION + v._ROUND7_POOL + v._ROUND8_POOL
-        + v._ROUND9_POOL + v._ROUND10_POOL
+        for n in v._ROTATION + v._ROUND8_POOL + v._ROUND9_POOL
+        + v._ROUND10_POOL
         if v.REGISTRY[n].sql is None
     ]
     assert not bad, f"rows-only names in head/pools: {bad}"
@@ -67,7 +67,6 @@ def test_every_sql_entry_is_scheduled_for_driver_evidence() -> None:
     scheduled = (
         set(v._ANCHORS)
         | set(v._ROTATION)
-        | set(v._ROUND7_POOL)
         | set(v._ROUND8_POOL)
         | set(v._ROUND9_POOL)
         | set(v._ROUND10_POOL)
@@ -79,21 +78,12 @@ def test_every_sql_entry_is_scheduled_for_driver_evidence() -> None:
     assert not unscheduled, f"SQL entries with no driver slot: {unscheduled}"
 
 
-def test_round7_pool_is_a_full_first_time_rotation() -> None:
-    # exactly the 45 rotation slots round 7 needs, every name
-    # never-driver-checked and disjoint from every earlier block
-    assert len(v._ROUND7_POOL) == 45
-    assert not (set(v._ROUND7_POOL) & v._PAST_DRIVER_GREEN)
-    assert not (set(v._ROUND7_POOL) & set(v._ANCHORS + v._ROTATION))
-    assert set(v._ROUND7_POOL) <= set(v.REGISTRY)
-
-
 def test_round8_pool_is_a_full_first_time_rotation() -> None:
-    # filled to exactly 45 in the round-5 continuation; same contract
+    # exactly the 45 rotation slots round 8 needs, every name
+    # never-driver-checked and disjoint from every earlier block
     assert len(v._ROUND8_POOL) == 45
     assert not (set(v._ROUND8_POOL) & v._PAST_DRIVER_GREEN)
-    earlier = set(v._ANCHORS + v._ROTATION + v._ROUND7_POOL)
-    assert not (set(v._ROUND8_POOL) & earlier)
+    assert not (set(v._ROUND8_POOL) & set(v._ANCHORS + v._ROTATION))
     assert set(v._ROUND8_POOL) <= set(v.REGISTRY)
 
 
@@ -101,9 +91,7 @@ def test_round9_pool_is_first_time_and_disjoint() -> None:
     # overflow beyond round 8; may still be filling toward 45
     assert len(v._ROUND9_POOL) <= 45
     assert not (set(v._ROUND9_POOL) & v._PAST_DRIVER_GREEN)
-    earlier = set(
-        v._ANCHORS + v._ROTATION + v._ROUND7_POOL + v._ROUND8_POOL
-    )
+    earlier = set(v._ANCHORS + v._ROTATION + v._ROUND8_POOL)
     assert not (set(v._ROUND9_POOL) & earlier)
     assert set(v._ROUND9_POOL) <= set(v.REGISTRY)
 
@@ -113,8 +101,7 @@ def test_round10_pool_is_first_time_and_disjoint() -> None:
     assert len(v._ROUND10_POOL) <= 45
     assert not (set(v._ROUND10_POOL) & v._PAST_DRIVER_GREEN)
     earlier = set(
-        v._ANCHORS + v._ROTATION + v._ROUND7_POOL + v._ROUND8_POOL
-        + v._ROUND9_POOL
+        v._ANCHORS + v._ROTATION + v._ROUND8_POOL + v._ROUND9_POOL
     )
     assert not (set(v._ROUND10_POOL) & earlier)
     assert set(v._ROUND10_POOL) <= set(v.REGISTRY)
