@@ -132,10 +132,12 @@ def surt_url(url: Column | str) -> Column:
     ``http://www.Example.COM/p?b=2&a=1`` -> ``com,example)/p?a=1&b=2``.
 
     Canonicalization: fragment dropped, scheme dropped, userinfo
-    dropped, host lowercased, leading ``www.`` stripped, DEFAULT ports
-    (:80/:443) stripped while non-default ports are KEPT (distinct
-    origins — ``example.com`` vs ``example.com:8080`` — must not
-    conflate under a dedup key; real SURT makes the same distinction),
+    dropped, host lowercased, leading ``www.`` stripped, the scheme's
+    OWN default port stripped (:80 for http, :443 for https — both for
+    scheme-less input) while every other port is KEPT (distinct
+    origins — ``example.com`` vs ``example.com:8080``, or
+    ``https://h:80`` vs ``http://h`` — must not conflate under a dedup
+    key; real SURT makes the same distinction),
     host labels reversed comma-joined (so one registered domain's
     captures sort/partition together — the property that makes
     per-domain dedup a contiguous range scan instead of a shuffle on
@@ -148,6 +150,11 @@ def surt_url(url: Column | str) -> Column:
     stay oracle-checkable.
     """
     c = F.col(url) if isinstance(url, str) else url
+    # capture the scheme BEFORE discarding it: only a scheme's OWN
+    # default port is droppable (https://h:80/ is a non-default origin
+    # and must NOT conflate with http://h/); scheme-less input keeps
+    # the lenient both-defaults-drop behavior
+    scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     rest = F.regexp_replace(c, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
     rest = F.substring_index(rest, "#", 1)  # fragment is never a key
     # authority = up to the first '/' OR '?' (a query can precede any
@@ -167,9 +174,15 @@ def surt_url(url: Column | str) -> Column:
     rev_host = F.when(is_v6, host).otherwise(
         F.array_join(F.reverse(F.split(host, r"\.")), ",")
     )
-    rev_host = F.when(
-        (port == "") | (port == "80") | (port == "443"), rev_host
-    ).otherwise(F.concat(rev_host, F.lit(":"), port))
+    default_port = (
+        (port == "")
+        | ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+        | ((scheme == "") & ((port == "80") | (port == "443")))
+    )
+    rev_host = F.when(default_port, rev_host).otherwise(
+        F.concat(rev_host, F.lit(":"), port)
+    )
     # path+query = everything after the authority (empty -> "/";
     # query-only -> "/?...")
     pathq = F.substring(rest, F.length(auth) + 1, F.lit(1 << 30))

@@ -28,6 +28,20 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from ascii_hydra_spark.operators import distrank
 
 
+def _numeric_order_key(df: DataFrame, col: str) -> Column:
+    """A double-castable expression ordering identically to ``col`` —
+    what distrank's approxQuantile bucket probe needs. Dates go through
+    ``unix_date`` (CAST(date AS DOUBLE) is illegal), timestamps through
+    an epoch cast; numerics pass through. Monotone in the original
+    column, so bucket order == time order."""
+    dt = dict(df.dtypes)[col]
+    if dt == "date":
+        return F.unix_date(F.col(col))
+    if dt.startswith("timestamp"):
+        return F.col(col).cast("timestamp").cast("double")
+    return F.col(col)
+
+
 def _dsum(col: Column, scale: int = 2) -> Column:
     """Decimal-accumulated sum (order-independent), surfaced as double."""
     return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
@@ -768,12 +782,14 @@ def ks_two_sample(
     over observed values; ks_stat = D * sqrt(n_a*n_b/(n_a+n_b)) is the
     statistic compared against the Kolmogorov distribution.
 
-    The ECDF gap is computed from exact integer cumulative counts (one
-    ordered window over DISTINCT values carrying per-value group counts),
-    so D is an exact rational maximized in integer cross-multiplied form
+    The ECDF gap is computed from exact integer cumulative counts
+    carried over DISTINCT values — via
+    :func:`distrank.global_running_sums` (percentile-bucketed two-pass,
+    both group counts in ONE pass), so a continuous value column with
+    ~n distinct values never lands on a single-reducer sort — and D is
+    an exact rational maximized in integer cross-multiplied form
     — (ca*nb - cb*na) avoids forming either quotient — with no float
-    comparison deciding the argmax. Entity-level-input contract.
-    Raises unless exactly two groups.
+    comparison deciding the argmax. Raises unless exactly two groups.
     """
     labels = [
         r["g"]
@@ -792,9 +808,10 @@ def ks_two_sample(
     totals = per_v.agg(
         F.sum("__da").alias("__na"), F.sum("__db").alias("__nb")
     )
-    w = Window.orderBy("__x").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_v.select(
-        F.sum("__da").over(w).alias("__ca"), F.sum("__db").over(w).alias("__cb")
+    cum = distrank.global_running_sums(
+        per_v,
+        F.col("__x"),
+        {"__ca": F.col("__da"), "__cb": F.col("__db")},
     ).crossJoin(F.broadcast(totals))
     # |ca*nb - cb*na| maximized in exact integer space; divide once at the end
     agg = cum.agg(
@@ -1132,23 +1149,25 @@ def trimmed_mean(
     the rest. The robust-location companion to `winsorized_stats` (which
     clamps instead of dropping).
 
-    Trim positions come from a row_number over (value, tiebreak) — the
+    Trim positions come from an exact global row number over (value,
+    tiebreak) — :func:`distrank.global_row_number`, so the rank is a
+    percentile-bucketed parallel sort, never a single-reducer window,
+    and the total count rides along from its per-bucket counts. The
     tiebreak makes WHICH tied row is dropped reproducible, and since
     tied values are interchangeable in a mean the statistic is stable
-    regardless. The kept-range sum accumulates in DECIMAL. Entity-level
-    input contract (the rank is a global window, accepted only here).
+    regardless. The kept-range sum accumulates in DECIMAL.
     """
     if not 0.0 <= trim < 0.5:
         raise ValueError("trim must be in [0, 0.5)")
-    w = Window.orderBy(F.col(value_col).asc(), F.col(tiebreak).asc())
-    r = df.select(
-        F.col(value_col).cast("decimal(18,2)").alias("__x"),
-        F.row_number().over(w).cast("bigint").alias("__i"),
-        F.count("*").over(
-            Window.orderBy(F.lit(1)).rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).cast("bigint").alias("__n"),
+    r = distrank.global_row_number(
+        df.select(
+            F.col(value_col).cast("decimal(18,2)").alias("__x"),
+            F.col(tiebreak).alias("__tb"),
+        ),
+        F.col("__x"),
+        [F.col("__tb")],
+        out_col="__i",
+        total_col="__n",
     )
     cut = F.floor(F.col("__n").cast("double") * F.lit(float(trim))).cast("bigint")
     kept = r.filter((F.col("__i") > cut) & (F.col("__i") <= F.col("__n") - cut))
@@ -1209,24 +1228,24 @@ def cusum_changepoint(
     The whole argmax runs in EXACT integer space: n*S_t = n*cumsum_t -
     t*total, so the peak position cannot move with float accumulation
     order (the same cross-multiplication trick as the KS statistic);
-    only the reported drift divides by n at the end. One bounded
-    order-by window over the time grain (entity-level contract),
-    TakeOrdered argmax with earliest-time tiebreak.
+    only the reported drift divides by n at the end. Cumulative sum and
+    row index ride ONE :func:`distrank.global_running_sums` pass
+    (percentile-bucketed over the numeric time key — date / timestamp /
+    numeric grains all convert), then a TakeOrdered argmax with
+    earliest-time tiebreak.
     """
     base = df.select(
         F.col(time_col).alias("__t"),
         F.col(count_col).cast("bigint").alias("__x"),
     )
-    w = Window.orderBy("__t").rowsBetween(Window.unboundedPreceding, 0)
-    wi = Window.orderBy("__t")
     tot = base.agg(
         F.sum("__x").alias("__total"), F.count("*").alias("__n")
     )
-    cum = base.select(
-        "__t",
-        F.sum("__x").over(w).alias("__cum"),
-        F.row_number().over(wi).cast("bigint").alias("__i"),
-    )
+    cum = distrank.global_running_sums(
+        base,
+        _numeric_order_key(base, "__t"),
+        {"__cum": F.col("__x"), "__i": F.lit(1).cast("bigint")},
+    ).select("__t", "__cum", "__i")
     j = cum.crossJoin(F.broadcast(tot)).withColumn(
         "__num",
         F.col("__n") * F.col("__cum") - F.col("__i") * F.col("__total"),
@@ -1532,19 +1551,20 @@ def weighted_median(
 
     Weights accumulate as DECIMAL(18,scale) and the half-total test is
     the integer-space cross-multiplication (2*cumw >= total), so no
-    float division can move the pick; the cumulative window runs over
-    DISTINCT values (value-space cardinality, the skyline/stump
-    contract), and the pick is a TakeOrdered limit 1.
+    float division can move the pick; cumulative weights ride
+    :func:`distrank.global_running_sums` over DISTINCT values
+    (percentile-bucketed — a continuous value column's ~n distinct
+    values never single-partition), and the pick is a TakeOrdered
+    limit 1.
     """
     w_ = F.col(weight_col).cast(f"decimal(18,{scale})")
     byv = df.groupBy(F.col(value_col).alias("v")).agg(
         F.sum(w_).alias("__w")
     )
-    win = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     tot = byv.agg(F.sum("__w").alias("__t"))
-    cum = byv.select("v", F.sum("__w").over(win).alias("__cw")).crossJoin(
-        F.broadcast(tot)
-    )
+    cum = distrank.global_running_sums(
+        byv, F.col("v"), {"__cw": F.col("__w")}
+    ).crossJoin(F.broadcast(tot))
     return (
         cum.filter(F.col("__cw") * 2 >= F.col("__t"))
         .orderBy("v")
@@ -1654,8 +1674,10 @@ def wasserstein_1d(
     value's UNITS (where KS reports a max gap and KL a ratio). Completes
     the two-sample family (z, t, Mann-Whitney, KS, chi2, KL/JS).
 
-    Cumulative counts ride one value-space window (distinct-value
-    cardinality, the KS contract); each segment's |CDF gap| uses the
+    Cumulative counts and the next-support-point lead ride ONE
+    :func:`distrank.global_running_sums` pass (percentile-bucketed, so
+    the distinct-value grain never single-partitions even for a
+    continuous value column); each segment's |CDF gap| uses the
     cross-multiplied integer form |cum_a*n_b - cum_b*n_a| so no division
     happens until the very end; segment widths are double differences of
     adjacent support points. Labels order ascending (a = min).
@@ -1674,13 +1696,12 @@ def wasserstein_1d(
         F.sum((F.col(group_col) == F.lit(ga)).cast("bigint")).alias("__ca"),
         F.sum((F.col(group_col) != F.lit(ga)).cast("bigint")).alias("__cb"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = byv.select(
-        "v",
-        F.sum("__ca").over(w).alias("__cuma"),
-        F.sum("__cb").over(w).alias("__cumb"),
-        (F.lead("v").over(Window.orderBy("v")) - F.col("v")).alias("__dx"),
-    )
+    cum = distrank.global_running_sums(
+        byv,
+        F.col("v"),
+        {"__cuma": F.col("__ca"), "__cumb": F.col("__cb")},
+        next_key_col="__nv",
+    ).withColumn("__dx", F.col("__nv") - F.col("v"))
     tot = byv.agg(
         F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
     )
@@ -2173,18 +2194,25 @@ def max_drawdown(
     (trough_day, peak_value, trough_value, max_drawdown, drawdown_pct).
 
     Input is a CALENDAR-GRAIN series (the caller reduces fact rows to
-    per-day values first), so the global running-max window sorts
-    thousands of rows, not billions — the gini/entity-level contract.
-    Values ride in DECIMAL through the running max and the subtraction,
-    so peak selection and the drawdown amount are exact; the single
-    trough row is picked by (drawdown DESC, day ASC) — deterministic
-    under ties — and only the final pct is a double division.
+    per-day values first); the running max is
+    :func:`distrank.global_running_max` — percentile-bucketed over the
+    numeric time key, so even a per-second (or per-entity-event) series
+    never lands on a single-reducer sort. Values ride in DECIMAL
+    through the running max and the subtraction, so peak selection and
+    the drawdown amount are exact; the single trough row is picked by
+    (drawdown DESC, day ASC) — deterministic under ties — and only the
+    final pct is a double division.
     """
-    w = Window.orderBy("__t").rowsBetween(Window.unboundedPreceding, 0)
-    d = series.select(
+    base = series.select(
         F.col(time_col).alias("__t"),
         F.col(value_col).cast("decimal(18,2)").alias("__v"),
-    ).withColumn("__peak", F.max("__v").over(w))
+    )
+    d = distrank.global_running_max(
+        base,
+        _numeric_order_key(base, "__t"),
+        F.col("__v"),
+        out_col="__peak",
+    )
     dd = d.withColumn("__dd", F.col("__peak") - F.col("__v"))
     pick = dd.orderBy(F.desc("__dd"), F.col("__t")).limit(1)
     return pick.select(

@@ -763,6 +763,12 @@ def dsir_importance(
         F.explode(word_tokens(text_col)).alias("__t")
     ).select(bucket(F.col("__t")).alias("__b"))
 
+    # FULL outer: a target token hashing to a bucket absent from the
+    # raw corpus must still count toward __nt (a left join silently
+    # dropped it, biasing every smoothed p_target when `target` is an
+    # external curated corpus rather than a docs subset); the zero-raw
+    # buckets never reach a document (per-doc buckets come from docs),
+    # so they only contribute their c_t to the totals
     per_b = (
         tok.groupBy("__b")
         .agg(F.count("*").cast("bigint").alias("c_r"))
@@ -771,10 +777,12 @@ def dsir_importance(
                 F.count("*").cast("bigint").alias("c_t")
             ),
             "__b",
-            "left",
+            "full",
         )
         .select(
-            "__b", "c_r", F.coalesce(F.col("c_t"), F.lit(0)).alias("c_t")
+            "__b",
+            F.coalesce(F.col("c_r"), F.lit(0)).alias("c_r"),
+            F.coalesce(F.col("c_t"), F.lit(0)).alias("c_t"),
         )
     )
     totals = per_b.agg(

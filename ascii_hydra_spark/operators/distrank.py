@@ -190,6 +190,133 @@ def global_running_sum(
     )
 
 
+def global_running_sums(
+    df: DataFrame,
+    key: Column,
+    sums: "dict[str, Column]",
+    *,
+    next_key_col: "str | None" = None,
+    num_buckets: "int | None" = None,
+) -> DataFrame:
+    """``df`` + one exact INCLUSIVE running-sum column per ``sums``
+    entry (out_name -> value expression) under ``key`` ascending, all
+    computed in ONE bucketed two-pass — the multi-accumulator sibling of
+    :func:`global_running_sum` for operators that cumulate several
+    series over the same order (ECDF gaps need cum_a AND cum_b; CUSUM
+    needs cumsum AND the row index). ``key`` must be unique per row
+    (the distinct-value / time-grain contract) and approxQuantile-able.
+
+    With ``next_key_col`` the global LEAD of the key rides along (NULL
+    on the last row), without any global window: within-bucket
+    ``lead`` patched at bucket boundaries by the next non-empty
+    bucket's min key — a window over the bounded per-bucket table.
+    Sound because the bucket expression is monotone in the key, so
+    every key in bucket b+1 >= every key in bucket b.
+
+    Each per-bucket pre-aggregate sums in the value's own type, so
+    decimal/bigint inputs keep exact arithmetic end to end.
+    """
+    names = list(sums)
+    tmp = {name: f"__dr_v{i}" for i, name in enumerate(names)}
+    base = df.withColumn("__dr_key", key)
+    for name in names:
+        base = base.withColumn(tmp[name], sums[name])
+    base, _ = _bucketed(base, F.col("__dr_key"), False, num_buckets)
+    aggs = [F.sum(tmp[n]).alias(f"{tmp[n]}_s") for n in names]
+    if next_key_col is not None:
+        aggs.append(F.min("__dr_key").alias("__dr_kmin"))
+    per_bucket = base.groupBy(_B).agg(*aggs)
+    one = single_partition(_B)
+    w_cum = (
+        Window.partitionBy(one)
+        .orderBy(_B)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    off_cols = [
+        (F.sum(f"{tmp[n]}_s").over(w_cum) - F.col(f"{tmp[n]}_s")).alias(
+            f"{tmp[n]}_off"
+        )
+        for n in names
+    ]
+    if next_key_col is not None:
+        off_cols.append(
+            F.lead("__dr_kmin").over(
+                Window.partitionBy(one).orderBy(_B)
+            ).alias("__dr_knext")
+        )
+    offs = per_bucket.select(F.col(_B), *off_cols)
+    w_local = (
+        Window.partitionBy(_B)
+        .orderBy(F.col("__dr_key").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = base.join(F.broadcast(offs), _B)
+    for n in names:
+        out = out.withColumn(
+            n,
+            F.sum(tmp[n]).over(w_local)
+            + F.coalesce(F.col(f"{tmp[n]}_off"), F.lit(0)),
+        )
+    if next_key_col is not None:
+        out = out.withColumn(
+            next_key_col,
+            F.coalesce(
+                F.lead("__dr_key").over(
+                    Window.partitionBy(_B).orderBy(F.col("__dr_key").asc())
+                ),
+                F.col("__dr_knext"),
+            ),
+        )
+    drop = (
+        [_B, "__dr_key"]
+        + [tmp[n] for n in names]
+        + [f"{tmp[n]}_off" for n in names]
+    )
+    if next_key_col is not None:
+        drop.append("__dr_knext")
+    return out.drop(*drop)
+
+
+def global_running_max(
+    df: DataFrame,
+    key: Column,
+    value_col: Column,
+    *,
+    out_col: str = "__rmax",
+    num_buckets: "int | None" = None,
+) -> DataFrame:
+    """``df`` + ``out_col`` = exact INCLUSIVE running MAX of
+    ``value_col`` under ``key`` ascending (unique-key contract, same as
+    the running sums) — the drawdown primitive. Same bucketed shape;
+    the cross-bucket carry is the prefix max of the bounded per-bucket
+    max table (NULL before the first bucket -> ``greatest`` skips it).
+    The value rides in its own type (decimal stays exact).
+    """
+    base, _ = _bucketed(
+        df.withColumn("__dr_v", value_col), key, False, num_buckets
+    )
+    per_bucket = base.groupBy(_B).agg(F.max("__dr_v").alias("__dr_m"))
+    one = single_partition(_B)
+    w_prev = (
+        Window.partitionBy(one)
+        .orderBy(_B)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = per_bucket.select(
+        F.col(_B), F.max("__dr_m").over(w_prev).alias("__dr_pmax")
+    )
+    local = F.max("__dr_v").over(
+        Window.partitionBy(_B)
+        .orderBy(key.asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.join(F.broadcast(offs), _B)
+        .withColumn(out_col, F.greatest(local, F.col("__dr_pmax")))
+        .drop(_B, "__dr_pmax", "__dr_v")
+    )
+
+
 def ntile_from_row_number(i: Column, n: Column, tiles: int) -> Column:
     """Standard SQL NTILE(t) from a 1-based global row number ``i`` and
     total count ``n`` — the first ``n % t`` tiles get ``n/t + 1`` rows,

@@ -1253,14 +1253,17 @@ def html_to_text(html: "Column | str") -> Column:
     oracle-checkable; pure codegen string ops, zero shuffles.
     """
     c = F.col(html) if isinstance(html, str) else html
-    t = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
-    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
-    t = F.regexp_replace(t, r"(?is)<head[^>]*>.*?</head>", " ")
+    # tag names are word-bounded via (\s[^>]*)?> so <header>/<headline>
+    # (CONTENT tags) never match the head-subtree patterns
+    t = F.regexp_replace(c, r"(?is)<script(\s[^>]*)?>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style(\s[^>]*)?>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?is)<head(\s[^>]*)?>.*?</head>", " ")
     t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
     # truncated crawl bodies routinely cut mid-subtree: an UNCLOSED
-    # script/style/comment would otherwise leak its source as "text"
-    # (only the opening tag would be stripped by the generic pass)
-    t = F.regexp_replace(t, r"(?is)<(script|style)[^>]*>.*$", " ")
+    # script/style/head/comment would otherwise leak its source (or
+    # title/meta text) as "text" — only the opening tag would be
+    # stripped by the generic pass
+    t = F.regexp_replace(t, r"(?is)<(script|style|head)(\s[^>]*)?>.*$", " ")
     t = F.regexp_replace(t, r"(?s)<!--.*$", " ")
     t = F.regexp_replace(t, r"<[^>]*>", " ")
     # &amp; decodes LAST: anything earlier would turn '&amp;lt;' into

@@ -66,12 +66,23 @@ def iter_warc_records(stream) -> "Iterator[tuple[dict, bytes]]":
         if not line.startswith(b"WARC/"):
             raise ValueError(f"expected WARC version line, got {line!r}")
         headers: dict[str, str] = {}
+        last_key: "str | None" = None
         while True:
             h = stream.readline()
             if h in (_CRLF, b"\n", b""):
                 break
+            # ISO 28500 allows folded header values: a line starting
+            # with SP/TAB continues the PREVIOUS header's value.
+            # Misreading one as a fresh header would at best invent a
+            # garbage key and at worst desynchronize the stream (a
+            # folded Content-Length-bearing value).
+            if h[:1] in (b" ", b"\t") and last_key is not None:
+                cont = h.decode("utf-8", "replace").strip()
+                headers[last_key] = (headers[last_key] + " " + cont).strip()
+                continue
             k, _, v = h.decode("utf-8", "replace").partition(":")
-            headers[k.strip().lower()] = v.strip()
+            last_key = k.strip().lower()
+            headers[last_key] = v.strip()
         try:
             clen = int(headers.get("content-length", "0"))
         except ValueError as e:

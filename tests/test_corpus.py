@@ -318,3 +318,29 @@ def test_dsir_importance_ranks_target_like_docs_higher(spark):
     target = docs.filter("doc_id < 5")
     out = {r["id"]: r["dsir_score"] for r in corpus.dsir_importance(docs, target).collect()}
     assert min(out[i] for i in range(5)) > max(out[i + 10] for i in range(5))
+
+
+def test_dsir_importance_external_target_tokens_all_count(spark):
+    # round-7 advisor finding: target tokens hashing to buckets ABSENT
+    # from the raw corpus must still count toward n_target (the old LEFT
+    # join silently dropped them). With an external single-token target
+    # disjoint from docs, the exact score of a one-token doc has the
+    # closed form floor(1e6 * ln(p_t/p_r)) / 1e6 with n_t = 1, not 0.
+    import hashlib
+    import math
+
+    doc_tok, tgt_tok = "docwordx", "tgtwordy"
+    B = 1024
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % B
+
+    assert bucket(doc_tok) != bucket(tgt_tok), "pick non-colliding tokens"
+    docs = spark.createDataFrame([(1, doc_tok)], "doc_id long, text string")
+    target = spark.createDataFrame([(9, tgt_tok)], "doc_id long, text string")
+    row = corpus.dsir_importance(docs, target).collect()[0]
+    # doc bucket: c_t=0, c_r=1; totals n_t=1 (the external token), n_r=1
+    p_t = (0 + 0.5) / (1 + 0.5 * B)
+    p_r = (1 + 0.5) / (1 + 0.5 * B)
+    want = math.floor(1e6 * math.log(p_t / p_r)) / 1e6
+    assert row["dsir_score"] == round(want, 6), (row["dsir_score"], want)

@@ -110,14 +110,94 @@ def test_ranks_are_a_permutation(spark):
     assert (mm.lo, mm.hi) == (1, 4000)
 
 
-def test_rank_plan_has_no_unpartitioned_data_window(spark):
+def assert_no_unpartitioned_window(df):
     import re
 
-    df = _rows(spark, n=2000)
-    got = distrank.global_row_number(df, F.col("v"), [F.col("tb")])
-    plan = got._jdf.queryExecution().executedPlan().toString()
+    plan = df._jdf.queryExecution().executedPlan().toString()
     # every Window node must carry a partition spec: WindowExec warns
     # (and single-partitions) exactly when the spec list is empty
     for m in re.finditer(r"Window \[[^\]]*\](.*)", plan):
         rest = m.group(1)
         assert rest.strip().startswith(", ["), f"unpartitioned window: {m.group(0)[:120]}"
+
+
+def test_rank_plan_has_no_unpartitioned_data_window(spark):
+    df = _rows(spark, n=2000)
+    assert_no_unpartitioned_window(
+        distrank.global_row_number(df, F.col("v"), [F.col("tb")])
+    )
+
+
+def test_global_running_sums_matches_single_window(spark):
+    # unique-key grain with TWO accumulators + the global lead riding one pass
+    df = _rows(spark, n=3000).groupBy("v").agg(
+        F.count("*").alias("c"), F.sum("tb").alias("s")
+    )
+    got = distrank.global_running_sums(
+        df,
+        F.col("v"),
+        {"cum_c": F.col("c"), "cum_s": F.col("s")},
+        next_key_col="nv",
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.select(
+        "v",
+        F.sum("c").over(w).alias("cum_c"),
+        F.sum("s").over(w).alias("cum_s"),
+        F.lead("v").over(Window.orderBy("v")).alias("nv"),
+    )
+    assert got.select("v", "cum_c", "cum_s", "nv").exceptAll(want).count() == 0
+    assert_no_unpartitioned_window(got)
+
+
+def test_global_running_sums_decimal_stays_exact(spark):
+    df = spark.createDataFrame(
+        [(i, f"{i}.0{i % 10}") for i in range(500)], "k long, raw string"
+    ).select("k", F.col("raw").cast("decimal(18,2)").alias("x"))
+    got = distrank.global_running_sums(df, F.col("k"), {"cum": F.col("x")})
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.select("k", F.sum("x").over(w).alias("cum"))
+    assert got.select("k", "cum").exceptAll(want).count() == 0
+
+
+def test_global_running_max_matches_single_window(spark):
+    # zig-zag values so the running max has real plateaus and jumps
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 211)) for i in range(3000)], "k long, x double"
+    )
+    got = distrank.global_running_max(df, F.col("k"), F.col("x"), out_col="pk")
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = df.select("k", F.max("x").over(w).alias("pk"))
+    assert got.select("k", "pk").exceptAll(want).count() == 0
+    assert_no_unpartitioned_window(got)
+
+
+def test_converted_analytics_plans_have_no_unpartitioned_window(spark):
+    # the round-7 conversions: every value-distinct-grain cumulative
+    # statistic must leave no empty-spec WindowExec in its plan
+    from ascii_hydra_spark.operators import analytics
+
+    ab = spark.createDataFrame(
+        [("A" if i % 2 == 0 else "B", float((i * 13) % 89) + i * 0.001)
+         for i in range(400)],
+        "grp string, x double",
+    )
+    series = spark.createDataFrame(
+        [(i, ((i * 7) % 50) + 1) for i in range(200)], "t long, n long"
+    )
+    weights = spark.createDataFrame(
+        [(float((i * 19) % 97), float(i % 5 + 1)) for i in range(300)],
+        "v double, w double",
+    )
+    vals = spark.createDataFrame(
+        [(float((i * 11) % 173), i) for i in range(300)], "x double, k long"
+    )
+    for out in (
+        analytics.ks_two_sample(ab, "grp", "x"),
+        analytics.wasserstein_1d(ab, "grp", "x"),
+        analytics.weighted_median(weights, "v", "w"),
+        analytics.trimmed_mean(vals, "x", "k"),
+        analytics.cusum_changepoint(series, "t", "n"),
+        analytics.max_drawdown(series, "t", "n"),
+    ):
+        assert_no_unpartitioned_window(out)

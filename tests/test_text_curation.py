@@ -296,6 +296,15 @@ def test_html_to_text_extraction_semantics(spark):
         "<p>hi</p><script>var a=1;doc": "hi",
         "a<style>p{": "a",
         "a<!-- cut off": "a",
+        # a body cut inside <head> must not leak title/meta text
+        # (round-7 advisor finding)
+        "<html><head><title>Leaky title": "",
+        "pre<head><meta x": "pre",
+        # <header>/<headline> are CONTENT tags — word-bounded patterns
+        # must not treat them as a head subtree
+        "<header>real nav text</header>rest": "real nav text rest",
+        "<head class=x><title>T</title></head>y": "y",
+        "<script defer src='x'>junk</script>z": "z",
     }
     df = spark.createDataFrame([(h,) for h in cases], "html string")
     out = {

@@ -131,6 +131,34 @@ def test_parser_reads_concatenated_gzip_members(tmp_path):
         assert len(list(iter_warc_records(f))) == 2
 
 
+def test_parser_handles_folded_header_values(tmp_path):
+    # ISO 28500 header values may fold across lines (continuation lines
+    # start with SP/TAB). A folded value misparsed as a fresh header
+    # invents a garbage key — and a folded Content-Length-bearing value
+    # would desynchronize the whole stream (round-7 advisor finding).
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://example.com/very/long\r\n"
+        b" /folded/path\r\n"
+        b"Content-Length: 4\r\n"
+        b"\r\n"
+        b"body\r\n\r\n"
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"Content-Length: 2\r\n"
+        b"\r\n"
+        b"ok\r\n\r\n"
+    )
+    recs = list(iter_warc_records(io.BytesIO(rec)))
+    assert len(recs) == 2, "folded header desynchronized the stream"
+    h0, b0 = recs[0]
+    assert b0 == b"body"
+    assert h0["warc-target-uri"] == "http://example.com/very/long /folded/path"
+    assert not any(k.startswith("/") for k in h0), h0
+    assert recs[1][1] == b"ok"
+
+
 def test_surt_url_canonicalization(spark):
     cases = {
         "http://www.Example.COM/p?b=2&a=1": "com,example)/p?a=1&b=2",
@@ -147,6 +175,14 @@ def test_surt_url_canonicalization(spark):
         # default ports drop; fragment drops; query-before-slash
         "http://www.Example.com:80?b=2&a=1#x": "com,example)/?a=1&b=2",
         "https://example.com:443/s": "com,example)/s",
+        # only the scheme's OWN default port drops: https://h:80 is a
+        # non-default origin and must not conflate with http://h
+        # (round-7 advisor finding)
+        "https://example.com:80/s": "com,example:80)/s",
+        "http://example.com:443/s": "com,example:443)/s",
+        # scheme-less input stays lenient (both defaults drop)
+        "example.com:80/s": "com,example)/s",
+        "example.com:443/s": "com,example)/s",
         # bracketed IPv6: groups are not labels, no reversal/port-mangle
         "http://[2001:db8::1]:8080/x": "2001:db8::1:8080)/x",
         "http://[::1]/x": "::1)/x",
