@@ -28,17 +28,44 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 from ascii_hydra_spark.operators import distrank
 
 
-def _numeric_order_key(df: DataFrame, col: str) -> Column:
+def _two_group_labels(df: DataFrame, group_col: str, op_name: str):
+    """The shared A/B-contract probe: (min_label, max_label) of
+    ``group_col`` validated to have EXACTLY two distinct values. One
+    bounded 1-row aggregate (map-side partial min/max/count_distinct —
+    strictly cheaper than the per-operator ``distinct().limit(3)`` scan
+    each two-sample test used to pay), collected once per operator
+    call. Raises ValueError otherwise — a silent pick would
+    misattribute the test."""
+    row = df.agg(
+        F.min(F.col(group_col)).alias("ga"),
+        F.max(F.col(group_col)).alias("gb"),
+        F.count_distinct(F.col(group_col)).alias("k"),
+    ).collect()[0]
+    if row["k"] != 2:
+        raise ValueError(
+            f"{op_name} needs exactly 2 groups in {group_col}, "
+            f"found {row['k']}"
+        )
+    return row["ga"], row["gb"]
+
+
+def _numeric_order_key(df: DataFrame, col: str) -> "Column | None":
     """A double-castable expression ordering identically to ``col`` —
     what distrank's approxQuantile bucket probe needs. Dates go through
     ``unix_date`` (CAST(date AS DOUBLE) is illegal), timestamps through
     an epoch cast; numerics pass through. Monotone in the original
-    column, so bucket order == time order."""
+    column, so bucket order == time order. Returns None for STRING
+    grains (ISO day strings order lexicographically but have no double
+    embedding): the caller falls back to one bucket — the pre-distrank
+    single-partition shape, acceptable because a string time grain is a
+    bounded calendar axis by contract."""
     dt = dict(df.dtypes)[col]
     if dt == "date":
         return F.unix_date(F.col(col))
     if dt.startswith("timestamp"):
         return F.col(col).cast("timestamp").cast("double")
+    if dt == "string" or dt.startswith(("varchar", "char")):
+        return None
     return F.col(col)
 
 
@@ -634,13 +661,7 @@ def two_proportion_ztest(
         )
         .orderBy("g")
     )
-    rows = per.limit(3).collect()  # bounded: group-cardinality probe
-    if len(rows) != 2:
-        raise ValueError(
-            f"two_proportion_ztest needs exactly 2 groups in {group_col}, "
-            f"found {len(rows)}"
-        )
-    (ga, na, sa), (gb, nb, sb) = [(r["g"], r["n"], r["s"]) for r in rows]
+    ga, gb = _two_group_labels(df, group_col, "two_proportion_ztest")
     a = per.filter(F.col("g") == ga).select(
         F.col("n").alias("__na"), F.col("s").alias("__sa")
     )
@@ -722,16 +743,7 @@ def mann_whitney_u(
     the per-row rank sum. Group labels order ascending (a = min label).
     Raises unless exactly two groups.
     """
-    labels = [
-        r["g"]
-        for r in df.select(F.col(group_col).alias("g")).distinct().limit(3).collect()
-    ]
-    if len(labels) != 2:
-        raise ValueError(
-            f"mann_whitney_u needs exactly 2 groups in {group_col}, "
-            f"found {len(labels)}"
-        )
-    ga = min(labels)
+    ga, _gb = _two_group_labels(df, group_col, "mann_whitney_u")
     per_v = df.groupBy(F.col(value_col).alias("__x")).agg(
         F.count("*").cast("long").alias("__t"),
         F.sum((F.col(group_col) == F.lit(ga)).cast("long")).alias("__ta"),
@@ -791,16 +803,7 @@ def ks_two_sample(
     — (ca*nb - cb*na) avoids forming either quotient — with no float
     comparison deciding the argmax. Raises unless exactly two groups.
     """
-    labels = [
-        r["g"]
-        for r in df.select(F.col(group_col).alias("g")).distinct().limit(3).collect()
-    ]
-    if len(labels) != 2:
-        raise ValueError(
-            f"ks_two_sample needs exactly 2 groups in {group_col}, "
-            f"found {len(labels)}"
-        )
-    ga = min(labels)
+    ga, _gb = _two_group_labels(df, group_col, "ks_two_sample")
     per_v = df.groupBy(F.col(value_col).alias("__x")).agg(
         F.sum((F.col(group_col) == F.lit(ga)).cast("bigint")).alias("__da"),
         F.sum((F.col(group_col) != F.lit(ga)).cast("bigint")).alias("__db"),
@@ -1241,10 +1244,12 @@ def cusum_changepoint(
     tot = base.agg(
         F.sum("__x").alias("__total"), F.count("*").alias("__n")
     )
+    key = _numeric_order_key(base, "__t")
     cum = distrank.global_running_sums(
         base,
-        _numeric_order_key(base, "__t"),
+        key if key is not None else F.col("__t"),
         {"__cum": F.col("__x"), "__i": F.lit(1).cast("bigint")},
+        num_buckets=None if key is not None else 1,
     ).select("__t", "__cum", "__i")
     j = cum.crossJoin(F.broadcast(tot)).withColumn(
         "__num",
@@ -1284,16 +1289,7 @@ def welch_ttest(
     Group labels order ascending (a = min label); raises unless exactly
     two groups (a silent pick would misattribute the test).
     """
-    labels = [
-        r["g"]
-        for r in df.select(F.col(group_col).alias("g")).distinct().limit(3).collect()
-    ]
-    if len(labels) != 2:
-        raise ValueError(
-            f"welch_ttest needs exactly 2 groups in {group_col}, "
-            f"found {len(labels)}"
-        )
-    ga = min(labels)
+    ga, _gb = _two_group_labels(df, group_col, "welch_ttest")
     is_a = F.col(group_col) == F.lit(ga)
     x = F.col(value_col).cast(f"decimal(18,{scale})")
     xx = x * x
@@ -1682,16 +1678,7 @@ def wasserstein_1d(
     happens until the very end; segment widths are double differences of
     adjacent support points. Labels order ascending (a = min).
     """
-    labels = [
-        r["g"]
-        for r in df.select(F.col(group_col).alias("g")).distinct().limit(3).collect()
-    ]
-    if len(labels) != 2:
-        raise ValueError(
-            f"wasserstein_1d needs exactly 2 groups in {group_col}, "
-            f"found {len(labels)}"
-        )
-    ga = min(labels)
+    ga, _gb = _two_group_labels(df, group_col, "wasserstein_1d")
     byv = df.groupBy(F.col(value_col).alias("v")).agg(
         F.sum((F.col(group_col) == F.lit(ga)).cast("bigint")).alias("__ca"),
         F.sum((F.col(group_col) != F.lit(ga)).cast("bigint")).alias("__cb"),
@@ -2003,16 +1990,7 @@ def population_stability_index(
     combination is an n_bins-bounded float sum under the KL-family 6-dp
     round.
     """
-    labels = [
-        r["g"]
-        for r in df.select(F.col(group_col).alias("g")).distinct().limit(3).collect()
-    ]
-    if len(labels) != 2:
-        raise ValueError(
-            f"population_stability_index needs exactly 2 groups in "
-            f"{group_col}, found {len(labels)}"
-        )
-    ga = min(labels)
+    ga, _gb = _two_group_labels(df, group_col, "population_stability_index")
     is_a = F.col(group_col) == F.lit(ga)
     qs = [i / n_bins for i in range(1, n_bins)]
     edges = df.filter(is_a).agg(
@@ -2207,11 +2185,13 @@ def max_drawdown(
         F.col(time_col).alias("__t"),
         F.col(value_col).cast("decimal(18,2)").alias("__v"),
     )
+    key = _numeric_order_key(base, "__t")
     d = distrank.global_running_max(
         base,
-        _numeric_order_key(base, "__t"),
+        key if key is not None else F.col("__t"),
         F.col("__v"),
         out_col="__peak",
+        num_buckets=None if key is not None else 1,
     )
     dd = d.withColumn("__dd", F.col("__peak") - F.col("__v"))
     pick = dd.orderBy(F.desc("__dd"), F.col("__t")).limit(1)

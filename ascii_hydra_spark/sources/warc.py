@@ -258,6 +258,58 @@ def fixture_record(i: int) -> "tuple[str, str, str, int, str, str]":
     return record_id, warc_date, uri, status, ctype, body
 
 
+def fixture_html_record(i: int) -> "tuple[str, str, str, int, str, str]":
+    """Deterministic HTML fixture capture ``i`` — the content-dedup
+    sibling of :func:`fixture_record`: bodies are full HTML pages with
+    script/style/head/comment traps around a closed-form text payload,
+    and payloads come in NEAR-DUPLICATE groups of 3 (group = i//3;
+    variants differ in ONE trailing token out of 17, word-bigram
+    Jaccard 15/17 ~ 0.882 — above the 0.8 MinHash threshold). Every
+    5th group is a too-short "tiny" page that must FAIL the Gopher
+    word-count gate. Closed-form in ``i`` so the DuckDB oracle
+    reconstructs payloads, gate outcomes, and the duplicate structure
+    in SQL (the warc_content_dedup_pipeline entry); any change here
+    must update that oracle.
+    """
+    record_id = f"urn:uuid:00000000-0000-0000-0000-{i:012d}"
+    warc_date = f"2024-02-{1 + i % 28:02d}T00:00:00Z"
+    g, v = i // 3, i % 3
+    uri = f"http://www.Site{g % 7}.Example.COM/doc/{g}/v{v}"
+    status = {2: 301, 3: 404}.get(i % 5, 200)
+    if g % 5 == 4:
+        content = f"tiny doc {g}"
+    else:
+        content = (
+            f"group {g} shared crawl content block "
+            + " ".join(f"w{g}x{j}" for j in range(10))
+            + f" tail{v}"
+        )
+    body = (
+        f"<html><head><title>Doc {i}</title><style>p{{color:red}}</style>"
+        f"</head><body><p>{content}</p><script>var v={v};</script>"
+        f"<!-- capture {i} --></body></html>"
+    )
+    return record_id, warc_date, uri, status, "text/html", body
+
+
+def fixture_hostfile_record(i: int) -> "tuple[str, str, str, int, str, str]":
+    """Deterministic fixture capture ``i`` with HOST-PER-SEGMENT
+    locality: host = Site{i // 150}, so each 150-record archive file
+    holds exactly one host — the locality real crawls have (Common
+    Crawl segments shard by crawl partition), and what makes a CDX
+    surt-prefix filter prune whole FILES rather than just records.
+    Same body/status/date closed forms as :func:`fixture_record`
+    (shared oracle reconstruction); used by the cdx_* entries with
+    n_records=600, n_files=4 so file f <=> host Site{f}.
+    """
+    record_id, warc_date, _, status, ctype, body = fixture_record(i)
+    uri = (
+        f"http://www.Site{i // 150}.Example.COM/path/{i}/page"
+        f"?b={i % 3}&a={i % 5}"
+    )
+    return record_id, warc_date, uri, status, ctype, body
+
+
 def _warc_record(headers: "list[tuple[str, str]]", block: bytes) -> bytes:
     head = b"WARC/1.0\r\n"
     head += b"".join(
@@ -272,6 +324,7 @@ def write_warc_fixture(
     n_records: int = 600,
     n_files: int = 4,
     compress: bool = True,
+    record_fn=fixture_record,
 ) -> "list[str]":
     """Write ``n_records`` fixture crawl captures as real WARC archives.
 
@@ -280,7 +333,10 @@ def write_warc_fixture(
     ``compress`` each record is its own gzip member, concatenated — the
     Common Crawl layout that lets a streaming reader resynchronize at
     member boundaries. Records are split into ``n_files`` contiguous
-    ranges, mirroring crawl segmentation.
+    ranges, mirroring crawl segmentation. ``record_fn`` picks the
+    capture spec (:func:`fixture_record` default;
+    :func:`fixture_html_record` for the content-dedup pipeline,
+    :func:`fixture_hostfile_record` for host-per-file CDX pruning).
     """
     os.makedirs(out_dir, exist_ok=True)
     ext = ".warc.gz" if compress else ".warc"
@@ -302,7 +358,7 @@ def write_warc_fixture(
             )
         ]
         for i in range(lo, hi):
-            rid, date, uri, status, ctype, body = fixture_record(i)
+            rid, date, uri, status, ctype, body = record_fn(i)
             body_b = body.encode("utf-8")
             chunks.append(
                 _warc_record(

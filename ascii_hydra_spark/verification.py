@@ -119,6 +119,56 @@ def dsum(col, scale: int = 2):
 _TOKS = "LIST_FILTER(STRING_SPLIT_REGEX(text, '\\s+'), x -> x <> '')"
 
 
+def _portable_minhash_cte(src: str = "documents") -> str:
+    """The portable-md5 MinHash-LSH pipeline as a DuckDB CTE chain over
+    any (doc_id, text) relation ``src`` — shared verbatim by the
+    documents-table entries and the crawl content-dedup pipeline so the
+    two oracles can never drift."""
+    return f"""
+    sh AS (
+        SELECT DISTINCT doc_id AS id,
+               UNNEST(CASE WHEN LEN(tk) >= 2
+                      THEN LIST_TRANSFORM(
+                          LIST_FILTER(LIST_ZIP(tk, tk[2:]),
+                                      p -> p[2] IS NOT NULL),
+                          p -> p[1] || ' ' || p[2])
+                      ELSE [] END) AS s
+        FROM (SELECT doc_id, {_TOKS} AS tk FROM {src})
+    ),
+    hv AS (
+        SELECT id, s, sd.i,
+               CAST(('0x' || SUBSTR(MD5(s || '#' || CAST(sd.i AS VARCHAR)),
+                                    1, 15)) AS BIGINT) AS h
+        FROM sh CROSS JOIN (SELECT range AS i FROM range(0, 16)) sd
+    ),
+    sig AS (SELECT id, i, MIN(h) AS m FROM hv GROUP BY id, i),
+    bandkeys AS (
+        SELECT id, i // 4 AS band,
+               STRING_AGG(CAST(m AS VARCHAR), ':' ORDER BY i) AS key
+        FROM sig GROUP BY id, i // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bandkeys a JOIN bandkeys b
+            ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    ),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS i
+        FROM cand c JOIN sh x ON x.id = c.id_a
+        JOIN sh y ON y.id = c.id_b AND y.s = x.s
+        GROUP BY c.id_a, c.id_b
+    ),
+    pairs AS (
+        SELECT id_a, id_b
+        FROM inter JOIN sizes sa ON sa.id = id_a
+        JOIN sizes sb ON sb.id = id_b
+        WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+    )
+"""
+
+
+
 # ===================================================================
 # Tier A — reference-exercised surface (scans, projections, aggregates)
 # ===================================================================
@@ -6318,6 +6368,259 @@ def warc_curation_pipeline(spark, sf_dir):
     )
 
 
+# the ten filler tokens of a fixture_html_record payload, unrolled for the
+# closed-form SQL reconstruction (w{g}x0 .. w{g}x9)
+_HTML_FIXTURE_FILLER_SQL = " || ' ' || ".join(
+    f"'w' || g || 'x{j}'" for j in range(10)
+)
+
+@q(
+    "warc_content_dedup_pipeline",
+    "WITH RECURSIVE base AS ("
+    """
+      SELECT i, i // 3 AS g, i % 3 AS v,
+             CASE i % 5 WHEN 2 THEN 301 WHEN 3 THEN 404 ELSE 200 END AS st
+      FROM range(240) t(i)
+    ),
+    kept AS (
+      SELECT i AS doc_id,
+             CASE WHEN g % 5 = 4 THEN 'tiny doc ' || g
+                  ELSE 'group ' || g || ' shared crawl content block ' || """
+    + _HTML_FIXTURE_FILLER_SQL
+    + """ || ' tail' || v
+             END AS text
+      FROM base WHERE st = 200
+    ),
+    gated AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               LEN(tk) AS nw,
+               CAST(LIST_SUM(LIST_TRANSFORM(tk, w -> LENGTH(w))) AS DOUBLE)
+                   / NULLIF(CAST(LEN(tk) AS DOUBLE), 0.0) AS mwl,
+               CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '#', '', 'g'))
+                    + LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '…', '', 'g'))
+                    + (LENGTH(text)
+                       - LENGTH(REGEXP_REPLACE(text, '\\.\\.\\.', '', 'g')))
+                      / 3.0 AS DOUBLE)
+                   / NULLIF(CAST(LEN(tk) AS DOUBLE), 0.0) AS symr,
+               CAST(LEN(LIST_FILTER(tk, w -> REGEXP_MATCHES(w, '[A-Za-z]')))
+                    AS DOUBLE)
+                   / NULLIF(CAST(LEN(tk) AS DOUBLE), 0.0) AS alphar,
+               LEN(LIST_FILTER(['shared', 'crawl'],
+                               s -> LIST_CONTAINS(tk, s))) AS nstop
+        FROM (SELECT doc_id, text, """
+    + _TOKS
+    + """ AS tk FROM kept)
+      )
+      WHERE nw >= 8 AND nw <= 1000 AND mwl >= 1.0 AND mwl <= 20.0
+        AND symr <= 0.1 AND alphar >= 0.5 AND nstop >= 1
+    ),
+    """
+    + _portable_minhash_cte("gated")
+    + """
+    , edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+        SELECT doc_id AS node, doc_id AS r FROM gated
+        UNION
+        SELECT e.dst AS node, r.r FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach
+             GROUP BY node)
+    SELECT c.doc_id, CAST(LENGTH(g2.text) AS BIGINT) AS n_chars
+    FROM comp c JOIN gated g2 ON g2.doc_id = c.doc_id
+    WHERE c.doc_id = c.cluster_id
+    """,
+    "The production crawl-curation pipeline end-to-end on real scanned "
+    "archive bytes with CONTENT near-dup (the reference's paper.md "
+    "pipeline shape; round-6's warc_curation_pipeline deduped by "
+    "SURT-host fingerprint only): WARC scan -> fetch-status filter -> "
+    "html_to_text extraction (script/style/head/comment traps planted "
+    "in every fixture page) -> Gopher gate (tiny pages fail the "
+    "word-count rule) -> portable-md5 MinHash-LSH near-dup pairs over "
+    "the EXTRACTED text (planted 3-variant groups at bigram Jaccard "
+    "15/17) -> connected components -> min-id survivor per cluster. "
+    "Every stage reconstructed closed-form in the oracle, LSH recall "
+    "included (both engines compute the identical md5 band keys, so a "
+    "missed pair is missed identically)",
+)
+def warc_content_dedup_pipeline(spark, sf_dir):
+    from ascii_hydra_spark.sources.warc import (
+        fixture_html_record,
+        register_warc_source,
+        write_warc_fixture,
+    )
+
+    register_warc_source(spark)
+    d = tempfile.mkdtemp(prefix="ahs_warc_html_")
+    write_warc_fixture(
+        d, n_records=240, n_files=4, compress=True,
+        record_fn=fixture_html_record,
+    )
+    docs = (
+        spark.read.format("warc")
+        .option("path", d)
+        .load()
+        .filter(F.col("http_status") == 200)
+        .select(
+            # record_id tail = the zero-padded capture index
+            F.substring("record_id", -12, 12).cast("bigint").alias("doc_id"),
+            text.html_to_text(F.col("body")).alias("text"),
+        )
+    )
+    flags = text.gopher_quality_flags(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        keep_cols=("text",),
+        min_words=8,
+        max_words=1000,
+        min_mean_word_len=1.0,
+        max_mean_word_len=20.0,
+        max_symbol_word_ratio=0.1,
+        min_alpha_word_ratio=0.5,
+        stop_words=("shared", "crawl"),
+        min_stop_words=1,
+    )
+    # persisted: the gated text feeds FOUR consumers (minhash shingles,
+    # the cluster seed set, the survivor semi-join, the final select) —
+    # without this each one re-drives the Python DataSource scan + gate
+    kept = (
+        flags.filter("passes")
+        .select(F.col("id").alias("doc_id"), "text")
+        .persist()
+    )
+    pairs = dedup.minhash_lsh_pairs_portable(
+        kept, "doc_id", "text", threshold=0.8, num_hashes=16, bands=4
+    )
+    surv = dedup.cluster_dedup(kept, pairs, "doc_id")
+    return surv.select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars")
+    )
+
+
+@q(
+    "cdx_index_build",
+    """
+    SELECT 'part-' || printf('%05d', CAST(i // 150 AS INTEGER))
+               || '.warc.gz' AS warc_file,
+           'urn:uuid:00000000-0000-0000-0000-' || printf('%012d', i)
+               AS record_id,
+           '2024-01-' || printf('%02d', CAST(1 + i % 28 AS INTEGER))
+               || 'T00:00:00Z' AS warc_date,
+           'com,example,site' || CAST(i // 150 AS VARCHAR) || ')/path/'
+               || i || '/page?a=' || (i % 5) || '&b=' || (i % 3) AS surt,
+           CAST(CASE i % 5 WHEN 2 THEN 301 WHEN 3 THEN 404 ELSE 200 END
+                AS INTEGER) AS http_status,
+           CAST(OCTET_LENGTH(ENCODE(body)) AS BIGINT) AS content_length,
+           MD5(body) AS digest
+    FROM (
+      SELECT i,
+             'Record ' || i || ' crawl body '
+             || repeat('w' || (i % 11) || ' ', CAST(i % 13 AS INTEGER))
+             || CASE WHEN i % 10 = 0 THEN 'café' ELSE '' END AS body
+      FROM range(600) t(i)
+    )
+    """,
+    "CDX-style crawl index build (the step Common Crawl users run "
+    "BEFORE touching WARC bytes — the reference toolchain's "
+    "fastwarc/warcio/surt workflow): one task per archive walks gzip "
+    "members via decompressobj, emitting (surt, timestamp, offset, "
+    "length, digest, status) per response record. The hash-matched "
+    "projection carries every closed-form column; the byte "
+    "offset/length coordinates (zlib-output-dependent, not "
+    "SQL-expressible) are verified STRONGER in pytest by actually "
+    "seeking: read(offset, length) -> gunzip -> parse -> digest must "
+    "match (tests/test_cdx.py)",
+)
+def cdx_index_build(spark, sf_dir):
+    from ascii_hydra_spark.functions import surt_url
+    from ascii_hydra_spark.sources.cdx import register_cdx_source
+    from ascii_hydra_spark.sources.warc import (
+        fixture_hostfile_record,
+        write_warc_fixture,
+    )
+
+    register_cdx_source(spark)
+    d = tempfile.mkdtemp(prefix="ahs_cdx_")
+    write_warc_fixture(
+        d, n_records=600, n_files=4, compress=True,
+        record_fn=fixture_hostfile_record,
+    )
+    idx = spark.read.format("cdx").option("path", d).load()
+    return idx.select(
+        "warc_file",
+        "record_id",
+        "warc_date",
+        surt_url("target_uri").alias("surt"),
+        "http_status",
+        "content_length",
+        "digest",
+    )
+
+
+@q(
+    "cdx_pruned_fetch",
+    """
+    WITH site1 AS (
+      SELECT CASE i % 5 WHEN 2 THEN 301 WHEN 3 THEN 404 ELSE 200 END AS st,
+             'Record ' || i || ' crawl body '
+             || repeat('w' || (i % 11) || ' ', CAST(i % 13 AS INTEGER))
+             || CASE WHEN i % 10 = 0 THEN 'café' ELSE '' END AS body
+      FROM range(150, 300) t(i)
+    )
+    SELECT CAST(st AS INTEGER) AS http_status,
+           COUNT(*)::BIGINT AS n_records,
+           CAST(1 AS BIGINT) AS n_files_touched,
+           CAST(SUM(OCTET_LENGTH(ENCODE(body))) AS BIGINT) AS total_bytes,
+           COUNT(DISTINCT MD5(body))::BIGINT AS n_distinct_bodies
+    FROM site1 GROUP BY st
+    """,
+    "Index-pruned selective fetch — the Common Crawl random-access "
+    "pattern the index exists for: filter the CDX index by SURT host "
+    "(host-per-segment fixture, so the filter prunes 3 of 4 archives "
+    "ENTIRELY — n_files_touched proves it and tests/test_cdx.py "
+    "asserts the unpruned files are never opened), then seek-fetch "
+    "ONLY the surviving (file, offset, length) triples via a "
+    "mapInPandas repartitioned by archive (each file opens once, "
+    "offsets ascending = forward-only seeks). Payload bytes move for "
+    "fetched records only; the index filter runs on flat scalars",
+)
+def cdx_pruned_fetch(spark, sf_dir):
+    from ascii_hydra_spark.functions import surt_url
+    from ascii_hydra_spark.sources.cdx import (
+        fetch_records_by_index,
+        register_cdx_source,
+    )
+    from ascii_hydra_spark.sources.warc import (
+        fixture_hostfile_record,
+        write_warc_fixture,
+    )
+
+    register_cdx_source(spark)
+    d = tempfile.mkdtemp(prefix="ahs_cdx_")
+    write_warc_fixture(
+        d, n_records=600, n_files=4, compress=True,
+        record_fn=fixture_hostfile_record,
+    )
+    idx = spark.read.format("cdx").option("path", d).load()
+    pruned = idx.filter(
+        F.substring_index(surt_url("target_uri"), ")", 1)
+        == "com,example,site1"
+    )
+    recs = fetch_records_by_index(pruned)
+    return recs.groupBy("http_status").agg(
+        F.count("*").cast("bigint").alias("n_records"),
+        F.countDistinct("warc_file").cast("bigint").alias("n_files_touched"),
+        F.sum("content_length").cast("bigint").alias("total_bytes"),
+        F.countDistinct(F.md5(F.col("body").cast("binary")))
+        .cast("bigint")
+        .alias("n_distinct_bodies"),
+    )
+
+
 @q(
     "price_ending_profile",
     """
@@ -10328,48 +10631,7 @@ def simhash_pairs_portable(spark, sf_dir):
 # the pair entry above and the survivors composition below): word-bigram
 # shingles -> 16 seeded-md5 min-hashes -> 4x4 band keys -> candidate
 # pairs -> exact Jaccard >= 0.8.
-_PORTABLE_MINHASH_CTE = f"""
-    sh AS (
-        SELECT DISTINCT doc_id AS id,
-               UNNEST(CASE WHEN LEN(tk) >= 2
-                      THEN LIST_TRANSFORM(
-                          LIST_FILTER(LIST_ZIP(tk, tk[2:]),
-                                      p -> p[2] IS NOT NULL),
-                          p -> p[1] || ' ' || p[2])
-                      ELSE [] END) AS s
-        FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)
-    ),
-    hv AS (
-        SELECT id, s, sd.i,
-               CAST(('0x' || SUBSTR(MD5(s || '#' || CAST(sd.i AS VARCHAR)),
-                                    1, 15)) AS BIGINT) AS h
-        FROM sh CROSS JOIN (SELECT range AS i FROM range(0, 16)) sd
-    ),
-    sig AS (SELECT id, i, MIN(h) AS m FROM hv GROUP BY id, i),
-    bandkeys AS (
-        SELECT id, i // 4 AS band,
-               STRING_AGG(CAST(m AS VARCHAR), ':' ORDER BY i) AS key
-        FROM sig GROUP BY id, i // 4
-    ),
-    cand AS (
-        SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        FROM bandkeys a JOIN bandkeys b
-            ON a.band = b.band AND a.key = b.key AND a.id < b.id
-    ),
-    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
-    inter AS (
-        SELECT c.id_a, c.id_b, COUNT(*) AS i
-        FROM cand c JOIN sh x ON x.id = c.id_a
-        JOIN sh y ON y.id = c.id_b AND y.s = x.s
-        GROUP BY c.id_a, c.id_b
-    ),
-    pairs AS (
-        SELECT id_a, id_b
-        FROM inter JOIN sizes sa ON sa.id = id_a
-        JOIN sizes sb ON sb.id = id_b
-        WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
-    )
-"""
+_PORTABLE_MINHASH_CTE = _portable_minhash_cte()
 
 
 @q(
@@ -14855,6 +15117,8 @@ _ROUND10_POOL: tuple[str, ...] = (
     "distributed_median_price", "binaryfile_scan", "dsir_importance_en",
     "html_text_extraction", "price_ending_profile", "gini_by_segment",
     "stream_quality_gate", "warc_curation_pipeline",
+    # round-7 additions
+    "warc_content_dedup_pipeline", "cdx_index_build", "cdx_pruned_fetch",
 )
 
 _PRIORITY: tuple[str, ...] = (

@@ -192,6 +192,34 @@ def test_surt_url_canonicalization(spark):
     assert out == cases
 
 
+def test_html_fixture_near_dup_structure(spark, tmp_path):
+    # the content-dedup pipeline's planted structure: variants of one
+    # group are bigram-Jaccard 15/17 near-dups AFTER html extraction;
+    # tiny groups fail the Gopher word-count gate
+    from ascii_hydra_spark.operators import dedup, text
+    from ascii_hydra_spark.sources.warc import fixture_html_record
+
+    rid, date, uri, status, ctype, body = fixture_html_record(0)
+    assert ctype == "text/html" and "<script>" in body
+    rows = [(i, fixture_html_record(i)[5]) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, body string")
+    docs = df.select("doc_id", text.html_to_text(F.col("body")).alias("t"))
+    got = {r["doc_id"]: r["t"] for r in docs.collect()}
+    # extraction yields exactly the payload (traps stripped)
+    assert got[0].startswith("group 0 shared crawl content block w0x0")
+    assert got[0].endswith("tail0") and "<" not in got[0]
+    assert got[12] == "tiny doc 4"  # g=4 is a tiny group
+    pairs = dedup.minhash_lsh_pairs_portable(
+        docs.filter(F.length("t") > 20), "doc_id", "t",
+        threshold=0.8, num_hashes=16, bands=4,
+    ).collect()
+    # every found pair is within one planted group, at J = 15/17
+    assert pairs, "no near-dup pairs found in planted groups"
+    for r in pairs:
+        assert r["id_a"] // 3 == r["id_b"] // 3, r
+        assert abs(r["jaccard"] - 15 / 17) < 1e-6
+
+
 def test_missing_path_and_empty_dir_raise(spark, tmp_path):
     register_warc_source(spark)
     empty = str(tmp_path / "empty")

@@ -647,6 +647,195 @@ def main() -> int:
 
     stage("warc_scan", warc_scan)
 
+    # ---- distributed cumulative statistics at 1M DISTINCT values: the
+    # round-7 conversions (weighted_median / max_drawdown ride distrank
+    # running sums/max instead of an unpartitioned Window.orderBy).
+    # Closed forms: 1M distinct unit-weight values 0..n-1 have weighted
+    # median ceil(n/2)-1; a rise-then-fall series has drawdown
+    # (n-1) - p with the trough at the last point ----
+    def distributed_cumsum():
+        nr = 1_000_000
+        vals = spark.range(nr).select(
+            F.pmod(F.col("id") * 611953, F.lit(nr)).cast("double").alias("v"),
+            F.lit(1.0).alias("w"),
+        )
+        med = A.weighted_median(vals, "v", "w").collect()[0]
+        assert med["weighted_median"] == float(nr // 2 - 1), med
+        assert med["total_weight"] == float(nr), med
+        p = 600_000
+        series = spark.range(nr).select(
+            F.col("id").alias("t"),
+            F.when(F.col("id") <= p, F.col("id"))
+            .otherwise(2 * p - F.col("id"))
+            .cast("double")
+            .alias("value"),
+        )
+        dd = A.max_drawdown(series, "t", "value").collect()[0]
+        assert dd["peak_value"] == float(p), dd
+        assert dd["max_drawdown"] == float(nr - 1 - p), dd
+        assert dd["trough_day"] == str(nr - 1), dd
+        return {
+            "distinct_values": nr,
+            "median": med["weighted_median"],
+            "drawdown": dd["max_drawdown"],
+        }
+
+    stage("distributed_cumsum", distributed_cumsum)
+
+    # ---- text-curation gates at 50k docs: Gopher rules (must stay a
+    # pure shuffle-free projection — the filter-before-shuffle shape),
+    # html_to_text round-trip over wrapped bodies, DSIR identity ----
+    from ascii_hydra_spark.operators import corpus as C
+    from ascii_hydra_spark.operators import text as T
+
+    def text_gates():
+        # thresholds sized to the synthetic corpus: the stop-word rule
+        # (footer markers) is the discriminator, so the EXACT pass count
+        # has a closed form — docs whose BASE id carries the footer
+        flags = T.gopher_quality_flags(
+            docs, "doc_id", "text",
+            min_words=30, max_words=100, min_mean_word_len=1.0,
+            max_mean_word_len=10.0, max_symbol_word_ratio=0.1,
+            min_alpha_word_ratio=0.5, stop_words=("footerxq", "alpha"),
+            min_stop_words=1,
+        )
+        plan = flags._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "gopher gate must not shuffle"
+        agg = flags.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("passes").cast("long")).alias("n_pass"),
+        ).collect()[0]
+        assert agg["n"] == args.docs
+
+        def base(i: int) -> int:
+            if i >= n9:
+                return i - n9
+            if i >= n8:
+                return i - n3_
+            return i
+
+        n3_ = int(args.docs * 0.3)
+        exp_pass = sum(1 for i in range(args.docs) if base(i) % 3 == 0)
+        assert agg["n_pass"] == exp_pass, (agg["n_pass"], exp_pass)
+        # html wrap -> extract must reproduce every body byte-for-byte
+        wrapped = docs.select(
+            "doc_id",
+            "text",
+            F.concat(
+                F.lit("<html><head><title>t</title></head><body><p>"),
+                F.col("text"),
+                F.lit("</p><script>var x=1;</script><!-- c --></body></html>"),
+            ).alias("html"),
+        )
+        bad = wrapped.filter(
+            T.html_to_text(F.col("html")) != F.col("text")
+        ).count()
+        assert bad == 0, f"{bad} docs failed the extract round-trip"
+        # DSIR with target == corpus: ln(1) = 0 in every bucket, so all
+        # 50k scores are EXACTLY 0 (integer-quantized log-ratios)
+        nonzero = C.dsir_importance(docs, docs).filter(
+            F.col("dsir_score") != 0.0
+        ).count()
+        assert nonzero == 0, f"{nonzero} nonzero identity-DSIR scores"
+        return {"docs": agg["n"], "gopher_pass": agg["n_pass"]}
+
+    stage("text_curation_gates", text_gates)
+
+    # ---- crawl content-dedup pipeline at 20k HTML captures / 8 gzip
+    # archives: scan -> html_to_text -> Gopher gate -> portable MinHash
+    # LSH -> cluster survivors. The fixture spec is replayed in pure
+    # Python for exact expected gate counts; survivor count is bounded
+    # by [groups kept, docs kept] and must show real collapse ----
+    def warc_content_dedup():
+        from ascii_hydra_spark.operators import text as TX
+        from ascii_hydra_spark.sources.warc import (
+            fixture_html_record,
+            register_warc_source,
+            write_warc_fixture,
+        )
+
+        wd = os.path.join(out, "warc_html_sf1")
+        nrec = 20_000
+        write_warc_fixture(
+            wd, n_records=nrec, n_files=8, compress=True,
+            record_fn=fixture_html_record,
+        )
+        register_warc_source(spark)
+        docs_w = (
+            spark.read.format("warc")
+            .option("path", wd)
+            .load()
+            .filter(F.col("http_status") == 200)
+            .select(
+                F.substring("record_id", -12, 12).cast("bigint").alias("doc_id"),
+                TX.html_to_text(F.col("body")).alias("text"),
+            )
+        )
+        flags = TX.gopher_quality_flags(
+            docs_w, "doc_id", "text", keep_cols=("text",),
+            min_words=8, max_words=1000, min_mean_word_len=1.0,
+            max_mean_word_len=20.0, max_symbol_word_ratio=0.1,
+            min_alpha_word_ratio=0.5, stop_words=("shared", "crawl"),
+            min_stop_words=1,
+        )
+        kept = (
+            flags.filter("passes")
+            .select(F.col("id").alias("doc_id"), "text")
+            .persist()
+        )
+        # exact expected gate outcome from the closed-form fixture spec
+        exp_kept = [
+            i for i in range(nrec)
+            if i % 5 in (0, 1, 4) and (i // 3) % 5 != 4
+        ]
+        got_kept = kept.count()
+        assert got_kept == len(exp_kept), (got_kept, len(exp_kept))
+        exp_groups = len({i // 3 for i in exp_kept})
+        pairs = D.minhash_lsh_pairs_portable(
+            kept, "doc_id", "text", threshold=0.8, num_hashes=16, bands=4
+        )
+        surv = D.cluster_dedup(kept, pairs, "doc_id").count()
+        kept.unpersist()
+        assert exp_groups <= surv <= got_kept, (exp_groups, surv, got_kept)
+        # real collapse: LSH banding recall ~0.97 per pair, so survivors
+        # must sit close to the group count, far below the kept count
+        assert surv <= exp_groups * 1.10, (surv, exp_groups)
+        return {"records": nrec, "kept": got_kept, "groups": exp_groups,
+                "survivors": surv}
+
+    stage("warc_content_dedup", warc_content_dedup)
+
+    # ---- CDX index + pruned fetch over the 20k-record archive dir from
+    # warc_scan: index rows = response records, coordinates must tile,
+    # and a one-segment fetch touches exactly one of 8 archives ----
+    def cdx_index_fetch():
+        from ascii_hydra_spark.sources.cdx import (
+            fetch_records_by_index,
+            register_cdx_source,
+        )
+
+        wd = os.path.join(out, "warc_sf1")  # written by warc_scan
+        register_cdx_source(spark)
+        idx = spark.read.format("cdx").option("path", wd).load().persist()
+        n = idx.count()
+        assert n == 20_000, n
+        one = idx.filter(F.col("warc_file") == "part-00003.warc.gz")
+        n_one = one.count()
+        fetched = fetch_records_by_index(one)
+        agg = fetched.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("warc_file").alias("files"),
+            F.sum("content_length").alias("bytes"),
+        ).collect()[0]
+        idx_bytes = one.agg(F.sum("content_length").alias("b")).collect()[0]["b"]
+        idx.unpersist()
+        assert agg["n"] == n_one and agg["files"] == 1, agg
+        assert agg["bytes"] == idx_bytes, (agg["bytes"], idx_bytes)
+        return {"index_rows": n, "fetched": agg["n"],
+                "files_touched": agg["files"]}
+
+    stage("cdx_index_fetch", cdx_index_fetch)
+
     summary = {
         "metric": "scale_stress_sf1",
         "docs": args.docs,
