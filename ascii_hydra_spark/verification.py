@@ -6622,6 +6622,72 @@ def cdx_pruned_fetch(spark, sf_dir):
 
 
 @q(
+    "cdx_index_jsonl_sink",
+    """
+    SELECT 'part-' || printf('%05d', CAST(i // 150 AS INTEGER))
+               || '.warc.gz' AS warc_file,
+           COUNT(*)::BIGINT AS n_records,
+           CAST(149 AS BIGINT) AS n_offset_increasing,
+           CAST(SUM(OCTET_LENGTH(ENCODE(body))) AS BIGINT) AS total_bytes,
+           COUNT(DISTINCT MD5(body))::BIGINT AS n_distinct_digests
+    FROM (
+      SELECT i,
+             'Record ' || i || ' crawl body '
+             || repeat('w' || (i % 11) || ' ', CAST(i % 13 AS INTEGER))
+             || CASE WHEN i % 10 = 0 THEN 'café' ELSE '' END AS body
+      FROM range(600) t(i)
+    )
+    GROUP BY 1
+    """,
+    "CDX index EMITTED through the custom JSONL sink and read back — "
+    "the publish step of a crawl-index build job (CDX files ARE "
+    "newline-delimited index records): build index -> ahs_jsonl write "
+    "(task-attempt-unique parts, manifest commit) -> spark.read.json "
+    "-> per-archive audit. n_offset_increasing (lag window over the "
+    "round-tripped offsets, per archive in seq order) is the "
+    "closed-form invariant that survives serialization even though "
+    "raw zlib offsets are not SQL-expressible: exactly n-1 strictly "
+    "increasing steps per 150-record archive",
+)
+def cdx_index_jsonl_sink(spark, sf_dir):
+    from ascii_hydra_spark.sources.cdx import register_cdx_source
+    from ascii_hydra_spark.sources.pydatasource import register_synthetic_docs
+    from ascii_hydra_spark.sources.warc import (
+        fixture_hostfile_record,
+        write_warc_fixture,
+    )
+
+    register_cdx_source(spark)
+    register_synthetic_docs(spark)
+    d = tempfile.mkdtemp(prefix="ahs_cdx_")
+    write_warc_fixture(
+        d, n_records=600, n_files=4, compress=True,
+        record_fn=fixture_hostfile_record,
+    )
+    idx = spark.read.format("cdx").option("path", d).load()
+    sink = tempfile.mkdtemp(prefix="ahs_cdx_jsonl_") + "/index"
+    idx.write.format("ahs_jsonl").mode("overwrite").option(
+        "path", sink
+    ).save()
+    back = spark.read.json(f"{sink}/part-*.jsonl")
+    w = Window.partitionBy("warc_file").orderBy("seq")
+    inc = (F.col("offset") > F.lag("offset").over(w)).cast("int")
+    return (
+        back.select("warc_file", "seq", "offset", "content_length", "digest")
+        .withColumn("inc", inc)
+        .groupBy("warc_file")
+        .agg(
+            F.count("*").cast("bigint").alias("n_records"),
+            F.sum("inc").cast("bigint").alias("n_offset_increasing"),
+            F.sum("content_length").cast("bigint").alias("total_bytes"),
+            F.countDistinct("digest").cast("bigint").alias(
+                "n_distinct_digests"
+            ),
+        )
+    )
+
+
+@q(
     "price_ending_profile",
     """
     WITH c AS (
@@ -15119,6 +15185,7 @@ _ROUND10_POOL: tuple[str, ...] = (
     "stream_quality_gate", "warc_curation_pipeline",
     # round-7 additions
     "warc_content_dedup_pipeline", "cdx_index_build", "cdx_pruned_fetch",
+    "cdx_index_jsonl_sink",
 )
 
 _PRIORITY: tuple[str, ...] = (
