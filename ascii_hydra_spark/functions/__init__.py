@@ -207,6 +207,50 @@ def surt_url(url: Column | str) -> Column:
     )
 
 
+def surt_host(url: Column | str) -> Column:
+    """The SURT host prefix (everything before ``)``) — the per-domain
+    partition/dedup key the crawl entries group on."""
+    return F.substring_index(surt_url(url), ")", 1)
+
+
+def surt_domain_blocked(host: Column, blocklist: "list[str]") -> Column:
+    """True iff a SURT host is a blocked registered domain or any
+    subdomain/port variant of one — the label-boundary PREFIX test the
+    reversed-label form makes cheap: ``com,example`` blocks
+    ``com,example``, ``com,example,sub`` and ``com,example:8080`` but
+    NOT ``com,exampleevil`` (label boundary) and NOT
+    ``org,evil,com,example...`` (a suffix-string trap that fools naive
+    ``endswith('example.com')`` matching). Unrolled literal
+    comparisons — right for config-sized blocklists (plan constants,
+    pure codegen). A crawl-scale list (millions of domains) should
+    instead extract each host's leading-label prefixes and LEFT SEMI
+    join a broadcast blocklist table keyed by prefix — same semantics,
+    one broadcast join; and because SURT keys SORT by registered
+    domain, a range/cluster layout turns the same test into partition
+    pruning."""
+    import functools
+
+    checks = [
+        (host == b)
+        | host.startswith(b + ",")
+        | host.startswith(b + ":")
+        for b in blocklist
+    ]
+    return functools.reduce(lambda a, c: a | c, checks)
+
+
+def luhn_valid(digits: Column | str) -> Column:
+    """Luhn mod-10 checksum validity of a digit string — the
+    card-number plausibility test a PII/DQ audit wants BEFORE flagging
+    13-19 digit runs as payment data (random digit runs pass ~10% of
+    the time; real PANs always pass). Delegates to Spark's built-in
+    ``luhn_check`` expression (JVM codegen); the DuckDB oracle
+    recomputes the same double-every-second-from-the-right fold over
+    the digit list."""
+    c = F.col(digits) if isinstance(digits, str) else digits
+    return F.call_function("luhn_check", c)
+
+
 def zorder_key(x: Column | str, y: Column | str, bits: int = 16) -> Column:
     """Morton (Z-order) key: interleave the low `bits` of two non-negative
     int columns into one sort key. Sorting/clustering files by this key

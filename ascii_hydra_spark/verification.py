@@ -6688,6 +6688,123 @@ def cdx_index_jsonl_sink(spark, sf_dir):
 
 
 @q(
+    "surt_blocklist_filter",
+    """
+    SELECT source,
+           COUNT(*)::BIGINT AS n_urls,
+           SUM(CASE WHEN doc_id % 4 IN (0, 1) THEN 1 ELSE 0 END)::BIGINT
+               AS n_blocked,
+           SUM(CASE WHEN doc_id % 4 IN (0, 1) THEN 0 ELSE 1 END)::BIGINT
+               AS n_kept
+    FROM documents GROUP BY source
+    """,
+    "Crawl-frontier domain blocklist via SURT label-boundary PREFIX "
+    "matching: 'com,example,blocked0' blocks the exact domain "
+    "(case/www variants collapse first) and every subdomain, but NOT "
+    "the planted SUFFIX TRAP blocked0.example.com.evil.org — the case "
+    "naive endswith('blocked0.example.com') string matching gets "
+    "wrong, and the oracle's closed-form expected outcome proves the "
+    "engine's semantics (the url_canonical_dedup ground-truth "
+    "pattern). At crawl scale the same reversed-label key makes the "
+    "blocklist a broadcast semi-join or a partition-pruned range scan",
+)
+def surt_blocklist_filter(spark, sf_dir):
+    from ascii_hydra_spark.functions import surt_domain_blocked, surt_host
+
+    d = _t(spark, sf_dir, "documents")
+    host = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit("www.Blocked0.Example.com"),  # exact (case+www variant)
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.lit("cdn.blocked0.example.com"),  # subdomain
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.lit("blocked0.example.com.evil.org"),  # suffix trap: KEEP
+        )
+        .otherwise(F.concat(F.lit("safe-"), F.col("source"), F.lit(".example.net")))
+    )
+    url = F.concat(
+        F.lit("http://"), host, F.lit("/p/"), F.col("doc_id").cast("string")
+    )
+    blocked = surt_domain_blocked(
+        surt_host(url), ["com,example,blocked0"]
+    )
+    return d.select("source", "doc_id", blocked.alias("b")).groupBy(
+        "source"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_urls"),
+        F.sum(F.col("b").cast("int")).cast("bigint").alias("n_blocked"),
+        F.sum((~F.col("b")).cast("int")).cast("bigint").alias("n_kept"),
+    )
+
+
+@q(
+    "luhn_card_audit",
+    """
+    WITH nums AS (
+      SELECT o_orderpriority,
+             '4' || printf('%014d', o_orderkey)
+                 || CAST(o_orderkey % 10 AS VARCHAR) AS num
+      FROM orders
+    ),
+    d AS (
+      SELECT o_orderpriority,
+             LIST_TRANSFORM(SPLIT(REVERSE(num), ''),
+                            x -> CAST(x AS INTEGER)) AS ds
+      FROM nums
+    ),
+    v AS (
+      SELECT o_orderpriority,
+             LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(ds)),
+               i -> CASE WHEN i % 2 = 0
+                         THEN CASE WHEN ds[i] * 2 > 9 THEN ds[i] * 2 - 9
+                                   ELSE ds[i] * 2 END
+                         ELSE ds[i] END)) % 10 = 0 AS ok
+      FROM d
+    )
+    SELECT o_orderpriority,
+           COUNT(*)::BIGINT AS n_checked,
+           SUM(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_luhn_valid,
+           ROUND(CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS valid_share
+    FROM v GROUP BY o_orderpriority
+    """,
+    "Luhn mod-10 audit of synthesized 16-digit card-like numbers per "
+    "order priority — the plausibility gate a PII scan runs before "
+    "flagging digit runs as payment data (random checks pass ~10%). "
+    "Spark side is the built-in luhn_check expression (codegen); the "
+    "oracle RECOMPUTES the double-every-second-from-the-right fold "
+    "over the reversed digit list, so the two engines' independent "
+    "Luhn implementations must agree on every number",
+)
+def luhn_card_audit(spark, sf_dir):
+    from ascii_hydra_spark.functions import luhn_valid
+
+    o = _t(spark, sf_dir, "orders")
+    num = F.concat(
+        F.lit("4"),
+        F.lpad(F.col("o_orderkey").cast("string"), 14, "0"),
+        (F.col("o_orderkey") % 10).cast("string"),
+    )
+    ok = luhn_valid(num)
+    return o.select("o_orderpriority", ok.alias("ok")).groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_checked"),
+        F.sum(F.col("ok").cast("int")).cast("bigint").alias("n_luhn_valid"),
+        F.round(
+            F.sum(F.col("ok").cast("int")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("valid_share"),
+    )
+
+
+@q(
     "price_ending_profile",
     """
     WITH c AS (
@@ -15185,7 +15302,7 @@ _ROUND10_POOL: tuple[str, ...] = (
     "stream_quality_gate", "warc_curation_pipeline",
     # round-7 additions
     "warc_content_dedup_pipeline", "cdx_index_build", "cdx_pruned_fetch",
-    "cdx_index_jsonl_sink",
+    "cdx_index_jsonl_sink", "surt_blocklist_filter", "luhn_card_audit",
 )
 
 _PRIORITY: tuple[str, ...] = (

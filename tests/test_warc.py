@@ -192,6 +192,54 @@ def test_surt_url_canonicalization(spark):
     assert out == cases
 
 
+def test_surt_domain_blocklist_boundaries(spark):
+    from ascii_hydra_spark.functions import surt_domain_blocked, surt_host
+
+    cases = {
+        # exact registered domain (case + www variants collapse first)
+        "http://www.Blocked0.Example.com/x": True,
+        "https://blocked0.example.com/y": True,
+        # subdomains and non-default ports of a blocked domain
+        "http://cdn.blocked0.example.com/z": True,
+        "http://blocked0.example.com:8080/p": True,
+        # label boundary: a LONGER final label is a different domain
+        "http://blocked0x.example.com/p": False,
+        # suffix trap: blocked0.example.com.evil.org ENDS WITH the
+        # blocked string but is registered under evil.org
+        "http://blocked0.example.com.evil.org/p": False,
+        "http://safe.example.net/p": False,
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r["url"]: r["b"]
+        for r in df.select(
+            "url",
+            surt_domain_blocked(
+                surt_host(F.col("url")), ["com,example,blocked0"]
+            ).alias("b"),
+        ).collect()
+    }
+    assert got == cases
+
+
+def test_luhn_valid_known_vectors(spark):
+    from ascii_hydra_spark.functions import luhn_valid
+
+    cases = {
+        "79927398713": True,   # the canonical Luhn test number
+        "79927398710": False,
+        "4532015112830366": True,   # valid 16-digit PAN shape
+        "4532015112830367": False,
+        "0": True,  # degenerate single zero: sum 0 % 10 == 0
+    }
+    df = spark.createDataFrame([(n,) for n in cases], "num string")
+    got = {
+        r["num"]: r["ok"]
+        for r in df.select("num", luhn_valid("num").alias("ok")).collect()
+    }
+    assert got == cases
+
+
 def test_html_fixture_near_dup_structure(spark, tmp_path):
     # the content-dedup pipeline's planted structure: variants of one
     # group are bigram-Jaccard 15/17 near-dups AFTER html extraction;
