@@ -1,0 +1,174 @@
+"""Crawl-politeness operators: robots.txt parsing and URL gating.
+
+The reference's crawl toolchain (fastwarc/warcio/surt on Databricks,
+reference resources/databricks.py:76-78 and the paper.md pipeline)
+consumes archives that an upstream crawler produced under robots.txt
+rules; re-crawling, selective re-fetch (the CDX path in sources/cdx.py)
+and frontier construction all need the same gate. This module evaluates
+the rules Spark-first:
+
+- ``parse_robots_rules``: robots.txt BODIES -> flat (host, agent, rule,
+  path) rows. Line explode + comment strip + a per-host forward-fill
+  window binds each Allow/Disallow to its preceding User-agent line.
+- ``robots_gate``: URL set x rules -> allowed boolean under the
+  longest-match semantics modern crawlers use (RFC 9309): among all
+  rules of the matched agent group whose path is a PREFIX of the URL
+  path, the longest wins; Allow wins length ties; no match = allowed.
+  An empty ``Disallow:`` value matches nothing (allow-all), per spec.
+
+Scope (documented subset): path patterns are literal PREFIXES — the
+RFC's ``*`` wildcards and ``$`` anchors are not interpreted — and a
+rule group binds to its single nearest User-agent line (multi-agent
+groups listing several agents take the last). Both are the common case
+in real robots files and keep every step inside codegen string ops
+with a DuckDB closed form.
+
+Scale shape: the rules table is tiny (one row per host x rule — a
+frontier of millions of hosts still yields a broadcast-sized table per
+partition of hosts); the gate is one equi-join on host + a
+(url)-keyed max-struct aggregate, so URL text never shuffles more than
+once and the join side AQE-broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def parse_robots_rules(
+    robots: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """Flatten robots.txt bodies into (host, agent, rule, path) rows.
+
+    ``rule`` is 'allow' | 'disallow' (lowercased); ``path`` keeps its
+    case (URL paths are case-sensitive); comments (# to end of line)
+    and unknown directives (crawl-delay, sitemap, ...) drop; rules
+    before any User-agent line drop (no group to bind to, per spec).
+    """
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("ln", "raw"),
+    )
+    clean = F.trim(F.regexp_replace(F.col("raw"), "#.*$", ""))
+    directive = F.lower(F.trim(F.substring_index(clean, ":", 1)))
+    value = F.trim(F.regexp_extract(clean, r"^[^:]*:(.*)$", 1))
+    parsed = lines.select(
+        "host",
+        "ln",
+        directive.alias("d"),
+        value.alias("v"),
+    ).filter(F.col("d").isin("user-agent", "allow", "disallow"))
+    w = (
+        Window.partitionBy("host")
+        .orderBy("ln")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    agent = F.last(
+        F.when(F.col("d") == "user-agent", F.lower(F.col("v"))),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        parsed.withColumn("agent", agent)
+        .filter(F.col("d").isin("allow", "disallow") & F.col("agent").isNotNull())
+        .select(
+            "host",
+            "agent",
+            F.col("d").alias("rule"),
+            F.col("v").alias("path"),
+        )
+    )
+
+
+def robots_gate(
+    urls: DataFrame,
+    rules: DataFrame,
+    id_col: str,
+    url_col: str,
+    agent: str = "*",
+) -> DataFrame:
+    """(id, url, host, path, allowed) for every URL row, gated by the
+    parsed rules of ``agent`` (exact lowercase match) merged with the
+    ``*`` group — longest-prefix wins, Allow wins ties, no match (or
+    no rules for the host) allows.
+
+    The length/allow precedence is ONE max over a (length, is_allow)
+    struct — Spark and any SQL engine order struct comparisons
+    lexicographically by field, so the gate needs no window.
+    """
+    a = agent.lower()
+    r = rules.filter(
+        (F.col("agent") == F.lit(a)) | (F.col("agent") == F.lit("*"))
+    )
+    if a != "*":
+        # RFC 9309: the most specific matching group applies, not the
+        # union — if the agent has its own group on a host, * drops out
+        has_own = (
+            rules.filter(F.col("agent") == F.lit(a))
+            .select("host")
+            .distinct()
+            .withColumn("__own", F.lit(1))
+        )
+        r = (
+            r.join(has_own, "host", "left")
+            .filter(
+                (F.col("agent") == F.lit(a)) | F.col("__own").isNull()
+            )
+            .drop("__own")
+        )
+    r = r.select(
+        "host",
+        F.col("rule").alias("__rrule"),
+        F.col("path").alias("__rpath"),
+    )
+    u = urls.select(
+        F.col(id_col).alias("id"),
+        F.col(url_col).alias("url"),
+        F.lower(
+            F.substring_index(
+                F.regexp_extract(
+                    F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1
+                ),
+                "@",
+                -1,
+            )
+        ).alias("host"),
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract(
+                    F.col(url_col),
+                    r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)",
+                    1,
+                ),
+                F.lit(""),
+            ),
+            F.lit("/"),
+        ).alias("path"),
+    )
+    j = u.join(r, "host", "left")
+    # an EMPTY rule path matches nothing ("Disallow:" = allow all)
+    matched = F.col("__rpath").isNotNull() & (
+        F.col("__rpath") != ""
+    ) & F.col("path").startswith(F.col("__rpath"))
+    best = F.max(
+        F.when(
+            matched,
+            F.struct(
+                F.length("__rpath").alias("l"),
+                (F.col("__rrule") == "allow").cast("int").alias("a"),
+            ),
+        )
+    )
+    return (
+        j.groupBy("id", "url", "host", "path")
+        .agg(best.alias("__best"))
+        .select(
+            "id",
+            "url",
+            "host",
+            "path",
+            (
+                F.col("__best").isNull()
+                | (F.col("__best.a") == 1)
+            ).alias("allowed"),
+        )
+    )

@@ -6805,6 +6805,77 @@ def luhn_card_audit(spark, sf_dir):
 
 
 @q(
+    "robots_url_gate",
+    """
+    SELECT source || '.example.com' AS host,
+           COUNT(*)::BIGINT AS n_urls,
+           SUM(CASE WHEN doc_id % 5 IN (0, 2, 4) THEN 1 ELSE 0 END)::BIGINT
+               AS n_allowed,
+           SUM(CASE WHEN doc_id % 5 IN (1, 3) THEN 1 ELSE 0 END)::BIGINT
+               AS n_denied
+    FROM documents GROUP BY source
+    """,
+    "robots.txt URL gate (RFC 9309 longest-match subset — the crawl-"
+    "politeness step upstream of every WARC archive): bodies parse to "
+    "flat rules via line explode + per-host forward-fill agent "
+    "binding; the gate is one host equi-join + a max over a "
+    "(prefix_length, is_allow) struct — longest prefix wins, Allow "
+    "wins ties, empty Disallow matches nothing, comments and unknown "
+    "directives drop, the evilbot group must NOT leak into the '*' "
+    "evaluation. The oracle is the closed-form EXPECTED decision per "
+    "planted path class (ground truth, never a parser re-"
+    "implementation)",
+)
+def robots_url_gate(spark, sf_dir):
+    from ascii_hydra_spark.operators import crawl
+
+    d = _t(spark, sf_dir, "documents")
+    body = (
+        "User-agent: evilbot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: *  # the default group\n"
+        "Disallow: /private  # members only\n"
+        "Allow: /private/ok\n"
+        "Disallow: /tmp\n"
+        "Disallow:\n"
+        "Crawl-delay: 5\n"
+        "Sitemap: http://x/sitemap.xml\n"
+    )
+    hosts = (
+        d.select(
+            F.concat(F.col("source"), F.lit(".example.com")).alias("host")
+        )
+        .distinct()
+        .withColumn("body", F.lit(body))
+    )
+    rules = crawl.parse_robots_rules(hosts)
+    path = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("/public/"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("/private/"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit("/private/ok/"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(F.lit("/tmp/"), F.col("doc_id").cast("string")))
+        .otherwise(F.lit("/"))
+    )
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.com"), path
+        ).alias("url"),
+    )
+    gated = crawl.robots_gate(urls, rules, "doc_id", "url", agent="*")
+    return gated.groupBy("host").agg(
+        F.count("*").cast("bigint").alias("n_urls"),
+        F.sum(F.col("allowed").cast("int")).cast("bigint").alias("n_allowed"),
+        F.sum((~F.col("allowed")).cast("int")).cast("bigint").alias("n_denied"),
+    )
+
+
+@q(
     "price_ending_profile",
     """
     WITH c AS (
@@ -15303,6 +15374,7 @@ _ROUND10_POOL: tuple[str, ...] = (
     # round-7 additions
     "warc_content_dedup_pipeline", "cdx_index_build", "cdx_pruned_fetch",
     "cdx_index_jsonl_sink", "surt_blocklist_filter", "luhn_card_audit",
+    "robots_url_gate",
 )
 
 _PRIORITY: tuple[str, ...] = (
