@@ -1237,6 +1237,72 @@ def gopher_quality_flags(
     )
 
 
+# classic double-encoded-UTF-8 artifact shapes, shared verbatim with the
+# oracle side: UTF-8 bytes re-read as Latin-1/cp1252 produce 'Ã©'-style
+# pairs ('Ã' + a continuation-range char), the 'â€™' smart-punctuation
+# family, 'Â'-prefixed NBSP/guillemets, and U+FFFD (a decode already
+# failed upstream). \x{..} codepoint escapes parse identically in Java
+# regex (Spark) and RE2 (DuckDB).
+MOJIBAKE_PATTERNS: "tuple[str, ...]" = (
+    # Ã + Latin-1 continuation (é->Ã©, ü->Ã¼, ...). cp1252 misdecodes of
+    # bytes 0x80-0x9f land outside this range (€, ™, œ...), so the 'â€'
+    # smart-punctuation family below matches on its 2-char prefix alone —
+    # the sequence 'â€' does not occur in legitimate text
+    "Ã[\\x{0080}-\\x{00ff}]",
+    "â€",
+    "Â[\\x{00a0}\\x{00ab}\\x{00bb}]",
+    "\\x{fffd}",
+)
+
+
+def mojibake_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    keep_cols: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """Per-doc (id, keep_cols..., n_artifacts, is_clean): count of
+    double-encoded UTF-8 artifact sequences — the encoding-damage gate
+    every open corpus pipeline runs (C4/Dolma drop or fix mojibake
+    documents; artifact counts also locate the upstream charset bug).
+    One ``regexp_count`` per pattern family, summed — pure codegen
+    projection (keep_cols ride through, the gopher_quality_flags
+    shape), and each pattern needs a non-ASCII char so clean ASCII
+    text can never false-positive.
+    """
+    n = sum(
+        (F.regexp_count(F.col(text_col), F.lit(p)) for p in MOJIBAKE_PATTERNS),
+        F.lit(0),
+    ).cast("bigint")
+    return docs.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in keep_cols],
+        n.alias("n_artifacts"),
+        (n == 0).alias("is_clean"),
+    )
+
+
+# invisible/format codepoints that survive naive cleaning and poison
+# tokenizers and dedup keys: zero-widths, BOM, soft hyphen, directional
+# marks. NBSP is handled separately (it becomes a real space, not '').
+INVISIBLE_CHARS_PATTERN = (
+    "[\\x{200b}\\x{200c}\\x{200d}\\x{feff}\\x{00ad}\\x{200e}\\x{200f}]"
+)
+
+
+def strip_invisible_chars(text: "Column | str") -> Column:
+    """Text with zero-width/format codepoints REMOVED and NBSP
+    converted to a plain space — the normalization that stops
+    'foo\\u200bbar' splitting dedup keys and token counts from
+    'foobar' (zero-widths are the classic cause of same-looking
+    near-misses in exact dedup). Two codegen regex passes; no UDF.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, INVISIBLE_CHARS_PATTERN, "")
+    return F.regexp_replace(c, "\\x{00a0}", " ")
+
+
 def html_to_text(html: "Column | str") -> Column:
     """Plain text extracted from an HTML column — the step between a
     WARC response body and every text operator in this package (the

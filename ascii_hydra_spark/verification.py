@@ -6876,6 +6876,95 @@ def robots_url_gate(spark, sf_dir):
 
 
 @q(
+    "mojibake_audit",
+    """
+    SELECT source, COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 1 END)::BIGINT
+               AS n_affected,
+           SUM(CASE doc_id % 5 WHEN 4 THEN 0 WHEN 1 THEN 2 ELSE 1
+               END)::BIGINT AS n_artifacts
+    FROM documents GROUP BY source
+    """,
+    "Encoding-damage audit: double-encoded UTF-8 artifacts (the "
+    "'cafÃ©' / 'donâ€™t' / 'Â«' / U+FFFD families) planted "
+    "compositionally onto clean ASCII fixture text — the oracle states "
+    "the closed-form EXPECTED artifact counts per planted class "
+    "(ground truth; clean ASCII cannot false-positive because every "
+    "pattern requires a non-ASCII char), so the engine's regex "
+    "families are verified against intent, not against themselves",
+)
+def mojibake_audit(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" cafÃ©"))
+        .when(F.col("doc_id") % 5 == 1,
+              F.lit(" donâ€™t â€” ok"))
+        .when(F.col("doc_id") % 5 == 2, F.lit(" Â« quote"))
+        .when(F.col("doc_id") % 5 == 3, F.lit(" bad�byte"))
+        .otherwise(F.lit("")),
+    )
+    stats = text.mojibake_stats(
+        d.select("doc_id", "source", planted.alias("text")),
+        "doc_id",
+        "text",
+        keep_cols=("source",),
+    )
+    return stats.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum((~F.col("is_clean")).cast("int")).cast("bigint").alias(
+            "n_affected"
+        ),
+        F.sum("n_artifacts").cast("bigint").alias("n_artifacts"),
+    )
+
+
+@q(
+    "invisible_char_scrub",
+    """
+    SELECT doc_id,
+           CAST(LENGTH(expected) AS BIGINT) AS n_chars_clean,
+           MD5(expected) AS clean_md5
+    FROM (
+      SELECT doc_id,
+             text || CASE doc_id % 3
+               WHEN 0 THEN ' zerowidth'
+               WHEN 1 THEN 'bom nbsp'
+               ELSE ''
+             END AS expected
+      FROM documents
+    )
+    """,
+    "Invisible-codepoint scrub (zero-widths / BOM / soft hyphen / "
+    "directional marks removed, NBSP -> space): planted invisibles "
+    "must scrub back to the closed-form EXPECTED string per doc "
+    "(ground truth, the html_text_extraction pattern) — the "
+    "normalization that stops 'foo\\u200bbar' splitting dedup keys "
+    "and token counts from 'foobar'",
+)
+def invisible_char_scrub(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit(" \u200bzero\u200cwidth\u200d\u00ad"),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.lit("\ufeffbom\u00a0nbsp\u200e\u200f"),
+        )
+        .otherwise(F.lit("")),
+    )
+    cleaned = text.strip_invisible_chars(planted)
+    return d.select(
+        "doc_id",
+        F.length(cleaned).cast("bigint").alias("n_chars_clean"),
+        F.md5(cleaned.cast("binary")).alias("clean_md5"),
+    )
+
+
+@q(
     "price_ending_profile",
     """
     WITH c AS (
@@ -15374,7 +15463,7 @@ _ROUND10_POOL: tuple[str, ...] = (
     # round-7 additions
     "warc_content_dedup_pipeline", "cdx_index_build", "cdx_pruned_fetch",
     "cdx_index_jsonl_sink", "surt_blocklist_filter", "luhn_card_audit",
-    "robots_url_gate",
+    "robots_url_gate", "mojibake_audit", "invisible_char_scrub",
 )
 
 _PRIORITY: tuple[str, ...] = (

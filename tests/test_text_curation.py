@@ -278,6 +278,43 @@ def test_gopher_quality_flags_empty_text_is_null_not_error(spark):
     assert row["passes"] is None or row["passes"] is False
 
 
+def test_mojibake_stats_families_and_clean_ascii(spark):
+    cases = {
+        "plain ascii text, no damage": 0,
+        "cafÃ© latin-1 double decode": 1,      # Ã©
+        "donâ€™t and â€“dash": 2,  # â€™ + â€“
+        "Â« guillemet artifact": 1,            # Â«
+        "lost � byte": 1,
+        "café real accents stay clean": 0,          # é alone is FINE
+        "Ã©Ã¼ two artifacts": 2,     # Ã© + Ã¼
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(cases)], "doc_id long, text string"
+    )
+    out = {r["id"]: r["n_artifacts"] for r in text.mojibake_stats(df).collect()}
+    want = {i: n for i, n in enumerate(cases.values())}
+    assert out == want
+
+
+def test_strip_invisible_chars_exact(spark):
+    cases = {
+        "foo\u200bbar": "foobar",            # zero-width space
+        "a\u200c\u200d\u00adb": "ab",        # ZWNJ/ZWJ/soft hyphen
+        "\ufeffdoc start": "doc start",      # BOM
+        "nb\u00a0sp": "nb sp",               # NBSP -> real space
+        "l\u200er\u200fmarks": "lrmarks",    # directional marks
+        "plain": "plain",
+    }
+    df = spark.createDataFrame([(t,) for t in cases], "t string")
+    out = {
+        r["t"]: r["c"]
+        for r in df.select(
+            "t", text.strip_invisible_chars("t").alias("c")
+        ).collect()
+    }
+    assert out == cases
+
+
 def test_html_to_text_extraction_semantics(spark):
     cases = {
         # subtrees removed wholesale, not just their tags
