@@ -639,6 +639,180 @@ def kaplan_meier(
     )
 
 
+def nelson_aalen(
+    df: DataFrame, duration_col: str, event_col: str
+) -> DataFrame:
+    """(t, n_at_risk, n_events, cum_hazard): the Nelson-Aalen cumulative
+    hazard estimator H(t) = sum over t_i <= t of d_i / n_i — the
+    survival family's additive sibling of :func:`kaplan_meier` (hazard
+    adds where survival multiplies; -ln(KM survival) ~ H for small
+    hazards, and H is what a proportional-hazards readout wants).
+
+    Same shapes and contract as kaplan_meier: one duration-keyed
+    groupBy to time-point grain, at-risk from the total minus an
+    exclusive running sum, the cumulative sum an ORDERED window fold
+    (engine-deterministic); d/n are exact integers divided once per
+    time point.
+    """
+    per_t = df.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(F.col(event_col).cast("bigint")).alias("n_events"),
+        F.count("*").cast("bigint").alias("__n_t"),
+    )
+    total = per_t.agg(F.sum("__n_t").alias("__total"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_incl = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    left_before = F.coalesce(F.sum("__n_t").over(w_prev), F.lit(0))
+    j = per_t.crossJoin(F.broadcast(total)).withColumn(
+        "n_at_risk", (F.col("__total") - left_before).cast("bigint")
+    )
+    step = F.col("n_events").cast("double") / F.col("n_at_risk").cast("double")
+    return j.select(
+        F.col("t").cast("bigint").alias("t"),
+        "n_at_risk",
+        "n_events",
+        F.round(F.sum(step).over(w_incl), 6).alias("cum_hazard"),
+    )
+
+
+def logrank_test(
+    df: DataFrame, group_col: str, duration_col: str, event_col: str
+) -> DataFrame:
+    """One row (n_a, n_b, observed_a, expected_a, chi2): the two-group
+    log-rank test — "do these survival curves differ?", the
+    experiment readout for churn/retention A/B where a mean test is
+    wrong (censoring) and KS is wrong (time-to-event). At each event
+    time t: O_a accumulates group A's events, E_a accumulates
+    d_t * nA_t / n_t, V accumulates the hypergeometric variance
+    d_t * (nA_t/n_t) * (1 - nA_t/n_t) * (n_t - d_t) / (n_t - 1);
+    chi2 = (O_a - E_a)^2 / V (1 df).
+
+    Per-group at-risk counts come from ONE
+    :func:`distrank.global_running_sums` pass over the time grain (the
+    subjects-entering counts for both groups cumulate together), so
+    the test scales like the converted cumulative statistics — no
+    unpartitioned data window. Exact integer d/n per time point;
+    the three accumulators are ordered-fold sums. Raises unless
+    exactly two groups (shared probe).
+    """
+    ga, _gb = _two_group_labels(df, group_col, "logrank_test")
+    is_a = (F.col(group_col) == F.lit(ga)).cast("bigint")
+    per_t = df.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(is_a).alias("__in_a"),
+        F.count("*").cast("bigint").alias("__in_t"),
+        F.sum(F.col(event_col).cast("bigint") * is_a).alias("__d_a"),
+        F.sum(F.col(event_col).cast("bigint")).alias("__d_t"),
+    )
+    totals = per_t.agg(
+        F.sum("__in_a").alias("__na"), F.sum("__in_t").alias("__nt")
+    )
+    cum = distrank.global_running_sums(
+        per_t,
+        F.col("t"),
+        {"__ca": F.col("__in_a"), "__ct": F.col("__in_t")},
+    ).crossJoin(F.broadcast(totals))
+    # at-risk = total minus everyone who entered at EARLIER time points
+    at_a = (F.col("__na") - F.col("__ca") + F.col("__in_a")).cast("double")
+    at_t = (F.col("__nt") - F.col("__ct") + F.col("__in_t")).cast("double")
+    dt = F.col("__d_t").cast("double")
+    p_a = at_a / at_t
+    e_a = dt * p_a
+    v = F.when(
+        at_t > 1.0,
+        dt * p_a * (F.lit(1.0) - p_a) * (at_t - dt) / (at_t - F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    agg = cum.agg(
+        F.min("__na").cast("bigint").alias("n_a"),
+        (F.min("__nt") - F.min("__na")).cast("bigint").alias("n_b"),
+        F.sum("__d_a").cast("bigint").alias("observed_a"),
+        F.round(F.sum(e_a), 6).alias("expected_a"),
+        F.sum(v).alias("__v"),
+    )
+    chi2 = F.when(
+        F.col("__v") > 0.0,
+        F.pow(
+            F.col("observed_a").cast("double") - F.col("expected_a"), 2
+        )
+        / F.col("__v"),
+    )
+    return agg.select(
+        "n_a", "n_b", "observed_a", "expected_a",
+        F.round(chi2, 6).alias("chi2"),
+    )
+
+
+def cuped_adjusted_ab(
+    df: DataFrame,
+    group_col: str,
+    pre_col: str,
+    post_col: str,
+    *,
+    scale: int = 2,
+) -> DataFrame:
+    """One row (n_a, n_b, raw_diff, adjusted_diff, theta,
+    var_reduction): CUPED variance reduction (Deng et al. 2013, the
+    standard experimentation-platform trick) — regress the experiment
+    metric on its own PRE-period value, theta = cov(pre, post) /
+    var(pre) pooled across groups, report the A-B difference of
+    theta-adjusted means. Same treatment effect, (1 - rho^2) of the
+    variance.
+
+    Moments accumulate as EXACT integer sums in 10^-scale units (the
+    cents trick: a decimal cast then one exact scale-up to bigint, so
+    sums of squares stay inside int64 instead of tripping the
+    wide-decimal->double 2^53 rounding gotcha); every derived float
+    follows one written operation order. The adjusted difference needs
+    only GROUP moments (the per-row adjustment cancels algebraically
+    to raw_diff - theta * (mean_pre_a - mean_pre_b)), so the whole
+    operator is ONE aggregate + arithmetic — no second pass, no
+    per-row adjusted column. Raises unless exactly two groups.
+    """
+    ga, _gb = _two_group_labels(df, group_col, "cuped_adjusted_ab")
+    is_a = F.col(group_col) == F.lit(ga)
+    m = 10 ** scale
+    x = (F.col(pre_col).cast(f"decimal(18,{scale})") * F.lit(m)).cast(
+        "bigint"
+    )
+    y = (F.col(post_col).cast(f"decimal(18,{scale})") * F.lit(m)).cast(
+        "bigint"
+    )
+    agg = df.agg(
+        F.sum(is_a.cast("bigint")).alias("__na"),
+        F.count("*").cast("bigint").alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y * y).alias("__syy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(F.when(is_a, x)).alias("__sxa"),
+        F.sum(F.when(is_a, y)).alias("__sya"),
+    )
+    n = F.col("__n").cast("double")
+    na = F.col("__na").cast("double")
+    nb = n - na
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    var_x = F.col("__sxx").cast("double") / n - (sx / n) * (sx / n)
+    var_y = F.col("__syy").cast("double") / n - (sy / n) * (sy / n)
+    cov_xy = F.col("__sxy").cast("double") / n - (sx / n) * (sy / n)
+    theta = cov_xy / F.nullif(var_x, F.lit(0.0))
+    rho2 = (cov_xy * cov_xy) / F.nullif(var_x * var_y, F.lit(0.0))
+    mean_ya = F.col("__sya").cast("double") / na
+    mean_yb = (sy - F.col("__sya").cast("double")) / nb
+    mean_xa = F.col("__sxa").cast("double") / na
+    mean_xb = (sx - F.col("__sxa").cast("double")) / nb
+    sc = F.lit(float(m))
+    raw = (mean_ya - mean_yb) / sc
+    adj = raw - theta * ((mean_xa - mean_xb) / sc)
+    return agg.select(
+        F.col("__na").cast("bigint").alias("n_a"),
+        (F.col("__n") - F.col("__na")).cast("bigint").alias("n_b"),
+        F.round(raw, 6).alias("raw_diff"),
+        F.round(adj, 6).alias("adjusted_diff"),
+        F.round(theta, 6).alias("theta"),
+        F.round(rho2, 6).alias("var_reduction"),
+    )
+
+
 def two_proportion_ztest(
     df: DataFrame, group_col: str, success_col: str
 ) -> DataFrame:

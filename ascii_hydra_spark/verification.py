@@ -6965,6 +6965,233 @@ def invisible_char_scrub(spark, sf_dir):
 
 
 @q(
+    "nelson_aalen_lifetimes",
+    """
+    WITH u AS (
+        SELECT user_id, MIN(EPOCH_US(ts)) AS f, MAX(EPOCH_US(ts)) AS l
+        FROM events GROUP BY user_id
+    ),
+    g AS (SELECT MAX(l) AS gm FROM u),
+    d AS (
+        SELECT (l - f) // 86400000000 AS t,
+               (l < gm - 259200000000) AS ev
+        FROM u CROSS JOIN g
+    ),
+    per_t AS (
+        SELECT t, SUM(CASE WHEN ev THEN 1 ELSE 0 END)::BIGINT AS n_events,
+               COUNT(*)::BIGINT AS n_t
+        FROM d GROUP BY t
+    ),
+    tot AS (SELECT SUM(n_t) AS total FROM per_t),
+    r AS (
+        SELECT t, n_events,
+               CAST(total - COALESCE(SUM(n_t) OVER (
+                   ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+        FROM per_t CROSS JOIN tot
+    )
+    SELECT CAST(t AS BIGINT) AS t, n_at_risk, n_events,
+           ROUND(SUM(CAST(n_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE))
+                 OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW), 6) AS cum_hazard
+    FROM r
+    """,
+    "Nelson-Aalen cumulative hazard over the same per-user lifetime "
+    "composition as kaplan_meier_lifetimes — the survival family's "
+    "additive estimator (hazard sums where survival multiplies; the "
+    "proportional-hazards readout). Exact integer d/n per time point, "
+    "one ordered fold",
+)
+def nelson_aalen_lifetimes(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(us).alias("__f"), F.max(us).alias("__l")
+    )
+    gmax = per_user.agg(F.max("__l").alias("__gm"))
+    d = per_user.crossJoin(F.broadcast(gmax)).select(
+        F.expr("(__l - __f) div 86400000000").alias("t_days"),
+        (F.col("__l") < F.col("__gm") - F.lit(259_200_000_000)).alias(
+            "event"
+        ),
+    )
+    return analytics.nelson_aalen(d, "t_days", "event")
+
+
+@q(
+    "logrank_value_ab",
+    """
+    WITH u AS (
+        SELECT user_id, MIN(EPOCH_US(ts)) AS f, MAX(EPOCH_US(ts)) AS l
+        FROM events GROUP BY user_id
+    ),
+    g AS (SELECT MAX(l) AS gm FROM u),
+    d AS (
+        SELECT (l - f) // 86400000000 AS t,
+               (l < gm - 259200000000) AS ev,
+               ((user_id * 2654435761) % 4294967296) % 2 = 0 AS is_a
+        FROM u CROSS JOIN g
+    ),
+    per_t AS (
+        SELECT t,
+               SUM(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS in_a,
+               COUNT(*)::BIGINT AS in_t,
+               SUM(CASE WHEN ev AND is_a THEN 1 ELSE 0 END)::BIGINT AS d_a,
+               SUM(CASE WHEN ev THEN 1 ELSE 0 END)::BIGINT AS d_t
+        FROM d GROUP BY t
+    ),
+    tot AS (SELECT SUM(in_a) AS na, SUM(in_t) AS nt FROM per_t),
+    c AS (
+        SELECT *, SUM(in_a) OVER w AS ca, SUM(in_t) OVER w AS ct
+        FROM per_t
+        WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ),
+    e AS (
+        SELECT c.*,
+               na, nt,
+               CAST(na - ca + in_a AS DOUBLE) AS at_a,
+               CAST(nt - ct + in_t AS DOUBLE) AS at_t
+        FROM c CROSS JOIN tot
+    ),
+    s AS (
+        SELECT CAST(MIN(na) AS BIGINT) AS n_a,
+               CAST(MIN(nt) - MIN(na) AS BIGINT) AS n_b,
+               SUM(d_a)::BIGINT AS observed_a,
+               ROUND(SUM(CAST(d_t AS DOUBLE) * (at_a / at_t)), 6)
+                   AS expected_a,
+               SUM(CASE WHEN at_t > 1.0
+                        THEN CAST(d_t AS DOUBLE) * (at_a / at_t)
+                             * (1.0 - at_a / at_t)
+                             * (at_t - CAST(d_t AS DOUBLE))
+                             / (at_t - 1.0)
+                        ELSE 0.0 END) AS v
+        FROM e
+    )
+    SELECT n_a, n_b, observed_a, expected_a,
+           ROUND(CASE WHEN v > 0.0
+                      THEN POW(CAST(observed_a AS DOUBLE) - expected_a, 2)
+                           / v END, 6) AS chi2
+    FROM s
+    """,
+    "Two-group log-rank test on per-user lifetimes under the "
+    "deterministic A/B hash split — the time-to-event experiment "
+    "readout where a mean test mishandles censoring. Per-group "
+    "at-risk counts ride ONE distrank running-sums pass over the day "
+    "grain; exact integer d/n per time point; O/E/V are ordered-fold "
+    "sums; chi2 = (O-E)^2/V with the rounded E both engines share",
+)
+def logrank_value_ab(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    per_user = ev.groupBy("user_id").agg(
+        F.min(us).alias("__f"), F.max(us).alias("__l")
+    )
+    gmax = per_user.agg(F.max("__l").alias("__gm"))
+    grp = F.when(
+        (F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296) % 2 == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    d = per_user.withColumn("grp", grp).crossJoin(F.broadcast(gmax)).select(
+        "grp",
+        F.expr("(__l - __f) div 86400000000").alias("t_days"),
+        (F.col("__l") < F.col("__gm") - F.lit(259_200_000_000)).alias(
+            "event"
+        ),
+    )
+    return analytics.logrank_test(d, "grp", "t_days", "event")
+
+
+@q(
+    "cuped_value_ab",
+    """
+    WITH pu AS (
+        SELECT user_id,
+               CAST(COALESCE(SUM(CASE WHEN EXTRACT(day FROM ts) <= 15
+                   THEN CAST(value AS DECIMAL(18,2)) END), 0)
+                   AS DECIMAL(18,2)) AS pre,
+               CAST(COALESCE(SUM(CASE WHEN EXTRACT(day FROM ts) > 15
+                   THEN CAST(value AS DECIMAL(18,2)) END), 0)
+                   AS DECIMAL(18,2)) AS post,
+               ((user_id * 2654435761) % 4294967296) % 2 = 0 AS is_a
+        FROM events GROUP BY user_id
+    ),
+    z AS (
+        SELECT CAST(pre * 100 AS BIGINT) AS xi,
+               CAST(post * 100 AS BIGINT) AS yi, is_a
+        FROM pu
+    ),
+    m AS (
+        SELECT SUM(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS na,
+               COUNT(*)::BIGINT AS n,
+               CAST(SUM(xi) AS DOUBLE) AS sx, CAST(SUM(yi) AS DOUBLE) AS sy,
+               CAST(SUM(xi * xi) AS DOUBLE) AS sxx,
+               CAST(SUM(yi * yi) AS DOUBLE) AS syy,
+               CAST(SUM(xi * yi) AS DOUBLE) AS sxy,
+               CAST(SUM(CASE WHEN is_a THEN xi ELSE 0 END) AS DOUBLE) AS sxa,
+               CAST(SUM(CASE WHEN is_a THEN yi ELSE 0 END) AS DOUBLE) AS sya
+        FROM z
+    ),
+    k AS (
+        SELECT na, n,
+               CAST(na AS DOUBLE) AS nad, CAST(n AS DOUBLE) AS nd,
+               sxx / CAST(n AS DOUBLE)
+                   - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE))
+                   AS var_x,
+               syy / CAST(n AS DOUBLE)
+                   - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE))
+                   AS var_y,
+               sxy / CAST(n AS DOUBLE)
+                   - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE))
+                   AS cov_xy,
+               sya / CAST(na AS DOUBLE) AS mean_ya,
+               (sy - sya) / CAST(n - na AS DOUBLE) AS mean_yb,
+               sxa / CAST(na AS DOUBLE) AS mean_xa,
+               (sx - sxa) / CAST(n - na AS DOUBLE) AS mean_xb
+        FROM m
+    )
+    SELECT na AS n_a, CAST(n - na AS BIGINT) AS n_b,
+           ROUND((mean_ya - mean_yb) / 100.0, 6) AS raw_diff,
+           ROUND((mean_ya - mean_yb) / 100.0
+                 - (cov_xy / NULLIF(var_x, 0.0))
+                   * ((mean_xa - mean_xb) / 100.0), 6) AS adjusted_diff,
+           ROUND(cov_xy / NULLIF(var_x, 0.0), 6) AS theta,
+           ROUND(cov_xy * cov_xy / NULLIF(var_x * var_y, 0.0), 6)
+               AS var_reduction
+    FROM k
+    """,
+    "CUPED variance reduction (Deng et al. 2013) on per-user value "
+    "with a deterministic pre/post split (day-of-month halves) and "
+    "the A/B hash group: theta = cov(pre, post)/var(pre) pooled; the "
+    "adjusted A-B difference needs only group moments (the per-row "
+    "adjustment cancels algebraically). Moments are EXACT bigint "
+    "sums in cents — sums of squares stay integers, never a "
+    "wide-decimal double — and every derived float follows one "
+    "written operation order",
+)
+def cuped_value_ab(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    half = F.dayofmonth("ts") <= 15
+    dec = F.col("value").cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(half, dec)), zero)
+        .cast("decimal(18,2)")
+        .alias("pre"),
+        F.coalesce(F.sum(F.when(~half, dec)), zero)
+        .cast("decimal(18,2)")
+        .alias("post"),
+    )
+    grp = F.when(
+        (F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296) % 2 == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    return analytics.cuped_adjusted_ab(
+        per_user.withColumn("grp", grp), "grp", "pre", "post"
+    )
+
+
+@q(
     "price_ending_profile",
     """
     WITH c AS (
@@ -15464,6 +15691,7 @@ _ROUND10_POOL: tuple[str, ...] = (
     "warc_content_dedup_pipeline", "cdx_index_build", "cdx_pruned_fetch",
     "cdx_index_jsonl_sink", "surt_blocklist_filter", "luhn_card_audit",
     "robots_url_gate", "mojibake_audit", "invisible_char_scrub",
+    "nelson_aalen_lifetimes", "logrank_value_ab", "cuped_value_ab",
 )
 
 _PRIORITY: tuple[str, ...] = (

@@ -1382,3 +1382,66 @@ def test_last_digit_profile_crafted_endings(spark):
     assert out[99]["share"] == pytest.approx(0.8, abs=1e-9)
     assert out[99]["dev_from_uniform"] == pytest.approx(0.79, abs=1e-9)
     assert out[50]["share"] == pytest.approx(0.2, abs=1e-9)
+
+
+def test_nelson_aalen_closed_form(spark):
+    # durations (1,T),(1,F),(2,T),(3,T): H = 1/4, then +1/2, then +1/1
+    df = spark.createDataFrame(
+        [(1, True), (1, False), (2, True), (3, True)],
+        "t long, ev boolean",
+    )
+    out = {r["t"]: r for r in analytics.nelson_aalen(df, "t", "ev").collect()}
+    assert out[1]["n_at_risk"] == 4 and out[1]["cum_hazard"] == pytest.approx(0.25)
+    assert out[2]["n_at_risk"] == 2 and out[2]["cum_hazard"] == pytest.approx(0.75)
+    assert out[3]["n_at_risk"] == 1 and out[3]["cum_hazard"] == pytest.approx(1.75)
+
+
+def test_logrank_closed_form_and_null_case(spark):
+    # A dies at t=1 (both), B at t=5 (both): O_a=2, E_a=1, V=1/3 -> chi2=3
+    df = spark.createDataFrame(
+        [("A", 1, True), ("A", 1, True), ("B", 5, True), ("B", 5, True)],
+        "g string, t long, ev boolean",
+    )
+    row = analytics.logrank_test(df, "g", "t", "ev").collect()[0]
+    assert (row["n_a"], row["n_b"], row["observed_a"]) == (2, 2, 2)
+    assert row["expected_a"] == pytest.approx(1.0, abs=1e-9)
+    assert row["chi2"] == pytest.approx(3.0, abs=1e-6)
+    # identical groups: O == E exactly, chi2 == 0
+    same = spark.createDataFrame(
+        [(g, t, True) for g in ("A", "B") for t in (1, 2, 3)],
+        "g string, t long, ev boolean",
+    )
+    r2 = analytics.logrank_test(same, "g", "t", "ev").collect()[0]
+    assert r2["observed_a"] == 3 and r2["expected_a"] == pytest.approx(3.0)
+    assert r2["chi2"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_logrank_requires_two_groups(spark):
+    df = spark.createDataFrame([("A", 1, True)], "g string, t long, ev boolean")
+    with pytest.raises(ValueError, match="exactly 2 groups"):
+        analytics.logrank_test(df, "g", "t", "ev")
+
+
+def test_cuped_closed_form(spark):
+    # A: y = 10 + 2x; B: y = 9 + 2x -> theta 1.8, raw -1, adjusted +0.8
+    df = spark.createDataFrame(
+        [("A", 1.0, 12.0), ("A", 3.0, 16.0), ("B", 2.0, 13.0), ("B", 4.0, 17.0)],
+        "g string, pre double, post double",
+    )
+    row = analytics.cuped_adjusted_ab(df, "g", "pre", "post").collect()[0]
+    assert (row["n_a"], row["n_b"]) == (2, 2)
+    assert row["raw_diff"] == pytest.approx(-1.0, abs=1e-9)
+    assert row["theta"] == pytest.approx(1.8, abs=1e-9)
+    assert row["adjusted_diff"] == pytest.approx(0.8, abs=1e-6)
+    assert row["var_reduction"] == pytest.approx(5.0625 / 5.3125, abs=1e-6)
+
+
+def test_cuped_constant_pre_is_null_theta_not_error(spark):
+    # var(pre) = 0: theta NULL (DuckDB x/0 semantics), raw diff intact
+    df = spark.createDataFrame(
+        [("A", 5.0, 12.0), ("A", 5.0, 14.0), ("B", 5.0, 10.0), ("B", 5.0, 11.0)],
+        "g string, pre double, post double",
+    )
+    row = analytics.cuped_adjusted_ab(df, "g", "pre", "post").collect()[0]
+    assert row["raw_diff"] == pytest.approx(2.5, abs=1e-9)
+    assert row["theta"] is None and row["adjusted_diff"] is None
