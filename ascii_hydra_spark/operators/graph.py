@@ -165,6 +165,73 @@ def triangle_count(
     return closed.agg(F.count("*").cast("bigint").alias("n_triangles"))
 
 
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    reliable: bool = False,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, the deterministic variant): every node starts labeled
+    with its own id; each round it adopts the MOST FREQUENT label among
+    its neighbors PLUS ITSELF, ties broken by minimum label. Returns
+    (node, label) after exactly ``iterations`` rounds — fixed-round
+    like :func:`pagerank`/:func:`hits`, so the output is a pure
+    function of the graph (no convergence nondeterminism; callers pick
+    rounds ~ the community diameter). Self-inclusion is what makes the
+    sync variant stable (without it a clique oscillates: every member
+    simultaneously adopts someone else's label forever).
+
+    Finds DENSITY communities where :func:`~ascii_hydra_spark.operators.
+    dedup.connected_components` finds reachability: a bridge edge
+    between two cliques keeps them separate communities but one
+    component. Edges treat as undirected; isolated nodes never appear
+    (no edges — union them back with their own id if needed).
+
+    Shuffle budget per round: one label-to-edge equi-join (src) + one
+    (node, label) count + one per-node min-struct pick — the
+    (-count, label) struct min IS the mode-with-min-tie-break, no
+    window, no collect. Per-round lineage truncation (`truncate_lineage`,
+    same discipline as pagerank).
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).filter(F.col("src") != F.col("dst")).distinct()
+    und = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(int(iterations)):
+        msgs = und.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        counted = (
+            msgs.union(labels.select("node", "label"))
+            .groupBy("node", "label")
+            .agg(F.count("*").alias("__c"))
+        )
+        new = (
+            counted.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__c")).alias("nc"),
+                        F.col("label").alias("l"),
+                    )
+                ).alias("__b")
+            )
+            .select("node", F.col("__b.l").alias("label"))
+        )
+        labels = truncate_lineage(new, reliable=reliable)
+    und.unpersist()
+    return labels
+
+
 def top_ranked(ranks: DataFrame, k: int = 10) -> DataFrame:
     """Top-k nodes by rank, deterministic tie-break on node id; plans as
     TakeOrderedAndProject (per-partition heaps, k rows to the driver)."""

@@ -7192,6 +7192,66 @@ def cuped_value_ab(spark, sf_dir):
 
 
 @q(
+    "lpa_communities",
+    """
+    WITH nf AS (SELECT (MAX(c_custkey) + 1) // 22 AS n_full FROM customer),
+    kept AS (
+        SELECT c_custkey AS node,
+               c_custkey // 22 AS g,
+               c_custkey % 22 AS j
+        FROM customer CROSS JOIN nf
+        WHERE c_custkey // 22 < n_full
+    )
+    SELECT node, CAST(g * 22 AS BIGINT) AS label
+    FROM kept WHERE j <= 19
+    """,
+    "Label-propagation community detection (sync, self-inclusive, "
+    "min-label ties — the deterministic Raghavan variant) over a "
+    "planted clique-plus-pendant-chain graph: each 22-key block (keys "
+    "are 0-based contiguous) forms an 18-clique with a 2-deep chain "
+    "tail (keys 20/21 isolated, "
+    "absent from edge-derived output). Three sync rounds provably "
+    "converge every member to the block's MINIMUM id — the oracle "
+    "states that GROUND TRUTH closed-form and never replays the "
+    "algorithm, pinning clique stability (self-inclusion prevents "
+    "oscillation) and chain propagation depth in one entry",
+)
+def lpa_communities(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    nf = c.agg(
+        F.floor((F.max("c_custkey") + 1) / 22).cast("bigint").alias("__nf")
+    )
+    kept = (
+        c.crossJoin(F.broadcast(nf))
+        .filter(F.floor(F.col("c_custkey") / 22) < F.col("__nf"))
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.floor(F.col("c_custkey") / 22).alias("g"),
+            (F.col("c_custkey") % 22).alias("j"),
+        )
+    )
+    cl = kept.filter(F.col("j") <= 17)
+    a, b = cl.alias("a"), cl.alias("b")
+    clique = a.join(
+        b,
+        (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))
+    chain = (
+        kept.filter(F.col("j").isin(18, 19))
+        .select(
+            (F.col("id") - 1).alias("src"), F.col("id").alias("dst")
+        )
+    )
+    labels = graph.label_propagation(
+        clique.unionAll(chain), iterations=3
+    )
+    return labels.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("label").cast("bigint").alias("label"),
+    )
+
+
+@q(
     "price_ending_profile",
     """
     WITH c AS (
@@ -15692,6 +15752,7 @@ _ROUND10_POOL: tuple[str, ...] = (
     "cdx_index_jsonl_sink", "surt_blocklist_filter", "luhn_card_audit",
     "robots_url_gate", "mojibake_audit", "invisible_char_scrub",
     "nelson_aalen_lifetimes", "logrank_value_ab", "cuped_value_ab",
+    "lpa_communities",
 )
 
 _PRIORITY: tuple[str, ...] = (

@@ -155,3 +155,44 @@ def test_jaccard_link_prediction_topk_order(spark):
     top = graph.jaccard_link_prediction(edges, "ctx", "node", k=1).collect()
     # (a,b) jaccard 1.0 beats (x,y) 0.5
     assert len(top) == 1 and (top[0]["node_a"], top[0]["node_b"]) == ("a", "b")
+
+
+def test_label_propagation_clique_stability_and_chain_depth(spark):
+    from ascii_hydra_spark.operators import graph
+
+    # 4-clique {0,1,2,3} + chain 3-4-5: without self-inclusion a clique
+    # oscillates under sync updates; with it, round 1 settles the clique
+    # at min id and each chain hop needs one more round
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(
+        clique + [(3, 4), (4, 5)], "src long, dst long"
+    )
+    for rounds, want5 in ((1, 4), (2, 3), (3, 0), (4, 0)):
+        out = {
+            r["node"]: r["label"]
+            for r in graph.label_propagation(edges, iterations=rounds).collect()
+        }
+        assert all(out[n] == 0 for n in range(4)), (rounds, out)
+        assert out[5] == want5, (rounds, out)
+
+
+def test_label_propagation_bridged_cliques_stay_separate(spark):
+    from ascii_hydra_spark.operators import dedup, graph
+
+    # two 5-cliques joined by ONE bridge edge: connected components sees
+    # one component; LPA keeps two density communities
+    c1 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    c2 = [(a + 10, b + 10) for a in range(5) for b in range(5) if a < b]
+    edges = spark.createDataFrame(c1 + c2 + [(4, 10)], "src long, dst long")
+    out = {
+        r["node"]: r["label"]
+        for r in graph.label_propagation(edges, iterations=4).collect()
+    }
+    assert all(out[n] == 0 for n in range(5))
+    assert all(out[n + 10] == 10 for n in range(5))
+    comps = dedup.connected_components(
+        spark.createDataFrame([(i,) for i in list(range(5)) + list(range(10, 15))], "id long"),
+        spark.createDataFrame(c1 + c2 + [(4, 10)], "src long, dst long"),
+        id_col="id",
+    )
+    assert comps.select("component").distinct().count() == 1
