@@ -106,6 +106,60 @@ def as_of_join(
     )
 
 
+def as_of_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_value_cols: tuple[str, ...] = ("event_id",),
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Per `key`, for each left row: the right row with the SMALLEST
+    absolute timestamp distance (within `tolerance_seconds` if given);
+    an exact backward/forward tie keeps the backward (earlier) match.
+
+    Composition of the two directional union-sort passes — each one
+    shuffle + keyed sort, no row explosion — then a pure projection
+    picks the closer side. Right-ts is carried alongside the value
+    columns so the gap compare is exact (microsecond epoch integers).
+    Equal-ts right rows inherit each direction's tiebreak (backward:
+    MAX first value col, forward: MIN), so reruns and the oracle agree.
+    Left rows must be distinct as tuples (they key the direction
+    join-back); pass an id column to guarantee it.
+    """
+    r2 = right.withColumn("__nn_rts", F.col(right_ts))
+    vcols = tuple(right_value_cols) + ("__nn_rts",)
+    bk = as_of_join(
+        left, r2, key, left_ts, right_ts, vcols, tolerance_seconds, "backward"
+    )
+    fw = as_of_join(
+        left, r2, key, left_ts, right_ts, vcols, tolerance_seconds, "forward"
+    ).select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"asof_{c}").alias(f"__fw_{c}") for c in vcols],
+    )
+    j = bk.join(fw, on=list(left.columns), how="inner")
+    b_gap = F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col("asof___nn_rts"))
+    f_gap = F.unix_micros(F.col("__fw___nn_rts")) - F.unix_micros(F.col(left_ts))
+    use_bk = F.col("asof___nn_rts").isNotNull() & (
+        F.col("__fw___nn_rts").isNull() | (b_gap <= f_gap)
+    )
+    return j.select(
+        *[F.col(c) for c in left.columns],
+        *[
+            F.when(use_bk, F.col(f"asof_{c}"))
+            .otherwise(F.col(f"__fw_{c}"))
+            .alias(f"nearest_{c}")
+            for c in right_value_cols
+        ],
+        F.when(use_bk, -b_gap)
+        .otherwise(f_gap)
+        .cast("bigint")
+        .alias("nearest_gap_us"),
+    )
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

@@ -15527,6 +15527,201 @@ def new_customer_order_share_monthly(spark, sf_dir):
     )
 
 
+@q(
+    "filtered_aggs_monthly",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           COUNT(*)::BIGINT AS n_orders,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')::BIGINT
+               AS n_urgent,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F')::BIGINT
+               AS n_finished,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                         FILTER (WHERE o_orderpriority = '1-URGENT')
+                     AS DECIMAL(18,2)) AS DOUBLE) AS urgent_revenue
+    FROM orders GROUP BY 1
+    """,
+    "FILTER-clause aggregates (SQL:2003 <filter clause>) — several "
+    "conditionally-restricted aggregates in ONE scan+shuffle instead "
+    "of N self-joins; Spark and DuckDB share the syntax and the "
+    "NULL-when-empty-filter semantics. Decimal-exact revenue sum",
+)
+def filtered_aggs_monthly(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.expr(
+            "count(*) FILTER (WHERE o_orderpriority = '1-URGENT')"
+        ).cast("bigint").alias("n_urgent"),
+        F.expr("count(*) FILTER (WHERE o_orderstatus = 'F')")
+        .cast("bigint")
+        .alias("n_finished"),
+        F.expr(
+            "sum(CAST(o_totalprice AS DECIMAL(18,2))) "
+            "FILTER (WHERE o_orderpriority = '1-URGENT')"
+        ).cast("decimal(18,2)").cast("double").alias("urgent_revenue"),
+    )
+
+
+@q(
+    "freshness_audit_event_types",
+    """
+    WITH g AS (SELECT MAX(ts) AS gmax FROM events)
+    SELECT event_type, COUNT(*)::BIGINT AS n_events,
+           MAX(ts) AS last_ts,
+           CAST(epoch_us(g.gmax) - epoch_us(MAX(ts)) AS BIGINT)
+               // 1000000 AS lag_seconds,
+           ((epoch_us(g.gmax) - epoch_us(MAX(ts))) // 1000000 > 86400)
+               AS stale
+    FROM events CROSS JOIN g GROUP BY event_type, g.gmax
+    """,
+    "Pipeline freshness audit: per event type, the newest record's "
+    "lag behind the globally newest record, with a >24h staleness "
+    "flag — the first monitor a 100 TB ingest pipeline needs (a "
+    "partner feed silently stopping shows up here before anywhere "
+    "else). Exact microsecond epoch integers; the global max is a "
+    "1-row broadcast",
+)
+def freshness_audit_event_types(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    g = ev.agg(F.max("ts").alias("__gmax"))
+    per = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max("ts").alias("last_ts"),
+    )
+    lag = F.expr(
+        "(unix_micros(__gmax) - unix_micros(last_ts)) div 1000000"
+    )
+    return per.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n_events",
+        "last_ts",
+        lag.cast("bigint").alias("lag_seconds"),
+        (lag > 86400).alias("stale"),
+    )
+
+
+@q(
+    "gaps_islands_user_days",
+    """
+    WITH d AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    r AS (
+        SELECT user_id, day,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        FROM d
+    ),
+    i AS (
+        SELECT user_id, day - CAST(rn AS INT) AS grp, COUNT(*) AS len
+        FROM r GROUP BY user_id, day - CAST(rn AS INT)
+    )
+    SELECT CAST(len AS BIGINT) AS island_len,
+           COUNT(*)::BIGINT AS n_islands,
+           COUNT(DISTINCT user_id)::BIGINT AS n_users
+    FROM i GROUP BY 1
+    """,
+    "Gaps-and-islands: maximal runs of CONSECUTIVE active days per "
+    "user (day_int - row_number is constant within a run — the "
+    "classic islands identity), reduced to a streak-length "
+    "histogram. All windows partitioned by user_id; exact integers",
+)
+def gaps_islands_user_days(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("day")
+    )
+    islands = (
+        d.withColumn("rn", rn)
+        .withColumn("grp", F.date_sub(F.col("day"), F.col("rn")))
+        .groupBy("user_id", "grp")
+        .agg(F.count("*").alias("len"))
+    )
+    return islands.groupBy(
+        F.col("len").cast("bigint").alias("island_len")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_islands"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+@q(
+    "asof_join_nearest_views",
+    """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT * FROM events WHERE event_type = 'view'),
+    bk AS (
+        SELECT p.event_id AS pe, MAX(v.ts) AS mts
+        FROM p JOIN v ON p.user_id = v.user_id
+            AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 2 HOUR
+        GROUP BY p.event_id
+    ),
+    bkv AS (
+        SELECT bk.pe, bk.mts, MAX(v.event_id) AS vid
+        FROM bk JOIN p ON p.event_id = bk.pe
+        JOIN v ON v.user_id = p.user_id AND v.ts = bk.mts
+        GROUP BY bk.pe, bk.mts
+    ),
+    fw AS (
+        SELECT p.event_id AS pe, MIN(v.ts) AS mts
+        FROM p JOIN v ON p.user_id = v.user_id
+            AND v.ts >= p.ts AND v.ts <= p.ts + INTERVAL 2 HOUR
+        GROUP BY p.event_id
+    ),
+    fwv AS (
+        SELECT fw.pe, fw.mts, MIN(v.event_id) AS vid
+        FROM fw JOIN p ON p.event_id = fw.pe
+        JOIN v ON v.user_id = p.user_id AND v.ts = fw.mts
+        GROUP BY fw.pe, fw.mts
+    )
+    SELECT p.event_id, p.user_id,
+           CASE WHEN bkv.pe IS NOT NULL AND (fwv.pe IS NULL
+                     OR epoch_us(p.ts) - epoch_us(bkv.mts)
+                        <= epoch_us(fwv.mts) - epoch_us(p.ts))
+                THEN bkv.vid ELSE fwv.vid END AS nearest_view_id,
+           CASE WHEN bkv.pe IS NOT NULL AND (fwv.pe IS NULL
+                     OR epoch_us(p.ts) - epoch_us(bkv.mts)
+                        <= epoch_us(fwv.mts) - epoch_us(p.ts))
+                THEN epoch_us(bkv.mts) - epoch_us(p.ts)
+                ELSE epoch_us(fwv.mts) - epoch_us(p.ts)
+           END::BIGINT AS nearest_gap_us
+    FROM p LEFT JOIN bkv ON bkv.pe = p.event_id
+    LEFT JOIN fwv ON fwv.pe = p.event_id
+    """,
+    "Nearest-direction as-of join: each purchase matched to the "
+    "closest view by the same user within ±2h, backward winning "
+    "exact ties — attribution's \"the impression nearest the "
+    "conversion\". Spark side composes the two directional "
+    "union-sort passes (operators/asof.py — one shuffle each, no "
+    "row explosion; the naive SQL pair-join the ORACLE uses "
+    "explodes per-user candidates and exists only for replay). "
+    "Signed microsecond gap, negative = view preceded purchase",
+)
+def asof_join_nearest_views(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof.as_of_join_nearest(
+        p, v, key="user_id", right_value_cols=("event_id",),
+        tolerance_seconds=7200,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("nearest_event_id").alias("nearest_view_id"),
+        "nearest_gap_us",
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -15753,6 +15948,8 @@ _ROUND10_POOL: tuple[str, ...] = (
     "robots_url_gate", "mojibake_audit", "invisible_char_scrub",
     "nelson_aalen_lifetimes", "logrank_value_ab", "cuped_value_ab",
     "lpa_communities",
+    "filtered_aggs_monthly", "freshness_audit_event_types",
+    "gaps_islands_user_days", "asof_join_nearest_views",
 )
 
 _PRIORITY: tuple[str, ...] = (
