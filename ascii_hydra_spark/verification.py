@@ -15722,6 +15722,353 @@ def asof_join_nearest_views(spark, sf_dir):
     )
 
 
+@q(
+    "cohens_d_value_ab",
+    """
+    WITH e AS (
+        SELECT ((user_id * 2654435761) % 4294967296) % 2 = 0 AS is_a,
+               CAST(value AS DECIMAL(18,2)) AS x
+        FROM events
+    ),
+    a AS (
+        SELECT SUM(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS na,
+               SUM(CASE WHEN is_a THEN 0 ELSE 1 END)::BIGINT AS nb,
+               CAST(SUM(CASE WHEN is_a THEN x END) AS DOUBLE) AS sa,
+               CAST(SUM(CASE WHEN NOT is_a THEN x END) AS DOUBLE) AS sb,
+               CAST(SUM(CASE WHEN is_a THEN x * x END) AS DOUBLE) AS qa,
+               CAST(SUM(CASE WHEN NOT is_a THEN x * x END) AS DOUBLE) AS qb
+        FROM e
+    ),
+    v AS (
+        SELECT na, nb,
+               sa / CAST(na AS DOUBLE) AS ma,
+               sb / CAST(nb AS DOUBLE) AS mb,
+               ((qa - sa * sa / CAST(na AS DOUBLE))
+                + (qb - sb * sb / CAST(nb AS DOUBLE)))
+                   / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2.0) AS vp
+        FROM a
+    )
+    SELECT na AS n_a, nb AS n_b,
+           ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+           ROUND((ma - mb) / SQRT(vp), 6) AS cohens_d,
+           ROUND((ma - mb) / SQRT(vp)
+                 * (1.0 - 3.0 / (4.0 * (CAST(na AS DOUBLE)
+                                        + CAST(nb AS DOUBLE)) - 9.0)),
+                 6) AS hedges_g
+    FROM v
+    """,
+    "Cohen's d standardized effect size (+ Hedges' g small-sample "
+    "correction) between the Knuth-hash A/B user split on raw event "
+    "values — the companion the Welch t-test needs before anyone "
+    "ships an experiment readout (significance without magnitude is "
+    "noise at 1e9-row scale, where everything is significant). Same "
+    "decimal-exact moment conventions as welch_ttest_value_ab: "
+    "pooled variance from ((qa - sa^2/na) + (qb - sb^2/nb)) / "
+    "(na + nb - 2), one written operation order, no window/join",
+)
+def cohens_d_value_ab(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    is_a = ((F.col("user_id") * 2654435761) % 4294967296) % 2 == 0
+    x = F.col("value").cast("decimal(18,2)")
+    a = ev.select(is_a.alias("is_a"), x.alias("x")).agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("nb"),
+        F.sum(F.when(F.col("is_a"), F.col("x"))).cast("double").alias("sa"),
+        F.sum(F.when(~F.col("is_a"), F.col("x"))).cast("double").alias("sb"),
+        F.sum(F.when(F.col("is_a"), F.col("x") * F.col("x")))
+        .cast("double")
+        .alias("qa"),
+        F.sum(F.when(~F.col("is_a"), F.col("x") * F.col("x")))
+        .cast("double")
+        .alias("qb"),
+    )
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    ma = F.col("sa") / nad
+    mb = F.col("sb") / nbd
+    vp = (
+        (F.col("qa") - F.col("sa") * F.col("sa") / nad)
+        + (F.col("qb") - F.col("sb") * F.col("sb") / nbd)
+    ) / (nad + nbd - F.lit(2.0))
+    d = (ma - mb) / F.sqrt(vp)
+    return a.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(
+            d * (F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * (nad + nbd) - 9.0)),
+            6,
+        ).alias("hedges_g"),
+    )
+
+
+@q(
+    "mcnemar_doc_gates",
+    """
+    WITH g AS (
+        SELECT (n_chars >= 400) AS ga,
+               (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) >= 59) AS gb
+        FROM documents
+    ),
+    c AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN ga AND NOT gb THEN 1 ELSE 0 END)::BIGINT AS b,
+               SUM(CASE WHEN NOT ga AND gb THEN 1 ELSE 0 END)::BIGINT AS c
+        FROM g
+    )
+    SELECT n, b AS n_discordant_ab, c AS n_discordant_ba,
+           CASE WHEN b + c = 0 THEN NULL
+                ELSE ROUND(CAST((ABS(b - c) - 1) * (ABS(b - c) - 1)
+                                AS DOUBLE)
+                           / CAST(b + c AS DOUBLE), 6)
+           END AS mcnemar_chi2
+    FROM c
+    """,
+    "McNemar's test (continuity-corrected) on two PAIRED document "
+    "quality gates — a char-length gate vs a space-count (word "
+    "proxy) gate over the SAME documents: did swapping filters "
+    "change which docs survive, beyond symmetric noise? The paired "
+    "test a curation pipeline needs when A/B-ing gate revisions on "
+    "one corpus (an unpaired chi-square is wrong there). Exact "
+    "integer discordant counts, one float division",
+)
+def mcnemar_doc_gates(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ga = F.col("n_chars") >= 400
+    gb = (
+        F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+    ) >= 59
+    c = d.select(ga.alias("ga"), gb.alias("gb")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("ga") & ~F.col("gb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when(~F.col("ga") & F.col("gb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+    )
+    diff = F.abs(F.col("b") - F.col("c")) - 1
+    return c.select(
+        "n",
+        F.col("b").alias("n_discordant_ab"),
+        F.col("c").alias("n_discordant_ba"),
+        F.when(F.col("b") + F.col("c") == 0, F.lit(None)).otherwise(
+            F.round(
+                (diff * diff).cast("double")
+                / (F.col("b") + F.col("c")).cast("double"),
+                6,
+            )
+        ).alias("mcnemar_chi2"),
+    )
+
+
+@q(
+    "mann_kendall_daily_revenue",
+    """
+    WITH d AS (
+        SELECT o_orderdate AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS rev
+        FROM orders GROUP BY o_orderdate
+    ),
+    s AS (
+        SELECT SUM(CASE WHEN b.rev > a.rev THEN 1
+                        WHEN b.rev < a.rev THEN -1 ELSE 0 END)::BIGINT AS s
+        FROM d a JOIN d b ON a.day < b.day
+    ),
+    t AS (
+        SELECT COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0)::BIGINT AS tie_adj
+        FROM (SELECT COUNT(*)::BIGINT AS t FROM d GROUP BY rev HAVING COUNT(*) > 1)
+    ),
+    n AS (SELECT COUNT(*)::BIGINT AS n FROM d)
+    SELECT n.n AS n_days, s.s AS s_statistic,
+           ROUND((CAST(n.n AS DOUBLE) * (n.n - 1.0) * (2.0 * n.n + 5.0)
+                  - CAST(t.tie_adj AS DOUBLE)) / 18.0, 6) AS var_s,
+           ROUND(CASE WHEN s.s > 0 THEN (s.s - 1.0) ELSE
+                      CASE WHEN s.s < 0 THEN (s.s + 1.0) ELSE 0.0 END END
+                 / SQRT((CAST(n.n AS DOUBLE) * (n.n - 1.0)
+                         * (2.0 * n.n + 5.0)
+                         - CAST(t.tie_adj AS DOUBLE)) / 18.0), 6) AS z,
+           ROUND(CAST(s.s AS DOUBLE)
+                 / (CAST(n.n AS DOUBLE) * (n.n - 1.0) / 2.0), 6) AS tau_a
+    FROM n, s, t
+    """,
+    "Mann-Kendall nonparametric trend test on daily revenue (exact "
+    "integer S over all day pairs, tie-corrected variance, "
+    "continuity-corrected z, tau-a) — the distribution-free 'is "
+    "this series trending' check (Theil-Sen's significance "
+    "companion). Quadratic in DAYS by design, like "
+    "theil_sen_revenue_trend: day grain is bounded (365/yr), so the "
+    "pair join is a few hundred thousand rows even at 100 TB of "
+    "orders; revenue comparisons are decimal-exact",
+)
+def mann_kendall_daily_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    s = a.join(b, F.col("a.day") < F.col("b.day")).agg(
+        F.sum(
+            F.when(F.col("b.rev") > F.col("a.rev"), 1)
+            .when(F.col("b.rev") < F.col("a.rev"), -1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s")
+    )
+    ties = (
+        d.groupBy("rev")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_adj")
+        )
+    )
+    n = d.agg(F.count("*").cast("bigint").alias("n"))
+    j = n.crossJoin(F.broadcast(s)).crossJoin(F.broadcast(ties))
+    nd = F.col("n").cast("double")
+    var_s = (
+        nd * (F.col("n") - F.lit(1.0)) * (F.lit(2.0) * F.col("n") + 5.0)
+        - F.col("tie_adj").cast("double")
+    ) / F.lit(18.0)
+    z_num = (
+        F.when(F.col("s") > 0, F.col("s") - F.lit(1.0))
+        .otherwise(
+            F.when(F.col("s") < 0, F.col("s") + F.lit(1.0)).otherwise(
+                F.lit(0.0)
+            )
+        )
+    )
+    return j.select(
+        F.col("n").alias("n_days"),
+        F.col("s").alias("s_statistic"),
+        F.round(var_s, 6).alias("var_s"),
+        F.round(z_num / F.sqrt(var_s), 6).alias("z"),
+        F.round(
+            F.col("s").cast("double") / (nd * (F.col("n") - F.lit(1.0)) / 2.0),
+            6,
+        ).alias("tau_a"),
+    )
+
+
+@q(
+    "runs_test_daily_revenue",
+    """
+    WITH d AS (
+        SELECT o_orderdate AS day,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DECIMAL(18,2)) AS DOUBLE) AS rev
+        FROM orders GROUP BY o_orderdate
+    ),
+    m AS (SELECT quantile_cont(rev, 0.5) AS med FROM d),
+    s AS (
+        SELECT day, (rev > m.med) AS above
+        FROM d, m WHERE rev <> m.med
+    ),
+    r AS (
+        SELECT above,
+               LAG(above) OVER (ORDER BY day) AS prev
+        FROM s
+    ),
+    k AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN above THEN 1 ELSE 0 END)::BIGINT AS n1,
+               SUM(CASE WHEN above THEN 0 ELSE 1 END)::BIGINT AS n2,
+               (1 + SUM(CASE WHEN prev IS NOT NULL AND above <> prev
+                             THEN 1 ELSE 0 END))::BIGINT AS runs
+        FROM r
+    )
+    SELECT n1, n2, runs,
+           ROUND(1.0 + 2.0 * n1 * n2 / CAST(n AS DOUBLE), 6)
+               AS expected_runs,
+           ROUND((CAST(runs AS DOUBLE)
+                  - (1.0 + 2.0 * n1 * n2 / CAST(n AS DOUBLE)))
+                 / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+                        / (CAST(n AS DOUBLE) * n * (n - 1.0))), 6) AS z
+    FROM k
+    """,
+    "Wald-Wolfowitz runs test on daily revenue vs its median "
+    "(median-ties excluded, per the classic construction): too FEW "
+    "runs = trending/clustered, too MANY = oscillating — the "
+    "randomness check behind 'is this drift or noise'. Day-grain "
+    "series, so the one unpartitioned lag window is bounded by the "
+    "calendar (the bollinger/theil_sen contract); the median is the "
+    "Spark percentile == DuckDB quantile_cont interpolation both "
+    "engines share",
+)
+def runs_test_daily_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("rev")
+    )
+    m = d.agg(F.expr("percentile(rev, 0.5)").alias("med"))
+    s = (
+        d.crossJoin(F.broadcast(m))
+        .filter(F.col("rev") != F.col("med"))
+        .select("day", (F.col("rev") > F.col("med")).alias("above"))
+    )
+    w = Window.orderBy("day")
+    r = s.select("above", F.lag("above").over(w).alias("prev"))
+    k = r.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("above"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("above"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n2"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("above") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("runs"),
+    )
+    nd = F.col("n").cast("double")
+    e_runs = F.lit(1.0) + F.lit(2.0) * F.col("n1") * F.col("n2") / nd
+    var_runs = (
+        F.lit(2.0)
+        * F.col("n1")
+        * F.col("n2")
+        * (F.lit(2.0) * F.col("n1") * F.col("n2") - F.col("n"))
+        / (nd * F.col("n") * (F.col("n") - F.lit(1.0)))
+    )
+    return k.select(
+        "n1",
+        "n2",
+        "runs",
+        F.round(e_runs, 6).alias("expected_runs"),
+        F.round(
+            (F.col("runs").cast("double") - e_runs) / F.sqrt(var_runs), 6
+        ).alias("z"),
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -15950,6 +16297,8 @@ _ROUND10_POOL: tuple[str, ...] = (
     "lpa_communities",
     "filtered_aggs_monthly", "freshness_audit_event_types",
     "gaps_islands_user_days", "asof_join_nearest_views",
+    "cohens_d_value_ab", "mcnemar_doc_gates",
+    "mann_kendall_daily_revenue", "runs_test_daily_revenue",
 )
 
 _PRIORITY: tuple[str, ...] = (
