@@ -1009,6 +1009,271 @@ def ks_two_sample(
     )
 
 
+def kruskal_wallis(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """One row (n_total, n_groups, h, h_tie_corrected): Kruskal-Wallis
+    rank ANOVA — 'do k groups share a value distribution?' without the
+    normality assumption one-way ANOVA needs. H = 12/(N(N+1)) * sum_g
+    R_g^2/n_g - 3(N+1) over AVERAGE ranks (midranks for ties), divided
+    by the tie correction 1 - sum(t^3-t)/(N^3-N).
+
+    Scale + exactness shape: midranks are carried in HALF-UNITS so they
+    stay integers — for a distinct value with cnt occurrences after
+    cum_before smaller rows, 2*avg_rank = 2*cum_before + cnt + 1 — and
+    the cumulative counts come from :func:`distrank.global_running_sum`
+    over DISTINCT values (percentile-bucketed two-pass; a continuous
+    value column never lands on one reducer). Per-group doubled rank
+    sums R2_g = sum(cnt_g * 2*avg_rank) are exact DECIMAL(38,0); the
+    k-term sum of R2_g^2/n_g runs as an ORDERED fold over groups sorted
+    by label (0.0-init left fold — the engine-portable float order),
+    and sum(t^3-t) is an exact integer (per-value multiplicity < 2^21,
+    the bigint cube bound). NULL values are excluded, NULL correction
+    when every value ties (correction hits 0).
+    """
+    v = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("__g"), F.col(value_col).alias("__x")
+    )
+    per_v = v.groupBy("__x").agg(F.count("*").cast("bigint").alias("__cnt"))
+    rank2 = distrank.global_running_sum(
+        per_v, F.col("__x"), F.col("__cnt"), out_col="__cum"
+    ).select(
+        "__x",
+        (
+            2 * (F.col("__cum") - F.col("__cnt")) + F.col("__cnt") + 1
+        ).alias("__r2"),
+    )
+    per_gv = v.groupBy("__g", "__x").agg(
+        F.count("*").cast("bigint").alias("__cg")
+    )
+    per_g = (
+        per_gv.join(rank2, "__x")
+        .groupBy("__g")
+        .agg(
+            F.sum("__cg").cast("bigint").alias("__ng"),
+            F.sum(
+                F.col("__cg").cast("decimal(19,0)")
+                * F.col("__r2").cast("decimal(19,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("__r2g"),
+        )
+    )
+    terms = per_g.select(
+        "__g",
+        (
+            F.col("__r2g").cast("double")
+            * F.col("__r2g").cast("double")
+            / F.col("__ng").cast("double")
+        ).alias("__t"),
+    )
+    folded = terms.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__g"), F.col("__t")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["__t"],
+        ).alias("__sum_t"),
+        F.count("*").cast("bigint").alias("n_groups"),
+    )
+    totals = per_v.agg(
+        F.sum("__cnt").cast("bigint").alias("__n"),
+        F.sum(
+            F.col("__cnt") * F.col("__cnt") * F.col("__cnt") - F.col("__cnt")
+        )
+        .cast("decimal(38,0)")
+        .alias("__tie"),
+    )
+    j = folded.crossJoin(F.broadcast(totals))
+    nd = F.col("__n").cast("double")
+    h = (
+        F.lit(3.0) / (nd * (nd + F.lit(1.0))) * F.col("__sum_t")
+        - F.lit(3.0) * (nd + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("__tie").cast("double") / (nd * nd * nd - nd)
+    return j.select(
+        F.col("__n").alias("n_total"),
+        "n_groups",
+        F.round(h, 6).alias("h"),
+        F.round(h / F.nullif(corr, F.lit(0.0)), 6).alias("h_tie_corrected"),
+    )
+
+
+def bartlett(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """One row (n_total, n_groups, pooled_var, bartlett_t): Bartlett's
+    test of variance homogeneity across k groups — the gate in front
+    of pooled-variance procedures (classic ANOVA assumes it; Welch
+    exists because it often fails). T = [(N-k) ln(S_p^2) -
+    sum_g (n_g-1) ln(S_g^2)] / C with the standard correction
+    C = 1 + (sum 1/(n_g-1) - 1/(N-k)) / (3(k-1)).
+
+    Exactness shape: per-group sums and sums-of-squares are exact
+    decimals cast to double once, each group's SS follows one written
+    operation order, and the three k-term float reductions (SS-within,
+    sum of (n_g-1)ln(v_g), sum of 1/(n_g-1)) run as ORDERED 0.0-init
+    left folds over groups sorted by label — the engine-portable float
+    order. One groupBy, no window, no join; group count bounds the
+    collected arrays.
+    """
+    v = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("__g"), F.col(value_col).alias("__x")
+    )
+    pg = v.groupBy("__g").agg(
+        F.count("*").cast("bigint").alias("__ng"),
+        F.sum("__x").cast("double").alias("__s"),
+        F.sum(F.col("__x") * F.col("__x")).cast("double").alias("__q"),
+    )
+    ngd = F.col("__ng").cast("double")
+    ss = F.col("__q") - F.col("__s") * F.col("__s") / ngd
+    terms = pg.select(
+        "__g",
+        "__ng",
+        ss.alias("__ss"),
+        ((ngd - F.lit(1.0)) * F.log(ss / (ngd - F.lit(1.0)))).alias("__lg"),
+        (F.lit(1.0) / (ngd - F.lit(1.0))).alias("__inv"),
+    )
+
+    def _fold(col: str) -> Column:
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("__g"), F.col(col)))),
+            F.lit(0.0),
+            lambda acc, x: acc + x[col],
+        )
+
+    agg = terms.agg(
+        _fold("__ss").alias("__ssw"),
+        _fold("__lg").alias("__sumlog"),
+        _fold("__inv").alias("__sinv"),
+        F.sum("__ng").cast("bigint").alias("__n"),
+        F.count("*").cast("bigint").alias("n_groups"),
+    )
+    nd = F.col("__n").cast("double")
+    kd = F.col("n_groups").cast("double")
+    pooled = F.col("__ssw") / (nd - kd)
+    t_stat = ((nd - kd) * F.log(pooled) - F.col("__sumlog")) / (
+        F.lit(1.0)
+        + (F.col("__sinv") - F.lit(1.0) / (nd - kd))
+        / (F.lit(3.0) * (kd - F.lit(1.0)))
+    )
+    return agg.select(
+        F.col("__n").alias("n_total"),
+        "n_groups",
+        F.round(pooled, 6).alias("pooled_var"),
+        F.round(t_stat, 6).alias("bartlett_t"),
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    scale: int = 4,
+    out_col: str = "value_norm",
+) -> DataFrame:
+    """Per-row quantile normalization across groups: the row holding
+    within-group rank r (of n_g, ordered by (value, id)) is remapped to
+    the POOLED order statistic at position ceil(r * N / n_g) — after
+    which every group carries (a subsample of) the pooled distribution.
+    The cross-source alignment step of ML feature prep (microarray
+    heritage), here group = any source/segment column.
+
+    Scale shape — every data-sized stage is parallel:
+
+    - within-group ranks do NOT use a per-group window (k groups = k
+      reducers once groups are few and data is huge). Instead, a
+      composite integer key gidx*10^13 + value*10^scale is g-major
+      monotone (group bands of width 2*10^12 can't overlap), so ONE
+      :func:`distrank.global_running_sum` over per-(group, value)
+      counts yields cumulative counts across all groups; subtracting
+      each group's exclusive offset (a k-row side table) converts them
+      to within-group bases. Tie rows fan out by row_number over the
+      HIGH-cardinality (group, value) key.
+    - the pooled order statistics come from ONE
+      :func:`distrank.global_row_number` under (value, id); the rank
+      lookup is a plain equi-join on the rank integer.
+
+    Requires value_col exactly representable at `scale` decimals
+    (cast decimal upstream) and |value| < 10^(12-scale); r*N must fit
+    a bigint (documented ~3e9-row bound, decimal-widen beyond). NULL
+    values are dropped.
+    """
+    e = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("__g"),
+        F.col(value_col).alias("__x"),
+        F.col(id_col).alias("__id"),
+    )
+    w_g = Window.partitionBy(
+        F.pmod(F.length("__g"), F.lit(1))
+    ).orderBy("__g")
+    gi = (
+        e.select("__g")
+        .distinct()
+        .select("__g", F.row_number().over(w_g).cast("long").alias("__gi"))
+    )
+    mult = 10**scale
+    e2 = e.join(F.broadcast(gi), "__g").withColumn(
+        "__xi", (F.col("__x") * mult).cast("long")
+    ).withColumn(
+        "__ck", F.col("__gi") * F.lit(10**13) + F.col("__xi")
+    )
+    pv = e2.groupBy("__g", "__ck", "__xi").agg(
+        F.count("*").cast("bigint").alias("__cnt")
+    )
+    cum = distrank.global_running_sum(
+        pv, F.col("__ck"), F.col("__cnt"), out_col="__cum"
+    )
+    ng = e2.groupBy("__g", "__gi").agg(
+        F.count("*").cast("bigint").alias("__ng")
+    )
+    w_off = (
+        Window.partitionBy(distrank.single_partition("__gi"))
+        .orderBy("__gi")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = ng.select(
+        "__g",
+        "__ng",
+        F.coalesce(F.sum("__ng").over(w_off), F.lit(0)).alias("__off"),
+    )
+    base = cum.join(F.broadcast(offs), "__g").select(
+        "__g",
+        "__ck",
+        "__ng",
+        (F.col("__cum") - F.col("__cnt") - F.col("__off")).alias("__base"),
+    )
+    j_col = F.row_number().over(
+        Window.partitionBy("__g", "__ck").orderBy("__id")
+    )
+    n_total = e.agg(F.count("*").cast("bigint").alias("__N"))
+    ranked = (
+        e2.withColumn("__j", j_col.cast("long"))
+        .join(base, ["__g", "__ck"])
+        .crossJoin(F.broadcast(n_total))
+        .withColumn("__r", F.col("__base") + F.col("__j"))
+        .withColumn(
+            "__q",
+            F.expr("(__r * __N + __ng - 1) div __ng").cast("long"),
+        )
+    )
+    pooled = distrank.global_row_number(
+        e2.select("__x", "__xi", "__id"),
+        F.col("__xi"),
+        tiebreaks=[F.col("__id")],
+        out_col="__gr",
+    ).select(
+        F.col("__gr").cast("long").alias("__q"),
+        F.col("__x").alias(out_col),
+    )
+    return ranked.join(pooled, "__q").select(
+        F.col("__g").alias(group_col),
+        F.col("__x").alias(value_col),
+        F.col("__id").alias(id_col),
+        out_col,
+    )
+
+
 def cramers_v(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
     """One row (n, chi2, df_free, v): Cramér's V effect size from the
     full chi-square contingency — the magnitude readout the raw chi2

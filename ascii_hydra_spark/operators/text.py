@@ -1340,3 +1340,91 @@ def html_to_text(html: "Column | str") -> Column:
     ):
         t = F.replace(t, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def nb_langid_confusion(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    k: float = 0.5,
+) -> DataFrame:
+    """(true_lang, pred_lang, n_docs): confusion matrix of an add-k
+    naive-Bayes unigram language classifier trained on the labeled
+    corpus itself — the fastText-style lang-ID eval loop of a curation
+    pipeline (language_id is the heuristic arm; this is the supervised
+    counting arm, deterministic so the oracle arbitrates the MODEL).
+
+    Per doc and candidate language: score = log2 prior (doc share) +
+    sum over tokens of log2((c(tok,lang)+k) / (c(lang)+k*V)); predicted
+    language = argmax, ties to the lexicographically first language.
+
+    Engine determinism: the per-(doc, lang) float sum runs as an
+    ORDERED 0.0-init left fold over tokens sorted by token string
+    (F.aggregate == LIST_REDUCE bit-for-bit), so the argmax compares
+    identical doubles in both engines. Scale shape: scoring fan-out is
+    tokens x |languages| (a small constant); model tables are
+    vocab-bounded and broadcast when small; the 1-row V and doc-total
+    aggregates cross-broadcast.
+    """
+    toks = docs.select(
+        F.col(id_col), F.col(lang_col).alias("__true"),
+        F.explode(word_tokens(text_col)).alias("tok"),
+    )
+    ctl = toks.groupBy(F.col("__true").alias("m_lang"), "tok").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    cl = toks.groupBy(F.col("__true").alias("m_lang")).agg(
+        F.count("*").cast("bigint").alias("cl")
+    )
+    vsz = toks.agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    priors = docs.groupBy(F.col(lang_col).alias("m_lang")).agg(
+        F.count("*").cast("bigint").alias("pd")
+    )
+    nd = docs.agg(F.count("*").cast("bigint").alias("nd"))
+    langs = docs.select(F.col(lang_col).alias("m_lang")).distinct()
+    sc = (
+        toks.crossJoin(F.broadcast(langs))
+        .join(ctl, ["m_lang", "tok"], "left")
+        .join(F.broadcast(cl), "m_lang")
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            id_col,
+            "__true",
+            "m_lang",
+            "tok",
+            F.log2(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(k))
+                / (F.col("cl") + F.lit(k) * F.col("v"))
+            ).alias("s"),
+        )
+    )
+    per = sc.groupBy(id_col, "__true", "m_lang").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("tok"), F.col("s")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("fold")
+    )
+    tot = (
+        per.join(F.broadcast(priors), "m_lang")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            id_col,
+            "__true",
+            "m_lang",
+            (
+                F.col("fold")
+                + F.log2(F.col("pd").cast("double") / F.col("nd"))
+            ).alias("score"),
+        )
+    )
+    pick = tot.groupBy(id_col, "__true").agg(
+        F.min_by(
+            F.col("m_lang"),
+            F.struct((-F.col("score")).alias("a"), F.col("m_lang").alias("b")),
+        ).alias("pred_lang")
+    )
+    return pick.groupBy(
+        F.col("__true").alias("true_lang"), "pred_lang"
+    ).agg(F.count("*").cast("bigint").alias("n_docs"))

@@ -310,6 +310,27 @@ def fixture_hostfile_record(i: int) -> "tuple[str, str, str, int, str, str]":
     return record_id, warc_date, uri, status, ctype, body
 
 
+def fixture_revisit_record(i: int) -> "tuple[str, str, str, int, str, str]":
+    """Deterministic fixture capture ``i`` with REVISITS: the body is a
+    closed form of ``g = i % 250``, so groups 0-99 are captured three
+    times (i, i+250, i+500) and groups 100-249 twice — the duplicate
+    structure a CDX digest-revisit pass must recover (Common Crawl's
+    `revisit` record type records exactly this). Captures of one group
+    share URL/status/body but differ in warc_date (crawl day = 1+i//250)
+    and record_id. Closed-form in ``i`` so the DuckDB oracle
+    reconstructs group sizes and digests in SQL (cdx_revisit_detection);
+    any change here must update that oracle.
+    """
+    g = i % 250
+    record_id = f"urn:uuid:00000000-0000-0000-0000-{i:012d}"
+    warc_date = f"2024-03-{1 + i // 250:02d}T00:00:00Z"
+    uri = f"http://www.Site{g % 7}.Example.COM/item/{g}/page?b={g % 3}&a={g % 5}"
+    status = {2: 301, 3: 404}.get(g % 5, 200)
+    ctype = ["text/html", "text/plain", "application/json"][g % 3]
+    body = f"Revisit {g} body " + f"w{g % 11} " * (g % 13)
+    return record_id, warc_date, uri, status, ctype, body
+
+
 def _warc_record(headers: "list[tuple[str, str]]", block: bytes) -> bytes:
     head = b"WARC/1.0\r\n"
     head += b"".join(

@@ -14635,9 +14635,11 @@ def value_profile_by_type(spark, sf_dir):
     )
 
 
-@q(
-    "gram_top_eigenvalue",
-    """
+# Three unrolled power iterations over the exact-integer Gram of the
+# quantized embedding grid, shared by gram_top_eigenvalue and
+# stable_rank_embeddings (which appends a trace CTE). Ends at m3 =
+# the iteration-3 infinity-norm; eigenvalue = m3.m / 10^(2*scale).
+_GRAM_POWER_CTES = """
     WITH u AS (
         SELECT vec_id, UNNEST(range(1, len(embedding) + 1)) AS i,
                CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 10000.0
@@ -14680,6 +14682,13 @@ def value_profile_by_type(spark, sf_dir):
         FROM rg CROSS JOIN x2
     ),
     m3 AS MATERIALIZED (SELECT MAX(ABS(y)) AS m FROM it3)
+"""
+
+
+@q(
+    "gram_top_eigenvalue",
+    f"""
+    {_GRAM_POWER_CTES}
     SELECT 64 AS d,
            ROUND(m3.m / 100000000.0, 6) AS eigenvalue,
            (SELECT i FROM it3 CROSS JOIN m3
@@ -16069,6 +16078,1306 @@ def runs_test_daily_revenue(spark, sf_dir):
     )
 
 
+@q(
+    "kruskal_wallis_value_by_type",
+    """
+    WITH v AS (
+        SELECT event_type AS g, CAST(value AS DECIMAL(12,4)) AS x
+        FROM events WHERE value IS NOT NULL
+    ),
+    pv AS (SELECT x, COUNT(*)::BIGINT AS cnt FROM v GROUP BY x),
+    r AS (
+        SELECT x, 2 * (SUM(cnt) OVER (ORDER BY x) - cnt) + cnt + 1 AS r2
+        FROM pv
+    ),
+    gv AS (SELECT g, x, COUNT(*)::BIGINT AS cg FROM v GROUP BY g, x),
+    pg AS (
+        SELECT g, SUM(cg)::BIGINT AS ng,
+               CAST(SUM(CAST(cg AS HUGEINT) * r2) AS DECIMAL(38,0)) AS r2g
+        FROM gv JOIN r USING (x) GROUP BY g
+    ),
+    t AS (
+        SELECT g, CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)
+                  / CAST(ng AS DOUBLE) AS t
+        FROM pg
+    ),
+    ft AS (
+        SELECT LIST_REDUCE(LIST(t ORDER BY g), (a, b) -> a + b) AS sum_t,
+               COUNT(*)::BIGINT AS n_groups
+        FROM t
+    ),
+    tot AS (
+        SELECT SUM(cnt)::BIGINT AS n,
+               CAST(SUM(cnt * cnt * cnt - cnt) AS DECIMAL(38,0)) AS tie
+        FROM pv
+    )
+    SELECT n AS n_total, n_groups,
+           ROUND(3.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                 * sum_t - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h,
+           ROUND((3.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                  * sum_t - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                 / NULLIF(1.0 - CAST(tie AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                             * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)),
+                          0.0), 6) AS h_tie_corrected
+    FROM ft, tot
+    """,
+    "Kruskal-Wallis rank ANOVA across the five event types — the "
+    "distribution-free 'any group different?' test (ANOVA's "
+    "assumption-free sibling; anova_value_by_type is the parametric "
+    "arm). The scale showcase for distrank: midranks are carried in "
+    "half-units so they stay INTEGERS, cumulative counts over "
+    "distinct values come from the percentile-bucketed two-pass "
+    "(operators/analytics.py kruskal_wallis), per-group doubled rank "
+    "sums are exact DECIMAL(38,0), and the k-term float sum is an "
+    "ordered 0.0-init fold over group labels — the engine-portable "
+    "float order. The oracle replays the identical arithmetic with "
+    "one plain window",
+)
+def kruskal_wallis_value_by_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return analytics.kruskal_wallis(
+        ev.select(
+            "event_type", F.col("value").cast("decimal(12,4)").alias("value")
+        ),
+        "event_type",
+        "value",
+    )
+
+
+@q(
+    "ccnet_perplexity_buckets",
+    f"""
+    WITH scored AS ({_BIGRAM_LM_SQL}),
+    j AS (
+        SELECT d.lang, s.doc_id, s.avg_neg_log2
+        FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+    ),
+    b AS (
+        SELECT lang, avg_neg_log2,
+               NTILE(3) OVER (PARTITION BY lang
+                              ORDER BY avg_neg_log2, doc_id) AS nt
+        FROM j
+    )
+    SELECT lang,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           COUNT(*)::BIGINT AS n_docs,
+           MIN(avg_neg_log2) AS min_score,
+           MAX(avg_neg_log2) AS max_score
+    FROM b GROUP BY lang, nt
+    """,
+    "CCNet's head/middle/tail perplexity bucketing (Wenzek et al. "
+    "2020): per language, documents split into fluency tertiles by "
+    "the bigram-LM score — the corpus partitioning CCNet feeds to "
+    "downstream sampling (train mostly on head, audit the tail). "
+    "NTILE over (rounded score, doc_id) is a deterministic total "
+    "order both engines share; per-bucket min/max are order-free. "
+    "The window partitions by lang, so no global sort",
+)
+def ccnet_perplexity_buckets(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    scored = corpus.bigram_lm_scores(d, k=0.5)
+    j = scored.join(d.select("doc_id", "lang"), "doc_id")
+    nt = F.ntile(3).over(
+        Window.partitionBy("lang").orderBy("avg_neg_log2", "doc_id")
+    )
+    return (
+        j.withColumn("nt", nt)
+        .groupBy(
+            "lang",
+            F.when(F.col("nt") == 1, "head")
+            .when(F.col("nt") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("avg_neg_log2").alias("min_score"),
+            F.max("avg_neg_log2").alias("max_score"),
+        )
+    )
+
+
+@q(
+    "quality_feature_matrix",
+    f"""
+    WITH tok AS (SELECT doc_id, UNNEST({_TOKS}) AS tok FROM documents),
+    tc AS (
+        SELECT doc_id, tok, COUNT(*)::BIGINT AS c
+        FROM tok GROUP BY doc_id, tok
+    ),
+    agg AS (
+        SELECT doc_id, SUM(c)::BIGINT AS n_tokens,
+               COUNT(*)::BIGINT AS n_types, MAX(c)::BIGINT AS top_c,
+               SUM(c * LENGTH(tok))::BIGINT AS sum_len
+        FROM tc GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars,
+           a.n_tokens, a.n_types,
+           ROUND(CAST(a.n_types AS DOUBLE) / CAST(a.n_tokens AS DOUBLE), 6)
+               AS type_token_ratio,
+           ROUND(CAST(a.sum_len AS DOUBLE) / CAST(a.n_tokens AS DOUBLE), 6)
+               AS mean_token_len,
+           ROUND(CAST(a.top_c AS DOUBLE) / CAST(a.n_tokens AS DOUBLE), 6)
+               AS top_token_share
+    FROM documents d JOIN agg a ON d.doc_id = a.doc_id
+    """,
+    "Per-document quality-classifier feature assembly — the wide row "
+    "a fastText/logistic quality model trains on (the fasttext-prep "
+    "stage of CCNet/RefinedWeb pipelines): token counts, type-token "
+    "ratio, mean token length, top-token share, plus lang/source "
+    "passthrough. One explode + two keyed aggregations, all exact "
+    "integers before three single divisions; zero-token docs are "
+    "absent (no features is honest)",
+)
+def quality_feature_matrix(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tc = (
+        d.select("doc_id", F.explode(word_tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    agg = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.max("c").cast("bigint").alias("top_c"),
+        F.sum(F.col("c") * F.length("tok")).cast("bigint").alias("sum_len"),
+    )
+    nt = F.col("n_tokens").cast("double")
+    return d.select("doc_id", "lang", "source", "n_chars").join(
+        agg, "doc_id"
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types").cast("double") / nt, 6).alias(
+            "type_token_ratio"
+        ),
+        F.round(F.col("sum_len").cast("double") / nt, 6).alias(
+            "mean_token_len"
+        ),
+        F.round(F.col("top_c").cast("double") / nt, 6).alias(
+            "top_token_share"
+        ),
+    )
+
+
+@q(
+    "odds_ratio_purchase_ab",
+    """
+    WITH u AS (
+        SELECT user_id,
+               ((user_id * 2654435761) % 4294967296) % 2 = 0 AS is_a,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS p
+        FROM events GROUP BY user_id
+    ),
+    k AS (
+        SELECT
+            SUM(CASE WHEN is_a AND p = 1 THEN 1 ELSE 0 END)::BIGINT AS a,
+            SUM(CASE WHEN is_a AND p = 0 THEN 1 ELSE 0 END)::BIGINT AS b,
+            SUM(CASE WHEN NOT is_a AND p = 1 THEN 1 ELSE 0 END)::BIGINT
+                AS c,
+            SUM(CASE WHEN NOT is_a AND p = 0 THEN 1 ELSE 0 END)::BIGINT
+                AS d
+        FROM u
+    ),
+    s AS (
+        SELECT a, b, c, d,
+               CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL
+                    ELSE LN(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE))
+               END AS lor,
+               CASE WHEN a = 0 OR b = 0 OR c = 0 OR d = 0 THEN NULL
+                    ELSE SQRT(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+               END AS se
+        FROM k
+    )
+    SELECT a AS n_a_purchase, b AS n_a_none,
+           c AS n_b_purchase, d AS n_b_none,
+           CASE WHEN lor IS NULL THEN NULL
+                ELSE ROUND(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE), 6)
+           END AS odds_ratio,
+           ROUND(lor, 6) AS log_odds_ratio,
+           ROUND(EXP(lor - 1.96 * se), 6) AS ci_low,
+           ROUND(EXP(lor + 1.96 * se), 6) AS ci_high
+    FROM s
+    """,
+    "Odds ratio + Wald 95% CI for 'did the user purchase?' across "
+    "the Knuth-hash A/B split — the 2x2 effect readout conversion "
+    "experiments report (the z-test says significant, this says how "
+    "big, with multiplicative error bars). Exact integer cell "
+    "counts; OR from one integer cross-product division; SE = "
+    "sqrt(1/a+1/b+1/c+1/d) in one written order; NULL on any empty "
+    "cell (Wald is undefined there)",
+)
+def odds_ratio_purchase_ab(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    is_a = ((F.col("user_id") * 2654435761) % 4294967296) % 2 == 0
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("p")
+    ).select(is_a.alias("is_a"), "p")
+    k = u.agg(
+        F.sum(F.when(F.col("is_a") & (F.col("p") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(F.col("is_a") & (F.col("p") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when(~F.col("is_a") & (F.col("p") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when(~F.col("is_a") & (F.col("p") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    any_zero = (
+        (F.col("a") == 0)
+        | (F.col("b") == 0)
+        | (F.col("c") == 0)
+        | (F.col("d") == 0)
+    )
+    ratio = (F.col("a") * F.col("d")).cast("double") / (
+        F.col("b") * F.col("c")
+    ).cast("double")
+    s = k.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.when(any_zero, F.lit(None)).otherwise(F.log(ratio)).alias("lor"),
+        F.when(any_zero, F.lit(None))
+        .otherwise(
+            F.sqrt(
+                F.lit(1.0) / F.col("a")
+                + F.lit(1.0) / F.col("b")
+                + F.lit(1.0) / F.col("c")
+                + F.lit(1.0) / F.col("d")
+            )
+        )
+        .alias("se"),
+    )
+    return s.select(
+        F.col("a").alias("n_a_purchase"),
+        F.col("b").alias("n_a_none"),
+        F.col("c").alias("n_b_purchase"),
+        F.col("d").alias("n_b_none"),
+        F.when(F.col("lor").isNull(), F.lit(None))
+        .otherwise(F.round(ratio, 6))
+        .alias("odds_ratio"),
+        F.round(F.col("lor"), 6).alias("log_odds_ratio"),
+        F.round(F.exp(F.col("lor") - F.lit(1.96) * F.col("se")), 6).alias(
+            "ci_low"
+        ),
+        F.round(F.exp(F.col("lor") + F.lit(1.96) * F.col("se")), 6).alias(
+            "ci_high"
+        ),
+    )
+
+
+@q(
+    "cdx_revisit_detection",
+    """
+    WITH caps AS (SELECT i % 250 AS g FROM range(600) t(i)),
+    grp AS (SELECT g, COUNT(*)::BIGINT AS caps FROM caps GROUP BY g)
+    SELECT 'com,example,site' || CAST(g % 7 AS VARCHAR) AS host,
+           SUM(caps)::BIGINT AS n_captures,
+           COUNT(*)::BIGINT AS n_unique,
+           (SUM(caps) - COUNT(*))::BIGINT AS n_revisits,
+           ROUND(CAST(SUM(caps) - COUNT(*) AS DOUBLE)
+                 / CAST(SUM(caps) AS DOUBLE), 6) AS revisit_ratio
+    FROM grp GROUP BY 1
+    """,
+    "CDX digest-revisit detection — Common Crawl's `revisit` record "
+    "semantics recovered from the index alone: captures sharing a "
+    "payload digest are one original + N-1 revisits, aggregated per "
+    "SURT host. The step that tells a crawl-ingest pipeline how much "
+    "of an archive is re-fetch before it decompresses ANY payload "
+    "(index scalars only — at 100 TB this prunes the fetch list, "
+    "not just the dedup). Fixture groups are closed-form (250 "
+    "bodies, 3 captures for g<100 else 2), so the oracle states the "
+    "ground truth without replaying MD5",
+)
+def cdx_revisit_detection(spark, sf_dir):
+    from ascii_hydra_spark.sources.cdx import register_cdx_source
+    from ascii_hydra_spark.sources.warc import (
+        fixture_revisit_record,
+        write_warc_fixture,
+    )
+
+    register_cdx_source(spark)
+    d = tempfile.mkdtemp(prefix="ahs_cdx_rv_")
+    write_warc_fixture(
+        d, n_records=600, n_files=4, compress=True,
+        record_fn=fixture_revisit_record,
+    )
+    from ascii_hydra_spark.functions import surt_url
+
+    idx = spark.read.format("cdx").option("path", d).load()
+    per_digest = (
+        idx.select(
+            F.substring_index(surt_url("target_uri"), ")", 1).alias("host"),
+            "digest",
+        )
+        .groupBy("host", "digest")
+        .agg(F.count("*").cast("bigint").alias("caps"))
+    )
+    return per_digest.groupBy("host").agg(
+        F.sum("caps").cast("bigint").alias("n_captures"),
+        F.count("*").cast("bigint").alias("n_unique"),
+        (F.sum("caps") - F.count("*")).cast("bigint").alias("n_revisits"),
+        F.round(
+            (F.sum("caps") - F.count("*")).cast("double")
+            / F.sum("caps").cast("double"),
+            6,
+        ).alias("revisit_ratio"),
+    )
+
+
+@q(
+    "hurst_rescaled_range_daily",
+    """
+    WITH d AS (
+        SELECT o_orderdate AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS rev
+        FROM orders GROUP BY 1
+    ),
+    t AS (
+        SELECT COUNT(*)::BIGINT AS n, CAST(SUM(rev) AS DOUBLE) AS s,
+               CAST(SUM(rev * rev) AS DOUBLE) AS q
+        FROM d
+    ),
+    c AS (
+        SELECT SUM(CAST(rev AS DOUBLE) - t.s / CAST(t.n AS DOUBLE))
+                   OVER (ORDER BY day) AS cum
+        FROM d, t
+    ),
+    r AS (SELECT MAX(cum) - MIN(cum) AS rng FROM c)
+    SELECT t.n AS n_days,
+           ROUND(r.rng, 6) AS r_range,
+           ROUND(SQRT(t.q / CAST(t.n AS DOUBLE)
+                      - (t.s / CAST(t.n AS DOUBLE))
+                        * (t.s / CAST(t.n AS DOUBLE))), 6) AS s_dev,
+           ROUND(r.rng / SQRT(t.q / CAST(t.n AS DOUBLE)
+                              - (t.s / CAST(t.n AS DOUBLE))
+                                * (t.s / CAST(t.n AS DOUBLE))), 6)
+               AS rs_ratio,
+           ROUND(LN(r.rng / SQRT(t.q / CAST(t.n AS DOUBLE)
+                                 - (t.s / CAST(t.n AS DOUBLE))
+                                   * (t.s / CAST(t.n AS DOUBLE))))
+                 / LN(CAST(t.n AS DOUBLE) / 2.0), 6) AS hurst_est
+    FROM t, r
+    """,
+    "Hurst exponent estimate via rescaled range (R/S) on daily "
+    "revenue: H>0.5 = trending/persistent, H<0.5 = mean-reverting — "
+    "the long-memory diagnostic behind capacity planning on "
+    "autocorrelated series. Decimal-exact revenue moments; the "
+    "mean-adjusted cumulative walk is one day-grain ordered window "
+    "(bounded by the calendar, the cusum contract); R and S divide "
+    "once at the end in a single written order",
+)
+def hurst_rescaled_range_daily(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    t = d.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("rev").cast("double").alias("s"),
+        F.sum(F.col("rev") * F.col("rev")).cast("double").alias("q"),
+    )
+    nd = F.col("n").cast("double")
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = d.crossJoin(F.broadcast(t)).select(
+        F.sum(F.col("rev").cast("double") - F.col("s") / nd)
+        .over(w)
+        .alias("cum"),
+        "n",
+        "s",
+        "q",
+    )
+    r = c.groupBy("n", "s", "q").agg(
+        (F.max("cum") - F.min("cum")).alias("rng")
+    )
+    m = F.col("s") / nd
+    sd = F.sqrt(F.col("q") / nd - m * m)
+    return r.select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("rng"), 6).alias("r_range"),
+        F.round(sd, 6).alias("s_dev"),
+        F.round(F.col("rng") / sd, 6).alias("rs_ratio"),
+        F.round(
+            F.log(F.col("rng") / sd) / F.log(nd / F.lit(2.0)), 6
+        ).alias("hurst_est"),
+    )
+
+
+@q(
+    "nbinom_moments_user_events",
+    """
+    WITH k AS (
+        SELECT user_id, COUNT(*)::BIGINT AS k FROM events GROUP BY user_id
+    ),
+    t AS (
+        SELECT COUNT(*)::BIGINT AS n, SUM(k)::BIGINT AS s,
+               SUM(k * k)::BIGINT AS q
+        FROM k
+    )
+    SELECT n AS n_users,
+           ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_events,
+           ROUND((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                  / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0), 6)
+               AS var_events,
+           ROUND(((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+                 / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+               AS dispersion_index,
+           CASE WHEN (CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+                      * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                     / (CAST(n AS DOUBLE) - 1.0)
+                     <= CAST(s AS DOUBLE) / CAST(n AS DOUBLE) THEN NULL
+                ELSE ROUND((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                           / ((CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+                               * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                              / (CAST(n AS DOUBLE) - 1.0)
+                              - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+           END AS nb_r,
+           CASE WHEN (CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+                      * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                     / (CAST(n AS DOUBLE) - 1.0)
+                     <= CAST(s AS DOUBLE) / CAST(n AS DOUBLE) THEN NULL
+                ELSE ROUND((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                           / ((CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+                               * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                              / (CAST(n AS DOUBLE) - 1.0)), 6)
+           END AS nb_p
+    FROM t
+    """,
+    "Negative-binomial method-of-moments fit to per-user event "
+    "counts: r = m^2/(v-m), p = m/v — the overdispersion model "
+    "poisson_dispersion_users motivates (user activity is never "
+    "Poisson; NB's r is the 'clumpiness' a capacity model needs). "
+    "Exact integer count moments; NULL fit when v <= m (NB "
+    "degenerates to Poisson). Every float derives from (n, s, q) in "
+    "one written order",
+)
+def nbinom_moments_user_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("k"))
+    t = k.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("s"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("q"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    qd = F.col("q").cast("double")
+    m = sd / nd
+    v = (qd - sd * sd / nd) / (nd - F.lit(1.0))
+    return t.select(
+        F.col("n").alias("n_users"),
+        F.round(m, 6).alias("mean_events"),
+        F.round(v, 6).alias("var_events"),
+        F.round(v / m, 6).alias("dispersion_index"),
+        F.when(v <= m, F.lit(None))
+        .otherwise(F.round(m * m / (v - m), 6))
+        .alias("nb_r"),
+        F.when(v <= m, F.lit(None))
+        .otherwise(F.round(m / v, 6))
+        .alias("nb_p"),
+    )
+
+
+@q(
+    "bartlett_value_by_type",
+    """
+    WITH e AS (
+        SELECT event_type AS g, CAST(value AS DECIMAL(12,4)) AS x
+        FROM events WHERE value IS NOT NULL
+    ),
+    pg AS (
+        SELECT g, COUNT(*)::BIGINT AS ng, CAST(SUM(x) AS DOUBLE) AS s,
+               CAST(SUM(x * x) AS DOUBLE) AS q
+        FROM e GROUP BY g
+    ),
+    t AS (
+        SELECT g, ng,
+               q - s * s / CAST(ng AS DOUBLE) AS ss,
+               (CAST(ng AS DOUBLE) - 1.0)
+                   * LN((q - s * s / CAST(ng AS DOUBLE))
+                        / (CAST(ng AS DOUBLE) - 1.0)) AS lg,
+               1.0 / (CAST(ng AS DOUBLE) - 1.0) AS inv
+        FROM pg
+    ),
+    f AS (
+        SELECT LIST_REDUCE(LIST(ss ORDER BY g), (a, b) -> a + b) AS ssw,
+               LIST_REDUCE(LIST(lg ORDER BY g), (a, b) -> a + b) AS sumlog,
+               LIST_REDUCE(LIST(inv ORDER BY g), (a, b) -> a + b) AS sinv,
+               SUM(ng)::BIGINT AS n, COUNT(*)::BIGINT AS n_groups
+        FROM t
+    )
+    SELECT n AS n_total, n_groups,
+           ROUND(ssw / (CAST(n AS DOUBLE) - CAST(n_groups AS DOUBLE)), 6)
+               AS pooled_var,
+           ROUND(((CAST(n AS DOUBLE) - CAST(n_groups AS DOUBLE))
+                  * LN(ssw / (CAST(n AS DOUBLE)
+                              - CAST(n_groups AS DOUBLE))) - sumlog)
+                 / (1.0 + (sinv - 1.0 / (CAST(n AS DOUBLE)
+                                         - CAST(n_groups AS DOUBLE)))
+                    / (3.0 * (CAST(n_groups AS DOUBLE) - 1.0))), 6)
+               AS bartlett_t
+    FROM f
+    """,
+    "Bartlett's variance-homogeneity test across the five event "
+    "types — the gate in front of pooled-variance ANOVA "
+    "(anova_value_by_type assumes what this checks; Welch exists "
+    "because it fails). Exact decimal group moments; the three "
+    "k-term float reductions run as ordered 0.0-init left folds "
+    "over group labels (operators/analytics.py bartlett), the "
+    "engine-portable float order the Gram/HITS flagships "
+    "established. One groupBy, arrays bounded by k=5",
+)
+def bartlett_value_by_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return analytics.bartlett(
+        ev.select(
+            "event_type", F.col("value").cast("decimal(12,4)").alias("value")
+        ),
+        "event_type",
+        "value",
+    )
+
+
+@q(
+    "stable_rank_embeddings",
+    f"""
+    {_GRAM_POWER_CTES},
+    tr AS (SELECT SUM(q * q)::BIGINT AS t FROM u)
+    SELECT 64 AS d,
+           ROUND(CAST(tr.t AS DOUBLE) / 100000000.0, 6) AS trace_val,
+           ROUND(m3.m / 100000000.0, 6) AS eigenvalue,
+           ROUND((CAST(tr.t AS DOUBLE) / 100000000.0)
+                 / ROUND(m3.m / 100000000.0, 6), 6) AS stable_rank
+    FROM m3, tr
+    """,
+    "Stable (numerical) rank of the embedding matrix: ||X||_F^2 / "
+    "sigma_1^2 = trace(G) / lambda_1(G) — the collapse diagnostic "
+    "behind 'did my embeddings degenerate to k directions?' (stable "
+    "rank ~ d = healthy, ~ 1 = collapsed; it gates whether IVF/LSH "
+    "partitioning can work at all). Trace is an exact integer on the "
+    "quantized grid (one scan, no join); lambda_1 reuses the "
+    "three-iteration power method (shared _GRAM_POWER_CTES oracle "
+    "prefix), divided once at its 6-dp-rounded value so both engines "
+    "agree bit-for-bit",
+)
+def stable_rank_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    eig = similarity.gram_power_iteration_eigen(
+        emb, iterations=3, scale=4
+    ).select("d", "eigenvalue")
+    q_comp = F.floor(
+        F.col("x").cast("double") * F.lit(10000.0) + F.lit(0.5)
+    )
+    tr = (
+        emb.select(F.explode(F.col("embedding")).alias("x"))
+        .select(q_comp.alias("q"))
+        .agg(F.sum(F.col("q") * F.col("q")).cast("bigint").alias("t"))
+    )
+    trace_val = F.col("t").cast("double") / F.lit(100000000.0)
+    return eig.crossJoin(F.broadcast(tr)).select(
+        "d",
+        F.round(trace_val, 6).alias("trace_val"),
+        "eigenvalue",
+        F.round(trace_val / F.col("eigenvalue"), 6).alias("stable_rank"),
+    )
+
+
+@q(
+    "granger_orders_to_revenue",
+    """
+    WITH d AS (
+        SELECT o_orderdate AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS rev,
+               COUNT(*)::BIGINT AS cnt
+        FROM orders GROUP BY 1
+    ),
+    p AS (
+        SELECT t.rev AS z, l.rev AS a, l.cnt AS b
+        FROM d t JOIN d l ON l.day = t.day - INTERVAL 1 DAY
+    ),
+    m AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               CAST(SUM(z) AS DOUBLE) AS sz,
+               CAST(SUM(a) AS DOUBLE) AS sa,
+               CAST(SUM(b) AS DOUBLE) AS sb,
+               CAST(SUM(z * z) AS DOUBLE) AS szz,
+               CAST(SUM(a * a) AS DOUBLE) AS saa,
+               CAST(SUM(b * b) AS DOUBLE) AS sbb,
+               CAST(SUM(z * a) AS DOUBLE) AS sza,
+               CAST(SUM(z * b) AS DOUBLE) AS szb,
+               CAST(SUM(a * b) AS DOUBLE) AS sab
+        FROM p
+    ),
+    c AS (
+        SELECT n,
+               szz - sz * sz / CAST(n AS DOUBLE) AS czz,
+               saa - sa * sa / CAST(n AS DOUBLE) AS caa,
+               sbb - sb * sb / CAST(n AS DOUBLE) AS cbb,
+               sza - sz * sa / CAST(n AS DOUBLE) AS cza,
+               szb - sz * sb / CAST(n AS DOUBLE) AS czb,
+               sab - sa * sb / CAST(n AS DOUBLE) AS cab
+        FROM m
+    ),
+    k AS (
+        SELECT n, czz, caa, cza,
+               (cza * cbb - czb * cab) / NULLIF(caa * cbb - cab * cab, 0.0)
+                   AS ba,
+               (czb * caa - cza * cab) / NULLIF(caa * cbb - cab * cab, 0.0)
+                   AS bb,
+               czb, cab
+        FROM c
+    ),
+    s AS (
+        SELECT n, ba, bb,
+               czz - (ba * cza + bb * czb) AS ssr_u,
+               czz - cza * cza / NULLIF(caa, 0.0) AS ssr_r
+        FROM k
+    )
+    SELECT n AS n_pairs,
+           ROUND(ba, 6) AS beta_rev_lag,
+           ROUND(bb, 6) AS beta_orders_lag,
+           ROUND(ssr_r, 6) AS ssr_restricted,
+           ROUND(ssr_u, 6) AS ssr_unrestricted,
+           ROUND((ssr_r - ssr_u)
+                 / NULLIF(ssr_u / (CAST(n AS DOUBLE) - 3.0), 0.0), 6)
+               AS f_stat
+    FROM s
+    """,
+    "Granger-style lag-1 causality probe: does yesterday's ORDER "
+    "COUNT predict today's revenue beyond yesterday's revenue? "
+    "F-test between the restricted (rev ~ rev_lag) and unrestricted "
+    "(rev ~ rev_lag + cnt_lag) OLS fits, both solved in closed form "
+    "from exact decimal/integer moments via 2x2 normal equations "
+    "(the ols_price_quantity_discount machinery on a lagged "
+    "calendar join — gap days drop out, documented). Every float "
+    "derives from the ten exact sums in one written order",
+)
+def granger_orders_to_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev"),
+        F.count("*").cast("bigint").alias("cnt"),
+    )
+    t, l = d.alias("t"), d.alias("l")
+    p = t.join(
+        l, F.col("l.day") == F.date_sub(F.col("t.day"), 1)
+    ).select(
+        F.col("t.rev").alias("z"),
+        F.col("l.rev").alias("a"),
+        F.col("l.cnt").alias("b"),
+    )
+    m = p.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("z").cast("double").alias("sz"),
+        F.sum("a").cast("double").alias("sa"),
+        F.sum("b").cast("double").alias("sb"),
+        F.sum(F.col("z") * F.col("z")).cast("double").alias("szz"),
+        F.sum(F.col("a") * F.col("a")).cast("double").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("double").alias("sbb"),
+        F.sum(F.col("z") * F.col("a")).cast("double").alias("sza"),
+        F.sum(F.col("z") * F.col("b")).cast("double").alias("szb"),
+        F.sum(F.col("a") * F.col("b")).cast("double").alias("sab"),
+    )
+    nd = F.col("n").cast("double")
+    czz = F.col("szz") - F.col("sz") * F.col("sz") / nd
+    caa = F.col("saa") - F.col("sa") * F.col("sa") / nd
+    cbb = F.col("sbb") - F.col("sb") * F.col("sb") / nd
+    cza = F.col("sza") - F.col("sz") * F.col("sa") / nd
+    czb = F.col("szb") - F.col("sz") * F.col("sb") / nd
+    cab = F.col("sab") - F.col("sa") * F.col("sb") / nd
+    det = F.nullif(caa * cbb - cab * cab, F.lit(0.0))
+    ba = (cza * cbb - czb * cab) / det
+    bb = (czb * caa - cza * cab) / det
+    ssr_u = czz - (ba * cza + bb * czb)
+    ssr_r = czz - cza * cza / F.nullif(caa, F.lit(0.0))
+    return m.select(
+        F.col("n").alias("n_pairs"),
+        F.round(ba, 6).alias("beta_rev_lag"),
+        F.round(bb, 6).alias("beta_orders_lag"),
+        F.round(ssr_r, 6).alias("ssr_restricted"),
+        F.round(ssr_u, 6).alias("ssr_unrestricted"),
+        F.round(
+            (ssr_r - ssr_u)
+            / F.nullif(ssr_u / (nd - F.lit(3.0)), F.lit(0.0)),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+@q(
+    "simpsons_paradox_segments",
+    """
+    WITH j AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(o.o_orderdate AS DATE) - DATE '2020-01-01' AS x,
+               CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT) AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    g AS (
+        SELECT seg, COUNT(*)::BIGINT AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS BIGINT) * x) AS DOUBLE) AS sxx,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy
+        FROM j GROUP BY seg
+    ),
+    pooled AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS BIGINT) * x) AS DOUBLE) AS sxx,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy
+        FROM j
+    )
+    SELECT g.seg AS segment, g.n AS n_orders,
+           ROUND((CAST(g.n AS DOUBLE) * g.sxy - g.sx * g.sy)
+                 / NULLIF(CAST(g.n AS DOUBLE) * g.sxx - g.sx * g.sx, 0.0),
+                 6) AS slope_segment,
+           ROUND((CAST(p.n AS DOUBLE) * p.sxy - p.sx * p.sy)
+                 / NULLIF(CAST(p.n AS DOUBLE) * p.sxx - p.sx * p.sx, 0.0),
+                 6) AS slope_pooled,
+           (SIGN((CAST(g.n AS DOUBLE) * g.sxy - g.sx * g.sy)
+                 / NULLIF(CAST(g.n AS DOUBLE) * g.sxx - g.sx * g.sx, 0.0))
+            <> SIGN((CAST(p.n AS DOUBLE) * p.sxy - p.sx * p.sy)
+                    / NULLIF(CAST(p.n AS DOUBLE) * p.sxx - p.sx * p.sx,
+                             0.0))) AS sign_flip
+    FROM g CROSS JOIN pooled p
+    """,
+    "Simpson's-paradox detector: per-segment OLS slope of order "
+    "value (cents) on calendar day vs the POOLED slope, flagging "
+    "segments whose trend sign contradicts the aggregate — the "
+    "classic aggregation trap a metrics platform must surface "
+    "before anyone acts on the pooled number. Exact integer sums "
+    "(x in days from a fixed base, y in cents), slopes from the "
+    "cross-multiplied closed form, one 1-row pooled broadcast",
+)
+def simpsons_paradox_segments(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.datediff(F.col("o_orderdate"), F.lit("2020-01-01")).alias("x"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y"),
+    )
+
+    def moments(df, keys):
+        return df.groupBy(*keys).agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("x").cast("double").alias("sx"),
+            F.sum("y").cast("double").alias("sy"),
+            F.sum(F.col("x").cast("bigint") * F.col("x"))
+            .cast("double")
+            .alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        )
+
+    def slope(pre):
+        nd = F.col(f"{pre}n").cast("double")
+        return (nd * F.col(f"{pre}sxy") - F.col(f"{pre}sx") * F.col(f"{pre}sy")) / F.nullif(
+            nd * F.col(f"{pre}sxx") - F.col(f"{pre}sx") * F.col(f"{pre}sx"),
+            F.lit(0.0),
+        )
+
+    g = moments(j, ["seg"])
+    pooled = moments(j, []).select(
+        *[F.col(cname).alias(f"p_{cname}") for cname in ["n", "sx", "sy", "sxx", "sxy"]]
+    )
+    out = g.crossJoin(F.broadcast(pooled))
+    return out.select(
+        F.col("seg").alias("segment"),
+        F.col("n").alias("n_orders"),
+        F.round(slope(""), 6).alias("slope_segment"),
+        F.round(slope("p_"), 6).alias("slope_pooled"),
+        (F.signum(slope("")) != F.signum(slope("p_"))).alias("sign_flip"),
+    )
+
+
+@q(
+    "eclat_brand_triples",
+    """
+    WITH b AS (
+        SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS it
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT a.it AS item_a, b2.it AS item_b, c.it AS item_c,
+           COUNT(*)::BIGINT AS support
+    FROM b a JOIN b b2 ON a.o = b2.o AND a.it < b2.it
+    JOIN b c ON a.o = c.o AND b2.it < c.it
+    GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3
+    ORDER BY support DESC, item_a, item_b, item_c LIMIT 20
+    """,
+    "Frequent 3-itemsets (Eclat/Apriori tier above "
+    "association_rules_parts' pairs): brand triples co-ordered in >= "
+    "3 baskets, top 20. Both self-joins key on the ORDER (basket) "
+    "id, so fan-out is C(basket_size, 3) per order — bounded by the "
+    "TPC-H <= 7-line basket, never corpus-quadratic; the brand "
+    "lattice (25 items) keeps the candidate space constant while "
+    "order count scales. TakeOrdered caps the result",
+)
+def eclat_brand_triples(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    b = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("it"))
+        .distinct()
+    )
+    a, b2, c = b.alias("a"), b.alias("b2"), b.alias("c")
+    triples = a.join(
+        b2,
+        (F.col("a.o") == F.col("b2.o")) & (F.col("a.it") < F.col("b2.it")),
+    ).join(
+        c,
+        (F.col("a.o") == F.col("c.o")) & (F.col("b2.it") < F.col("c.it")),
+    )
+    return (
+        triples.groupBy(
+            F.col("a.it").alias("item_a"),
+            F.col("b2.it").alias("item_b"),
+            F.col("c.it").alias("item_c"),
+        )
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .filter(F.col("support") >= 3)
+        .orderBy(
+            F.desc("support"), "item_a", "item_b", "item_c"
+        )
+        .limit(20)
+    )
+
+
+@q(
+    "nb_langid_confusion",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, UNNEST({_TOKS}) AS tok FROM documents
+    ),
+    ctl AS (
+        SELECT lang AS m_lang, tok, COUNT(*)::BIGINT AS c
+        FROM toks GROUP BY 1, 2
+    ),
+    cl AS (
+        SELECT lang AS m_lang, COUNT(*)::BIGINT AS cl
+        FROM toks GROUP BY 1
+    ),
+    v AS (SELECT COUNT(DISTINCT tok)::BIGINT AS v FROM toks),
+    pr AS (
+        SELECT lang AS m_lang, COUNT(*)::BIGINT AS pd
+        FROM documents GROUP BY 1
+    ),
+    nt AS (SELECT COUNT(*)::BIGINT AS nd FROM documents),
+    langs AS (SELECT DISTINCT lang AS m_lang FROM documents),
+    sc AS (
+        SELECT t.doc_id, t.lang AS true_lang, l.m_lang, t.tok,
+               LOG2((COALESCE(c.c, 0) + 0.5) / (cl.cl + 0.5 * v.v)) AS s
+        FROM toks t CROSS JOIN langs l
+        LEFT JOIN ctl c ON c.m_lang = l.m_lang AND c.tok = t.tok
+        JOIN cl ON cl.m_lang = l.m_lang
+        CROSS JOIN v
+    ),
+    per AS (
+        SELECT doc_id, true_lang, m_lang,
+               LIST_REDUCE(LIST(s ORDER BY tok), (a, b) -> a + b) AS fold
+        FROM sc GROUP BY 1, 2, 3
+    ),
+    tot AS (
+        SELECT p.doc_id, p.true_lang, p.m_lang,
+               p.fold + LOG2(CAST(pr.pd AS DOUBLE) / nt.nd) AS score
+        FROM per p JOIN pr ON pr.m_lang = p.m_lang CROSS JOIN nt
+    ),
+    pick AS (
+        SELECT doc_id, true_lang, m_lang AS pred_lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, m_lang) AS rn
+        FROM tot
+    )
+    SELECT true_lang, pred_lang, COUNT(*)::BIGINT AS n_docs
+    FROM pick WHERE rn = 1 GROUP BY 1, 2
+    """,
+    "Naive-Bayes unigram language-ID confusion matrix, trained and "
+    "evaluated on the labeled corpus (add-0.5 smoothing, doc-share "
+    "priors) — the supervised lang-ID eval loop beside the n-gram "
+    "heuristic (language_id); fully SQL-replayable so the oracle "
+    "arbitrates the MODEL, not just plumbing. Per-(doc,lang) score "
+    "sums run as ordered 0.0-init token folds so the argmax compares "
+    "bit-identical doubles; scoring fan-out = tokens x 5 langs "
+    "(constant); model tables vocab-bounded",
+)
+def nb_langid_confusion(spark, sf_dir):
+    return text.nb_langid_confusion(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "lang_unigram_cosine_pairs",
+    f"""
+    WITH toks AS (SELECT lang, UNNEST({_TOKS}) AS tok FROM documents),
+    c AS (
+        SELECT lang, tok, COUNT(*)::BIGINT AS c FROM toks GROUP BY 1, 2
+    ),
+    n AS (SELECT lang, SUM(c * c)::BIGINT AS nrm FROM c GROUP BY 1),
+    d AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b,
+               SUM(a.c * b.c)::BIGINT AS dot,
+               COUNT(*)::BIGINT AS n_shared_tokens
+        FROM c a JOIN c b ON a.tok = b.tok AND a.lang < b.lang
+        GROUP BY 1, 2
+    )
+    SELECT d.lang_a, d.lang_b, d.n_shared_tokens,
+           ROUND(CAST(d.dot AS DOUBLE)
+                 / (SQRT(CAST(na.nrm AS DOUBLE))
+                    * SQRT(CAST(nb.nrm AS DOUBLE))), 6) AS cosine
+    FROM d JOIN n na ON na.lang = d.lang_a
+    JOIN n nb ON nb.lang = d.lang_b
+    """,
+    "Cosine similarity between per-language unigram count vectors "
+    "over the shared vocabulary — the cross-corpus contamination / "
+    "code-switching monitor (two 'languages' with cosine ~1 are one "
+    "distribution mislabeled). Dot products and norms are EXACT "
+    "integer sums over the token lattice (never a float "
+    "accumulation); one sqrt-product division per language pair; "
+    "the pair join keys on token, so it is vocab-bounded",
+)
+def lang_unigram_cosine_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    c = (
+        d.select("lang", F.explode(word_tokens("text")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    n = c.groupBy("lang").agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("nrm")
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(
+        b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.lang") < F.col("b.lang"))
+    ).groupBy(
+        F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b")
+    ).agg(
+        F.sum(F.col("a.c") * F.col("b.c")).cast("bigint").alias("dot"),
+        F.count("*").cast("bigint").alias("n_shared_tokens"),
+    )
+    na = n.select(F.col("lang").alias("lang_a"), F.col("nrm").alias("na"))
+    nb = n.select(F.col("lang").alias("lang_b"), F.col("nrm").alias("nb"))
+    return (
+        pairs.join(F.broadcast(na), "lang_a")
+        .join(F.broadcast(nb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_shared_tokens",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+
+
+@q(
+    "fano_factor_hourly_by_type",
+    """
+    WITH h AS (
+        SELECT event_type, DATE_TRUNC('hour', ts) AS hr,
+               COUNT(*)::BIGINT AS c
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT event_type, COUNT(*)::BIGINT AS n, SUM(c)::BIGINT AS s,
+               SUM(c * c)::BIGINT AS q
+        FROM h GROUP BY 1
+    )
+    SELECT event_type, n AS n_hours,
+           ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_rate,
+           ROUND((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                  / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0), 6)
+               AS var_rate,
+           ROUND(((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+                 / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+               AS fano_factor
+    FROM t
+    """,
+    "Fano factor (variance-to-mean of HOURLY arrival counts) per "
+    "event type — the temporal burstiness twin of "
+    "poisson_dispersion_users' per-user dispersion: ~1 = Poisson "
+    "arrivals, >1 = bursty (thundering herds), <1 = rate-limited. "
+    "Hours with zero events are absent by construction (observed-"
+    "hour contract, documented); exact integer count moments, every "
+    "float from (n, s, q) in one written order",
+)
+def fano_factor_hourly_by_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    t = h.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
+    )
+    nd = F.col("n").cast("double")
+    m = F.col("s").cast("double") / nd
+    v = (
+        F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / nd
+    ) / (nd - F.lit(1.0))
+    return t.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        F.round(m, 6).alias("mean_rate"),
+        F.round(v, 6).alias("var_rate"),
+        F.round(v / m, 6).alias("fano_factor"),
+    )
+
+
+@q(
+    "sax_weekly_revenue",
+    """
+    WITH d AS (
+        SELECT o_orderdate AS day,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DECIMAL(18,2)) AS DOUBLE) AS rev
+        FROM orders GROUP BY 1
+    ),
+    t AS (
+        SELECT COUNT(*)::BIGINT AS n, SUM(CAST(rev AS DOUBLE)) AS s,
+               SUM(CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE)) AS q
+        FROM d
+    ),
+    z AS (
+        SELECT day,
+               CASE WHEN (rev - t.s / CAST(t.n AS DOUBLE))
+                         / SQRT(t.q / CAST(t.n AS DOUBLE)
+                                - (t.s / CAST(t.n AS DOUBLE))
+                                  * (t.s / CAST(t.n AS DOUBLE)))
+                         < -0.6745 THEN 'a'
+                    WHEN (rev - t.s / CAST(t.n AS DOUBLE))
+                         / SQRT(t.q / CAST(t.n AS DOUBLE)
+                                - (t.s / CAST(t.n AS DOUBLE))
+                                  * (t.s / CAST(t.n AS DOUBLE)))
+                         < 0.0 THEN 'b'
+                    WHEN (rev - t.s / CAST(t.n AS DOUBLE))
+                         / SQRT(t.q / CAST(t.n AS DOUBLE)
+                                - (t.s / CAST(t.n AS DOUBLE))
+                                  * (t.s / CAST(t.n AS DOUBLE)))
+                         < 0.6745 THEN 'c'
+                    ELSE 'd' END AS letter
+        FROM d, t
+    )
+    SELECT strftime(DATE_TRUNC('week', day), '%Y-%m-%d') AS week_start,
+           STRING_AGG(letter, '' ORDER BY day) AS sax_word,
+           COUNT(*)::BIGINT AS n_days
+    FROM z GROUP BY 1
+    """,
+    "SAX (symbolic aggregate approximation) of daily revenue: "
+    "z-score each day against the global mean/std, map to the "
+    "4-letter Gaussian-quartile alphabet (breakpoints ±0.6745, 0), "
+    "and string the letters per ISO week — the discretization motif "
+    "mining and anomaly grep run on (a week reading 'dddd' is the "
+    "page). Exact decimal moments; z follows one written order; the "
+    "per-week string is order-deterministic by day",
+)
+def sax_weekly_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("rev")
+    )
+    t = d.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("rev").cast("double")).alias("s"),
+        F.sum(F.col("rev").cast("double") * F.col("rev").cast("double"))
+        .alias("q"),
+    )
+    nd = F.col("n").cast("double")
+    m = F.col("s") / nd
+    sd = F.sqrt(F.col("q") / nd - m * m)
+    z = (F.col("rev") - m) / sd
+    letter = (
+        F.when(z < -0.6745, "a")
+        .when(z < 0.0, "b")
+        .when(z < 0.6745, "c")
+        .otherwise("d")
+    )
+    zz = d.crossJoin(F.broadcast(t)).select("day", letter.alias("letter"))
+    return zz.groupBy(
+        F.date_format(F.date_trunc("week", "day"), "yyyy-MM-dd").alias(
+            "week_start"
+        )
+    ).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "letter"))),
+                lambda x: x["letter"],
+            ),
+            "",
+        ).alias("sax_word"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+
+
+@q(
+    "quantile_normalize_by_type",
+    """
+    WITH e AS (
+        SELECT event_type AS g, CAST(value AS DECIMAL(12,4)) AS x,
+               event_id AS id
+        FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+        SELECT g, x, id,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY x, id) AS r,
+               COUNT(*) OVER (PARTITION BY g) AS ng,
+               COUNT(*) OVER () AS n
+        FROM e
+    ),
+    p AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x, id) AS gr FROM e),
+    m AS (
+        SELECT r.g, r.x, p.x AS xn
+        FROM r JOIN p ON p.gr = (r.r * r.n + r.ng - 1) // r.ng
+    )
+    SELECT g AS event_type, COUNT(*)::BIGINT AS n,
+           ROUND(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS mean_before,
+           ROUND(CAST(SUM(xn) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS mean_after,
+           CAST(MIN(xn) AS DOUBLE) AS min_after,
+           CAST(MAX(xn) AS DOUBLE) AS max_after
+    FROM m GROUP BY 1
+    """,
+    "Quantile normalization across event types: each row's "
+    "within-group rank r maps to the pooled order statistic at "
+    "ceil(r*N/n_g), aligning every group onto the pooled value "
+    "distribution — the cross-source feature-alignment step of ML "
+    "prep (microarray heritage). The Spark arm "
+    "(operators/analytics.py quantile_normalize) never opens a "
+    "per-group window: within-group ranks come from ONE distrank "
+    "running sum over a g-major composite integer key, pooled order "
+    "statistics from ONE distrank row-number, the lookup is an "
+    "equi-join on the rank integer — every data-sized stage "
+    "parallel. The oracle replays with plain windows; decimal-exact "
+    "before/after sums arbitrate the whole mapping",
+)
+def quantile_normalize_by_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    norm = analytics.quantile_normalize(
+        ev.select(
+            "event_type",
+            F.col("value").cast("decimal(12,4)").alias("value"),
+            "event_id",
+        ),
+        "event_type",
+        "value",
+        "event_id",
+    )
+    return norm.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(
+            F.sum("value").cast("double") / F.count("*").cast("double"), 6
+        ).alias("mean_before"),
+        F.round(
+            F.sum("value_norm").cast("double") / F.count("*").cast("double"),
+            6,
+        ).alias("mean_after"),
+        F.min("value_norm").cast("double").alias("min_after"),
+        F.max("value_norm").cast("double").alias("max_after"),
+    )
+
+
+@q(
+    "seasonal_decompose_dow",
+    """
+    WITH d AS (
+        SELECT o_orderdate AS day,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DECIMAL(18,2)) AS DOUBLE) AS rev
+        FROM orders GROUP BY 1
+    ),
+    w AS (
+        SELECT day, rev,
+               AVG(rev) OVER (ORDER BY day
+                              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                   AS trend,
+               COUNT(*) OVER (ORDER BY day
+                              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                   AS wn
+        FROM d
+    ),
+    det AS (
+        SELECT CAST(EXTRACT(isodow FROM day) AS INT) AS dow,
+               rev - trend AS detrended
+        FROM w WHERE wn = 7
+    )
+    SELECT dow, COUNT(*)::BIGINT AS n_days,
+           ROUND(AVG(detrended), 6) AS seasonal_index,
+           ROUND(MIN(detrended), 6) AS min_detrended,
+           ROUND(MAX(detrended), 6) AS max_detrended
+    FROM det GROUP BY dow
+    """,
+    "Additive seasonal decomposition of daily revenue: detrend with "
+    "a centered 7-day moving average (full windows only, so edges "
+    "drop), then the day-of-week seasonal index = mean detrended "
+    "residual per ISO weekday — the trend-free sibling of "
+    "dow_seasonality_revenue's raw ratio (a level shift mid-series "
+    "contaminates the ratio; it cancels here). Day-grain ordered "
+    "window (calendar-bounded contract); decimal-exact daily "
+    "totals feed the float MA at the bollinger-proven tolerance",
+)
+def seasonal_decompose_dow(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("rev")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    w = d.select(
+        "day",
+        "rev",
+        F.avg("rev").over(w7).alias("trend"),
+        F.count("*").over(w7).alias("wn"),
+    )
+    det = w.filter(F.col("wn") == 7).select(
+        (F.weekday("day") + 1).cast("int").alias("dow"),
+        (F.col("rev") - F.col("trend")).alias("detrended"),
+    )
+    return det.groupBy("dow").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.round(F.avg("detrended"), 6).alias("seasonal_index"),
+        F.round(F.min("detrended"), 6).alias("min_detrended"),
+        F.round(F.max("detrended"), 6).alias("max_detrended"),
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -16299,10 +17608,27 @@ _ROUND10_POOL: tuple[str, ...] = (
     "gaps_islands_user_days", "asof_join_nearest_views",
     "cohens_d_value_ab", "mcnemar_doc_gates",
     "mann_kendall_daily_revenue", "runs_test_daily_revenue",
+    "kruskal_wallis_value_by_type", "ccnet_perplexity_buckets",
+    "quality_feature_matrix", "odds_ratio_purchase_ab",
+    "cdx_revisit_detection", "hurst_rescaled_range_daily",
+    "nbinom_moments_user_events", "bartlett_value_by_type",
+    "stable_rank_embeddings",
+)
+
+# Round-11 pool: overflow past round 10's 45 slots (round-7 continuation
+# additions). Fills toward 45; same first-time/disjoint/oracle-able
+# contract.
+_ROUND11_POOL: tuple[str, ...] = (
+    "granger_orders_to_revenue", "simpsons_paradox_segments",
+    "eclat_brand_triples",
+    "nb_langid_confusion", "lang_unigram_cosine_pairs",
+    "fano_factor_hourly_by_type", "sax_weekly_revenue",
+    "quantile_normalize_by_type", "seasonal_decompose_dow",
 )
 
 _PRIORITY: tuple[str, ...] = (
     _ANCHORS + _ROTATION + _ROUND8_POOL + _ROUND9_POOL + _ROUND10_POOL
+    + _ROUND11_POOL
 )
 
 
@@ -16337,6 +17663,7 @@ def _reorder_registry() -> None:
     no_oracle = sorted(
         n
         for n in _ROTATION + _ROUND8_POOL + _ROUND9_POOL + _ROUND10_POOL
+        + _ROUND11_POOL
         if REGISTRY[n].sql is None
     )
     if no_oracle:

@@ -287,6 +287,9 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "mixing_weights_temperature",  # 1-row total + 1-row Z broadcasts
         "split_unigram_kl",     # 1-row (Np, Nq, V) stats broadcast
         "kaplan_meier_lifetimes",  # 1-row total / global-max broadcasts
+        "nelson_aalen_lifetimes",  # same 1-row total broadcast as KM
+        "logrank_value_ab",        # 1-row group-totals broadcast (the
+                                   # KM shape per arm)
         "ab_conversion_ztest",     # 1-row group-aggregate broadcast
         "ks_two_sample_value_ab",  # 1-row group-totals broadcast
         "cramers_v_segment_priority",  # category-bounded grid cross join
@@ -296,6 +299,15 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "cusum_changepoint_events", # 1-row (total, n) broadcast
         "moments_order_total",      # 1-row exact-mean broadcast (pass 2
                                     # sums centered powers against it)
+        "freshness_audit_event_types",  # 1-row global-max-ts broadcast
+        "mann_kendall_daily_revenue",  # day-grain pair join + 1-row
+                                       # (n, S, ties) broadcasts — the
+                                       # theil_sen contract
+        "runs_test_daily_revenue",     # 1-row median broadcast
+        "kruskal_wallis_value_by_type",  # 1-row (N, tie-sum) broadcast
+        "ccnet_perplexity_buckets",    # the lm_perplexity V broadcast
+                                       # (composes the bigram LM)
+        "hurst_rescaled_range_daily",  # 1-row (n, s, q) moment broadcast
         "kendall_tau_daily",        # day-grain (<2.5k-row) broadcast
                                     # non-equi pair join — quadratic in
                                     # DAYS by design (theil_sen contract)
@@ -310,6 +322,14 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "graph_reciprocity",        # 1-row reciprocal-count broadcast
         "gram_top_eigenvalue",      # 1-row (max-norm, x-vector)
                                     # broadcast per power iteration
+        "stable_rank_embeddings",   # same power-iteration broadcasts
+                                    # + 1-row exact-trace broadcast
+        "simpsons_paradox_segments",  # 1-row pooled-moments broadcast
+        "nb_langid_confusion",      # 5-row language-lattice + 1-row
+                                    # (V, doc-total) broadcasts
+        "sax_weekly_revenue",       # 1-row (n, s, q) moment broadcast
+        "quantile_normalize_by_type",  # 1-row N + k-row group-offset
+                                       # broadcasts (distrank composite)
         "decayed_customer_value",   # 1-row ref-date broadcast
         "priority_mix_drift_monthly",  # 1-row baseline-total broadcast
     }

@@ -55,7 +55,7 @@ def test_head_and_pools_are_all_oracle_able() -> None:
     bad = [
         n
         for n in v._ROTATION + v._ROUND8_POOL + v._ROUND9_POOL
-        + v._ROUND10_POOL
+        + v._ROUND10_POOL + v._ROUND11_POOL
         if v.REGISTRY[n].sql is None
     ]
     assert not bad, f"rows-only names in head/pools: {bad}"
@@ -70,6 +70,7 @@ def test_every_sql_entry_is_scheduled_for_driver_evidence() -> None:
         | set(v._ROUND8_POOL)
         | set(v._ROUND9_POOL)
         | set(v._ROUND10_POOL)
+        | set(v._ROUND11_POOL)
         | v._PAST_DRIVER_GREEN
     )
     unscheduled = [
@@ -97,7 +98,7 @@ def test_round9_pool_is_first_time_and_disjoint() -> None:
 
 
 def test_round10_pool_is_first_time_and_disjoint() -> None:
-    # round-6 additions; may still be filling toward 45
+    # round-6/7 additions; may still be filling toward 45
     assert len(v._ROUND10_POOL) <= 45
     assert not (set(v._ROUND10_POOL) & v._PAST_DRIVER_GREEN)
     earlier = set(
@@ -105,6 +106,18 @@ def test_round10_pool_is_first_time_and_disjoint() -> None:
     )
     assert not (set(v._ROUND10_POOL) & earlier)
     assert set(v._ROUND10_POOL) <= set(v.REGISTRY)
+
+
+def test_round11_pool_is_first_time_and_disjoint() -> None:
+    # overflow past round 10's 45 slots; may still be filling toward 45
+    assert len(v._ROUND11_POOL) <= 45
+    assert not (set(v._ROUND11_POOL) & v._PAST_DRIVER_GREEN)
+    earlier = set(
+        v._ANCHORS + v._ROTATION + v._ROUND8_POOL + v._ROUND9_POOL
+        + v._ROUND10_POOL
+    )
+    assert not (set(v._ROUND11_POOL) & earlier)
+    assert set(v._ROUND11_POOL) <= set(v.REGISTRY)
 
 
 def test_rows_only_entries_stay_verified_in_pytest() -> None:
