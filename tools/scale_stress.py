@@ -836,6 +836,38 @@ def main() -> int:
 
     stage("cdx_index_fetch", cdx_index_fetch)
 
+    # ---- quantile normalization at 1M rows / 4 groups: values are a
+    # coprime-multiply permutation of 0..n-1, groups round-robin by id,
+    # so the pooled order statistic at rank q is exactly q-1 and every
+    # group's mapped multiset is {4r-1 : r=1..n/4} — per-group sum has a
+    # closed form (exact integers; validates the composite-key distrank
+    # path end-to-end with NO per-group window) ----
+    def quantile_norm_1m():
+        nr = 1_000_000
+        rows = spark.range(nr).select(
+            (F.col("id") % 4).cast("string").alias("g"),
+            F.pmod(F.col("id") * 611953, F.lit(nr))
+            .cast("decimal(12,4)")
+            .alias("x"),
+            F.col("id").alias("rid"),
+        )
+        norm = A.quantile_normalize(rows, "g", "x", "rid")
+        per_g = norm.groupBy("g").agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.col("value_norm").cast("decimal(20,4)")).alias("s"),
+            F.min("value_norm").cast("long").alias("mn"),
+            F.max("value_norm").cast("long").alias("mx"),
+        ).collect()
+        ng = nr // 4
+        want_sum = 4 * ng * (ng + 1) // 2 - ng
+        for r in per_g:
+            assert r["n"] == ng, r
+            assert int(r["s"]) == want_sum, (r["g"], r["s"], want_sum)
+            assert r["mn"] == 3 and r["mx"] == nr - 1, r
+        return {"rows": nr, "groups": len(per_g), "per_group_sum": want_sum}
+
+    stage("quantile_normalize_1m", quantile_norm_1m)
+
     summary = {
         "metric": "scale_stress_sf1",
         "docs": args.docs,
