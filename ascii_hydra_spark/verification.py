@@ -17378,6 +17378,795 @@ def seasonal_decompose_dow(spark, sf_dir):
     )
 
 
+@q(
+    "mantel_haenszel_purchase_ab",
+    """
+    WITH u AS (
+        SELECT user_id, COUNT(*)::BIGINT AS k,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS p,
+               ((user_id * 2654435761) % 4294967296) % 2 = 0 AS is_a
+        FROM events GROUP BY user_id
+    ),
+    r AS (
+        SELECT *, NTILE(4) OVER (ORDER BY k, user_id) AS tile FROM u
+    ),
+    s AS (
+        SELECT tile,
+               SUM(CASE WHEN is_a AND p = 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS a,
+               SUM(CASE WHEN is_a AND p = 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS b,
+               SUM(CASE WHEN NOT is_a AND p = 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS c,
+               SUM(CASE WHEN NOT is_a AND p = 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS d,
+               COUNT(*)::BIGINT AS n
+        FROM r GROUP BY tile
+    ),
+    f AS (
+        SELECT COUNT(*)::BIGINT AS n_strata,
+               SUM(n)::BIGINT AS n_users,
+               LIST_REDUCE(
+                   LIST(CAST(a * d AS DOUBLE) / CAST(n AS DOUBLE)
+                        ORDER BY tile), (x, y) -> x + y) AS num,
+               LIST_REDUCE(
+                   LIST(CAST(b * c AS DOUBLE) / CAST(n AS DOUBLE)
+                        ORDER BY tile), (x, y) -> x + y) AS den
+        FROM s
+    )
+    SELECT n_users, n_strata,
+           ROUND(num, 6) AS sum_ad_over_n,
+           ROUND(den, 6) AS sum_bc_over_n,
+           ROUND(num / NULLIF(den, 0.0), 6) AS or_mantel_haenszel
+    FROM f
+    """,
+    "Mantel-Haenszel common odds ratio for 'did the user purchase?' "
+    "across the A/B hash split, STRATIFIED by activity quartile — "
+    "the confounder-adjusted effect (raw odds_ratio_purchase_ab "
+    "conflates treatment with activity; MH pools within-stratum "
+    "2x2s). Quartiles come from the distrank global row number + "
+    "pure-integer NTILE identity (no unpartitioned window on the "
+    "Spark side); the two k-term float sums run as ordered folds "
+    "over strata. Exact integer cells throughout",
+)
+def mantel_haenszel_purchase_ab(spark, sf_dir):
+    from ascii_hydra_spark.operators import distrank
+
+    ev = _t(spark, sf_dir, "events")
+    is_a = ((F.col("user_id") * 2654435761) % 4294967296) % 2 == 0
+    u = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("p"),
+    ).withColumn("is_a", is_a)
+    ranked = distrank.global_row_number(
+        u, F.col("k"), [F.col("user_id")], out_col="__i", total_col="__n"
+    )
+    tiled = ranked.withColumn(
+        "tile",
+        distrank.ntile_from_row_number(F.col("__i"), F.col("__n"), 4),
+    )
+    s = tiled.groupBy("tile").agg(
+        F.sum(F.when(F.col("is_a") & (F.col("p") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(F.col("is_a") & (F.col("p") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when(~F.col("is_a") & (F.col("p") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when(~F.col("is_a") & (F.col("p") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+    def _fold(expr_col: str):
+        return F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("tile"), F.col(expr_col)))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x[expr_col],
+        )
+
+    terms = s.select(
+        "tile",
+        "n",
+        ((F.col("a") * F.col("d")).cast("double") / F.col("n").cast("double")).alias("__ad"),
+        ((F.col("b") * F.col("c")).cast("double") / F.col("n").cast("double")).alias("__bc"),
+    )
+    f = terms.agg(
+        F.count("*").cast("bigint").alias("n_strata"),
+        F.sum("n").cast("bigint").alias("n_users"),
+        _fold("__ad").alias("num"),
+        _fold("__bc").alias("den"),
+    )
+    return f.select(
+        "n_users",
+        "n_strata",
+        F.round(F.col("num"), 6).alias("sum_ad_over_n"),
+        F.round(F.col("den"), 6).alias("sum_bc_over_n"),
+        F.round(
+            F.col("num") / F.nullif(F.col("den"), F.lit(0.0)), 6
+        ).alias("or_mantel_haenszel"),
+    )
+
+
+@q(
+    "ivf_recall_at_k",
+    """
+    WITH n AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cents AS (SELECT id AS cid, v AS cv FROM n WHERE id < 16),
+    qs AS (SELECT UNNEST([0, 1, 2, 3]) AS qid),
+    qv AS (SELECT qs.qid, n.v AS qvec FROM qs JOIN n ON n.id = qs.qid),
+    exact AS (
+        SELECT q.qid, n.id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY ROUND(LIST_COSINE_SIMILARITY(n.v, q.qvec), 6)
+                       DESC, n.id) AS rn
+        FROM n CROSS JOIN qv q WHERE n.id <> q.qid
+    ),
+    scored AS (
+        SELECT n.id, n.v, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n.id
+                   ORDER BY LIST_COSINE_SIMILARITY(n.v, c.cv) DESC, c.cid
+               ) AS rn
+        FROM n CROSS JOIN cents c
+    ),
+    assigned AS (SELECT id, v, cid AS cell FROM scored WHERE rn = 1),
+    probes AS (
+        SELECT q.qid, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY LIST_COSINE_SIMILARITY(c.cv, q.qvec) DESC,
+                            c.cid) AS rn
+        FROM cents c CROSS JOIN qv q
+    ),
+    ivf AS (
+        SELECT q.qid, a.id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY ROUND(LIST_COSINE_SIMILARITY(a.v, q.qvec), 6)
+                       DESC, a.id) AS rn
+        FROM assigned a CROSS JOIN qv q
+        WHERE a.id <> q.qid
+          AND a.cell IN (SELECT cid FROM probes p
+                         WHERE p.qid = q.qid AND p.rn <= 4)
+    )
+    SELECT e.qid, COUNT(*)::BIGINT AS n_exact,
+           SUM(CASE WHEN i.id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_overlap,
+           ROUND(CAST(SUM(CASE WHEN i.id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS recall_at_10
+    FROM exact e
+    LEFT JOIN (SELECT qid, id FROM ivf WHERE rn <= 10) i
+        ON i.qid = e.qid AND i.id = e.id
+    WHERE e.rn <= 10
+    GROUP BY e.qid
+    """,
+    "ANN quality eval as a first-class query: recall@10 of the IVF "
+    "cell-probe arm against the exact top-k, per query (4 fixed "
+    "query ids) — the measurement that decides nprobe before anyone "
+    "trusts approximate retrieval at scale. Both arms are the "
+    "registry's own deterministic constructions (lowest-16-id "
+    "centroids, argmax assignment, 6-dp rescore), so the oracle "
+    "replays build, probe, and the recall join end-to-end",
+)
+def ivf_recall_at_k(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    ex_parts, iv_parts = [], []
+    for qid in (0, 1, 2, 3):
+        ex_parts.append(
+            similarity.cosine_topk_by_id(e, query_id=qid, k=10).select(
+                F.lit(qid).alias("qid"), "vec_id"
+            )
+        )
+        iv_parts.append(
+            similarity.cosine_topk_ivf(e, query_id=qid, k=10).select(
+                F.lit(qid).alias("qid"), "vec_id"
+            )
+        )
+    ex = ex_parts[0]
+    for p in ex_parts[1:]:
+        ex = ex.unionAll(p)
+    iv = iv_parts[0]
+    for p in iv_parts[1:]:
+        iv = iv.unionAll(p)
+    hits = ex.join(iv, ["qid", "vec_id"], "semi").groupBy("qid").agg(
+        F.count("*").cast("bigint").alias("n_overlap")
+    )
+    totals = ex.groupBy("qid").agg(
+        F.count("*").cast("bigint").alias("n_exact")
+    )
+    return totals.join(hits, "qid", "left").select(
+        "qid",
+        "n_exact",
+        F.coalesce(F.col("n_overlap"), F.lit(0))
+        .cast("bigint")
+        .alias("n_overlap"),
+        F.round(
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double")
+            / F.col("n_exact").cast("double"),
+            6,
+        ).alias("recall_at_10"),
+    )
+
+
+@q(
+    "nth_value_windows",
+    """
+    SELECT o_orderkey,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_order_value,
+           LAST_VALUE(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS final_order_value
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "C12 completion: NTH_VALUE (the customer's SECOND order, NULL "
+    "until it exists — running frame) and whole-partition LAST_VALUE "
+    "(the final order, via the explicit unbounded-following frame "
+    "every SQL engine defaults wrong) — the two analytic-window "
+    "surfaces window_analytic left out. Deterministic total order "
+    "per customer via the (date, key) tiebreak",
+)
+def nth_value_windows(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        F.nth_value("o_totalprice", 2).over(w_run).alias(
+            "second_order_value"
+        ),
+        F.last("o_totalprice").over(w_all).alias("final_order_value"),
+    )
+
+
+@q(
+    "chunk_dedup_rate",
+    f"""
+    WITH d AS (SELECT doc_id, source, {_TOKS} AS w FROM documents),
+    x AS (
+        SELECT source,
+               UNNEST(LIST_TRANSFORM(RANGE(0, GREATEST(LEN(w), 1), 16),
+                      s -> ARRAY_TO_STRING(w[s+1:s+32], ' '))) AS chunk_text
+        FROM d WHERE LEN(w) > 0
+    )
+    SELECT source, COUNT(*)::BIGINT AS n_chunks,
+           COUNT(DISTINCT MD5(chunk_text))::BIGINT AS n_unique,
+           ROUND(CAST(COUNT(*) - COUNT(DISTINCT MD5(chunk_text))
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS dup_rate
+    FROM x GROUP BY source
+    """,
+    "Chunk-granularity dedup rate per source: the doc_chunking "
+    "sliding windows (32-token, stride 16) hashed and counted — the "
+    "RAG-prep diagnostic exact doc-level dedup misses (two distinct "
+    "docs sharing sections double-embed every shared chunk; this "
+    "measures that waste before the embedding bill). Chunking is a "
+    "per-row map + explode (zero shuffles), then one keyed "
+    "aggregate over 32-char hashes, never chunk text",
+)
+def chunk_dedup_rate(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    chunks = text.chunk_documents(d, chunk_size=32, stride=16).select(
+        "doc_id", F.md5(F.col("chunk_text").cast("binary")).alias("h")
+    )
+    j = chunks.join(d.select("doc_id", "source"), "doc_id")
+    return j.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.countDistinct("h").cast("bigint").alias("n_unique"),
+        F.round(
+            (F.count("*") - F.countDistinct("h")).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )
+
+
+@q(
+    "missing_days_audit",
+    """
+    WITH b AS (
+        SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+               MAX(CAST(o_orderdate AS DATE)) AS hi
+        FROM orders
+    ),
+    cal AS (
+        SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+        FROM b
+    ),
+    obs AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders)
+    SELECT strftime(c.day, '%Y-%m') AS month,
+           COUNT(*)::BIGINT AS n_expected,
+           SUM(CASE WHEN o.day IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_observed,
+           SUM(CASE WHEN o.day IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_missing
+    FROM cal c LEFT JOIN obs o ON o.day = c.day
+    GROUP BY 1
+    """,
+    "Calendar-completeness audit: generate the full day series "
+    "between the first and last order date, anti-compare against "
+    "observed days, report expected/observed/missing per month — "
+    "the ingestion-gap detector (a silent one-day ETL failure shows "
+    "up here and nowhere in row counts). The calendar explodes from "
+    "a 1-row bounds broadcast; the compare is one date equi-join",
+)
+def missing_days_audit(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    cal = b.select(
+        F.explode(
+            F.expr("sequence(lo, hi, interval 1 day)")
+        ).alias("day")
+    )
+    obs = o.select(F.col("o_orderdate").cast("date").alias("oday")).distinct()
+    j = cal.join(obs, cal.day == obs.oday, "left")
+    return j.groupBy(F.date_format("day", "yyyy-MM").alias("month")).agg(
+        F.count("*").cast("bigint").alias("n_expected"),
+        F.sum(F.when(F.col("oday").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_observed"),
+        F.sum(F.when(F.col("oday").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_missing"),
+    )
+
+
+@q(
+    "chi2_residuals_segment_priority",
+    """
+    WITH observed AS (
+        SELECT c.c_mktsegment AS row_v, o.o_orderpriority AS col_v,
+               COUNT(*)::BIGINT AS n_obs
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    cells AS (
+        SELECT r.row_v, c2.col_v, COALESCE(ob.n_obs, 0)::BIGINT AS n_obs
+        FROM (SELECT DISTINCT row_v FROM observed) r
+        CROSS JOIN (SELECT DISTINCT col_v FROM observed) c2
+        LEFT JOIN observed ob ON ob.row_v = r.row_v AND ob.col_v = c2.col_v
+    ),
+    m AS (
+        SELECT row_v, col_v, n_obs,
+               SUM(n_obs) OVER (PARTITION BY row_v) AS rt,
+               SUM(n_obs) OVER (PARTITION BY col_v) AS ct,
+               SUM(n_obs) OVER () AS n
+        FROM cells
+    )
+    SELECT row_v AS segment, col_v AS priority, n_obs,
+           ROUND(CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS expected,
+           -- residual from the 6-dp-rounded expected (the operator's
+           -- public column), so both engines divide identical doubles
+           ROUND((CAST(n_obs AS DOUBLE)
+                  - ROUND(CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE), 6))
+                 / SQRT(ROUND(CAST(rt * ct AS DOUBLE)
+                              / CAST(n AS DOUBLE), 6)), 6)
+               AS std_residual
+    FROM m
+    """,
+    "Per-cell standardized residuals (o - e)/sqrt(e) of the segment "
+    "x priority contingency — WHERE the dependence lives, which the "
+    "scalar chi2 statistic (segment_priority_chi2) cannot say; the "
+    "drill-down an analyst runs the moment the omnibus test fires. "
+    "Exact integer marginals over the category-bounded grid, two "
+    "single-division floats per cell",
+)
+def chi2_residuals_segment_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("row_v"),
+        F.col("o_orderpriority").alias("col_v"),
+    )
+    cells = analytics.contingency_chi2(j, "row_v", "col_v")
+    e = F.col("expected")
+    return cells.select(
+        F.col("row_v").alias("segment"),
+        F.col("col_v").alias("priority"),
+        "n_obs",
+        F.round(e, 6).alias("expected"),
+        F.round((F.col("n_obs").cast("double") - e) / F.sqrt(e), 6).alias(
+            "std_residual"
+        ),
+    )
+
+
+@q(
+    "code_switch_audit",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, lang, UNNEST({_TOKS}) AS tok FROM documents
+    ),
+    ct AS (
+        SELECT tok, lang AS v_lang, COUNT(*)::BIGINT AS c
+        FROM toks GROUP BY 1, 2
+    ),
+    tt AS (SELECT tok, SUM(c)::BIGINT AS ctot FROM ct GROUP BY 1),
+    dv AS (
+        SELECT ct.tok, ct.v_lang FROM ct JOIN tt USING (tok)
+        WHERE ct.c * 10 >= tt.ctot * 9 AND ct.c >= 3
+    ),
+    nd AS (
+        SELECT doc_id, COUNT(*)::BIGINT AS n_tokens FROM toks GROUP BY 1
+    ),
+    hits AS (
+        SELECT t.doc_id, d.v_lang, COUNT(*)::BIGINT AS h
+        FROM toks t JOIN dv d ON d.tok = t.tok GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT doc_id, v_lang, h,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY h DESC, v_lang) AS rn
+        FROM hits
+    )
+    SELECT r1.doc_id, d.lang, n.n_tokens,
+           r1.v_lang AS top_lang,
+           ROUND(CAST(r1.h AS DOUBLE) / CAST(n.n_tokens AS DOUBLE), 6)
+               AS top_share,
+           r2.v_lang AS second_lang,
+           ROUND(CAST(COALESCE(r2.h, 0) AS DOUBLE)
+                 / CAST(n.n_tokens AS DOUBLE), 6) AS second_share,
+           (COALESCE(r2.h, 0) * 5 >= n.n_tokens) AS code_switched
+    FROM (SELECT * FROM r WHERE rn = 1) r1
+    LEFT JOIN (SELECT * FROM r WHERE rn = 2) r2 USING (doc_id)
+    JOIN nd n USING (doc_id)
+    JOIN documents d USING (doc_id)
+    """,
+    "Code-switch / mixed-language audit: tokens that are >=90% "
+    "concentrated in one language (with support >= 3) become that "
+    "language's DISTINCTIVE vocabulary; per doc, the top-2 "
+    "distinctive-hit languages and their token shares, flagged when "
+    "the runner-up holds >= 20% — the mixed-language detector a "
+    "lang-ID router needs (single-label lang-ID silently mislabels "
+    "bilingual docs). All thresholds are exact integer "
+    "cross-multiplications; docs with zero distinctive hits drop "
+    "(no evidence is honest); the rank window partitions by doc",
+)
+def code_switch_audit(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(word_tokens("text")).alias("tok")
+    )
+    ct = toks.groupBy("tok", F.col("lang").alias("v_lang")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    tt = ct.groupBy("tok").agg(F.sum("c").cast("bigint").alias("ctot"))
+    dv = (
+        ct.join(tt, "tok")
+        .filter((F.col("c") * 10 >= F.col("ctot") * 9) & (F.col("c") >= 3))
+        .select("tok", "v_lang")
+    )
+    nd = toks.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens")
+    )
+    hits = (
+        toks.join(dv, "tok")
+        .groupBy("doc_id", "v_lang")
+        .agg(F.count("*").cast("bigint").alias("h"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("h"), "v_lang")
+    r = hits.withColumn("rn", F.row_number().over(w))
+    r1 = r.filter(F.col("rn") == 1).select(
+        "doc_id", F.col("v_lang").alias("top_lang"), F.col("h").alias("h1")
+    )
+    r2 = r.filter(F.col("rn") == 2).select(
+        "doc_id",
+        F.col("v_lang").alias("second_lang"),
+        F.col("h").alias("h2"),
+    )
+    out = (
+        r1.join(r2, "doc_id", "left")
+        .join(nd, "doc_id")
+        .join(d.select("doc_id", "lang"), "doc_id")
+    )
+    h2 = F.coalesce(F.col("h2"), F.lit(0))
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "top_lang",
+        F.round(
+            F.col("h1").cast("double") / F.col("n_tokens").cast("double"), 6
+        ).alias("top_share"),
+        "second_lang",
+        F.round(h2.cast("double") / F.col("n_tokens").cast("double"), 6).alias(
+            "second_share"
+        ),
+        (h2 * 5 >= F.col("n_tokens")).alias("code_switched"),
+    )
+
+
+@q(
+    "hill_tail_index_totals",
+    """
+    WITH top AS (
+        SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+               o_orderkey AS key
+        FROM orders ORDER BY x DESC, key LIMIT 101
+    ),
+    arr AS (
+        SELECT LIST(CAST(x AS DOUBLE) ORDER BY x, key) AS xs FROM top
+    ),
+    h AS (
+        SELECT LIST_REDUCE(
+                   LIST_TRANSFORM(xs[2:101], v -> LN(v / xs[1])),
+                   (a, b) -> a + b) / 100.0 AS hill
+        FROM arr
+    )
+    SELECT CAST(100 AS BIGINT) AS k,
+           (SELECT CAST(MIN(x) AS DOUBLE) FROM top) AS x_ref,
+           ROUND(hill, 6) AS hill_h,
+           ROUND(1.0 / hill, 6) AS tail_alpha
+    FROM h
+    """,
+    "Hill estimator of the order-total tail index over the top "
+    "k=100 order statistics: H = mean ln(x_i / x_(k+1)), alpha = "
+    "1/H — the heavy-tail exponent that decides whether revenue "
+    "concentration has finite variance (alpha < 2 = whale-dominated; "
+    "pareto_coverage shows the share, this shows the LAW). TakeOrdered "
+    "pulls 101 rows with a (value, key) total order; the 100 log "
+    "terms fold in ascending order (0.0-init, engine-portable)",
+)
+def hill_tail_index_totals(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    top = (
+        o.select(
+            F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+            F.col("o_orderkey").alias("key"),
+        )
+        .orderBy(F.desc("x"), "key")
+        .limit(101)
+    )
+    arr = top.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("x", "key"))),
+            lambda s: s["x"].cast("double"),
+        ).alias("xs")
+    )
+    terms = F.transform(
+        F.slice(F.col("xs"), 2, 100),
+        lambda v: F.log(v / F.element_at(F.col("xs"), 1)),
+    )
+    hill = (
+        F.aggregate(terms, F.lit(0.0), lambda a, b: a + b) / F.lit(100.0)
+    )
+    ref = F.element_at(F.col("xs"), 1)
+    return arr.select(
+        F.lit(100).cast("bigint").alias("k"),
+        ref.alias("x_ref"),
+        F.round(hill, 6).alias("hill_h"),
+        F.round(F.lit(1.0) / hill, 6).alias("tail_alpha"),
+    )
+
+
+@q(
+    "markov_entropy_rate_events",
+    """
+    WITH p AS (
+        SELECT LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS f,
+               event_type AS t
+        FROM events
+    ),
+    c AS (
+        SELECT f, t, COUNT(*)::BIGINT AS c
+        FROM p WHERE f IS NOT NULL GROUP BY f, t
+    ),
+    rowt AS (SELECT f, SUM(c)::BIGINT AS cf FROM c GROUP BY f),
+    terms AS (
+        SELECT c.f, c.t,
+               CAST(c.c AS DOUBLE)
+                   * (LOG2(CAST(c.c AS DOUBLE)) - LOG2(CAST(r.cf AS DOUBLE)))
+                   AS term
+        FROM c JOIN rowt r USING (f)
+    ),
+    s AS (
+        SELECT SUM(1) AS _dummy,
+               LIST_REDUCE(LIST(term ORDER BY f, t), (a, b) -> a + b)
+                   AS folded,
+               COUNT(*)::BIGINT AS n_pairs
+        FROM terms
+    ),
+    tot AS (SELECT SUM(c)::BIGINT AS big_t,
+                   COUNT(DISTINCT f)::BIGINT AS n_states FROM c)
+    SELECT tot.big_t AS n_transitions, tot.n_states, s.n_pairs,
+           ROUND(-(s.folded) / CAST(tot.big_t AS DOUBLE), 6)
+               AS entropy_rate_bits
+    FROM s, tot
+    """,
+    "Entropy rate of the empirical event-type Markov chain: H = "
+    "-sum_ij (c_ij/T) log2(c_ij/c_i), the bits-per-step "
+    "predictability of user behavior (0 = deterministic journeys, "
+    "log2(5) = uniform chaos) — the scalar summary over "
+    "event_transitions' matrix. Exact transition counts; the "
+    "25-term float sum folds in (from, to) order; one division by "
+    "the exact total",
+)
+def markov_entropy_rate_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select(
+        F.lag("event_type").over(w).alias("f"),
+        F.col("event_type").alias("t"),
+    ).filter(F.col("f").isNotNull())
+    c = p.groupBy("f", "t").agg(F.count("*").cast("bigint").alias("c"))
+    rowt = c.groupBy("f").agg(F.sum("c").cast("bigint").alias("cf"))
+    terms = c.join(rowt, "f").select(
+        "f",
+        "t",
+        (
+            F.col("c").cast("double")
+            * (
+                F.log2(F.col("c").cast("double"))
+                - F.log2(F.col("cf").cast("double"))
+            )
+        ).alias("term"),
+    )
+    s = terms.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("f"), F.col("t"), F.col("term")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("folded"),
+        F.count("*").cast("bigint").alias("n_pairs"),
+    )
+    tot = c.agg(
+        F.sum("c").cast("bigint").alias("n_transitions"),
+        F.countDistinct("f").cast("bigint").alias("n_states"),
+    )
+    return tot.crossJoin(F.broadcast(s)).select(
+        "n_transitions",
+        "n_states",
+        "n_pairs",
+        F.round(
+            -F.col("folded") / F.col("n_transitions").cast("double"), 6
+        ).alias("entropy_rate_bits"),
+    )
+
+
+@q(
+    "doc_keywords_top3",
+    f"""
+    WITH tf AS (
+        SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM (
+            SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents
+        ) GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, COUNT(*)::BIGINT AS df
+        FROM (SELECT DISTINCT doc_id, term FROM tf) GROUP BY term
+    ),
+    n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df), 6)
+                       DESC, tf.term) AS rn
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, CAST(rn AS BIGINT) AS rank
+    FROM scored WHERE rn <= 3
+    """,
+    "Per-document keyword extraction: top-3 terms by TF-IDF "
+    "(tf * ln(N/df), the tfidf_top_terms convention) — the document "
+    "tagging / index-summarization primitive (tfidf_top_terms ranks "
+    "corpus-wide; this answers 'what is EACH doc about'). Ranking "
+    "compares 6-dp-rounded scores with a term tiebreak, so both "
+    "engines order identical values; the window partitions by doc",
+)
+def doc_keywords_top3(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(word_tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    df_t = tf.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df")
+    )
+    n = d.agg(F.count("*").cast("bigint").alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+@q(
+    "srm_check_ab",
+    """
+    WITH u AS (
+        SELECT DISTINCT user_id,
+               ((user_id * 2654435761) % 4294967296) % 2 = 0 AS is_a
+        FROM events
+    ),
+    k AS (
+        SELECT SUM(CASE WHEN is_a THEN 1 ELSE 0 END)::BIGINT AS na,
+               SUM(CASE WHEN is_a THEN 0 ELSE 1 END)::BIGINT AS nb
+        FROM u
+    )
+    SELECT na AS n_a, nb AS n_b,
+           ROUND(CAST((na - nb) * (na - nb) AS DOUBLE)
+                 / CAST(na + nb AS DOUBLE), 6) AS srm_chi2,
+           (CAST((na - nb) * (na - nb) AS DOUBLE)
+            / CAST(na + nb AS DOUBLE) > 10.827566170662733) AS srm_flag
+    FROM k
+    """,
+    "Sample-ratio-mismatch check on the A/B hash split: chi-square "
+    "of observed unit counts against the designed 50/50 (chi2 = "
+    "(na-nb)^2/(na+nb)), flagged at the alpha=0.001 critical value "
+    "— the FIRST gate of any experiment readout (a biased "
+    "assignment invalidates every downstream test in this "
+    "registry's _ab family). Exact integer counts, one division, "
+    "one literal threshold",
+)
+def srm_check_ab(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    is_a = ((F.col("user_id") * 2654435761) % 4294967296) % 2 == 0
+    u = ev.select("user_id").distinct().select(is_a.alias("is_a"))
+    k = u.agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("nb"),
+    )
+    chi2 = ((F.col("na") - F.col("nb")) * (F.col("na") - F.col("nb"))).cast(
+        "double"
+    ) / (F.col("na") + F.col("nb")).cast("double")
+    return k.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(chi2, 6).alias("srm_chi2"),
+        (chi2 > F.lit(10.827566170662733)).alias("srm_flag"),
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -17624,6 +18413,11 @@ _ROUND11_POOL: tuple[str, ...] = (
     "nb_langid_confusion", "lang_unigram_cosine_pairs",
     "fano_factor_hourly_by_type", "sax_weekly_revenue",
     "quantile_normalize_by_type", "seasonal_decompose_dow",
+    "mantel_haenszel_purchase_ab", "ivf_recall_at_k", "nth_value_windows",
+    "chunk_dedup_rate", "missing_days_audit",
+    "chi2_residuals_segment_priority", "code_switch_audit",
+    "hill_tail_index_totals", "markov_entropy_rate_events",
+    "doc_keywords_top3", "srm_check_ab",
 )
 
 _PRIORITY: tuple[str, ...] = (

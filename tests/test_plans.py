@@ -240,6 +240,8 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "sim_topk",        # single query vector broadcast
         "sim_topk_quantized",  # single quantized query row broadcast
         "sim_topk_ivf",    # single query vector broadcast onto pruned cells
+        "ivf_recall_at_k", # the same 1-row query broadcasts, 4 queries
+                           # x (exact + IVF) arms
         "tpch_q22_like",   # 1-row scalar-subquery broadcast
         "value_quartiles", # 1-row percentile-bounds broadcast
         "token_drift_snapshots",  # 1-row vocab-totals broadcast
@@ -280,6 +282,8 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "distinctive_terms_by_lang",  # 1-row corpus-total broadcast
         "winsorized_order_totals",    # 1-row percentile-bounds broadcast
         "segment_priority_chi2",      # 1-row grand-total broadcast
+        "chi2_residuals_segment_priority",  # same grand-total broadcast
+                                            # (cell-residual drill-down)
         "join_skew_report",           # 1-row (k, total, max) moment broadcast
         "hhi_revenue",                # 1-row (total, n) broadcast
         "negative_pairs_ring",  # 1-row global-min + <=16^shard_chars-row
@@ -330,6 +334,8 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "sax_weekly_revenue",       # 1-row (n, s, q) moment broadcast
         "quantile_normalize_by_type",  # 1-row N + k-row group-offset
                                        # broadcasts (distrank composite)
+        "markov_entropy_rate_events",  # 1-row folded-term broadcast
+        "doc_keywords_top3",           # 1-row doc-count (N) broadcast
         "decayed_customer_value",   # 1-row ref-date broadcast
         "priority_mix_drift_monthly",  # 1-row baseline-total broadcast
     }
