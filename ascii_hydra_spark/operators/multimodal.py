@@ -1172,3 +1172,105 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     )
     idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
     return media.select("media_id", F.explode(idx).alias("frame_idx"))
+
+
+AUDIO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("peak", LongType(), False),
+        StructField("sum_sq", LongType(), False),
+    ]
+)
+
+
+def audio_frame_energy(media: DataFrame, frame_size: int = 16) -> DataFrame:
+    """Per-frame energy features from 16-bit PCM WAV payloads: one row
+    per (clip, frame) with the frame's peak |amplitude| and EXACT
+    integer sum of squares — the framing pass in front of any audio
+    feature extractor (VAD, loudness gates, silence trimming pick
+    frames, not whole clips). RMS = sqrt(sum_sq / n) is left to the
+    caller as a JVM-side expression so the only float op happens in one
+    engine-portable place.
+
+    Arrow-batched mapInPandas like decode_media: payload bytes stay
+    executor-local, frames vectorize per clip (a reshape + reduce, no
+    per-sample Python). Trailing partial frames are dropped (framing
+    convention; documented). int64 sums are exact to ~2^33 samples per
+    frame — far beyond any real frame size.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for batch in batches:
+            out: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "n_samples": [],
+                "peak": [], "sum_sq": [],
+            }
+            for mid, payload in zip(
+                batch["media_id"].to_numpy(), batch["payload"]
+            ):
+                _rate, samples = decode_wav(bytes(payload))
+                s = samples.astype(np.int64)
+                nf = len(s) // frame_size
+                if nf == 0:
+                    continue
+                frames = s[: nf * frame_size].reshape(nf, frame_size)
+                peaks = np.abs(frames).max(axis=1)
+                sums = (frames * frames).sum(axis=1)
+                out["media_id"].extend([int(mid)] * nf)
+                out["frame_idx"].extend(range(nf))
+                out["n_samples"].extend([frame_size] * nf)
+                out["peak"].extend(int(p) for p in peaks)
+                out["sum_sq"].extend(int(v) for v in sums)
+            yield pd.DataFrame(out, columns=list(AUDIO_FRAME_SCHEMA.names))
+
+    return media.mapInPandas(run, schema=AUDIO_FRAME_SCHEMA)
+
+
+CHANNEL_STAT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("channel", LongType(), False),
+        StructField("n_px", LongType(), False),
+        StructField("sum_v", LongType(), False),
+        StructField("min_v", LongType(), False),
+        StructField("max_v", LongType(), False),
+    ]
+)
+
+
+def image_channel_stats(media: DataFrame) -> DataFrame:
+    """Per-(image, RGB channel) pixel statistics from BMP payloads:
+    exact integer count/sum/min/max per channel — the normalization
+    pass (per-channel mean/std) every vision preprocessing pipeline
+    runs before training. Means/ratios are left to the caller as
+    JVM-side expressions (one float op, one place). Same Arrow-batched
+    mapInPandas shape as decode_media.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for batch in batches:
+            out: dict[str, list] = {
+                "media_id": [], "channel": [], "n_px": [],
+                "sum_v": [], "min_v": [], "max_v": [],
+            }
+            for mid, payload in zip(
+                batch["media_id"].to_numpy(), batch["payload"]
+            ):
+                px = decode_bmp(bytes(payload)).astype(np.int64)
+                for c in range(3):
+                    ch = px[:, :, c]
+                    out["media_id"].append(int(mid))
+                    out["channel"].append(c)
+                    out["n_px"].append(int(ch.size))
+                    out["sum_v"].append(int(ch.sum()))
+                    out["min_v"].append(int(ch.min()))
+                    out["max_v"].append(int(ch.max()))
+            yield pd.DataFrame(out, columns=list(CHANNEL_STAT_SCHEMA.names))
+
+    return media.mapInPandas(run, schema=CHANNEL_STAT_SCHEMA)

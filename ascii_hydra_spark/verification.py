@@ -18167,6 +18167,394 @@ def srm_check_ab(spark, sf_dir):
     )
 
 
+@q(
+    "value_decile_kl_by_type",
+    """
+    WITH e AS (
+        SELECT event_type AS g, CAST(value AS DECIMAL(12,4)) AS x,
+               event_id AS id
+        FROM events WHERE value IS NOT NULL
+    ),
+    r AS (SELECT g, NTILE(10) OVER (ORDER BY x, id) AS d FROM e),
+    cell AS (SELECT g, d, COUNT(*)::BIGINT AS c FROM r GROUP BY g, d),
+    gt AS (SELECT g, SUM(c)::BIGINT AS ng FROM cell GROUP BY g),
+    dt AS (SELECT d, SUM(c)::BIGINT AS nd FROM cell GROUP BY d),
+    n AS (SELECT SUM(c)::BIGINT AS n FROM cell),
+    terms AS (
+        SELECT cell.g, cell.d,
+               (CAST(cell.c AS DOUBLE) / CAST(gt.ng AS DOUBLE))
+               * LN((CAST(cell.c AS DOUBLE) / CAST(gt.ng AS DOUBLE))
+                    / (CAST(dt.nd AS DOUBLE) / CAST(n.n AS DOUBLE)))
+                   AS term
+        FROM cell JOIN gt USING (g) JOIN dt USING (d) CROSS JOIN n
+    )
+    SELECT g AS event_type,
+           COUNT(*)::BIGINT AS n_deciles_hit,
+           ROUND(LIST_REDUCE(LIST(term ORDER BY d), (a, b) -> a + b), 6)
+               AS kl_vs_pooled
+    FROM terms GROUP BY g
+    """,
+    "KL divergence of each event type's VALUE-decile distribution "
+    "from the pooled decile mix — the numeric-distribution drift "
+    "monitor (split_unigram_kl's sibling for monetization values): "
+    "a type whose spend profile diverges from the corpus shows up "
+    "as bits here before any mean test fires. Global deciles from "
+    "NTILE over a (value, id) total order (the Spark arm rides "
+    "distrank's row number + pure-integer NTILE identity — no "
+    "unpartitioned window); per-type 10-term sums fold in decile "
+    "order; unobserved (type, decile) cells are absent from both "
+    "arms by construction",
+)
+def value_decile_kl_by_type(spark, sf_dir):
+    from ascii_hydra_spark.operators import distrank
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.filter(F.col("value").isNotNull()).select(
+        F.col("event_type").alias("g"),
+        F.col("value").cast("decimal(12,4)").alias("x"),
+        F.col("event_id").alias("id"),
+    )
+    ranked = distrank.global_row_number(
+        e, F.col("x"), [F.col("id")], out_col="__i", total_col="__n"
+    )
+    tiled = ranked.withColumn(
+        "d", distrank.ntile_from_row_number(F.col("__i"), F.col("__n"), 10)
+    )
+    cell = tiled.groupBy("g", "d").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    gt = cell.groupBy("g").agg(F.sum("c").cast("bigint").alias("ng"))
+    dt = cell.groupBy("d").agg(F.sum("c").cast("bigint").alias("nd"))
+    n = cell.agg(F.sum("c").cast("bigint").alias("n"))
+    p = F.col("c").cast("double") / F.col("ng").cast("double")
+    q_pool = F.col("nd").cast("double") / F.col("n").cast("double")
+    terms = (
+        cell.join(F.broadcast(gt), "g")
+        .join(F.broadcast(dt), "d")
+        .crossJoin(F.broadcast(n))
+        .select("g", "d", (p * F.log(p / q_pool)).alias("term"))
+    )
+    return terms.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("n_deciles_hit"),
+        F.round(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("d"), F.col("term")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["term"],
+            ),
+            6,
+        ).alias("kl_vs_pooled"),
+    ).select(
+        F.col("g").alias("event_type"), "n_deciles_hit", "kl_vs_pooled"
+    )
+
+
+@q(
+    "hapax_profile_by_lang",
+    f"""
+    WITH toks AS (SELECT lang, UNNEST({_TOKS}) AS tok FROM documents),
+    c AS (
+        SELECT lang, tok, COUNT(*)::BIGINT AS c FROM toks GROUP BY 1, 2
+    )
+    SELECT lang, COUNT(*)::BIGINT AS vocab_size,
+           SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+           SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS n_dis,
+           ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_share,
+           SUM(c)::BIGINT AS n_tokens
+    FROM c GROUP BY lang
+    """,
+    "Hapax/dis-legomena profile per language: vocabulary size, "
+    "once- and twice-occurring type counts, and the hapax share — "
+    "Zipf's tail thickness (a corpus whose hapax share collapses "
+    "has been deduplicated/templated to death; one that explodes "
+    "is OCR noise). Exact integer counting over the (lang, token) "
+    "lattice, one division",
+)
+def hapax_profile_by_lang(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    c = (
+        d.select("lang", F.explode(word_tokens("text")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    return c.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("vocab_size"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dis"),
+        F.round(
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("hapax_share"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+    )
+
+
+@q(
+    "wilson_ci_purchase_ab",
+    """
+    WITH u AS (
+        SELECT user_id,
+               ((user_id * 2654435761) % 4294967296) % 2 = 0 AS is_a,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS p
+        FROM events GROUP BY user_id
+    ),
+    g AS (
+        SELECT CASE WHEN is_a THEN 'A' ELSE 'B' END AS grp,
+               COUNT(*)::BIGINT AS n, SUM(p)::BIGINT AS k
+        FROM u GROUP BY 1
+    )
+    SELECT grp, n, k,
+           ROUND(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate,
+           ROUND((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                  + 1.9599639845400545 * 1.9599639845400545
+                    / (2.0 * CAST(n AS DOUBLE))
+                  - 1.9599639845400545
+                    * SQRT((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                           / CAST(n AS DOUBLE)
+                           + 1.9599639845400545 * 1.9599639845400545
+                             / (4.0 * CAST(n AS DOUBLE)
+                                * CAST(n AS DOUBLE))))
+                 / (1.0 + 1.9599639845400545 * 1.9599639845400545
+                          / CAST(n AS DOUBLE)), 6) AS wilson_low,
+           ROUND((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                  + 1.9599639845400545 * 1.9599639845400545
+                    / (2.0 * CAST(n AS DOUBLE))
+                  + 1.9599639845400545
+                    * SQRT((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                           / CAST(n AS DOUBLE)
+                           + 1.9599639845400545 * 1.9599639845400545
+                             / (4.0 * CAST(n AS DOUBLE)
+                                * CAST(n AS DOUBLE))))
+                 / (1.0 + 1.9599639845400545 * 1.9599639845400545
+                          / CAST(n AS DOUBLE)), 6) AS wilson_high
+    FROM g
+    """,
+    "Wilson-score 95% confidence interval for each arm's purchase "
+    "rate — the binomial CI that behaves at small k and rates near "
+    "0/1 where the Wald interval the z-test implies collapses "
+    "(coverage hygiene for conversion readouts). Exact integer "
+    "(n, k) per arm; the closed form is written once and mirrored "
+    "verbatim, z = Phi^-1(0.975) as a literal",
+)
+def wilson_ci_purchase_ab(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    is_a = ((F.col("user_id") * 2654435761) % 4294967296) % 2 == 0
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("p")
+    ).select(is_a.alias("is_a"), "p")
+    g = u.groupBy(
+        F.when(F.col("is_a"), "A").otherwise("B").alias("grp")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("p").cast("bigint").alias("k"),
+    )
+    z = F.lit(1.9599639845400545)
+    nd = F.col("n").cast("double")
+    ph = F.col("k").cast("double") / nd
+    center = ph + z * z / (F.lit(2.0) * nd)
+    half = z * F.sqrt(
+        ph * (F.lit(1.0) - ph) / nd
+        + z * z / (F.lit(4.0) * nd * nd)
+    )
+    denom = F.lit(1.0) + z * z / nd
+    return g.select(
+        "grp",
+        "n",
+        "k",
+        F.round(ph, 6).alias("rate"),
+        F.round((center - half) / denom, 6).alias("wilson_low"),
+        F.round((center + half) / denom, 6).alias("wilson_high"),
+    )
+
+
+@q(
+    "aa_test_value",
+    """
+    WITH e AS (
+        SELECT ((user_id * 2654435761) % 4294967296) % 2 = 0 AS is_a,
+               ((user_id * 2246822519) % 4294967296) % 2 = 0 AS is_a1,
+               CAST(value AS DECIMAL(18,2)) AS x
+        FROM events
+        WHERE ((user_id * 2654435761) % 4294967296) % 2 = 0
+    ),
+    a AS (
+        SELECT SUM(CASE WHEN is_a1 THEN 1 ELSE 0 END)::BIGINT AS na,
+               SUM(CASE WHEN is_a1 THEN 0 ELSE 1 END)::BIGINT AS nb,
+               CAST(SUM(CASE WHEN is_a1 THEN x END) AS DOUBLE) AS sa,
+               CAST(SUM(CASE WHEN NOT is_a1 THEN x END) AS DOUBLE) AS sb,
+               CAST(SUM(CASE WHEN is_a1 THEN x * x END) AS DOUBLE) AS qa,
+               CAST(SUM(CASE WHEN NOT is_a1 THEN x * x END) AS DOUBLE)
+                   AS qb
+        FROM e
+    ),
+    v AS (
+        SELECT na, nb,
+               sa / CAST(na AS DOUBLE) AS ma,
+               sb / CAST(nb AS DOUBLE) AS mb,
+               (qa - sa * sa / CAST(na AS DOUBLE))
+                   / (CAST(na AS DOUBLE) - 1.0) / CAST(na AS DOUBLE) AS sea,
+               (qb - sb * sb / CAST(nb AS DOUBLE))
+                   / (CAST(nb AS DOUBLE) - 1.0) / CAST(nb AS DOUBLE) AS seb
+        FROM a
+    )
+    SELECT na AS n_a1, nb AS n_a2,
+           ROUND(ma, 6) AS mean_a1, ROUND(mb, 6) AS mean_a2,
+           ROUND((ma - mb) / SQRT(sea + seb), 6) AS t,
+           (ABS((ma - mb) / SQRT(sea + seb)) > 1.9599639845400545)
+               AS aa_violation
+    FROM v
+    """,
+    "A/A test on the TREATMENT arm: re-split group A by an "
+    "independent Knuth hash (2246822519) and run the Welch t — the "
+    "null-calibration any experimentation platform runs before "
+    "trusting its pipeline (a 'significant' A/A means the hash, "
+    "logging, or variance math is broken, not the users). Same "
+    "decimal-exact moment conventions as welch_ttest_value_ab; the "
+    "violation flag compares |t| to the two-sided 5% literal",
+)
+def aa_test_value(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    is_a = ((F.col("user_id") * 2654435761) % 4294967296) % 2 == 0
+    is_a1 = ((F.col("user_id") * 2246822519) % 4294967296) % 2 == 0
+    x = F.col("value").cast("decimal(18,2)")
+    e = ev.filter(is_a).select(is_a1.alias("is_a1"), x.alias("x"))
+    a = e.agg(
+        F.sum(F.when(F.col("is_a1"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("is_a1"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("nb"),
+        F.sum(F.when(F.col("is_a1"), F.col("x"))).cast("double").alias("sa"),
+        F.sum(F.when(~F.col("is_a1"), F.col("x")))
+        .cast("double")
+        .alias("sb"),
+        F.sum(F.when(F.col("is_a1"), F.col("x") * F.col("x")))
+        .cast("double")
+        .alias("qa"),
+        F.sum(F.when(~F.col("is_a1"), F.col("x") * F.col("x")))
+        .cast("double")
+        .alias("qb"),
+    )
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    ma = F.col("sa") / nad
+    mb = F.col("sb") / nbd
+    sea = (
+        (F.col("qa") - F.col("sa") * F.col("sa") / nad)
+        / (nad - F.lit(1.0))
+        / nad
+    )
+    seb = (
+        (F.col("qb") - F.col("sb") * F.col("sb") / nbd)
+        / (nbd - F.lit(1.0))
+        / nbd
+    )
+    t = (ma - mb) / F.sqrt(sea + seb)
+    return a.select(
+        F.col("na").alias("n_a1"),
+        F.col("nb").alias("n_a2"),
+        F.round(ma, 6).alias("mean_a1"),
+        F.round(mb, 6).alias("mean_a2"),
+        F.round(t, 6).alias("t"),
+        (F.abs(t) > F.lit(1.9599639845400545)).alias("aa_violation"),
+    )
+
+
+@q(
+    "audio_rms_frames",
+    """
+    WITH s AS (
+        SELECT d.doc_id, f.f,
+               (d.doc_id * 13 + (f.f * 16 + g.i) * 31) % 65536 - 32768 AS s
+        FROM documents d
+        CROSS JOIN generate_series(0, 3) f(f)
+        CROSS JOIN generate_series(0, 15) g(i)
+    )
+    SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+           CAST(16 AS BIGINT) AS n_samples,
+           MAX(ABS(s))::BIGINT AS peak,
+           ROUND(SQRT(CAST(SUM(s * s) AS DOUBLE) / 16.0), 6) AS rms
+    FROM s GROUP BY 1, 2
+    """,
+    "Per-frame RMS energy + peak from REAL 16-bit PCM WAV payloads "
+    "(encode_wav -> RIFF bytes -> decode -> 16-sample framing in one "
+    "Arrow-batched mapInPandas) — the framing pass in front of "
+    "VAD/silence-trim/loudness gates; frame grain is what audio "
+    "curation filters, not clips. The UDF returns EXACT integer "
+    "sum-of-squares; the single float op (sqrt of one division) "
+    "happens JVM-side, so the closed-form sample rule "
+    "(d*13 + i*31) % 65536 - 32768 oracles the whole codec + "
+    "framing + energy chain",
+)
+def audio_rms_frames(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.synthetic_media(d, kind="wav")
+    frames = multimodal.audio_frame_energy(media, frame_size=16)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        "n_samples",
+        "peak",
+        F.round(
+            F.sqrt(F.col("sum_sq").cast("double") / F.lit(16.0)), 6
+        ).alias("rms"),
+    )
+
+
+@q(
+    "bmp_channel_stats",
+    """
+    WITH p AS (
+        SELECT d.doc_id, g.i % 3 AS channel,
+               (d.doc_id * 7 + g.i) % 256 AS v
+        FROM documents d CROSS JOIN generate_series(0, 95) g(i)
+    )
+    SELECT doc_id AS media_id, CAST(channel AS BIGINT) AS channel,
+           COUNT(*)::BIGINT AS n_px,
+           MIN(v)::BIGINT AS min_v, MAX(v)::BIGINT AS max_v,
+           ROUND(CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS mean_v
+    FROM p GROUP BY 1, 2
+    """,
+    "Per-channel pixel statistics from REAL 24bpp BMP payloads "
+    "(encode_bmp -> BI_RGB bytes with 4-byte row padding -> decode "
+    "-> channel split in one Arrow-batched mapInPandas) — the "
+    "per-channel mean/min/max a vision pipeline computes for "
+    "normalization before training. The UDF emits exact integer "
+    "count/sum/min/max; the one float division runs JVM-side; the "
+    "closed-form pixel rule (d*7 + i) % 256 oracles codec, padding, "
+    "and BGR->RGB handling end to end",
+)
+def bmp_channel_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.synthetic_media(d, kind="bmp")
+    stats = multimodal.image_channel_stats(media)
+    return stats.select(
+        "media_id",
+        "channel",
+        "n_px",
+        "min_v",
+        "max_v",
+        F.round(
+            F.col("sum_v").cast("double") / F.col("n_px").cast("double"), 6
+        ).alias("mean_v"),
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -18418,6 +18806,9 @@ _ROUND11_POOL: tuple[str, ...] = (
     "chi2_residuals_segment_priority", "code_switch_audit",
     "hill_tail_index_totals", "markov_entropy_rate_events",
     "doc_keywords_top3", "srm_check_ab",
+    "value_decile_kl_by_type", "hapax_profile_by_lang",
+    "wilson_ci_purchase_ab", "aa_test_value",
+    "audio_rms_frames", "bmp_channel_stats",
 )
 
 _PRIORITY: tuple[str, ...] = (
