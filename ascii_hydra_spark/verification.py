@@ -18555,6 +18555,188 @@ def bmp_channel_stats(spark, sf_dir):
     )
 
 
+@q(
+    "weekly_user_jaccard",
+    """
+    WITH wu AS (
+        SELECT DISTINCT CAST(DATE_TRUNC('week', ts) AS DATE) AS wk,
+               user_id
+        FROM events
+    ),
+    sz AS (SELECT wk, COUNT(*)::BIGINT AS n FROM wu GROUP BY wk),
+    ov AS (
+        SELECT a.wk AS wk, COUNT(*)::BIGINT AS n_overlap
+        FROM wu a JOIN wu b
+            ON b.wk = a.wk + 7 AND b.user_id = a.user_id
+        GROUP BY a.wk
+    )
+    SELECT strftime(s1.wk, '%Y-%m-%d') AS week_start,
+           s1.n AS n_this_week,
+           s2.n AS n_next_week,
+           COALESCE(ov.n_overlap, 0)::BIGINT AS n_overlap,
+           ROUND(CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE)
+                 / CAST(s1.n + s2.n - COALESCE(ov.n_overlap, 0)
+                        AS DOUBLE), 6) AS jaccard
+    FROM sz s1 JOIN sz s2 ON s2.wk = s1.wk + 7
+    LEFT JOIN ov ON ov.wk = s1.wk
+    """,
+    "Week-over-week active-user Jaccard: |active(w) AND active(w+1)| "
+    "/ |active(w) OR active(w+1)| per consecutive week pair — the "
+    "audience-churn overlap behind rolling_active_users (retention "
+    "says who came back; Jaccard says how much the AUDIENCE is the "
+    "same set). Exact set counts via one (user, week) distinct and "
+    "one self-equi-join on (week+7, user); one division",
+)
+def weekly_user_jaccard(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    wu = ev.select(
+        F.date_trunc("week", "ts").cast("date").alias("wk"), "user_id"
+    ).distinct()
+    sz = wu.groupBy("wk").agg(F.count("*").cast("bigint").alias("n"))
+    a, b = wu.alias("a"), wu.alias("b")
+    ov = (
+        a.join(
+            b,
+            (F.col("b.wk") == F.date_add(F.col("a.wk"), 7))
+            & (F.col("b.user_id") == F.col("a.user_id")),
+        )
+        .groupBy(F.col("a.wk").alias("wk"))
+        .agg(F.count("*").cast("bigint").alias("n_overlap"))
+    )
+    s1 = sz.select(F.col("wk"), F.col("n").alias("n_this_week"))
+    s2 = sz.select(
+        F.col("wk").alias("wk2"), F.col("n").alias("n_next_week")
+    )
+    j = (
+        s1.join(s2, F.col("wk2") == F.date_add(F.col("wk"), 7))
+        .join(ov, "wk", "left")
+    )
+    n_ov = F.coalesce(F.col("n_overlap"), F.lit(0))
+    return j.select(
+        F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
+        "n_this_week",
+        "n_next_week",
+        n_ov.cast("bigint").alias("n_overlap"),
+        F.round(
+            n_ov.cast("double")
+            / (
+                F.col("n_this_week") + F.col("n_next_week") - n_ov
+            ).cast("double"),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+@q(
+    "theil_u_priority_segment",
+    """
+    WITH j AS (
+        SELECT c.c_mktsegment AS x, o.o_orderpriority AS y
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cell AS (SELECT x, y, COUNT(*)::BIGINT AS c FROM j GROUP BY x, y),
+    rx AS (SELECT x, SUM(c)::BIGINT AS cx FROM cell GROUP BY x),
+    ry AS (SELECT y, SUM(c)::BIGINT AS cy FROM cell GROUP BY y),
+    n AS (SELECT SUM(c)::BIGINT AS n FROM cell),
+    hy AS (
+        SELECT LIST_REDUCE(
+                   LIST(-(CAST(cy AS DOUBLE) / CAST(n.n AS DOUBLE))
+                        * LOG2(CAST(cy AS DOUBLE) / CAST(n.n AS DOUBLE))
+                        ORDER BY y),
+                   (a, b) -> a + b) AS h_y
+        FROM ry CROSS JOIN n
+    ),
+    hyx AS (
+        SELECT LIST_REDUCE(
+                   LIST(-(CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE))
+                        * LOG2(CAST(c AS DOUBLE) / CAST(cx AS DOUBLE))
+                        ORDER BY x, y),
+                   (a, b) -> a + b) AS h_y_x
+        FROM cell JOIN rx USING (x) CROSS JOIN n
+    )
+    SELECT n.n AS n_orders,
+           ROUND(hy.h_y, 6) AS h_priority,
+           ROUND(hyx.h_y_x, 6) AS h_priority_given_segment,
+           ROUND((hy.h_y - hyx.h_y_x) / hy.h_y, 6) AS theil_u
+    FROM n, hy, hyx
+    """,
+    "Theil's uncertainty coefficient U(priority | segment) = "
+    "(H(Y) - H(Y|X)) / H(Y): the ASYMMETRIC dependence measure "
+    "cramers_v can't give — how many bits of the priority mix does "
+    "knowing the segment actually remove (0 = nothing, 1 = fully "
+    "determined). Exact integer cell/marginal counts; both entropy "
+    "sums fold in category order (5- and 25-term bounded lists); "
+    "two divisions at the end",
+)
+def theil_u_priority_segment(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("x"),
+        F.col("o_orderpriority").alias("y"),
+    )
+    cell = j.groupBy("x", "y").agg(F.count("*").cast("bigint").alias("c"))
+    rx = cell.groupBy("x").agg(F.sum("c").cast("bigint").alias("cx"))
+    ry = cell.groupBy("y").agg(F.sum("c").cast("bigint").alias("cy"))
+    n = cell.agg(F.sum("c").cast("bigint").alias("n"))
+    hy = (
+        ry.crossJoin(F.broadcast(n))
+        .select(
+            "y",
+            (
+                -(F.col("cy").cast("double") / F.col("n").cast("double"))
+                * F.log2(
+                    F.col("cy").cast("double") / F.col("n").cast("double")
+                )
+            ).alias("t"),
+        )
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct(F.col("y"), F.col("t")))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["t"],
+            ).alias("h_y")
+        )
+    )
+    hyx = (
+        cell.join(F.broadcast(rx), "x")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "x",
+            "y",
+            (
+                -(F.col("c").cast("double") / F.col("n").cast("double"))
+                * F.log2(
+                    F.col("c").cast("double") / F.col("cx").cast("double")
+                )
+            ).alias("t"),
+        )
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("x"), F.col("y"), F.col("t"))
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["t"],
+            ).alias("h_y_x")
+        )
+    )
+    return (
+        n.crossJoin(F.broadcast(hy))
+        .crossJoin(F.broadcast(hyx))
+        .select(
+            F.col("n").alias("n_orders"),
+            F.round(F.col("h_y"), 6).alias("h_priority"),
+            F.round(F.col("h_y_x"), 6).alias("h_priority_given_segment"),
+            F.round(
+                (F.col("h_y") - F.col("h_y_x")) / F.col("h_y"), 6
+            ).alias("theil_u"),
+        )
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -18809,6 +18991,7 @@ _ROUND11_POOL: tuple[str, ...] = (
     "value_decile_kl_by_type", "hapax_profile_by_lang",
     "wilson_ci_purchase_ab", "aa_test_value",
     "audio_rms_frames", "bmp_channel_stats",
+    "weekly_user_jaccard", "theil_u_priority_segment",
 )
 
 _PRIORITY: tuple[str, ...] = (
