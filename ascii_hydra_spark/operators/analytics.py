@@ -1274,6 +1274,83 @@ def quantile_normalize(
     )
 
 
+def grouped_exact_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    scale: int = 4,
+) -> DataFrame:
+    """Per-group EXACT median (interpolated at even counts, matching
+    SQL quantile_cont(0.5)) with no per-group window: the
+    k-small-groups/huge-data shape where Window.partitionBy(group)
+    collapses to k reducers.
+
+    Same composite-key trick as :func:`quantile_normalize`: one
+    :func:`distrank.global_running_sum` over per-(group, value) counts
+    keyed g-major (gidx*10^13 + value*10^scale) gives within-group
+    cumulative counts after subtracting each group's exclusive offset
+    (k-row side table). The median ranks lo = (n+1)//2 and
+    hi = n//2 + 1 are then found by a plain conditional MIN over the
+    distinct-value grain — every data-sized stage parallel. Value must
+    be exactly representable at `scale` decimals; NULLs dropped.
+    Returns (group, n, median) with median = (x_lo + x_hi)/2 computed
+    in decimal before one double cast.
+    """
+    e = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("__g"), F.col(value_col).alias("__x")
+    )
+    w_g = Window.partitionBy(
+        F.pmod(F.length("__g"), F.lit(1))
+    ).orderBy("__g")
+    gi = (
+        e.select("__g")
+        .distinct()
+        .select("__g", F.row_number().over(w_g).cast("long").alias("__gi"))
+    )
+    mult = 10**scale
+    e2 = e.join(F.broadcast(gi), "__g").withColumn(
+        "__ck",
+        F.col("__gi") * F.lit(10**13) + (F.col("__x") * mult).cast("long"),
+    )
+    pv = e2.groupBy("__g", "__ck").agg(
+        F.count("*").cast("bigint").alias("__cnt"),
+        F.max("__x").alias("__xv"),
+    )
+    cum = distrank.global_running_sum(
+        pv, F.col("__ck"), F.col("__cnt"), out_col="__cum"
+    )
+    ng = e2.groupBy("__g", "__gi").agg(
+        F.count("*").cast("bigint").alias("__ng")
+    )
+    w_off = (
+        Window.partitionBy(distrank.single_partition("__gi"))
+        .orderBy("__gi")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = ng.select(
+        "__g",
+        "__ng",
+        F.coalesce(F.sum("__ng").over(w_off), F.lit(0)).alias("__off"),
+    )
+    j = cum.join(F.broadcast(offs), "__g").withColumn(
+        "__wcum", F.col("__cum") - F.col("__off")
+    )
+    lo_t = F.expr("(__ng + 1) div 2")
+    hi_t = F.expr("__ng div 2 + 1")
+    picked = j.groupBy("__g").agg(
+        F.min("__ng").cast("bigint").alias("n"),
+        F.min(F.when(F.col("__wcum") >= lo_t, F.col("__xv"))).alias("__lo"),
+        F.min(F.when(F.col("__wcum") >= hi_t, F.col("__xv"))).alias("__hi"),
+    )
+    return picked.select(
+        F.col("__g").alias(group_col),
+        "n",
+        F.round(
+            ((F.col("__lo") + F.col("__hi")) / 2).cast("double"), 6
+        ).alias("median"),
+    )
+
+
 def cramers_v(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
     """One row (n, chi2, df_free, v): Cramér's V effect size from the
     full chi-square contingency — the magnitude readout the raw chi2

@@ -18737,6 +18737,36 @@ def theil_u_priority_segment(spark, sf_dir):
     )
 
 
+@q(
+    "grouped_median_value_by_type",
+    """
+    SELECT event_type, COUNT(value)::BIGINT AS n,
+           ROUND(quantile_cont(CAST(value AS DECIMAL(12,4)), 0.5), 6)
+               AS median
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+    """,
+    "Per-group EXACT median via the composite-key distrank path "
+    "(operators/analytics.py grouped_exact_median): the "
+    "k-small-groups/huge-data shape where Window.partitionBy(group) "
+    "collapses to k reducers — within-group cumulative counts ride "
+    "ONE global running sum over a g-major integer key, median "
+    "ranks resolve by conditional MIN over distinct values, and "
+    "(x_lo + x_hi)/2 stays decimal until one double cast. The "
+    "oracle is the one-line interpolated quantile both engines "
+    "define identically — a strong arbitration: a rank "
+    "off-by-one anywhere shifts the median",
+)
+def grouped_median_value_by_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return analytics.grouped_exact_median(
+        ev.select(
+            "event_type", F.col("value").cast("decimal(12,4)").alias("value")
+        ),
+        "event_type",
+        "value",
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -18992,6 +19022,7 @@ _ROUND11_POOL: tuple[str, ...] = (
     "wilson_ci_purchase_ab", "aa_test_value",
     "audio_rms_frames", "bmp_channel_stats",
     "weekly_user_jaccard", "theil_u_priority_segment",
+    "grouped_median_value_by_type",
 )
 
 _PRIORITY: tuple[str, ...] = (

@@ -137,3 +137,28 @@ def test_bartlett_known_two_group_value(spark):
     t = (n - k) * math.log(pooled) - 3 * (math.log(va) + math.log(vb))
     c = 1.0 + (1.0 / 3 + 1.0 / 3 - 1.0 / (n - k)) / (3.0 * (k - 1))
     assert row["bartlett_t"] == pytest.approx(round(t / c, 6), abs=2e-6)
+
+
+def test_grouped_exact_median_odd_and_even(spark):
+    # A has 3 values (odd -> middle), B has 4 (even -> mean of middles).
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 5.0), ("A", 9.0),
+         ("B", 2.0), ("B", 4.0), ("B", 6.0), ("B", 8.0)],
+        ["g", "x"],
+    )
+    d = df.select("g", F.col("x").cast("decimal(12,4)").alias("x"))
+    got = {
+        r["g"]: (r["n"], r["median"])
+        for r in analytics.grouped_exact_median(d, "g", "x").collect()
+    }
+    assert got == {"A": (3, 5.0), "B": (4, 5.0)}
+
+
+def test_grouped_exact_median_with_ties(spark):
+    # ties straddling the middle: {1, 3, 3, 7} -> median (3+3)/2 = 3.
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 3.0), ("A", 3.0), ("A", 7.0)], ["g", "x"]
+    )
+    d = df.select("g", F.col("x").cast("decimal(12,4)").alias("x"))
+    row = analytics.grouped_exact_median(d, "g", "x").collect()[0]
+    assert (row["n"], row["median"]) == (4, 3.0)
