@@ -16449,8 +16449,11 @@ def cdx_revisit_detection(spark, sf_dir):
         FROM orders GROUP BY 1
     ),
     t AS (
+        -- DECIMAL(28,2) operands: DuckDB's width-doubling product rule
+        -- overflows (18,2)^2 at 10x scale; values stay exact
         SELECT COUNT(*)::BIGINT AS n, CAST(SUM(rev) AS DOUBLE) AS s,
-               CAST(SUM(rev * rev) AS DOUBLE) AS q
+               CAST(SUM(CAST(rev AS DECIMAL(28,2))
+                        * CAST(rev AS DECIMAL(28,2))) AS DOUBLE) AS q
         FROM d
     ),
     c AS (
@@ -16712,7 +16715,12 @@ def stable_rank_embeddings(spark, sf_dir):
         FROM orders GROUP BY 1
     ),
     p AS (
-        SELECT t.rev AS z, l.rev AS a, l.cnt AS b
+        -- widen to DECIMAL(28,2) so DuckDB's width-doubling product
+        -- rule has room at 10x scale (values stay exact; Spark's
+        -- (18,2)x(18,2)->(37,4) already fits)
+        SELECT CAST(t.rev AS DECIMAL(28,2)) AS z,
+               CAST(l.rev AS DECIMAL(28,2)) AS a,
+               l.cnt AS b
         FROM d t JOIN d l ON l.day = t.day - INTERVAL 1 DAY
     ),
     m AS (
@@ -18767,6 +18775,157 @@ def grouped_median_value_by_type(spark, sf_dir):
     )
 
 
+@q(
+    "events_to_convert_hist",
+    """
+    WITH fp AS (
+        SELECT user_id, MIN(ts) AS pts
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id,
+               SUM(CASE WHEN e.ts < fp.pts THEN 1 ELSE 0 END)::BIGINT AS k
+        FROM events e JOIN fp USING (user_id)
+        GROUP BY e.user_id
+    )
+    SELECT k AS n_events_before, COUNT(*)::BIGINT AS n_users
+    FROM c GROUP BY k
+    """,
+    "Effort-to-convert histogram: for each converting user, the "
+    "number of events STRICTLY before their first purchase, bucketed "
+    "— the interaction-count companion of time_to_convert_funnel's "
+    "wall-clock lag (product teams tune onboarding on touches, not "
+    "minutes). Exact microsecond first-purchase timestamp; exact "
+    "integer counts; one keyed join + two aggregations",
+)
+def events_to_convert_hist(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    fp = ev.filter(F.col("event_type") == "purchase").groupBy(
+        "user_id"
+    ).agg(F.min("ts").alias("pts"))
+    c = (
+        ev.join(fp, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < F.col("pts"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("k")
+        )
+    )
+    return c.groupBy(F.col("k").alias("n_events_before")).agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+
+
+@q(
+    "weekly_arpu",
+    """
+    SELECT strftime(DATE_TRUNC('week', o_orderdate), '%Y-%m-%d')
+               AS week_start,
+           COUNT(DISTINCT o_custkey)::BIGINT AS n_customers,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
+           CAST((CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                           * 100 AS BIGINT) AS BIGINT) * 10000)
+                // COUNT(DISTINCT o_custkey) AS DOUBLE) / 1000000.0
+               AS arpu
+    FROM orders GROUP BY 1
+    """,
+    "Weekly ARPU: revenue per distinct purchasing customer per ISO "
+    "week — the top-line monetization series every growth dashboard "
+    "leads with (aov_by_segment is per order; this is per CUSTOMER "
+    "per period). Decimal-exact revenue; ARPU is floored to an "
+    "EXACT integer micro-dollar (cents x 10^4 div customers) before "
+    "one double division, sidestepping the half-ulp ROUND ties a "
+    "float quotient can land on",
+)
+def weekly_arpu(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    g = o.groupBy(
+        F.date_format(
+            F.date_trunc("week", "o_orderdate"), "yyyy-MM-dd"
+        ).alias("week_start")
+    ).agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+        F.sum(dec).cast("decimal(18,2)").cast("double").alias("revenue"),
+        (F.sum(dec) * 100).cast("bigint").alias("__cents"),
+    )
+    return g.select(
+        "week_start",
+        "n_customers",
+        "revenue",
+        (
+            F.expr("(__cents * 10000) div n_customers").cast("double")
+            / F.lit(1000000.0)
+        ).alias("arpu"),
+    )
+
+
+@q(
+    "user_hour_entropy_topk",
+    """
+    WITH h AS (
+        SELECT user_id, CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+               COUNT(*)::BIGINT AS c
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT user_id, SUM(c)::BIGINT AS n FROM h GROUP BY 1),
+    e AS (
+        SELECT h.user_id, t.n,
+               LIST_REDUCE(
+                   LIST(-(CAST(c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                        * LOG2(CAST(c AS DOUBLE) / CAST(t.n AS DOUBLE))
+                        ORDER BY hr),
+                   (a, b) -> a + b) AS ent
+        FROM h JOIN t USING (user_id)
+        GROUP BY h.user_id, t.n
+    )
+    SELECT user_id, n AS n_events, ROUND(ent, 6) AS hour_entropy
+    FROM e WHERE n >= 20
+    ORDER BY ent DESC, user_id LIMIT 20
+    """,
+    "Bot-likeness screen: top-20 users by hour-of-day entropy "
+    "(among users with >= 20 events) — humans sleep, so a user whose "
+    "activity is UNIFORM across all 24 hours (entropy -> log2 24) is "
+    "automation; the anti-abuse triage queue. Exact per-(user, hour) "
+    "counts; each user's <= 24-term entropy folds in hour order so "
+    "the ranking compares bit-identical doubles; TakeOrdered caps "
+    "output",
+)
+def user_hour_entropy_topk(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "user_id", F.hour("ts").cast("int").alias("hr")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    t = h.groupBy("user_id").agg(F.sum("c").cast("bigint").alias("n"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    e = (
+        h.join(t, "user_id")
+        .select("user_id", "n", "hr", (-p * F.log2(p)).alias("term"))
+        .groupBy("user_id", "n")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("hr"), F.col("term")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["term"],
+            ).alias("ent")
+        )
+    )
+    return (
+        e.filter(F.col("n") >= 20)
+        .orderBy(F.desc("ent"), "user_id")
+        .limit(20)
+        .select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            F.round(F.col("ent"), 6).alias("hour_entropy"),
+        )
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -19023,6 +19182,7 @@ _ROUND11_POOL: tuple[str, ...] = (
     "audio_rms_frames", "bmp_channel_stats",
     "weekly_user_jaccard", "theil_u_priority_segment",
     "grouped_median_value_by_type",
+    "events_to_convert_hist", "weekly_arpu", "user_hour_entropy_topk",
 )
 
 _PRIORITY: tuple[str, ...] = (
