@@ -18926,6 +18926,177 @@ def user_hour_entropy_topk(spark, sf_dir):
     )
 
 
+@q(
+    "capture_recapture_users",
+    """
+    WITH w1 AS (
+        SELECT DISTINCT user_id FROM events WHERE dayofmonth(ts) <= 15
+    ),
+    w2 AS (
+        SELECT DISTINCT user_id FROM events WHERE dayofmonth(ts) > 15
+    ),
+    k AS (
+        SELECT (SELECT COUNT(*) FROM w1)::BIGINT AS n1,
+               (SELECT COUNT(*) FROM w2)::BIGINT AS n2,
+               (SELECT COUNT(*) FROM w1 JOIN w2 USING (user_id))::BIGINT
+                   AS m
+    )
+    SELECT n1, n2, m,
+           CASE WHEN m = 0 THEN NULL
+                ELSE ROUND(CAST(n1 * n2 AS DOUBLE) / CAST(m AS DOUBLE), 6)
+           END AS lincoln_petersen,
+           ROUND(CAST((n1 + 1) * (n2 + 1) AS DOUBLE)
+                 / CAST(m + 1 AS DOUBLE) - 1.0, 6) AS chapman
+    FROM k
+    """,
+    "Capture-recapture population estimate: users 'captured' in the "
+    "first month-half vs 'recaptured' in the second — Lincoln-"
+    "Petersen N^ = n1*n2/m plus the Chapman bias correction — the "
+    "ecology estimator growth teams reuse to size the REACHABLE "
+    "audience beyond what any one window observes. Exact distinct "
+    "counts, one semi-join intersection, closed-form floats",
+)
+def capture_recapture_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w1 = ev.filter(F.dayofmonth("ts") <= 15).select("user_id").distinct()
+    w2 = ev.filter(F.dayofmonth("ts") > 15).select("user_id").distinct()
+    n1 = w1.agg(F.count("*").cast("bigint").alias("n1"))
+    n2 = w2.agg(F.count("*").cast("bigint").alias("n2"))
+    m = (
+        w1.join(w2, "user_id", "semi")
+        .agg(F.count("*").cast("bigint").alias("m"))
+    )
+    k = n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(m))
+    lp = (F.col("n1") * F.col("n2")).cast("double") / F.col("m").cast(
+        "double"
+    )
+    return k.select(
+        "n1",
+        "n2",
+        "m",
+        F.when(F.col("m") == 0, F.lit(None))
+        .otherwise(F.round(lp, 6))
+        .alias("lincoln_petersen"),
+        F.round(
+            ((F.col("n1") + 1) * (F.col("n2") + 1)).cast("double")
+            / (F.col("m") + 1).cast("double")
+            - F.lit(1.0),
+            6,
+        ).alias("chapman"),
+    )
+
+
+@q(
+    "ratio_metric_delta_ab",
+    """
+    WITH u AS (
+        SELECT user_id,
+               ((user_id * 2654435761) % 4294967296) % 2 = 0 AS is_a,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(12,4)) * 10000
+                             AS BIGINT)) AS BIGINT) AS x,
+               COUNT(*)::BIGINT AS y
+        FROM events WHERE value IS NOT NULL GROUP BY user_id
+    ),
+    g AS (
+        SELECT CASE WHEN is_a THEN 'A' ELSE 'B' END AS grp,
+               COUNT(*)::BIGINT AS n,
+               SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sxx,
+               SUM(y * y)::BIGINT AS syy,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sxy
+        FROM u GROUP BY 1
+    ),
+    d AS (
+        SELECT grp, n,
+               CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS r,
+               CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ybar,
+               (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0) AS vx,
+               (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                    * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0) AS vy,
+               (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                    * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(n AS DOUBLE) - 1.0) AS cxy
+        FROM g
+    )
+    SELECT grp, n AS n_users,
+           ROUND(r / 10000.0, 6) AS value_per_event,
+           ROUND(SQRT((vx - 2.0 * r * cxy + r * r * vy)
+                      / (CAST(n AS DOUBLE) * ybar * ybar))
+                 / 10000.0, 6) AS se_delta
+    FROM d
+    """,
+    "Delta-method standard error for the RATIO metric value-per-"
+    "event, per A/B arm: ratio metrics (revenue/session, "
+    "clicks/view) violate the iid assumption per-event tests make — "
+    "the unit is the USER, and Var(X̄/Ȳ) needs the delta expansion "
+    "(vx - 2R cov + R^2 vy)/(n ybar^2). Per-user numerators in "
+    "exact integer micro-units, cross-moments exact via HUGEINT/"
+    "DECIMAL(38,0); every float derives from six exact sums in one "
+    "written order",
+)
+def ratio_metric_delta_ab(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    is_a = ((F.col("user_id") * 2654435761) % 4294967296) % 2 == 0
+    u = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                (F.col("value").cast("decimal(12,4)") * 10000).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.count("*").cast("bigint").alias("y"),
+        )
+        .select(is_a.alias("is_a"), "x", "y")
+    )
+    g = u.groupBy(
+        F.when(F.col("is_a"), "A").otherwise("B").alias("grp")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    r = F.col("sx").cast("double") / F.col("sy").cast("double")
+    ybar = F.col("sy").cast("double") / nd
+    vx = (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double") / nd
+    ) / (nd - F.lit(1.0))
+    vy = (
+        F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double") / nd
+    ) / (nd - F.lit(1.0))
+    cxy = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double") / nd
+    ) / (nd - F.lit(1.0))
+    return g.select(
+        "grp",
+        F.col("n").alias("n_users"),
+        F.round(r / F.lit(10000.0), 6).alias("value_per_event"),
+        F.round(
+            F.sqrt(
+                (vx - F.lit(2.0) * r * cxy + r * r * vy)
+                / (nd * ybar * ybar)
+            )
+            / F.lit(10000.0),
+            6,
+        ).alias("se_delta"),
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -19183,6 +19354,7 @@ _ROUND11_POOL: tuple[str, ...] = (
     "weekly_user_jaccard", "theil_u_priority_segment",
     "grouped_median_value_by_type",
     "events_to_convert_hist", "weekly_arpu", "user_hour_entropy_topk",
+    "capture_recapture_users", "ratio_metric_delta_ab",
 )
 
 _PRIORITY: tuple[str, ...] = (
