@@ -1351,6 +1351,97 @@ def grouped_exact_median(
     )
 
 
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: "Sequence[float]" = (0.25, 0.5, 0.75),
+    scale: int = 4,
+) -> DataFrame:
+    """Per-group interpolated quantiles (quantile_cont semantics) with
+    no per-group window — the generalization of
+    :func:`grouped_exact_median` to arbitrary probabilities: for each
+    q, position h = (n-1)*q, value = x[floor(h)] + (x[floor(h)+1] -
+    x[floor(h)])*(h - floor(h)) over the group's sorted values.
+
+    Same composite-key distrank machinery (one global running sum over
+    g-major integer keys + k-row offsets); the bracketing order
+    statistics for ALL requested quantiles resolve in ONE conditional-
+    MIN aggregate over the distinct-value grain. Returns (group, n,
+    q_<p> ...) with each quantile 6-dp rounded.
+    """
+    e = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("__g"), F.col(value_col).alias("__x")
+    )
+    w_g = Window.partitionBy(
+        F.pmod(F.length("__g"), F.lit(1))
+    ).orderBy("__g")
+    gi = (
+        e.select("__g")
+        .distinct()
+        .select("__g", F.row_number().over(w_g).cast("long").alias("__gi"))
+    )
+    mult = 10**scale
+    e2 = e.join(F.broadcast(gi), "__g").withColumn(
+        "__ck",
+        F.col("__gi") * F.lit(10**13) + (F.col("__x") * mult).cast("long"),
+    )
+    pv = e2.groupBy("__g", "__ck").agg(
+        F.count("*").cast("bigint").alias("__cnt"),
+        F.max("__x").alias("__xv"),
+    )
+    cum = distrank.global_running_sum(
+        pv, F.col("__ck"), F.col("__cnt"), out_col="__cum"
+    )
+    ng = e2.groupBy("__g", "__gi").agg(
+        F.count("*").cast("bigint").alias("__ng")
+    )
+    w_off = (
+        Window.partitionBy(distrank.single_partition("__gi"))
+        .orderBy("__gi")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = ng.select(
+        "__g",
+        "__ng",
+        F.coalesce(F.sum("__ng").over(w_off), F.lit(0)).alias("__off"),
+    )
+    j = cum.join(F.broadcast(offs), "__g").withColumn(
+        "__wcum", F.col("__cum") - F.col("__off")
+    )
+    nd = F.col("__ng").cast("double")
+    aggs = [F.min("__ng").cast("bigint").alias("n")]
+    names = []
+    for q in quantiles:
+        tag = str(q).replace(".", "_")
+        # 1-based bracket ranks: floor(h)+1 and floor(h)+2 (capped at n)
+        h = (nd - F.lit(1.0)) * F.lit(float(q))
+        klo = (F.floor(h) + 1).cast("bigint")
+        khi = F.least(klo + 1, F.col("__ng"))
+        aggs.append(
+            F.min(
+                F.when(F.col("__wcum") >= klo, F.col("__xv"))
+            ).alias(f"__lo_{tag}")
+        )
+        aggs.append(
+            F.min(
+                F.when(F.col("__wcum") >= khi, F.col("__xv"))
+            ).alias(f"__hi_{tag}")
+        )
+        names.append((q, tag))
+    picked = j.groupBy("__g").agg(*aggs)
+    out_cols = [F.col("__g").alias(group_col), F.col("n")]
+    for q, tag in names:
+        h = (F.col("n").cast("double") - F.lit(1.0)) * F.lit(float(q))
+        frac = h - F.floor(h)
+        lo = F.col(f"__lo_{tag}").cast("double")
+        hi = F.col(f"__hi_{tag}").cast("double")
+        out_cols.append(
+            F.round(lo + (hi - lo) * frac, 6).alias(f"q_{tag}")
+        )
+    return picked.select(*out_cols)
+
+
 def cramers_v(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
     """One row (n, chi2, df_free, v): Cramér's V effect size from the
     full chi-square contingency — the magnitude readout the raw chi2

@@ -19097,6 +19097,274 @@ def ratio_metric_delta_ab(spark, sf_dir):
     )
 
 
+@q(
+    "grouped_iqr_value_by_type",
+    """
+    SELECT event_type, COUNT(value)::BIGINT AS n,
+           ROUND(quantile_cont(CAST(value AS DECIMAL(12,4)), 0.25), 6)
+               AS q_0_25,
+           ROUND(quantile_cont(CAST(value AS DECIMAL(12,4)), 0.5), 6)
+               AS q_0_5,
+           ROUND(quantile_cont(CAST(value AS DECIMAL(12,4)), 0.75), 6)
+               AS q_0_75,
+           ROUND(quantile_cont(CAST(value AS DECIMAL(12,4)), 0.75)
+                 - quantile_cont(CAST(value AS DECIMAL(12,4)), 0.25), 6)
+               AS iqr
+    FROM events WHERE value IS NOT NULL GROUP BY event_type
+    """,
+    "Per-group interpolated quartiles + IQR via the composite-key "
+    "distrank path (operators/analytics.py grouped_exact_quantiles — "
+    "grouped_exact_median generalized to arbitrary probabilities): "
+    "ALL bracketing order statistics resolve in ONE conditional-MIN "
+    "over the distinct-value grain, no per-group window anywhere. "
+    "The oracle is the engine-shared quantile_cont definition; a "
+    "rank off-by-one at any probability shifts a quartile",
+)
+def grouped_iqr_value_by_type(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    qs = analytics.grouped_exact_quantiles(
+        ev.select(
+            "event_type", F.col("value").cast("decimal(12,4)").alias("value")
+        ),
+        "event_type",
+        "value",
+        quantiles=(0.25, 0.5, 0.75),
+    )
+    return qs.select(
+        "event_type",
+        "n",
+        "q_0_25",
+        "q_0_5",
+        "q_0_75",
+        F.round(F.col("q_0_75") - F.col("q_0_25"), 6).alias("iqr"),
+    )
+
+
+@q(
+    "term_burstiness_top",
+    f"""
+    WITH tf AS (
+        SELECT doc_id, term, COUNT(*)::BIGINT AS c FROM (
+            SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents
+        ) GROUP BY doc_id, term
+    ),
+    agg AS (
+        SELECT term, SUM(c)::BIGINT AS s, SUM(c * c)::BIGINT AS q,
+               COUNT(*)::BIGINT AS df
+        FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(*)::BIGINT AS nd FROM documents)
+    SELECT term, s AS total_tf, df,
+           ROUND(((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                   / CAST(nd AS DOUBLE)) / (CAST(nd AS DOUBLE) - 1.0))
+                 / (CAST(s AS DOUBLE) / CAST(nd AS DOUBLE)), 6)
+               AS burstiness
+    FROM agg CROSS JOIN n
+    ORDER BY s DESC, term LIMIT 20
+    """,
+    "Church-Gale term burstiness for the top-20 corpus terms: "
+    "variance-to-mean of per-DOCUMENT frequency over ALL docs "
+    "(absent docs contribute zero) — ~1 = Poisson scatter (function "
+    "words), >>1 = topically bursty (content words); the signal "
+    "separating stopword-like from keyword-like terms without a "
+    "stopword list. Exact integer (s, q, df) per term; zeros enter "
+    "the variance through the closed form, never materialized",
+)
+def term_burstiness_top(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(word_tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    agg = tf.groupBy("term").agg(
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
+        F.count("*").cast("bigint").alias("df"),
+    )
+    n = d.agg(F.count("*").cast("bigint").alias("nd"))
+    ndd = F.col("nd").cast("double")
+    sd = F.col("s").cast("double")
+    burst = (
+        (F.col("q").cast("double") - sd * sd / ndd) / (ndd - F.lit(1.0))
+    ) / (sd / ndd)
+    return (
+        agg.crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            F.col("s").alias("total_tf"),
+            "df",
+            F.round(burst, 6).alias("burstiness"),
+        )
+        .orderBy(F.desc("total_tf"), "term")
+        .limit(20)
+    )
+
+
+@q(
+    "chow_break_midpoint",
+    """
+    WITH d AS (
+        SELECT o_orderdate AS day,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    r AS (
+        SELECT y, ROW_NUMBER() OVER (ORDER BY day) AS t,
+               COUNT(*) OVER () AS n
+        FROM d
+    ),
+    m AS (
+        SELECT CASE WHEN t <= n // 2 THEN 1 ELSE 2 END AS seg,
+               COUNT(*)::BIGINT AS ni,
+               SUM(t)::BIGINT AS st, SUM(t * t)::BIGINT AS stt,
+               SUM(y)::BIGINT AS sy,
+               CAST(SUM(CAST(t AS HUGEINT) * y) AS DECIMAL(38,0)) AS sty,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS DECIMAL(38,0)) AS syy
+        FROM r GROUP BY 1
+    ),
+    pv AS (
+        SELECT
+            MAX(CASE WHEN seg = 1 THEN ni END) AS n1,
+            MAX(CASE WHEN seg = 1 THEN st END) AS st1,
+            MAX(CASE WHEN seg = 1 THEN stt END) AS stt1,
+            MAX(CASE WHEN seg = 1 THEN sy END) AS sy1,
+            MAX(CASE WHEN seg = 1 THEN sty END) AS sty1,
+            MAX(CASE WHEN seg = 1 THEN syy END) AS syy1,
+            MAX(CASE WHEN seg = 2 THEN ni END) AS n2,
+            MAX(CASE WHEN seg = 2 THEN st END) AS st2,
+            MAX(CASE WHEN seg = 2 THEN stt END) AS stt2,
+            MAX(CASE WHEN seg = 2 THEN sy END) AS sy2,
+            MAX(CASE WHEN seg = 2 THEN sty END) AS sty2,
+            MAX(CASE WHEN seg = 2 THEN syy END) AS syy2
+        FROM m
+    ),
+    c AS (
+        SELECT n1 + n2 AS n,
+               (CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE)
+                    * CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+               - (CAST(sty1 AS DOUBLE) - CAST(st1 AS DOUBLE)
+                      * CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                 * (CAST(sty1 AS DOUBLE) - CAST(st1 AS DOUBLE)
+                        * CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                 / (CAST(stt1 AS DOUBLE) - CAST(st1 AS DOUBLE)
+                        * CAST(st1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                   AS ssr1,
+               (CAST(syy2 AS DOUBLE) - CAST(sy2 AS DOUBLE)
+                    * CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+               - (CAST(sty2 AS DOUBLE) - CAST(st2 AS DOUBLE)
+                      * CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                 * (CAST(sty2 AS DOUBLE) - CAST(st2 AS DOUBLE)
+                        * CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                 / (CAST(stt2 AS DOUBLE) - CAST(st2 AS DOUBLE)
+                        * CAST(st2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                   AS ssr2,
+               (CAST(syy1 + syy2 AS DOUBLE)
+                    - CAST(sy1 + sy2 AS DOUBLE) * CAST(sy1 + sy2 AS DOUBLE)
+                      / CAST(n1 + n2 AS DOUBLE))
+               - (CAST(sty1 + sty2 AS DOUBLE)
+                      - CAST(st1 + st2 AS DOUBLE) * CAST(sy1 + sy2 AS DOUBLE)
+                        / CAST(n1 + n2 AS DOUBLE))
+                 * (CAST(sty1 + sty2 AS DOUBLE)
+                        - CAST(st1 + st2 AS DOUBLE)
+                          * CAST(sy1 + sy2 AS DOUBLE)
+                          / CAST(n1 + n2 AS DOUBLE))
+                 / (CAST(stt1 + stt2 AS DOUBLE)
+                        - CAST(st1 + st2 AS DOUBLE) * CAST(st1 + st2 AS DOUBLE)
+                          / CAST(n1 + n2 AS DOUBLE))
+                   AS ssrp
+        FROM pv
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           ROUND(ssrp / 10000.0, 6) AS ssr_pooled_dollars2,
+           ROUND((ssr1 + ssr2) / 10000.0, 6) AS ssr_split_dollars2,
+           ROUND(((ssrp - (ssr1 + ssr2)) / 2.0)
+                 / ((ssr1 + ssr2) / (CAST(n AS DOUBLE) - 4.0)), 6)
+               AS chow_f
+    FROM c
+    """,
+    "Chow structural-break test at the series midpoint: does one "
+    "revenue-vs-time line fit the whole history, or did the data-"
+    "generating process change halfway? F = ((SSR_pooled - SSR_split)"
+    "/2) / (SSR_split/(n-4)), every SSR from exact integer/HUGEINT "
+    "moments in cents (pooled moments are the SUM of the half "
+    "moments — exact by construction) via the granger-established "
+    "closed forms; day-grain row-number window only. SSRs descaled "
+    "by 10^4 to dollars^2 for readability",
+)
+def chow_break_midpoint(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+         .cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("y")
+    )
+    w = Window.orderBy("day")
+    r = d.select(
+        "y",
+        F.row_number().over(w).alias("t"),
+        F.count("*").over(
+            Window.partitionBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    m = r.groupBy(
+        F.when(F.col("t") <= F.expr("n div 2"), 1).otherwise(2).alias("seg")
+    ).agg(
+        F.count("*").cast("bigint").alias("ni"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("stt"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("t").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("sty"),
+        F.sum(F.col("y").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+    )
+    pv = m.agg(
+        *[
+            F.max(F.when(F.col("seg") == s, F.col(c))).alias(f"{c}{s}")
+            for s in (1, 2)
+            for c in ("ni", "st", "stt", "sy", "sty", "syy")
+        ]
+    )
+
+    def ssr(n, st, stt, sy, sty, syy):
+        nd = n.cast("double")
+        cyy = syy.cast("double") - sy.cast("double") * sy.cast("double") / nd
+        cty = (
+            sty.cast("double") - st.cast("double") * sy.cast("double") / nd
+        )
+        ctt = (
+            stt.cast("double") - st.cast("double") * st.cast("double") / nd
+        )
+        return cyy - cty * cty / ctt
+
+    c1 = [F.col(f"{c}1") for c in ("ni", "st", "stt", "sy", "sty", "syy")]
+    c2 = [F.col(f"{c}2") for c in ("ni", "st", "stt", "sy", "sty", "syy")]
+    pooled = [a + b for a, b in zip(c1, c2)]
+    ssr1 = ssr(*c1)
+    ssr2 = ssr(*c2)
+    ssrp = ssr(*pooled)
+    n_tot = (F.col("ni1") + F.col("ni2")).cast("double")
+    return pv.select(
+        (F.col("ni1") + F.col("ni2")).cast("bigint").alias("n_days"),
+        F.round(ssrp / F.lit(10000.0), 6).alias("ssr_pooled_dollars2"),
+        F.round((ssr1 + ssr2) / F.lit(10000.0), 6).alias(
+            "ssr_split_dollars2"
+        ),
+        F.round(
+            ((ssrp - (ssr1 + ssr2)) / F.lit(2.0))
+            / ((ssr1 + ssr2) / (n_tot - F.lit(4.0))),
+            6,
+        ).alias("chow_f"),
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -19355,6 +19623,8 @@ _ROUND11_POOL: tuple[str, ...] = (
     "grouped_median_value_by_type",
     "events_to_convert_hist", "weekly_arpu", "user_hour_entropy_topk",
     "capture_recapture_users", "ratio_metric_delta_ab",
+    "grouped_iqr_value_by_type", "term_burstiness_top",
+    "chow_break_midpoint",
 )
 
 _PRIORITY: tuple[str, ...] = (

@@ -339,6 +339,7 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "value_decile_kl_by_type",     # 1-row pooled-total broadcast
         "theil_u_priority_segment",    # 1-row (N, H(Y), H(Y|X)) broadcasts
         "capture_recapture_users",     # three 1-row window-count broadcasts
+        "term_burstiness_top",         # 1-row doc-count (N) broadcast
         "decayed_customer_value",   # 1-row ref-date broadcast
         "priority_mix_drift_monthly",  # 1-row baseline-total broadcast
     }
