@@ -18749,7 +18749,7 @@ def theil_u_priority_segment(spark, sf_dir):
     "grouped_median_value_by_type",
     """
     SELECT event_type, COUNT(value)::BIGINT AS n,
-           ROUND(quantile_cont(CAST(value AS DECIMAL(12,4)), 0.5), 6)
+           ROUND(quantile_cont(CAST(CAST(value AS DECIMAL(12,4)) AS DOUBLE), 0.5), 6)
                AS median
     FROM events WHERE value IS NOT NULL GROUP BY event_type
     """,
@@ -19101,14 +19101,14 @@ def ratio_metric_delta_ab(spark, sf_dir):
     "grouped_iqr_value_by_type",
     """
     SELECT event_type, COUNT(value)::BIGINT AS n,
-           ROUND(quantile_cont(CAST(value AS DECIMAL(12,4)), 0.25), 6)
+           ROUND(quantile_cont(CAST(CAST(value AS DECIMAL(12,4)) AS DOUBLE), 0.25), 6)
                AS q_0_25,
-           ROUND(quantile_cont(CAST(value AS DECIMAL(12,4)), 0.5), 6)
+           ROUND(quantile_cont(CAST(CAST(value AS DECIMAL(12,4)) AS DOUBLE), 0.5), 6)
                AS q_0_5,
-           ROUND(quantile_cont(CAST(value AS DECIMAL(12,4)), 0.75), 6)
+           ROUND(quantile_cont(CAST(CAST(value AS DECIMAL(12,4)) AS DOUBLE), 0.75), 6)
                AS q_0_75,
-           ROUND(quantile_cont(CAST(value AS DECIMAL(12,4)), 0.75)
-                 - quantile_cont(CAST(value AS DECIMAL(12,4)), 0.25), 6)
+           ROUND(quantile_cont(CAST(CAST(value AS DECIMAL(12,4)) AS DOUBLE), 0.75)
+                 - quantile_cont(CAST(CAST(value AS DECIMAL(12,4)) AS DOUBLE), 0.25), 6)
                AS iqr
     FROM events WHERE value IS NOT NULL GROUP BY event_type
     """,
@@ -19363,6 +19363,492 @@ def chow_break_midpoint(spark, sf_dir):
             6,
         ).alias("chow_f"),
     )
+
+
+@q(
+    "jonckheere_priority_value",
+    """
+    WITH e AS (
+        SELECT o_orderpriority AS g,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS x
+        FROM orders
+    ),
+    pv AS (
+        SELECT x,
+            SUM(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS c1,
+            SUM(CASE WHEN g = '2-HIGH' THEN 1 ELSE 0 END)::BIGINT AS c2,
+            SUM(CASE WHEN g = '3-MEDIUM' THEN 1 ELSE 0 END)::BIGINT AS c3,
+            SUM(CASE WHEN g = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)::BIGINT
+                AS c4,
+            SUM(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END)::BIGINT AS c5
+        FROM e GROUP BY x
+    ),
+    cum AS (
+        SELECT c1, c2, c3, c4, c5,
+               SUM(c1) OVER w AS q1, SUM(c2) OVER w AS q2,
+               SUM(c3) OVER w AS q3, SUM(c4) OVER w AS q4
+        FROM pv
+        WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    ),
+    j AS (
+        SELECT SUM(
+            2 * (c2 * (q1 - c1)
+                 + c3 * ((q1 - c1) + (q2 - c2))
+                 + c4 * ((q1 - c1) + (q2 - c2) + (q3 - c3))
+                 + c5 * ((q1 - c1) + (q2 - c2) + (q3 - c3) + (q4 - c4)))
+            + (c1 * c2 + c1 * c3 + c1 * c4 + c1 * c5
+               + c2 * c3 + c2 * c4 + c2 * c5
+               + c3 * c4 + c3 * c5 + c4 * c5)
+        )::BIGINT AS two_j
+        FROM cum
+    ),
+    t AS (
+        SELECT SUM(c1 + c2 + c3 + c4 + c5)::BIGINT AS n,
+               SUM(c1)::BIGINT AS n1, SUM(c2)::BIGINT AS n2,
+               SUM(c3)::BIGINT AS n3, SUM(c4)::BIGINT AS n4,
+               SUM(c5)::BIGINT AS n5
+        FROM pv
+    )
+    SELECT t.n AS n_total,
+           CAST(j.two_j AS DOUBLE) / 2.0 AS j_statistic,
+           ROUND((CAST(t.n AS DOUBLE) * t.n
+                  - (CAST(n1 AS DOUBLE) * n1 + CAST(n2 AS DOUBLE) * n2
+                     + CAST(n3 AS DOUBLE) * n3 + CAST(n4 AS DOUBLE) * n4
+                     + CAST(n5 AS DOUBLE) * n5)) / 4.0, 6) AS e_j,
+           ROUND((CAST(j.two_j AS DOUBLE) / 2.0
+                  - (CAST(t.n AS DOUBLE) * t.n
+                     - (CAST(n1 AS DOUBLE) * n1 + CAST(n2 AS DOUBLE) * n2
+                        + CAST(n3 AS DOUBLE) * n3 + CAST(n4 AS DOUBLE) * n4
+                        + CAST(n5 AS DOUBLE) * n5)) / 4.0)
+                 / SQRT((CAST(t.n AS DOUBLE) * t.n * (2.0 * t.n + 3.0)
+                         - (CAST(n1 AS DOUBLE) * n1 * (2.0 * n1 + 3.0)
+                            + CAST(n2 AS DOUBLE) * n2 * (2.0 * n2 + 3.0)
+                            + CAST(n3 AS DOUBLE) * n3 * (2.0 * n3 + 3.0)
+                            + CAST(n4 AS DOUBLE) * n4 * (2.0 * n4 + 3.0)
+                            + CAST(n5 AS DOUBLE) * n5 * (2.0 * n5 + 3.0)))
+                        / 72.0), 6) AS z
+    FROM j, t
+    """,
+    "Jonckheere-Terpstra ORDERED-alternative test: do order values "
+    "trend monotonically across the 1-URGENT..5-LOW priority "
+    "ladder? J = sum of between-group Mann-Whitney counts for every "
+    "ordered pair (ties at 0.5, carried in exact DOUBLED integers); "
+    "the test ANOVA/Kruskal-Wallis can't express (they ignore the "
+    "ordering). Per-group cumulative counts over distinct values "
+    "ride ONE distrank multi-column running sum — no unpartitioned "
+    "window; z uses the standard no-tie variance (documented "
+    "approximation)",
+)
+def jonckheere_priority_value(spark, sf_dir):
+    from ascii_hydra_spark.operators import distrank
+
+    o = _t(spark, sf_dir, "orders")
+    prios = [
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+    ]
+    x = F.col("o_totalprice").cast("decimal(18,2)")
+    pv = o.select(
+        x.alias("x"), F.col("o_orderpriority").alias("g")
+    ).groupBy("x").agg(
+        *[
+            F.sum(F.when(F.col("g") == p, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"c{i+1}")
+            for i, p in enumerate(prios)
+        ]
+    )
+    cum = distrank.global_running_sums(
+        pv,
+        F.col("x"),
+        {f"q{i}": F.col(f"c{i}") for i in range(1, 5)},
+    )
+    lt = [F.col(f"q{i}") - F.col(f"c{i}") for i in range(1, 5)]
+    two_j_row = (
+        2
+        * (
+            F.col("c2") * lt[0]
+            + F.col("c3") * (lt[0] + lt[1])
+            + F.col("c4") * (lt[0] + lt[1] + lt[2])
+            + F.col("c5") * (lt[0] + lt[1] + lt[2] + lt[3])
+        )
+        + sum(
+            F.col(f"c{a}") * F.col(f"c{b}")
+            for a in range(1, 6)
+            for b in range(a + 1, 6)
+        )
+    )
+    j = cum.agg(F.sum(two_j_row).cast("bigint").alias("two_j"))
+    t = pv.agg(
+        F.sum(
+            sum(F.col(f"c{i}") for i in range(1, 6))
+        ).cast("bigint").alias("n"),
+        *[
+            F.sum(F.col(f"c{i}")).cast("bigint").alias(f"n{i}")
+            for i in range(1, 6)
+        ],
+    )
+    out = t.crossJoin(F.broadcast(j))
+    nd = F.col("n").cast("double")
+    sum_sq = sum(
+        F.col(f"n{i}").cast("double") * F.col(f"n{i}") for i in range(1, 6)
+    )
+    sum_var = sum(
+        F.col(f"n{i}").cast("double")
+        * F.col(f"n{i}")
+        * (F.lit(2.0) * F.col(f"n{i}") + 3.0)
+        for i in range(1, 6)
+    )
+    e_j = (nd * F.col("n") - sum_sq) / F.lit(4.0)
+    var_j = (nd * F.col("n") * (F.lit(2.0) * F.col("n") + 3.0) - sum_var) / F.lit(72.0)
+    j_stat = F.col("two_j").cast("double") / F.lit(2.0)
+    return out.select(
+        F.col("n").alias("n_total"),
+        j_stat.alias("j_statistic"),
+        F.round(e_j, 6).alias("e_j"),
+        F.round((j_stat - e_j) / F.sqrt(var_j), 6).alias("z"),
+    )
+
+
+@q(
+    "monthly_top_decile_share",
+    """
+    WITH o2 AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS x
+        FROM orders
+    ),
+    thr AS (
+        SELECT month, COUNT(*)::BIGINT AS n,
+               ROUND(quantile_cont(CAST(x AS DOUBLE), 0.9), 6) AS q90
+        FROM o2 GROUP BY month
+    )
+    SELECT o2.month, MIN(thr.n) AS n_orders,
+           MIN(thr.q90) AS q90_threshold,
+           CAST(CAST(SUM(CASE WHEN CAST(o2.x AS DOUBLE) >= thr.q90
+                              THEN o2.x END) AS DECIMAL(18,2)) AS DOUBLE)
+               AS top_decile_revenue,
+           CAST(CAST(SUM(o2.x) AS DECIMAL(18,2)) AS DOUBLE)
+               AS total_revenue,
+           ROUND(CAST(CAST(SUM(CASE WHEN CAST(o2.x AS DOUBLE) >= thr.q90
+                                    THEN o2.x END) AS DECIMAL(18,2))
+                      AS DOUBLE)
+                 / CAST(CAST(SUM(o2.x) AS DECIMAL(18,2)) AS DOUBLE), 6)
+               AS top_decile_share
+    FROM o2 JOIN thr USING (month)
+    GROUP BY o2.month
+    """,
+    "Monthly revenue concentration trend: share of each month's "
+    "revenue above that month's own P90 order value — 'are whales "
+    "getting whale-ier' as a time series (pareto_coverage is "
+    "all-time; this is the drift). Per-month P90 comes from "
+    "grouped_exact_quantiles' composite-key distrank path (month = "
+    "the group; no per-month window), compared at its 6-dp public "
+    "value; revenue sums decimal-exact",
+)
+def monthly_top_decile_share(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    o2 = o.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+    )
+    thr = analytics.grouped_exact_quantiles(
+        o2, "month", "x", quantiles=(0.9,), scale=2
+    ).select("month", "n", F.col("q_0_9").alias("q90"))
+    j = o2.join(thr, "month")
+    top = F.when(F.col("x").cast("double") >= F.col("q90"), F.col("x"))
+    return j.groupBy("month").agg(
+        F.min("n").alias("n_orders"),
+        F.min("q90").alias("q90_threshold"),
+        F.sum(top).cast("decimal(18,2)").cast("double").alias(
+            "top_decile_revenue"
+        ),
+        F.sum("x").cast("decimal(18,2)").cast("double").alias(
+            "total_revenue"
+        ),
+        F.round(
+            F.sum(top).cast("decimal(18,2)").cast("double")
+            / F.sum("x").cast("decimal(18,2)").cast("double"),
+            6,
+        ).alias("top_decile_share"),
+    )
+
+
+@q(
+    "doc_length_quartiles_by_lang",
+    """
+    SELECT lang, COUNT(*)::BIGINT AS n,
+           ROUND(quantile_cont(n_chars, 0.25), 6) AS q_0_25,
+           ROUND(quantile_cont(n_chars, 0.5), 6) AS q_0_5,
+           ROUND(quantile_cont(n_chars, 0.75), 6) AS q_0_75
+    FROM documents GROUP BY lang
+    """,
+    "Document-length quartiles per language via the composite-key "
+    "distrank quantile path at integer scale (scale=0) — the "
+    "length-profile a per-language curation threshold is tuned "
+    "against (a fixed global cutoff over- or under-trims CJK vs "
+    "Latin scripts). Same machinery as grouped_iqr, demonstrating "
+    "the integer-column arm",
+)
+def doc_length_quartiles_by_lang(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return analytics.grouped_exact_quantiles(
+        d.select("lang", F.col("n_chars").alias("x")),
+        "lang",
+        "x",
+        quantiles=(0.25, 0.5, 0.75),
+        scale=0,
+    )
+
+
+@q(
+    "benford_conformity_verdict",
+    """
+    WITH c AS (
+        SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100, 0)
+                                     AS BIGINT) AS VARCHAR), 1, 1) AS INT)
+                   AS digit
+        FROM orders WHERE o_totalprice > 0
+    ),
+    g AS (SELECT digit, COUNT(*)::BIGINT AS n_obs FROM c GROUP BY digit),
+    t AS (SELECT CAST(SUM(n_obs) AS DOUBLE) AS total FROM g),
+    terms AS (
+        SELECT g.digit,
+               (CAST(n_obs AS DOUBLE)
+                - total * LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+               * (CAST(n_obs AS DOUBLE)
+                  - total * LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+               / (total * LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                   AS chi2_term,
+               ABS(CAST(n_obs AS DOUBLE) / total
+                   - LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE))) AS ad
+        FROM g CROSS JOIN t
+    ),
+    f AS (
+        SELECT COUNT(*)::BIGINT AS n_digits,
+               LIST_REDUCE(LIST(chi2_term ORDER BY digit),
+                           (a, b) -> a + b) AS chi2,
+               LIST_REDUCE(LIST(ad ORDER BY digit),
+                           (a, b) -> a + b) / 9.0 AS mad
+        FROM terms
+    )
+    SELECT (SELECT CAST(SUM(n_obs) AS BIGINT) FROM g) AS n_values,
+           n_digits,
+           ROUND(chi2, 6) AS chi2,
+           ROUND(mad, 6) AS mad,
+           CASE WHEN mad < 0.006 THEN 'close'
+                WHEN mad < 0.012 THEN 'acceptable'
+                WHEN mad < 0.015 THEN 'marginal'
+                ELSE 'nonconformity' END AS verdict
+    FROM f
+    """,
+    "Benford conformity VERDICT over order-total first digits: "
+    "omnibus chi-square plus Nigrini's mean-absolute-deviation "
+    "bands (close/acceptable/marginal/nonconformity) — the decision "
+    "layer on top of benford_order_totals' per-digit table (an "
+    "auditor acts on the verdict, not nine rows). The 9-term float "
+    "sums fold in digit order; digit extraction shares the exact "
+    "integer-space rule",
+)
+def benford_conformity_verdict(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"),
+        1,
+        1,
+    ).cast("int")
+    g = (
+        o.filter(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n_obs"))
+    )
+    t = g.agg(F.sum("n_obs").cast("double").alias("total"),
+              F.sum("n_obs").cast("bigint").alias("n_values"))
+    e = F.col("total") * F.log10(
+        F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")
+    )
+    terms = g.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n_values",
+        (
+            (F.col("n_obs").cast("double") - e)
+            * (F.col("n_obs").cast("double") - e)
+            / e
+        ).alias("chi2_term"),
+        F.abs(
+            F.col("n_obs").cast("double") / F.col("total")
+            - F.log10(
+                F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")
+            )
+        ).alias("ad"),
+    )
+
+    def _fold(col):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("digit"), F.col(col)))),
+            F.lit(0.0),
+            lambda acc, s: acc + s[col],
+        )
+
+    f = terms.groupBy("n_values").agg(
+        F.count("*").cast("bigint").alias("n_digits"),
+        _fold("chi2_term").alias("chi2"),
+        (_fold("ad") / F.lit(9.0)).alias("mad"),
+    )
+    return f.select(
+        "n_values",
+        "n_digits",
+        F.round(F.col("chi2"), 6).alias("chi2"),
+        F.round(F.col("mad"), 6).alias("mad"),
+        F.when(F.col("mad") < 0.006, "close")
+        .when(F.col("mad") < 0.012, "acceptable")
+        .when(F.col("mad") < 0.015, "marginal")
+        .otherwise("nonconformity")
+        .alias("verdict"),
+    )
+
+
+@q(
+    "session_threshold_sensitivity",
+    """
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        FROM events
+    ),
+    a AS (
+        SELECT COUNT(*)::BIGINT AS n_events,
+               COUNT(DISTINCT user_id)::BIGINT AS n_users,
+               SUM(CASE WHEN gap_us > 900000000 THEN 1 ELSE 0 END)::BIGINT
+                   AS g15,
+               SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END)::BIGINT
+                   AS g30,
+               SUM(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END)::BIGINT
+                   AS g60
+        FROM g
+    )
+    SELECT 15 AS threshold_min, n_users + g15 AS n_sessions,
+           ROUND(CAST(n_events AS DOUBLE)
+                 / CAST(n_users + g15 AS DOUBLE), 6)
+               AS avg_events_per_session
+    FROM a
+    UNION ALL
+    SELECT 30, n_users + g30,
+           ROUND(CAST(n_events AS DOUBLE)
+                 / CAST(n_users + g30 AS DOUBLE), 6)
+    FROM a
+    UNION ALL
+    SELECT 60, n_users + g60,
+           ROUND(CAST(n_events AS DOUBLE)
+                 / CAST(n_users + g60 AS DOUBLE), 6)
+    FROM a
+    """,
+    "Sessionization-threshold sensitivity: session counts and mean "
+    "session size at 15/30/60-minute inactivity gaps, from ONE "
+    "lag pass (a session count is users + gaps-exceeding-threshold, "
+    "so three thresholds are three conditional sums — no re-"
+    "sessionizing per candidate). The tuning table behind "
+    "sessionize's fixed gap: if the metric cliff-dives between "
+    "thresholds, the choice matters and needs justifying. Exact "
+    "microsecond gaps",
+)
+def session_threshold_sensitivity(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us"),
+    )
+    a = g.agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        *[
+            F.sum(
+                F.when(F.col("gap_us") > mins * 60_000_000, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"g{mins}")
+            for mins in (15, 30, 60)
+        ],
+    )
+    parts = []
+    for mins in (15, 30, 60):
+        n_sess = F.col("n_users") + F.col(f"g{mins}")
+        parts.append(
+            a.select(
+                F.lit(mins).cast("int").alias("threshold_min"),
+                n_sess.cast("bigint").alias("n_sessions"),
+                F.round(
+                    F.col("n_events").cast("double")
+                    / n_sess.cast("double"),
+                    6,
+                ).alias("avg_events_per_session"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@q(
+    "ks_drift_month_halves",
+    """
+    WITH e AS (
+        SELECT CASE WHEN dayofmonth(ts) <= 15 THEN 'H1' ELSE 'H2' END
+                   AS grp,
+               CAST(value AS DECIMAL(12,4)) AS x
+        FROM events WHERE value IS NOT NULL
+    ),
+    per_v AS (
+        SELECT x,
+               SUM(CASE WHEN grp = 'H1' THEN 1 ELSE 0 END)::BIGINT AS da,
+               SUM(CASE WHEN grp = 'H2' THEN 1 ELSE 0 END)::BIGINT AS db
+        FROM e GROUP BY x
+    ),
+    t AS (SELECT SUM(da) AS na, SUM(db) AS nb FROM per_v),
+    cum AS (
+        SELECT SUM(da) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS ca,
+               SUM(db) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cb
+        FROM per_v
+    ),
+    a AS (
+        SELECT CAST(MIN(na) AS BIGINT) AS n_a, CAST(MIN(nb) AS BIGINT)
+                   AS n_b,
+               MAX(ABS(ca * nb - cb * na)) AS num
+        FROM cum CROSS JOIN t
+    )
+    SELECT n_a, n_b,
+           ROUND(CAST(num AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+               AS d_stat,
+           ROUND(CAST(num AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                 * SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                        / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))), 6)
+               AS ks_stat
+    FROM a
+    """,
+    "Temporal drift KS: event-value distribution in the first half "
+    "of the month vs the second — ks_two_sample_value_ab's machinery "
+    "(exact cross-multiplied ECDF gap over distinct values, distrank "
+    "two-pass cumulative counts) pointed at TIME instead of the A/B "
+    "hash; the scheduled data-drift monitor a feature store runs. "
+    "Raw event grain, exact integers until two final divisions",
+)
+def ks_drift_month_halves(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    e = ev.filter(F.col("value").isNotNull()).select(
+        F.when(F.dayofmonth("ts") <= 15, "H1").otherwise("H2").alias("grp"),
+        F.col("value").cast("decimal(12,4)").alias("x"),
+    )
+    return analytics.ks_two_sample(e, "grp", "x")
 
 
 # ===================================================================
@@ -19625,6 +20111,9 @@ _ROUND11_POOL: tuple[str, ...] = (
     "capture_recapture_users", "ratio_metric_delta_ab",
     "grouped_iqr_value_by_type", "term_burstiness_top",
     "chow_break_midpoint",
+    "jonckheere_priority_value", "monthly_top_decile_share",
+    "doc_length_quartiles_by_lang", "benford_conformity_verdict",
+    "session_threshold_sensitivity", "ks_drift_month_halves",
 )
 
 _PRIORITY: tuple[str, ...] = (

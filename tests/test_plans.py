@@ -340,6 +340,10 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "theil_u_priority_segment",    # 1-row (N, H(Y), H(Y|X)) broadcasts
         "capture_recapture_users",     # three 1-row window-count broadcasts
         "term_burstiness_top",         # 1-row doc-count (N) broadcast
+        "jonckheere_priority_value",   # 1-row doubled-J broadcast
+        "ks_drift_month_halves",       # 1-row group-totals broadcast
+                                       # (the ks_two_sample shape)
+        "benford_conformity_verdict",  # 1-row observation-total broadcast
         "decayed_customer_value",   # 1-row ref-date broadcast
         "priority_mix_drift_monthly",  # 1-row baseline-total broadcast
     }
