@@ -16173,17 +16173,59 @@ def kruskal_wallis_value_by_type(spark, sf_dir):
     "downstream sampling (train mostly on head, audit the tail). "
     "NTILE over (rounded score, doc_id) is a deterministic total "
     "order both engines share; per-bucket min/max are order-free. "
-    "The window partitions by lang, so no global sort",
+    "The Spark arm computes within-lang ranks from ONE distrank "
+    "global row number under a lang-major composite key (the 6-dp "
+    "score is exact in micro-units) minus k-row lang offsets — no "
+    "per-lang window, so five languages never mean five reducers",
 )
 def ccnet_perplexity_buckets(spark, sf_dir):
+    from ascii_hydra_spark.operators import distrank
+
     d = _t(spark, sf_dir, "documents")
     scored = corpus.bigram_lm_scores(d, k=0.5)
     j = scored.join(d.select("doc_id", "lang"), "doc_id")
-    nt = F.ntile(3).over(
-        Window.partitionBy("lang").orderBy("avg_neg_log2", "doc_id")
+    # NTILE within lang WITHOUT a per-lang window (k langs = k reducers
+    # at corpus scale): global row number under a lang-major composite
+    # key (score is 6-dp rounded, so score*1e6 is an exact integer
+    # < 2^40; lang index spaces bands by 2^44), minus each lang's
+    # exclusive offset, fed to the pure-integer NTILE identity.
+    w_l = Window.partitionBy(
+        F.pmod(F.length("lang"), F.lit(1))
+    ).orderBy("lang")
+    li = (
+        j.select("lang")
+        .distinct()
+        .select("lang", F.row_number().over(w_l).cast("long").alias("__li"))
+    )
+    j2 = j.join(F.broadcast(li), "lang").withColumn(
+        "__ck",
+        F.col("__li") * F.lit(2**44)
+        + F.round(F.col("avg_neg_log2") * 1000000, 0).cast("long"),
+    )
+    ranked = distrank.global_row_number(
+        j2, F.col("__ck"), [F.col("doc_id")], out_col="__gr"
+    )
+    ng = j2.groupBy("lang", "__li").agg(
+        F.count("*").cast("bigint").alias("__nl")
+    )
+    w_off = (
+        Window.partitionBy(distrank.single_partition("__li"))
+        .orderBy("__li")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = ng.select(
+        "lang",
+        "__nl",
+        F.coalesce(F.sum("__nl").over(w_off), F.lit(0)).alias("__loff"),
+    )
+    tiled = ranked.join(F.broadcast(offs), "lang").withColumn(
+        "nt",
+        distrank.ntile_from_row_number(
+            F.col("__gr") - F.col("__loff"), F.col("__nl"), 3
+        ),
     )
     return (
-        j.withColumn("nt", nt)
+        tiled
         .groupBy(
             "lang",
             F.when(F.col("nt") == 1, "head")
