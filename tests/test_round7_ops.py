@@ -162,3 +162,32 @@ def test_grouped_exact_median_with_ties(spark):
     d = df.select("g", F.col("x").cast("decimal(12,4)").alias("x"))
     row = analytics.grouped_exact_median(d, "g", "x").collect()[0]
     assert (row["n"], row["median"]) == (4, 3.0)
+
+
+def test_grouped_exact_quantiles_interpolation(spark):
+    # {10, 20, 30, 40}: h(q1) = 3*0.25 = 0.75 -> 10 + 10*0.75 = 17.5;
+    # median 25; h(q3) = 2.25 -> 30 + 10*0.25 = 32.5.
+    df = spark.createDataFrame(
+        [("A", 10.0), ("A", 20.0), ("A", 30.0), ("A", 40.0)], ["g", "x"]
+    )
+    d = df.select("g", F.col("x").cast("decimal(12,4)").alias("x"))
+    row = analytics.grouped_exact_quantiles(
+        d, "g", "x", quantiles=(0.25, 0.5, 0.75)
+    ).collect()[0]
+    assert row["n"] == 4
+    assert row["q_0_25"] == pytest.approx(17.5, abs=1e-9)
+    assert row["q_0_5"] == pytest.approx(25.0, abs=1e-9)
+    assert row["q_0_75"] == pytest.approx(32.5, abs=1e-9)
+
+
+def test_grouped_exact_quantiles_extremes(spark):
+    # q=0 and q=1 must return min and max exactly.
+    df = spark.createDataFrame(
+        [("A", 3.0), ("A", 7.0), ("A", 11.0)], ["g", "x"]
+    )
+    d = df.select("g", F.col("x").cast("decimal(12,4)").alias("x"))
+    row = analytics.grouped_exact_quantiles(
+        d, "g", "x", quantiles=(0.0, 1.0)
+    ).collect()[0]
+    assert row["q_0_0"] == pytest.approx(3.0, abs=1e-9)
+    assert row["q_1_0"] == pytest.approx(11.0, abs=1e-9)
