@@ -19893,6 +19893,101 @@ def ks_drift_month_halves(spark, sf_dir):
     return analytics.ks_two_sample(e, "grp", "x")
 
 
+@q(
+    "interarrival_expfit_ks",
+    """
+    WITH g AS (
+        SELECT epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        FROM events
+    ),
+    gg AS (SELECT gap_us FROM g WHERE gap_us IS NOT NULL),
+    pv AS (SELECT gap_us, COUNT(*)::BIGINT AS cnt FROM gg GROUP BY gap_us),
+    t AS (
+        SELECT SUM(cnt)::BIGINT AS n, SUM(gap_us * cnt)::BIGINT AS s_us
+        FROM pv
+    ),
+    cum AS (
+        SELECT gap_us, cnt,
+               SUM(cnt) OVER (ORDER BY gap_us ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND CURRENT ROW) AS c
+        FROM pv
+    ),
+    d AS (
+        SELECT MAX(GREATEST(
+                   CAST(c AS DOUBLE) / CAST(t.n AS DOUBLE)
+                   - (1.0 - EXP(-(CAST(t.n AS DOUBLE)
+                                  / CAST(t.s_us AS DOUBLE))
+                                * CAST(gap_us AS DOUBLE))),
+                   (1.0 - EXP(-(CAST(t.n AS DOUBLE)
+                                / CAST(t.s_us AS DOUBLE))
+                              * CAST(gap_us AS DOUBLE)))
+                   - CAST(c - cnt AS DOUBLE) / CAST(t.n AS DOUBLE)
+               )) AS d_stat
+        FROM cum CROSS JOIN t
+    )
+    SELECT t.n AS n_gaps,
+           ROUND(CAST(t.n AS DOUBLE) / CAST(t.s_us AS DOUBLE)
+                 * 3600000000.0, 6) AS lambda_per_hour,
+           ROUND(d.d_stat, 6) AS d_stat,
+           ROUND(d.d_stat * SQRT(CAST(t.n AS DOUBLE)), 6) AS ks_stat
+    FROM t, d
+    """,
+    "One-sample KS against a FITTED exponential: are per-user "
+    "inter-event gaps memoryless (Poisson arrivals), or do they "
+    "cluster? lambda^ = n/sum(gap) by moments, then D = sup over "
+    "the ECDF's upper AND lower steps vs 1-exp(-lambda g) — the "
+    "proper goodness-of-fit behind every 'assume exponential "
+    "backoff/arrival' capacity model (interarrival_user_stats gives "
+    "moments; this tests the LAW). Exact microsecond gaps and "
+    "cumulative counts over distinct values (the distrank two-pass "
+    "shape); the exp/divide per value follows one written order; "
+    "max is order-free",
+)
+def interarrival_expfit_ks(spark, sf_dir):
+    from ascii_hydra_spark.operators import distrank
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    pv = g.groupBy("gap_us").agg(F.count("*").cast("bigint").alias("cnt"))
+    t = pv.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("gap_us") * F.col("cnt")).cast("bigint").alias("s_us"),
+    )
+    cum = distrank.global_running_sum(
+        pv, F.col("gap_us"), F.col("cnt"), out_col="c"
+    ).crossJoin(F.broadcast(t))
+    lam = F.col("n").cast("double") / F.col("s_us").cast("double")
+    fexp = F.lit(1.0) - F.exp(-lam * F.col("gap_us").cast("double"))
+    d = cum.agg(
+        F.max(
+            F.greatest(
+                F.col("c").cast("double") / F.col("n").cast("double") - fexp,
+                fexp
+                - (F.col("c") - F.col("cnt")).cast("double")
+                / F.col("n").cast("double"),
+            )
+        ).alias("d_stat")
+    )
+    return t.crossJoin(F.broadcast(d)).select(
+        F.col("n").alias("n_gaps"),
+        F.round(
+            F.col("n").cast("double") / F.col("s_us").cast("double")
+            * F.lit(3600000000.0),
+            6,
+        ).alias("lambda_per_hour"),
+        F.round(F.col("d_stat"), 6).alias("d_stat"),
+        F.round(
+            F.col("d_stat") * F.sqrt(F.col("n").cast("double")), 6
+        ).alias("ks_stat"),
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -20158,9 +20253,15 @@ _ROUND11_POOL: tuple[str, ...] = (
     "session_threshold_sensitivity", "ks_drift_month_halves",
 )
 
+# Round-12 pool: overflow past round 11's 45 slots. Fills toward 45;
+# same first-time/disjoint/oracle-able contract.
+_ROUND12_POOL: tuple[str, ...] = (
+    "interarrival_expfit_ks",
+)
+
 _PRIORITY: tuple[str, ...] = (
     _ANCHORS + _ROTATION + _ROUND8_POOL + _ROUND9_POOL + _ROUND10_POOL
-    + _ROUND11_POOL
+    + _ROUND11_POOL + _ROUND12_POOL
 )
 
 
@@ -20195,7 +20296,7 @@ def _reorder_registry() -> None:
     no_oracle = sorted(
         n
         for n in _ROTATION + _ROUND8_POOL + _ROUND9_POOL + _ROUND10_POOL
-        + _ROUND11_POOL
+        + _ROUND11_POOL + _ROUND12_POOL
         if REGISTRY[n].sql is None
     )
     if no_oracle:

@@ -55,7 +55,7 @@ def test_head_and_pools_are_all_oracle_able() -> None:
     bad = [
         n
         for n in v._ROTATION + v._ROUND8_POOL + v._ROUND9_POOL
-        + v._ROUND10_POOL + v._ROUND11_POOL
+        + v._ROUND10_POOL + v._ROUND11_POOL + v._ROUND12_POOL
         if v.REGISTRY[n].sql is None
     ]
     assert not bad, f"rows-only names in head/pools: {bad}"
@@ -71,6 +71,7 @@ def test_every_sql_entry_is_scheduled_for_driver_evidence() -> None:
         | set(v._ROUND9_POOL)
         | set(v._ROUND10_POOL)
         | set(v._ROUND11_POOL)
+        | set(v._ROUND12_POOL)
         | v._PAST_DRIVER_GREEN
     )
     unscheduled = [
@@ -118,6 +119,18 @@ def test_round11_pool_is_first_time_and_disjoint() -> None:
     )
     assert not (set(v._ROUND11_POOL) & earlier)
     assert set(v._ROUND11_POOL) <= set(v.REGISTRY)
+
+
+def test_round12_pool_is_first_time_and_disjoint() -> None:
+    # overflow past round 11's 45 slots; may still be filling toward 45
+    assert len(v._ROUND12_POOL) <= 45
+    assert not (set(v._ROUND12_POOL) & v._PAST_DRIVER_GREEN)
+    earlier = set(
+        v._ANCHORS + v._ROTATION + v._ROUND8_POOL + v._ROUND9_POOL
+        + v._ROUND10_POOL + v._ROUND11_POOL
+    )
+    assert not (set(v._ROUND12_POOL) & earlier)
+    assert set(v._ROUND12_POOL) <= set(v.REGISTRY)
 
 
 def test_rows_only_entries_stay_verified_in_pytest() -> None:
