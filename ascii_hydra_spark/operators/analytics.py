@@ -1208,8 +1208,11 @@ def quantile_normalize(
         F.pmod(F.length("__g"), F.lit(1))
     ).orderBy("__g")
     gi = (
-        e.select("__g")
-        .distinct()
+        # groupBy (an Aggregate) rather than distinct (a Deduplicate):
+        # the k-row result is what gets broadcast, and the plan guard
+        # only recognizes Aggregate as a derived-relation boundary
+        e.groupBy("__g")
+        .agg(F.count("*").alias("__gn"))
         .select("__g", F.row_number().over(w_g).cast("long").alias("__gi"))
     )
     mult = 10**scale
@@ -1303,8 +1306,11 @@ def grouped_exact_median(
         F.pmod(F.length("__g"), F.lit(1))
     ).orderBy("__g")
     gi = (
-        e.select("__g")
-        .distinct()
+        # groupBy (an Aggregate) rather than distinct (a Deduplicate):
+        # the k-row result is what gets broadcast, and the plan guard
+        # only recognizes Aggregate as a derived-relation boundary
+        e.groupBy("__g")
+        .agg(F.count("*").alias("__gn"))
         .select("__g", F.row_number().over(w_g).cast("long").alias("__gi"))
     )
     mult = 10**scale
@@ -1377,8 +1383,11 @@ def grouped_exact_quantiles(
         F.pmod(F.length("__g"), F.lit(1))
     ).orderBy("__g")
     gi = (
-        e.select("__g")
-        .distinct()
+        # groupBy (an Aggregate) rather than distinct (a Deduplicate):
+        # the k-row result is what gets broadcast, and the plan guard
+        # only recognizes Aggregate as a derived-relation boundary
+        e.groupBy("__g")
+        .agg(F.count("*").alias("__gn"))
         .select("__g", F.row_number().over(w_g).cast("long").alias("__gi"))
     )
     mult = 10**scale

@@ -16193,8 +16193,8 @@ def ccnet_perplexity_buckets(spark, sf_dir):
         F.pmod(F.length("lang"), F.lit(1))
     ).orderBy("lang")
     li = (
-        j.select("lang")
-        .distinct()
+        j.groupBy("lang")
+        .agg(F.count("*").alias("__ln"))
         .select("lang", F.row_number().over(w_l).cast("long").alias("__li"))
     )
     j2 = j.join(F.broadcast(li), "lang").withColumn(
