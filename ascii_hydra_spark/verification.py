@@ -19988,6 +19988,197 @@ def interarrival_expfit_ks(spark, sf_dir):
     )
 
 
+@q(
+    "durbin_watson_daily",
+    """
+    WITH d AS (
+        SELECT o_orderdate AS day,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    r AS (SELECT y, ROW_NUMBER() OVER (ORDER BY day) AS t FROM d),
+    m AS (
+        SELECT COUNT(*)::BIGINT AS n, SUM(t)::BIGINT AS st,
+               SUM(t * t)::BIGINT AS stt, SUM(y)::BIGINT AS sy,
+               CAST(SUM(CAST(t AS HUGEINT) * y) AS DECIMAL(38,0)) AS sty
+        FROM r
+    ),
+    b AS (
+        SELECT n,
+               (CAST(sty AS DOUBLE) - CAST(st AS DOUBLE)
+                    * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE)
+                      * CAST(st AS DOUBLE) / CAST(n AS DOUBLE)) AS beta,
+               CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ybar,
+               CAST(st AS DOUBLE) / CAST(n AS DOUBLE) AS tbar
+        FROM m
+    ),
+    e AS (
+        SELECT LIST(CAST(r.y AS DOUBLE)
+                    - (b.ybar + b.beta * (CAST(r.t AS DOUBLE) - b.tbar))
+                    ORDER BY r.t) AS es,
+               MIN(b.n) AS n, MIN(b.beta) AS beta
+        FROM r CROSS JOIN b
+    )
+    SELECT n AS n_days,
+           ROUND(beta / 100.0, 6) AS slope_dollars_per_day,
+           ROUND(LIST_REDUCE(
+                     LIST_TRANSFORM(range(2, CAST(n AS INTEGER) + 1),
+                         i -> (es[i] - es[i-1]) * (es[i] - es[i-1])),
+                     (a, c) -> a + c)
+                 / LIST_REDUCE(LIST_TRANSFORM(es, v -> v * v),
+                               (a, c) -> a + c), 6) AS durbin_watson
+    FROM e
+    """,
+    "Durbin-Watson serial-correlation test on the residuals of the "
+    "daily-revenue-vs-time OLS line: DW ~ 2 = independent errors, "
+    "-> 0 = positive autocorrelation (the condition that invalidates "
+    "the OLS standard errors every trend readout quietly assumes). "
+    "Exact integer/HUGEINT moments give the fitted line; residuals "
+    "assemble into a day-ordered array (calendar-bounded), and both "
+    "quadratic forms fold in day order — engine-identical doubles "
+    "end to end",
+)
+def durbin_watson_daily(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            * 100
+        )
+        .cast("bigint")
+        .alias("y")
+    )
+    w = Window.orderBy("day")
+    r = d.select("y", F.row_number().over(w).alias("t"))
+    m = r.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("stt"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(
+            F.col("t").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("sty"),
+    )
+    nd = F.col("n").cast("double")
+    beta = (
+        F.col("sty").cast("double")
+        - F.col("st").cast("double") * F.col("sy").cast("double") / nd
+    ) / (
+        F.col("stt").cast("double")
+        - F.col("st").cast("double") * F.col("st").cast("double") / nd
+    )
+    b = m.select(
+        "n",
+        beta.alias("beta"),
+        (F.col("sy").cast("double") / nd).alias("ybar"),
+        (F.col("st").cast("double") / nd).alias("tbar"),
+    )
+    resid = (
+        F.col("y").cast("double")
+        - (
+            F.col("ybar")
+            + F.col("beta") * (F.col("t").cast("double") - F.col("tbar"))
+        )
+    )
+    e = r.crossJoin(F.broadcast(b)).select(
+        "t", resid.alias("res"), "n", "beta"
+    ).groupBy("n", "beta").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("t", "res"))),
+            lambda s: s["res"],
+        ).alias("es")
+    )
+    num = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("es"), 2, F.col("n").cast("int") - 1),
+            F.slice(F.col("es"), 1, F.col("n").cast("int") - 1),
+            lambda a, p: (a - p) * (a - p),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    den = F.aggregate(
+        F.transform(F.col("es"), lambda v: v * v),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return e.select(
+        F.col("n").alias("n_days"),
+        F.round(F.col("beta") / F.lit(100.0), 6).alias(
+            "slope_dollars_per_day"
+        ),
+        F.round(num / den, 6).alias("durbin_watson"),
+    )
+
+
+@q(
+    "pacf_lag2_daily",
+    """
+    WITH d AS (
+        SELECT o_orderdate AS day,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DECIMAL(18,2)) AS DOUBLE) AS x
+        FROM orders GROUP BY 1
+    ),
+    l AS (
+        SELECT x, LAG(x, 1) OVER (ORDER BY day) AS x1,
+               LAG(x, 2) OVER (ORDER BY day) AS x2
+        FROM d
+    ),
+    c AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               ROUND(CORR(x, x1), 6) AS r1,
+               ROUND(CORR(x, x2), 6) AS r2
+        FROM l
+    )
+    SELECT n AS n_days, r1, r2,
+           ROUND((r2 - r1 * r1) / (1.0 - r1 * r1), 6) AS pacf_lag2
+    FROM c
+    """,
+    "Partial autocorrelation at lag 2 via Durbin-Levinson: phi_22 = "
+    "(r2 - r1^2)/(1 - r1^2) — does the day-before-yesterday carry "
+    "information BEYOND yesterday? (AR(1) shows r2 ~ r1^2, so raw "
+    "r2 alone overstates memory; this is the AR-order pick). Built "
+    "on the autocorr_daily_revenue convention: native CORR at the "
+    "proven 6-dp tolerance, phi computed from the ROUNDED r's so "
+    "both engines divide identical doubles; day-grain window",
+)
+def pacf_lag2_daily(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("x")
+    )
+    w = Window.orderBy("day")
+    l = d.select(
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 2).over(w).alias("x2"),
+    )
+    c = l.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.corr("x", "x1"), 6).alias("r1"),
+        F.round(F.corr("x", "x2"), 6).alias("r2"),
+    )
+    return c.select(
+        F.col("n").alias("n_days"),
+        "r1",
+        "r2",
+        F.round(
+            (F.col("r2") - F.col("r1") * F.col("r1"))
+            / (F.lit(1.0) - F.col("r1") * F.col("r1")),
+            6,
+        ).alias("pacf_lag2"),
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -20256,7 +20447,7 @@ _ROUND11_POOL: tuple[str, ...] = (
 # Round-12 pool: overflow past round 11's 45 slots. Fills toward 45;
 # same first-time/disjoint/oracle-able contract.
 _ROUND12_POOL: tuple[str, ...] = (
-    "interarrival_expfit_ks",
+    "interarrival_expfit_ks", "durbin_watson_daily", "pacf_lag2_daily",
 )
 
 _PRIORITY: tuple[str, ...] = (

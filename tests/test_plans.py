@@ -346,6 +346,8 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "benford_conformity_verdict",  # 1-row observation-total broadcast
         "interarrival_expfit_ks",      # 1-row (n, sum-gap) + 1-row D
                                        # broadcasts (fitted-CDF compare)
+        "durbin_watson_daily",         # 1-row fitted-line broadcast onto
+                                       # the day-grain residual array
         "decayed_customer_value",   # 1-row ref-date broadcast
         "priority_mix_drift_monthly",  # 1-row baseline-total broadcast
     }
