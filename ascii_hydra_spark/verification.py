@@ -20179,6 +20179,266 @@ def pacf_lag2_daily(spark, sf_dir):
     )
 
 
+@q(
+    "theil_sen_slope_ci",
+    """
+    WITH d AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                    AS BIGINT) AS ed,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+        FROM orders GROUP BY 1
+    ),
+    p AS (
+        SELECT CAST(b.v - a.v AS DOUBLE) / CAST(b.ed - a.ed AS DOUBLE)
+                   AS slope,
+               a.ed AS i, b.ed AS j
+        FROM d a JOIN d b ON a.ed < b.ed
+    ),
+    r AS (
+        SELECT slope, ROW_NUMBER() OVER (ORDER BY slope, i, j) AS rk
+        FROM p
+    ),
+    k AS (
+        SELECT (SELECT COUNT(*)::BIGINT FROM d) AS n,
+               COUNT(*)::BIGINT AS nc
+        FROM p
+    ),
+    t AS (
+        SELECT n, nc,
+               CAST(FLOOR((CAST(nc AS DOUBLE)
+                           - 1.9599639845400545
+                             * SQRT(CAST(n AS DOUBLE) * (n - 1.0)
+                                    * (2.0 * n + 5.0) / 18.0)) / 2.0)
+                    AS BIGINT) + 1 AS k_lo,
+               CAST(CEIL((CAST(nc AS DOUBLE)
+                          + 1.9599639845400545
+                            * SQRT(CAST(n AS DOUBLE) * (n - 1.0)
+                                   * (2.0 * n + 5.0) / 18.0)) / 2.0)
+                    AS BIGINT) AS k_hi
+        FROM k
+    )
+    SELECT t.n AS n_days, t.nc AS n_pairs,
+           ROUND((SELECT QUANTILE_CONT(slope, 0.5) FROM p), 6)
+               AS slope_median,
+           ROUND((SELECT slope FROM r WHERE rk = t.k_lo), 6) AS ci_low,
+           ROUND((SELECT slope FROM r WHERE rk = t.k_hi), 6) AS ci_high
+    FROM t
+    """,
+    "Sen's 95% confidence interval for the Theil-Sen slope (Gilbert "
+    "1987): the CI bounds are the pairwise-slope ORDER STATISTICS at "
+    "ranks (Nc -/+ z*sqrt(Var(S)))/2 — the error bars "
+    "theil_sen_revenue_trend's point estimate lacks, from the same "
+    "day-grain pair lattice (quadratic in DAYS by design). Ranks "
+    "come from distrank's global row number over (slope, i, j) — "
+    "identical doubles on both engines make the float sort key "
+    "safe; rank targets are closed-form in n",
+)
+def theil_sen_slope_ci(spark, sf_dir):
+    from ascii_hydra_spark.operators import distrank
+
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("ed")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("v"))
+    a, b = d.alias("a"), d.alias("b")
+    # nullif-guarded denominator: BNLJ codegen fuses this projection
+    # into doConsume where it can evaluate BEFORE the a.ed < b.ed
+    # condition filters equal-day pairs — ANSI division then throws on
+    # rows that would never be emitted. Emitted rows are unchanged.
+    p = a.join(b, F.col("a.ed") < F.col("b.ed")).select(
+        (
+            (F.col("b.v") - F.col("a.v")).cast("double")
+            / F.nullif(
+                (F.col("b.ed") - F.col("a.ed")).cast("double"), F.lit(0.0)
+            )
+        ).alias("slope"),
+        F.col("a.ed").alias("i"),
+        F.col("b.ed").alias("j"),
+    )
+    ranked = distrank.global_row_number(
+        p, F.col("slope"), [F.col("i"), F.col("j")], out_col="rk"
+    )
+    k = d.agg(F.count("*").cast("bigint").alias("n")).crossJoin(
+        F.broadcast(p.agg(F.count("*").cast("bigint").alias("nc")))
+    )
+    nd = F.col("n").cast("double")
+    c = F.lit(1.9599639845400545) * F.sqrt(
+        nd * (F.col("n") - F.lit(1.0)) * (F.lit(2.0) * F.col("n") + 5.0)
+        / F.lit(18.0)
+    )
+    t = k.select(
+        "n",
+        "nc",
+        (
+            F.floor((F.col("nc").cast("double") - c) / F.lit(2.0)) + 1
+        ).cast("bigint").alias("k_lo"),
+        F.ceil((F.col("nc").cast("double") + c) / F.lit(2.0))
+        .cast("bigint")
+        .alias("k_hi"),
+    )
+    med = p.agg(F.expr("percentile(slope, 0.5)").alias("m"))
+    lo = (
+        ranked.join(F.broadcast(t), ranked.rk == t.k_lo)
+        .agg(F.min("slope").alias("lo"))
+    )
+    hi = (
+        ranked.join(F.broadcast(t), ranked.rk == t.k_hi)
+        .agg(F.min("slope").alias("hi"))
+    )
+    return (
+        t.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("nc").alias("n_pairs"),
+            F.round(F.col("m"), 6).alias("slope_median"),
+            F.round(F.col("lo"), 6).alias("ci_low"),
+            F.round(F.col("hi"), 6).alias("ci_high"),
+        )
+    )
+
+
+@q(
+    "weekly_periodogram_power",
+    """
+    WITH d AS (
+        SELECT o_orderdate AS day,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    r AS (SELECT y, ROW_NUMBER() OVER (ORDER BY day) AS t FROM d),
+    m AS (SELECT COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS sy FROM r),
+    e AS (
+        SELECT LIST(CAST(r.y AS DOUBLE)
+                    - CAST(m.sy AS DOUBLE) / CAST(m.n AS DOUBLE)
+                    ORDER BY r.t) AS es,
+               MIN(m.n) AS n
+        FROM r CROSS JOIN m
+    ),
+    f AS (
+        SELECT n, es,
+               LIST_REDUCE(LIST_TRANSFORM(range(1, CAST(n AS INTEGER) + 1),
+                   i -> es[i] * COS(2 * PI() * i / 7.0)),
+                   (a, b) -> a + b) AS a7,
+               LIST_REDUCE(LIST_TRANSFORM(range(1, CAST(n AS INTEGER) + 1),
+                   i -> es[i] * SIN(2 * PI() * i / 7.0)),
+                   (a, b) -> a + b) AS b7,
+               LIST_REDUCE(LIST_TRANSFORM(range(1, CAST(n AS INTEGER) + 1),
+                   i -> es[i] * COS(2 * PI() * i / 30.0)),
+                   (a, b) -> a + b) AS a30,
+               LIST_REDUCE(LIST_TRANSFORM(range(1, CAST(n AS INTEGER) + 1),
+                   i -> es[i] * SIN(2 * PI() * i / 30.0)),
+                   (a, b) -> a + b) AS b30,
+               LIST_REDUCE(LIST_TRANSFORM(es, v -> v * v),
+                           (a, b) -> a + b) AS ss
+        FROM e
+    )
+    SELECT n AS n_days,
+           ROUND(2.0 * (a7 * a7 + b7 * b7)
+                 / (CAST(n AS DOUBLE) * ss), 6) AS power_share_p7,
+           ROUND(2.0 * (a30 * a30 + b30 * b30)
+                 / (CAST(n AS DOUBLE) * ss), 6) AS power_share_p30,
+           ROUND(ss / 10000.0 / CAST(n AS DOUBLE), 6)
+               AS variance_dollars2
+    FROM f
+    """,
+    "Single-frequency periodogram probe: the share of daily-revenue "
+    "variance at period 7 (weekly cycle) and period 30 (monthly) — "
+    "2(a^2+b^2)/(n*SS) with a, b the cos/sin projections of the "
+    "mean-centered series; the spectral confirmation of what "
+    "dow_seasonality_revenue sees in the time domain (a weekly "
+    "share near 1 = pure cycle, near 0 = no weekly structure). "
+    "Exact cent-integer series; projections fold in day order over "
+    "the calendar-bounded array",
+)
+def weekly_periodogram_power(spark, sf_dir):
+    import math
+
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            * 100
+        )
+        .cast("bigint")
+        .alias("y")
+    )
+    w = Window.orderBy("day")
+    r = d.select("y", F.row_number().over(w).alias("t"))
+    m = r.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    e = (
+        r.crossJoin(F.broadcast(m))
+        .select(
+            "t",
+            (
+                F.col("y").cast("double")
+                - F.col("sy").cast("double") / F.col("n").cast("double")
+            ).alias("res"),
+            "n",
+        )
+        .groupBy("n")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("t", "res"))),
+                lambda s: s["res"],
+            ).alias("es")
+        )
+    )
+    two_pi = F.lit(2 * math.pi)
+
+    def proj(period, fn):
+        return F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n").cast("int")),
+                lambda i: F.element_at(F.col("es"), i)
+                * fn(two_pi * i / F.lit(float(period))),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    ss = F.aggregate(
+        F.transform(F.col("es"), lambda v: v * v),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    f = e.select(
+        "n",
+        proj(7, F.cos).alias("a7"),
+        proj(7, F.sin).alias("b7"),
+        proj(30, F.cos).alias("a30"),
+        proj(30, F.sin).alias("b30"),
+        ss.alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    return f.select(
+        F.col("n").alias("n_days"),
+        F.round(
+            F.lit(2.0)
+            * (F.col("a7") * F.col("a7") + F.col("b7") * F.col("b7"))
+            / (nd * F.col("ss")),
+            6,
+        ).alias("power_share_p7"),
+        F.round(
+            F.lit(2.0)
+            * (F.col("a30") * F.col("a30") + F.col("b30") * F.col("b30"))
+            / (nd * F.col("ss")),
+            6,
+        ).alias("power_share_p30"),
+        F.round(F.col("ss") / F.lit(10000.0) / nd, 6).alias(
+            "variance_dollars2"
+        ),
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -20448,6 +20708,7 @@ _ROUND11_POOL: tuple[str, ...] = (
 # same first-time/disjoint/oracle-able contract.
 _ROUND12_POOL: tuple[str, ...] = (
     "interarrival_expfit_ks", "durbin_watson_daily", "pacf_lag2_daily",
+    "theil_sen_slope_ci", "weekly_periodogram_power",
 )
 
 _PRIORITY: tuple[str, ...] = (

@@ -348,6 +348,11 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
                                        # broadcasts (fitted-CDF compare)
         "durbin_watson_daily",         # 1-row fitted-line broadcast onto
                                        # the day-grain residual array
+        "theil_sen_slope_ci",          # day-grain pair join (theil_sen
+                                       # shape) + 1-row rank-target
+                                       # broadcasts
+        "weekly_periodogram_power",    # 1-row mean broadcast onto the
+                                       # day-grain series array
         "decayed_customer_value",   # 1-row ref-date broadcast
         "priority_mix_drift_monthly",  # 1-row baseline-total broadcast
     }
