@@ -20439,6 +20439,164 @@ def weekly_periodogram_power(spark, sf_dir):
     )
 
 
+@q(
+    "eb_shrunken_urgent_rates",
+    """
+    WITH s AS (
+        SELECT c.c_mktsegment AS seg, COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+                        THEN 1 ELSE 0 END)::BIGINT AS k
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    ),
+    g AS (
+        SELECT SUM(n)::BIGINT AS tn, SUM(k)::BIGINT AS tk,
+               COUNT(*)::BIGINT AS n_seg,
+               LIST_REDUCE(LIST(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                                ORDER BY seg), (a, b) -> a + b) AS sp,
+               LIST_REDUCE(LIST((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                                * (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                                ORDER BY seg), (a, b) -> a + b) AS spp
+        FROM s
+    ),
+    pr AS (
+        SELECT tn, tk, n_seg,
+               CAST(tk AS DOUBLE) / CAST(tn AS DOUBLE) AS p0,
+               (spp - sp * sp / CAST(n_seg AS DOUBLE))
+                   / (CAST(n_seg AS DOUBLE) - 1.0) AS var_p
+        FROM g
+    )
+    SELECT s.seg AS segment, s.n AS n_orders, s.k AS n_urgent,
+           ROUND(CAST(s.k AS DOUBLE) / CAST(s.n AS DOUBLE), 6) AS raw_rate,
+           ROUND((pr.p0 * (1.0 - pr.p0) / NULLIF(pr.var_p, 0.0) - 1.0)
+                 , 6) AS kappa,
+           ROUND(((pr.p0 * (1.0 - pr.p0) / NULLIF(pr.var_p, 0.0) - 1.0)
+                  * pr.p0 + CAST(s.k AS DOUBLE))
+                 / ((pr.p0 * (1.0 - pr.p0) / NULLIF(pr.var_p, 0.0) - 1.0)
+                    + CAST(s.n AS DOUBLE)), 6) AS shrunk_rate
+    FROM s CROSS JOIN pr
+    """,
+    "Empirical-Bayes shrinkage of per-segment urgent-order rates "
+    "toward the global rate: beta-binomial method-of-moments prior "
+    "strength kappa = p0(1-p0)/var(p_i) - 1 from the k observed "
+    "rates, shrunken rate = (kappa p0 + k_i)/(kappa + n_i) — the "
+    "small-sample-rate stabilizer every per-dimension scorecard "
+    "needs (a 3-order segment's 100% rate shouldn't outrank a "
+    "10k-order segment's 40%). Exact integer cells; the k-term rate "
+    "moments fold in segment order; NULL kappa when rates are "
+    "identical (nothing to shrink)",
+)
+def eb_shrunken_urgent_rates(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("k"),
+        )
+    )
+    rate = F.col("k").cast("double") / F.col("n").cast("double")
+
+    def _fold(col):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("seg"), F.col(col)))),
+            F.lit(0.0),
+            lambda acc, x: acc + x[col],
+        )
+
+    g = s.select("seg", "n", "k", rate.alias("p"), (rate * rate).alias("pp")).agg(
+        F.sum("n").cast("bigint").alias("tn"),
+        F.sum("k").cast("bigint").alias("tk"),
+        F.count("*").cast("bigint").alias("n_seg"),
+        _fold("p").alias("sp"),
+        _fold("pp").alias("spp"),
+    )
+    ksd = F.col("n_seg").cast("double")
+    p0 = F.col("tk").cast("double") / F.col("tn").cast("double")
+    var_p = (F.col("spp") - F.col("sp") * F.col("sp") / ksd) / (
+        ksd - F.lit(1.0)
+    )
+    kappa = p0 * (F.lit(1.0) - p0) / F.nullif(var_p, F.lit(0.0)) - F.lit(1.0)
+    pr = g.select(kappa.alias("kap"), p0.alias("p0"))
+    out = s.crossJoin(F.broadcast(pr))
+    return out.select(
+        F.col("seg").alias("segment"),
+        F.col("n").alias("n_orders"),
+        F.col("k").alias("n_urgent"),
+        F.round(rate, 6).alias("raw_rate"),
+        F.round(F.col("kap"), 6).alias("kappa"),
+        F.round(
+            (F.col("kap") * F.col("p0") + F.col("k").cast("double"))
+            / (F.col("kap") + F.col("n").cast("double")),
+            6,
+        ).alias("shrunk_rate"),
+    )
+
+
+@q(
+    "best_30d_revenue_window",
+    """
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS rev
+        FROM orders GROUP BY 1
+    ),
+    w AS (
+        SELECT day,
+               CAST(SUM(rev) OVER (ORDER BY day RANGE BETWEEN
+                    INTERVAL 29 DAY PRECEDING AND CURRENT ROW)
+                    AS DECIMAL(18,2)) AS w_rev,
+               COUNT(*) OVER (ORDER BY day RANGE BETWEEN
+                    INTERVAL 29 DAY PRECEDING AND CURRENT ROW)
+                   AS w_days
+        FROM d
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS window_end,
+           CAST(w_rev AS DOUBLE) AS window_revenue,
+           CAST(w_days AS BIGINT) AS n_days_in_window
+    FROM w ORDER BY w_rev DESC, day LIMIT 1
+    """,
+    "Best 30-calendar-day revenue window (peak trailing-month): a "
+    "RANGE interval frame over the day grain — value-based framing, "
+    "the window surface ROWS frames can't express when days have "
+    "gaps — maximized with a deterministic (revenue, day) "
+    "tie-break. Every windowed sum stays DECIMAL-exact, so the "
+    "argmax compares exact values, never floats",
+)
+def best_30d_revenue_window(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    w = (
+        Window.orderBy(F.unix_date("day"))
+        .rangeBetween(-29, 0)
+    )
+    ww = d.select(
+        "day",
+        F.sum("rev").over(w).cast("decimal(18,2)").alias("w_rev"),
+        F.count("*").over(w).cast("bigint").alias("w_days"),
+    )
+    return (
+        ww.orderBy(F.desc("w_rev"), "day")
+        .limit(1)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("window_end"),
+            F.col("w_rev").cast("double").alias("window_revenue"),
+            F.col("w_days").alias("n_days_in_window"),
+        )
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -20709,6 +20867,7 @@ _ROUND11_POOL: tuple[str, ...] = (
 _ROUND12_POOL: tuple[str, ...] = (
     "interarrival_expfit_ks", "durbin_watson_daily", "pacf_lag2_daily",
     "theil_sen_slope_ci", "weekly_periodogram_power",
+    "eb_shrunken_urgent_rates", "best_30d_revenue_window",
 )
 
 _PRIORITY: tuple[str, ...] = (

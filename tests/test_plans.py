@@ -353,6 +353,7 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
                                        # broadcasts
         "weekly_periodogram_power",    # 1-row mean broadcast onto the
                                        # day-grain series array
+        "eb_shrunken_urgent_rates",    # 1-row prior (p0, kappa) broadcast
         "decayed_customer_value",   # 1-row ref-date broadcast
         "priority_mix_drift_monthly",  # 1-row baseline-total broadcast
     }
