@@ -20597,6 +20597,160 @@ def best_30d_revenue_window(spark, sf_dir):
     )
 
 
+@q(
+    "effective_price_multiplier_profile",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*)::BIGINT AS n_lines,
+           ROUND(CAST(SUM((1 - CAST(l_discount AS DECIMAL(12,2)))
+                          * (1 + CAST(l_tax AS DECIMAL(12,2))))
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS avg_multiplier,
+           CAST(MIN((1 - CAST(l_discount AS DECIMAL(12,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE)
+               AS min_multiplier,
+           CAST(MAX((1 - CAST(l_discount AS DECIMAL(12,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE)
+               AS max_multiplier,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                          * (1 + CAST(l_tax AS DECIMAL(12,2))))
+                      AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                        AS DOUBLE), 6) AS revenue_weighted_multiplier
+    FROM lineitem GROUP BY 1, 2
+    """,
+    "Effective price multiplier (1-discount)(1+tax) per "
+    "returnflag/linestatus cell — the pricing-audit readout behind "
+    "the TPC-H Q1 revenue formula: is the discount book symmetric "
+    "across fulfillment states, and what does a revenue dollar "
+    "actually settle at? Every multiplier is a decimal-exact "
+    "product (the Q1 convention), order-free min/max, two single "
+    "divisions per cell",
+)
+def effective_price_multiplier_profile(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount").cast("decimal(12,2)")
+    tax = F.col("l_tax").cast("decimal(12,2)")
+    mult = (F.lit(1) - disc) * (F.lit(1) + tax)
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.round(
+            F.sum(mult).cast("double") / F.count("*").cast("double"), 6
+        ).alias("avg_multiplier"),
+        F.min(mult).cast("double").alias("min_multiplier"),
+        F.max(mult).cast("double").alias("max_multiplier"),
+        F.round(
+            F.sum(price * mult).cast("double")
+            / F.sum(price).cast("double"),
+            6,
+        ).alias("revenue_weighted_multiplier"),
+    )
+
+
+@q(
+    "warc_content_type_mix",
+    """
+    SELECT ['text/html', 'text/plain', 'application/json'][1 + i % 3]
+               AS content_type,
+           CAST(CASE i % 5 WHEN 2 THEN 301 WHEN 3 THEN 404 ELSE 200 END
+                AS INTEGER) AS http_status,
+           COUNT(*)::BIGINT AS n_records,
+           CAST(SUM(OCTET_LENGTH(ENCODE(
+               'Record ' || i || ' crawl body '
+               || repeat('w' || (i % 11) || ' ', CAST(i % 13 AS INTEGER))
+               || CASE WHEN i % 10 = 0 THEN 'café' ELSE '' END)))
+               AS BIGINT) AS total_bytes
+    FROM range(600) t(i) GROUP BY 1, 2
+    """,
+    "Crawl MIME/status mix from real WARC bytes: records per "
+    "(content-type, HTTP status) cell with payload byte totals — "
+    "the first profile a Common Crawl ingest prints (how much of "
+    "this segment is parseable HTML vs JSON vs redirects?), "
+    "computed on the index scalars so no payload decompression "
+    "rides the aggregation. Fixture closed forms oracle the parser's "
+    "header extraction end to end",
+)
+def warc_content_type_mix(spark, sf_dir):
+    from ascii_hydra_spark.sources.warc import (
+        fixture_record,
+        register_warc_source,
+        write_warc_fixture,
+    )
+
+    register_warc_source(spark)
+    d = tempfile.mkdtemp(prefix="ahs_warc_mix_")
+    write_warc_fixture(
+        d, n_records=600, n_files=4, compress=True, record_fn=fixture_record
+    )
+    recs = spark.read.format("warc").option("path", d).load()
+    return recs.groupBy("content_type", "http_status").agg(
+        F.count("*").cast("bigint").alias("n_records"),
+        F.sum("content_length").cast("bigint").alias("total_bytes"),
+    )
+
+
+@q(
+    "ks_acctbal_customer_supplier",
+    """
+    WITH e AS (
+        SELECT 'customer' AS grp, CAST(c_acctbal AS DECIMAL(12,2)) AS x
+        FROM customer
+        UNION ALL
+        SELECT 'supplier', CAST(s_acctbal AS DECIMAL(12,2)) FROM supplier
+    ),
+    per_v AS (
+        SELECT x,
+               SUM(CASE WHEN grp = 'customer' THEN 1 ELSE 0 END)::BIGINT
+                   AS da,
+               SUM(CASE WHEN grp = 'supplier' THEN 1 ELSE 0 END)::BIGINT
+                   AS db
+        FROM e GROUP BY x
+    ),
+    t AS (SELECT SUM(da) AS na, SUM(db) AS nb FROM per_v),
+    cum AS (
+        SELECT SUM(da) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS ca,
+               SUM(db) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cb
+        FROM per_v
+    ),
+    a AS (
+        SELECT CAST(MIN(na) AS BIGINT) AS n_a,
+               CAST(MIN(nb) AS BIGINT) AS n_b,
+               MAX(ABS(ca * nb - cb * na)) AS num
+        FROM cum CROSS JOIN t
+    )
+    SELECT n_a, n_b,
+           ROUND(CAST(num AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+               AS d_stat,
+           ROUND(CAST(num AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                 * SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                        / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))), 6)
+               AS ks_stat
+    FROM a
+    """,
+    "Cross-TABLE distribution check: two-sample KS between customer "
+    "and supplier account-balance distributions — the schema-level "
+    "consistency probe (both columns claim the same business "
+    "semantics; a shape mismatch means different generators or "
+    "units upstream). Same exact cross-multiplied ECDF machinery as "
+    "ks_two_sample_value_ab, fed by a UNION of the two tables",
+)
+def ks_acctbal_customer_supplier(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("grp"),
+        F.col("c_acctbal").cast("decimal(12,2)").alias("x"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.lit("supplier").alias("grp"),
+        F.col("s_acctbal").cast("decimal(12,2)").alias("x"),
+    )
+    return analytics.ks_two_sample(c.unionAll(s), "grp", "x")
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -20868,6 +21022,8 @@ _ROUND12_POOL: tuple[str, ...] = (
     "interarrival_expfit_ks", "durbin_watson_daily", "pacf_lag2_daily",
     "theil_sen_slope_ci", "weekly_periodogram_power",
     "eb_shrunken_urgent_rates", "best_30d_revenue_window",
+    "effective_price_multiplier_profile", "warc_content_type_mix",
+    "ks_acctbal_customer_supplier",
 )
 
 _PRIORITY: tuple[str, ...] = (
