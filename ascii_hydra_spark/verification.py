@@ -20751,6 +20751,85 @@ def ks_acctbal_customer_supplier(spark, sf_dir):
     return analytics.ks_two_sample(c.unionAll(s), "grp", "x")
 
 
+@q(
+    "sn_scale_daily_revenue",
+    """
+    WITH d AS (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                    AS BIGINT) AS ed,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS v
+        FROM orders GROUP BY 1
+    ),
+    n AS (SELECT COUNT(*)::BIGINT AS n FROM d),
+    p AS (
+        SELECT a.ed AS i, ABS(a.v - b.v) AS dv, b.ed AS j
+        FROM d a JOIN d b ON a.ed <> b.ed
+    ),
+    inner_r AS (
+        SELECT i, dv,
+               ROW_NUMBER() OVER (PARTITION BY i ORDER BY dv, j) AS rn
+        FROM p
+    ),
+    s AS (
+        SELECT ir.i, ir.dv AS si
+        FROM inner_r ir CROSS JOIN n
+        WHERE ir.rn = (n.n - 1) // 2 + 1
+    ),
+    outer_r AS (
+        SELECT si, ROW_NUMBER() OVER (ORDER BY si, i) AS rn FROM s
+    )
+    SELECT n.n AS n_days,
+           CAST((SELECT si FROM outer_r CROSS JOIN n
+                 WHERE rn = (n.n + 1) // 2) AS DOUBLE) AS sn_raw,
+           ROUND(1.1926 * CAST((SELECT si FROM outer_r CROSS JOIN n
+                                WHERE rn = (n.n + 1) // 2) AS DOUBLE), 6)
+               AS sn_scale
+    FROM n
+    """,
+    "Rousseeuw-Croux Sn robust scale of daily revenue: "
+    "lomed_i(himed_j |x_i - x_j|) x 1.1926 — the 58%-breakdown "
+    "spread estimate that, unlike MAD, needs no location estimate "
+    "and stays efficient at asymmetry. Day-grain pair lattice "
+    "(quadratic in DAYS, the theil_sen contract); |differences| are "
+    "DECIMAL-exact so every order statistic compares exact values; "
+    "inner medians rank within per-day partitions, the outer median "
+    "over n bounded rows. One float multiply at the end",
+)
+def sn_scale_daily_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("ed")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(18,2)").alias("v"))
+    n = d.agg(F.count("*").cast("bigint").alias("n"))
+    a, b = d.alias("a"), d.alias("b")
+    p = a.join(b, F.col("a.ed") != F.col("b.ed")).select(
+        F.col("a.ed").alias("i"),
+        F.abs(F.col("a.v") - F.col("b.v")).alias("dv"),
+        F.col("b.ed").alias("j"),
+    )
+    w_in = Window.partitionBy("i").orderBy("dv", "j")
+    inner_r = p.withColumn("rn", F.row_number().over(w_in))
+    s = inner_r.crossJoin(F.broadcast(n)).filter(
+        F.col("rn") == F.expr("(n - 1) div 2 + 1")
+    ).select("i", F.col("dv").alias("si"))
+    w_out = Window.orderBy("si", "i")
+    outer_r = s.withColumn("rn", F.row_number().over(w_out))
+    pick = outer_r.crossJoin(F.broadcast(n)).filter(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    )
+    return pick.select(
+        F.col("n").alias("n_days"),
+        F.col("si").cast("double").alias("sn_raw"),
+        F.round(F.lit(1.1926) * F.col("si").cast("double"), 6).alias(
+            "sn_scale"
+        ),
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -21023,7 +21102,7 @@ _ROUND12_POOL: tuple[str, ...] = (
     "theil_sen_slope_ci", "weekly_periodogram_power",
     "eb_shrunken_urgent_rates", "best_30d_revenue_window",
     "effective_price_multiplier_profile", "warc_content_type_mix",
-    "ks_acctbal_customer_supplier",
+    "ks_acctbal_customer_supplier", "sn_scale_daily_revenue",
 )
 
 _PRIORITY: tuple[str, ...] = (

@@ -356,6 +356,8 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "eb_shrunken_urgent_rates",    # 1-row prior (p0, kappa) broadcast
         "ks_acctbal_customer_supplier",  # 1-row group-totals broadcast
                                          # (the ks_two_sample shape)
+        "sn_scale_daily_revenue",      # day-grain pair join (theil_sen
+                                       # shape) + 1-row n broadcasts
         "decayed_customer_value",   # 1-row ref-date broadcast
         "priority_mix_drift_monthly",  # 1-row baseline-total broadcast
     }
