@@ -20830,6 +20830,143 @@ def sn_scale_daily_revenue(spark, sf_dir):
     )
 
 
+@q(
+    "t_closeness_customers",
+    """
+    WITH r AS (
+        SELECT c_nationkey,
+               NTILE(10) OVER (ORDER BY CAST(c_acctbal AS DECIMAL(12,2)),
+                               c_custkey) AS d
+        FROM customer
+    ),
+    cell AS (
+        SELECT c_nationkey, d, COUNT(*)::BIGINT AS c
+        FROM r GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT k.c_nationkey, dd.d, COALESCE(cell.c, 0)::BIGINT AS c
+        FROM (SELECT DISTINCT c_nationkey FROM cell) k
+        CROSS JOIN (SELECT UNNEST(range(1, 11)) AS d) dd
+        LEFT JOIN cell ON cell.c_nationkey = k.c_nationkey
+            AND cell.d = dd.d
+    ),
+    nc AS (SELECT c_nationkey, SUM(c)::BIGINT AS n_c FROM grid GROUP BY 1),
+    nd AS (SELECT d, SUM(c)::BIGINT AS n_d FROM grid GROUP BY 1),
+    n AS (SELECT SUM(c)::BIGINT AS n FROM grid),
+    cum AS (
+        SELECT g.c_nationkey, g.d,
+               SUM(g.c) OVER (PARTITION BY g.c_nationkey ORDER BY g.d)
+                   AS cc,
+               SUM(nd.n_d) OVER (PARTITION BY g.c_nationkey ORDER BY g.d)
+                   AS cg
+        FROM grid g JOIN nd ON nd.d = g.d
+    ),
+    emd AS (
+        SELECT cum.c_nationkey,
+               SUM(CASE WHEN cum.d < 10
+                        THEN ABS(cum.cc * n.n - cum.cg * nc.n_c)
+                        ELSE 0 END)::BIGINT AS num,
+               MIN(nc.n_c) AS n_c, MIN(n.n) AS n
+        FROM cum JOIN nc USING (c_nationkey) CROSS JOIN n
+        GROUP BY cum.c_nationkey
+    )
+    SELECT c_nationkey, CAST(n_c AS BIGINT) AS n_rows,
+           ROUND(CAST(num AS DOUBLE)
+                 / (CAST(n_c AS DOUBLE) * CAST(n AS DOUBLE) * 9.0), 6)
+               AS emd_t,
+           (CAST(num AS DOUBLE)
+            / (CAST(n_c AS DOUBLE) * CAST(n AS DOUBLE) * 9.0) > 0.2)
+               AS violates_t_0_2
+    FROM emd
+    """,
+    "t-closeness audit: per nation-keyed QI class, the ordered EMD "
+    "between the class's account-balance DECILE distribution and the "
+    "global one — the privacy gate k_anonymity and l_diversity miss "
+    "(a diverse class still leaks if its sensitive-value SHAPE "
+    "deviates; Li et al. 2007). Global deciles ride the distrank "
+    "row-number + NTILE identity; the EMD cumulative gap is an "
+    "EXACT cross-multiplied integer (cc*N - cg*n_c) over the "
+    "10-bucket chain (windows per class see <= 10 AGGREGATED rows, "
+    "scale-free); one division per class",
+)
+def t_closeness_customers(spark, sf_dir):
+    from ascii_hydra_spark.operators import distrank
+
+    c = _t(spark, sf_dir, "customer")
+    ranked = distrank.global_row_number(
+        c.select(
+            "c_nationkey",
+            F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+            "c_custkey",
+        ),
+        F.col("bal"),
+        [F.col("c_custkey")],
+        out_col="__i",
+        total_col="__n",
+    )
+    tiled = ranked.withColumn(
+        "d", distrank.ntile_from_row_number(F.col("__i"), F.col("__n"), 10)
+    )
+    cell = tiled.groupBy("c_nationkey", "d").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    keys = cell.select("c_nationkey").distinct()
+    dd = spark.range(1, 11).select(F.col("id").cast("bigint").alias("d"))
+    grid = (
+        keys.crossJoin(F.broadcast(dd))
+        .join(cell, ["c_nationkey", "d"], "left")
+        .select(
+            "c_nationkey",
+            "d",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    nc = grid.groupBy("c_nationkey").agg(
+        F.sum("c").cast("bigint").alias("n_c")
+    )
+    ndt = grid.groupBy("d").agg(F.sum("c").cast("bigint").alias("n_d"))
+    n = grid.agg(F.sum("c").cast("bigint").alias("n"))
+    w = Window.partitionBy("c_nationkey").orderBy("d")
+    cum = (
+        grid.join(F.broadcast(ndt), "d")
+        .select(
+            "c_nationkey",
+            "d",
+            F.sum("c").over(w).alias("cc"),
+            F.sum("n_d").over(w).alias("cg"),
+        )
+    )
+    emd = (
+        cum.join(F.broadcast(nc), "c_nationkey")
+        .crossJoin(F.broadcast(n))
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("d") < 10,
+                    F.abs(
+                        F.col("cc") * F.col("n")
+                        - F.col("cg") * F.col("n_c")
+                    ),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("num"),
+            F.min("n_c").alias("n_c"),
+            F.min("n").alias("n"),
+        )
+    )
+    t_val = F.col("num").cast("double") / (
+        F.col("n_c").cast("double") * F.col("n").cast("double") * F.lit(9.0)
+    )
+    return emd.select(
+        "c_nationkey",
+        F.col("n_c").cast("bigint").alias("n_rows"),
+        F.round(t_val, 6).alias("emd_t"),
+        (t_val > F.lit(0.2)).alias("violates_t_0_2"),
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -21103,6 +21240,7 @@ _ROUND12_POOL: tuple[str, ...] = (
     "eb_shrunken_urgent_rates", "best_30d_revenue_window",
     "effective_price_multiplier_profile", "warc_content_type_mix",
     "ks_acctbal_customer_supplier", "sn_scale_daily_revenue",
+    "t_closeness_customers",
 )
 
 _PRIORITY: tuple[str, ...] = (

@@ -358,6 +358,8 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
                                          # (the ks_two_sample shape)
         "sn_scale_daily_revenue",      # day-grain pair join (theil_sen
                                        # shape) + 1-row n broadcasts
+        "t_closeness_customers",       # 10-row decile-grid + 1-row
+                                       # total broadcasts
         "decayed_customer_value",   # 1-row ref-date broadcast
         "priority_mix_drift_monthly",  # 1-row baseline-total broadcast
     }
