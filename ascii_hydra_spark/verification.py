@@ -20967,6 +20967,81 @@ def t_closeness_customers(spark, sf_dir):
     )
 
 
+@q(
+    "ljung_box_daily",
+    """
+    WITH d AS (
+        SELECT o_orderdate AS day,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DECIMAL(18,2)) AS DOUBLE) AS x
+        FROM orders GROUP BY 1
+    ),
+    l AS (
+        SELECT x,
+               LAG(x, 1) OVER w AS x1, LAG(x, 2) OVER w AS x2,
+               LAG(x, 3) OVER w AS x3, LAG(x, 4) OVER w AS x4,
+               LAG(x, 5) OVER w AS x5, LAG(x, 6) OVER w AS x6,
+               LAG(x, 7) OVER w AS x7
+        FROM d WINDOW w AS (ORDER BY day)
+    ),
+    c AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               ROUND(CORR(x, x1), 6) AS r1, ROUND(CORR(x, x2), 6) AS r2,
+               ROUND(CORR(x, x3), 6) AS r3, ROUND(CORR(x, x4), 6) AS r4,
+               ROUND(CORR(x, x5), 6) AS r5, ROUND(CORR(x, x6), 6) AS r6,
+               ROUND(CORR(x, x7), 6) AS r7
+        FROM l
+    )
+    SELECT n AS n_days,
+           ROUND(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+                 * (((((((r1 * r1 / (CAST(n AS DOUBLE) - 1.0)
+                      + r2 * r2 / (CAST(n AS DOUBLE) - 2.0))
+                      + r3 * r3 / (CAST(n AS DOUBLE) - 3.0))
+                      + r4 * r4 / (CAST(n AS DOUBLE) - 4.0))
+                      + r5 * r5 / (CAST(n AS DOUBLE) - 5.0))
+                      + r6 * r6 / (CAST(n AS DOUBLE) - 6.0))
+                      + r7 * r7 / (CAST(n AS DOUBLE) - 7.0))), 6)
+               AS ljung_box_q,
+           CAST(7 AS BIGINT) AS dof
+    FROM c
+    """,
+    "Ljung-Box omnibus whiteness test over lags 1-7 of daily "
+    "revenue: Q = n(n+2) sum r_k^2/(n-k) — 'is there ANY serial "
+    "structure in the first week of lags', the portmanteau check "
+    "completing durbin_watson (lag-1 residuals) and pacf_lag2 "
+    "(order pick). Lag correlations are native CORR at the proven "
+    "6-dp grain; the 7-term sum is written left-associated once and "
+    "mirrored verbatim; day-grain window",
+)
+def ljung_box_daily(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("x")
+    )
+    w = Window.orderBy("day")
+    lag_cols = [F.lag("x", k).over(w).alias(f"x{k}") for k in range(1, 8)]
+    l = d.select("x", *lag_cols)
+    c = l.agg(
+        F.count("*").cast("bigint").alias("n"),
+        *[
+            F.round(F.corr("x", f"x{k}"), 6).alias(f"r{k}")
+            for k in range(1, 8)
+        ],
+    )
+    nd = F.col("n").cast("double")
+    acc = F.col("r1") * F.col("r1") / (nd - F.lit(1.0))
+    for k in range(2, 8):
+        acc = acc + F.col(f"r{k}") * F.col(f"r{k}") / (nd - F.lit(float(k)))
+    return c.select(
+        F.col("n").alias("n_days"),
+        F.round(nd * (nd + F.lit(2.0)) * acc, 6).alias("ljung_box_q"),
+        F.lit(7).cast("bigint").alias("dof"),
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -21240,7 +21315,7 @@ _ROUND12_POOL: tuple[str, ...] = (
     "eb_shrunken_urgent_rates", "best_30d_revenue_window",
     "effective_price_multiplier_profile", "warc_content_type_mix",
     "ks_acctbal_customer_supplier", "sn_scale_daily_revenue",
-    "t_closeness_customers",
+    "t_closeness_customers", "ljung_box_daily",
 )
 
 _PRIORITY: tuple[str, ...] = (
