@@ -21305,12 +21305,13 @@ _ROUND11_POOL: tuple[str, ...] = (
     "jonckheere_priority_value", "monthly_top_decile_share",
     "doc_length_quartiles_by_lang", "benford_conformity_verdict",
     "session_threshold_sensitivity", "ks_drift_month_halves",
+    "interarrival_expfit_ks", "durbin_watson_daily",
 )
 
 # Round-12 pool: overflow past round 11's 45 slots. Fills toward 45;
 # same first-time/disjoint/oracle-able contract.
 _ROUND12_POOL: tuple[str, ...] = (
-    "interarrival_expfit_ks", "durbin_watson_daily", "pacf_lag2_daily",
+    "pacf_lag2_daily",
     "theil_sen_slope_ci", "weekly_periodogram_power",
     "eb_shrunken_urgent_rates", "best_30d_revenue_window",
     "effective_price_multiplier_profile", "warc_content_type_mix",
