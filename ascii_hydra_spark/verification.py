@@ -21042,6 +21042,237 @@ def ljung_box_daily(spark, sf_dir):
     )
 
 
+@q(
+    "rich_club_coefficient",
+    """
+    WITH k_seq AS (
+      SELECT CAST(json_extract(props, 'k') AS INT) AS k, user_id,
+             LEAD(user_id, 1) OVER w AS u1, LEAD(user_id, 2) OVER w AS u2
+      FROM events
+      WINDOW w AS (PARTITION BY CAST(json_extract(props, 'k') AS INT)
+                   ORDER BY event_id)
+    ), raw AS (
+      SELECT user_id AS s, u1 AS d FROM k_seq WHERE u1 IS NOT NULL
+      UNION ALL SELECT user_id, u2 FROM k_seq WHERE u2 IS NOT NULL
+    ), e AS (
+      SELECT DISTINCT LEAST(s, d) AS u, GREATEST(s, d) AS v
+      FROM raw WHERE s <> d
+    ), deg AS (
+      SELECT n, COUNT(*)::BIGINT AS deg FROM (
+        SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n
+    ), club AS (SELECT n FROM deg WHERE deg > 4),
+    ck AS (SELECT COUNT(*)::BIGINT AS n_club FROM club),
+    ce AS (
+      SELECT COUNT(*)::BIGINT AS e_club
+      FROM e
+      WHERE e.u IN (SELECT n FROM club) AND e.v IN (SELECT n FROM club)
+    )
+    SELECT CAST(4 AS BIGINT) AS k_threshold, ck.n_club, ce.e_club,
+           CASE WHEN ck.n_club < 2 THEN NULL
+                ELSE ROUND(2.0 * CAST(ce.e_club AS DOUBLE)
+                           / (CAST(ck.n_club AS DOUBLE)
+                              * (CAST(ck.n_club AS DOUBLE) - 1.0)), 6)
+           END AS phi
+    FROM ck, ce
+    """,
+    "Rich-club coefficient phi(k=4) of the user co-occurrence graph: "
+    "edge density among nodes of degree > k — do the hubs form their "
+    "own dense club (phi -> 1) or merely fan out to the periphery? "
+    "The core-structure diagnostic beside kcore_peel and "
+    "degree_assortativity. Same deterministic k-sequence edge "
+    "construction as triangle_count_users; exact integer degrees, "
+    "club membership by semi-join, one division",
+)
+def rich_club_coefficient(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        "user_id",
+        "event_id",
+    )
+    w = Window.partitionBy("k").orderBy("event_id")
+    seq = ev.select(
+        "user_id",
+        F.lead("user_id", 1).over(w).alias("u1"),
+        F.lead("user_id", 2).over(w).alias("u2"),
+    )
+    raw = seq.filter(F.col("u1").isNotNull()).select(
+        F.col("user_id").alias("s"), F.col("u1").alias("d")
+    ).union(
+        seq.filter(F.col("u2").isNotNull()).select(
+            F.col("user_id").alias("s"), F.col("u2").alias("d")
+        )
+    )
+    e = (
+        raw.filter(F.col("s") != F.col("d"))
+        .select(
+            F.least("s", "d").alias("u"), F.greatest("s", "d").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    club = deg.filter(F.col("deg") > 4).select("n")
+    ck = club.agg(F.count("*").cast("bigint").alias("n_club"))
+    ce = (
+        e.join(club.withColumnRenamed("n", "u"), "u", "semi")
+        .join(club.withColumnRenamed("n", "v"), "v", "semi")
+        .agg(F.count("*").cast("bigint").alias("e_club"))
+    )
+    out = ck.crossJoin(F.broadcast(ce))
+    ncd = F.col("n_club").cast("double")
+    return out.select(
+        F.lit(4).cast("bigint").alias("k_threshold"),
+        "n_club",
+        "e_club",
+        F.when(F.col("n_club") < 2, F.lit(None))
+        .otherwise(
+            F.round(
+                F.lit(2.0) * F.col("e_club").cast("double")
+                / (ncd * (ncd - F.lit(1.0))),
+                6,
+            )
+        )
+        .alias("phi"),
+    )
+
+
+@q(
+    "burstiness_hist_users",
+    """
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, COUNT(gap)::BIGINT AS n,
+               SUM(gap)::BIGINT AS s,
+               CAST(SUM(CAST(gap AS HUGEINT) * gap) AS DECIMAL(38,0)) AS q
+        FROM g WHERE gap IS NOT NULL GROUP BY user_id
+        HAVING COUNT(gap) >= 5
+    ),
+    b AS (
+        SELECT user_id,
+               (SQRT((CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+                      * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                     / CAST(n AS DOUBLE))
+                - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               / (SQRT((CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+                        * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                       / CAST(n AS DOUBLE))
+                  + CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS bv
+        FROM m
+    )
+    SELECT CAST(FLOOR((bv + 1.0) * 5.0) AS INT) AS bucket,
+           COUNT(*)::BIGINT AS n_users,
+           ROUND(MIN(bv), 6) AS min_b, ROUND(MAX(bv), 6) AS max_b
+    FROM b GROUP BY 1
+    """,
+    "Goh-Barabasi burstiness B = (sigma - mu)/(sigma + mu) of each "
+    "user's inter-event gaps (users with >= 5 gaps), histogrammed in "
+    "10 buckets over [-1, 1]: B ~ -1 = metronome, 0 = Poisson, "
+    "-> 1 = heavy-tailed bursts — the per-user temporal signature "
+    "(fano_factor_hourly_by_type is the population arm). Exact "
+    "microsecond moments per user (HUGEINT squares); sigma uses the "
+    "population form in one written order; bucket edges are exact "
+    "float comparisons both engines share",
+)
+def burstiness_hist_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    m = (
+        g.groupBy("user_id")
+        .agg(
+            F.count("gap").cast("bigint").alias("n"),
+            F.sum("gap").cast("bigint").alias("s"),
+            F.sum(
+                F.col("gap").cast("decimal(19,0)")
+                * F.col("gap").cast("decimal(19,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("q"),
+        )
+        .filter(F.col("n") >= 5)
+    )
+    nd = F.col("n").cast("double")
+    mu = F.col("s").cast("double") / nd
+    sigma = F.sqrt(
+        (
+            F.col("q").cast("double")
+            - F.col("s").cast("double") * F.col("s").cast("double") / nd
+        )
+        / nd
+    )
+    bv = (sigma - mu) / (sigma + mu)
+    b = m.select(bv.alias("bv"))
+    return b.groupBy(
+        F.floor((F.col("bv") + F.lit(1.0)) * F.lit(5.0))
+        .cast("int")
+        .alias("bucket")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.round(F.min("bv"), 6).alias("min_b"),
+        F.round(F.max("bv"), 6).alias("max_b"),
+    )
+
+
+@q(
+    "chi2_uniform_quantity",
+    """
+    WITH g AS (
+        SELECT CAST(l_quantity AS BIGINT) AS qty, COUNT(*)::BIGINT AS n_obs
+        FROM lineitem GROUP BY 1
+    ),
+    t AS (SELECT SUM(n_obs)::BIGINT AS total, COUNT(*)::BIGINT AS k FROM g)
+    SELECT g.qty, g.n_obs,
+           ROUND(CAST(t.total AS DOUBLE) / CAST(t.k AS DOUBLE), 6)
+               AS expected,
+           ROUND((CAST(g.n_obs AS DOUBLE)
+                  - CAST(t.total AS DOUBLE) / CAST(t.k AS DOUBLE))
+                 * (CAST(g.n_obs AS DOUBLE)
+                    - CAST(t.total AS DOUBLE) / CAST(t.k AS DOUBLE))
+                 / (CAST(t.total AS DOUBLE) / CAST(t.k AS DOUBLE)), 6)
+               AS chi2_term
+    FROM g CROSS JOIN t
+    """,
+    "Uniformity audit of the order-quantity domain: per observed "
+    "quantity, its count against the equal-share expectation with "
+    "the chi-square cell contribution — the generator-health check "
+    "for a column SPECIFIED as uniform (TPC-H quantities are "
+    "uniform 1-50; a skewed cell means upstream filtering or "
+    "generation drift). The chi2_uniform_dow shape on the quantity "
+    "domain; exact integer counts, d*d/e written on both engines",
+)
+def chi2_uniform_quantity(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        F.col("l_quantity").cast("bigint").alias("qty")
+    ).agg(F.count("*").cast("bigint").alias("n_obs"))
+    t = g.agg(
+        F.sum("n_obs").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    e = F.col("total").cast("double") / F.col("k").cast("double")
+    d = F.col("n_obs").cast("double") - e
+    return g.crossJoin(F.broadcast(t)).select(
+        "qty",
+        "n_obs",
+        F.round(e, 6).alias("expected"),
+        F.round(d * d / e, 6).alias("chi2_term"),
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -21317,6 +21548,8 @@ _ROUND12_POOL: tuple[str, ...] = (
     "effective_price_multiplier_profile", "warc_content_type_mix",
     "ks_acctbal_customer_supplier", "sn_scale_daily_revenue",
     "t_closeness_customers", "ljung_box_daily",
+    "rich_club_coefficient", "burstiness_hist_users",
+    "chi2_uniform_quantity",
 )
 
 _PRIORITY: tuple[str, ...] = (
