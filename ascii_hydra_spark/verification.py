@@ -21273,6 +21273,218 @@ def chi2_uniform_quantity(spark, sf_dir):
     )
 
 
+@q(
+    "winsorized_acctbal_by_nation",
+    """
+    WITH q AS (
+        SELECT c_nationkey,
+               COUNT(*)::BIGINT AS n,
+               ROUND(quantile_cont(CAST(CAST(c_acctbal AS DECIMAL(12,2))
+                                        AS DOUBLE), 0.05), 6) AS q05,
+               ROUND(quantile_cont(CAST(CAST(c_acctbal AS DECIMAL(12,2))
+                                        AS DOUBLE), 0.95), 6) AS q95
+        FROM customer GROUP BY 1
+    ),
+    parts AS (
+        SELECT c.c_nationkey, q.n, q.q05, q.q95,
+               SUM(CASE WHEN CAST(CAST(c.c_acctbal AS DECIMAL(12,2))
+                              AS DOUBLE) < q.q05 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_low,
+               SUM(CASE WHEN CAST(CAST(c.c_acctbal AS DECIMAL(12,2))
+                              AS DOUBLE) > q.q95 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_high,
+               CAST(SUM(CASE WHEN CAST(CAST(c.c_acctbal AS DECIMAL(12,2))
+                                   AS DOUBLE) >= q.q05
+                             AND CAST(CAST(c.c_acctbal AS DECIMAL(12,2))
+                                      AS DOUBLE) <= q.q95
+                             THEN CAST(c.c_acctbal AS DECIMAL(12,2)) END)
+                    AS DOUBLE) AS mid_sum
+        FROM customer c JOIN q ON q.c_nationkey = c.c_nationkey
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT c_nationkey, n, q05, q95, n_low, n_high,
+           ROUND((COALESCE(mid_sum, 0.0) + n_low * q05 + n_high * q95)
+                 / CAST(n AS DOUBLE), 6) AS mean_winsorized
+    FROM parts
+    """,
+    "Per-nation winsorized mean of account balances (5%/95% fences "
+    "from the composite-key distrank quantile path): the winsorized "
+    "sum decomposes EXACTLY as mid-range decimal sum + n_low*q05 + "
+    "n_high*q95 — clipped values never enter a float accumulation, "
+    "so no summation-order hazard exists (winsorized_order_totals' "
+    "per-group generalization with no per-group window). Thresholds "
+    "compare at their 6-dp public values on both engines",
+)
+def winsorized_acctbal_by_nation(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    qs = analytics.grouped_exact_quantiles(
+        c.select("c_nationkey", bal.alias("x")),
+        "c_nationkey",
+        "x",
+        quantiles=(0.05, 0.95),
+        scale=2,
+    ).select(
+        "c_nationkey",
+        "n",
+        F.col("q_0_05").alias("q05"),
+        F.col("q_0_95").alias("q95"),
+    )
+    j = c.select("c_nationkey", bal.alias("b")).join(
+        F.broadcast(qs), "c_nationkey"
+    )
+    bd = F.col("b").cast("double")
+    parts = j.groupBy("c_nationkey", "n", "q05", "q95").agg(
+        F.sum(F.when(bd < F.col("q05"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_low"),
+        F.sum(F.when(bd > F.col("q95"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_high"),
+        F.sum(
+            F.when(
+                (bd >= F.col("q05")) & (bd <= F.col("q95")), F.col("b")
+            )
+        )
+        .cast("double")
+        .alias("mid_sum"),
+    )
+    return parts.select(
+        "c_nationkey",
+        "n",
+        "q05",
+        "q95",
+        "n_low",
+        "n_high",
+        F.round(
+            (
+                F.coalesce(F.col("mid_sum"), F.lit(0.0))
+                + F.col("n_low") * F.col("q05")
+                + F.col("n_high") * F.col("q95")
+            )
+            / F.col("n").cast("double"),
+            6,
+        ).alias("mean_winsorized"),
+    )
+
+
+@q(
+    "tukey_fences_acctbal_by_nation",
+    """
+    WITH q AS (
+        SELECT c_nationkey, COUNT(*)::BIGINT AS n,
+               ROUND(quantile_cont(CAST(CAST(c_acctbal AS DECIMAL(12,2))
+                                        AS DOUBLE), 0.25), 6) AS q1,
+               ROUND(quantile_cont(CAST(CAST(c_acctbal AS DECIMAL(12,2))
+                                        AS DOUBLE), 0.75), 6) AS q3
+        FROM customer GROUP BY 1
+    )
+    SELECT q.c_nationkey, q.n, q.q1, q.q3,
+           ROUND(q.q1 - 1.5 * (q.q3 - q.q1), 6) AS lo_fence,
+           ROUND(q.q3 + 1.5 * (q.q3 - q.q1), 6) AS hi_fence,
+           SUM(CASE WHEN CAST(CAST(c.c_acctbal AS DECIMAL(12,2))
+                             AS DOUBLE)
+                         < ROUND(q.q1 - 1.5 * (q.q3 - q.q1), 6)
+                    OR CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) AS DOUBLE)
+                         > ROUND(q.q3 + 1.5 * (q.q3 - q.q1), 6)
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+    FROM customer c JOIN q ON q.c_nationkey = c.c_nationkey
+    GROUP BY 1, 2, 3, 4
+    """,
+    "Per-nation Tukey fences (Q1/Q3 from the composite-key distrank "
+    "quantile path, fences at 1.5 IQR) with outlier counts — "
+    "tukey_fences_outliers' per-group generalization, no per-group "
+    "window anywhere. Fences round to their 6-dp public values "
+    "BEFORE the comparison so both engines flag identical rows",
+)
+def tukey_fences_acctbal_by_nation(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    qs = analytics.grouped_exact_quantiles(
+        c.select("c_nationkey", bal.alias("x")),
+        "c_nationkey",
+        "x",
+        quantiles=(0.25, 0.75),
+        scale=2,
+    ).select(
+        "c_nationkey",
+        "n",
+        F.col("q_0_25").alias("q1"),
+        F.col("q_0_75").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.round(F.col("q1") - F.lit(1.5) * iqr, 6)
+    hi = F.round(F.col("q3") + F.lit(1.5) * iqr, 6)
+    j = c.select("c_nationkey", bal.cast("double").alias("b")).join(
+        F.broadcast(qs), "c_nationkey"
+    )
+    return j.groupBy("c_nationkey", "n", "q1", "q3").agg(
+        F.min(lo).alias("lo_fence"),
+        F.min(hi).alias("hi_fence"),
+        F.sum(
+            F.when((F.col("b") < lo) | (F.col("b") > hi), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+    ).select(
+        "c_nationkey", "n", "q1", "q3", "lo_fence", "hi_fence", "n_outliers"
+    )
+
+
+@q(
+    "dow_share_goodman_ci",
+    """
+    WITH g AS (
+        SELECT CAST(EXTRACT(isodow FROM o_orderdate) AS INT) AS dow,
+               COUNT(*)::BIGINT AS n_obs
+        FROM orders GROUP BY 1
+    ),
+    t AS (SELECT SUM(n_obs)::BIGINT AS total FROM g)
+    SELECT dow, n_obs,
+           ROUND(CAST(n_obs AS DOUBLE) / CAST(total AS DOUBLE), 6)
+               AS share,
+           ROUND((CAST(n_obs AS DOUBLE) / CAST(total AS DOUBLE)
+                  - 2.690109527158866
+                    * SQRT((CAST(n_obs AS DOUBLE) / CAST(total AS DOUBLE))
+                           * (1.0 - CAST(n_obs AS DOUBLE)
+                                    / CAST(total AS DOUBLE))
+                           / CAST(total AS DOUBLE))), 6) AS ci_low,
+           ROUND((CAST(n_obs AS DOUBLE) / CAST(total AS DOUBLE)
+                  + 2.690109527158866
+                    * SQRT((CAST(n_obs AS DOUBLE) / CAST(total AS DOUBLE))
+                           * (1.0 - CAST(n_obs AS DOUBLE)
+                                    / CAST(total AS DOUBLE))
+                           / CAST(total AS DOUBLE))), 6) AS ci_high
+    FROM g CROSS JOIN t
+    """,
+    "Day-of-week order-share with GOODMAN simultaneous 95% "
+    "confidence intervals: the per-cell z is Phi^-1(1 - 0.025/7) = "
+    "2.6901... (Bonferroni over the 7 multinomial cells), so all "
+    "seven intervals hold JOINTLY — the correct error bars for 'is "
+    "Monday really below Tuesday' comparisons that per-cell Wald "
+    "bands get wrong. Exact counts, one written closed form, the z "
+    "constant a shared literal",
+)
+def dow_share_goodman_ci(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupBy(
+        (F.weekday("o_orderdate") + 1).cast("int").alias("dow")
+    ).agg(F.count("*").cast("bigint").alias("n_obs"))
+    t = g.agg(F.sum("n_obs").cast("bigint").alias("total"))
+    p = F.col("n_obs").cast("double") / F.col("total").cast("double")
+    z = F.lit(2.690109527158866)
+    half = z * F.sqrt(
+        p * (F.lit(1.0) - p) / F.col("total").cast("double")
+    )
+    return g.crossJoin(F.broadcast(t)).select(
+        "dow",
+        "n_obs",
+        F.round(p, 6).alias("share"),
+        F.round(p - half, 6).alias("ci_low"),
+        F.round(p + half, 6).alias("ci_high"),
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -21550,6 +21762,8 @@ _ROUND12_POOL: tuple[str, ...] = (
     "t_closeness_customers", "ljung_box_daily",
     "rich_club_coefficient", "burstiness_hist_users",
     "chi2_uniform_quantity",
+    "winsorized_acctbal_by_nation", "tukey_fences_acctbal_by_nation",
+    "dow_share_goodman_ci",
 )
 
 _PRIORITY: tuple[str, ...] = (
