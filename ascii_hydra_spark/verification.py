@@ -21485,6 +21485,205 @@ def dow_share_goodman_ci(spark, sf_dir):
     )
 
 
+@q(
+    "cramers_v_corrected_segment_priority",
+    """
+    WITH observed AS (
+        SELECT c.c_mktsegment AS row_v, o.o_orderpriority AS col_v,
+               COUNT(*)::BIGINT AS n_obs
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    cells AS (
+        SELECT r.row_v, c2.col_v, COALESCE(ob.n_obs, 0)::BIGINT AS n_obs
+        FROM (SELECT DISTINCT row_v FROM observed) r
+        CROSS JOIN (SELECT DISTINCT col_v FROM observed) c2
+        LEFT JOIN observed ob ON ob.row_v = r.row_v AND ob.col_v = c2.col_v
+    ),
+    m AS (
+        SELECT row_v, col_v, n_obs,
+               SUM(n_obs) OVER (PARTITION BY row_v) AS rt,
+               SUM(n_obs) OVER (PARTITION BY col_v) AS ct,
+               SUM(n_obs) OVER () AS n
+        FROM cells
+    ),
+    s AS (
+        SELECT MIN(n) AS n,
+               COUNT(DISTINCT row_v)::BIGINT AS r,
+               COUNT(DISTINCT col_v)::BIGINT AS c,
+               ROUND(LIST_REDUCE(LIST(
+                   (CAST(n_obs AS DOUBLE)
+                    - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(n_obs AS DOUBLE)
+                      - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+                   ORDER BY row_v, col_v), (a, b) -> a + b), 6) AS chi2
+        FROM m
+    ),
+    k AS (
+        SELECT n, r, c, chi2,
+               chi2 / CAST(n AS DOUBLE) AS phi2,
+               GREATEST(0.0, chi2 / CAST(n AS DOUBLE)
+                        - CAST((r - 1) * (c - 1) AS DOUBLE)
+                          / (CAST(n AS DOUBLE) - 1.0)) AS phi2c,
+               CAST(r AS DOUBLE) - CAST((r - 1) * (r - 1) AS DOUBLE)
+                   / (CAST(n AS DOUBLE) - 1.0) AS rc,
+               CAST(c AS DOUBLE) - CAST((c - 1) * (c - 1) AS DOUBLE)
+                   / (CAST(n AS DOUBLE) - 1.0) AS cc
+        FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n, chi2,
+           ROUND(SQRT(phi2 / CAST(LEAST(r, c) - 1 AS DOUBLE)), 6)
+               AS v_raw,
+           ROUND(SQRT(phi2c / LEAST(rc - 1.0, cc - 1.0)), 6)
+               AS v_corrected
+    FROM k
+    """,
+    "Bias-corrected Cramer's V (Bergsma 2013) for segment x "
+    "priority: raw V systematically overstates association in "
+    "finite samples (it is positive even under exact independence); "
+    "the correction subtracts the expected chance phi-square and "
+    "shrinks the table dimensions. The effect-size counterpart "
+    "cramers_v_segment_priority should be read with. Chi-square "
+    "folds over the category-bounded grid in cell order; every "
+    "derived float follows one written path from (chi2, n, r, c)",
+)
+def cramers_v_corrected_segment_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("row_v"),
+        F.col("o_orderpriority").alias("col_v"),
+    )
+    cells = analytics.contingency_chi2(j, "row_v", "col_v")
+    s = cells.agg(
+        F.sum("n_obs").cast("bigint").alias("n"),
+        F.countDistinct("row_v").cast("bigint").alias("r"),
+        F.countDistinct("col_v").cast("bigint").alias("c"),
+        F.round(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("row_v"), F.col("col_v"), F.col("chi2_term")
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["chi2_term"],
+            ),
+            6,
+        ).alias("chi2"),
+    )
+    nd = F.col("n").cast("double")
+    phi2 = F.col("chi2") / nd
+    phi2c = F.greatest(
+        F.lit(0.0),
+        phi2
+        - ((F.col("r") - 1) * (F.col("c") - 1)).cast("double")
+        / (nd - F.lit(1.0)),
+    )
+    rc = F.col("r").cast("double") - (
+        (F.col("r") - 1) * (F.col("r") - 1)
+    ).cast("double") / (nd - F.lit(1.0))
+    cc = F.col("c").cast("double") - (
+        (F.col("c") - 1) * (F.col("c") - 1)
+    ).cast("double") / (nd - F.lit(1.0))
+    return s.select(
+        "n",
+        "chi2",
+        F.round(
+            F.sqrt(
+                phi2
+                / (F.least(F.col("r"), F.col("c")) - 1).cast("double")
+            ),
+            6,
+        ).alias("v_raw"),
+        F.round(
+            F.sqrt(phi2c / F.least(rc - F.lit(1.0), cc - F.lit(1.0))), 6
+        ).alias("v_corrected"),
+    )
+
+
+@q(
+    "record_days_revenue",
+    """
+    WITH d AS (
+        SELECT o_orderdate AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(18,2)) AS rev
+        FROM orders GROUP BY 1
+    ),
+    r AS (
+        SELECT day, rev,
+               MAX(rev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND 1 PRECEDING) AS prev_max
+        FROM d
+    ),
+    k AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN prev_max IS NULL OR rev > prev_max
+                        THEN 1 ELSE 0 END)::BIGINT AS n_records
+        FROM r
+    ),
+    h AS (
+        SELECT LIST_REDUCE(LIST_TRANSFORM(
+                   range(1, CAST((SELECT n FROM k) AS INTEGER) + 1),
+                   i -> 1.0 / i), (a, b) -> a + b) AS h_n
+    )
+    SELECT k.n AS n_days, k.n_records,
+           ROUND(h.h_n, 6) AS expected_records_iid,
+           ROUND(CAST(k.n_records AS DOUBLE) / h.h_n, 6)
+               AS record_excess_ratio
+    FROM k, h
+    """,
+    "Record-days analysis: how many days set a new all-time daily-"
+    "revenue high, against the IID expectation H_n = sum 1/k "
+    "(records theory: an exchangeable series produces ~ln n records "
+    "regardless of distribution) — ratio >> 1 is model-free GROWTH "
+    "evidence, ~1 is stationarity. Running max compares exact "
+    "decimals over the day-grain window; the harmonic number folds "
+    "in index order; two final divisions",
+)
+def record_days_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    r = d.select("rev", F.max("rev").over(w).alias("prev_max"))
+    k = r.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull()
+                | (F.col("rev") > F.col("prev_max")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_records"),
+    )
+    h_n = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.col("n").cast("int")),
+            lambda i: F.lit(1.0) / i,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return k.select(
+        F.col("n").alias("n_days"),
+        "n_records",
+        F.round(h_n, 6).alias("expected_records_iid"),
+        F.round(F.col("n_records").cast("double") / h_n, 6).alias(
+            "record_excess_ratio"
+        ),
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -21764,6 +21963,7 @@ _ROUND12_POOL: tuple[str, ...] = (
     "chi2_uniform_quantity",
     "winsorized_acctbal_by_nation", "tukey_fences_acctbal_by_nation",
     "dow_share_goodman_ci",
+    "cramers_v_corrected_segment_priority", "record_days_revenue",
 )
 
 _PRIORITY: tuple[str, ...] = (

@@ -363,6 +363,9 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "rich_club_coefficient",       # 1-row club-size/edge broadcasts
         "chi2_uniform_quantity",       # 1-row domain-total broadcast
         "dow_share_goodman_ci",        # 1-row grand-total broadcast
+        "cramers_v_corrected_segment_priority",  # the contingency
+                                       # grand-total broadcast (cramers
+                                       # shape)
         "decayed_customer_value",   # 1-row ref-date broadcast
         "priority_mix_drift_monthly",  # 1-row baseline-total broadcast
     }
