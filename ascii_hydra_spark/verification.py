@@ -21684,6 +21684,58 @@ def record_days_revenue(spark, sf_dir):
     )
 
 
+@q(
+    "pareto_chart_priorities",
+    """
+    WITH g AS (
+        SELECT o_orderpriority AS priority, COUNT(*)::BIGINT AS n_obs
+        FROM orders GROUP BY 1
+    ),
+    t AS (SELECT SUM(n_obs)::BIGINT AS total FROM g),
+    r AS (
+        SELECT priority, n_obs,
+               SUM(n_obs) OVER (ORDER BY n_obs DESC, priority
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+        FROM g
+    )
+    SELECT r.priority, r.n_obs,
+           ROUND(CAST(r.n_obs AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+               AS share,
+           ROUND(CAST(r.cum AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+               AS cum_share
+    FROM r CROSS JOIN t
+    """,
+    "Pareto-chart data for order priorities: categories sorted by "
+    "frequency with exact cumulative shares — the vital-few/"
+    "trivial-many QC layout (which priorities cover 80% of volume). "
+    "The ordered window runs over the CATEGORY-bounded aggregate "
+    "(five rows however large orders grows); exact integer "
+    "cumulative counts, two divisions per row",
+)
+def pareto_chart_priorities(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").cast("bigint").alias("n_obs")
+    )
+    t = g.agg(F.sum("n_obs").cast("bigint").alias("total"))
+    w = (
+        Window.orderBy(F.desc("n_obs"), "priority")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = g.select("priority", "n_obs", F.sum("n_obs").over(w).alias("cum"))
+    return r.crossJoin(F.broadcast(t)).select(
+        "priority",
+        "n_obs",
+        F.round(
+            F.col("n_obs").cast("double") / F.col("total").cast("double"), 6
+        ).alias("share"),
+        F.round(
+            F.col("cum").cast("double") / F.col("total").cast("double"), 6
+        ).alias("cum_share"),
+    )
+
+
 # ===================================================================
 # Registry ordering
 # ===================================================================
@@ -21964,6 +22016,7 @@ _ROUND12_POOL: tuple[str, ...] = (
     "winsorized_acctbal_by_nation", "tukey_fences_acctbal_by_nation",
     "dow_share_goodman_ci",
     "cramers_v_corrected_segment_priority", "record_days_revenue",
+    "pareto_chart_priorities",
 )
 
 _PRIORITY: tuple[str, ...] = (

@@ -366,6 +366,7 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
         "cramers_v_corrected_segment_priority",  # the contingency
                                        # grand-total broadcast (cramers
                                        # shape)
+        "pareto_chart_priorities",     # 1-row grand-total broadcast
         "decayed_customer_value",   # 1-row ref-date broadcast
         "priority_mix_drift_monthly",  # 1-row baseline-total broadcast
     }
