@@ -21512,11 +21512,11 @@ def dow_share_goodman_ci(spark, sf_dir):
                COUNT(DISTINCT row_v)::BIGINT AS r,
                COUNT(DISTINCT col_v)::BIGINT AS c,
                ROUND(LIST_REDUCE(LIST(
-                   (CAST(n_obs AS DOUBLE)
+                   ROUND((CAST(n_obs AS DOUBLE)
                     - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
                    * (CAST(n_obs AS DOUBLE)
                       - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
-                   / (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+                   / (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)), 6)
                    ORDER BY row_v, col_v), (a, b) -> a + b), 6) AS chi2
         FROM m
     ),
@@ -21545,8 +21545,11 @@ def dow_share_goodman_ci(spark, sf_dir):
     "the correction subtracts the expected chance phi-square and "
     "shrinks the table dimensions. The effect-size counterpart "
     "cramers_v_segment_priority should be read with. Chi-square "
-    "folds over the category-bounded grid in cell order; every "
-    "derived float follows one written path from (chi2, n, r, c)",
+    "folds PER-CELL-ROUNDED (6 dp) terms over the category-bounded "
+    "grid in cell order — both engines consume the same rounded "
+    "chi2_term the contingency_chi2 sibling publishes, so the fold "
+    "inputs are bit-identical doubles; every derived float then "
+    "follows one written path from (chi2, n, r, c)",
 )
 def cramers_v_corrected_segment_priority(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
