@@ -21766,6 +21766,67 @@ _ANCHORS: tuple[str, ...] = (
 # 51st name out of the window, and round 4 burned 10 slots on rows-only
 # entries that can only ever record `no_oracle`).
 _ROTATION: tuple[str, ...] = (
+    "cms_portable_estimates", "hll_portable_distinct",
+    "near_dup_minhash_portable", "sim_topk_ivf",
+    "minhash_dedup_survivors_portable", "simhash_pairs_portable",
+    "mmr_rerank_topk", "sim_pairs_lsh_portable",
+    "containment_pairs_portable", "clustering_coefficient_users",
+    "degree_assortativity_users", "max_drawdown_revenue",
+    "kendall_tau_daily", "poisson_dispersion_users",
+    "referential_integrity_audit", "uniqueness_candidate_keys",
+    "chi2_uniform_dow_orders", "benford_second_digit_totals",
+    "abc_classification_parts", "pareto_coverage_customers",
+    "returns_ratio_by_nation", "repeat_interval_segments",
+    "monthly_stickiness", "dow_hour_heatmap_events", "event_type_lift",
+    "session_entry_exit_types", "ols_price_quantity_discount",
+    "jarque_bera_totals", "l_diversity_customers",
+    "char_class_profile_sources", "token_length_hist_by_lang",
+    "prefix_dup_rate_by_source", "multibyte_ratio_by_lang",
+    "embedding_dim_stats", "cosine_pair_histogram", "order_lines_histogram",
+    "price_spread_by_brand", "acctbal_sign_profile", "monthly_order_mix",
+    "customer_recency_bands", "supplier_coverage_hist",
+    "top_part_types_per_region", "bfs_reachable_3hop",
+    "event_transition_triples", "weekday_weekend_revenue",
+)
+# (This is the round-7 `_ROUND8_POOL` promoted verbatim — 45 first-time
+# SQL-oracled names; the round-7 rotation moved to _PAST_DRIVER_GREEN
+# after CORRECTNESS_r07.json recorded all 50 head rows green.)
+
+# Round-9 pool: the next rotation up (promoted verbatim at round 9) — a
+# FULL 45-slot rotation (round-5 continuation additions: product
+# analytics, schema DQ, graph spectra, portable folds). Same
+# first-time/disjoint/oracle-able contract.
+_ROUND8_POOL: tuple[str, ...] = (
+    "user_lifecycle_states", "power_user_curve",
+    "intersession_gap_percentiles", "immediate_repeat_tokens_by_source",
+    "nation_trade_balance", "size_price_corr_by_type",
+    "stopword_ratio_by_lang", "quantization_error_stats",
+    "trigram_top_by_lang", "customer_value_migration",
+    "ship_lead_time_by_priority", "peak_concurrency_sessions",
+    "weekly_wow_volatility", "churn_rate_by_segment", "brand_yoy_growth",
+    "hits_top_authorities", "graph_reciprocity",
+    "demand_curve_price_deciles", "user_type_entropy_hist",
+    "customer_order_frequency_hist", "part_name_top_words",
+    "quantity_discount_profile", "supply_hhi_by_nation",
+    "monthly_seasonality_revenue", "cohort_ltv_monthly",
+    "discount_band_effectiveness", "value_profile_by_type",
+    "gram_top_eigenvalue", "brand_type_nested_shares", "value_ecdf_points",
+    "ytd_revenue_share", "decayed_customer_value",
+    "label_balance_embeddings", "header_line_consistency_audit",
+    "linenumber_continuity_audit", "nation_mix_entropy_by_segment",
+    "vocab_coverage_top100", "priority_mix_drift_monthly",
+    "sessions_per_user_hist", "single_source_parts_by_brand",
+    "region_revenue_share_trend", "part_size_price_profile",
+    "aov_by_segment", "hourly_value_profile",
+    "new_customer_order_share_monthly",
+)
+
+# Frozen record of every name with a driver-green row (rows+schema+hash,
+# no error) in CORRECTNESS_r01-r06. Guards below reject a rotation slot
+# spent on an already-green name.
+_PAST_DRIVER_GREEN: frozenset[str] = frozenset({
+    # ---- green in CORRECTNESS_r07 (45 first-time rows; 50/50 incl. the
+    # 5 anchors, zero errors) ----
     "user_day_streaks", "welch_ttest_value_ab", "crosscorr_orders_lagged",
     "bloom_membership_counts", "supplier_jaccard_links",
     "shingle_novelty_scores", "twap_user_values",
@@ -21774,60 +21835,17 @@ _ROTATION: tuple[str, ...] = (
     "association_rules_parts", "readability_docs", "hashed_features_docs",
     "target_encode_segment", "bollinger_daily_revenue",
     "embedding_covariance_gram", "fixed_size_sample_docs",
-    "mutual_info_value_type", "cumulative_user_growth",
-    "weighted_median_price", "ndcg_user_value_purchase",
-    "map_at_k_user",
-    "bootstrap_ci_user_value", "wasserstein_value_ab",
-    "label_centroid_separation", "k_anonymity_customers",
-    "seasonal_naive_mape_revenue", "anova_value_by_type",
-    "hbos_event_outliers", "theil_sen_revenue_trend",
-    "bh_fdr_nation_urgency", "calinski_harabasz_labels",
-    "cohens_kappa_langid", "incremental_rollup_maintenance",
-    "ece_value_purchase", "psi_value_ab", "conformal_orders_priority",
-    "dataset_fingerprint_orders",
-    "moments_order_total", "tukey_fences_outliers",
-    "new_vs_returning_weekly", "simpson_diversity_by_source",
-    "session_duration_percentiles", "dup_rate_by_source",
-)
-# (This is the round-6 `_ROUND7_POOL` promoted verbatim — 45 first-time
-# SQL-oracled names; the round-6 rotation moved to _PAST_DRIVER_GREEN
-# after CORRECTNESS_r06.json recorded all 50 head rows green.)
-
-# Round-8 pool: the next rotation up (promoted verbatim at round 8) — a
-# FULL 45-slot rotation (portable sketch/LSH
-# arms + the round-5 continuation's graph/stats/DQ/product-analytics
-# additions). Same first-time/disjoint/oracle-able contract.
-_ROUND8_POOL: tuple[str, ...] = (
-    "cms_portable_estimates", "hll_portable_distinct",
-    "near_dup_minhash_portable", "sim_topk_ivf",
-    "minhash_dedup_survivors_portable", "simhash_pairs_portable",
-    "mmr_rerank_topk", "sim_pairs_lsh_portable",
-    "containment_pairs_portable",
-    "clustering_coefficient_users", "degree_assortativity_users",
-    "max_drawdown_revenue", "kendall_tau_daily", "poisson_dispersion_users",
-    "referential_integrity_audit", "uniqueness_candidate_keys",
-    "chi2_uniform_dow_orders", "benford_second_digit_totals",
-    "abc_classification_parts", "pareto_coverage_customers",
-    "returns_ratio_by_nation", "repeat_interval_segments",
-    "monthly_stickiness", "dow_hour_heatmap_events",
-    "event_type_lift", "session_entry_exit_types",
-    "ols_price_quantity_discount", "jarque_bera_totals",
-    "l_diversity_customers",
-    "char_class_profile_sources", "token_length_hist_by_lang",
-    "prefix_dup_rate_by_source", "multibyte_ratio_by_lang",
-    "embedding_dim_stats", "cosine_pair_histogram",
-    "order_lines_histogram", "price_spread_by_brand",
-    "acctbal_sign_profile", "monthly_order_mix",
-    "customer_recency_bands", "supplier_coverage_hist",
-    "top_part_types_per_region",
-    "bfs_reachable_3hop", "event_transition_triples",
-    "weekday_weekend_revenue",
-)
-
-# Frozen record of every name with a driver-green row (rows+schema+hash,
-# no error) in CORRECTNESS_r01-r06. Guards below reject a rotation slot
-# spent on an already-green name.
-_PAST_DRIVER_GREEN: frozenset[str] = frozenset({
+    "mutual_info_value_type", "cumulative_user_growth", "weighted_median_price",
+    "ndcg_user_value_purchase", "map_at_k_user", "bootstrap_ci_user_value",
+    "wasserstein_value_ab", "label_centroid_separation", "k_anonymity_customers",
+    "seasonal_naive_mape_revenue", "anova_value_by_type", "hbos_event_outliers",
+    "theil_sen_revenue_trend", "bh_fdr_nation_urgency",
+    "calinski_harabasz_labels", "cohens_kappa_langid",
+    "incremental_rollup_maintenance", "ece_value_purchase", "psi_value_ab",
+    "conformal_orders_priority", "dataset_fingerprint_orders",
+    "moments_order_total", "tukey_fences_outliers", "new_vs_returning_weekly",
+    "simpson_diversity_by_source", "session_duration_percentiles",
+    "dup_rate_by_source",
     # ---- green in CORRECTNESS_r06 (45 first-time rows; 50/50 incl. the
     # 5 anchors, zero errors) ----
     "event_transitions",
@@ -21919,107 +21937,70 @@ _PAST_DRIVER_GREEN: frozenset[str] = frozenset({
     "window_running", "zorder_clustering", "zscore_outlier_counts",
 })
 
-# Round-9 pool: a fourth FULL 45-slot rotation (round-5 continuation
-# additions: product analytics, schema DQ, graph spectra, portable
-# folds). Same first-time/disjoint/oracle-able contract.
+# Round-10 pool: entries added during rounds 6-7 (WARC ingestion,
+# distributed rank arms, rows-only conversions). Same contract.
 _ROUND9_POOL: tuple[str, ...] = (
-    "user_lifecycle_states", "power_user_curve",
-    "intersession_gap_percentiles", "immediate_repeat_tokens_by_source",
-    "nation_trade_balance", "size_price_corr_by_type",
-    "stopword_ratio_by_lang", "quantization_error_stats",
-    "trigram_top_by_lang", "customer_value_migration",
-    "ship_lead_time_by_priority",
-    "peak_concurrency_sessions", "weekly_wow_volatility",
-    "churn_rate_by_segment", "brand_yoy_growth",
-    "hits_top_authorities", "graph_reciprocity",
-    "demand_curve_price_deciles", "user_type_entropy_hist",
-    "customer_order_frequency_hist", "part_name_top_words",
-    "quantity_discount_profile", "supply_hhi_by_nation",
-    "monthly_seasonality_revenue", "cohort_ltv_monthly",
-    "discount_band_effectiveness", "value_profile_by_type",
-    "gram_top_eigenvalue",
-    "brand_type_nested_shares", "value_ecdf_points",
-    "ytd_revenue_share", "decayed_customer_value",
-    "label_balance_embeddings", "header_line_consistency_audit",
-    "linenumber_continuity_audit", "nation_mix_entropy_by_segment",
-    "vocab_coverage_top100", "priority_mix_drift_monthly",
-    "sessions_per_user_hist", "single_source_parts_by_brand",
-    "region_revenue_share_trend", "part_size_price_profile",
-    "aov_by_segment", "hourly_value_profile",
-    "new_customer_order_share_monthly",
-)
-
-# Round-10 pool: entries added during round 6 (WARC ingestion, distributed
-# rank arms, rows-only conversions). Fills toward the 45 rotation slots
-# round 10 will need; same first-time/disjoint/oracle-able contract.
-_ROUND10_POOL: tuple[str, ...] = (
     "warc_records_scan", "warc_host_dedup", "incremental_minhash_portable",
     "customer_revenue_rank_tiles", "cumulative_daily_revenue",
-    "url_canonical_dedup", "gopher_quality_gate",
-    "distributed_median_price", "binaryfile_scan", "dsir_importance_en",
-    "html_text_extraction", "price_ending_profile", "gini_by_segment",
-    "stream_quality_gate", "warc_curation_pipeline",
-    # round-7 additions
-    "warc_content_dedup_pipeline", "cdx_index_build", "cdx_pruned_fetch",
-    "cdx_index_jsonl_sink", "surt_blocklist_filter", "luhn_card_audit",
-    "robots_url_gate", "mojibake_audit", "invisible_char_scrub",
-    "nelson_aalen_lifetimes", "logrank_value_ab", "cuped_value_ab",
-    "lpa_communities",
+    "url_canonical_dedup", "gopher_quality_gate", "distributed_median_price",
+    "binaryfile_scan", "dsir_importance_en", "html_text_extraction",
+    "price_ending_profile", "gini_by_segment", "stream_quality_gate",
+    "warc_curation_pipeline", "warc_content_dedup_pipeline",
+    "cdx_index_build", "cdx_pruned_fetch", "cdx_index_jsonl_sink",
+    "surt_blocklist_filter", "luhn_card_audit", "robots_url_gate",
+    "mojibake_audit", "invisible_char_scrub", "nelson_aalen_lifetimes",
+    "logrank_value_ab", "cuped_value_ab", "lpa_communities",
     "filtered_aggs_monthly", "freshness_audit_event_types",
-    "gaps_islands_user_days", "asof_join_nearest_views",
-    "cohens_d_value_ab", "mcnemar_doc_gates",
-    "mann_kendall_daily_revenue", "runs_test_daily_revenue",
-    "kruskal_wallis_value_by_type", "ccnet_perplexity_buckets",
-    "quality_feature_matrix", "odds_ratio_purchase_ab",
-    "cdx_revisit_detection", "hurst_rescaled_range_daily",
-    "nbinom_moments_user_events", "bartlett_value_by_type",
-    "stable_rank_embeddings",
+    "gaps_islands_user_days", "asof_join_nearest_views", "cohens_d_value_ab",
+    "mcnemar_doc_gates", "mann_kendall_daily_revenue",
+    "runs_test_daily_revenue", "kruskal_wallis_value_by_type",
+    "ccnet_perplexity_buckets", "quality_feature_matrix",
+    "odds_ratio_purchase_ab", "cdx_revisit_detection",
+    "hurst_rescaled_range_daily", "nbinom_moments_user_events",
+    "bartlett_value_by_type", "stable_rank_embeddings",
 )
 
-# Round-11 pool: overflow past round 10's 45 slots (round-7 continuation
-# additions). Fills toward 45; same first-time/disjoint/oracle-able
-# contract.
-_ROUND11_POOL: tuple[str, ...] = (
+# Round-11 pool: round-7 continuation additions. Same contract.
+_ROUND10_POOL: tuple[str, ...] = (
     "granger_orders_to_revenue", "simpsons_paradox_segments",
-    "eclat_brand_triples",
-    "nb_langid_confusion", "lang_unigram_cosine_pairs",
-    "fano_factor_hourly_by_type", "sax_weekly_revenue",
-    "quantile_normalize_by_type", "seasonal_decompose_dow",
-    "mantel_haenszel_purchase_ab", "ivf_recall_at_k", "nth_value_windows",
-    "chunk_dedup_rate", "missing_days_audit",
-    "chi2_residuals_segment_priority", "code_switch_audit",
-    "hill_tail_index_totals", "markov_entropy_rate_events",
-    "doc_keywords_top3", "srm_check_ab",
+    "eclat_brand_triples", "nb_langid_confusion",
+    "lang_unigram_cosine_pairs", "fano_factor_hourly_by_type",
+    "sax_weekly_revenue", "quantile_normalize_by_type",
+    "seasonal_decompose_dow", "mantel_haenszel_purchase_ab",
+    "ivf_recall_at_k", "nth_value_windows", "chunk_dedup_rate",
+    "missing_days_audit", "chi2_residuals_segment_priority",
+    "code_switch_audit", "hill_tail_index_totals",
+    "markov_entropy_rate_events", "doc_keywords_top3", "srm_check_ab",
     "value_decile_kl_by_type", "hapax_profile_by_lang",
-    "wilson_ci_purchase_ab", "aa_test_value",
-    "audio_rms_frames", "bmp_channel_stats",
-    "weekly_user_jaccard", "theil_u_priority_segment",
-    "grouped_median_value_by_type",
-    "events_to_convert_hist", "weekly_arpu", "user_hour_entropy_topk",
-    "capture_recapture_users", "ratio_metric_delta_ab",
-    "grouped_iqr_value_by_type", "term_burstiness_top",
-    "chow_break_midpoint",
+    "wilson_ci_purchase_ab", "aa_test_value", "audio_rms_frames",
+    "bmp_channel_stats", "weekly_user_jaccard", "theil_u_priority_segment",
+    "grouped_median_value_by_type", "events_to_convert_hist", "weekly_arpu",
+    "user_hour_entropy_topk", "capture_recapture_users",
+    "ratio_metric_delta_ab", "grouped_iqr_value_by_type",
+    "term_burstiness_top", "chow_break_midpoint",
     "jonckheere_priority_value", "monthly_top_decile_share",
     "doc_length_quartiles_by_lang", "benford_conformity_verdict",
     "session_threshold_sensitivity", "ks_drift_month_halves",
     "interarrival_expfit_ks", "durbin_watson_daily",
 )
 
-# Round-12 pool: overflow past round 11's 45 slots. Fills toward 45;
-# same first-time/disjoint/oracle-able contract.
-_ROUND12_POOL: tuple[str, ...] = (
-    "pacf_lag2_daily",
-    "theil_sen_slope_ci", "weekly_periodogram_power",
+# Round-12 pool: overflow past round 11's 45 slots; fills toward 45
+# with round-8 additions. Same contract.
+_ROUND11_POOL: tuple[str, ...] = (
+    "pacf_lag2_daily", "theil_sen_slope_ci", "weekly_periodogram_power",
     "eb_shrunken_urgent_rates", "best_30d_revenue_window",
     "effective_price_multiplier_profile", "warc_content_type_mix",
     "ks_acctbal_customer_supplier", "sn_scale_daily_revenue",
-    "t_closeness_customers", "ljung_box_daily",
-    "rich_club_coefficient", "burstiness_hist_users",
-    "chi2_uniform_quantity",
+    "t_closeness_customers", "ljung_box_daily", "rich_club_coefficient",
+    "burstiness_hist_users", "chi2_uniform_quantity",
     "winsorized_acctbal_by_nation", "tukey_fences_acctbal_by_nation",
-    "dow_share_goodman_ci",
-    "cramers_v_corrected_segment_priority", "record_days_revenue",
-    "pareto_chart_priorities",
+    "dow_share_goodman_ci", "cramers_v_corrected_segment_priority",
+    "record_days_revenue", "pareto_chart_priorities",
+)
+
+# Round-13 pool: round-8 additions queue here once round 12's 45 slots
+# fill. Same contract.
+_ROUND12_POOL: tuple[str, ...] = (
 )
 
 _PRIORITY: tuple[str, ...] = (
