@@ -2002,14 +2002,14 @@ def decision_stump(
     baseline). `label_col` must be 0/1.
 
     Candidate thresholds are the DISTINCT values (value-space
-    cardinality, the skyline contract — the global cumulative window
-    sorts distinct thresholds, never raw fact rows; this module is the
-    documented home for bounded global windows). All impurity inputs
-    (cumulative counts/positives) are exact integers; the Gini
-    polynomial follows ONE written operation order mirrored in the
-    oracle, so the argmin compares bit-identical doubles; ties break on
-    the smaller threshold. The top split is a TakeOrdered, not a
-    collect.
+    cardinality); the cumulative left-split counts come from
+    `distrank.global_running_sums` over the distinct-threshold table —
+    bucketed parallel prefix sums, so even 1e9 distinct thresholds never
+    hit a single-reducer sort. All impurity inputs (cumulative
+    counts/positives) are exact integers; the Gini polynomial follows
+    ONE written operation order mirrored in the oracle, so the argmin
+    compares bit-identical doubles; ties break on the smaller
+    threshold. The top split is a TakeOrdered, not a collect.
     """
     pts = df.select(
         F.col(value_col).alias("v"), F.col(label_col).cast("bigint").alias("y")
@@ -2017,12 +2017,9 @@ def decision_stump(
     byv = pts.groupBy("v").agg(
         F.count("*").alias("__c"), F.sum("y").alias("__p")
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = byv.select(
-        "v",
-        F.sum("__c").over(w).alias("__nl"),
-        F.sum("__p").over(w).alias("__pl"),
-    )
+    cum = distrank.global_running_sums(
+        byv, F.col("v"), {"__nl": F.col("__c"), "__pl": F.col("__p")}
+    ).select("v", "__nl", "__pl")
     tot = byv.agg(
         F.sum("__c").alias("__n"), F.sum("__p").alias("__pos")
     )
@@ -3011,19 +3008,26 @@ def abc_classification(
     are cut at 80% / 95% of CUMULATIVE value — both boundaries tested
     in exact decimal space (10*cum <= 8*total, 20*cum <= 19*total), so
     an entity sitting exactly on a boundary classifies identically in
-    every engine; only the final share is a double. Input is the
-    entity-grain aggregate (the gini global-window contract).
+    every engine; only the final share is a double. Rank and cumulative
+    value both come from the bucketed distrank primitives (decimal sums
+    are order-exact, so the values are unchanged from the single-window
+    spelling), and the total is a broadcast scalar — no data-sized
+    global window even at 1e9 entities.
     """
     d = entities.select(
         F.col(key_col).alias("__k"),
         F.col(value_col).cast("decimal(18,2)").alias("__v"),
     )
-    w = Window.orderBy(F.desc("__v"), F.col("__k")).rowsBetween(
-        Window.unboundedPreceding, 0
+    ranked = distrank.global_row_number(
+        d, F.col("__v"), [F.col("__k")], desc=True, out_col="__i"
     )
-    cum = d.select(
-        "__k", "__v", F.sum("__v").over(w).alias("__cum"),
-        F.sum("__v").over(Window.partitionBy()).alias("__tot"),
+    tot = d.agg(F.sum("__v").alias("__tot"))
+    cum = (
+        distrank.global_running_sum(
+            ranked, F.col("__i"), F.col("__v"), out_col="__cum"
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("__k", "__v", "__cum", "__tot")
     )
     cls = cum.select(
         "__v",
@@ -3055,20 +3059,25 @@ def pareto_coverage(
     An entity is in the covering set while the cumulative value BEFORE
     it is still under the threshold — tested exactly as
     100*(cum - v) < pct*total in decimal, so the crossing entity is
-    included and the cut is engine-exact. Entity-grain global window
-    (gini contract); two final double divisions.
+    included and the cut is engine-exact. Rank and cumulative value via
+    the bucketed distrank primitives (decimal arithmetic keeps the cut
+    identical to the single-window spelling), total as a broadcast
+    scalar — no data-sized global window; two final double divisions.
     """
     d = entities.select(
         F.col(key_col).alias("__k"),
         F.col(value_col).cast("decimal(18,2)").alias("__v"),
     )
-    w = Window.orderBy(F.desc("__v"), F.col("__k")).rowsBetween(
-        Window.unboundedPreceding, 0
+    ranked = distrank.global_row_number(
+        d, F.col("__v"), [F.col("__k")], desc=True, out_col="__i"
     )
-    cum = d.select(
-        "__v",
-        F.sum("__v").over(w).alias("__cum"),
-        F.sum("__v").over(Window.partitionBy()).alias("__tot"),
+    tot = d.agg(F.sum("__v").alias("__tot"))
+    cum = (
+        distrank.global_running_sum(
+            ranked, F.col("__i"), F.col("__v"), out_col="__cum"
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("__v", "__cum", "__tot")
     )
     flagged = cum.select(
         "__v",

@@ -283,14 +283,19 @@ def global_running_max(
     value_col: Column,
     *,
     out_col: str = "__rmax",
+    exclusive: bool = False,
     num_buckets: "int | None" = None,
 ) -> DataFrame:
-    """``df`` + ``out_col`` = exact INCLUSIVE running MAX of
-    ``value_col`` under ``key`` ascending (unique-key contract, same as
-    the running sums) — the drawdown primitive. Same bucketed shape;
-    the cross-bucket carry is the prefix max of the bounded per-bucket
-    max table (NULL before the first bucket -> ``greatest`` skips it).
-    The value rides in its own type (decimal stays exact).
+    """``df`` + ``out_col`` = exact running MAX of ``value_col`` under
+    ``key`` ascending (unique-key contract, same as the running sums) —
+    the drawdown primitive. ``exclusive=True`` maxes over STRICTLY
+    preceding rows only (NULL on the global first row) — the skyline
+    sweep's dominator test. Same bucketed shape; the cross-bucket carry
+    is the prefix max of the bounded per-bucket max table (NULL before
+    the first bucket -> ``greatest`` skips it; with ``exclusive`` the
+    first row's local max is NULL too, so the output is NULL exactly
+    when no row precedes). The value rides in its own type (decimal
+    stays exact).
     """
     base, _ = _bucketed(
         df.withColumn("__dr_v", value_col), key, False, num_buckets
@@ -308,7 +313,7 @@ def global_running_max(
     local = F.max("__dr_v").over(
         Window.partitionBy(_B)
         .orderBy(key.asc())
-        .rowsBetween(Window.unboundedPreceding, 0)
+        .rowsBetween(Window.unboundedPreceding, -1 if exclusive else 0)
     )
     return (
         base.join(F.broadcast(offs), _B)

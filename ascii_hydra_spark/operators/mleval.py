@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ascii_hydra_spark.operators import distrank
+
 
 def confusion_metrics(
     df: DataFrame, score_col: str, label_col: str, threshold: float
@@ -62,33 +64,41 @@ def confusion_metrics(
 def auc_score(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     """One row (n_pos, n_neg, auc): ROC AUC by the rank identity —
     P(score_pos > score_neg) with ties counting half, i.e. the normalized
-    Mann-Whitney U over average ranks. Ranks are half-integers (exact in
-    doubles, partition-order-independent); the single division is last.
-
-    Entity-level-input contract: the rank window is global (it must
-    totally order the scores), so callers feed per-entity scores or a
-    bounded candidate set — the same rule as `gini_coefficient`.
+    Mann-Whitney U over average ranks. The average rank of every row
+    sharing a score is (rows strictly below) + (ties + 1)/2 — a
+    half-integer, so the positive-rank sum rides as the exact BIGINT
+    2*R_pos = sum(pos_s * (2*below_s + n_s + 1)) and halves once at the
+    end; the single division is last. Identical to the per-row
+    rank+count window formulation on every input (both fold exact
+    half-integers), but the only data-sized stages here are one
+    score-keyed aggregate and the bucketed prefix sum — no global
+    window: `distrank.global_running_sum` over the DISTINCT-score table
+    replaces the single-reducer sort, so 1e9 distinct scores rank in
+    parallel (the old entity-level-input contract is gone).
     """
-    w = Window.orderBy(F.col(score_col))
-    w_tie = Window.partitionBy(F.col(score_col))
-    ranked = df.select(
-        (F.col(label_col).cast("bigint") == 1).alias("__pos"),
-        (
-            F.rank().over(w).cast("double")
-            + (F.count("*").over(w_tie).cast("double") - F.lit(1.0))
-            / F.lit(2.0)
-        ).alias("__ar"),
+    pos = F.col(label_col).cast("bigint") == 1
+    per = df.groupBy(F.col(score_col).alias("__s")).agg(
+        F.count("*").cast("bigint").alias("__n_s"),
+        F.coalesce(F.sum(pos.cast("bigint")), F.lit(0)).alias("__pos_s"),
+        F.coalesce(F.sum((~pos).cast("bigint")), F.lit(0)).alias("__neg_s"),
     )
-    agg = ranked.agg(
-        F.sum(F.col("__pos").cast("bigint")).alias("n_pos"),
-        F.sum((~F.col("__pos")).cast("bigint")).alias("n_neg"),
-        F.sum(F.when(F.col("__pos"), F.col("__ar"))).alias("__rp"),
+    cum = distrank.global_running_sum(
+        per, F.col("__s"), F.col("__n_s"), out_col="__cum"
+    )
+    below = F.col("__cum") - F.col("__n_s")
+    rp2 = F.col("__pos_s") * (
+        F.lit(2) * below + F.col("__n_s") + F.lit(1)
+    )
+    agg = cum.agg(
+        F.sum("__pos_s").cast("bigint").alias("n_pos"),
+        F.sum("__neg_s").cast("bigint").alias("n_neg"),
+        F.sum(rp2).cast("double").alias("__rp2"),
     )
     np_ = F.col("n_pos").cast("double")
     nn = F.col("n_neg").cast("double")
-    auc = (F.col("__rp") - np_ * (np_ + F.lit(1.0)) / F.lit(2.0)) / F.nullif(
-        np_ * nn, F.lit(0.0)
-    )
+    auc = (
+        F.col("__rp2") / F.lit(2.0) - np_ * (np_ + F.lit(1.0)) / F.lit(2.0)
+    ) / F.nullif(np_ * nn, F.lit(0.0))
     return agg.select("n_pos", "n_neg", F.round(auc, 6).alias("auc"))
 
 
@@ -106,16 +116,32 @@ def calibration_bins(
     score against its observed positive rate. A well-calibrated scorer
     has mean_score ~ pos_rate per bin.
 
-    NTILE over (score, tiebreak) makes bin assignment deterministic under
-    tied scores; scores accumulate as DECIMAL(18,scale) so the per-bin
-    mean is partition-order-exact. Same global-window contract as
-    `auc_score`.
+    Bin assignment is NTILE over (score, tiebreak) — deterministic under
+    tied scores — spelled as `distrank.global_row_number` (bucketed
+    parallel rank, no single-reducer sort) composed with
+    `distrank.ntile_from_row_number` (exact integer NTILE arithmetic),
+    so the bins are bit-identical to the window NTILE at any scale;
+    scores accumulate as DECIMAL(18,scale) so the per-bin mean is
+    partition-order-exact. No data-sized global window remains.
     """
-    w = Window.orderBy(F.col(score_col), F.col(tiebreak))
-    binned = df.select(
-        F.ntile(n_bins).over(w).alias("bin"),
-        F.col(score_col).cast(f"decimal(18,{scale})").alias("__s"),
-        F.col(label_col).cast("bigint").alias("__y"),
+    ranked = distrank.global_row_number(
+        df.select(
+            F.col(score_col).alias("__sc"),
+            F.col(tiebreak).alias("__tb"),
+            F.col(score_col).cast(f"decimal(18,{scale})").alias("__s"),
+            F.col(label_col).cast("bigint").alias("__y"),
+        ),
+        F.col("__sc"),
+        [F.col("__tb")],
+        out_col="__i",
+        total_col="__n",
+    )
+    binned = ranked.select(
+        distrank.ntile_from_row_number(
+            F.col("__i"), F.col("__n"), n_bins
+        ).cast("int").alias("bin"),
+        "__s",
+        "__y",
     )
     per = binned.groupBy("bin").agg(
         F.count("*").cast("bigint").alias("n_obs"),

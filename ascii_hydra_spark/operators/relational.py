@@ -354,26 +354,33 @@ def skyline_2d(df: DataFrame, minimize: str, maximize: str) -> DataFrame:
     picking the weights up front.
 
     The naive skyline is the quadratic NOT-EXISTS anti join (which the
-    oracle spells to prove semantics). This is the O(n log n) sweep:
-    sort by (minimize asc, maximize desc); a point survives iff its
-    maximize value strictly exceeds the running max of all preceding
-    points — every preceding point has a <= minimize value, so a
-    running-max hit IS a dominator, and after distinct the strictness
-    cases all reduce to `> cummax`. One global window over the distinct
-    point set (entity-level contract: distinct (x, y) pairs are
-    bucket-bounded, not fact-table-sized).
+    oracle spells to prove semantics). This is the O(n log n) sweep,
+    reduced first to the per-x front: within one minimize value only the
+    max-maximize point can survive (any other same-x point is strictly
+    dominated by it), so group to distinct-x grain, then a point
+    survives iff its maximize value strictly exceeds the EXCLUSIVE
+    running max over all smaller x — every preceding point has a < x,
+    so a running-max hit IS a dominator. The running max is
+    `distrank.global_running_max(exclusive=True)` keyed on the unique x
+    (bucketed parallel prefix max — no single-reducer sort even at 1e9
+    distinct points; same survivors as the single-window sweep by the
+    reduction above).
     """
-    pts = df.select(
-        F.col(minimize).alias("__x"), F.col(maximize).alias("__y")
-    ).distinct()
-    w = Window.orderBy(F.col("__x").asc(), F.col("__y").desc()).rowsBetween(
-        Window.unboundedPreceding, -1
+    from ascii_hydra_spark.operators import distrank
+
+    fronts = (
+        df.select(
+            F.col(minimize).alias("__x"), F.col(maximize).alias("__y")
+        )
+        .groupBy("__x")
+        .agg(F.max("__y").alias("__y"))
     )
-    return (
-        pts.withColumn("__m", F.max("__y").over(w))
-        .filter(F.col("__m").isNull() | (F.col("__y") > F.col("__m")))
-        .select(F.col("__x").alias(minimize), F.col("__y").alias(maximize))
+    swept = distrank.global_running_max(
+        fronts, F.col("__x"), F.col("__y"), out_col="__m", exclusive=True
     )
+    return swept.filter(
+        F.col("__m").isNull() | (F.col("__y") > F.col("__m"))
+    ).select(F.col("__x").alias(minimize), F.col("__y").alias(maximize))
 
 
 def association_rules(

@@ -201,3 +201,115 @@ def test_converted_analytics_plans_have_no_unpartitioned_window(spark):
         analytics.max_drawdown(series, "t", "n"),
     ):
         assert_no_unpartitioned_window(out)
+
+
+def test_global_running_max_exclusive_matches_single_window(spark):
+    # the skyline dominator test: strictly-preceding max, NULL on row 1
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 211)) for i in range(3000)], "k long, x double"
+    )
+    got = distrank.global_running_max(
+        df, F.col("k"), F.col("x"), out_col="pm", exclusive=True
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    want = df.select("k", F.max("x").over(w).alias("pm"))
+    assert got.select("k", "pm").exceptAll(want).count() == 0
+    # exactly one NULL: the global first row has no predecessor
+    assert got.filter(F.col("pm").isNull()).count() == 1
+    assert_no_unpartitioned_window(got)
+
+
+def test_round8_converted_plans_have_no_unpartitioned_window(spark):
+    # the round-8 conversions: AUC / calibration / stump / ABC / pareto /
+    # skyline must leave no empty-spec WindowExec in their plans
+    from ascii_hydra_spark.operators import analytics, mleval, relational
+
+    scored = spark.createDataFrame(
+        [(float((i * 13) % 89) + (i % 7) * 0.125, i % 3 == 0, i)
+         for i in range(400)],
+        "score double, y boolean, id long",
+    ).select("score", F.col("y").cast("int").alias("y"), "id")
+    entities = spark.createDataFrame(
+        [(i, f"{(i * 91) % 733}.{i % 100:02d}") for i in range(300)],
+        "k long, raw string",
+    ).select("k", F.col("raw").cast("decimal(18,2)").alias("v"))
+    pts = spark.createDataFrame(
+        [(float((i * 17) % 101), ((i * 29) % 53)) for i in range(500)],
+        "price double, size long",
+    )
+    for out in (
+        mleval.auc_score(scored, "score", "y"),
+        mleval.calibration_bins(scored, "score", "y", "id"),
+        analytics.decision_stump(scored, "score", "y"),
+        analytics.abc_classification(entities, "k", "v"),
+        analytics.pareto_coverage(entities, "k", "v"),
+        relational.skyline_2d(pts, "price", "size"),
+    ):
+        assert_no_unpartitioned_window(out)
+
+
+def test_round8_conversions_match_single_window_values(spark):
+    # value-identity of the converted shapes against the literal
+    # single-window formulations they replaced
+    from ascii_hydra_spark.operators import mleval, relational
+
+    scored = spark.createDataFrame(
+        [(float((i * 13) % 89) + (i % 7) * 0.125, 1 if i % 3 == 0 else 0, i)
+         for i in range(800)],
+        "score double, y int, id long",
+    )
+    # AUC vs the per-row average-rank window formulation
+    w = Window.orderBy(F.col("score"))
+    w_tie = Window.partitionBy(F.col("score"))
+    ranked = scored.select(
+        (F.col("y") == 1).alias("p"),
+        (
+            F.rank().over(w).cast("double")
+            + (F.count("*").over(w_tie).cast("double") - F.lit(1.0)) / 2.0
+        ).alias("ar"),
+    )
+    old = ranked.agg(
+        F.sum(F.col("p").cast("bigint")).alias("n_pos"),
+        F.sum((~F.col("p")).cast("bigint")).alias("n_neg"),
+        F.sum(F.when(F.col("p"), F.col("ar"))).alias("rp"),
+    ).collect()[0]
+    import math
+    want_auc = round(
+        (old.rp - old.n_pos * (old.n_pos + 1) / 2.0)
+        / (old.n_pos * old.n_neg),
+        6,
+    )
+    got = mleval.auc_score(scored, "score", "y").collect()[0]
+    assert (got.n_pos, got.n_neg) == (old.n_pos, old.n_neg)
+    assert math.isclose(got.auc, want_auc, abs_tol=0)  # bit-identical
+    # calibration bins vs literal NTILE
+    got_bins = mleval.calibration_bins(scored, "score", "y", "id")
+    wn = Window.orderBy(F.col("score"), F.col("id"))
+    binned = scored.select(
+        F.ntile(10).over(wn).alias("bin"),
+        F.col("score").cast("decimal(18,2)").alias("s"),
+        F.col("y").cast("bigint").alias("yy"),
+    )
+    want_bins = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n_obs"),
+        F.round(F.sum("s").cast("double") / F.count("*"), 6).alias("mean_score"),
+        F.round(F.sum("yy").cast("double") / F.count("*"), 6).alias("pos_rate"),
+    )
+    assert got_bins.exceptAll(want_bins).count() == 0
+    # skyline vs the literal exclusive-running-max sweep over distinct pairs
+    pts = spark.createDataFrame(
+        [(float((i * 17) % 101), ((i * 29) % 53)) for i in range(700)],
+        "price double, size long",
+    )
+    dp = pts.distinct()
+    ws = Window.orderBy(
+        F.col("price").asc(), F.col("size").desc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    want_sky = (
+        dp.withColumn("m", F.max("size").over(ws))
+        .filter(F.col("m").isNull() | (F.col("size") > F.col("m")))
+        .select("price", "size")
+    )
+    got_sky = relational.skyline_2d(pts, "price", "size")
+    assert got_sky.exceptAll(want_sky).count() == 0
+    assert want_sky.exceptAll(got_sky).count() == 0
