@@ -172,3 +172,91 @@ def robots_gate(
             ).alias("allowed"),
         )
     )
+
+
+def wat_outlinks(
+    df: DataFrame,
+    uri_col: str = "target_uri",
+    body_col: str = "body",
+) -> DataFrame:
+    """(src_surt, dst_surt) hyperlink edges from anchor hrefs in crawled
+    HTML — the WAT-outlink table of the Common Crawl trio (WARC bytes ->
+    WAT metadata -> WET text). The reference's production pipeline
+    builds exactly this interfirm hyperlink graph from crawl dumps
+    (reference paper.md:139-167 NodesOnly -> Edges -> Graph -> GraphAggr;
+    its Databricks image ships fastwarc/warcio/surt for it —
+    resources/databricks.py:76-78); here the extraction is pure codegen
+    string ops — ``regexp_extract_all`` for the hrefs, literal
+    prefix tests + one concat for resolution, ``surt_url`` for the
+    canonical keys — no UDF, so a 1000-executor scan stays whole-stage
+    compiled and the only shuffle is whatever the caller aggregates.
+
+    Scope (documented subset, the WAT-parity cases): absolute
+    ``http(s)://`` hrefs pass through, protocol-relative ``//host/..``
+    adopt the page scheme, root-relative ``/path`` resolve against the
+    page origin; fragment-only, ``mailto:``/``javascript:``/other
+    schemes, and directory-relative hrefs (no leading slash — rare in
+    crawl top-N and ambiguous without <base>) are dropped. One output
+    row per surviving anchor occurrence; callers dedup at their grain
+    (``distinct()`` for a page graph, groupBy for weighted domain
+    edges).
+    """
+    from ascii_hydra_spark.functions import surt_url
+
+    href_re = r"""(?i)<a\s[^>]*href\s*=\s*["']([^"']+)["']"""
+    base = df.select(
+        F.col(uri_col).alias("__uri"),
+        F.explode(
+            F.regexp_extract_all(F.col(body_col), F.lit(href_re), F.lit(1))
+        ).alias("__href"),
+    )
+    scheme = F.regexp_extract(
+        F.col("__uri"), r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1
+    )
+    origin = F.regexp_extract(
+        F.col("__uri"), r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)", 1
+    )
+    h = F.col("__href")
+    resolved = (
+        F.when(h.rlike(r"^(?i)https?://"), h)
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(origin, h))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        base.select("__uri", resolved.alias("__dst"))
+        .filter(F.col("__dst").isNotNull())
+        .select(
+            surt_url("__uri").alias("src_surt"),
+            surt_url("__dst").alias("dst_surt"),
+        )
+    )
+
+
+def domain_link_aggr(edges: DataFrame) -> DataFrame:
+    """(src_domain, dst_domain, n_links, n_src_pages): page-grain SURT
+    edges aggregated to the registered-domain grain — the GraphAggr
+    step of the reference's crawl-graph pipeline (paper.md:150-167:
+    page edges roll up to firm/domain nodes before analysis). The SURT
+    host prefix (everything before ``)``) IS the domain key, so the
+    rollup is one substring + one keyed aggregate: ``n_links`` counts
+    DISTINCT page-level (src, dst) pairs between the two domains and
+    ``n_src_pages`` the distinct linking pages. Input edges may repeat
+    (one row per anchor); the distinct runs inside the same shuffle as
+    the aggregate (partial map-side dedup on the composite key).
+    """
+    dom = lambda c: F.substring_index(F.col(c), ")", 1)  # noqa: E731
+    return (
+        edges.select(
+            dom("src_surt").alias("src_domain"),
+            dom("dst_surt").alias("dst_domain"),
+            F.col("src_surt"),
+            F.col("dst_surt"),
+        )
+        .distinct()
+        .groupBy("src_domain", "dst_domain")
+        .agg(
+            F.count("*").cast("bigint").alias("n_links"),
+            F.countDistinct("src_surt").cast("bigint").alias("n_src_pages"),
+        )
+    )

@@ -292,6 +292,43 @@ def fixture_html_record(i: int) -> "tuple[str, str, str, int, str, str]":
     return record_id, warc_date, uri, status, "text/html", body
 
 
+def fixture_linked_record(i: int) -> "tuple[str, str, str, int, str, str]":
+    """Deterministic HTML capture ``i`` with ANCHOR OUTLINKS — the WAT
+    fixture: each 200-status page carries four ``<a href>`` anchors, of
+    which exactly two survive WAT extraction (an absolute cross-host
+    link to host ``i % 3`` with out-of-order query params to exercise
+    SURT param sorting, and a root-relative same-host link that must
+    resolve against the page origin) and two are traps (a fragment-only
+    href and a mailto:). Source host = ``i % 7`` and link-target host =
+    ``i % 3``, so the domain graph is asymmetric: hosts 0-2 receive
+    cross-host links from all seven hosts, hosts 3-6 only self-links —
+    PageRank over the aggregated domain graph has two distinct tiers.
+    Closed-form in ``i`` so the DuckDB oracle reconstructs the edge set
+    in SQL (the wat_outlink_edges / domain_graph_aggr /
+    wat_domain_pagerank entries); any change here must update those
+    oracles.
+    """
+    record_id = f"urn:uuid:00000000-0000-0000-0000-{i:012d}"
+    warc_date = f"2024-04-{1 + i % 28:02d}T00:00:00Z"
+    uri = f"http://www.Site{i % 7}.Example.COM/page/{i}"
+    status = {2: 301, 3: 404}.get(i % 5, 200)
+    abs_href = (
+        f"http://www.Site{i % 3}.Example.COM/deep/{i % 13}/page"
+        f"?b={i % 3}&a={i % 5}"
+    )
+    rel_href = f"/local/{i % 11}"
+    body = (
+        f"<html><head><title>Page {i}</title></head><body>"
+        f"<p>outlinks {i}</p>"
+        f'<a href="{abs_href}">next</a> '
+        f"<a href='{rel_href}'>local</a> "
+        f'<a href="#frag">top</a> '
+        f'<a href="mailto:team@example.com">mail</a>'
+        f"</body></html>"
+    )
+    return record_id, warc_date, uri, status, "text/html", body
+
+
 def fixture_hostfile_record(i: int) -> "tuple[str, str, str, int, str, str]":
     """Deterministic fixture capture ``i`` with HOST-PER-SEGMENT
     locality: host = Site{i // 150}, so each 150-record archive file

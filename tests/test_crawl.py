@@ -96,3 +96,100 @@ def test_gate_no_unpartitioned_window_and_rowcount(spark):
     assert out.count() == 100  # one row per input URL, rules never fan out
     # the parse window partitions by host; the gate has no window at all
     assert_no_unpartitioned_window(out)
+
+
+# ---------------------------------------------------------------- WAT
+
+
+def test_wat_outlinks_resolution_cases(spark):
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://www.Src.Example.COM/a/page",
+                '<a href="http://Other.ORG/x?b=2&a=1">abs</a>'
+                "<a href='//cdn.example.net/lib.js'>proto-rel</a>"
+                '<A HREF="/root/path">upper</A>'
+                '<a href="#frag">frag</a>'
+                '<a href="mailto:x@y.z">mail</a>'
+                '<a href="javascript:void(0)">js</a>'
+                '<a href="relative/no/slash">dir-rel</a>',
+            )
+        ],
+        "target_uri string, body string",
+    )
+    got = {
+        (r["src_surt"], r["dst_surt"])
+        for r in crawl.wat_outlinks(pages).collect()
+    }
+    src = "com,example,src)/a/page"
+    assert got == {
+        (src, "org,other)/x?a=1&b=2"),           # absolute, params sorted
+        (src, "net,example,cdn)/lib.js"),        # protocol-relative -> https
+        (src, "com,example,src)/root/path"),     # root-relative -> origin
+    }
+
+
+def test_wat_outlinks_empty_and_statusless_bodies(spark):
+    pages = spark.createDataFrame(
+        [("http://h.example.com/", "no anchors here"),
+         ("http://h.example.com/2", "<a name='x'>anchor without href</a>")],
+        "target_uri string, body string",
+    )
+    assert crawl.wat_outlinks(pages).count() == 0
+
+
+def test_domain_link_aggr_counts_distinct_pages_and_pairs(spark):
+    edges = spark.createDataFrame(
+        [
+            ("com,a)/p1", "com,b)/x"),
+            ("com,a)/p1", "com,b)/x"),   # repeated anchor -> one pair
+            ("com,a)/p1", "com,b)/y"),
+            ("com,a)/p2", "com,b)/x"),
+            ("com,a)/p1", "com,a)/self"),
+        ],
+        "src_surt string, dst_surt string",
+    )
+    got = {
+        (r["src_domain"], r["dst_domain"]): (r["n_links"], r["n_src_pages"])
+        for r in crawl.domain_link_aggr(edges).collect()
+    }
+    assert got == {("com,a", "com,b"): (3, 2), ("com,a", "com,a"): (1, 1)}
+
+
+def test_wat_fixture_pipeline_closed_form(spark):
+    import tempfile
+
+    from ascii_hydra_spark.operators.graph import pagerank
+    from ascii_hydra_spark.sources.warc import (
+        fixture_linked_record,
+        register_warc_source,
+        write_warc_fixture,
+    )
+
+    register_warc_source(spark)
+    d = tempfile.mkdtemp(prefix="ahs_wat_test_")
+    write_warc_fixture(
+        d, n_records=105, n_files=2, compress=True,
+        record_fn=fixture_linked_record,
+    )
+    recs = spark.read.format("warc").option("path", d).load()
+    live = recs.filter(F.col("http_status") == 200)
+    edges = crawl.wat_outlinks(live)
+    # closed form: survivors are i % 5 not in {2, 3} -> 63 of 105 pages,
+    # 2 surviving anchors each (traps dropped)
+    assert edges.count() == 63 * 2
+    dom = crawl.domain_link_aggr(edges)
+    # every (src 0..6, dst 0..2) cross pair occurs, plus 7 self pairs,
+    # minus the 3 self pairs double-listed -> 25 domain pairs
+    assert dom.count() == 25
+    ranks = pagerank(
+        dom.select(F.col("src_domain").alias("src"),
+                   F.col("dst_domain").alias("dst")),
+        iterations=3,
+    ).collect()
+    by_node = {r["node"]: r["rank"] for r in ranks}
+    assert abs(sum(by_node.values()) - 1.0) < 1e-9  # mass conserved
+    # two tiers: link-receiving hosts 0-2 outrank self-link-only 3-6
+    lo = max(by_node[f"com,example,site{h}"] for h in (3, 4, 5, 6))
+    hi = min(by_node[f"com,example,site{h}"] for h in (0, 1, 2))
+    assert hi > lo

@@ -647,6 +647,57 @@ def main() -> int:
 
     stage("warc_scan", warc_scan)
 
+    # ---- WAT end-to-end at 20k records: crawl -> anchor edges -> domain
+    # rollup -> PageRank, the reference's production graph pipeline
+    # composed over the linked-HTML fixture. Closed forms: 3/5 of pages
+    # are 200-status, each yields exactly 2 edges (2 traps drop); the
+    # domain graph is the fixed 25-pair structure at any record count ----
+    def wat_graph_pipeline():
+        from ascii_hydra_spark.operators.crawl import (
+            domain_link_aggr,
+            wat_outlinks,
+        )
+        from ascii_hydra_spark.operators.graph import pagerank
+        from ascii_hydra_spark.sources.warc import (
+            fixture_linked_record,
+            register_warc_source,
+            write_warc_fixture,
+        )
+
+        wd = os.path.join(out, "wat_sf1")
+        nrec, nfiles = 20_000, 8
+        write_warc_fixture(
+            wd, n_records=nrec, n_files=nfiles, compress=True,
+            record_fn=fixture_linked_record,
+        )
+        register_warc_source(spark)
+        recs = spark.read.format("warc").option("path", wd).load()
+        live = recs.filter(
+            (F.col("http_status") == 200)
+            & (F.col("content_type") == "text/html")
+        )
+        edges = wat_outlinks(live)
+        n_edges = edges.count()
+        assert n_edges == (nrec * 3 // 5) * 2, n_edges
+        dom = domain_link_aggr(edges)
+        assert dom.count() == 25
+        ranks = pagerank(
+            dom.select(
+                F.col("src_domain").alias("src"),
+                F.col("dst_domain").alias("dst"),
+            ),
+            iterations=5,
+        ).collect()
+        total = sum(r["rank"] for r in ranks)
+        assert abs(total - 1.0) < 1e-9, total
+        by = {r["node"]: r["rank"] for r in ranks}
+        hi = min(by[f"com,example,site{h}"] for h in (0, 1, 2))
+        lo = max(by[f"com,example,site{h}"] for h in (3, 4, 5, 6))
+        assert hi > lo, (hi, lo)
+        return {"records": nrec, "edges": n_edges, "domain_pairs": 25}
+
+    stage("wat_graph_pipeline", wat_graph_pipeline)
+
     # ---- distributed cumulative statistics at 1M DISTINCT values: the
     # round-7 conversions (weighted_median / max_drawdown ride distrank
     # running sums/max instead of an unpartitioned Window.orderBy).
@@ -867,6 +918,44 @@ def main() -> int:
         return {"rows": nr, "groups": len(per_g), "per_group_sum": want_sum}
 
     stage("quantile_normalize_1m", quantile_norm_1m)
+
+    # ---- round-8 conversions at 1M DISTINCT scores: AUC by the rank
+    # identity and the NTILE reliability bins, both through the bucketed
+    # distrank primitives (no single-reducer sort). Scores are the
+    # permutation v = id*611953 mod n; label = v odd. Closed forms:
+    # positives are the m = n/2 odd scores, the i-th odd score (2i+1)
+    # beats exactly i+1 even scores, so AUC = (m(m+1)/2)/m^2 = (m+1)/2m;
+    # each of the 10 equal-count bins holds n/10 consecutive scores with
+    # exactly half odd -> pos_rate 0.5 and an arithmetic-series mean. ----
+    def auc_calibration_1m():
+        from ascii_hydra_spark.operators import mleval as ML
+
+        nr = 1_000_000
+        rows = spark.range(nr).select(
+            F.pmod(F.col("id") * 611953, F.lit(nr))
+            .cast("double")
+            .alias("score"),
+            F.pmod(F.col("id") * 611953, F.lit(2)).cast("int").alias("y"),
+            F.col("id").alias("rid"),
+        )
+        row = ML.auc_score(rows, "score", "y").collect()[0]
+        m = nr // 2
+        assert (row["n_pos"], row["n_neg"]) == (m, m), row
+        want = round((m + 1) / (2.0 * m), 6)
+        assert row["auc"] == want, (row["auc"], want)
+        bins = ML.calibration_bins(rows, "score", "y", "rid").collect()
+        assert len(bins) == 10
+        per = nr // 10
+        for r in bins:
+            b = r["bin"]
+            assert r["n_obs"] == per, r
+            # bin b covers scores (b-1)*per .. b*per - 1
+            want_mean = round((b - 1) * per + (per - 1) / 2.0, 6)
+            assert abs(r["mean_score"] - want_mean) < 1e-6, (r, want_mean)
+            assert r["pos_rate"] == 0.5, r
+        return {"rows": nr, "distinct_scores": nr, "auc": row["auc"]}
+
+    stage("auc_calibration_1m", auc_calibration_1m)
 
     summary = {
         "metric": "scale_stress_sf1",
