@@ -1115,6 +1115,17 @@ def bartlett(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     left folds over groups sorted by label — the engine-portable float
     order. One groupBy, no window, no join; group count bounds the
     collected arrays.
+
+    PRECONDITION (caller-enforced, deliberately not filtered here so
+    the oracle SQL stays a literal transcription): every group needs
+    n_g >= 2 AND positive sample variance. A singleton group divides
+    ss/(n_g-1) by zero and a zero-variance group feeds ln(0) — under
+    Spark both yield NULL and the NULL propagates through the ordered
+    fold, silently nulling bartlett_t, and other engines' div-by-zero/
+    ln(0) semantics (error, -inf) need not match. Pre-filter degenerate
+    groups (``HAVING COUNT(*) >= 2`` + a variance floor) on BOTH sides
+    when the input can contain them; the test is meaningless for such
+    groups anyway (a one-point group has no variance to compare).
     """
     v = df.filter(F.col(value_col).isNotNull()).select(
         F.col(group_col).alias("__g"), F.col(value_col).alias("__x")
@@ -1197,9 +1208,13 @@ def quantile_normalize(
     Requires value_col exactly representable at `scale` decimals
     (cast decimal upstream) and |value| < 10^(12-scale); r*N must fit
     a bigint (documented ~3e9-row bound, decimal-widen beyond). NULL
-    values are dropped.
+    values AND NULL groups are dropped (filtered explicitly — the
+    group-index equi-join would silently drop NULL groups anyway,
+    so the filter makes the contract visible in the plan).
     """
-    e = df.filter(F.col(value_col).isNotNull()).select(
+    e = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(
         F.col(group_col).alias("__g"),
         F.col(value_col).alias("__x"),
         F.col(id_col).alias("__id"),
@@ -1295,13 +1310,15 @@ def grouped_exact_median(
     (k-row side table). The median ranks lo = (n+1)//2 and
     hi = n//2 + 1 are then found by a plain conditional MIN over the
     distinct-value grain — every data-sized stage parallel. Value must
-    be exactly representable at `scale` decimals; NULLs dropped.
+    be exactly representable at `scale` decimals; NULL values AND
+    NULL groups are dropped (explicit filter — the group-index
+    equi-join would silently drop NULL groups anyway).
     Returns (group, n, median) with median = (x_lo + x_hi)/2 computed
     in decimal before one double cast.
     """
-    e = df.filter(F.col(value_col).isNotNull()).select(
-        F.col(group_col).alias("__g"), F.col(value_col).alias("__x")
-    )
+    e = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("__g"), F.col(value_col).alias("__x"))
     w_g = Window.partitionBy(
         F.pmod(F.length("__g"), F.lit(1))
     ).orderBy("__g")
@@ -1373,12 +1390,18 @@ def grouped_exact_quantiles(
     Same composite-key distrank machinery (one global running sum over
     g-major integer keys + k-row offsets); the bracketing order
     statistics for ALL requested quantiles resolve in ONE conditional-
-    MIN aggregate over the distinct-value grain. Returns (group, n,
-    q_<p> ...) with each quantile 6-dp rounded.
+    MIN aggregate over the distinct-value grain. NULL values AND NULL
+    groups are dropped (explicit filter, same contract as
+    :func:`grouped_exact_median`). Quantile probabilities should be
+    binary-exact (k/2^m — 0.25/0.5/0.75 are; 0.1 is not): the
+    bracket rank floor((n-1)*q) is evaluated in doubles, and a
+    non-representable q can land one rank off an oracle's exact
+    rational quantile_cont arithmetic at integer-h boundaries.
+    Returns (group, n, q_<p> ...) with each quantile 6-dp rounded.
     """
-    e = df.filter(F.col(value_col).isNotNull()).select(
-        F.col(group_col).alias("__g"), F.col(value_col).alias("__x")
-    )
+    e = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(F.col(group_col).alias("__g"), F.col(value_col).alias("__x"))
     w_g = Window.partitionBy(
         F.pmod(F.length("__g"), F.lit(1))
     ).orderBy("__g")

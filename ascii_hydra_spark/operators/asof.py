@@ -126,7 +126,12 @@ def as_of_join_nearest(
     Equal-ts right rows inherit each direction's tiebreak (backward:
     MAX first value col, forward: MIN), so reruns and the oracle agree.
     Left rows must be distinct as tuples (they key the direction
-    join-back); pass an id column to guarantee it.
+    join-back); pass an id column to guarantee it. The join-back is
+    NULL-SAFE on every left column, so a left row carrying a NULL (in
+    the key, the timestamp, or any carried column) pairs its two
+    directional results like any other row — the same keep-NULL-rows
+    behavior as the single-direction `as_of_join`, where a NULL key
+    forms its own window partition.
     """
     r2 = right.withColumn("__nn_rts", F.col(right_ts))
     vcols = tuple(right_value_cols) + ("__nn_rts",)
@@ -136,10 +141,16 @@ def as_of_join_nearest(
     fw = as_of_join(
         left, r2, key, left_ts, right_ts, vcols, tolerance_seconds, "forward"
     ).select(
-        *[F.col(c) for c in left.columns],
+        *[F.col(c).alias(f"__fwl_{c}") for c in left.columns],
         *[F.col(f"asof_{c}").alias(f"__fw_{c}") for c in vcols],
     )
-    j = bk.join(fw, on=list(left.columns), how="inner")
+    cond = None
+    for c in left.columns:
+        t = bk[c].eqNullSafe(fw[f"__fwl_{c}"])
+        cond = t if cond is None else cond & t
+    j = bk.join(fw, cond, "inner").drop(
+        *[f"__fwl_{c}" for c in left.columns]
+    )
     b_gap = F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col("asof___nn_rts"))
     f_gap = F.unix_micros(F.col("__fw___nn_rts")) - F.unix_micros(F.col(left_ts))
     use_bk = F.col("asof___nn_rts").isNotNull() & (

@@ -118,3 +118,33 @@ def test_asof_forward_boundaries(spark):
     }
     # 3 -> 907 is 64s ahead: outside tolerance; 2 -> 905 is 5s ahead: inside
     assert out_tol == {1: 901, 2: 905, 3: None}
+
+
+def test_asof_nearest_keeps_null_bearing_left_rows(spark):
+    # a NULL in any left column (key, ts, or a carried column) must not
+    # drop the row: the directional join-back is null-safe, matching
+    # plain as_of_join where a NULL key forms its own window partition
+    left = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 10:00:00"),
+            (2, None, "2024-01-01 10:00:00"),   # NULL key
+            (3, 1, None),                        # NULL ts
+            (None, 1, "2024-01-01 11:00:00"),    # NULL carried column
+        ],
+        "event_id BIGINT, user_id BIGINT, ts STRING",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(10, 1, "2024-01-01 09:59:00"), (11, 1, "2024-01-01 10:02:00")],
+        "event_id BIGINT, user_id BIGINT, ts STRING",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = asof.as_of_join_nearest(left, right, "user_id").collect()
+    assert len(out) == 4  # every left row survives exactly once
+    by_ev = {r["event_id"]: r for r in out}
+    assert by_ev[1]["nearest_event_id"] == 10  # -60s beats +120s
+    assert by_ev[2]["nearest_event_id"] is None  # NULL key: no match
+    # NULL ts inherits the directional passes' NULL ordering: the
+    # backward pass sees nothing (NULLs sort first), the forward pass
+    # matches its direction's tiebreak pick — with a NULL gap
+    assert by_ev[3]["nearest_event_id"] == 10
+    assert by_ev[3]["nearest_gap_us"] is None
+    assert by_ev[None]["nearest_event_id"] == 11  # +120s only side
