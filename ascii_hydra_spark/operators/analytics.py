@@ -3034,8 +3034,9 @@ def abc_classification(
     every engine; only the final share is a double. Rank and cumulative
     value both come from the bucketed distrank primitives (decimal sums
     are order-exact, so the values are unchanged from the single-window
-    spelling), and the total is a broadcast scalar — no data-sized
-    global window even at 1e9 entities.
+    spelling), and the grand total rides the running sum's own
+    per-bucket offsets table (``total_col`` — no extra pass, no 1-row
+    cross join) — no data-sized global window even at 1e9 entities.
     """
     d = entities.select(
         F.col(key_col).alias("__k"),
@@ -3044,14 +3045,9 @@ def abc_classification(
     ranked = distrank.global_row_number(
         d, F.col("__v"), [F.col("__k")], desc=True, out_col="__i"
     )
-    tot = d.agg(F.sum("__v").alias("__tot"))
-    cum = (
-        distrank.global_running_sum(
-            ranked, F.col("__i"), F.col("__v"), out_col="__cum"
-        )
-        .crossJoin(F.broadcast(tot))
-        .select("__k", "__v", "__cum", "__tot")
-    )
+    cum = distrank.global_running_sum(
+        ranked, F.col("__i"), F.col("__v"), out_col="__cum", total_col="__tot"
+    ).select("__k", "__v", "__cum", "__tot")
     cls = cum.select(
         "__v",
         "__tot",
@@ -3084,8 +3080,9 @@ def pareto_coverage(
     100*(cum - v) < pct*total in decimal, so the crossing entity is
     included and the cut is engine-exact. Rank and cumulative value via
     the bucketed distrank primitives (decimal arithmetic keeps the cut
-    identical to the single-window spelling), total as a broadcast
-    scalar — no data-sized global window; two final double divisions.
+    identical to the single-window spelling), the grand total riding
+    the running sum's own offsets table (``total_col``) — no data-sized
+    global window, no extra total pass; two final double divisions.
     """
     d = entities.select(
         F.col(key_col).alias("__k"),
@@ -3094,14 +3091,9 @@ def pareto_coverage(
     ranked = distrank.global_row_number(
         d, F.col("__v"), [F.col("__k")], desc=True, out_col="__i"
     )
-    tot = d.agg(F.sum("__v").alias("__tot"))
-    cum = (
-        distrank.global_running_sum(
-            ranked, F.col("__i"), F.col("__v"), out_col="__cum"
-        )
-        .crossJoin(F.broadcast(tot))
-        .select("__v", "__cum", "__tot")
-    )
+    cum = distrank.global_running_sum(
+        ranked, F.col("__i"), F.col("__v"), out_col="__cum", total_col="__tot"
+    ).select("__v", "__cum", "__tot")
     flagged = cum.select(
         "__v",
         "__tot",

@@ -167,6 +167,7 @@ def global_running_sum(
     value_col: Column,
     *,
     out_col: str = "__cum",
+    total_col: "str | None" = None,
     num_buckets: "int | None" = None,
 ) -> DataFrame:
     """``df`` + ``out_col`` = exact INCLUSIVE running sum of
@@ -174,7 +175,10 @@ def global_running_sum(
     unique per row — the distinct-value-grain contract), same bucketed
     two-pass shape as :func:`global_row_number`. The per-bucket
     pre-aggregate sums in the value's own type, so a decimal/bigint
-    input keeps exact arithmetic end to end.
+    input keeps exact arithmetic end to end. With ``total_col`` the
+    grand total rides along from the already-built per-bucket sums (no
+    extra pass over the data, no 1-row cross join) — share-of-total
+    consumers (ABC cuts, Pareto coverage) need it.
     """
     base, _ = _bucketed(df.withColumn("__dr_v", value_col), key, False, num_buckets)
     sums = base.groupBy(_B).agg(F.sum("__dr_v").alias("__dr_psum"))
@@ -183,11 +187,12 @@ def global_running_sum(
         .orderBy(key.asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return (
-        base.join(F.broadcast(_offsets(sums, "__dr_psum")), _B)
-        .withColumn(out_col, local + F.coalesce(F.col("__dr_off"), F.lit(0)))
-        .drop(_B, "__dr_off", "__dr_total", "__dr_v")
+    out = base.join(F.broadcast(_offsets(sums, "__dr_psum")), _B).withColumn(
+        out_col, local + F.coalesce(F.col("__dr_off"), F.lit(0))
     )
+    if total_col is not None:
+        out = out.withColumn(total_col, F.col("__dr_total"))
+    return out.drop(_B, "__dr_off", "__dr_total", "__dr_v")
 
 
 def global_running_sums(

@@ -367,11 +367,6 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
                                        # grand-total broadcast (cramers
                                        # shape)
         "pareto_chart_priorities",     # 1-row grand-total broadcast
-        "abc_classification_parts",    # 1-row total-value broadcast (the
-                                       # round-8 distrank conversion
-                                       # replaced the unpartitioned
-                                       # total window with it)
-        "pareto_coverage_customers",   # same 1-row total broadcast
         "decayed_customer_value",   # 1-row ref-date broadcast
         "priority_mix_drift_monthly",  # 1-row baseline-total broadcast
     }
