@@ -416,3 +416,97 @@ def test_distrank_row_number_equals_python_sort(spark, values, buckets, desc):
         )
     }
     assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),   # score (heavy ties)
+            st.booleans(),                             # label
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_auc_matches_brute_force_pair_count(spark, rows):
+    """AUC == P(score_pos > score_neg) + 0.5*P(tie) by brute force —
+    the rank-identity distrank formulation must agree on arbitrary
+    inputs with arbitrary tie structure."""
+    from ascii_hydra_spark.operators import mleval
+
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    df = spark.createDataFrame(
+        [(float(s), 1 if y else 0) for s, y in rows], "score double, y int"
+    )
+    row = mleval.auc_score(df, "score", "y").collect()[0]
+    assert (row["n_pos"], row["n_neg"]) == (len(pos), len(neg))
+    if not pos or not neg:
+        assert row["auc"] is None
+        return
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    want = round((wins + 0.5 * ties) / (len(pos) * len(neg)), 6)
+    assert abs(row["auc"] - want) < 1e-9, (row["auc"], want)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),  # minimize dim
+            st.integers(min_value=0, max_value=12),  # maximize dim
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_skyline_matches_quadratic_dominance(spark, pts):
+    """Skyline sweep == the NOT-EXISTS dominance definition on arbitrary
+    point sets (duplicates, full ties, single-point fronts)."""
+    from ascii_hydra_spark.operators import relational
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r["x"], r["y"]) for r in relational.skyline_2d(df, "x", "y").collect()
+    }
+    dset = set(pts)
+    want = {
+        (x, y)
+        for (x, y) in dset
+        if not any(
+            bx <= x and by >= y and (bx < x or by > y) for (bx, by) in dset
+        )
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=30), min_size=1, max_size=50
+    ),
+    st.integers(min_value=2, max_value=7),
+)
+def test_calibration_bins_partition_rows_like_ntile(spark, scores, nbins):
+    """Bin sizes and per-bin counts must equal SQL NTILE's first-bins-
+    get-the-remainder rule on arbitrary tie-heavy inputs."""
+    from ascii_hydra_spark.operators import mleval
+
+    df = spark.createDataFrame(
+        [(float(s), i % 2, i) for i, s in enumerate(scores)],
+        "score double, y int, id long",
+    )
+    out = mleval.calibration_bins(
+        df, "score", "y", "id", n_bins=nbins
+    ).collect()
+    n = len(scores)
+    base, extra = divmod(n, nbins)
+    want_sizes = {
+        b: base + (1 if b <= extra else 0)
+        for b in range(1, nbins + 1)
+        if base + (1 if b <= extra else 0) > 0
+    }
+    got_sizes = {r["bin"]: r["n_obs"] for r in out}
+    assert got_sizes == want_sizes
