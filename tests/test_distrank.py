@@ -160,6 +160,25 @@ def test_global_running_sums_decimal_stays_exact(spark):
     assert got.select("k", "cum").exceptAll(want).count() == 0
 
 
+def test_global_running_sum_total_col_rides_along(spark):
+    # the share-of-total rider: every row carries the exact grand total
+    # (decimal, from the same per-bucket sums — no extra pass)
+    df = spark.createDataFrame(
+        [(i, f"{i}.{i % 100:02d}") for i in range(400)], "k long, raw string"
+    ).select("k", F.col("raw").cast("decimal(18,2)").alias("x"))
+    got = distrank.global_running_sum(
+        df, F.col("k"), F.col("x"), out_col="cum", total_col="tot"
+    )
+    want_total = df.agg(F.sum("x")).collect()[0][0]
+    assert got.count() == 400
+    assert got.select("tot").distinct().count() == 1
+    assert got.select("tot").first()[0] == want_total
+    # the last row's cumulative sum IS the total
+    last = got.orderBy(F.desc("k")).first()
+    assert last["cum"] == want_total
+    assert_no_unpartitioned_window(got)
+
+
 def test_global_running_max_matches_single_window(spark):
     # zig-zag values so the running max has real plateaus and jumps
     df = spark.createDataFrame(
