@@ -258,6 +258,9 @@ EXTRA = [
     "gini_by_segment",              # grouped concentration
     "stream_quality_gate",          # Gopher gate inside a file stream
     "warc_curation_pipeline",       # scan -> gate -> SURT dedup composite
+    # round-8 additions
+    "wat_outlink_edges",            # WAT anchor extraction -> SURT edges
+    "domain_graph_aggr",            # page edges -> domain-grain rollup
 ]
 
 
