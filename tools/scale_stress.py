@@ -957,6 +957,92 @@ def main() -> int:
 
     stage("auc_calibration_1m", auc_calibration_1m)
 
+    # ---- the rest of the round-8 conversion family at 1M DISTINCT
+    # values: decision stump (perfect split at the median of a
+    # permutation -> gain = base gini = 0.5 exactly), skyline (monotone
+    # and sawtooth fronts with exact survivor counts), ABC/pareto
+    # (integer-decimal boundary cuts replayed by an exact Python fold
+    # over the closed-form value sequence v = n-1 .. 0) ----
+    def stump_abc_skyline_1m():
+        from ascii_hydra_spark.operators import analytics as A8
+        from ascii_hydra_spark.operators import relational as R8
+
+        nr = 1_000_000
+        perm = F.pmod(F.col("id") * 611953, F.lit(nr))
+        # decision stump: v = permutation, y = v >= nr/2 -> the best
+        # "v <= t" split is t = nr/2 - 1 with pure halves
+        scored = spark.range(nr).select(
+            perm.cast("double").alias("v"),
+            (perm >= nr // 2).cast("int").alias("y"),
+        )
+        srow = A8.decision_stump(scored, "v", "y").collect()[0]
+        assert srow["threshold"] == nr // 2 - 1, srow
+        assert (srow["n_left"], srow["pos_left"]) == (nr // 2, 0), srow
+        assert srow["split_gini"] == 0.0 and srow["gain"] == 0.5, srow
+        # skyline: y = nr-1-x -> the (0, nr-1) point dominates everything
+        # (1 survivor); y = x -> every point is Pareto-optimal (all nr
+        # survive — the full-front output-size stress); sawtooth
+        # y = x % K -> exactly the first K strictly-rising points
+        dec = spark.range(nr).select(
+            F.col("id").alias("x"), (F.lit(nr - 1) - F.col("id")).alias("y")
+        )
+        assert R8.skyline_2d(dec, "x", "y").count() == 1
+        inc = spark.range(nr).select(
+            F.col("id").alias("x"), F.col("id").alias("y")
+        )
+        assert R8.skyline_2d(inc, "x", "y").count() == nr
+        K = 1000
+        saw = spark.range(nr).select(
+            F.col("id").alias("x"), (F.col("id") % K).alias("y")
+        )
+        assert R8.skyline_2d(saw, "x", "y").count() == K
+        # ABC + pareto over v = i.00 for i = 0..nr-1 (distinct decimals):
+        # replay the exact decimal cuts with an integer fold (v sorted
+        # desc is nr-1, nr-2, ...; cum_k = k*nr - k(k+1)/2 exactly)
+        ents = spark.range(nr).select(
+            F.col("id").alias("k"),
+            F.col("id").cast("decimal(18,2)").alias("v"),
+        )
+        tot = nr * (nr - 1) // 2
+        n_a = n_b = n_c = 0
+        cum = 0
+        for j in range(nr):  # exact integer replay of the 80/95 cuts
+            cum += nr - 1 - j
+            if 10 * cum <= 8 * tot:
+                n_a += 1
+            elif 20 * cum <= 19 * tot:
+                n_b += 1
+            else:
+                # cumulative value only grows: everything after the
+                # first C entity is C
+                n_c = nr - n_a - n_b
+                break
+        got = {
+            r["abc_class"]: r["n_entities"]
+            for r in A8.abc_classification(ents, "k", "v").collect()
+        }
+        assert got == {"A": n_a, "B": n_b, "C": n_c}, (got, n_a, n_b, n_c)
+        # pareto 80% cover: smallest prefix with 100*(cum - v) < 80*tot
+        cum = 0
+        n_need = 0
+        for j in range(nr):
+            v = nr - 1 - j
+            if 100 * cum < 80 * tot:  # cum BEFORE this entity
+                n_need += 1
+            else:
+                break
+            cum += v
+        prow = A8.pareto_coverage(ents, "k", "v", threshold_pct=80).collect()[0]
+        assert (prow["n_entities"], prow["n_needed"]) == (nr, n_need), (
+            prow, n_need,
+        )
+        return {
+            "rows": nr, "stump_gain": srow["gain"],
+            "abc": got, "pareto_needed": n_need,
+        }
+
+    stage("stump_abc_skyline_1m", stump_abc_skyline_1m)
+
     summary = {
         "metric": "scale_stress_sf1",
         "docs": args.docs,
