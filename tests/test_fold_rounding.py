@@ -22,10 +22,44 @@ import re
 
 from ascii_hydra_spark.verification import REGISTRY
 
-# (operator-call marker in the Spark source, column it publishes rounded).
-# contingency_chi2 emits chi2_term = ROUND((o-e)^2/e, 6) — any entry that
-# folds that column is folding 6-dp inputs and its oracle must too.
-PRE_ROUNDED_PUBLISHED = [("contingency_chi2", "chi2_term")]
+def _pre_rounded_published() -> "list[tuple[str, str]]":
+    """(operator-fn-name, column) pairs for every operator that PUBLISHES
+    a ROUND(...,N).alias("col") column — derived mechanically from the
+    operator modules, so a new rounded-output operator is guarded the day
+    it lands, not when someone remembers to extend a manual list. An
+    entry that folds such a column is folding N-dp inputs and its oracle
+    must round per-term too."""
+    from ascii_hydra_spark.operators import (
+        analytics, asof, clustering, corpus, crawl, dedup, distrank,
+        graph, mleval, relational, retrieval, similarity, sketches,
+        text, windows,
+    )
+
+    mods = (
+        analytics, asof, clustering, corpus, crawl, dedup, distrank,
+        graph, mleval, relational, retrieval, similarity, sketches,
+        text, windows,
+    )
+    pat = re.compile(
+        r'F\.round\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*?,\s*\d+\s*\)'
+        r'\s*\.alias\(\s*"([a-z0-9_]+)"',
+        re.S,
+    )
+    out = []
+    for m in mods:
+        for fname, fn in inspect.getmembers(m, inspect.isfunction):
+            if fn.__module__ != m.__name__:
+                continue
+            try:
+                src = inspect.getsource(fn)
+            except OSError:  # pragma: no cover
+                continue
+            for col in set(pat.findall(src)):
+                out.append((fname, col))
+    return out
+
+
+PRE_ROUNDED_PUBLISHED = _pre_rounded_published()
 
 
 def _underlying(fn):
@@ -91,13 +125,12 @@ def test_pre_rounded_fold_has_rounded_oracle():
             if f'x["{col}"]' not in src and f"x['{col}']" not in src:
                 continue
             hits += 1
-            # the chi2 fold is any oracle fold whose inner references the
-            # contingency cell inputs (n_obs) or the published column name
-            folds = [
-                x
-                for x in _fold_inner_exprs(spec.sql)
-                if "n_obs" in x or col in x
-            ]
+            # the matching oracle fold: any fold whose inner references
+            # the published column by name; when none does (the round-7
+            # shape re-derived the expression inline, e.g. from n_obs),
+            # every fold is suspect and must be rounded
+            inners = _fold_inner_exprs(spec.sql)
+            folds = [x for x in inners if col in x] or inners
             assert folds, f"{name}: Spark folds {col} but oracle has no matching fold"
             for inner in folds:
                 assert _is_per_term_rounded(inner, spec.sql), (
