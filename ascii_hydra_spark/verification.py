@@ -3447,9 +3447,11 @@ def tpch_q15_like(spark, sf_dir):
         F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
     )
     totals = li.groupBy("l_suppkey").agg(F.sum(rev).alias("total"))
-    from pyspark.sql import Window
-
-    best = totals.withColumn("mx", F.max("total").over(Window.partitionBy()))
+    # supplier grain SCALES with the corpus: the global max is a 1-row
+    # aggregate broadcast back, not an empty-spec window (which would
+    # single-partition the whole totals table); decimal max is exact
+    mx = totals.agg(F.max("total").alias("mx"))
+    best = totals.crossJoin(F.broadcast(mx))
     return (
         best.filter(F.col("total") == F.col("mx"))
         .join(s, F.col("l_suppkey") == s.s_suppkey)
@@ -5286,9 +5288,11 @@ def tpch_q11_like(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(val.alias("val"))
     )
-    total = F.sum("val").over(Window.partitionBy())
+    # part grain SCALES with the corpus: the grand total is a 1-row
+    # aggregate broadcast back (exact decimal), not an empty-spec window
+    tot = pv.agg(F.sum("val").alias("total"))
     return (
-        pv.withColumn("total", total)
+        pv.crossJoin(F.broadcast(tot))
         .filter(F.col("val").cast("double") > F.col("total").cast("double") * 0.0015)
         .select("l_partkey", F.col("val").cast("double").alias("value"))
     )
@@ -13050,8 +13054,9 @@ def monthly_order_mix(spark, sf_dir):
     "Customer recency bands per segment (days since last order vs the "
     "corpus max date, banded 30/90/365) — the reactivation-targeting "
     "cut beside rfm_segmentation; exact integer day arithmetic, the "
-    "reference date comes from a customer-grain global window (the "
-    "gini entity-level contract), segment-window shares",
+    "reference date is a 1-row max broadcast back over the "
+    "customer-grain table (no data-sized window), segment-window "
+    "shares over the bounded segment x band grid",
 )
 def customer_recency_bands(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
@@ -13059,11 +13064,13 @@ def customer_recency_bands(spark, sf_dir):
     last_o = o.groupBy("o_custkey").agg(
         F.max(F.col("o_orderdate").cast("date")).alias("__last")
     )
-    rec = last_o.select(
+    # customer grain SCALES with the corpus: the reference date is a
+    # 1-row aggregate broadcast back (exact date max), not an empty-spec
+    # window over the per-customer table
+    ref = last_o.agg(F.max("__last").alias("__ref"))
+    rec = last_o.crossJoin(F.broadcast(ref)).select(
         "o_custkey",
-        F.datediff(
-            F.max("__last").over(Window.partitionBy()), F.col("__last")
-        ).alias("__rd"),
+        F.datediff(F.col("__ref"), F.col("__last")).alias("__rd"),
     )
     band = (
         F.when(F.col("__rd") <= 30, "0-30")

@@ -367,6 +367,13 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
                                        # grand-total broadcast (cramers
                                        # shape)
         "pareto_chart_priorities",     # 1-row grand-total broadcast
+        "tpch_q15_like",               # 1-row max-revenue broadcast (the
+                                       # round-8 de-windowing of the
+                                       # supplier-grain global max)
+        "tpch_q11_like",               # 1-row grand-total broadcast
+                                       # (part-grain de-windowing)
+        "customer_recency_bands",      # 1-row reference-date broadcast
+                                       # (customer-grain de-windowing)
         "decayed_customer_value",   # 1-row ref-date broadcast
         "priority_mix_drift_monthly",  # 1-row baseline-total broadcast
     }
