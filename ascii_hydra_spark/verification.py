@@ -10165,16 +10165,29 @@ def mmr_rerank_topk(spark, sf_dir):
     """,
     "Mutual information (nats) between the value decile and the event "
     "type — the non-linear feature-relevance screen beside chi2 and the "
-    "Gini stump; exact-integer cell/margin counts, cell-bounded log sum "
-    "under the KL-family 6-dp round",
+    "Gini stump; the event-grain decile comes from "
+    "distrank.global_row_number + ntile_from_row_number (bucketed "
+    "two-pass exact rank, no single-reducer sort), identical to the "
+    "oracle's single-window NTILE by construction; exact-integer "
+    "cell/margin counts, cell-bounded log sum under the KL-family "
+    "6-dp round",
 )
 def mutual_info_value_type(spark, sf_dir):
-    from pyspark.sql import Window
+    from ascii_hydra_spark.operators import distrank
 
     ev = _t(spark, sf_dir, "events")
-    w = Window.orderBy(F.col("value"), F.col("event_id"))
-    binned = ev.select(
-        F.ntile(10).over(w).alias("x"), F.col("event_type").alias("y")
+    ranked = distrank.global_row_number(
+        ev.select("value", "event_id", F.col("event_type").alias("y")),
+        F.col("value"),
+        [F.col("event_id")],
+        out_col="__i",
+        total_col="__n",
+    )
+    binned = ranked.select(
+        distrank.ntile_from_row_number(F.col("__i"), F.col("__n"), 10)
+        .cast("int")
+        .alias("x"),
+        "y",
     )
     return mleval.mutual_information(binned, "x", "y")
 
@@ -13813,10 +13826,19 @@ def trigram_top_by_lang(spark, sf_dir):
     "Customer value-quartile migration matrix between the 1995-97 and "
     "1998-01 halves of the order history — the churn/upsell movement "
     "readout behind rfm_segmentation; NTILE over a TOTAL order "
-    "(value DESC, custkey) so quartile assignment is deterministic, "
-    "exact counts, 16-cell window shares",
+    "(value DESC, custkey) so quartile assignment is deterministic — "
+    "spelled as ONE distrank.global_row_number under a period-major "
+    "composite key (period band * 1e15 - value cents; customer totals "
+    "bounded by 1e13 dollars keep bands disjoint and the key exact in "
+    "a double), within-period ranks recovered by subtracting the 2-row "
+    "period-offset broadcast, quartiles via ntile_from_row_number — no "
+    "customer-sized single-reducer window; exact counts, shares "
+    "against a 1-row grand-total broadcast over the 16-cell "
+    "migration grid",
 )
 def customer_value_migration(spark, sf_dir):
+    from ascii_hydra_spark.operators import distrank
+
     o = _t(spark, sf_dir, "orders")
     per = o.groupBy(
         F.col("o_custkey").alias("k"),
@@ -13830,8 +13852,40 @@ def customer_value_migration(spark, sf_dir):
         .cast("decimal(18,2)")
         .alias("v")
     )
-    w = Window.partitionBy("period").orderBy(F.desc("v"), F.col("k"))
-    qt = per.select("k", "period", F.ntile(4).over(w).alias("quartile"))
+    # period-major composite key: ascending key order == (period asc,
+    # v DESC, k asc) — v rides as exact negated cents (decimal(18,2)
+    # -> *100 is an exact long), bands can't overlap while per-customer
+    # totals stay under 1e13 dollars, and |key| <= 2e15 < 2^53 so the
+    # approxQuantile probe's double cast is exact
+    gi = F.when(F.col("period") == "p1", F.lit(1)).otherwise(F.lit(2))
+    per2 = per.withColumn(
+        "__key",
+        gi.cast("long") * F.lit(10**15).cast("long")
+        - (F.col("v") * 100).cast("long"),
+    )
+    ranked = distrank.global_row_number(
+        per2, F.col("__key"), [F.col("k")], out_col="__i"
+    )
+    ng = per2.groupBy("period").agg(F.count("*").cast("long").alias("__ng"))
+    w_off = (
+        Window.partitionBy(distrank.single_partition("__ng"))
+        .orderBy("period")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = ng.select(
+        "period",
+        "__ng",
+        F.coalesce(F.sum("__ng").over(w_off), F.lit(0)).alias("__off"),
+    )
+    qt = ranked.join(F.broadcast(offs), "period").select(
+        "k",
+        "period",
+        distrank.ntile_from_row_number(
+            F.col("__i") - F.col("__off"), F.col("__ng"), 4
+        )
+        .cast("int")
+        .alias("quartile"),
+    )
     a = qt.filter(F.col("period") == "p1").select(
         "k", F.col("quartile").alias("q_from")
     )
@@ -13843,13 +13897,13 @@ def customer_value_migration(spark, sf_dir):
         .groupBy("q_from", "q_to")
         .agg(F.count("*").cast("bigint").alias("n_customers"))
     )
-    return c.select(
+    total = c.agg(F.sum("n_customers").alias("__tot"))
+    return c.crossJoin(F.broadcast(total)).select(
         "q_from",
         "q_to",
         "n_customers",
         F.round(
-            F.col("n_customers").cast("double")
-            / F.sum("n_customers").over(Window.partitionBy()).cast("double"),
+            F.col("n_customers").cast("double") / F.col("__tot").cast("double"),
             6,
         ).alias("share"),
     )
@@ -13941,10 +13995,17 @@ def ship_lead_time_by_priority(spark, sf_dir):
     "times, so touching sessions count as concurrent and the running "
     "max is order-independent within tie blocks) — the capacity "
     "number sizing connection pools; exact integer arithmetic "
-    "throughout, session-grain global window (the open_lines "
-    "contract)",
+    "throughout. The sweep's prefix sum is distrank.global_running_sum "
+    "over (us, d)-grain groups keyed by us*2 + start/end indicator (a "
+    "long, exact in a double) — the running sum at each tie-block END "
+    "is preserved, +1 blocks are internally increasing and -1 blocks "
+    "start strictly below the preceding block end, so the block-end "
+    "maximum, the peak, and its first us all equal the row-grain "
+    "sweep's; no session-sized single-reducer window",
 )
 def peak_concurrency_sessions(spark, sf_dir):
+    from ascii_hydra_spark.operators import distrank
+
     ev = _t(spark, sf_dir, "events")
     tagged = windows.session_ids(ev, ["user_id"], "ts", "event_id", gap_s=1800)
     us = F.unix_micros(F.col("ts"))
@@ -13954,12 +14015,22 @@ def peak_concurrency_sessions(spark, sf_dir):
     pts = per.select(F.col("s").alias("us"), F.lit(1).alias("d")).unionAll(
         per.select((F.col("en") + 1).alias("us"), F.lit(-1).alias("d"))
     )
-    w = Window.orderBy(F.col("us"), F.desc("d")).rowsBetween(
-        Window.unboundedPreceding, 0
+    grp = pts.groupBy("us", "d").agg(F.count("*").cast("long").alias("__cnt"))
+    keyed = grp.withColumn(
+        "__key",
+        F.col("us") * 2
+        + F.when(F.col("d") == 1, F.lit(0)).otherwise(F.lit(1)).cast("long"),
     )
-    sweep = pts.select("us", "d", F.sum("d").over(w).alias("cur"))
+    sweep = distrank.global_running_sum(
+        keyed,
+        F.col("__key"),
+        (F.col("d") * F.col("__cnt")).cast("long"),
+        out_col="cur",
+    )
     agg = sweep.agg(
-        (F.count("*") / 2).cast("bigint").alias("n_sessions"),
+        F.sum(F.when(F.col("d") == 1, F.col("__cnt")))
+        .cast("bigint")
+        .alias("n_sessions"),
         F.max("cur").cast("bigint").alias("peak_concurrent"),
         F.min_by(F.col("us"), F.struct((-F.col("cur")).alias("a"), F.col("us").alias("b")))
         .cast("bigint")
@@ -14276,18 +14347,35 @@ def _event_directed_edges(spark, sf_dir):
     GROUP BY dec.decile
     """,
     "Demand curve: quantity sold per part-price decile (NTILE over the "
-    "total (price, partkey) order — deterministic assignment) — the "
-    "price-elasticity proxy; decimal-exact price and quantity sums, "
-    "parts with no sales kept at zero via the left join",
+    "total (price, partkey) order — deterministic assignment, spelled "
+    "as distrank.global_row_number + ntile_from_row_number so the "
+    "part-grain rank never funnels through a single-reducer window; "
+    "identical to the oracle's single-window NTILE by construction) — "
+    "the price-elasticity proxy; decimal-exact price and quantity "
+    "sums, parts with no sales kept at zero via the left join",
 )
 def demand_curve_price_deciles(spark, sf_dir):
+    from ascii_hydra_spark.operators import distrank
+
     p = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.orderBy(F.col("p_retailprice"), F.col("p_partkey"))
-    dec = p.select(
+    ranked = distrank.global_row_number(
+        p.select(
+            "p_partkey",
+            F.col("p_retailprice").cast("decimal(18,2)").alias("price"),
+            "p_retailprice",
+        ),
+        F.col("p_retailprice"),
+        [F.col("p_partkey")],
+        out_col="__i",
+        total_col="__n",
+    )
+    dec = ranked.select(
         "p_partkey",
-        F.col("p_retailprice").cast("decimal(18,2)").alias("price"),
-        F.ntile(10).over(w).alias("decile"),
+        "price",
+        distrank.ntile_from_row_number(F.col("__i"), F.col("__n"), 10)
+        .cast("int")
+        .alias("decile"),
     )
     q = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_quantity").cast("decimal(18,2)"))

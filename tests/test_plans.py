@@ -374,6 +374,9 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
                                        # (part-grain de-windowing)
         "customer_recency_bands",      # 1-row reference-date broadcast
                                        # (customer-grain de-windowing)
+        "customer_value_migration",    # 1-row grand-total broadcast over
+                                       # the 16-cell migration grid (the
+                                       # round-9 distrank conversion)
         "decayed_customer_value",   # 1-row ref-date broadcast
         "priority_mix_drift_monthly",  # 1-row baseline-total broadcast
     }
