@@ -21958,14 +21958,15 @@ def pareto_chart_priorities(spark, sf_dir):
 # registry (rounds 1-6 each checked exactly 50), so the head is a ROTATING
 # evidence window: a handful of anchor entries (one per core family) stay
 # pinned every round, and the remaining slots are filled with entries that
-# have NEVER had a driver row. Round-7 rotation: the round-6 queue
-# (streaks, hypothesis tests, classification/ranking metrics, calibration,
-# sampling, forecast baselines, anonymity audits) — every name SQL-oracled,
-# first-time (round 4 spent 10 of its 50 slots on rows-only entries that
-# can only ever come back `no_oracle`, so the window hard-requires an
-# oracle for every head name — guard below). Position 51+ holds the
-# round-8/9/10 pools, then everything previously driver-checked; the
-# repo-local differential suite checks the FULL registry either way.
+# have NEVER had a driver row. Round-9 rotation: the round-5
+# continuation queue (product analytics, schema DQ, graph spectra,
+# portable folds) plus the Common Crawl WAT trio pulled forward — every
+# name SQL-oracled, first-time (round 4 spent 10 of its 50 slots on
+# rows-only entries that can only ever come back `no_oracle`, so the
+# window hard-requires an oracle for every head name — guard below).
+# Position 51+ holds the round-10/11/12 pools, then everything
+# previously driver-checked; the repo-local differential suite checks
+# the FULL registry either way.
 _DRIVER_HEAD = 50
 
 _ANCHORS: tuple[str, ...] = (
@@ -21978,6 +21979,68 @@ _ANCHORS: tuple[str, ...] = (
 # 51st name out of the window, and round 4 burned 10 slots on rows-only
 # entries that can only ever record `no_oracle`).
 _ROTATION: tuple[str, ...] = (
+    "user_lifecycle_states", "power_user_curve",
+    "intersession_gap_percentiles", "immediate_repeat_tokens_by_source",
+    "nation_trade_balance", "size_price_corr_by_type",
+    "stopword_ratio_by_lang", "quantization_error_stats",
+    "trigram_top_by_lang", "customer_value_migration",
+    "ship_lead_time_by_priority", "peak_concurrency_sessions",
+    "weekly_wow_volatility", "churn_rate_by_segment", "brand_yoy_growth",
+    "hits_top_authorities", "graph_reciprocity",
+    "demand_curve_price_deciles", "user_type_entropy_hist",
+    "customer_order_frequency_hist", "part_name_top_words",
+    "quantity_discount_profile", "supply_hhi_by_nation",
+    "monthly_seasonality_revenue", "cohort_ltv_monthly",
+    "discount_band_effectiveness", "value_profile_by_type",
+    "gram_top_eigenvalue", "brand_type_nested_shares", "value_ecdf_points",
+    "ytd_revenue_share", "decayed_customer_value",
+    "label_balance_embeddings", "header_line_consistency_audit",
+    "linenumber_continuity_audit", "nation_mix_entropy_by_segment",
+    "vocab_coverage_top100", "priority_mix_drift_monthly",
+    "sessions_per_user_hist", "single_source_parts_by_brand",
+    "region_revenue_share_trend", "part_size_price_profile",
+    "wat_outlink_edges", "domain_graph_aggr", "wat_domain_pagerank",
+)
+# (This is the round-8 `_ROUND8_POOL` promoted at round 9 — 45
+# first-time SQL-oracled names; the round-8 rotation moved to
+# _PAST_DRIVER_GREEN after CORRECTNESS_r08.json recorded all 50 head
+# rows green. Three pool names — aov_by_segment, hourly_value_profile,
+# new_customer_order_share_monthly — swapped into a later pool to make
+# room for the Common Crawl WAT trio, pulling driver evidence for the
+# paper's marquee crawl-graph pipeline forward per the round-8 verdict.)
+
+# Round-10 pool: the next rotation up (promoted verbatim at round 10) —
+# a FULL 45-slot rotation (rounds 6-7 additions: WARC ingestion,
+# distributed rank arms, rows-only conversions). Same
+# first-time/disjoint/oracle-able contract. (Variable names are
+# historical — each _ROUND{N}_POOL holds round N+2's rotation.)
+_ROUND8_POOL: tuple[str, ...] = (
+    "warc_records_scan", "warc_host_dedup", "incremental_minhash_portable",
+    "customer_revenue_rank_tiles", "cumulative_daily_revenue",
+    "url_canonical_dedup", "gopher_quality_gate", "distributed_median_price",
+    "binaryfile_scan", "dsir_importance_en", "html_text_extraction",
+    "price_ending_profile", "gini_by_segment", "stream_quality_gate",
+    "warc_curation_pipeline", "warc_content_dedup_pipeline",
+    "cdx_index_build", "cdx_pruned_fetch", "cdx_index_jsonl_sink",
+    "surt_blocklist_filter", "luhn_card_audit", "robots_url_gate",
+    "mojibake_audit", "invisible_char_scrub", "nelson_aalen_lifetimes",
+    "logrank_value_ab", "cuped_value_ab", "lpa_communities",
+    "filtered_aggs_monthly", "freshness_audit_event_types",
+    "gaps_islands_user_days", "asof_join_nearest_views", "cohens_d_value_ab",
+    "mcnemar_doc_gates", "mann_kendall_daily_revenue",
+    "runs_test_daily_revenue", "kruskal_wallis_value_by_type",
+    "ccnet_perplexity_buckets", "quality_feature_matrix",
+    "odds_ratio_purchase_ab", "cdx_revisit_detection",
+    "hurst_rescaled_range_daily", "nbinom_moments_user_events",
+    "bartlett_value_by_type", "stable_rank_embeddings",
+)
+
+# Frozen record of every name with a driver-green row (rows+schema+hash,
+# no error) in CORRECTNESS_r01-r06. Guards below reject a rotation slot
+# spent on an already-green name.
+_PAST_DRIVER_GREEN: frozenset[str] = frozenset({
+    # ---- green in CORRECTNESS_r08 (45 first-time rows; 50/50 incl. the
+    # 5 anchors, zero errors) ----
     "cms_portable_estimates", "hll_portable_distinct",
     "near_dup_minhash_portable", "sim_topk_ivf",
     "minhash_dedup_survivors_portable", "simhash_pairs_portable",
@@ -21999,44 +22062,6 @@ _ROTATION: tuple[str, ...] = (
     "customer_recency_bands", "supplier_coverage_hist",
     "top_part_types_per_region", "bfs_reachable_3hop",
     "event_transition_triples", "weekday_weekend_revenue",
-)
-# (This is the round-7 `_ROUND8_POOL` promoted verbatim — 45 first-time
-# SQL-oracled names; the round-7 rotation moved to _PAST_DRIVER_GREEN
-# after CORRECTNESS_r07.json recorded all 50 head rows green.)
-
-# Round-9 pool: the next rotation up (promoted verbatim at round 9) — a
-# FULL 45-slot rotation (round-5 continuation additions: product
-# analytics, schema DQ, graph spectra, portable folds). Same
-# first-time/disjoint/oracle-able contract.
-_ROUND8_POOL: tuple[str, ...] = (
-    "user_lifecycle_states", "power_user_curve",
-    "intersession_gap_percentiles", "immediate_repeat_tokens_by_source",
-    "nation_trade_balance", "size_price_corr_by_type",
-    "stopword_ratio_by_lang", "quantization_error_stats",
-    "trigram_top_by_lang", "customer_value_migration",
-    "ship_lead_time_by_priority", "peak_concurrency_sessions",
-    "weekly_wow_volatility", "churn_rate_by_segment", "brand_yoy_growth",
-    "hits_top_authorities", "graph_reciprocity",
-    "demand_curve_price_deciles", "user_type_entropy_hist",
-    "customer_order_frequency_hist", "part_name_top_words",
-    "quantity_discount_profile", "supply_hhi_by_nation",
-    "monthly_seasonality_revenue", "cohort_ltv_monthly",
-    "discount_band_effectiveness", "value_profile_by_type",
-    "gram_top_eigenvalue", "brand_type_nested_shares", "value_ecdf_points",
-    "ytd_revenue_share", "decayed_customer_value",
-    "label_balance_embeddings", "header_line_consistency_audit",
-    "linenumber_continuity_audit", "nation_mix_entropy_by_segment",
-    "vocab_coverage_top100", "priority_mix_drift_monthly",
-    "sessions_per_user_hist", "single_source_parts_by_brand",
-    "region_revenue_share_trend", "part_size_price_profile",
-    "aov_by_segment", "hourly_value_profile",
-    "new_customer_order_share_monthly",
-)
-
-# Frozen record of every name with a driver-green row (rows+schema+hash,
-# no error) in CORRECTNESS_r01-r06. Guards below reject a rotation slot
-# spent on an already-green name.
-_PAST_DRIVER_GREEN: frozenset[str] = frozenset({
     # ---- green in CORRECTNESS_r07 (45 first-time rows; 50/50 incl. the
     # 5 anchors, zero errors) ----
     "user_day_streaks", "welch_ttest_value_ab", "crosscorr_orders_lagged",
@@ -22149,31 +22174,8 @@ _PAST_DRIVER_GREEN: frozenset[str] = frozenset({
     "window_running", "zorder_clustering", "zscore_outlier_counts",
 })
 
-# Round-10 pool: entries added during rounds 6-7 (WARC ingestion,
-# distributed rank arms, rows-only conversions). Same contract.
-_ROUND9_POOL: tuple[str, ...] = (
-    "warc_records_scan", "warc_host_dedup", "incremental_minhash_portable",
-    "customer_revenue_rank_tiles", "cumulative_daily_revenue",
-    "url_canonical_dedup", "gopher_quality_gate", "distributed_median_price",
-    "binaryfile_scan", "dsir_importance_en", "html_text_extraction",
-    "price_ending_profile", "gini_by_segment", "stream_quality_gate",
-    "warc_curation_pipeline", "warc_content_dedup_pipeline",
-    "cdx_index_build", "cdx_pruned_fetch", "cdx_index_jsonl_sink",
-    "surt_blocklist_filter", "luhn_card_audit", "robots_url_gate",
-    "mojibake_audit", "invisible_char_scrub", "nelson_aalen_lifetimes",
-    "logrank_value_ab", "cuped_value_ab", "lpa_communities",
-    "filtered_aggs_monthly", "freshness_audit_event_types",
-    "gaps_islands_user_days", "asof_join_nearest_views", "cohens_d_value_ab",
-    "mcnemar_doc_gates", "mann_kendall_daily_revenue",
-    "runs_test_daily_revenue", "kruskal_wallis_value_by_type",
-    "ccnet_perplexity_buckets", "quality_feature_matrix",
-    "odds_ratio_purchase_ab", "cdx_revisit_detection",
-    "hurst_rescaled_range_daily", "nbinom_moments_user_events",
-    "bartlett_value_by_type", "stable_rank_embeddings",
-)
-
 # Round-11 pool: round-7 continuation additions. Same contract.
-_ROUND10_POOL: tuple[str, ...] = (
+_ROUND9_POOL: tuple[str, ...] = (
     "granger_orders_to_revenue", "simpsons_paradox_segments",
     "eclat_brand_triples", "nb_langid_confusion",
     "lang_unigram_cosine_pairs", "fano_factor_hourly_by_type",
@@ -22196,9 +22198,11 @@ _ROUND10_POOL: tuple[str, ...] = (
     "interarrival_expfit_ks", "durbin_watson_daily",
 )
 
-# Round-12 pool: overflow past round 11's 45 slots; fills toward 45
-# with round-8 additions. Same contract.
-_ROUND11_POOL: tuple[str, ...] = (
+# Round-12 pool: the 23-name evidence-queue tail (round-8 additions
+# minus the WAT trio, which the round-9 rotation pulled forward, plus
+# the three product-analytics names that made room for it). Same
+# contract.
+_ROUND10_POOL: tuple[str, ...] = (
     "pacf_lag2_daily", "theil_sen_slope_ci", "weekly_periodogram_power",
     "eb_shrunken_urgent_rates", "best_30d_revenue_window",
     "effective_price_multiplier_profile", "warc_content_type_mix",
@@ -22208,12 +22212,17 @@ _ROUND11_POOL: tuple[str, ...] = (
     "winsorized_acctbal_by_nation", "tukey_fences_acctbal_by_nation",
     "dow_share_goodman_ci", "cramers_v_corrected_segment_priority",
     "record_days_revenue", "pareto_chart_priorities",
-    # round-8 additions: the Common Crawl WAT trio
-    "wat_outlink_edges", "domain_graph_aggr", "wat_domain_pagerank",
+    # displaced from the round-9 rotation by the WAT trio
+    "aov_by_segment", "hourly_value_profile",
+    "new_customer_order_share_monthly",
 )
 
-# Round-13 pool: round-8 additions queue here once round 12's 45 slots
-# fill. Same contract.
+# Round-13 pool: new entries queue here once round 12's tail fills
+# toward 45. Same contract.
+_ROUND11_POOL: tuple[str, ...] = (
+)
+
+# Round-14 pool: overflow. Same contract.
 _ROUND12_POOL: tuple[str, ...] = (
 )
 

@@ -19,8 +19,9 @@ Contracts enforced:
   (frozen in _PAST_DRIVER_GREEN);
 - anchors are all previously driver-green (they exist to re-confirm);
 - no duplicates anywhere in _PRIORITY;
-- the round-8 pool holds exactly the next rotation's 45 slots, so next
-  round's promotion is a straight copy.
+- `_ROUND8_POOL` (the variable names are historical — each
+  `_ROUND{N}_POOL` holds round N+2's rotation) holds exactly the next
+  rotation's 45 slots, so next round's promotion is a straight copy.
 """
 
 from ascii_hydra_spark import verification as v
