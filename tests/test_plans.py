@@ -229,11 +229,126 @@ def test_no_forced_broadcast_of_scaling_tables(spark, sf_dir):
     assert "customer" not in DIMENSION_TABLES
 
 
+def _unbounded_partition_window_lines(plan: str) -> list[str]:
+    """Physical-plan lines holding a window whose partition spec is EMPTY
+    or CONSTANT — the single-reducer-sort shape (WindowExec warns and moves
+    ALL input to one partition). ``plan`` is ``executedPlan().toString()``.
+
+    Parsing: every ``windowspecdefinition(part..., order..., frame)`` on a
+    line is split at top level; partition exprs are the leading args before
+    the first sort-order (`ASC|DESC NULLS ...`) or frame arg. Exemptions:
+
+    - a partition spec that is exactly ``pmod(<expr>, 1)`` — the repo's
+      ANNOTATED bounded single-partition marker (distrank.single_partition:
+      a constant Catalyst can't fold away, used only on inputs provably
+      bounded by bucket/tile counts);
+    - everything else constant (no ``#<id>`` attribute reference) or empty
+      is returned for the caller to check against its bounded-grain
+      allowlist.
+    """
+    import re
+
+    order_pat = re.compile(r"\b(ASC|DESC) NULLS (FIRST|LAST)$")
+    out = []
+    for raw in plan.split("\n"):
+        if "windowspecdefinition(" not in raw:
+            continue
+        for m in re.finditer(r"windowspecdefinition\(", raw):
+            i, depth, buf = m.end(), 1, []
+            while i < len(raw) and depth:
+                ch = raw[i]
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                if depth:
+                    buf.append(ch)
+                i += 1
+            args, d, cur = [], 0, []
+            for ch in "".join(buf):
+                if ch == "(":
+                    d += 1
+                elif ch == ")":
+                    d -= 1
+                if ch == "," and d == 0:
+                    args.append("".join(cur).strip())
+                    cur = []
+                else:
+                    cur.append(ch)
+            if cur:
+                args.append("".join(cur).strip())
+            part = []
+            for a in args:
+                if a.startswith("specifiedwindowframe") or order_pat.search(a):
+                    break
+                part.append(a)
+            if part and all(re.match(r"pmod\(.*, 1\)$", p) for p in part):
+                continue  # the annotated bounded single-partition marker
+            if not part or not any("#" in p for p in part):
+                out.append(raw.strip().lstrip(":+- ").strip()[:200])
+                break  # one offense per line is enough
+    return out
+
+
+# Empty-partition-spec windows whose INPUT is bounded by construction —
+# the annotated-grain allowlist (same style as BNLJ_OK below). A
+# single-partition sort of a calendar / bucket-grid / vocab / top-N table
+# is the right plan; a data-sized one is banned (the distrank conversions
+# exist for those). Grain notes name the bound.
+GLOBAL_WINDOW_OK = {
+    # --- calendar-bounded series (<= ~2.5k days / ~340 weeks / ~84 months
+    # on the 7-year order history; grows with TIME, never with data) ---
+    "record_days_revenue", "autocorr_daily_revenue", "open_lines_by_day",
+    "mom_revenue_growth", "bollinger_daily_revenue",
+    "cumulative_user_growth", "runs_test_daily_revenue",
+    "hurst_rescaled_range_daily", "seasonal_decompose_dow",
+    "chow_break_midpoint", "durbin_watson_daily", "pacf_lag2_daily",
+    "weekly_periodogram_power", "best_30d_revenue_window",
+    "sn_scale_daily_revenue", "ljung_box_daily", "weekly_wow_volatility",
+    "monthly_seasonality_revenue",
+    # --- distinct-lifetime-day grain (bounded by the calendar span) ---
+    "kaplan_meier_lifetimes", "nelson_aalen_lifetimes",
+    # --- bucket/grid grain (fixed histogram edges, category lattices,
+    # clamped integer domains) ---
+    "power_user_curve",              # <=61 clamped active-day buckets
+    "user_type_entropy_hist",        # entropy-decile buckets
+    "customer_order_frequency_hist", # clamped count-of-counts buckets
+    "sessions_per_user_hist",        # clamped count-of-counts buckets
+    "discount_band_effectiveness",   # 12 discount bands
+    "brand_type_nested_shares",      # 25-brand x 150-type catalog lattice
+    "label_balance_embeddings",      # label-grain (fixed label set)
+    "header_line_consistency_audit", # per-source boolean-profile grid
+    "pareto_chart_priorities",       # 5 priorities
+    "bh_fdr_nation_urgency",         # 25 nations x 5 priorities
+    "benford_second_digit_totals",   # 10 digits
+    "dow_hour_heatmap_events",       # 7 x 24 cells
+    "session_entry_exit_types",      # |event_type|^2 pairs
+    "cosine_pair_histogram",         # fixed cosine bins
+    "order_lines_histogram",         # lines-per-order integer domain
+    "supplier_coverage_hist",        # suppliers-per-part integer domain
+    "weekday_weekend_revenue",       # 2 rows
+    "revenue_share_by_nation",       # 25 nations
+    # --- vocab grain (post-min_df vocabulary, ~1e5-1e6 rows at web scale;
+    # sublinear in the corpus — build_vocab documents the contract) ---
+    "vocab_build", "tokenize_ids", "tokenizer_prep_pipeline",
+    "zipf_slope_tokens", "part_name_top_words", "vocab_coverage_top100",
+    # --- rank over an already-TakeOrdered/limited input (<= top-N rows;
+    # the unbounded sort lives in the distributed limit, not the window) ---
+    "join_skew_report",              # window over .limit(5)
+    "hybrid_rrf_topk",               # top-R candidate lists per ranker
+    # --- documented fixture-exact arm with a driver-green broadcast-bounds
+    # scale twin (value_quartiles) — accepted in the round-8 verdict ---
+    "rfm_segmentation",
+}
+
+
 def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
     """Sweep every lazily-plannable registry query: no CartesianProduct
     anywhere; BroadcastNestedLoopJoin only where it is the RIGHT plan —
     1-row query-vector/scalar-subquery broadcasts, or the documented exact
-    all-pairs oracle arms (whose scale counterparts are LSH-bucketed)."""
+    all-pairs oracle arms (whose scale counterparts are LSH-bucketed); no
+    window with an empty/constant partition spec (a single-reducer sort of
+    its whole input) outside the annotated bounded-grain allowlist."""
     from ascii_hydra_spark.verification import REGISTRY
 
     BNLJ_OK = {
@@ -402,7 +517,58 @@ def test_registry_plans_free_of_join_antipatterns(spark, sf_dir):
             offenders.append((name, "cartesian"))
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
             offenders.append((name, "BNLJ"))
+        if name not in GLOBAL_WINDOW_OK:
+            pstr = df._jdf.queryExecution().executedPlan().toString()
+            for line in _unbounded_partition_window_lines(pstr):
+                offenders.append((name, "global-window: " + line))
     assert not offenders, offenders
+
+
+def test_global_window_guard_rejects_global_ntile(spark):
+    """The detector must flag a deliberately-reintroduced data-sized
+    global NTILE (empty partition spec) and a folded-constant partition
+    spec, and must NOT flag a keyed window or the annotated
+    pmod(x, 1) bounded marker."""
+    from pyspark.sql import Window
+
+    base = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("g")
+    )
+    ntile = base.select(
+        F.ntile(10).over(Window.orderBy("id")).alias("t")
+    )
+    flagged = _unbounded_partition_window_lines(
+        ntile._jdf.queryExecution().executedPlan().toString()
+    )
+    assert flagged, "global NTILE must be flagged"
+
+    # lit(0) partition spec: Catalyst folds it away to the empty spec
+    folded = base.select(
+        F.sum("id").over(Window.partitionBy(F.lit(0))).alias("s")
+    )
+    assert _unbounded_partition_window_lines(
+        folded._jdf.queryExecution().executedPlan().toString()
+    ), "folded-constant partition spec must be flagged"
+
+    keyed = base.select(
+        F.row_number()
+        .over(Window.partitionBy("g").orderBy("id"))
+        .alias("r")
+    )
+    assert not _unbounded_partition_window_lines(
+        keyed._jdf.queryExecution().executedPlan().toString()
+    ), "keyed window must pass"
+
+    from ascii_hydra_spark.operators.distrank import single_partition
+
+    marked = base.select(
+        F.sum("id")
+        .over(Window.partitionBy(single_partition("g")).orderBy("g"))
+        .alias("s")
+    )
+    assert not _unbounded_partition_window_lines(
+        marked._jdf.queryExecution().executedPlan().toString()
+    ), "the pmod(x, 1) bounded marker must pass"
 
 
 
