@@ -196,18 +196,29 @@ def wat_outlinks(
     adopt the page scheme, root-relative ``/path`` resolve against the
     page origin; fragment-only, ``mailto:``/``javascript:``/other
     schemes, and directory-relative hrefs (no leading slash — rare in
-    crawl top-N and ambiguous without <base>) are dropped. One output
-    row per surviving anchor occurrence; callers dedup at their grain
-    (``distinct()`` for a page graph, groupBy for weighted domain
-    edges).
+    crawl top-N and ambiguous without <base>) are dropped. Each quote
+    style is matched by its own alternative anchored to the OPENING
+    quote, so an href value embedding the other quote char (href="a'b")
+    is captured whole rather than truncated at the embedded quote;
+    unquoted hrefs are dropped. One output row per surviving anchor
+    occurrence; callers dedup at their grain (``distinct()`` for a page
+    graph, groupBy for weighted domain edges).
     """
     from ascii_hydra_spark.functions import surt_url
 
-    href_re = r"""(?i)<a\s[^>]*href\s*=\s*["']([^"']+)["']"""
+    href_dq = r"""(?i)<a\s[^>]*href\s*=\s*"([^"]+)\""""
+    href_sq = r"""(?i)<a\s[^>]*href\s*=\s*'([^']+)'"""
     base = df.select(
         F.col(uri_col).alias("__uri"),
         F.explode(
-            F.regexp_extract_all(F.col(body_col), F.lit(href_re), F.lit(1))
+            F.concat(
+                F.regexp_extract_all(
+                    F.col(body_col), F.lit(href_dq), F.lit(1)
+                ),
+                F.regexp_extract_all(
+                    F.col(body_col), F.lit(href_sq), F.lit(1)
+                ),
+            )
         ).alias("__href"),
     )
     scheme = F.regexp_extract(
@@ -235,11 +246,16 @@ def wat_outlinks(
 
 def domain_link_aggr(edges: DataFrame) -> DataFrame:
     """(src_domain, dst_domain, n_links, n_src_pages): page-grain SURT
-    edges aggregated to the registered-domain grain — the GraphAggr
-    step of the reference's crawl-graph pipeline (paper.md:150-167:
-    page edges roll up to firm/domain nodes before analysis). The SURT
-    host prefix (everything before ``)``) IS the domain key, so the
-    rollup is one substring + one keyed aggregate: ``n_links`` counts
+    edges aggregated to the HOST grain — the GraphAggr step of the
+    reference's crawl-graph pipeline (paper.md:150-167: page edges roll
+    up to firm/domain nodes before analysis). The node key is the full
+    reversed SURT host (everything before ``)``): ``www.`` is already
+    stripped by ``surt_url``, but other subdomains are retained, so
+    ``cdn.example.net`` and ``example.net`` stay separate nodes —
+    host-grain, NOT the registered-domain (eTLD+1) grain, which would
+    need a public-suffix list to truncate multi-label suffixes
+    (``co.uk``) correctly. The rollup is one substring + one keyed
+    aggregate: ``n_links`` counts
     DISTINCT page-level (src, dst) pairs between the two domains and
     ``n_src_pages`` the distinct linking pages. Input edges may repeat
     (one row per anchor); the distinct runs inside the same shuffle as

@@ -75,6 +75,12 @@ def auc_score(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     window: `distrank.global_running_sum` over the DISTINCT-score table
     replaces the single-reducer sort, so 1e9 distinct scores rank in
     parallel (the old entity-level-input contract is gone).
+
+    Row-count bound: 2*R_pos is bounded by n*(n+1), so the exact-BIGINT
+    path holds to ~3e9 TOTAL rows (the same convention as
+    analytics.quantile_normalize's documented bigint bound); Spark's
+    non-ANSI sum wraps silently beyond it — widen __rp2 (and the rank
+    arithmetic) to DECIMAL(38,0) past that scale.
     """
     pos = F.col(label_col).cast("bigint") == 1
     per = df.groupBy(F.col(score_col).alias("__s")).agg(

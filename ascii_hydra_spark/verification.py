@@ -3966,7 +3966,7 @@ def _pagerank_unrolled_sql(
              LEFT JOIN c{i} ON c{i}.node = nd.node)"""
     sql += f"""
     SELECT node, ROUND(rank, 6) AS rank FROM r{iters}
-    ORDER BY rank DESC, node LIMIT 10"""
+    ORDER BY rank DESC, node LIMIT {int(k)}"""
     return sql
 
 

@@ -129,6 +129,26 @@ def test_wat_outlinks_resolution_cases(spark):
     }
 
 
+def test_wat_outlinks_embedded_other_quote_captured_whole(spark):
+    # each quote style anchors to its OPENING quote, so an href embedding
+    # the other quote char is captured whole, not truncated at it
+    pages = spark.createDataFrame(
+        [
+            (
+                "http://h.example.com/",
+                "<a href=\"/o'brien/page\">dq-with-sq</a>"
+                "<a href='/say/%22hi%22'>sq-clean</a>",
+            )
+        ],
+        "target_uri string, body string",
+    )
+    got = {r["dst_surt"] for r in crawl.wat_outlinks(pages).collect()}
+    assert got == {
+        "com,example,h)/o'brien/page",
+        'com,example,h)/say/%22hi%22',
+    }
+
+
 def test_wat_outlinks_empty_and_statusless_bodies(spark):
     pages = spark.createDataFrame(
         [("http://h.example.com/", "no anchors here"),
