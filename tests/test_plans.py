@@ -314,18 +314,20 @@ GLOBAL_WINDOW_OK = {
     "user_type_entropy_hist",        # entropy-decile buckets
     "customer_order_frequency_hist", # clamped count-of-counts buckets
     "sessions_per_user_hist",        # clamped count-of-counts buckets
-    "discount_band_effectiveness",   # 12 discount bands
+    "discount_band_effectiveness",   # 3 discount bands
     "brand_type_nested_shares",      # 25-brand x 150-type catalog lattice
     "label_balance_embeddings",      # label-grain (fixed label set)
-    "header_line_consistency_audit", # per-source boolean-profile grid
+    "header_line_consistency_audit", # floor(10*ratio) band grid (~11)
     "pareto_chart_priorities",       # 5 priorities
-    "bh_fdr_nation_urgency",         # 25 nations x 5 priorities
+    "bh_fdr_nation_urgency",         # nation-grain p-value table (25)
     "benford_second_digit_totals",   # 10 digits
     "dow_hour_heatmap_events",       # 7 x 24 cells
     "session_entry_exit_types",      # |event_type|^2 pairs
     "cosine_pair_histogram",         # fixed cosine bins
-    "order_lines_histogram",         # lines-per-order integer domain
-    "supplier_coverage_hist",        # suppliers-per-part integer domain
+    "order_lines_histogram",         # lines-per-order count-of-counts
+                                     # (distinct multiplicities, not rows)
+    "supplier_coverage_hist",        # width-10 parts-per-supplier bins
+                                     # clamped at 500 (<=51 buckets)
     "weekday_weekend_revenue",       # 2 rows
     "revenue_share_by_nation",       # 25 nations
     # --- vocab grain (post-min_df vocabulary, ~1e5-1e6 rows at web scale;
