@@ -1245,16 +1245,7 @@ def quantile_normalize(
     ng = e2.groupBy("__g", "__gi").agg(
         F.count("*").cast("bigint").alias("__ng")
     )
-    w_off = (
-        Window.partitionBy(distrank.single_partition("__gi"))
-        .orderBy("__gi")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offs = ng.select(
-        "__g",
-        "__ng",
-        F.coalesce(F.sum("__ng").over(w_off), F.lit(0)).alias("__off"),
-    )
+    offs = distrank.group_offsets(ng, "__gi", "__ng", keep=["__g"])
     base = cum.join(F.broadcast(offs), "__g").select(
         "__g",
         "__ck",
@@ -1345,16 +1336,7 @@ def grouped_exact_median(
     ng = e2.groupBy("__g", "__gi").agg(
         F.count("*").cast("bigint").alias("__ng")
     )
-    w_off = (
-        Window.partitionBy(distrank.single_partition("__gi"))
-        .orderBy("__gi")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offs = ng.select(
-        "__g",
-        "__ng",
-        F.coalesce(F.sum("__ng").over(w_off), F.lit(0)).alias("__off"),
-    )
+    offs = distrank.group_offsets(ng, "__gi", "__ng", keep=["__g"])
     j = cum.join(F.broadcast(offs), "__g").withColumn(
         "__wcum", F.col("__cum") - F.col("__off")
     )
@@ -1428,16 +1410,7 @@ def grouped_exact_quantiles(
     ng = e2.groupBy("__g", "__gi").agg(
         F.count("*").cast("bigint").alias("__ng")
     )
-    w_off = (
-        Window.partitionBy(distrank.single_partition("__gi"))
-        .orderBy("__gi")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offs = ng.select(
-        "__g",
-        "__ng",
-        F.coalesce(F.sum("__ng").over(w_off), F.lit(0)).alias("__off"),
-    )
+    offs = distrank.group_offsets(ng, "__gi", "__ng", keep=["__g"])
     j = cum.join(F.broadcast(offs), "__g").withColumn(
         "__wcum", F.col("__cum") - F.col("__off")
     )

@@ -196,30 +196,32 @@ def wat_outlinks(
     adopt the page scheme, root-relative ``/path`` resolve against the
     page origin; fragment-only, ``mailto:``/``javascript:``/other
     schemes, and directory-relative hrefs (no leading slash — rare in
-    crawl top-N and ambiguous without <base>) are dropped. Each quote
-    style is matched by its own alternative anchored to the OPENING
-    quote, so an href value embedding the other quote char (href="a'b")
-    is captured whole rather than truncated at the embedded quote;
-    unquoted hrefs are dropped. One output row per surviving anchor
+    crawl top-N and ambiguous without <base>) are dropped. ONE regex
+    with both quote styles as alternatives anchored to the OPENING
+    quote (the captured group keeps the quotes; they're stripped after
+    extraction), so an href value embedding the other quote char
+    (href="a'b") is captured whole rather than truncated at the
+    embedded quote, and each anchor tag yields AT MOST one row — two
+    independent per-style regexes would both fire on a tag whose other
+    attributes embed an href-looking string. The lazy ``[^>]*?`` means
+    the FIRST href-looking assignment inside the tag wins; a quoted
+    ``href=`` string inside an EARLIER attribute value can still shadow
+    the real one — inherent to the tokenizer-free regex subset.
+    Unquoted hrefs are dropped. One output row per surviving anchor
     occurrence; callers dedup at their grain (``distinct()`` for a page
     graph, groupBy for weighted domain edges).
     """
     from ascii_hydra_spark.functions import surt_url
 
-    href_dq = r"""(?i)<a\s[^>]*href\s*=\s*"([^"]+)\""""
-    href_sq = r"""(?i)<a\s[^>]*href\s*=\s*'([^']+)'"""
+    href_re = r"""(?i)<a\s[^>]*?href\s*=\s*("[^"]+"|'[^']+')"""
+    quoted = F.explode(
+        F.regexp_extract_all(F.col(body_col), F.lit(href_re), F.lit(1))
+    )
     base = df.select(
-        F.col(uri_col).alias("__uri"),
-        F.explode(
-            F.concat(
-                F.regexp_extract_all(
-                    F.col(body_col), F.lit(href_dq), F.lit(1)
-                ),
-                F.regexp_extract_all(
-                    F.col(body_col), F.lit(href_sq), F.lit(1)
-                ),
-            )
-        ).alias("__href"),
+        F.col(uri_col).alias("__uri"), quoted.alias("__q")
+    ).select(
+        "__uri",
+        F.col("__q").substr(F.lit(2), F.length("__q") - 2).alias("__href"),
     )
     scheme = F.regexp_extract(
         F.col("__uri"), r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1

@@ -327,6 +327,34 @@ def global_running_max(
     )
 
 
+def group_offsets(
+    per_group: DataFrame,
+    order_col: str,
+    sum_col: str,
+    keep: "list[str]",
+) -> DataFrame:
+    """``keep`` columns + ``sum_col`` + ``__off`` = EXCLUSIVE prefix sum
+    of ``sum_col`` under ``order_col`` ascending, from a BOUNDED
+    per-group table (one row per group). This is the k-row side table
+    composite-key distrank consumers broadcast back to convert global
+    ranks / cumulative sums into within-group ones (subtract ``__off``).
+    The window is explicitly single-partition via
+    :func:`single_partition` — bounded by the group count, never by
+    data — so the plan guard's constant-spec marker applies. The first
+    group's NULL prefix coalesces to 0.
+    """
+    w_off = (
+        Window.partitionBy(single_partition(sum_col))
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return per_group.select(
+        *keep,
+        F.col(sum_col),
+        F.coalesce(F.sum(sum_col).over(w_off), F.lit(0)).alias("__off"),
+    )
+
+
 def ntile_from_row_number(i: Column, n: Column, tiles: int) -> Column:
     """Standard SQL NTILE(t) from a 1-based global row number ``i`` and
     total count ``n`` — the first ``n % t`` tiles get ``n/t + 1`` rows,

@@ -13867,16 +13867,7 @@ def customer_value_migration(spark, sf_dir):
         per2, F.col("__key"), [F.col("k")], out_col="__i"
     )
     ng = per2.groupBy("period").agg(F.count("*").cast("long").alias("__ng"))
-    w_off = (
-        Window.partitionBy(distrank.single_partition("__ng"))
-        .orderBy("period")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offs = ng.select(
-        "period",
-        "__ng",
-        F.coalesce(F.sum("__ng").over(w_off), F.lit(0)).alias("__off"),
-    )
+    offs = distrank.group_offsets(ng, "period", "__ng", keep=["period"])
     qt = ranked.join(F.broadcast(offs), "period").select(
         "k",
         "period",
@@ -14028,7 +14019,11 @@ def peak_concurrency_sessions(spark, sf_dir):
         out_col="cur",
     )
     agg = sweep.agg(
-        F.sum(F.when(F.col("d") == 1, F.col("__cnt")))
+        # coalesce: an empty input must report 0 sessions (the oracle's
+        # COUNT(*) scalar subquery), not a NULL sum over zero rows
+        F.coalesce(
+            F.sum(F.when(F.col("d") == 1, F.col("__cnt"))), F.lit(0)
+        )
         .cast("bigint")
         .alias("n_sessions"),
         F.max("cur").cast("bigint").alias("peak_concurrent"),

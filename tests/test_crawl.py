@@ -149,6 +149,30 @@ def test_wat_outlinks_embedded_other_quote_captured_whole(spark):
     }
 
 
+def test_wat_outlinks_at_most_one_href_per_anchor(spark):
+    # ONE combined regex: a tag whose other attributes embed an
+    # href-looking string yields AT MOST one row (two independent
+    # per-quote-style regexes would fire twice on the first tag). The
+    # second tag documents the shadowing caveat: a quoted href= inside
+    # an EARLIER attribute value wins under the first-match rule.
+    pages = spark.createDataFrame(
+        [
+            (
+                "http://h.example.com/",
+                '<a href="/a" data-note="href=\'/b\'">x</a>'
+                "<a data-x='href=\"/fake\"' href='/real'>y</a>",
+            )
+        ],
+        "target_uri string, body string",
+    )
+    rows = crawl.wat_outlinks(pages).collect()
+    assert len(rows) == 2  # exactly one row per anchor tag
+    assert {r["dst_surt"] for r in rows} == {
+        "com,example,h)/a",      # the real href, not data-note's /b
+        "com,example,h)/fake",   # documented shadowing (earlier attr)
+    }
+
+
 def test_wat_outlinks_empty_and_statusless_bodies(spark):
     pages = spark.createDataFrame(
         [("http://h.example.com/", "no anchors here"),

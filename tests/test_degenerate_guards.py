@@ -138,3 +138,21 @@ def test_gram_eigen_respects_id_col(spark):
     assert row["d"] == 2
     assert row["top_dim"] == 1
     assert row["eigenvalue"] == pytest.approx(2.0, abs=1e-6)
+
+
+def test_peak_concurrency_empty_events_reports_zero_sessions(spark, tmp_path):
+    # round-9 review finding: the grouped sweep's n_sessions is a
+    # SUM(CASE ...) which is NULL over zero rows; the oracle's scalar
+    # COUNT(*) subquery yields 0 — the coalesce pins the 0
+    from ascii_hydra_spark.verification import REGISTRY
+
+    empty = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    empty.write.parquet(str(tmp_path / "events.parquet"))
+    row = REGISTRY["peak_concurrency_sessions"].fn(spark, str(tmp_path)).collect()[0]
+    assert row["n_sessions"] == 0
+    assert row["peak_concurrent"] is None
+    assert row["first_peak_us"] is None
