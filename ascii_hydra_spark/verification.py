@@ -4039,12 +4039,13 @@ def wat_outlink_edges(spark, sf_dir):
            COUNT(DISTINCT src_surt)::BIGINT AS n_src_pages
     FROM d GROUP BY 1, 2
     """,
-    "GraphAggr: page-grain WAT edges rolled up to the registered-domain "
-    "grain (paper.md:150-167 — page edges aggregate to firm/domain "
-    "nodes before analysis). The SURT host prefix IS the domain key, so "
-    "the rollup is one substring + one keyed aggregate with map-side "
-    "partial dedup; n_links counts distinct page pairs, n_src_pages "
-    "distinct linking pages",
+    "GraphAggr: page-grain WAT edges rolled up to HOST grain (the full "
+    "reversed SURT host; subdomains stay separate nodes — the reference "
+    "paper's domain-level rollup, paper.md:150-167, is the eTLD+1 "
+    "variant `domain_graph_aggr_etld1`). The SURT host prefix is the "
+    "key, so the rollup is one substring + one keyed aggregate with "
+    "map-side partial dedup; n_links counts distinct page pairs, "
+    "n_src_pages distinct linking pages",
 )
 def domain_graph_aggr(spark, sf_dir):
     from ascii_hydra_spark.operators.crawl import domain_link_aggr
@@ -21953,13 +21954,13 @@ def pareto_chart_priorities(spark, sf_dir):
 # registry (rounds 1-6 each checked exactly 50), so the head is a ROTATING
 # evidence window: a handful of anchor entries (one per core family) stay
 # pinned every round, and the remaining slots are filled with entries that
-# have NEVER had a driver row. Round-9 rotation: the round-5
-# continuation queue (product analytics, schema DQ, graph spectra,
-# portable folds) plus the Common Crawl WAT trio pulled forward — every
+# have NEVER had a driver row. Round-10 rotation: the rounds-6/7
+# continuation queue (WARC/CDX ingestion, distributed-rank arms,
+# rows-only-to-portable conversions, AB-test statistics) — every
 # name SQL-oracled, first-time (round 4 spent 10 of its 50 slots on
 # rows-only entries that can only ever come back `no_oracle`, so the
 # window hard-requires an oracle for every head name — guard below).
-# Position 51+ holds the round-10/11/12 pools, then everything
+# Position 51+ holds the round-11/12/13 pools, then everything
 # previously driver-checked; the repo-local differential suite checks
 # the FULL registry either way.
 _DRIVER_HEAD = 50
@@ -21974,6 +21975,65 @@ _ANCHORS: tuple[str, ...] = (
 # 51st name out of the window, and round 4 burned 10 slots on rows-only
 # entries that can only ever record `no_oracle`).
 _ROTATION: tuple[str, ...] = (
+    "warc_records_scan", "warc_host_dedup", "incremental_minhash_portable",
+    "customer_revenue_rank_tiles", "cumulative_daily_revenue",
+    "url_canonical_dedup", "gopher_quality_gate", "distributed_median_price",
+    "binaryfile_scan", "dsir_importance_en", "html_text_extraction",
+    "price_ending_profile", "gini_by_segment", "stream_quality_gate",
+    "warc_curation_pipeline", "warc_content_dedup_pipeline",
+    "cdx_index_build", "cdx_pruned_fetch", "cdx_index_jsonl_sink",
+    "surt_blocklist_filter", "luhn_card_audit", "robots_url_gate",
+    "mojibake_audit", "invisible_char_scrub", "nelson_aalen_lifetimes",
+    "logrank_value_ab", "cuped_value_ab", "lpa_communities",
+    "filtered_aggs_monthly", "freshness_audit_event_types",
+    "gaps_islands_user_days", "asof_join_nearest_views", "cohens_d_value_ab",
+    "mcnemar_doc_gates", "mann_kendall_daily_revenue",
+    "runs_test_daily_revenue", "kruskal_wallis_value_by_type",
+    "ccnet_perplexity_buckets", "quality_feature_matrix",
+    "odds_ratio_purchase_ab", "cdx_revisit_detection",
+    "hurst_rescaled_range_daily", "nbinom_moments_user_events",
+    "bartlett_value_by_type", "stable_rank_embeddings",
+)
+# (Round-10 rotation, promoted verbatim from the prior round's next-up
+# pool — 45 first-time SQL-oracled names: rounds 6-7 additions (WARC
+# ingestion, distributed-rank arms, rows-only conversions, AB-test
+# stats). The round-9 rotation moved to _PAST_DRIVER_GREEN after
+# CORRECTNESS_r09.json recorded all 50 head rows green.)
+
+# Pools are named for the round whose rotation they hold (renamed at
+# round 10 from the historical offset _ROUND{N}_POOL names per the
+# round-9 advisor finding). _ROUND11_POOL is promoted verbatim into
+# _ROTATION at round 11, and so on. Same first-time/disjoint/
+# oracle-able contract for every pool.
+_ROUND11_POOL: tuple[str, ...] = (
+    "granger_orders_to_revenue", "simpsons_paradox_segments",
+    "eclat_brand_triples", "nb_langid_confusion",
+    "lang_unigram_cosine_pairs", "fano_factor_hourly_by_type",
+    "sax_weekly_revenue", "quantile_normalize_by_type",
+    "seasonal_decompose_dow", "mantel_haenszel_purchase_ab",
+    "ivf_recall_at_k", "nth_value_windows", "chunk_dedup_rate",
+    "missing_days_audit", "chi2_residuals_segment_priority",
+    "code_switch_audit", "hill_tail_index_totals",
+    "markov_entropy_rate_events", "doc_keywords_top3", "srm_check_ab",
+    "value_decile_kl_by_type", "hapax_profile_by_lang",
+    "wilson_ci_purchase_ab", "aa_test_value", "audio_rms_frames",
+    "bmp_channel_stats", "weekly_user_jaccard", "theil_u_priority_segment",
+    "grouped_median_value_by_type", "events_to_convert_hist", "weekly_arpu",
+    "user_hour_entropy_topk", "capture_recapture_users",
+    "ratio_metric_delta_ab", "grouped_iqr_value_by_type",
+    "term_burstiness_top", "chow_break_midpoint",
+    "jonckheere_priority_value", "monthly_top_decile_share",
+    "doc_length_quartiles_by_lang", "benford_conformity_verdict",
+    "session_threshold_sensitivity", "ks_drift_month_halves",
+    "interarrival_expfit_ks", "durbin_watson_daily",
+)
+
+# Frozen record of every name with a driver-green row (rows+schema+hash,
+# no error) in CORRECTNESS_r01-r06. Guards below reject a rotation slot
+# spent on an already-green name.
+_PAST_DRIVER_GREEN: frozenset[str] = frozenset({
+    # ---- green in CORRECTNESS_r09 (45 first-time rows; 50/50 incl. the
+    # 5 anchors, zero errors) ----
     "user_lifecycle_states", "power_user_curve",
     "intersession_gap_percentiles", "immediate_repeat_tokens_by_source",
     "nation_trade_balance", "size_price_corr_by_type",
@@ -21995,45 +22055,6 @@ _ROTATION: tuple[str, ...] = (
     "sessions_per_user_hist", "single_source_parts_by_brand",
     "region_revenue_share_trend", "part_size_price_profile",
     "wat_outlink_edges", "domain_graph_aggr", "wat_domain_pagerank",
-)
-# (This is the round-8 `_ROUND8_POOL` promoted at round 9 — 45
-# first-time SQL-oracled names; the round-8 rotation moved to
-# _PAST_DRIVER_GREEN after CORRECTNESS_r08.json recorded all 50 head
-# rows green. Three pool names — aov_by_segment, hourly_value_profile,
-# new_customer_order_share_monthly — swapped into a later pool to make
-# room for the Common Crawl WAT trio, pulling driver evidence for the
-# paper's marquee crawl-graph pipeline forward per the round-8 verdict.)
-
-# Round-10 pool: the next rotation up (promoted verbatim at round 10) —
-# a FULL 45-slot rotation (rounds 6-7 additions: WARC ingestion,
-# distributed rank arms, rows-only conversions). Same
-# first-time/disjoint/oracle-able contract. (Variable names are
-# historical — each _ROUND{N}_POOL holds round N+2's rotation.)
-_ROUND8_POOL: tuple[str, ...] = (
-    "warc_records_scan", "warc_host_dedup", "incremental_minhash_portable",
-    "customer_revenue_rank_tiles", "cumulative_daily_revenue",
-    "url_canonical_dedup", "gopher_quality_gate", "distributed_median_price",
-    "binaryfile_scan", "dsir_importance_en", "html_text_extraction",
-    "price_ending_profile", "gini_by_segment", "stream_quality_gate",
-    "warc_curation_pipeline", "warc_content_dedup_pipeline",
-    "cdx_index_build", "cdx_pruned_fetch", "cdx_index_jsonl_sink",
-    "surt_blocklist_filter", "luhn_card_audit", "robots_url_gate",
-    "mojibake_audit", "invisible_char_scrub", "nelson_aalen_lifetimes",
-    "logrank_value_ab", "cuped_value_ab", "lpa_communities",
-    "filtered_aggs_monthly", "freshness_audit_event_types",
-    "gaps_islands_user_days", "asof_join_nearest_views", "cohens_d_value_ab",
-    "mcnemar_doc_gates", "mann_kendall_daily_revenue",
-    "runs_test_daily_revenue", "kruskal_wallis_value_by_type",
-    "ccnet_perplexity_buckets", "quality_feature_matrix",
-    "odds_ratio_purchase_ab", "cdx_revisit_detection",
-    "hurst_rescaled_range_daily", "nbinom_moments_user_events",
-    "bartlett_value_by_type", "stable_rank_embeddings",
-)
-
-# Frozen record of every name with a driver-green row (rows+schema+hash,
-# no error) in CORRECTNESS_r01-r06. Guards below reject a rotation slot
-# spent on an already-green name.
-_PAST_DRIVER_GREEN: frozenset[str] = frozenset({
     # ---- green in CORRECTNESS_r08 (45 first-time rows; 50/50 incl. the
     # 5 anchors, zero errors) ----
     "cms_portable_estimates", "hll_portable_distinct",
@@ -22169,35 +22190,11 @@ _PAST_DRIVER_GREEN: frozenset[str] = frozenset({
     "window_running", "zorder_clustering", "zscore_outlier_counts",
 })
 
-# Round-11 pool: round-7 continuation additions. Same contract.
-_ROUND9_POOL: tuple[str, ...] = (
-    "granger_orders_to_revenue", "simpsons_paradox_segments",
-    "eclat_brand_triples", "nb_langid_confusion",
-    "lang_unigram_cosine_pairs", "fano_factor_hourly_by_type",
-    "sax_weekly_revenue", "quantile_normalize_by_type",
-    "seasonal_decompose_dow", "mantel_haenszel_purchase_ab",
-    "ivf_recall_at_k", "nth_value_windows", "chunk_dedup_rate",
-    "missing_days_audit", "chi2_residuals_segment_priority",
-    "code_switch_audit", "hill_tail_index_totals",
-    "markov_entropy_rate_events", "doc_keywords_top3", "srm_check_ab",
-    "value_decile_kl_by_type", "hapax_profile_by_lang",
-    "wilson_ci_purchase_ab", "aa_test_value", "audio_rms_frames",
-    "bmp_channel_stats", "weekly_user_jaccard", "theil_u_priority_segment",
-    "grouped_median_value_by_type", "events_to_convert_hist", "weekly_arpu",
-    "user_hour_entropy_topk", "capture_recapture_users",
-    "ratio_metric_delta_ab", "grouped_iqr_value_by_type",
-    "term_burstiness_top", "chow_break_midpoint",
-    "jonckheere_priority_value", "monthly_top_decile_share",
-    "doc_length_quartiles_by_lang", "benford_conformity_verdict",
-    "session_threshold_sensitivity", "ks_drift_month_halves",
-    "interarrival_expfit_ks", "durbin_watson_daily",
-)
-
 # Round-12 pool: the 23-name evidence-queue tail (round-8 additions
 # minus the WAT trio, which the round-9 rotation pulled forward, plus
-# the three product-analytics names that made room for it). Same
-# contract.
-_ROUND10_POOL: tuple[str, ...] = (
+# the three product-analytics names that made room for it); round-10
+# additions fill the remaining slots toward 45. Same contract.
+_ROUND12_POOL: tuple[str, ...] = (
     "pacf_lag2_daily", "theil_sen_slope_ci", "weekly_periodogram_power",
     "eb_shrunken_urgent_rates", "best_30d_revenue_window",
     "effective_price_multiplier_profile", "warc_content_type_mix",
@@ -22214,16 +22211,16 @@ _ROUND10_POOL: tuple[str, ...] = (
 
 # Round-13 pool: new entries queue here once round 12's tail fills
 # toward 45. Same contract.
-_ROUND11_POOL: tuple[str, ...] = (
+_ROUND13_POOL: tuple[str, ...] = (
 )
 
-# Round-14 pool: overflow. Same contract.
-_ROUND12_POOL: tuple[str, ...] = (
+_POOLS: tuple[tuple[str, ...], ...] = (
+    _ROUND11_POOL, _ROUND12_POOL, _ROUND13_POOL,
 )
 
 _PRIORITY: tuple[str, ...] = (
-    _ANCHORS + _ROTATION + _ROUND8_POOL + _ROUND9_POOL + _ROUND10_POOL
-    + _ROUND11_POOL + _ROUND12_POOL
+    _ANCHORS + _ROTATION
+    + tuple(n for pool in _POOLS for n in pool)
 )
 
 
@@ -22257,8 +22254,7 @@ def _reorder_registry() -> None:
     # Rows-only entries are verified in pytest and stay in the tail.
     no_oracle = sorted(
         n
-        for n in _ROTATION + _ROUND8_POOL + _ROUND9_POOL + _ROUND10_POOL
-        + _ROUND11_POOL + _ROUND12_POOL
+        for n in _ROTATION + tuple(n for pool in _POOLS for n in pool)
         if REGISTRY[n].sql is None
     )
     if no_oracle:

@@ -19,9 +19,10 @@ Contracts enforced:
   (frozen in _PAST_DRIVER_GREEN);
 - anchors are all previously driver-green (they exist to re-confirm);
 - no duplicates anywhere in _PRIORITY;
-- `_ROUND8_POOL` (the variable names are historical — each
-  `_ROUND{N}_POOL` holds round N+2's rotation) holds exactly the next
-  rotation's 45 slots, so next round's promotion is a straight copy.
+- pools are named for the round whose rotation they hold (renamed at
+  round 10 from the historical offset names per the round-9 advisor
+  finding): `_ROUND{N}_POOL` is promoted verbatim into _ROTATION at
+  round N, so each promotion is a straight copy.
 """
 
 from ascii_hydra_spark import verification as v
@@ -55,8 +56,7 @@ def test_head_and_pools_are_all_oracle_able() -> None:
     # queued/pooled names are future heads so the same rule applies
     bad = [
         n
-        for n in v._ROTATION + v._ROUND8_POOL + v._ROUND9_POOL
-        + v._ROUND10_POOL + v._ROUND11_POOL + v._ROUND12_POOL
+        for n in v._ROTATION + tuple(x for pool in v._POOLS for x in pool)
         if v.REGISTRY[n].sql is None
     ]
     assert not bad, f"rows-only names in head/pools: {bad}"
@@ -68,11 +68,7 @@ def test_every_sql_entry_is_scheduled_for_driver_evidence() -> None:
     scheduled = (
         set(v._ANCHORS)
         | set(v._ROTATION)
-        | set(v._ROUND8_POOL)
-        | set(v._ROUND9_POOL)
-        | set(v._ROUND10_POOL)
-        | set(v._ROUND11_POOL)
-        | set(v._ROUND12_POOL)
+        | {n for pool in v._POOLS for n in pool}
         | v._PAST_DRIVER_GREEN
     )
     unscheduled = [
@@ -81,57 +77,36 @@ def test_every_sql_entry_is_scheduled_for_driver_evidence() -> None:
     assert not unscheduled, f"SQL entries with no driver slot: {unscheduled}"
 
 
-def test_round8_pool_is_a_full_first_time_rotation() -> None:
-    # exactly the 45 rotation slots round 8 needs, every name
-    # never-driver-checked and disjoint from every earlier block
-    assert len(v._ROUND8_POOL) == 45
-    assert not (set(v._ROUND8_POOL) & v._PAST_DRIVER_GREEN)
-    assert not (set(v._ROUND8_POOL) & set(v._ANCHORS + v._ROTATION))
-    assert set(v._ROUND8_POOL) <= set(v.REGISTRY)
+def test_pool_names_match_the_round_they_serve() -> None:
+    # the round-9 advisor finding: offset pool names risk promoting the
+    # wrong tuple. Pools must be _ROUND{N}_POOL with N strictly
+    # increasing, and _POOLS must list them in promotion order.
+    expected = ("_ROUND11_POOL", "_ROUND12_POOL", "_ROUND13_POOL")
+    for name, pool in zip(expected, v._POOLS):
+        assert getattr(v, name) is pool, f"_POOLS order does not match {name}"
+    assert len(v._POOLS) == len(expected)
 
 
-def test_round9_pool_is_first_time_and_disjoint() -> None:
-    # overflow beyond round 8; may still be filling toward 45
-    assert len(v._ROUND9_POOL) <= 45
-    assert not (set(v._ROUND9_POOL) & v._PAST_DRIVER_GREEN)
-    earlier = set(v._ANCHORS + v._ROTATION + v._ROUND8_POOL)
-    assert not (set(v._ROUND9_POOL) & earlier)
-    assert set(v._ROUND9_POOL) <= set(v.REGISTRY)
+def test_next_pool_is_a_full_first_time_rotation() -> None:
+    # the first pool is next round's rotation: exactly 45 slots, every
+    # name never-driver-checked and disjoint from the current head
+    nxt = v._POOLS[0]
+    assert len(nxt) == 45
+    assert not (set(nxt) & v._PAST_DRIVER_GREEN)
+    assert not (set(nxt) & set(v._ANCHORS + v._ROTATION))
+    assert set(nxt) <= set(v.REGISTRY)
 
 
-def test_round10_pool_is_first_time_and_disjoint() -> None:
-    # round-6/7 additions; may still be filling toward 45
-    assert len(v._ROUND10_POOL) <= 45
-    assert not (set(v._ROUND10_POOL) & v._PAST_DRIVER_GREEN)
-    earlier = set(
-        v._ANCHORS + v._ROTATION + v._ROUND8_POOL + v._ROUND9_POOL
-    )
-    assert not (set(v._ROUND10_POOL) & earlier)
-    assert set(v._ROUND10_POOL) <= set(v.REGISTRY)
-
-
-def test_round11_pool_is_first_time_and_disjoint() -> None:
-    # overflow past round 10's 45 slots; may still be filling toward 45
-    assert len(v._ROUND11_POOL) <= 45
-    assert not (set(v._ROUND11_POOL) & v._PAST_DRIVER_GREEN)
-    earlier = set(
-        v._ANCHORS + v._ROTATION + v._ROUND8_POOL + v._ROUND9_POOL
-        + v._ROUND10_POOL
-    )
-    assert not (set(v._ROUND11_POOL) & earlier)
-    assert set(v._ROUND11_POOL) <= set(v.REGISTRY)
-
-
-def test_round12_pool_is_first_time_and_disjoint() -> None:
-    # overflow past round 11's 45 slots; may still be filling toward 45
-    assert len(v._ROUND12_POOL) <= 45
-    assert not (set(v._ROUND12_POOL) & v._PAST_DRIVER_GREEN)
-    earlier = set(
-        v._ANCHORS + v._ROTATION + v._ROUND8_POOL + v._ROUND9_POOL
-        + v._ROUND10_POOL + v._ROUND11_POOL
-    )
-    assert not (set(v._ROUND12_POOL) & earlier)
-    assert set(v._ROUND12_POOL) <= set(v.REGISTRY)
+def test_later_pools_are_first_time_and_disjoint() -> None:
+    # later pools may still be filling toward 45; each must be disjoint
+    # from every earlier block and never-driver-checked
+    earlier = set(v._ANCHORS + v._ROTATION)
+    for pool in v._POOLS:
+        assert len(pool) <= 45
+        assert not (set(pool) & v._PAST_DRIVER_GREEN)
+        assert not (set(pool) & earlier)
+        assert set(pool) <= set(v.REGISTRY)
+        earlier |= set(pool)
 
 
 def test_rows_only_entries_stay_verified_in_pytest() -> None:
