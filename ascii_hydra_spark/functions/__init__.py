@@ -239,6 +239,60 @@ def surt_domain_blocked(host: Column, blocklist: "list[str]") -> Column:
     return functools.reduce(lambda a, c: a | c, checks)
 
 
+def registered_domain(host: Column | str) -> Column:
+    """Registered domain (eTLD+1) of a SURT host, in the same reversed
+    comma form — the node key of the reference pipeline's domain-level
+    graph rollup (its GraphAggr step "aggregates the graph to the domain
+    level", reference papers/multi_platform_orchestration/
+    paper.md:150-155): ``uk,co,shop,cdn`` -> ``uk,co,shop`` (subdomains
+    collapse) but ``io,github,blog`` -> ``io,github,blog`` (github.io is
+    itself a public suffix, so each user site is its own registered
+    domain).
+
+    Matching replays the publicsuffix.org algorithm against the bounded
+    snapshot in :mod:`ascii_hydra_spark.functions.psl` — longest
+    matching rule wins, unknown TLDs fall back to the prevailing ``*``
+    rule (the bare TLD is the suffix), wildcard TLDs make any 2nd-level
+    label a suffix. Because SURT hosts are label-REVERSED, a suffix rule
+    is a leading-label PREFIX here, so the probe is: join the first 2
+    (and 3) labels and test set membership via ``isin`` — Catalyst
+    rewrites a >10-value ``In`` to a single hash-set ``InSet`` node, so
+    the ~200-rule snapshot costs ONE expression node per probe (a
+    literal-array ``array_contains`` form measured multi-MiB codegen
+    once the tree was duplicated through when/otherwise branches) —
+    pure codegen, no join, no shuffle, identical ``list_contains``
+    closed form in DuckDB.
+
+    NULL when no registered domain exists: the host IS a public suffix
+    (fewer labels than suffix depth + 1), an IP literal (IPv6 detected
+    by >= 2 colons — a host:port has one; IPv4 by an all-digit TLD
+    label after SURT reversal), or empty. A ``:port`` is dropped first —
+    registered domains are port-less by definition (ports distinguish
+    ORIGINS, which is the host-grain key's job, not the domain key's).
+    """
+    from ascii_hydra_spark.functions import psl
+
+    c = F.col(host) if isinstance(host, str) else host
+    is_v6 = F.size(F.split(c, ":")) >= 3
+    labels = F.split(F.substring_index(c, ":", 1), ",")
+    n = F.size(labels)
+    tld = F.element_at(labels, 1)
+    p2 = F.array_join(F.slice(labels, 1, 2), ",")
+    p3 = F.array_join(F.slice(labels, 1, 3), ",")
+    depth = (
+        F.when(p3.isin(*psl.SUFFIX_RULES_3), F.lit(3))
+        .when(
+            p2.isin(*psl.SUFFIX_RULES_2) | tld.isin(*psl.WILDCARD_TLDS),
+            F.lit(2),
+        )
+        .otherwise(F.lit(1))
+    )
+    return F.when(
+        is_v6 | tld.rlike("^[0-9]+$") | (tld == "") | (n <= depth),
+        F.lit(None).cast("string"),
+    ).otherwise(F.array_join(F.slice(labels, 1, depth + 1), ","))
+
+
 def luhn_valid(digits: Column | str) -> Column:
     """Luhn mod-10 checksum validity of a digit string — the
     card-number plausibility test a PII/DQ audit wants BEFORE flagging

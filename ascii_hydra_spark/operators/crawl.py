@@ -246,32 +246,75 @@ def wat_outlinks(
     )
 
 
-def domain_link_aggr(edges: DataFrame) -> DataFrame:
+def domain_link_aggr(edges: DataFrame, grain: str = "host") -> DataFrame:
     """(src_domain, dst_domain, n_links, n_src_pages): page-grain SURT
-    edges aggregated to the HOST grain — the GraphAggr step of the
+    edges aggregated to domain nodes — the GraphAggr step of the
     reference's crawl-graph pipeline (paper.md:150-167: page edges roll
-    up to firm/domain nodes before analysis). The node key is the full
-    reversed SURT host (everything before ``)``): ``www.`` is already
-    stripped by ``surt_url``, but other subdomains are retained, so
-    ``cdn.example.net`` and ``example.net`` stay separate nodes —
-    host-grain, NOT the registered-domain (eTLD+1) grain, which would
-    need a public-suffix list to truncate multi-label suffixes
-    (``co.uk``) correctly. The rollup is one substring + one keyed
-    aggregate: ``n_links`` counts
-    DISTINCT page-level (src, dst) pairs between the two domains and
-    ``n_src_pages`` the distinct linking pages. Input edges may repeat
-    (one row per anchor); the distinct runs inside the same shuffle as
-    the aggregate (partial map-side dedup on the composite key).
+    up to firm/domain nodes before analysis), at either grain:
+
+    - ``grain="host"``: the node key is the full reversed SURT host
+      (everything before ``)``). ``www.`` is already stripped by
+      ``surt_url``, but other subdomains are retained, so
+      ``cdn.example.net`` and ``example.net`` stay separate nodes.
+    - ``grain="etld1"``: the registered domain (eTLD+1) — the grain the
+      reference paper's GraphAggr actually uses ("aggregates the graph
+      to the domain level", paper.md:150-155). Subdomains collapse into
+      one node while hosts on a public suffix (``*.github.io``) stay
+      separate; the suffix match replays the publicsuffix.org algorithm
+      against the bounded snapshot in ``functions/psl.py`` (constant
+      literal arrays — codegen, no extra join/shuffle vs host grain).
+      Edges whose src or dst has NO registered domain (the host IS a
+      public suffix, or an IP literal) are DROPPED — they have no
+      domain-level node.
+
+    The rollup is one substring (+ one constant-array probe for etld1)
+    + one keyed aggregate: ``n_links`` counts DISTINCT page-level
+    (src, dst) pairs between the two domains and ``n_src_pages`` the
+    distinct linking pages. Input edges may repeat (one row per
+    anchor); the distinct runs inside the same shuffle as the aggregate
+    (partial map-side dedup on the composite key).
     """
-    dom = lambda c: F.substring_index(F.col(c), ")", 1)  # noqa: E731
-    return (
-        edges.select(
-            dom("src_surt").alias("src_domain"),
-            dom("dst_surt").alias("dst_domain"),
+    host = lambda c: F.substring_index(F.col(c), ")", 1)  # noqa: E731
+    if grain == "host":
+        keyed = edges.select(
+            host("src_surt").alias("src_domain"),
+            host("dst_surt").alias("dst_domain"),
             F.col("src_surt"),
             F.col("dst_surt"),
         )
-        .distinct()
+    elif grain == "etld1":
+        from ascii_hydra_spark.functions import registered_domain
+
+        # TWO projections, not one: registered_domain references its
+        # input ~10x internally, and a fused select would clone the
+        # whole upstream src_surt/dst_surt expression tree (for WAT
+        # edges that tree contains surt_url twice) into every
+        # reference — a multiplicative plan blowup that turned a
+        # 600-row fixture job into tens of seconds of analysis/codegen.
+        # Staged through an alias, CollapseProject keeps the split (it
+        # only inlines cheap or singly-referenced expressions).
+        keyed = (
+            edges.select(
+                host("src_surt").alias("__src_host"),
+                host("dst_surt").alias("__dst_host"),
+                F.col("src_surt"),
+                F.col("dst_surt"),
+            )
+            .select(
+                registered_domain(F.col("__src_host")).alias("src_domain"),
+                registered_domain(F.col("__dst_host")).alias("dst_domain"),
+                F.col("src_surt"),
+                F.col("dst_surt"),
+            )
+            .filter(
+                F.col("src_domain").isNotNull()
+                & F.col("dst_domain").isNotNull()
+            )
+        )
+    else:
+        raise ValueError(f"grain must be 'host' or 'etld1', got {grain!r}")
+    return (
+        keyed.distinct()
         .groupBy("src_domain", "dst_domain")
         .agg(
             F.count("*").cast("bigint").alias("n_links"),

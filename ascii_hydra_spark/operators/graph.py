@@ -52,7 +52,16 @@ def pagerank(
     `reliable=True` checkpoints through the session checkpoint dir so an
     executor loss mid-run recomputes nothing fatal — see lineage.py).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # persist the deduped edge list FIRST: nodes, out_deg and ew all
+    # derive from it, and unpersisted each would re-run the caller's
+    # whole edge pipeline (scan + expression analysis) — on an
+    # expression-heavy source (e.g. the eTLD+1 suffix probe over WARC
+    # extraction) those re-evaluations dominated the entire run.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -61,12 +70,16 @@ def pagerank(
     )
     n = nodes.count()
     if n == 0:  # empty graph: empty ranks, not a driver-side ZeroDivisionError
+        e.unpersist()
         nodes.unpersist()
         return nodes.select("node", F.lit(0.0).alias("rank"))
-    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # out_deg is a loop invariant too: the dangling-mass anti-join
+    # reads it EVERY iteration — keep it pinned, not just derivable.
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg")).persist()
     # edge list + out-degree: the loop invariant, paid once
     ew = e.join(out_deg, "src").persist()
     ew.count()
+    e.unpersist()
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):
@@ -96,6 +109,7 @@ def pagerank(
             reliable=reliable,
         )
     ew.unpersist()
+    out_deg.unpersist()
     nodes.unpersist()
     return ranks
 

@@ -329,6 +329,62 @@ def fixture_linked_record(i: int) -> "tuple[str, str, str, int, str, str]":
     return record_id, warc_date, uri, status, "text/html", body
 
 
+def fixture_multisuffix_record(i: int) -> "tuple[str, str, str, int, str, str]":
+    """Deterministic HTML capture ``i`` with MULTI-SUFFIX hosts — the
+    eTLD+1 fixture: source host cycles over 8 templates (j = i % 8,
+    g = i % 3) chosen so every public-suffix-list case in
+    ``functions/psl.py`` has graph consequences at the registered-domain
+    grain:
+
+    - j=0 ``cdn.shop{g}.co.uk`` and j=1 ``shop{g}.co.uk`` COLLAPSE into
+      one eTLD+1 node (depth-2 ccTLD rule) while staying two host-grain
+      nodes;
+    - j=2 ``app.acme{g}.com`` exercises the default single-label rule;
+    - j=3 ``blog{g}.github.io`` stays its OWN node (private suffix);
+    - j=4 ``m.news{g}.com.au`` a second depth-2 registry;
+    - j=5 ``files.bucket{g}.s3.amazonaws.com`` the depth-3 rule;
+    - j=6 ``pad{g}.baz.mm`` the wildcard-TLD rule;
+    - j=7 ``github.io`` IS a public suffix — its pages must DROP from
+      the eTLD+1 rollup entirely (no registered domain).
+
+    Each 200-status page carries one absolute cross-host anchor (target
+    = template (i+1) % 8 with g = (i+1) % 3, out-of-order query params
+    to exercise SURT sorting), one root-relative self link, and two
+    traps (fragment-only, mailto:). Closed-form in ``i`` so the DuckDB
+    oracle reconstructs the edge set AND replays the suffix match in
+    SQL (the registered_domain_map / domain_graph_aggr_etld1 /
+    wat_pagerank_etld1 entries); any change here must update those
+    oracles.
+    """
+    record_id = f"urn:uuid:00000000-0000-0000-0000-{i:012d}"
+    warc_date = f"2024-05-{1 + i % 28:02d}T00:00:00Z"
+
+    def host(j: int, g: int) -> str:
+        return (
+            f"cdn.shop{g}.co.uk", f"shop{g}.co.uk", f"app.acme{g}.com",
+            f"blog{g}.github.io", f"m.news{g}.com.au",
+            f"files.bucket{g}.s3.amazonaws.com", f"pad{g}.baz.mm",
+            "github.io",
+        )[j]
+
+    src = host(i % 8, i % 3)
+    dst = host((i + 1) % 8, (i + 1) % 3)
+    uri = f"http://{src}/page/{i}"
+    status = {2: 301, 3: 404}.get(i % 5, 200)
+    abs_href = f"http://{dst}/deep/{i % 13}/page?b={i % 3}&a={i % 5}"
+    rel_href = f"/local/{i % 11}"
+    body = (
+        f"<html><head><title>Page {i}</title></head><body>"
+        f"<p>domains {i}</p>"
+        f'<a href="{abs_href}">next</a> '
+        f"<a href='{rel_href}'>local</a> "
+        f'<a href="#frag">top</a> '
+        f'<a href="mailto:team@example.com">mail</a>'
+        f"</body></html>"
+    )
+    return record_id, warc_date, uri, status, "text/html", body
+
+
 def fixture_hostfile_record(i: int) -> "tuple[str, str, str, int, str, str]":
     """Deterministic fixture capture ``i`` with HOST-PER-SEGMENT
     locality: host = Site{i // 150}, so each 150-record archive file

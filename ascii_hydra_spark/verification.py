@@ -3940,17 +3940,26 @@ def _pagerank_unrolled_sql(
     across engines by accumulation order (~1e-16 relative); the final
     ROUND(rank, 6) absorbs that. ``edge_sql`` overrides the edge-list
     CTE body (must yield DISTINCT (src, dst)); default is the
-    customer->supplier purchase graph."""
+    customer->supplier purchase graph.
+
+    Multiply-referenced CTEs are MATERIALIZED: each r{{i}} is read by
+    both c{{i+1}} and g{{i+1}}, so DuckDB's default inline-per-reference
+    doubles the plan per unrolled round — exponential in the iteration
+    count — and e/nodes/od are re-inlined inside every copy. Harmless
+    on a 3-column purchase graph; on an edge list that embeds the
+    eTLD+1 suffix probe (wat_pagerank_etld1) the inlined oracle
+    measured 47 s vs sub-second materialized, identical results."""
     edge_sql = edge_sql or (
         "SELECT DISTINCT o_custkey AS src, l_suppkey AS dst "
         "FROM orders JOIN lineitem ON o_orderkey = l_orderkey"
     )
     sql = f"""
-    WITH e AS ({edge_sql}),
-    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    WITH e AS MATERIALIZED ({edge_sql}),
+    nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
     meta AS (SELECT COUNT(*) AS n FROM nodes),
-    od AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
-    r0 AS (SELECT node, 1.0 / m.n AS rank FROM nodes CROSS JOIN meta m)"""
+    od AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+    r0 AS MATERIALIZED (SELECT node, 1.0 / m.n AS rank
+                        FROM nodes CROSS JOIN meta m)"""
     for i in range(1, iters + 1):
         p = i - 1
         sql += f""",
@@ -3959,7 +3968,7 @@ def _pagerank_unrolled_sql(
              GROUP BY 1),
     g{i} AS (SELECT COALESCE(SUM(rank), 0.0) AS dang FROM r{p}
              WHERE node NOT IN (SELECT src FROM od)),
-    r{i} AS (SELECT nd.node,
+    r{i} AS MATERIALIZED (SELECT nd.node,
              ((CAST(1.0 AS DOUBLE) - 0.85) / m.n + (0.85 * g.dang) / m.n)
                + 0.85 * COALESCE(c{i}.contrib, 0.0) AS rank
              FROM nodes nd CROSS JOIN meta m CROSS JOIN g{i} g
@@ -4075,6 +4084,232 @@ def wat_domain_pagerank(spark, sf_dir):
     from ascii_hydra_spark.operators.crawl import domain_link_aggr
 
     dom = domain_link_aggr(_wat_edges(spark)).select(
+        F.col("src_domain").alias("src"), F.col("dst_domain").alias("dst")
+    )
+    ranks = graph.pagerank(dom, iterations=5)
+    return graph.top_ranked(ranks, 10)
+
+
+def _rd_sql(h: str) -> str:
+    """DuckDB closed form of functions.registered_domain over a SURT
+    host expression ``h`` — replays the publicsuffix.org longest-match
+    against the SAME bounded snapshot (functions/psl.py), so eTLD+1
+    entries stay hash-checkable end-to-end: port split, IPv6 (>= 2
+    colons) / IPv4 (numeric TLD label) / bare-suffix NULLs, depth-3
+    then depth-2-or-wildcard then prevailing-* fallback."""
+    from ascii_hydra_spark.functions import psl
+
+    sl = f"string_split(split_part({h}, ':', 1), ',')"
+    depth = (
+        f"CASE WHEN list_contains({psl.sql_list(psl.SUFFIX_RULES_3)}, "
+        f"array_to_string(list_slice({sl}, 1, 3), ',')) THEN 3 "
+        f"WHEN list_contains({psl.sql_list(psl.SUFFIX_RULES_2)}, "
+        f"array_to_string(list_slice({sl}, 1, 2), ',')) "
+        f"OR list_contains({psl.sql_list(psl.WILDCARD_TLDS)}, "
+        f"list_extract({sl}, 1)) THEN 2 ELSE 1 END"
+    )
+    return (
+        f"CASE WHEN len(string_split({h}, ':')) >= 3 "
+        f"OR regexp_matches(list_extract({sl}, 1), '^[0-9]+$') "
+        f"OR list_extract({sl}, 1) = '' "
+        f"OR len({sl}) <= ({depth}) THEN NULL "
+        f"ELSE array_to_string(list_slice({sl}, 1, ({depth}) + 1), ',') END"
+    )
+
+
+def _msuf_host_case(j: str, g: str) -> str:
+    """Reversed-SURT host of fixture_multisuffix_record template ``j``
+    with group ``g``, as a SQL CASE (sources/warc.py — any template
+    change must update this)."""
+    return (
+        f"CASE ({j}) "
+        f"WHEN 0 THEN 'uk,co,shop' || ({g}) || ',cdn' "
+        f"WHEN 1 THEN 'uk,co,shop' || ({g}) "
+        f"WHEN 2 THEN 'com,acme' || ({g}) || ',app' "
+        f"WHEN 3 THEN 'io,github,blog' || ({g}) "
+        f"WHEN 4 THEN 'au,com,news' || ({g}) || ',m' "
+        f"WHEN 5 THEN 'com,amazonaws,s3,bucket' || ({g}) || ',files' "
+        f"WHEN 6 THEN 'mm,baz,pad' || ({g}) "
+        f"ELSE 'io,github' END"
+    )
+
+
+_MSUF_EDGE_SQL = f"""
+      SELECT src_host || ')/page/' || i AS src_surt,
+             dst_host || ')/deep/' || (i % 13) || '/page?a=' || (i % 5)
+                 || '&b=' || (i % 3) AS dst_surt,
+             src_host, dst_host
+      FROM (SELECT i, {_msuf_host_case('i % 8', 'i % 3')} AS src_host,
+                   {_msuf_host_case('(i + 1) % 8', '(i + 1) % 3')} AS dst_host
+            FROM range(240) t(i) WHERE i % 5 NOT IN (2, 3))
+      UNION ALL
+      SELECT src_host || ')/page/' || i,
+             src_host || ')/local/' || (i % 11),
+             src_host, src_host
+      FROM (SELECT i, {_msuf_host_case('i % 8', 'i % 3')} AS src_host
+            FROM range(240) t(i) WHERE i % 5 NOT IN (2, 3))
+"""
+
+
+def _wat_edges_multisuffix(spark):
+    """Engine side of the eTLD+1 pipeline entries: multi-suffix linked
+    WARC fixture -> 200/text-html gate -> anchor extraction. 240
+    records = 2 full template x group x status cycles (lcm(8,3,5) =
+    120). The extracted edge list is localCheckpoint-ed: downstream the
+    registered-domain probe references each surt column ~10x, and an
+    un-truncated lineage clones the whole surt_url extraction tree into
+    every reference AND into the pushed-down null-domain filter — a
+    ~40x optimized-plan blowup (measured 858k plan chars / tens of
+    seconds of analysis+codegen on this 720-row fixture). Checkpointing
+    after extraction is also the honest 100 TB shape: the page-edge
+    table is materialized once per crawl and every graph consumer reads
+    the materialization, not the parse (same discipline as graph.py's
+    iterative operators)."""
+    from ascii_hydra_spark.operators.crawl import wat_outlinks
+    from ascii_hydra_spark.sources.warc import (
+        fixture_multisuffix_record,
+        register_warc_source,
+        write_warc_fixture,
+    )
+
+    register_warc_source(spark)
+    d = tempfile.mkdtemp(prefix="ahs_etld_")
+    write_warc_fixture(
+        d, n_records=240, n_files=4, compress=True,
+        record_fn=fixture_multisuffix_record,
+    )
+    recs = spark.read.format("warc").option("path", d).load()
+    live = recs.filter(
+        (F.col("http_status") == 200) & (F.col("content_type") == "text/html")
+    )
+    return wat_outlinks(live).localCheckpoint()
+
+
+@q(
+    "registered_domain_map",
+    f"""
+    WITH h AS (
+      SELECT CASE (i % 12)
+        WHEN 0 THEN 'uk,co,shop' || (i % 3) || ',cdn'
+        WHEN 1 THEN 'uk,co,shop' || (i % 3)
+        WHEN 2 THEN 'com,acme' || (i % 3) || ':8080'
+        WHEN 3 THEN 'io,github,blog' || (i % 3)
+        WHEN 4 THEN 'io,github'
+        WHEN 5 THEN 'au,com,news' || (i % 3) || ',m'
+        WHEN 6 THEN 'com,amazonaws,s3,bucket' || (i % 3) || ',files'
+        WHEN 7 THEN 'mm,baz,pad' || (i % 3)
+        WHEN 8 THEN '4,3,2,1'
+        WHEN 9 THEN '2001:db8::1'
+        WHEN 10 THEN 'com'
+        ELSE 'xyz,startup' || (i % 3)
+      END AS host
+      FROM range(360) t(i)
+    )
+    SELECT host, {_rd_sql('host')} AS reg_domain,
+           COUNT(*)::BIGINT AS n
+    FROM h GROUP BY 1, 2
+    """,
+    "registered_domain (eTLD+1 of a SURT host — the node key of the "
+    "reference paper's domain-level GraphAggr, paper.md:150-155) over "
+    "every public-suffix-list case in the bounded functions/psl.py "
+    "snapshot: depth-2 ccTLD collapse (cdn.shop.co.uk = shop.co.uk), "
+    "default single-label rule, private suffix separation (each "
+    "*.github.io its own domain), depth-3 rule (s3.amazonaws.com), "
+    "wildcard TLD (*.mm), port stripping, and the NULL paths — "
+    "bare-suffix host, IPv4 (numeric reversed TLD), IPv6, bare TLD. "
+    "Constant literal-array probes, pure codegen (no join/shuffle); the "
+    "oracle replays the suffix match with the same snapshot via "
+    "list_contains",
+)
+def registered_domain_map(spark, sf_dir):
+    from ascii_hydra_spark.functions import registered_domain
+
+    i = F.col("id")
+    g = (i % 3).cast("string")
+    j = i % 12
+    host = (
+        F.when(j == 0, F.concat(F.lit("uk,co,shop"), g, F.lit(",cdn")))
+        .when(j == 1, F.concat(F.lit("uk,co,shop"), g))
+        .when(j == 2, F.concat(F.lit("com,acme"), g, F.lit(":8080")))
+        .when(j == 3, F.concat(F.lit("io,github,blog"), g))
+        .when(j == 4, F.lit("io,github"))
+        .when(j == 5, F.concat(F.lit("au,com,news"), g, F.lit(",m")))
+        .when(
+            j == 6,
+            F.concat(F.lit("com,amazonaws,s3,bucket"), g, F.lit(",files")),
+        )
+        .when(j == 7, F.concat(F.lit("mm,baz,pad"), g))
+        .when(j == 8, F.lit("4,3,2,1"))
+        .when(j == 9, F.lit("2001:db8::1"))
+        .when(j == 10, F.lit("com"))
+        .otherwise(F.concat(F.lit("xyz,startup"), g))
+    )
+    return (
+        spark.range(360)
+        .select(host.alias("host"))
+        .select("host", registered_domain("host").alias("reg_domain"))
+        .groupBy("host", "reg_domain")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+@q(
+    "domain_graph_aggr_etld1",
+    f"""
+    WITH pe AS ({_MSUF_EDGE_SQL}),
+    rd AS (SELECT src_surt, dst_surt,
+                  {_rd_sql('src_host')} AS src_domain,
+                  {_rd_sql('dst_host')} AS dst_domain
+           FROM pe),
+    d AS (SELECT DISTINCT src_domain, dst_domain, src_surt, dst_surt
+          FROM rd
+          WHERE src_domain IS NOT NULL AND dst_domain IS NOT NULL)
+    SELECT src_domain, dst_domain, COUNT(*)::BIGINT AS n_links,
+           COUNT(DISTINCT src_surt)::BIGINT AS n_src_pages
+    FROM d GROUP BY 1, 2
+    """,
+    "GraphAggr at the reference paper's ACTUAL grain (paper.md:150-155 "
+    "aggregates the hyperlink graph to the domain = eTLD+1 level): "
+    "multi-suffix WARC fixture -> WAT anchor extraction -> "
+    "registered-domain rollup. cdn.shop.co.uk and shop.co.uk COLLAPSE "
+    "into one node, each *.github.io stays its own node, "
+    "pages on a bare public suffix DROP (no registered domain), the "
+    "depth-3 and wildcard rules resolve — closing the round-9 verdict's "
+    "host-vs-domain grain gap. Same single-shuffle shape as the host "
+    "rollup (the suffix probe is constant literal arrays in codegen); "
+    "the oracle replays edges AND suffix match in closed form",
+)
+def domain_graph_aggr_etld1(spark, sf_dir):
+    from ascii_hydra_spark.operators.crawl import domain_link_aggr
+
+    return domain_link_aggr(_wat_edges_multisuffix(spark), grain="etld1")
+
+
+@q(
+    "wat_pagerank_etld1",
+    _pagerank_unrolled_sql(
+        5,
+        edge_sql=(
+            "SELECT DISTINCT src, dst FROM ("
+            f"SELECT {_rd_sql('src_host')} AS src, "
+            f"{_rd_sql('dst_host')} AS dst "
+            f"FROM ({_MSUF_EDGE_SQL})) "
+            "WHERE src IS NOT NULL AND dst IS NOT NULL"
+        ),
+    ),
+    "crawl -> edges -> eTLD+1 domain graph -> PageRank end-to-end: the "
+    "reference pipeline's NodesOnly -> Edges -> Graph -> GraphAggr "
+    "composition at its true domain grain (paper.md:139-167). 18 "
+    "registered-domain nodes (6 families x 3 groups; the bare-suffix "
+    "template drops), 5-iteration damped PageRank hash-matched against "
+    "the unrolled CTE oracle whose edge list replays the suffix match",
+)
+def wat_pagerank_etld1(spark, sf_dir):
+    from ascii_hydra_spark.operators.crawl import domain_link_aggr
+
+    dom = domain_link_aggr(
+        _wat_edges_multisuffix(spark), grain="etld1"
+    ).select(
         F.col("src_domain").alias("src"), F.col("dst_domain").alias("dst")
     )
     ranks = graph.pagerank(dom, iterations=5)
@@ -22207,6 +22442,10 @@ _ROUND12_POOL: tuple[str, ...] = (
     # displaced from the round-9 rotation by the WAT trio
     "aov_by_segment", "hourly_value_profile",
     "new_customer_order_share_monthly",
+    # round-10 additions: the eTLD+1 registered-domain grain (closing
+    # the round-9 verdict's host-vs-domain GraphAggr gap)
+    "registered_domain_map", "domain_graph_aggr_etld1",
+    "wat_pagerank_etld1",
 )
 
 # Round-13 pool: new entries queue here once round 12's tail fills

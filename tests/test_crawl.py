@@ -237,3 +237,97 @@ def test_wat_fixture_pipeline_closed_form(spark):
     lo = max(by_node[f"com,example,site{h}"] for h in (3, 4, 5, 6))
     hi = min(by_node[f"com,example,site{h}"] for h in (0, 1, 2))
     assert hi > lo
+
+
+# ------------------------------------------------- eTLD+1 grain (psl)
+
+
+def test_psl_snapshot_invariants():
+    from ascii_hydra_spark.functions import psl
+
+    # reversed comma form, lowercase, depth-bounded, deterministic order
+    assert all(r == r.lower() and r.count(",") == 1 for r in psl.SUFFIX_RULES_2)
+    assert all(r == r.lower() and r.count(",") == 2 for r in psl.SUFFIX_RULES_3)
+    assert list(psl.SUFFIX_RULES_2) == sorted(set(psl.SUFFIX_RULES_2))
+    assert list(psl.SUFFIX_RULES_3) == sorted(set(psl.SUFFIX_RULES_3))
+    # bounded snapshot: big enough to be real, small enough for codegen
+    assert 100 <= len(psl.SUFFIX_RULES_2) <= 1000
+    assert 1 <= len(psl.SUFFIX_RULES_3) <= 100
+    assert psl.sql_list(("a,b", "c,d")) == "['a,b', 'c,d']"
+    # the marquee rules a crawl actually hits
+    assert "uk,co" in psl.SUFFIX_RULES_2
+    assert "io,github" in psl.SUFFIX_RULES_2
+    assert "com,amazonaws,s3" in psl.SUFFIX_RULES_3
+    assert "mm" in psl.WILDCARD_TLDS
+
+
+def test_registered_domain_cases(spark):
+    from ascii_hydra_spark.functions import registered_domain
+
+    cases = {
+        # depth-2 ccTLD rule: subdomains collapse
+        "uk,co,shop1,cdn": "uk,co,shop1",
+        "uk,co,shop1": "uk,co,shop1",
+        # prevailing-* fallback (known and unknown TLD alike)
+        "com,acme,app": "com,acme",
+        "xyz,startup": "xyz,startup",
+        # private suffix: each user site its own registered domain
+        "io,github,blog,docs": "io,github,blog",
+        # depth-3 rule
+        "com,amazonaws,s3,bucket,files": "com,amazonaws,s3,bucket",
+        # wildcard TLD: any 2nd label is a suffix
+        "mm,baz,pad": "mm,baz,pad",
+        # port dropped (domains are port-less)
+        "com,acme:8080": "com,acme",
+        # NULL paths: bare suffix / bare TLD / wildcard-suffix host /
+        # IPv4 (numeric reversed TLD) / IPv6 (>= 2 colons) / empty
+        "io,github": None,
+        "com": None,
+        "mm,baz": None,
+        "4,3,2,1": None,
+        "2001:db8::1": None,
+        "": None,
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "host string")
+    got = {
+        r["host"]: r["rd"]
+        for r in df.select("host", registered_domain("host").alias("rd")).collect()
+    }
+    assert got == cases
+
+
+def test_domain_link_aggr_etld1_collapses_and_drops(spark):
+    edges = spark.createDataFrame(
+        [
+            # two host-grain nodes, ONE eTLD+1 node (self-edge)
+            ("uk,co,shop0,cdn)/a", "uk,co,shop0)/b"),
+            ("uk,co,shop0,cdn)/a2", "uk,co,shop0)/b"),
+            # cross-domain edge
+            ("uk,co,shop0)/c", "com,acme1)/d"),
+            # src is a bare public suffix -> edge DROPS
+            ("io,github)/x", "com,acme1)/y"),
+            # dst is an IPv4 literal -> edge DROPS
+            ("com,acme1)/z", "4,3,2,1)/w"),
+        ],
+        "src_surt string, dst_surt string",
+    )
+    got = {
+        (r["src_domain"], r["dst_domain"]): (r["n_links"], r["n_src_pages"])
+        for r in crawl.domain_link_aggr(edges, grain="etld1").collect()
+    }
+    assert got == {
+        ("uk,co,shop0", "uk,co,shop0"): (2, 2),
+        ("uk,co,shop0", "com,acme1"): (1, 1),
+    }
+    # host grain keeps all five edges' nodes
+    assert crawl.domain_link_aggr(edges, grain="host").count() == 4
+
+
+def test_domain_link_aggr_rejects_unknown_grain(spark):
+    import pytest
+
+    edges = spark.createDataFrame(
+        [("com,a)/x", "com,b)/y")], "src_surt string, dst_surt string"
+    )
+    with pytest.raises(ValueError, match="grain"):
+        crawl.domain_link_aggr(edges, grain="tld")
