@@ -698,6 +698,53 @@ def main() -> int:
 
     stage("wat_graph_pipeline", wat_graph_pipeline)
 
+    # ---- eTLD+1 rollup at 1M page edges (round-10 family): the
+    # registered-domain probe (functions/psl.py snapshot, InSet
+    # membership — no join) keys a 1M-row rollup with closed forms.
+    # id = 4k + t: template t 0/1 are subdomain variants of ONE
+    # registered domain (must collapse), t=2 a *.github.io site (its
+    # own domain), t=3 a bare public suffix (must DROP); group
+    # g = k % 1000 gives 1000 domain families per template,
+    # decorrelated from t ----
+    def etld1_graph_1m():
+        from ascii_hydra_spark.operators.crawl import domain_link_aggr
+
+        nr = 1_000_000
+        t = F.col("id") % 4
+        g = ((F.col("id") / 4).cast("long") % 1000).cast("string")
+        src_host = (
+            F.when(t == 0, F.concat(F.lit("uk,co,shop"), g, F.lit(",cdn")))
+            .when(t == 1, F.concat(F.lit("uk,co,shop"), g))
+            .when(t == 2, F.concat(F.lit("io,github,blog"), g))
+            .otherwise(F.lit("io,github"))
+        )
+        edges = spark.range(nr).select(
+            F.concat(src_host, F.lit(")/p/"), F.col("id")).alias("src_surt"),
+            F.concat(
+                F.lit("com,acme"), g, F.lit(")/q/"), F.col("id") % 50_000
+            ).alias("dst_surt"),
+        )
+        dom = domain_link_aggr(edges, grain="etld1")
+        dom.write.mode("overwrite").parquet(f"{out}/etld1_dom.parquet")
+        got = spark.read.parquet(f"{out}/etld1_dom.parquet")
+        n_pairs = got.count()
+        # 1000 shop + 1000 blog src domains, each to its com,acme{g};
+        # the bare-suffix template's 250k edges all drop
+        assert n_pairs == 2000, n_pairs
+        tot = got.agg(F.sum("n_links").alias("s")).collect()[0]["s"]
+        assert tot == nr * 3 // 4, tot
+        one = got.filter(
+            (F.col("src_domain") == "uk,co,shop7")
+            & (F.col("dst_domain") == "com,acme7")
+        ).collect()[0]
+        # t=0 and t=1 collapse: 250 + 250 distinct pages
+        assert (one["n_links"], one["n_src_pages"]) == (500, 500), one
+        blog = got.filter(F.col("src_domain") == "io,github,blog7").collect()[0]
+        assert (blog["n_links"], blog["n_src_pages"]) == (250, 250), blog
+        return {"edges": nr, "domain_pairs": n_pairs, "links_kept": tot}
+
+    stage("etld1_graph_1m", etld1_graph_1m)
+
     # ---- distributed cumulative statistics at 1M DISTINCT values: the
     # round-7 conversions (weighted_median / max_drawdown ride distrank
     # running sums/max instead of an unpartitioned Window.orderBy).
