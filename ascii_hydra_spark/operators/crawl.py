@@ -203,17 +203,25 @@ def wat_outlinks(
     (href="a'b") is captured whole rather than truncated at the
     embedded quote, and each anchor tag yields AT MOST one row — two
     independent per-style regexes would both fire on a tag whose other
-    attributes embed an href-looking string. The lazy ``[^>]*?`` means
-    the FIRST href-looking assignment inside the tag wins; a quoted
-    ``href=`` string inside an EARLIER attribute value can still shadow
-    the real one — inherent to the tokenizer-free regex subset.
-    Unquoted hrefs are dropped. One output row per surviving anchor
-    occurrence; callers dedup at their grain (``distinct()`` for a page
-    graph, groupBy for weighted domain edges).
+    attributes embed an href-looking string. The attribute scan
+    ``(?:[^>"']|"[^"]*"|'[^']*')*?`` steps over FULLY-QUOTED attribute
+    values as units, so a quoted ``href=`` string inside an earlier
+    attribute (``data-x='href="/fake"' href='/real'``) can no longer
+    shadow the tag's real href, and a ``>`` inside a quoted value no
+    longer ends the scan; the lazy quantifier still means the first
+    real href assignment wins. Residual documented caveat: an UNQUOTED
+    attribute value containing ``href=`` can still shadow — inherent to
+    the tokenizer-free regex subset. Unquoted hrefs are dropped. One
+    output row per surviving anchor occurrence; callers dedup at their
+    grain (``distinct()`` for a page graph, groupBy for weighted domain
+    edges).
     """
     from ascii_hydra_spark.functions import surt_url
 
-    href_re = r"""(?i)<a\s[^>]*?href\s*=\s*("[^"]+"|'[^']+')"""
+    href_re = (
+        r"""(?i)<a\s(?:[^>"']|"[^"]*"|'[^']*')*?"""
+        r"""href\s*=\s*("[^"]+"|'[^']+')"""
+    )
     quoted = F.explode(
         F.regexp_extract_all(F.col(body_col), F.lit(href_re), F.lit(1))
     )

@@ -153,23 +153,30 @@ def test_wat_outlinks_at_most_one_href_per_anchor(spark):
     # ONE combined regex: a tag whose other attributes embed an
     # href-looking string yields AT MOST one row (two independent
     # per-quote-style regexes would fire twice on the first tag). The
-    # second tag documents the shadowing caveat: a quoted href= inside
-    # an EARLIER attribute value wins under the first-match rule.
+    # attribute scan steps over fully-quoted values as units, so a
+    # quoted href= inside an EARLIER attribute no longer shadows the
+    # real href (the round-9 advisor's precision suggestion), and a >
+    # inside a quoted value no longer ends the scan. An UNQUOTED
+    # attribute value containing href= remains the documented caveat.
     pages = spark.createDataFrame(
         [
             (
                 "http://h.example.com/",
                 '<a href="/a" data-note="href=\'/b\'">x</a>'
-                "<a data-x='href=\"/fake\"' href='/real'>y</a>",
+                "<a data-x='href=\"/fake\"' href='/real'>y</a>"
+                '<a title="a>b" href="/after-gt">z</a>'
+                '<a data-u=href="/shadow" href="/unseen">w</a>',
             )
         ],
         "target_uri string, body string",
     )
     rows = crawl.wat_outlinks(pages).collect()
-    assert len(rows) == 2  # exactly one row per anchor tag
+    assert len(rows) == 4  # exactly one row per anchor tag
     assert {r["dst_surt"] for r in rows} == {
-        "com,example,h)/a",      # the real href, not data-note's /b
-        "com,example,h)/fake",   # documented shadowing (earlier attr)
+        "com,example,h)/a",        # the real href, not data-note's /b
+        "com,example,h)/real",     # quoted earlier attr no longer shadows
+        "com,example,h)/after-gt", # > inside a quoted value is stepped over
+        "com,example,h)/shadow",   # unquoted-value shadowing: documented
     }
 
 
