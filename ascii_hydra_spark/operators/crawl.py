@@ -204,22 +204,26 @@ def wat_outlinks(
     embedded quote, and each anchor tag yields AT MOST one row — two
     independent per-style regexes would both fire on a tag whose other
     attributes embed an href-looking string. The attribute scan
-    ``(?:[^>"']|"[^"]*"|'[^']*')*?`` steps over FULLY-QUOTED attribute
-    values as units, so a quoted ``href=`` string inside an earlier
-    attribute (``data-x='href="/fake"' href='/real'``) can no longer
-    shadow the tag's real href, and a ``>`` inside a quoted value no
-    longer ends the scan; the lazy quantifier still means the first
-    real href assignment wins. Residual documented caveat: an UNQUOTED
-    attribute value containing ``href=`` can still shadow — inherent to
-    the tokenizer-free regex subset. Unquoted hrefs are dropped. One
-    output row per surviving anchor occurrence; callers dedup at their
-    grain (``distinct()`` for a page graph, groupBy for weighted domain
-    edges).
+    ``(?:[^>"']|"[^">]*"|'[^'>]*')*?`` steps over FULLY-QUOTED
+    attribute values as units, so a quoted ``href=`` string inside an
+    earlier attribute (``data-x='href="/fake"' href='/real'``) can no
+    longer shadow the tag's real href; the lazy quantifier still means
+    the first real href assignment wins. The quoted-unit branches
+    REFUSE to cross ``>`` — a quoted value containing ``>`` (or an
+    unclosed quote, common in real crawl HTML) ends the scan at the
+    tag boundary instead of letting it escape into body text and
+    extract href-looking strings that were never anchors (the
+    tag-escape spurious-edge failure a ``"[^"]*"`` branch exhibits).
+    Residual documented caveat: an UNQUOTED attribute value containing
+    ``href=`` can still shadow — inherent to the tokenizer-free regex
+    subset. Unquoted hrefs are dropped. One output row per surviving
+    anchor occurrence; callers dedup at their grain (``distinct()``
+    for a page graph, groupBy for weighted domain edges).
     """
     from ascii_hydra_spark.functions import surt_url
 
     href_re = (
-        r"""(?i)<a\s(?:[^>"']|"[^"]*"|'[^']*')*?"""
+        r"""(?i)<a\s(?:[^>"']|"[^">]*"|'[^'>]*')*?"""
         r"""href\s*=\s*("[^"]+"|'[^']+')"""
     )
     quoted = F.explode(

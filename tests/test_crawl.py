@@ -155,29 +155,52 @@ def test_wat_outlinks_at_most_one_href_per_anchor(spark):
     # per-quote-style regexes would fire twice on the first tag). The
     # attribute scan steps over fully-quoted values as units, so a
     # quoted href= inside an EARLIER attribute no longer shadows the
-    # real href (the round-9 advisor's precision suggestion), and a >
-    # inside a quoted value no longer ends the scan. An UNQUOTED
-    # attribute value containing href= remains the documented caveat.
+    # real href (the round-9 advisor's precision suggestion) — but the
+    # quoted-unit branches refuse to cross '>', so a quoted value
+    # containing '>' ends the scan at the tag boundary (that href is
+    # missed, same as the pre-round-10 behavior) rather than letting an
+    # UNCLOSED quote bridge the tag end and extract href-looking body
+    # text as a spurious edge. An UNQUOTED attribute value containing
+    # href= remains the documented shadowing caveat.
     pages = spark.createDataFrame(
         [
             (
                 "http://h.example.com/",
                 '<a href="/a" data-note="href=\'/b\'">x</a>'
                 "<a data-x='href=\"/fake\"' href='/real'>y</a>"
-                '<a title="a>b" href="/after-gt">z</a>'
                 '<a data-u=href="/shadow" href="/unseen">w</a>',
             )
         ],
         "target_uri string, body string",
     )
     rows = crawl.wat_outlinks(pages).collect()
-    assert len(rows) == 4  # exactly one row per anchor tag
+    assert len(rows) == 3  # exactly one row per anchor tag
     assert {r["dst_surt"] for r in rows} == {
-        "com,example,h)/a",        # the real href, not data-note's /b
-        "com,example,h)/real",     # quoted earlier attr no longer shadows
-        "com,example,h)/after-gt", # > inside a quoted value is stepped over
-        "com,example,h)/shadow",   # unquoted-value shadowing: documented
+        "com,example,h)/a",      # the real href, not data-note's /b
+        "com,example,h)/real",   # quoted earlier attr no longer shadows
+        "com,example,h)/shadow", # unquoted-value shadowing: documented
     }
+
+
+def test_wat_outlinks_unclosed_quote_cannot_escape_tag(spark):
+    # an unclosed quoted attribute must NOT let the scan bridge the
+    # tag's '>' and extract href-looking strings from body text (the
+    # spurious-edge regression a bare "[^"]*" quoted-unit branch has);
+    # a quoted value legitimately containing '>' ends the scan too —
+    # that tag's href is missed, never misattributed
+    pages = spark.createDataFrame(
+        [
+            (
+                "http://h.example.com/",
+                '<a lang="en>visit us" href="/fake-from-text" more text'
+                ' <a title="a>b" href="/missed">z</a>'
+                ' <a href="/ok">fine</a>',
+            )
+        ],
+        "target_uri string, body string",
+    )
+    got = {r["dst_surt"] for r in crawl.wat_outlinks(pages).collect()}
+    assert got == {"com,example,h)/ok"}
 
 
 def test_wat_outlinks_empty_and_statusless_bodies(spark):
