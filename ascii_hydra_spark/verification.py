@@ -22189,9 +22189,11 @@ def pareto_chart_priorities(spark, sf_dir):
 # registry (rounds 1-6 each checked exactly 50), so the head is a ROTATING
 # evidence window: a handful of anchor entries (one per core family) stay
 # pinned every round, and the remaining slots are filled with entries that
-# have NEVER had a driver row. Round-10 rotation: the rounds-6/7
-# continuation queue (WARC/CDX ingestion, distributed-rank arms,
-# rows-only-to-portable conversions, AB-test statistics) — every
+# have NEVER had a driver row. Round-10 rotation: the round-7
+# continuation analytics queue (time-series diagnostics, AB-test
+# statistics, language profiling, multimodal channel stats) — the
+# pool the round-9 verdict named for this head
+# ("granger_orders_to_revenue ... durbin_watson_daily") — every
 # name SQL-oracled, first-time (round 4 spent 10 of its 50 slots on
 # rows-only entries that can only ever come back `no_oracle`, so the
 # window hard-requires an oracle for every head name — guard below).
@@ -22210,37 +22212,6 @@ _ANCHORS: tuple[str, ...] = (
 # 51st name out of the window, and round 4 burned 10 slots on rows-only
 # entries that can only ever record `no_oracle`).
 _ROTATION: tuple[str, ...] = (
-    "warc_records_scan", "warc_host_dedup", "incremental_minhash_portable",
-    "customer_revenue_rank_tiles", "cumulative_daily_revenue",
-    "url_canonical_dedup", "gopher_quality_gate", "distributed_median_price",
-    "binaryfile_scan", "dsir_importance_en", "html_text_extraction",
-    "price_ending_profile", "gini_by_segment", "stream_quality_gate",
-    "warc_curation_pipeline", "warc_content_dedup_pipeline",
-    "cdx_index_build", "cdx_pruned_fetch", "cdx_index_jsonl_sink",
-    "surt_blocklist_filter", "luhn_card_audit", "robots_url_gate",
-    "mojibake_audit", "invisible_char_scrub", "nelson_aalen_lifetimes",
-    "logrank_value_ab", "cuped_value_ab", "lpa_communities",
-    "filtered_aggs_monthly", "freshness_audit_event_types",
-    "gaps_islands_user_days", "asof_join_nearest_views", "cohens_d_value_ab",
-    "mcnemar_doc_gates", "mann_kendall_daily_revenue",
-    "runs_test_daily_revenue", "kruskal_wallis_value_by_type",
-    "ccnet_perplexity_buckets", "quality_feature_matrix",
-    "odds_ratio_purchase_ab", "cdx_revisit_detection",
-    "hurst_rescaled_range_daily", "nbinom_moments_user_events",
-    "bartlett_value_by_type", "stable_rank_embeddings",
-)
-# (Round-10 rotation, promoted verbatim from the prior round's next-up
-# pool — 45 first-time SQL-oracled names: rounds 6-7 additions (WARC
-# ingestion, distributed-rank arms, rows-only conversions, AB-test
-# stats). The round-9 rotation moved to _PAST_DRIVER_GREEN after
-# CORRECTNESS_r09.json recorded all 50 head rows green.)
-
-# Pools are named for the round whose rotation they hold (renamed at
-# round 10 from the historical offset _ROUND{N}_POOL names per the
-# round-9 advisor finding). _ROUND11_POOL is promoted verbatim into
-# _ROTATION at round 11, and so on. Same first-time/disjoint/
-# oracle-able contract for every pool.
-_ROUND11_POOL: tuple[str, ...] = (
     "granger_orders_to_revenue", "simpsons_paradox_segments",
     "eclat_brand_triples", "nb_langid_confusion",
     "lang_unigram_cosine_pairs", "fano_factor_hourly_by_type",
@@ -22261,6 +22232,39 @@ _ROUND11_POOL: tuple[str, ...] = (
     "doc_length_quartiles_by_lang", "benford_conformity_verdict",
     "session_threshold_sensitivity", "ks_drift_month_halves",
     "interarrival_expfit_ks", "durbin_watson_daily",
+)
+# (Round-10 rotation, promoted verbatim per the round-9 verdict's
+# task 1, which cited this pool by line and by first/last name. The
+# round-9 rotation moved to _PAST_DRIVER_GREEN after
+# CORRECTNESS_r09.json recorded all 50 head rows green.)
+
+# Pools are named for the round whose rotation they hold (renamed at
+# round 10 from the historical offset _ROUND{N}_POOL names per the
+# round-9 advisor finding). _ROUND11_POOL is promoted verbatim into
+# _ROTATION at round 11, and so on. Same first-time/disjoint/
+# oracle-able contract for every pool.
+
+# Round-11 pool: the rounds-6/7 WARC/CDX ingestion + distributed-rank
+# + portable-conversion wave.
+_ROUND11_POOL: tuple[str, ...] = (
+    "warc_records_scan", "warc_host_dedup", "incremental_minhash_portable",
+    "customer_revenue_rank_tiles", "cumulative_daily_revenue",
+    "url_canonical_dedup", "gopher_quality_gate", "distributed_median_price",
+    "binaryfile_scan", "dsir_importance_en", "html_text_extraction",
+    "price_ending_profile", "gini_by_segment", "stream_quality_gate",
+    "warc_curation_pipeline", "warc_content_dedup_pipeline",
+    "cdx_index_build", "cdx_pruned_fetch", "cdx_index_jsonl_sink",
+    "surt_blocklist_filter", "luhn_card_audit", "robots_url_gate",
+    "mojibake_audit", "invisible_char_scrub", "nelson_aalen_lifetimes",
+    "logrank_value_ab", "cuped_value_ab", "lpa_communities",
+    "filtered_aggs_monthly", "freshness_audit_event_types",
+    "gaps_islands_user_days", "asof_join_nearest_views", "cohens_d_value_ab",
+    "mcnemar_doc_gates", "mann_kendall_daily_revenue",
+    "runs_test_daily_revenue", "kruskal_wallis_value_by_type",
+    "ccnet_perplexity_buckets", "quality_feature_matrix",
+    "odds_ratio_purchase_ab", "cdx_revisit_detection",
+    "hurst_rescaled_range_daily", "nbinom_moments_user_events",
+    "bartlett_value_by_type", "stable_rank_embeddings",
 )
 
 # Frozen record of every name with a driver-green row (rows+schema+hash,
