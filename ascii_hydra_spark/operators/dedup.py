@@ -337,6 +337,13 @@ def minhash_lsh_pairs(
     sig = minhash_signatures(
         _ensure_min_parallelism(df), id_col, text_col, num_hashes, shingle_k
     ).persist()
+    # EAGER barrier: a lazy persist does not stop AQE from submitting all
+    # consumer leaf stages concurrently, and each then races to compute
+    # the signature UDF subtree before the cache is populated (measured
+    # at sf0.1: 4 racing stages, ~4x the UDF CPU and a 128-process Python
+    # worker fork storm). One count() materializes the cache once, so the
+    # expensive Arrow/numpy stage runs exactly one wave of tasks.
+    sig.count()
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sig.select(
         "__id",
@@ -381,6 +388,7 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .persist()  # tiny (surviving pairs); read 3x below
     )
+    candidates.count()  # eager: see the sig barrier above
     # exact verification on the surviving candidates only: semi-join the
     # corpus down to docs that appear in some candidate pair BEFORE paying
     # the shingle-set materialization — at scale the candidate set is
@@ -393,7 +401,11 @@ def minhash_lsh_pairs(
     shingle_sets = (
         df.join(F.broadcast(cand_ids), F.col(id_col) == F.col("__cid"), "left_semi")
         .select(F.col(id_col).alias("__id"), F.array_distinct(char_shingles(text_col, shingle_k)).alias("__set"))
+        .persist()
     )
+    # eager: sa and sb below are independent AQE leaf stages — without the
+    # barrier each side re-runs the candidate semi-join + shingle explode
+    shingle_sets.count()
     sa = shingle_sets.select(F.col("__id").alias("id_a"), F.col("__set").alias("__seta"))
     sb = shingle_sets.select(F.col("__id").alias("id_b"), F.col("__set").alias("__setb"))
     verified = (
@@ -681,6 +693,9 @@ def simhash_pairs(
         raise ValueError("chunks must divide bits")
     # persist: one 8-byte hash per doc, read by both sides of the self-join
     sh = simhash(df, id_col, text_col, bits=bits, hash_fn=hash_fn).persist()
+    # eager barrier — both join sides are independent AQE leaf stages and
+    # would otherwise race to compute the hash scan before the cache fills
+    sh.count()
     width = bits // chunks
     chunk_vals = F.array(
         *[
@@ -865,6 +880,10 @@ def minhash_lsh_pairs_portable(
         .distinct()
         .persist()
     )
+    # eager barrier: the four consumers are independent AQE leaf stages;
+    # lazily persisted they race to re-run tokenize + explode + distinct
+    # before the cache is populated (see minhash_lsh_pairs)
+    sh.count()
 
     def hv(i: int):
         return F.conv(

@@ -215,6 +215,10 @@ def label_propagation(
     und = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().persist()
+    # eager barrier: the first round reads `und` from two independent
+    # AQE leaf stages (labels seed + messages) — lazily persisted they
+    # race to recompute the dedup+union before the cache is populated
+    und.count()
     labels = (
         und.select(F.col("src").alias("node"))
         .distinct()

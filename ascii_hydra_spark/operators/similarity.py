@@ -410,10 +410,17 @@ def cosine_pairs_lsh(
                 / math.log(max(1.0 - collide, 1e-12))
             )))
     bucket_keys = _hyperplane_bucket_udf(dim, n_planes, n_tables, seed)
-    tables = emb.select(
+    from ascii_hydra_spark.operators.dedup import _ensure_min_parallelism
+
+    # spread the bucket UDF over the cores (a small local file is one scan
+    # split -> one Python worker; no-op at scale where splits >= cores),
+    # and persist+materialize: the self-join's two sides are independent
+    # AQE leaf stages that would otherwise BOTH run the numpy matmul UDF
+    tables = _ensure_min_parallelism(emb).select(
         F.col(id_col).alias("__id"),
         F.explode(bucket_keys(F.col(vec_col))).alias("__bucket"),
-    )
+    ).persist()
+    tables.count()
     a, b = tables.alias("a"), tables.alias("b")
     # dedupe candidate PAIRS before scoring: a pair colliding in k tables
     # would otherwise pay the 64-dim dot product k times
@@ -427,9 +434,13 @@ def cosine_pairs_lsh(
     )
     from ascii_hydra_spark.functions.udfs import dot_product
 
-    normed = emb.select(
+    # parallelize the normalize fold past the scan's split count (no-op at
+    # scale) and materialize ONCE: va/vb below are independent AQE leaf
+    # stages, and unpersisted each would re-run the per-row normalization
+    normed = _ensure_min_parallelism(emb).select(
         F.col(id_col).alias("__id"), _normalize(to_double_array(vec_col)).alias("__v")
-    )
+    ).persist()
+    normed.count()
     va = normed.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
     vb = normed.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
     return (
@@ -886,6 +897,9 @@ def cosine_pairs_lsh_portable(
     base = emb.select(
         F.col(id_col).alias("__id"), v.alias("__v"), bucket.alias("__b")
     ).persist()
+    # eager barrier — the self-join's sides are independent AQE leaf
+    # stages and would race to recompute the n_planes sign folds
+    base.count()
     a, b = base.alias("a"), base.alias("b")
     sim = F.round(
         cosine_similarity(F.col("a.__v"), F.col("b.__v")), 6

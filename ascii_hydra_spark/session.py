@@ -123,6 +123,20 @@ OPTIMIZER_CONF: dict[str, str] = {
     # subplans (window/aggregate dims) as per-join filters, turning
     # sub-second queries into minutes at fixture scale.
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # AQE partition-coalescing floor. The default 1m floor coalesces any
+    # intermediate shuffle below ~1 MB/core into a handful of partitions —
+    # fine when cost ~ bytes, but CPU-DENSE small intermediates (candidate
+    # verification with per-row array intersections / vector dot products
+    # after an LSH prefilter) then run nearly single-threaded: measured at
+    # sf0.1, the sim_pairs_lsh exact-verify stage collapsed to ONE task
+    # (1.5-1.8 s of its ~2.3 s total). 64k keeps such stages spread across
+    # the cores while still coalescing true micro-partitions. Scale-neutral
+    # by construction: the floor only binds when bytes/parallelism is
+    # smaller than it, i.e. exactly the stages where per-byte CPU cost —
+    # not shuffle machinery — dominates; large shuffles keep the advisory
+    # target (guide §2.2's 100 MB-1 GB guidance governs via
+    # advisoryPartitionSizeInBytes, untouched).
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
 }
 
 INTERCHANGE_CONF: dict[str, str] = {

@@ -6849,6 +6849,7 @@ def warc_content_dedup_pipeline(spark, sf_dir):
         .select(F.col("id").alias("doc_id"), "text")
         .persist()
     )
+    kept.count()  # eager: AQE leaf stages race a lazy persist (dedup.py)
     pairs = dedup.minhash_lsh_pairs_portable(
         kept, "doc_id", "text", threshold=0.8, num_hashes=16, bands=4
     )

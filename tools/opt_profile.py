@@ -49,6 +49,12 @@ def main() -> None:
     ap.add_argument("--suffix", default="before")
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--no-time", action="store_true")
+    ap.add_argument(
+        "--eventlog",
+        default=None,
+        help="directory for Spark event logs (stage-level dissection; "
+        "parse with tools/stage_report.py)",
+    )
     args = ap.parse_args()
 
     import bench  # noqa: E402  (repo root on path)
@@ -63,10 +69,20 @@ def main() -> None:
     elif args.qset == "all":
         names += bench.HEADLINE + bench.EXTRA
 
+    extra_conf = {}
+    if args.eventlog:
+        os.makedirs(args.eventlog, exist_ok=True)
+        extra_conf = {
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": args.eventlog,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
+        }
     profile = SessionProfile(
         app_name="ahs-opt-profile",
         master=f"local[{CPUS}]",
         shuffle_partitions=CPUS,
+        extra_conf=extra_conf,
     )
     spark = build_spark(profile)
     spark.sparkContext.setLogLevel("ERROR")
