@@ -642,11 +642,17 @@ def simhash(
         h = F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10).cast(
             "bigint"
         )
+        # md5+hex-conv is ~10x an xxhash64; hash each DISTINCT token once
+        # and join the hash back to the occurrence rows (same values, so
+        # the sign-sums are unchanged). The distinct side is
+        # vocabulary-sized — AQE broadcasts it; the sign-sum groupBy
+        # below is the same shuffle either way.
+        uniq = toks.select("__tok").distinct().select("__tok", h.alias("__h"))
+        hashed = toks.join(uniq, "__tok").select("__id", "__h")
     elif hash_fn == "xxhash64":
-        h = F.xxhash64("__tok")
+        hashed = toks.select("__id", F.xxhash64("__tok").alias("__h"))
     else:
         raise ValueError(f"unknown hash_fn: {hash_fn!r}")
-    hashed = toks.select("__id", h.alias("__h"))
     sign_sums = [
         F.sum(
             F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -894,6 +900,13 @@ def minhash_lsh_pairs_portable(
             10,
         ).cast("bigint")
 
+    # NOTE: a distinct-shingle hash table joined back to (doc, shingle)
+    # was A/B-measured here (r10) and REGRESSED (~3.5 s -> ~4.2 s best
+    # case at sf0.1): the 16 seeded hashes are each evaluated once per
+    # occurrence either way (no redundant evaluation to remove, unlike
+    # the simhash/containment arms where one hash feeds 64 bit-tests),
+    # so the extra distinct shuffle + broadcast join bought nothing.
+    # Inline evaluation inside the partial aggregate stays.
     sig = sh.groupBy("__id").agg(
         *[F.min(hv(i)).alias(f"__m{i}") for i in range(num_hashes)]
     )
@@ -979,9 +992,18 @@ def containment_pairs_portable(
     hv = F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10).cast(
         "bigint"
     )
-    flagged = toks.select(
-        "__id", "__pos", "__tok", (F.pmod(hv, F.lit(gap)) == 0).cast("int").alias("__b")
+    # boundary flag per DISTINCT token, joined back to occurrences (same
+    # flag values — the running-sum chunk ids are unchanged); saves one
+    # md5+hex-conv per token occurrence, and the vocabulary-sized flag
+    # table broadcasts (see minhash_lsh_pairs_portable)
+    uniq = (
+        toks.select("__tok")
+        .distinct()
+        .select(
+            "__tok", (F.pmod(hv, F.lit(gap)) == 0).cast("int").alias("__b")
+        )
     )
+    flagged = toks.join(uniq, "__tok").select("__id", "__pos", "__tok", "__b")
     w = (
         Window.partitionBy("__id")
         .orderBy("__pos")

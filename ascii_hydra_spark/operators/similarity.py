@@ -1069,34 +1069,45 @@ def gram_power_iteration_eigen(
     max-normalization is order-free. The eigenvalue descales by
     10^(2*scale) at the end.
 
-    This entry's Gram builds via a coordinate pair join (d(d+1)/2
-    groups — exact and oracle-replayable); at 100 TB build the same
-    integer Gram with the mapInPandas GEMM partials
-    (:func:`embedding_covariance`) and feed these folds unchanged —
-    the iteration is dimension-bounded either way.
+    The Gram builds via mapInPandas integer-GEMM partials (the
+    :func:`embedding_covariance` shape): one int64 matmul per Arrow
+    batch emits d(d+1)/2 partial rows, an (i, j) groupBy sums them —
+    the shuffle moves d(d+1)/2 rows per batch regardless of corpus
+    size, and the integers (hence the folds and the oracle hash) are
+    identical to the coordinate-pair-join formulation it replaced.
     """
+    import numpy as np
+    import pandas as pd
+
     d = len(emb.select(vec_col).first()[0])
     mult = 10**scale
-    u = emb.select(
-        F.col(id_col).alias("__r"),
-        F.posexplode(to_double_array(F.col(vec_col))).alias("__i0", "__x"),
-    ).select(
-        "__r",
-        (F.col("__i0") + 1).alias("__i"),
-        F.floor(F.col("__x") * F.lit(float(mult)) + F.lit(0.5)).alias("__q"),
+    mult_f = float(mult)
+
+    # Gram build as mapInPandas integer-GEMM partials (the docstring's
+    # documented 100 TB form, now the only form): each Arrow batch yields
+    # its d(d+1)/2 upper-triangle partial sums from ONE int64 matmul, and
+    # the (i, j) groupBy sums the partials. The previous coordinate pair
+    # join (posexplode -> self-join on the row id -> filter i <= j)
+    # shuffled n*d(d+1)/2 rows (41.6M at sf0.1's 20k x 64) to produce the
+    # same 2080 integers. Bit-identical by construction: q =
+    # floor(x * 10^scale + 0.5) is the same IEEE multiply-add-floor on the
+    # same float64 coordinates, and integer sums are order-free.
+    def gram_part(batches):
+        iu = np.triu_indices(d)
+        i_out = (iu[0] + 1).astype("int32")
+        j_out = (iu[1] + 1).astype("int32")
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.stack(pdf["__v"].to_numpy()).astype("float64")
+            x = np.floor(m * mult_f + 0.5).astype("int64")
+            g = x.T @ x
+            yield pd.DataFrame({"i": i_out, "j": j_out, "v": g[iu]})
+
+    parts = emb.select(to_double_array(F.col(vec_col)).alias("__v")).mapInPandas(
+        gram_part, "i int, j int, v long"
     )
-    a = u.select(
-        F.col("__r"), F.col("__i").alias("i"), F.col("__q").alias("qa")
-    )
-    b = u.select(
-        F.col("__r"), F.col("__i").alias("j"), F.col("__q").alias("qb")
-    )
-    upper = (
-        a.join(b, "__r")
-        .filter(F.col("i") <= F.col("j"))
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("qa") * F.col("qb")).cast("bigint").alias("v"))
-    )
+    upper = parts.groupBy("i", "j").agg(F.sum("v").cast("bigint").alias("v"))
     full_g = upper.unionAll(
         upper.filter(F.col("i") != F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "v"

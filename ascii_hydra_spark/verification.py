@@ -8441,9 +8441,15 @@ def mixing_weights_temperature(spark, sf_dir):
     "jar); schema required on read, same no-inference-pass rule as CSV",
 )
 def xml_roundtrip(spark, sf_dir):
+    from ascii_hydra_spark.operators.dedup import _ensure_min_parallelism
+
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
     path = tempfile.mkdtemp(prefix="ahs_xml_") + "/data"
-    sources.write_xml(li, path)
+    # spread XML row serialization across the cores: the sf0.1 parquet is
+    # one 10.8 MB split, so the write was ONE task serializing 600k rows
+    # (and the read-back one task parsing them). No-op at scale (splits
+    # >= cores); the groupBy result is partitioning-invariant.
+    sources.write_xml(_ensure_min_parallelism(li), path)
     back = sources.read_xml(spark, path, "l_orderkey BIGINT, l_returnflag STRING")
     return back.groupBy("l_returnflag").agg(
         F.count("*").alias("n"), F.sum("l_orderkey").alias("key_sum")
