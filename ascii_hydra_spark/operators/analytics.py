@@ -222,7 +222,12 @@ def decile_shares(
     per = tiled.groupBy("tile").agg(
         F.count("*").cast("bigint").alias("n"),
         _dsum(F.col("__x")).alias("revenue"),
-    )
+    ).persist()
+    # eager barrier: `per` is <= `tiles` rows but feeds BOTH the total
+    # agg and the final crossJoin — unpersisted, the whole upstream rank
+    # machinery (distrank two-pass + tile groupBy) executed twice
+    # (r10 before-plan: 8 parquet scans)
+    per.count()
     total = per.agg(F.sum(F.col("revenue").cast("decimal(18,2)")).cast("double").alias("__t"))
     # shared non-foldable constant-0 partition spec (see
     # distrank.single_partition): this window's input is <= `tiles` rows
@@ -918,10 +923,14 @@ def mann_whitney_u(
     Raises unless exactly two groups.
     """
     ga, _gb = _two_group_labels(df, group_col, "mann_whitney_u")
+    # distinct-value grain, but its recompute drags the caller's whole
+    # scan+aggregate chain along for each of distrank's three plan
+    # branches — eager barrier (r10 stats-family sweep)
     per_v = df.groupBy(F.col(value_col).alias("__x")).agg(
         F.count("*").cast("long").alias("__t"),
         F.sum((F.col(group_col) == F.lit(ga)).cast("long")).alias("__ta"),
-    )
+    ).persist()
+    per_v.count()
     cum = distrank.global_running_sum(
         per_v, F.col("__x"), F.col("__t"), out_col="__cum"
     )
@@ -978,10 +987,13 @@ def ks_two_sample(
     comparison deciding the argmax. Raises unless exactly two groups.
     """
     ga, _gb = _two_group_labels(df, group_col, "ks_two_sample")
+    # four plan branches read this (totals + distrank's three) — eager
+    # barrier, same rationale as mann_whitney_u
     per_v = df.groupBy(F.col(value_col).alias("__x")).agg(
         F.sum((F.col(group_col) == F.lit(ga)).cast("bigint")).alias("__da"),
         F.sum((F.col(group_col) != F.lit(ga)).cast("bigint")).alias("__db"),
-    )
+    ).persist()
+    per_v.count()
     totals = per_v.agg(
         F.sum("__da").alias("__na"), F.sum("__db").alias("__nb")
     )
@@ -1526,6 +1538,15 @@ def spearman_rank_corr(
     keys). Two bounded rank tables + two shuffle joins replace the two
     unpartitioned global windows.
     """
+
+    # the input feeds SEVEN plan branches (each axis's per-value table is
+    # read 3x by distrank's probe/aggregate/offsets, plus the final
+    # row-level join base) — the r10 before-plan showed the caller's
+    # scan+groupBy chain planned 10 times. One eager persist barrier;
+    # this is the chained-consumer case the distrank A/B showed winning
+    # (the single-call loss case has 3 consumers, not 7).
+    df = df.persist()
+    df.count()
 
     def _avg_ranks(col: str, out: str) -> DataFrame:
         per_v = df.groupBy(F.col(col).alias("__v")).agg(

@@ -694,24 +694,30 @@ def hits(
     )
     auth = nodes.select("n", F.lit(1.0).alias("a"))
     for _ in range(iterations):
-        hub = (
+        # truncate the RAW sums, not the normalized frame: the
+        # max-normalization reads its input twice (the broadcast max agg
+        # + the main side), so an untruncated raw frame re-ran the
+        # propagation join+groupBy twice per half-iteration (r10 plan
+        # audit). Post-truncation the normalization is a map over a
+        # materialized table; arithmetic is unchanged.
+        hub = truncate_lineage(
             e.join(auth.withColumnRenamed("n", "d"), "d")
             .groupBy(F.col("s").alias("n"))
-            .agg(F.sum("a").alias("h"))
+            .agg(F.sum("a").alias("h")),
+            reliable=reliable,
         )
         hub = hub.crossJoin(
             F.broadcast(hub.agg(F.max("h").alias("__mx")))
         ).select("n", (F.col("h") / F.col("__mx")).alias("h"))
-        hub = truncate_lineage(hub, reliable=reliable)
-        auth = (
+        auth = truncate_lineage(
             e.join(hub.withColumnRenamed("n", "s"), "s")
             .groupBy(F.col("d").alias("n"))
-            .agg(F.sum("h").alias("a"))
+            .agg(F.sum("h").alias("a")),
+            reliable=reliable,
         )
         auth = auth.crossJoin(
             F.broadcast(auth.agg(F.max("a").alias("__mx")))
         ).select("n", (F.col("a") / F.col("__mx")).alias("a"))
-        auth = truncate_lineage(auth, reliable=reliable)
     return (
         auth.select("n", F.round("a", 6).alias("authority"))
         .orderBy(F.desc("authority"), F.col("n"))

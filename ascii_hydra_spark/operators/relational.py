@@ -602,21 +602,38 @@ def referential_integrity(
     parts = []
     for name, child, child_key, parent, parent_key in relationships:
         pk = parent.select(F.col(parent_key).alias("__pk")).distinct()
-        joined = child.select(F.col(child_key).alias("__ck")).join(
-            pk, F.col("__ck") == F.col("__pk"), "left"
+        # aggregate the child to DISTINCT-KEY grain before the join
+        # (guide §2.3 "aggregate before you shuffle"): the partial
+        # map-side count collapses each arm's shuffle from all child
+        # rows to distinct FK values, and the left join then probes at
+        # key grain. Exact-integer equivalent of the row-grain form:
+        # n_child = sum(cnt), countDistinct(ck) = count of non-null
+        # key-grain rows, and every per-key row carries its multiplicity.
+        per_ck = (
+            child.select(F.col(child_key).alias("__ck"))
+            .groupBy("__ck")
+            .agg(F.count("*").cast("bigint").alias("__cnt"))
         )
+        joined = per_ck.join(pk, F.col("__ck") == F.col("__pk"), "left")
         parts.append(
             joined.agg(
                 F.lit(name).alias("relationship"),
-                F.count("*").cast("bigint").alias("n_child"),
-                F.countDistinct("__ck").cast("bigint").alias("n_keys"),
+                # coalesce: COUNT(*) over an empty child was 0, a SUM is
+                # NULL — preserve the empty-input contract
+                F.coalesce(F.sum("__cnt"), F.lit(0))
+                .cast("bigint")
+                .alias("n_child"),
+                F.count(F.col("__ck")).cast("bigint").alias("n_keys"),
                 F.sum(
-                    F.when(F.col("__ck").isNull(), 1).otherwise(0)
+                    F.when(F.col("__ck").isNull(), F.col("__cnt")).otherwise(
+                        F.lit(0)
+                    )
                 ).cast("bigint").alias("n_null_keys"),
                 F.sum(
                     F.when(
-                        F.col("__ck").isNotNull() & F.col("__pk").isNull(), 1
-                    ).otherwise(0)
+                        F.col("__ck").isNotNull() & F.col("__pk").isNull(),
+                        F.col("__cnt"),
+                    ).otherwise(F.lit(0))
                 ).cast("bigint").alias("n_orphans"),
             )
         )

@@ -14120,14 +14120,23 @@ def customer_value_migration(spark, sf_dir):
         .cast("int")
         .alias("quartile"),
     )
-    a = qt.filter(F.col("period") == "p1").select(
-        "k", F.col("quartile").alias("q_from")
-    )
-    b = qt.filter(F.col("period") == "p2").select(
-        "k", F.col("quartile").alias("q_to")
-    )
+    # one (k, period) row exists per customer-period, so the p1/p2 split
+    # + self-join is a single groupBy pivot: max(when(...)) picks the
+    # period's unique quartile, the non-null filter IS the inner join.
+    # The r10 before-plan showed the filter/filter/join form executing
+    # the ENTIRE rank machinery twice (24 parquet scans); this halves it
+    # and drops the join shuffle (guide §2.4).
     c = (
-        a.join(b, "k")
+        qt.groupBy("k")
+        .agg(
+            F.max(F.when(F.col("period") == "p1", F.col("quartile"))).alias(
+                "q_from"
+            ),
+            F.max(F.when(F.col("period") == "p2", F.col("quartile"))).alias(
+                "q_to"
+            ),
+        )
+        .filter(F.col("q_from").isNotNull() & F.col("q_to").isNotNull())
         .groupBy("q_from", "q_to")
         .agg(F.count("*").cast("bigint").alias("n_customers"))
     )
@@ -14243,9 +14252,14 @@ def peak_concurrency_sessions(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     tagged = windows.session_ids(ev, ["user_id"], "ts", "event_id", gap_s=1800)
     us = F.unix_micros(F.col("ts"))
+    # session-grain aggregate: feeds the sweep-point union TWICE, and the
+    # downstream point table feeds four plan branches — unpersisted, the
+    # events scan + two session windows executed 8x (r10 before-plan).
+    # Eager barriers on both grains (guide §2.4/§5).
     per = tagged.groupBy("user_id", "session_id").agg(
         F.min(us).alias("s"), F.max(us).alias("en")
-    )
+    ).persist()
+    per.count()
     pts = per.select(F.col("s").alias("us"), F.lit(1).alias("d")).unionAll(
         per.select((F.col("en") + 1).alias("us"), F.lit(-1).alias("d"))
     )
@@ -14254,7 +14268,8 @@ def peak_concurrency_sessions(spark, sf_dir):
         "__key",
         F.col("us") * 2
         + F.when(F.col("d") == 1, F.lit(0)).otherwise(F.lit(1)).cast("long"),
-    )
+    ).persist()
+    keyed.count()
     sweep = distrank.global_running_sum(
         keyed,
         F.col("__key"),
