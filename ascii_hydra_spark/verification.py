@@ -6076,29 +6076,8 @@ def fuzzy_name_pairs(spark, sf_dir):
     "(sparse by construction — ~2 edges/event — and triangle-rich)",
 )
 def triangle_count_users(spark, sf_dir):
-    from pyspark.sql import Window
-
-    ev = _t(spark, sf_dir, "events").select(
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
-        "user_id",
-        "event_id",
-    )
-    w = Window.partitionBy("k").orderBy("event_id")
-    seq = ev.select(
-        "user_id",
-        F.lead("user_id", 1).over(w).alias("u1"),
-        F.lead("user_id", 2).over(w).alias("u2"),
-    )
-    edges = (
-        seq.filter(F.col("u1").isNotNull()).select(
-            F.col("user_id").alias("src"), F.col("u1").alias("dst")
-        )
-    ).union(
-        seq.filter(F.col("u2").isNotNull()).select(
-            F.col("user_id").alias("src"), F.col("u2").alias("dst")
-        )
-    )
-    return graph.triangle_count(edges)
+    # same graph as _event_proximity_edges (single-window explode form)
+    return graph.triangle_count(_event_proximity_edges(spark, sf_dir))
 
 
 @q(
@@ -12089,14 +12068,15 @@ def _event_proximity_edges(spark, sf_dir):
         F.lead("user_id", 1).over(w).alias("u1"),
         F.lead("user_id", 2).over(w).alias("u2"),
     )
-    return (
-        seq.filter(F.col("u1").isNotNull()).select(
-            F.col("user_id").alias("src"), F.col("u1").alias("dst")
-        )
-    ).union(
-        seq.filter(F.col("u2").isNotNull()).select(
-            F.col("user_id").alias("src"), F.col("u2").alias("dst")
-        )
+    # single explode instead of a union of two filtered projections: the
+    # union form planned the SAME window twice (two Exchange+Sort+Window
+    # chains per consumer in every graph query's before-plan); the
+    # exploded non-null array is the identical multiset of (src, dst)
+    return seq.select(
+        F.col("user_id").alias("src"),
+        F.explode(
+            F.filter(F.array("u1", "u2"), lambda x: x.isNotNull())
+        ).alias("dst"),
     )
 
 
