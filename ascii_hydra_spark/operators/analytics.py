@@ -3040,7 +3040,10 @@ def abc_classification(
         d, F.col("__v"), [F.col("__k")], desc=True, out_col="__i"
     )
     cum = distrank.global_running_sum(
-        ranked, F.col("__i"), F.col("__v"), out_col="__cum", total_col="__tot"
+        # materialize: `ranked` embeds the row_number call's window+join
+        # chain — the A/B-proven chained-call case (see distrank._bucketed)
+        ranked, F.col("__i"), F.col("__v"), out_col="__cum", total_col="__tot",
+        materialize_input=True,
     ).select("__k", "__v", "__cum", "__tot")
     cls = cum.select(
         "__v",
@@ -3086,7 +3089,9 @@ def pareto_coverage(
         d, F.col("__v"), [F.col("__k")], desc=True, out_col="__i"
     )
     cum = distrank.global_running_sum(
-        ranked, F.col("__i"), F.col("__v"), out_col="__cum", total_col="__tot"
+        # materialize: chained distrank input (see abc_classification)
+        ranked, F.col("__i"), F.col("__v"), out_col="__cum", total_col="__tot",
+        materialize_input=True,
     ).select("__v", "__cum", "__tot")
     flagged = cum.select(
         "__v",

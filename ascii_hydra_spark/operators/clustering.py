@@ -69,6 +69,28 @@ def kmeans_assign(
     squared distance to the FINAL assigned centroid, rounded to 6.
     k=None sizes the cluster count to the data via :func:`auto_k`.
     """
+    assigned = _kmeans_assign_full(
+        emb, k, iterations, id_col, vec_col, reliable
+    )
+    return assigned.select(
+        F.col("__id").alias(id_col),
+        "cluster_id",
+        F.round("__d2", 6).alias("dist2"),
+    )
+
+
+def _kmeans_assign_full(
+    emb: DataFrame,
+    k: int | None,
+    iterations: int,
+    id_col: str,
+    vec_col: str,
+    reliable: bool,
+) -> DataFrame:
+    """kmeans_assign's engine: (__id, cluster_id, __d2, __v) with __v the
+    double-cast vector — the assignment is computed map-side, so the
+    vector rides along for free and intra-cluster consumers
+    (semantic_dup_pairs) need no join back to the corpus."""
     if k is None:
         k = auto_k(emb.count())
     dim = emb.select(F.size(vec_col)).first()[0]
@@ -88,20 +110,45 @@ def kmeans_assign(
     centroids = truncate_lineage(centroids, reliable=reliable)
 
     assigned = None
-    for _ in range(iterations):
-        scored = vecs.crossJoin(F.broadcast(centroids)).select(
-            "__id", "__v", "cluster_id", _dist2(F.col("__v"), F.col("__c")).alias("__d2")
+    for it in range(iterations):
+        # Map-side arg-min assignment: the k-row centroid table collapses
+        # to ONE row holding an array of (cluster_id, centroid) structs,
+        # broadcast-cross-joined (no row multiplication), and each vector
+        # picks its nearest centroid with array_min over per-centroid
+        # (dist2, cluster_id) structs — the SAME lexicographic struct
+        # ordering (ties -> lowest cluster id) the previous
+        # min(struct(...)) aggregate used, and the same _dist2 fold per
+        # (vector, centroid). This replaces a k-fold crossJoin explosion
+        # + a groupBy(__id) shuffle of n*k rows + an assigned-vecs join
+        # per iteration with ZERO data-sized shuffles: only the
+        # k-rows-per-partition partial aggregate of the centroid update
+        # moves. collect_list order is irrelevant — min over the array
+        # is order-free.
+        cents = centroids.agg(
+            F.collect_list(F.struct("cluster_id", "__c")).alias("__cs")
         )
-        assigned = scored.groupBy("__id").agg(
-            F.min(F.struct("__d2", "cluster_id")).alias("__m")
-        ).select(
+        best = F.array_min(
+            F.transform(
+                F.col("__cs"),
+                lambda c: F.struct(
+                    _dist2(F.col("__v"), c["__c"]).alias("__d2"),
+                    c["cluster_id"].alias("cluster_id"),
+                ),
+            )
+        )
+        assigned = vecs.crossJoin(F.broadcast(cents)).select(
             "__id",
-            F.col("__m.cluster_id").alias("cluster_id"),
-            F.col("__m.__d2").alias("__d2"),
+            "__v",
+            best["cluster_id"].alias("cluster_id"),
+            best["__d2"].alias("__d2"),
         )
+        if it == iterations - 1:
+            # the final centroid update is dead work — the returned
+            # assignment never reads it (the eager checkpoint below used
+            # to materialize one full extra assignment+update chain)
+            break
         new_c = (
-            assigned.join(vecs, "__id")
-            .groupBy("cluster_id")
+            assigned.groupBy("cluster_id")
             .agg(*[F.avg(F.col("__v")[i]).alias(f"__a{i}") for i in range(dim)])
             .select(
                 "cluster_id",
@@ -119,11 +166,7 @@ def kmeans_assign(
             reliable=reliable,
         )
 
-    return assigned.select(
-        F.col("__id").alias(id_col),
-        "cluster_id",
-        F.round("__d2", 6).alias("dist2"),
-    )
+    return assigned
 
 
 def cluster_sizes(
@@ -157,13 +200,12 @@ def semantic_dup_pairs(
     recall for speed. The exact arm (similarity.cosine_pairs_blocked)
     is the recall-1.0 reference it is tested against.
     """
-    assigned = kmeans_assign(
-        emb, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col,
-        reliable=reliable,
-    )
-    side = emb.join(assigned.select(id_col, "cluster_id"), id_col).select(
-        F.col(id_col).alias("__id"), "cluster_id", F.col(vec_col).alias("__v")
-    )
+    # the map-side assignment carries the double-cast vector along, so no
+    # join back to the corpus is needed (np.asarray(float64) of the
+    # original floats and the cast are the same exact widening)
+    side = _kmeans_assign_full(
+        emb, k, iterations, id_col, vec_col, reliable
+    ).select("__id", "cluster_id", "__v")
 
     # Per-cluster GEMM via applyInPandas: one numpy matmul per cluster
     # instead of 12M+ expression-evaluated dot products (measured 75 s ->

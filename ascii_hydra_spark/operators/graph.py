@@ -329,10 +329,19 @@ def kcore_peel(
         proper.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).unionAll(canon.filter(F.col("a") == F.col("b")))
     stats = []
-    cur = und
+    # materialize the doubled edge list ONCE before the loop: round 1's
+    # degree aggregate and its semi-join probe are independent AQE leaf
+    # stages, and stage capture at sf0.1 showed the full upstream
+    # join+distinct chain (98 MB of parquet input) executed TWICE before
+    # this barrier; rounds only shrink the set, so the cost is bounded
+    # by the first survivor set (same discipline as the per-round cur)
+    cur = truncate_lineage(und, reliable=reliable)
     for r in range(1, rounds + 1):
         deg = cur.groupBy("a").agg(F.count("*").alias("__d"))
-        keep = deg.filter(F.col("__d") >= k).select("a")
+        keep = deg.filter(F.col("__d") >= k).select("a").persist()
+        # eager: both semi joins below consume `keep` — without the
+        # barrier each leaf stage re-runs the degree groupBy
+        keep.count()
         cur = truncate_lineage(
             cur.join(keep, "a", "semi")
             .join(keep.select(F.col("a").alias("b")), "b", "semi")

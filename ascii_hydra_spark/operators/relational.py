@@ -314,8 +314,14 @@ def item_cf_neighbors(
     """
     bi = baskets.select(
         F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
-    support = bi.groupBy("__i").agg(F.count("*").cast("bigint").alias("__n"))
+    ).distinct().persist()
+    # eager barrier: THREE consumers (both self-join sides + support) are
+    # independent AQE leaf stages — stage capture at sf0.1 showed the
+    # scan+distinct subtree executed twice (identical 6.2 MB shuffle
+    # writes) before this materialization (see dedup.py for the pattern)
+    bi.count()
+    support = bi.groupBy("__i").agg(F.count("*").cast("bigint").alias("__n")).persist()
+    support.count()  # two consumers below (sa, sb)
     a, b = bi.alias("a"), bi.alias("b")
     co = (
         a.join(
