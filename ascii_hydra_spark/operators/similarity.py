@@ -410,17 +410,18 @@ def cosine_pairs_lsh(
                 / math.log(max(1.0 - collide, 1e-12))
             )))
     bucket_keys = _hyperplane_bucket_udf(dim, n_planes, n_tables, seed)
-    from ascii_hydra_spark.operators.dedup import _ensure_min_parallelism
-
-    # spread the bucket UDF over the cores (a small local file is one scan
-    # split -> one Python worker; no-op at scale where splits >= cores),
-    # and persist+materialize: the self-join's two sides are independent
-    # AQE leaf stages that would otherwise BOTH run the numpy matmul UDF
-    tables = _ensure_min_parallelism(emb).select(
+    # NOTE(r10, negative result — do not re-add): an eager
+    # persist+count barrier here (plus a round-robin min-parallelism
+    # repartition) was tried and REVERTED on paired ABAB evidence
+    # (sf0.1, 3 legs each side: old 1.94/2.60/3.37 s vs new
+    # 3.32/3.53/4.19 s, old < new in every paired leg). Unlike the
+    # MinHash signature table, the self-join's two sides share ONE
+    # identical sub-plan, so Spark's ReusedExchange already covers the
+    # bucket-UDF pass and the barriers only serialized the pipeline.
+    tables = emb.select(
         F.col(id_col).alias("__id"),
         F.explode(bucket_keys(F.col(vec_col))).alias("__bucket"),
-    ).persist()
-    tables.count()
+    )
     a, b = tables.alias("a"), tables.alias("b")
     # dedupe candidate PAIRS before scoring: a pair colliding in k tables
     # would otherwise pay the 64-dim dot product k times
@@ -434,13 +435,13 @@ def cosine_pairs_lsh(
     )
     from ascii_hydra_spark.functions.udfs import dot_product
 
-    # parallelize the normalize fold past the scan's split count (no-op at
-    # scale) and materialize ONCE: va/vb below are independent AQE leaf
-    # stages, and unpersisted each would re-run the per-row normalization
-    normed = _ensure_min_parallelism(emb).select(
+    # va/vb re-run the per-row normalization once each (hash(id_a) vs
+    # hash(id_b) partitionings cannot share an exchange), but the fold is
+    # cheap; persisting it eagerly was measured as a loss (see the ABAB
+    # note above — the barrier cost more than the duplicated map).
+    normed = emb.select(
         F.col(id_col).alias("__id"), _normalize(to_double_array(vec_col)).alias("__v")
-    ).persist()
-    normed.count()
+    )
     va = normed.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
     vb = normed.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
     return (
