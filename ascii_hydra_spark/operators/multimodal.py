@@ -1114,7 +1114,22 @@ def synthetic_media(
                 columns=["media_id", "modality", "codec", "payload", "meta_json"],
             )
 
-    return docs.select(id_col).mapInPandas(run, schema=MEDIA_SCHEMA)
+    # Spread the CPU-dense codecs across cores: a small local parquet is
+    # one scan split -> one Python worker, which serializes the whole
+    # pure-Python codec chain (measured at sf0.1: the JPEG encode+decode
+    # query ran as ONE task, 7.7-9.8 s; spread it runs 1.7-1.8 s, ABAB
+    # old>new in all 3 paired legs). Only the compressed codecs
+    # (DCT/DEFLATE/LZW) pay enough per row to amortize the round-robin
+    # exchange — for memcpy-level BMP/WAV the same spread was a measured
+    # ~0.4-0.5 s LOSS per query (ABAB, 3 legs), so they keep the scan's
+    # partitioning. No-op at scale where splits >= cores; payloads are a
+    # pure function of the id, so partitioning is result-invariant.
+    ids = docs.select(id_col)
+    if kind in ("jpeg", "png", "gif"):
+        from ascii_hydra_spark.operators.dedup import _ensure_min_parallelism
+
+        ids = _ensure_min_parallelism(ids)
+    return ids.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 RESIZED_SCHEMA = StructType(
