@@ -398,8 +398,14 @@ def minhash_lsh_pairs(
         .union(candidates.select(F.col("id_b").alias("__cid")))
         .distinct()
     )
+    # min-parallelism spread (guide §2.1): the broadcast semi-join keeps the
+    # scan's partitioning (ONE split at sf0.1), so the shingle-set
+    # materialization below otherwise runs as a single 0.25-0.55 s task.
+    # Spreading the surviving (id, text) rows is cheap; no-op at scale.
     shingle_sets = (
-        df.join(F.broadcast(cand_ids), F.col(id_col) == F.col("__cid"), "left_semi")
+        _ensure_min_parallelism(
+            df.join(F.broadcast(cand_ids), F.col(id_col) == F.col("__cid"), "left_semi")
+        )
         .select(F.col(id_col).alias("__id"), F.array_distinct(char_shingles(text_col, shingle_k)).alias("__set"))
         .persist()
     )
@@ -865,7 +871,16 @@ def minhash_lsh_pairs_portable(
     # element_at(word_tokens(text), i) inside the transform lambda would
     # re-run the split per bigram position — O(len^2) per document
     # (measured 8.3 s -> ~1 s for the sf0.1 shingle stage)
-    toked = df.select(
+    #
+    # min-parallelism spread (guide §2.1): the tokenize + bigram explode +
+    # partial-distinct map side otherwise runs on the SCAN's split count —
+    # the sf0.1 documents parquet is ONE split, and the stage capture
+    # showed it as a single 0.7-0.8 s task ahead of the distinct exchange.
+    # Round-robin of the (id, text) rows is cheap (~4 MB) next to the
+    # per-token md5 work downstream; a no-op at scale (splits >= cores).
+    # The shingle set `sh` is distinct()-ed, so content is
+    # partitioning-invariant.
+    toked = _ensure_min_parallelism(df).select(
         F.col(id_col).alias("__id"), word_tokens(text_col).alias("__tk")
     )
     tk = F.col("__tk")

@@ -336,23 +336,40 @@ def kcore_peel(
     # this barrier; rounds only shrink the set, so the cost is bounded
     # by the first survivor set (same discipline as the per-round cur)
     cur = truncate_lineage(und, reliable=reliable)
+    # The per-round stats row is derived from the NEXT degree table rather
+    # than a separate full pass over cur (r10 optimization, guide §2.4):
+    # deg(cur_r) has one row per distinct endpoint (n_nodes = COUNT(*)) and
+    # sum(__d) == COUNT(*) of cur_r exactly (each doubled-edge row counted
+    # once), so n_edges = sum(__d)/2 is the identical double-divide on the
+    # identical integer. Stage capture showed each stats agg re-reading the
+    # full materialized edge list (~98 MB at sf0.1) — 3 of the 9 big passes
+    # were stats-only; now stats aggregate the node-sized cached deg table.
+    # deg is persisted (it feeds both semi-join broadcasts + the stats row);
+    # keep derives from it by a cheap cached filter, so the old eager
+    # keep-barrier is no longer needed.
+    deg = cur.groupBy("a").agg(F.count("*").alias("__d")).persist()
+    deg.count()
     for r in range(1, rounds + 1):
-        deg = cur.groupBy("a").agg(F.count("*").alias("__d"))
-        keep = deg.filter(F.col("__d") >= k).select("a").persist()
-        # eager: both semi joins below consume `keep` — without the
-        # barrier each leaf stage re-runs the degree groupBy
-        keep.count()
+        keep = deg.filter(F.col("__d") >= k).select("a")
         cur = truncate_lineage(
             cur.join(keep, "a", "semi")
             .join(keep.select(F.col("a").alias("b")), "b", "semi")
             .select("a", "b"),
             reliable=reliable,
         )
+        # each round's deg stays persisted until the caller's action: the
+        # stats rows below read it lazily at collect time (same node-sized
+        # footprint the old per-round `keep` persists had)
+        deg = cur.groupBy("a").agg(F.count("*").alias("__d")).persist()
+        deg.count()
         stats.append(
-            cur.agg(
+            deg.agg(
                 F.lit(r).cast("int").alias("round"),
-                F.count_distinct("a").cast("bigint").alias("n_nodes"),
-                (F.count("*") / 2).cast("bigint").alias("n_edges"),
+                F.count("*").cast("bigint").alias("n_nodes"),
+                # sum over an empty round is NULL; the old count(*)/2 was 0
+                (F.coalesce(F.sum("__d"), F.lit(0)) / 2)
+                .cast("bigint")
+                .alias("n_edges"),
             )
         )
     out = stats[0]
