@@ -95,6 +95,14 @@ def _kmeans_assign_full(
         k = auto_k(emb.count())
     dim = emb.select(F.size(vec_col)).first()[0]
     v = F.col(vec_col).cast("array<double>")
+    # NOTE: a min-parallelism round-robin of the vectors was A/B-measured
+    # here (r10) and came out a WASH overall (kmeans_clusters 1.80 -> 1.73
+    # but semantic_dedup_survivors 2.48 -> 2.66 min at sf0.1): the fixture
+    # has only 2k vectors x k=4, so the per-iteration arg-min is ~ms of
+    # CPU and the added per-iteration exchange of the carried vectors eats
+    # the spread. Revisit only if the map-side assignment itself measures
+    # as the bottleneck (it does at real n x k, where the scan has many
+    # splits and the spread is a no-op anyway).
     vecs = emb.select(F.col(id_col).alias("__id"), v.alias("__v"))
 
     # init: k lowest-id vectors; the k-row window sort is trivially bounded

@@ -77,7 +77,15 @@ def contamination_pairs(
     kept as the raw string here so the oracle SQL is engine-neutral.
     """
     def grams(d: DataFrame, out_id: str) -> DataFrame:
-        return d.select(
+        # min-parallelism spread (guide §2.1): the tokenize + n-gram explode
+        # map side otherwise runs on the scan's split count (ONE task on the
+        # single-row-group fixtures — measured 1.35 s serialized at sf0.1);
+        # round-robin of (id, text) is cheap next to the per-token work, and
+        # a no-op at scale (splits >= cores). distinct() output is
+        # partitioning-invariant.
+        from ascii_hydra_spark.operators.dedup import _ensure_min_parallelism
+
+        return _ensure_min_parallelism(d).select(
             F.col(id_col).alias(out_id), F.explode(ngrams(word_tokens(text_col), n)).alias("__g")
         ).distinct()
 
@@ -499,6 +507,13 @@ def repetition_stats(
     dup_bigram_frac = F.when(F.size(bigrams) == 0, F.lit(0.0)).otherwise(
         F.lit(1.0) - F.size(F.array_distinct(bigrams)) / F.size(bigrams)
     )
+    # min-parallelism spread (guide §2.1): the sort_array + linear-fold mode
+    # count is the heaviest pure-projection expression in the repo, and on
+    # the single-row-group fixtures the whole pass ran as ONE 1.7-1.9 s task
+    # at sf0.1; a per-row map is partitioning-invariant, no-op at scale
+    from ascii_hydra_spark.operators.dedup import _ensure_min_parallelism
+
+    docs = _ensure_min_parallelism(docs)
     return docs.select(
         F.col(id_col),
         F.round(distinct_ratio, 6).alias("distinct_ratio"),

@@ -40,6 +40,8 @@ def _ensure_min_parallelism(df: DataFrame) -> DataFrame:
     thousands of splits (maxPartitionBytes), so `nparts >= parallelism`
     and NO shuffle is added.
     """
+    if df.isStreaming:  # .rdd is undefined on a streaming plan; the
+        return df       # micro-batch source sizes its own partitions
     sc = df.sparkSession.sparkContext
     nparts = df.rdd.getNumPartitions()
     if nparts < sc.defaultParallelism:
@@ -641,6 +643,13 @@ def simhash(
     (use bits<=60), letting a SimHash entry verify against a SQL oracle
     bit-for-bit.
     """
+    # NOTE: a min-parallelism round-robin of `df` before the tokenize was
+    # A/B-measured here (r10) and LOST (~2.84 -> ~3.04 s min at sf0.1,
+    # 2/3 paired legs): the single-task tokenize stages are only
+    # ~0.2+0.45 s warm, and the added exchange plus the 32-way map side of
+    # the distinct/sign-sum exchanges cost more than they spread. Do not
+    # re-try blindly (contrast repetition/contamination/boilerplate, where
+    # the serialized map side was 1.3-1.9 s and the same spread won 3/3).
     toks = df.select(F.col(id_col).alias("__id"), F.explode(word_tokens(text_col)).alias("__tok"))
     if hash_fn == "md5":
         if bits > 60:
@@ -1000,7 +1009,9 @@ def containment_pairs_portable(
     path (character-level boundary resolution); this arm trades boundary
     granularity for an engine-portable, oracle-replayable pipeline.
     """
-    toks = df.select(
+    # min-parallelism spread (guide §2.1): single-row-group fixture scan ->
+    # the tokenize+posexplode map side is one task without it; no-op at scale
+    toks = _ensure_min_parallelism(df).select(
         F.col(id_col).alias("__id"),
         F.posexplode(word_tokens(text_col)).alias("__pos", "__tok"),
     )

@@ -286,8 +286,13 @@ def remove_boilerplate(
     # every call. Cost: the operator is EAGER. `reliable=True` routes
     # through the session checkpoint dir so a lost executor recomputes
     # nothing fatal (see operators/lineage.py for the tradeoff).
+    # min-parallelism spread (guide §2.1): the segment explode feeding this
+    # checkpoint otherwise runs on the scan's split count — ONE 1.5-1.65 s
+    # task on the single-row-group sf0.1 fixture; a no-op at scale
+    from ascii_hydra_spark.operators.dedup import _ensure_min_parallelism
+
     seg = truncate_lineage(
-        docs.select(
+        _ensure_min_parallelism(docs).select(
             F.col(id_col), F.posexplode(segments(text_col)).alias("pos", "seg")
         ),
         reliable=reliable,

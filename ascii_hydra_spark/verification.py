@@ -7856,8 +7856,13 @@ def distributed_median_price(spark, sf_dir):
 )
 def gopher_quality_gate(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
+    # spread the rule evaluation across cores (guide §2.1): the flags are a
+    # pure projection and inherit the scan's single-row-group partitioning
+    # otherwise; the operator itself stays shuffle-free for streaming use
+    from ascii_hydra_spark.operators.dedup import _ensure_min_parallelism
+
     flags = text.gopher_quality_flags(
-        d, min_words=30, max_words=80, min_stop_words=1
+        _ensure_min_parallelism(d), min_words=30, max_words=80, min_stop_words=1
     )
     joined = d.select("doc_id", "lang").join(
         flags.withColumnRenamed("id", "doc_id"), "doc_id"
