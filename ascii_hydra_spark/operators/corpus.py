@@ -770,6 +770,11 @@ def dsir_importance(
         h = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
         return F.pmod(h, F.lit(int(n_buckets)))
 
+    # NOTE: a min-parallelism round-robin of docs/target was A/B-measured
+    # (r10) and came out a WASH (1.69 -> 1.66 s min at sf0.1, 2/3 paired
+    # legs slower): the serialized tokenize+md5 map stages total ~0.8 s
+    # but the added text exchange plus partial-agg dilution on the
+    # 1024-bucket groupBy eat the spread. Left on the scan partitioning.
     tok = docs.select(
         F.col(id_col).alias("__id"),
         F.explode(word_tokens(text_col)).alias("__t"),

@@ -12516,6 +12516,15 @@ def benford_second_digit_totals(spark, sf_dir):
 )
 def abc_classification_parts(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
+    # NOTE: a min-parallelism round-robin before this groupBy was
+    # A/B-measured (r10) and REGRESSED (4.03 -> 5.59 s min at sf0.1, all
+    # legs): spreading 600k rows over 32 partitions that each span all
+    # ~20k part keys collapses map-side partial aggregation (each
+    # partition emits ~full-key partials, ~10x the agg-exchange rows)
+    # and the raw-row exchange costs on top — the guide §2.3
+    # aggregate-before-you-shuffle rule in reverse. Keep the scan-side
+    # partial agg; the spread only pays on explode/UDF map sides with no
+    # partial-agg collapse (repetition/contamination/boilerplate).
     pv = li.groupBy(F.col("l_partkey").alias("k")).agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
         .cast("decimal(18,2)")
