@@ -237,6 +237,12 @@ def jaccard_pairs(
     the whole document) falls back to the direct self-join.
     """
     toks = _doc_tokens(df, id_col, text_col).cache()
+    # eager barrier: the token table feeds the size aggregate plus both
+    # self-join sides (and the prefix index when enabled) — independent AQE
+    # leaf stages race a lazy cache and re-run the explode+distinct per
+    # consumer (stage capture at sf0.1: 8 identical exchange writes in
+    # dedup_clusters before this barrier)
+    toks.count()
     sizes = toks.groupBy("__id").agg(F.count("*").alias("__sz"))
     if prefix_filter and threshold > 0:
         idx = prefix_index(toks, sizes, threshold)
@@ -255,9 +261,33 @@ def jaccard_pairs(
             .agg(F.count("*").alias("__inter"))
         )
     else:
-        a, b = toks.alias("a"), toks.alias("b")
+        # Size-ratio prefilter (r10; exact, guide §3.2-style pre-reduction):
+        # jaccard = i/(|A|+|B|-i) <= min(|A|,|B|)/max(|A|,|B|), so a pair
+        # whose size ratio is below the threshold can never pass the final
+        # filter. Evaluating the ratio INSIDE the join prunes the pair-
+        # occurrence stream BEFORE the (id_a, id_b) count exchange — on the
+        # brute-force fixture arms (threshold 0.95, every posting list hot)
+        # the stage capture showed two ~1.08 GB partial-agg exchanges and
+        # ~18 CPU-min of hash-agg per execution that this collapses to the
+        # near-equal-size pairs. The 1e-9 slack dwarfs double rounding
+        # (ulp ~2e-16 at ratio <= 1), so the predicate is strictly
+        # conservative: the kept-pair set is bit-identical. The doc-grain
+        # sizes table broadcasts at any corpus scale.
+        tsz = toks
+        join_cond = None
+        if threshold > 0:
+            tsz = toks.join(F.broadcast(sizes), "__id")
+            join_cond = (
+                F.least(F.col("a.__sz"), F.col("b.__sz")).cast("double")
+                / F.greatest(F.col("a.__sz"), F.col("b.__sz")).cast("double")
+                >= F.lit(float(threshold) - 1e-9)
+            )
+        a, b = tsz.alias("a"), tsz.alias("b")
+        cond = (F.col("a.__tok") == F.col("b.__tok")) & (F.col("a.__id") < F.col("b.__id"))
+        if join_cond is not None:
+            cond = cond & join_cond
         inter = (
-            a.join(b, (F.col("a.__tok") == F.col("b.__tok")) & (F.col("a.__id") < F.col("b.__id")))
+            a.join(b, cond)
             .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
             .agg(F.count("*").alias("__inter"))
         )
@@ -515,17 +545,25 @@ def connected_components(
     bound. Raises if max_iter rounds pass without convergence rather than
     returning partial labels silently.
     """
-    sym = edges.select(
-        F.col(src_col).alias("__u"), F.col(dst_col).alias("__v")
-    ).union(edges.select(F.col(dst_col).alias("__u"), F.col(src_col).alias("__v")))
-    # materialize the edge list ONCE before iterating: `edges` is typically
-    # the output of an expensive candidate-generation pipeline (LSH buckets,
-    # inverted-index joins), and without this every propagation round would
-    # recompute that whole upstream plan from scratch — measured 861 s vs
-    # ~40 s for the same clustering at sf0.1 when the near-dup join reran
-    # per round. The edge list itself is pair-count-sized (orders of
-    # magnitude below the corpus), so checkpointing it is cheap.
-    sym = truncate_lineage(sym, reliable=reliable)
+    # materialize the edge list ONCE before symmetrizing: `edges` is
+    # typically the output of an expensive candidate-generation pipeline
+    # (LSH buckets, inverted-index joins), and without this every
+    # propagation round would recompute that whole upstream plan from
+    # scratch — measured 861 s vs ~40 s for the same clustering at sf0.1
+    # when the near-dup join reran per round. The edge list itself is
+    # pair-count-sized (orders of magnitude below the corpus), so
+    # checkpointing it is cheap. Materializing BEFORE the union matters
+    # (r10): a union of two projections of `edges` executes the upstream
+    # pair join TWICE at the checkpoint action (stage capture at sf0.1:
+    # two identical 276 MB pair-count exchanges); symmetrizing on top of
+    # the checkpointed half-list reads materialized data instead.
+    half = truncate_lineage(
+        edges.select(F.col(src_col).alias("__u"), F.col(dst_col).alias("__v")),
+        reliable=reliable,
+    )
+    sym = half.union(
+        half.select(F.col("__v").alias("__u"), F.col("__u").alias("__v"))
+    )
     labels = nodes.select(F.col(id_col).alias("__id"), F.col(id_col).alias("__label"))
     labels = truncate_lineage(labels, reliable=reliable)
     for _ in range(max_iter):
