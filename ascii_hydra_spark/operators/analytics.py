@@ -2529,20 +2529,69 @@ def theil_sen_trend(
         F.datediff(F.col(day_col), F.lit("1970-01-01")).alias("__d"),
         v.alias("__v"),
     )
+    # Explicit spread of the day-grain table before the pair lattice
+    # (r10, guide §2.5-adjacent): AQE coalesces the tiny aggregate to ONE
+    # partition (its bytes sit under the coalesce floor), and a single
+    # partition satisfies every downstream distribution requirement — so
+    # the quadratic O(days^2) join and everything fused behind it ran as
+    # one task (stage capture: the sibling Sn estimator spent 11.7 s of
+    # 11.7 s CPU in a single task at sf0.1). An explicit repartition(n)
+    # is exempt from AQE coalescing; the table is day-grain bounded, so
+    # the exchange is trivial at any scale. Pair content is
+    # partitioning-invariant (deterministic keys, exact decimals).
+    based = based.repartition(daily.sparkSession.sparkContext.defaultParallelism)
     a = based.select(F.col("__d").alias("__da"), F.col("__v").alias("__va"))
     b = based.select(F.col("__d").alias("__db"), F.col("__v").alias("__vb"))
-    pairs = a.join(b, F.col("__da") < F.col("__db"))
     slope = (F.col("__vb") - F.col("__va")).cast("double") / (
         F.col("__db") - F.col("__da")
     ).cast("double")
+    # Distributed exact median (r10): percentile(slope, 0.5) is an exact
+    # aggregate whose FINAL merge is one task holding every slope — the
+    # stage capture showed a single 10.1 s task reading the whole 30 MB
+    # pair lattice at sf0.1. Rank the slopes through distrank's bucketed
+    # two-pass row number instead (the distributed_median_price pattern)
+    # and interpolate the two middle ranks with percentile()'s own
+    # formula: pos = (nc-1)/2, g = pos - floor(pos) (0 for odd nc, 0.5
+    # for even), median = (1-g)*v_lo + g*v_hi — bit-identical doubles
+    # (0.5*x is exact; for odd nc the expression collapses to v_lo).
+    # The (i, j) tiebreak totally orders equal slopes; equal values make
+    # any pick at a rank value-identical. The lattice is materialized
+    # once — distrank reads its input from three plan branches.
+    from ascii_hydra_spark.operators import distrank
+    from ascii_hydra_spark.operators.lineage import truncate_lineage
+
+    pairs = truncate_lineage(
+        a.join(b, F.col("__da") < F.col("__db")).select(
+            slope.alias("__s"), F.col("__da").alias("__i"), F.col("__db").alias("__j")
+        )
+    )
+    ranked = distrank.global_row_number(
+        pairs, F.col("__s"), [F.col("__i"), F.col("__j")],
+        out_col="__rk", total_col="__nc",
+    )
+    nc = F.col("__nc")
+    mid = ranked.filter(
+        (F.col("__rk") == ((nc + 1) / 2).cast("long"))
+        | (F.col("__rk") == ((nc + 2) / 2).cast("long"))
+    )
+    g = F.when(F.col("n_pairs") % 2 == 0, F.lit(0.5)).otherwise(F.lit(0.0))
     n_days = based.agg(F.count("*").cast("bigint").alias("n_days"))
     return (
-        pairs.agg(
-            F.count("*").cast("bigint").alias("n_pairs"),
-            F.round(F.percentile(slope, F.lit(0.5)), 6).alias("slope_per_day"),
+        mid.agg(
+            # coalesce: an empty lattice (single day) must keep the old
+            # percentile-arm contract of n_pairs = 0, median NULL
+            F.coalesce(F.min("__nc"), F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.min("__s").alias("__vlo"),
+            F.max("__s").alias("__vhi"),
         )
         .crossJoin(F.broadcast(n_days))
-        .select("n_days", "n_pairs", "slope_per_day")
+        .select(
+            "n_days",
+            "n_pairs",
+            F.round(
+                (F.lit(1.0) - g) * F.col("__vlo") + g * F.col("__vhi"), 6
+            ).alias("slope_per_day"),
+        )
     )
 
 

@@ -20701,6 +20701,12 @@ def theil_sen_slope_ci(spark, sf_dir):
         .cast("bigint")
         .alias("ed")
     ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("v"))
+    # explicit spread before the pair lattice: AQE coalesces the tiny
+    # day-grain aggregate to ONE partition and a single partition
+    # satisfies every downstream distribution, so the O(days^2) join ran
+    # serialized (see analytics.theil_sen_trend); day-grain is bounded,
+    # the exchange trivial at any scale
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     a, b = d.alias("a"), d.alias("b")
     # nullif-guarded denominator: BNLJ codegen fuses this projection
     # into doConsume where it can evaluate BEFORE the a.ed < b.ed
@@ -20716,6 +20722,14 @@ def theil_sen_slope_ci(spark, sf_dir):
         F.col("a.ed").alias("i"),
         F.col("b.ed").alias("j"),
     )
+    # materialize the pair lattice ONCE: it feeds distrank's three
+    # branches plus the count, median, and both CI-bound joins — each
+    # consumer re-executed the whole quadratic join before this (stage
+    # capture: ~6 executions, 16.6 s total at sf0.1); pair-count-sized,
+    # so the checkpoint is bounded
+    from ascii_hydra_spark.operators.lineage import truncate_lineage
+
+    p = truncate_lineage(p)
     ranked = distrank.global_row_number(
         p, F.col("slope"), [F.col("i"), F.col("j")], out_col="rk"
     )
@@ -20737,7 +20751,19 @@ def theil_sen_slope_ci(spark, sf_dir):
         .cast("bigint")
         .alias("k_hi"),
     )
-    med = p.agg(F.expr("percentile(slope, 0.5)").alias("m"))
+    # distributed exact median from the SAME ranked lattice (r10): the
+    # percentile(slope, 0.5) aggregate's final merge was one task holding
+    # every slope (8.1 s single-task stage at sf0.1); the two middle
+    # ranks + percentile()'s own interpolation ((1-g)*lo + g*hi, g = 0 or
+    # 0.5) produce the bit-identical double — see analytics.theil_sen_trend
+    med = (
+        ranked.join(
+            F.broadcast(t),
+            (ranked.rk == ((t.nc + 1) / 2).cast("long"))
+            | (ranked.rk == ((t.nc + 2) / 2).cast("long")),
+        )
+        .agg(F.min("slope").alias("mlo"), F.max("slope").alias("mhi"))
+    )
     lo = (
         ranked.join(F.broadcast(t), ranked.rk == t.k_lo)
         .agg(F.min("slope").alias("lo"))
@@ -20746,6 +20772,7 @@ def theil_sen_slope_ci(spark, sf_dir):
         ranked.join(F.broadcast(t), ranked.rk == t.k_hi)
         .agg(F.min("slope").alias("hi"))
     )
+    gmed = F.when(F.col("nc") % 2 == 0, F.lit(0.5)).otherwise(F.lit(0.0))
     return (
         t.crossJoin(F.broadcast(med))
         .crossJoin(F.broadcast(lo))
@@ -20753,7 +20780,9 @@ def theil_sen_slope_ci(spark, sf_dir):
         .select(
             F.col("n").alias("n_days"),
             F.col("nc").alias("n_pairs"),
-            F.round(F.col("m"), 6).alias("slope_median"),
+            F.round(
+                (F.lit(1.0) - gmed) * F.col("mlo") + gmed * F.col("mhi"), 6
+            ).alias("slope_median"),
             F.round(F.col("lo"), 6).alias("ci_low"),
             F.round(F.col("hi"), 6).alias("ci_high"),
         )
@@ -21264,6 +21293,13 @@ def sn_scale_daily_revenue(spark, sf_dir):
     ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
           .cast("decimal(18,2)").alias("v"))
     n = d.agg(F.count("*").cast("bigint").alias("n"))
+    # explicit spread before the pair lattice: AQE coalesced the
+    # day-grain aggregate to ONE partition, and since a single partition
+    # satisfies the inner window's required distribution too, the whole
+    # O(days^2) |difference| lattice + per-day median window ran as ONE
+    # 11.7 s task at sf0.1 (stage capture); day-grain bounded, the
+    # exchange trivial at any scale, window order deterministic
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     a, b = d.alias("a"), d.alias("b")
     p = a.join(b, F.col("a.ed") != F.col("b.ed")).select(
         F.col("a.ed").alias("i"),
