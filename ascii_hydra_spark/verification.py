@@ -22249,7 +22249,7 @@ def pareto_chart_priorities(spark, sf_dir):
 # name SQL-oracled, first-time (round 4 spent 10 of its 50 slots on
 # rows-only entries that can only ever come back `no_oracle`, so the
 # window hard-requires an oracle for every head name — guard below).
-# Position 51+ holds the round-11/12/13 pools, then everything
+# Position 51+ holds the round-12/13 pools, then everything
 # previously driver-checked; the repo-local differential suite checks
 # the FULL registry either way.
 _DRIVER_HEAD = 50
@@ -22264,6 +22264,43 @@ _ANCHORS: tuple[str, ...] = (
 # 51st name out of the window, and round 4 burned 10 slots on rows-only
 # entries that can only ever record `no_oracle`).
 _ROTATION: tuple[str, ...] = (
+    "warc_records_scan", "warc_host_dedup", "incremental_minhash_portable",
+    "customer_revenue_rank_tiles", "cumulative_daily_revenue",
+    "url_canonical_dedup", "gopher_quality_gate", "distributed_median_price",
+    "binaryfile_scan", "dsir_importance_en", "html_text_extraction",
+    "price_ending_profile", "gini_by_segment", "stream_quality_gate",
+    "warc_curation_pipeline", "warc_content_dedup_pipeline",
+    "cdx_index_build", "cdx_pruned_fetch", "cdx_index_jsonl_sink",
+    "surt_blocklist_filter", "luhn_card_audit", "robots_url_gate",
+    "mojibake_audit", "invisible_char_scrub", "nelson_aalen_lifetimes",
+    "logrank_value_ab", "cuped_value_ab", "lpa_communities",
+    "filtered_aggs_monthly", "freshness_audit_event_types",
+    "gaps_islands_user_days", "asof_join_nearest_views", "cohens_d_value_ab",
+    "mcnemar_doc_gates", "mann_kendall_daily_revenue",
+    "runs_test_daily_revenue", "kruskal_wallis_value_by_type",
+    "ccnet_perplexity_buckets", "quality_feature_matrix",
+    "odds_ratio_purchase_ab", "cdx_revisit_detection",
+    "hurst_rescaled_range_daily", "nbinom_moments_user_events",
+    "bartlett_value_by_type", "stable_rank_embeddings",
+)
+# (Round-11 rotation = the former _ROUND11_POOL promoted verbatim per
+# the round-10 verdict's task 3 — the rounds-6/7 WARC/CDX ingestion +
+# distributed-rank + portable-conversion wave. The round-10 rotation
+# moved to _PAST_DRIVER_GREEN after CORRECTNESS_r10.json recorded all
+# 50 head rows green.)
+
+# Pools are named for the round whose rotation they hold (renamed at
+# round 10 from the historical offset _ROUND{N}_POOL names per the
+# round-9 advisor finding). _ROUND12_POOL is promoted verbatim into
+# _ROTATION at round 12, and so on. Same first-time/disjoint/
+# oracle-able contract for every pool.
+
+# Frozen record of every name with a driver-green row (rows+schema+hash,
+# no error) in CORRECTNESS_r01-r06. Guards below reject a rotation slot
+# spent on an already-green name.
+_PAST_DRIVER_GREEN: frozenset[str] = frozenset({
+    # ---- green in CORRECTNESS_r10 (45 first-time rows; 50/50 incl. the
+    # 5 anchors, zero errors) ----
     "granger_orders_to_revenue", "simpsons_paradox_segments",
     "eclat_brand_triples", "nb_langid_confusion",
     "lang_unigram_cosine_pairs", "fano_factor_hourly_by_type",
@@ -22284,45 +22321,6 @@ _ROTATION: tuple[str, ...] = (
     "doc_length_quartiles_by_lang", "benford_conformity_verdict",
     "session_threshold_sensitivity", "ks_drift_month_halves",
     "interarrival_expfit_ks", "durbin_watson_daily",
-)
-# (Round-10 rotation, promoted verbatim per the round-9 verdict's
-# task 1, which cited this pool by line and by first/last name. The
-# round-9 rotation moved to _PAST_DRIVER_GREEN after
-# CORRECTNESS_r09.json recorded all 50 head rows green.)
-
-# Pools are named for the round whose rotation they hold (renamed at
-# round 10 from the historical offset _ROUND{N}_POOL names per the
-# round-9 advisor finding). _ROUND11_POOL is promoted verbatim into
-# _ROTATION at round 11, and so on. Same first-time/disjoint/
-# oracle-able contract for every pool.
-
-# Round-11 pool: the rounds-6/7 WARC/CDX ingestion + distributed-rank
-# + portable-conversion wave.
-_ROUND11_POOL: tuple[str, ...] = (
-    "warc_records_scan", "warc_host_dedup", "incremental_minhash_portable",
-    "customer_revenue_rank_tiles", "cumulative_daily_revenue",
-    "url_canonical_dedup", "gopher_quality_gate", "distributed_median_price",
-    "binaryfile_scan", "dsir_importance_en", "html_text_extraction",
-    "price_ending_profile", "gini_by_segment", "stream_quality_gate",
-    "warc_curation_pipeline", "warc_content_dedup_pipeline",
-    "cdx_index_build", "cdx_pruned_fetch", "cdx_index_jsonl_sink",
-    "surt_blocklist_filter", "luhn_card_audit", "robots_url_gate",
-    "mojibake_audit", "invisible_char_scrub", "nelson_aalen_lifetimes",
-    "logrank_value_ab", "cuped_value_ab", "lpa_communities",
-    "filtered_aggs_monthly", "freshness_audit_event_types",
-    "gaps_islands_user_days", "asof_join_nearest_views", "cohens_d_value_ab",
-    "mcnemar_doc_gates", "mann_kendall_daily_revenue",
-    "runs_test_daily_revenue", "kruskal_wallis_value_by_type",
-    "ccnet_perplexity_buckets", "quality_feature_matrix",
-    "odds_ratio_purchase_ab", "cdx_revisit_detection",
-    "hurst_rescaled_range_daily", "nbinom_moments_user_events",
-    "bartlett_value_by_type", "stable_rank_embeddings",
-)
-
-# Frozen record of every name with a driver-green row (rows+schema+hash,
-# no error) in CORRECTNESS_r01-r06. Guards below reject a rotation slot
-# spent on an already-green name.
-_PAST_DRIVER_GREEN: frozenset[str] = frozenset({
     # ---- green in CORRECTNESS_r09 (45 first-time rows; 50/50 incl. the
     # 5 anchors, zero errors) ----
     "user_lifecycle_states", "power_user_curve",
@@ -22510,7 +22508,7 @@ _ROUND13_POOL: tuple[str, ...] = (
 )
 
 _POOLS: tuple[tuple[str, ...], ...] = (
-    _ROUND11_POOL, _ROUND12_POOL, _ROUND13_POOL,
+    _ROUND12_POOL, _ROUND13_POOL,
 )
 
 _PRIORITY: tuple[str, ...] = (

@@ -81,17 +81,30 @@ def test_pool_names_match_the_round_they_serve() -> None:
     # the round-9 advisor finding: offset pool names risk promoting the
     # wrong tuple. Pools must be _ROUND{N}_POOL with N strictly
     # increasing, and _POOLS must list them in promotion order.
-    expected = ("_ROUND11_POOL", "_ROUND12_POOL", "_ROUND13_POOL")
+    expected = ("_ROUND12_POOL", "_ROUND13_POOL")
     for name, pool in zip(expected, v._POOLS):
         assert getattr(v, name) is pool, f"_POOLS order does not match {name}"
     assert len(v._POOLS) == len(expected)
 
 
 def test_next_pool_is_a_full_first_time_rotation() -> None:
-    # the first pool is next round's rotation: exactly 45 slots, every
-    # name never-driver-checked and disjoint from the current head
+    # the first pool is next round's rotation: every name
+    # never-driver-checked and disjoint from the current head. It must
+    # hold exactly 45 slots UNLESS the registry has no unscheduled
+    # SQL-oracle entries left to fill it with — after the round-11
+    # promotion every remaining oracle-able entry is already queued, and
+    # optimization rounds may not add query entries, so a partial final
+    # pool is the correct state (it simply drains over future rounds).
     nxt = v._POOLS[0]
-    assert len(nxt) == 45
+    unscheduled = [
+        n
+        for n, s in v.REGISTRY.items()
+        if s.sql is not None
+        and n not in v._PAST_DRIVER_GREEN
+        and n not in set(v._ANCHORS + v._ROTATION)
+        and all(n not in pool for pool in v._POOLS)
+    ]
+    assert len(nxt) == 45 or (len(nxt) < 45 and not unscheduled)
     assert not (set(nxt) & v._PAST_DRIVER_GREEN)
     assert not (set(nxt) & set(v._ANCHORS + v._ROTATION))
     assert set(nxt) <= set(v.REGISTRY)
