@@ -2523,6 +2523,13 @@ def theil_sen_trend(
     Day deltas are exact epoch-day integers and values exact decimals,
     so every slope double is identical on both engines; the median is
     the exact interpolated percentile over the slope set.
+
+    EAGER: constructing this DataFrame materializes the O(days^2) slope
+    lattice via `truncate_lineage` (localCheckpoint — executor-loss
+    rebuilds are NOT covered, the `reliable=False` tradeoff) because
+    distrank's rank passes plus the count/median branches would each
+    re-execute the quadratic join otherwise. Same contract as
+    `remove_boilerplate`.
     """
     v = F.col(value_col).cast(f"decimal(18,{scale})")
     based = daily.select(
@@ -2569,12 +2576,7 @@ def theil_sen_trend(
         pairs, F.col("__s"), [F.col("__i"), F.col("__j")],
         out_col="__rk", total_col="__nc",
     )
-    nc = F.col("__nc")
-    mid = ranked.filter(
-        (F.col("__rk") == ((nc + 1) / 2).cast("long"))
-        | (F.col("__rk") == ((nc + 2) / 2).cast("long"))
-    )
-    g = F.when(F.col("n_pairs") % 2 == 0, F.lit(0.5)).otherwise(F.lit(0.0))
+    mid = ranked.filter(distrank.middle_ranks_pred(F.col("__rk"), F.col("__nc")))
     n_days = based.agg(F.count("*").cast("bigint").alias("n_days"))
     return (
         mid.agg(
@@ -2589,7 +2591,10 @@ def theil_sen_trend(
             "n_days",
             "n_pairs",
             F.round(
-                (F.lit(1.0) - g) * F.col("__vlo") + g * F.col("__vhi"), 6
+                distrank.median_interp(
+                    F.col("__vlo"), F.col("__vhi"), F.col("n_pairs")
+                ),
+                6,
             ).alias("slope_per_day"),
         )
     )

@@ -235,6 +235,13 @@ def jaccard_pairs(
     candidate blowup — the property that keeps this runnable on a 100 TB
     corpus. `prefix_filter=False` (or threshold == 0, where the prefix is
     the whole document) falls back to the direct self-join.
+
+    EAGER + caches: constructing this DataFrame runs one job (the token
+    table is cached and count()-materialized — independent AQE leaf
+    stages race a lazy cache, re-running the explode+distinct once per
+    consumer), and the doc-token-sized cache entry lives until the
+    caller clears it (session `clearCache()` or unpersist). Same
+    contract as `remove_boilerplate`.
     """
     toks = _doc_tokens(df, id_col, text_col).cache()
     # eager barrier: the token table feeds the size aggregate plus both

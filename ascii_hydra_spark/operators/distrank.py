@@ -71,6 +71,28 @@ def single_partition(order_col: str) -> Column:
     return F.pmod(F.col(order_col), F.lit(1))
 
 
+def middle_ranks_pred(rk: Column, total: Column) -> Column:
+    """Predicate selecting the two middle global ranks of a totally
+    ordered set: rk == floor((total+1)/2) or rk == floor((total+2)/2).
+    For odd totals both expressions name the same rank; for even totals
+    they name the lower/upper middle pair. Shared by every distributed
+    exact-median site (distributed_median_price, theil_sen_*) so the
+    rank arithmetic lives in one place (round-10 advisor finding)."""
+    return (rk == ((total + 1) / 2).cast("long")) | (
+        rk == ((total + 2) / 2).cast("long")
+    )
+
+
+def median_interp(vlo: Column, vhi: Column, total: Column) -> Column:
+    """percentile(x, 0.5)-compatible interpolation over the two middle
+    ranked values: pos = (total-1)/2, g = pos - floor(pos) (0 for odd
+    totals, 0.5 for even), median = (1-g)*vlo + g*vhi. 0.5*x is exact in
+    IEEE and the odd case collapses to vlo, so the result is the
+    bit-identical double percentile() produces for g in {0, 0.5}."""
+    g = F.when(total % 2 == 0, F.lit(0.5)).otherwise(F.lit(0.0))
+    return (F.lit(1.0) - g) * vlo + g * vhi
+
+
 def _bucketed(
     df: DataFrame,
     key: Column,

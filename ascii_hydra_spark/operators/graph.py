@@ -346,7 +346,10 @@ def kcore_peel(
     # were stats-only; now stats aggregate the node-sized cached deg table.
     # deg is persisted (it feeds both semi-join broadcasts + the stats row);
     # keep derives from it by a cheap cached filter, so the old eager
-    # keep-barrier is no longer needed.
+    # keep-barrier is no longer needed. Each round's stats row is collected
+    # eagerly while that round's deg is cached, so deg r-1 can be
+    # unpersisted as soon as round r's deg is materialized (r11, round-10
+    # advisor finding: cache occupancy was growing linearly with rounds).
     deg = cur.groupBy("a").agg(F.count("*").alias("__d")).persist()
     deg.count()
     for r in range(1, rounds + 1):
@@ -357,11 +360,18 @@ def kcore_peel(
             .select("a", "b"),
             reliable=reliable,
         )
-        # each round's deg stays persisted until the caller's action: the
-        # stats rows below read it lazily at collect time (same node-sized
-        # footprint the old per-round `keep` persists had)
+        # round r's cur is checkpointed (eager) above, so deg r-1 has no
+        # remaining consumer once round r's deg exists — unpersist it
+        # rather than letting rounds+1 node-sized cache entries pile up
+        # for the session lifetime (round-10 advisor finding). The stats
+        # row is collected EAGERLY per round while deg is hot: it is a
+        # 1-row aggregate over the already-materialized node-sized cache,
+        # so the collect is ~free and the returned frame no longer holds
+        # lazy references to every round's cache entry.
+        prev = deg
         deg = cur.groupBy("a").agg(F.count("*").alias("__d")).persist()
         deg.count()
+        prev.unpersist()
         stats.append(
             deg.agg(
                 F.lit(r).cast("int").alias("round"),
@@ -370,12 +380,12 @@ def kcore_peel(
                 (F.coalesce(F.sum("__d"), F.lit(0)) / 2)
                 .cast("bigint")
                 .alias("n_edges"),
-            )
+            ).collect()[0]
         )
-    out = stats[0]
-    for s in stats[1:]:
-        out = out.unionAll(s)
-    return out
+    deg.unpersist()
+    return edges.sparkSession.createDataFrame(
+        stats, schema="round int, n_nodes bigint, n_edges bigint"
+    )
 
 
 def jaccard_link_prediction(

@@ -7829,10 +7829,8 @@ def distributed_median_price(spark, sf_dir):
     ranked = distrank.global_row_number(
         p, F.col("__k"), [F.col("__tb")], out_col="__i", total_col="__n"
     )
-    n = F.col("__n")
     mid = ranked.filter(
-        (F.col("__i") == ((n + 1) / 2).cast("long"))
-        | (F.col("__i") == ((n + 2) / 2).cast("long"))
+        distrank.middle_ranks_pred(F.col("__i"), F.col("__n"))
     )
     return mid.agg(
         F.min("__n").cast("bigint").alias("n"),
@@ -20757,11 +20755,7 @@ def theil_sen_slope_ci(spark, sf_dir):
     # ranks + percentile()'s own interpolation ((1-g)*lo + g*hi, g = 0 or
     # 0.5) produce the bit-identical double — see analytics.theil_sen_trend
     med = (
-        ranked.join(
-            F.broadcast(t),
-            (ranked.rk == ((t.nc + 1) / 2).cast("long"))
-            | (ranked.rk == ((t.nc + 2) / 2).cast("long")),
-        )
+        ranked.join(F.broadcast(t), distrank.middle_ranks_pred(ranked.rk, t.nc))
         .agg(F.min("slope").alias("mlo"), F.max("slope").alias("mhi"))
     )
     lo = (
@@ -20772,7 +20766,6 @@ def theil_sen_slope_ci(spark, sf_dir):
         ranked.join(F.broadcast(t), ranked.rk == t.k_hi)
         .agg(F.min("slope").alias("hi"))
     )
-    gmed = F.when(F.col("nc") % 2 == 0, F.lit(0.5)).otherwise(F.lit(0.0))
     return (
         t.crossJoin(F.broadcast(med))
         .crossJoin(F.broadcast(lo))
@@ -20781,7 +20774,10 @@ def theil_sen_slope_ci(spark, sf_dir):
             F.col("n").alias("n_days"),
             F.col("nc").alias("n_pairs"),
             F.round(
-                (F.lit(1.0) - gmed) * F.col("mlo") + gmed * F.col("mhi"), 6
+                distrank.median_interp(
+                    F.col("mlo"), F.col("mhi"), F.col("nc")
+                ),
+                6,
             ).alias("slope_median"),
             F.round(F.col("lo"), 6).alias("ci_low"),
             F.round(F.col("hi"), 6).alias("ci_high"),
