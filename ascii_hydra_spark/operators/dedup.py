@@ -425,9 +425,16 @@ def minhash_lsh_pairs(
         .join(sb_sig, "id_b")
         .filter(est >= est_cut)
         .select("id_a", "id_b")
-        .persist()  # tiny (surviving pairs); read 3x below
+        # LAZY persist, deliberately no count() barrier (r11 barrier-diet
+        # ABAB, 6 legs): the candidate table is tiny and its recompute
+        # (a join over the already-materialized sig cache) is cheaper
+        # than serializing the pipeline behind an extra job — dropping
+        # the barrier won 4/6 paired legs (min 3.00 vs 3.14 s, mean 3.80
+        # vs 4.41). Dropping the persist TOO lost 3/3 legs (each of the
+        # 3 consumers then re-runs the banded self-join + est filter);
+        # do not re-try either direction without new evidence.
+        .persist()
     )
-    candidates.count()  # eager: see the sig barrier above
     # exact verification on the surviving candidates only: semi-join the
     # corpus down to docs that appear in some candidate pair BEFORE paying
     # the shingle-set materialization — at scale the candidate set is
