@@ -165,6 +165,48 @@ def test_tfidf_max_df_prunes_stop_terms(spark):
     # nothing, so cosine is 0/0-guarded by the dot being exactly 0.0)
 
 
+def test_tfidf_dense_and_postings_arms_agree(spark):
+    # r11: the pair phase has two physical arms (blocked numpy GEMM for
+    # bounded kept vocabularies, inverted-index postings join otherwise).
+    # Both must produce the identical neighbor table on the same corpus;
+    # dense_vocab_max=0 forces the postings arm.
+    docs = [
+        (i, " ".join(f"w{(i * 7 + j * 3) % 11}" for j in range(5 + i % 4)))
+        for i in range(1, 41)
+    ] + [(100, "w1 w2 w3"), (101, "w1 w2 w3"), (102, "w2 w3 w1 w1")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for thr in (0.3, 0.8):
+        dense = {
+            r["doc_id"]: (r["n_neighbors"], r["best_cos"])
+            for r in retrieval.tfidf_doc_neighbors(df, threshold=thr).collect()
+        }
+        sparse = {
+            r["doc_id"]: (r["n_neighbors"], r["best_cos"])
+            for r in retrieval.tfidf_doc_neighbors(
+                df, threshold=thr, dense_vocab_max=0
+            ).collect()
+        }
+        assert dense == sparse, f"arms disagree at threshold {thr}"
+    assert dense  # non-degenerate: the corpus has matching pairs
+
+
+def test_tfidf_zero_norm_docs_agree_across_arms(spark):
+    # every term at df == N -> all weights 0 -> norms 0 -> the shared
+    # Spark-side round(dot/(na*nb), 6) hits ANSI DIVIDE_BY_ZERO in BOTH
+    # arms (the dense arm's numpy prune deliberately KEEPS zero-norm
+    # pairs so the engine expression — not numpy — decides them). The
+    # arms must agree: both raise the same ANSI error.
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    df = spark.createDataFrame(
+        [(1, "the"), (2, "the"), (3, "the")], "doc_id long, text string"
+    )
+    for kw in ({}, {"dense_vocab_max": 0}):
+        with _pytest.raises(ArithmeticException, match="DIVIDE_BY_ZERO"):
+            retrieval.tfidf_doc_neighbors(df, threshold=0.1, **kw).collect()
+
+
 def test_profile_columns_crafted(spark):
     df = spark.createDataFrame(
         [(1, "a", 1.5), (2, "a", None), (3, None, 2.5), (3, "b", 4.0)],
